@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, quality metrics, language-ID heuristics, and document
+  * fingerprinting. All are composed from codegen'd builtins so they run
+  * inside whole-stage codegen — no Scala UDFs in the hot path, which is
+  * what keeps a 100 TB corpus scan CPU-bound instead of
+  * serialization-bound.
+  *
+  * The reference pipeline has no text operators (SURVEY.md §2.9); these are
+  * the training-data extensions mandated by the build plan (§7.2 step 7).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty-safe: trim first so leading/trailing blanks
+    * don't produce empty tokens, and return 0 for blank/empty strings
+    * (Spark's split("") yields [""], size 1 — guarded here).
+    */
+  def tokens(text: Column): Column =
+    F.when(F.trim(text) === F.lit(""), F.array().cast("array<string>"))
+      .otherwise(F.split(F.trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column =
+    F.size(tokens(text)).cast(LongType)
+
+  /** A crude BPE-ish subword count: word characters grouped in runs of at
+    * most 4 plus isolated non-space symbols — a deterministic, dependency-
+    * free stand-in for a real tokenizer's token count, useful for
+    * budget-style filtering at corpus scale.
+    */
+  def subwordCount(text: Column): Column =
+    F.regexp_count(text, F.lit("\\w{1,4}|[^\\w\\s]")).cast(LongType)
+
+  /** Number of punctuation characters. */
+  def punctCount(text: Column): Column =
+    F.length(text) - F.length(F.regexp_replace(text, "[\\p{Punct}]", ""))
+
+  /** Number of alphabetic characters. */
+  def alphaCount(text: Column): Column =
+    F.length(F.regexp_replace(text, "[^\\p{L}]", ""))
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that")
+
+  /** Count of stopword tokens (lowercased exact match). */
+  def stopwordCount(text: Column): Column = {
+    val sw = F.array(stopwords.map(F.lit): _*)
+    F.size(F.filter(tokens(F.lower(text)), t => F.array_contains(sw, t)))
+      .cast(LongType)
+  }
+
+  /** Composite quality score in [0,1]: blend of length saturation,
+    * stopword presence, and non-punctuation ratio — the standard cheap
+    * heuristics used to pre-filter web corpora before expensive model
+    * scoring. Deterministic fixed-point arithmetic (see oracle note in
+    * SparkEntry): each component is a ratio of integer counts.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = F.length(text).cast(DoubleType)
+    val lenSat = F.least(n / F.lit(500.0), F.lit(1.0))
+    val stopRatio = F.least(
+      stopwordCount(text).cast(DoubleType) * F.lit(10.0) /
+        F.greatest(tokenCount(text).cast(DoubleType), F.lit(1.0)),
+      F.lit(1.0))
+    val punctOk = F.lit(1.0) - F.least(
+      punctCount(text).cast(DoubleType) * F.lit(4.0) / F.greatest(n, F.lit(1.0)),
+      F.lit(1.0))
+    (lenSat * F.lit(0.4) + stopRatio * F.lit(0.3) + punctOk * F.lit(0.3))
+  }
+
+  /** Language-ID: marker-word voting over a small per-language lexicon.
+    * Returns the language with the most marker hits; ties and zero-hit
+    * documents fall back in a fixed priority order (en > de > es > fr),
+    * making the classifier fully deterministic. An n-gram model would be
+    * strictly better but needs training data; marker voting is the
+    * standard cheap heuristic and is expressible in pure SQL for the
+    * oracle.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "es", "que"),
+    "fr" -> Seq("le", "les", "est", "dans", "une"))
+
+  def langHits(text: Column, lang: String): Column = {
+    val markers = F.array(langMarkers(lang).map(F.lit): _*)
+    F.size(F.filter(tokens(F.lower(text)), t => F.array_contains(markers, t)))
+  }
+
+  def langId(text: Column): Column = {
+    val en = langHits(text, "en"); val de = langHits(text, "de")
+    val es = langHits(text, "es"); val fr = langHits(text, "fr")
+    // Fixed priority on ties: en, then de, then es, then fr.
+    F.when(en >= de && en >= es && en >= fr, F.lit("en"))
+      .when(de >= es && de >= fr, F.lit("de"))
+      .when(es >= fr, F.lit("es"))
+      .otherwise(F.lit("fr"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. Stable across engines (md5 is standard), cheap (single pass),
+    * and the first stage of exact dedup at corpus scale — group by a
+    * 16-byte digest instead of shuffling full document bodies.
+    */
+  def fingerprint(text: Column): Column =
+    F.md5(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "))
+
+  /** Character n-gram shingles of the normalized text (for MinHash /
+    * Jaccard dedup). Uses sliding windows over the codegen'd substring
+    * builtin via sequence+transform — no UDF.
+    */
+  def charShingles(text: Column, n: Int = 5): Column = {
+    val norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    val chars = F.split(norm, "")
+    F.when(F.length(norm) < n, F.array(norm))
+      .otherwise(
+        F.transform(
+          F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
+          i => F.concat_ws("", F.slice(chars, i, F.lit(n)))))
+  }
+
+  /** Word n-gram shingles (for n-gram Jaccard dedup). */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(F.lower(text))
+    F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks)))
+      .otherwise(
+        F.transform(
+          F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+          i => F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(n)))))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.{functions => F}
+
+/** Embedding math over `array<float>` columns.
+  *
+  * Two tiers, same semantics:
+  *  - [[DotF]] — a custom codegen'd Catalyst expression that loops over the
+  *    primitive float arrays without per-element boxing. This is the hot
+  *    path for brute-force similarity at scale: a 64-dim dot product per
+  *    candidate pair is ~64 FMA ops when codegen'd, vs hundreds of ns of
+  *    boxing through higher-order-function lambdas.
+  *  - [[VectorFunctions.dotHof]] etc. — pure-builtin higher-order-function
+  *    fallbacks (zip_with + aggregate), used as the reference
+  *    implementation in tests and wherever the custom expression is not
+  *    registered.
+  *
+  * The reference pipeline has no vector ops (SURVEY.md §2.9); these back
+  * the similarity-search / near-dup extensions (build plan §7.2 step 7).
+  */
+case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_f requires (array<float>, array<float>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "dot_f takes exactly 2 arguments")
+    DotF(exprs.head, exprs(1))
+  }
+
+  /** Codegen'd dot product — requires [[graft.GraftFunctions.register]]. */
+  def dot(a: Column, b: Column): Column = F.call_function("dot_f", a, b)
+
+  /** Builtin-only dot product (zip_with + aggregate HOFs). */
+  def dotHof(a: Column, b: Column): Column =
+    F.aggregate(
+      F.zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      F.lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = F.sqrt(dotHof(a, a))
+
+  /** Cosine similarity; null-safe for zero vectors (returns null). */
+  def cosine(a: Column, b: Column): Column =
+    dotHof(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+  /** Cosine using the codegen'd dot (hot path). */
+  def cosineFast(a: Column, b: Column): Column =
+    dot(a, b) / F.nullif(F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0))
+}

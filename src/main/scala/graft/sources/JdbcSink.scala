@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** JDBC sink (reference S3): the reference's distributed load path writes
+  * each executor partition over JDBC to `public.stg_trip_data`
+  * (src/insert_postgres.py:13-22, driver options incl.
+  * stringtype=unspecified so the target coerces VARCHARs).
+  *
+  * Kept as a thin, configurable sink: file-based ingestion is the primary
+  * path (the reference itself calls the JDBC route secondary,
+  * README.md:147). No driver jar ships in this environment, so this class
+  * is exercised by plan-construction tests only.
+  *
+  * Scale note: `numPartitions` caps concurrent connections — at 1000
+  * executors an uncapped JDBC write is a denial of service on the target;
+  * `batchsize` amortizes round-trips.
+  */
+object JdbcSink {
+
+  def write(
+      df: DataFrame,
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      driver: String = "org.postgresql.Driver",
+      mode: SaveMode = SaveMode.Append,
+      numPartitions: Int = 8,
+      batchSize: Int = 10000,
+      extraOptions: Map[String, String] = Map("stringtype" -> "unspecified")): Unit = {
+    var w = df.coalesce(numPartitions).write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("driver", driver)
+      .option("batchsize", batchSize.toString)
+    extraOptions.foreach { case (k, v) => w = w.option(k, v) }
+    w.mode(mode).save()
+  }
+}

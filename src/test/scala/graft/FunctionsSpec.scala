@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.DateType
+import graft.functions.{TextFunctions, VectorFunctions, WeekOfMonth, Wkt}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("week_of_month: custom expression matches Postgres 'W' semantics") {
+    val dates = Seq(
+      "2018-05-01" -> 1, "2018-05-07" -> 1, "2018-05-08" -> 2,
+      "2018-05-14" -> 2, "2018-05-15" -> 3, "2018-05-28" -> 4,
+      "2018-05-29" -> 5, "2018-05-31" -> 5, "2020-02-29" -> 5,
+      "2021-02-28" -> 4, "2024-01-01" -> 1)
+    val df = dates.map(_._1).toDF("d").select(
+      F.col("d"),
+      WeekOfMonth.weekOfMonth(F.col("d").cast(DateType)).as("custom"),
+      WeekOfMonth.weekOfMonthArith(F.col("d").cast(DateType)).as("arith"))
+    val got = df.collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    dates.foreach { case (d, expected) =>
+      assert(got(d) === ((expected, expected)), s"date $d")
+    }
+  }
+
+  test("week_of_month works through SQL text after registration") {
+    val n = spark.sql(
+      "SELECT week_of_month(CAST('2018-05-29' AS DATE)) AS w").head().getInt(0)
+    assert(n === 5)
+  }
+
+  test("week_of_month: null in, null out") {
+    val r = spark.sql("SELECT week_of_month(CAST(NULL AS DATE)) AS w").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("dot_f matches the HOF dot product and handles nulls") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.0f, 0.0f), Array(0.0f, 0.0f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot($"a", $"b").as("fast"),
+      VectorFunctions.dotHof($"a", $"b").as("hof")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    assert(math.abs(rows(0).getDouble(0) - 32.0) < 1e-9)
+  }
+
+  test("cosine of identical vectors is 1, zero vector is null") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(0.0f, 0.0f))
+    ).toDF("a", "b")
+    val rows = df.select(VectorFunctions.cosine($"a", $"b").as("c")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-9)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("wkt parse extracts lon/lat; malformed yields null") {
+    val df = Seq(
+      "POINT (14.4973794438195 50.00136875782316)",
+      "garbage",
+      "POINT (-7.5 -45.25)"
+    ).toDF("w").select(
+      Wkt.lon($"w").as("lon"), Wkt.lat($"w").as("lat"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 14.4973794438195) < 1e-12)
+    assert(math.abs(rows(0).getDouble(1) - 50.00136875782316) < 1e-12)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getDouble(0) === -7.5)
+    assert(rows(2).getDouble(1) === -45.25)
+  }
+
+  test("tokenCount: empty and whitespace-heavy strings") {
+    val df = Seq("", "   ", "one", "  two  words ", "a\tb\nc").toDF("t")
+      .select(TextFunctions.tokenCount($"t").as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(0L, 0L, 1L, 2L, 3L))
+  }
+
+  test("langId votes marker words with deterministic tie-break") {
+    val df = Seq(
+      "the cat and the dog is here",       // en
+      "der hund und die katze ist nicht",  // de
+      "el perro es que la casa los",       // es
+      "le chien est dans les une maison",  // fr
+      "xyzzy plugh"                        // zero hits -> en fallback
+    ).toDF("t").select(TextFunctions.langId($"t").as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "es", "fr", "en"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq("Hello   World", "hello world", "hello  world ").toDF("t")
+      .select(TextFunctions.fingerprint($"t").as("f"))
+    val fps = df.collect().map(_.getString(0)).toSeq
+    assert(fps.distinct.size === 1)
+  }
+
+  test("wordShingles produces n-grams; short docs yield one shingle") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.wordShingles($"t", 3).as("s"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) === Seq("a b c", "b c d"))
+    assert(rows(1) === Seq("a b"))
+  }
+
+  test("charShingles slides over normalized text") {
+    val df = Seq("ab cd").toDF("t")
+      .select(TextFunctions.charShingles($"t", 3).as("s"))
+    assert(df.head().getSeq[String](0) === Seq("ab ", "b c", " cd"))
+  }
+}
