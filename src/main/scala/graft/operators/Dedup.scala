@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.functions.TextFunctions
+
+/** Corpus-scale deduplication operators (build plan §7.2 step 7). Four
+  * families, all shuffle-conscious:
+  *
+  *  - exact: group by a 16-byte md5 fingerprint, never by the document
+  *    body — at 100 TB the shuffle carries digests + ids, not text;
+  *  - MinHash + LSH: shingle -> k minhashes -> b bands -> bucket-join;
+  *    only documents sharing a band bucket are ever compared, so the
+  *    candidate set is ~linear instead of O(n^2);
+  *  - SimHash: 64-bit signature whose Hamming distance tracks cosine
+  *    similarity of the token sets; near-dup candidates share a signature
+  *    band;
+  *  - n-gram Jaccard: exact verification on candidate pairs (explode ->
+  *    self-join on shingle -> intersection counts), used to confirm the
+  *    approximate families.
+  *
+  * Everything is built from codegen'd builtins (xxhash64, explode, HOFs);
+  * no Scala UDFs on the hot path.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
+    * Single hash-aggregate shuffle on the digest.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(F.col(idCol), TextFunctions.fingerprint(F.col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(F.min(idCol).as(idCol), F.count(F.lit(1)).as("n_copies"))
+
+  /** MinHash signature: for each of `k` hash seeds, the minimum xxhash64
+    * over the document's shingles. Computed entirely inside codegen via
+    * transform+aggregate HOFs — one pass over the shingle array, no
+    * explode, no shuffle.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    F.transform(
+      F.sequence(F.lit(0), F.lit(k - 1)),
+      seed =>
+        F.aggregate(
+          shingles,
+          F.lit(Long.MaxValue),
+          (acc, s) => F.least(acc, F.xxhash64(s, seed))))
+
+  /** LSH band id: hash of one contiguous band of the signature. Documents
+    * agreeing on ANY band become candidates.
+    */
+  private def bandId(sig: Column, band: Int, rowsPerBand: Int): Column =
+    F.xxhash64(
+      F.concat_ws(",",
+        F.slice(sig, band * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+
+  /** Candidate near-duplicate pairs via MinHash LSH.
+    *
+    * @param numHashes   total minhashes k (= bands * rowsPerBand)
+    * @param bands       number of LSH bands; more bands -> higher recall,
+    *                    more candidates. P(candidate) = 1-(1-s^r)^b for
+    *                    Jaccard s.
+    * Returns distinct (a, b) id pairs with a < b.
+    *
+    * Scale shape: explode to (bucket, id) — b rows per doc — then a
+    * groupBy-bucket self-pairing. The shuffle carries (16-byte bucket,
+    * id), and skewed buckets (boilerplate docs) are capped by
+    * `maxBucketSize` to keep any single reducer from exploding
+    * quadratically.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleLen: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignature(
+      TextFunctions.charShingles(F.col(textCol), shingleLen), numHashes)
+    val withBuckets = docs
+      .select(F.col(idCol).as("id"), sig.as("sig"))
+      .select(F.col("id"),
+        F.explode(F.array((0 until bands).map(b =>
+          F.struct(F.lit(b).as("band"), bandId(F.col("sig"), b, rowsPerBand).as("h"))): _*))
+          .as("bucket"))
+      .select(F.col("id"), F.col("bucket.band"), F.col("bucket.h"))
+    // Pair ids within a bucket; cap pathological buckets.
+    val grouped = withBuckets
+      .groupBy("band", "h")
+      .agg(F.slice(F.sort_array(F.collect_list("id")), 1, maxBucketSize).as("ids"))
+      .filter(F.size(F.col("ids")) > 1)
+    grouped
+      .select(F.explode(pairsOf(F.col("ids"))).as("p"))
+      .select(F.col("p.a").as("a"), F.col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** All ordered pairs (a<b) from a sorted id array, as structs — built
+    * with HOFs so pair generation happens inside codegen.
+    */
+  private def pairsOf(ids: Column): Column =
+    F.flatten(
+      F.transform(ids, (x, i) =>
+        F.transform(F.slice(ids, i + F.lit(2), F.size(ids)),
+          y => F.struct(x.as("a"), y.as("b")))))
+
+  /** 64-bit SimHash over whitespace tokens: sum +-1 per bit weighted by
+    * token occurrence, take the sign bit. Hamming-close signatures ~
+    * similar token multisets. One pass, no shuffle; returns (id, simhash).
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val hashes = F.transform(toks, t => F.xxhash64(t))
+    // counts(bit) = sum over tokens of (bit set ? +1 : -1). The shift
+    // amount is a lambda variable, so we go through the SQL function form
+    // (the Scala `shiftright` only takes a literal Int).
+    val bitCounts = F.transform(F.sequence(F.lit(0), F.lit(63)), bit =>
+      F.aggregate(hashes, F.lit(0L), (acc, h) =>
+        acc + F.when(
+          F.call_function("shiftright", h, bit).bitwiseAND(F.lit(1L)) === F.lit(1L),
+          F.lit(1L)).otherwise(F.lit(-1L))))
+    val sig = F.aggregate(
+      F.zip_with(bitCounts, F.sequence(F.lit(0), F.lit(63)), (c, bit) =>
+        F.when(c > 0, F.call_function("shiftleft", F.lit(1L), bit)).otherwise(F.lit(0L))),
+      F.lit(0L),
+      (acc, v) => acc.bitwiseOR(v))
+    docs.select(F.col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hammingDist(a: Column, b: Column): Column =
+    F.bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard on candidate pairs: explode word n-grams,
+    * self-join on the shingle, count distinct shared shingles, divide by
+    * union size. `minJaccard` filters the output; intersection/union
+    * sizes are returned so callers can re-threshold without recompute.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      minJaccard: Double = 0.0): DataFrame = {
+    val sh = docs.select(
+      F.col(idCol).as("id"),
+      F.array_distinct(TextFunctions.wordShingles(F.col(textCol), n)).as("shingles"))
+    val exploded = sh.select(F.col("id"), F.size(F.col("shingles")).as("m"),
+      F.explode(F.col("shingles")).as("s"))
+    val l = exploded.toDF("a", "ma", "s")
+    val r = exploded.toDF("b", "mb", "s")
+    l.join(r, Seq("s"))
+      .filter(F.col("a") < F.col("b"))
+      .groupBy("a", "b", "ma", "mb")
+      .agg(F.count(F.lit(1)).as("inter"))
+      .withColumn("uni", F.col("ma") + F.col("mb") - F.col("inter"))
+      .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+      .filter(F.col("jaccard") >= minJaccard)
+      .select("a", "b", "inter", "uni", "jaccard")
+  }
+
+  /** Embedding near-dup pairs: cosine above threshold. Brute force within
+    * LSH buckets — see [[Similarity.hyperplaneBucket]] for the bucketing
+    * used at scale.
+    */
+  def embeddingNearDups(
+      embs: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bucketBits: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions
+    val base = embs.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+    val (l, r) =
+      if (bucketBits <= 0) (base, base.toDF("id2", "v2"))
+      else {
+        val bucketed = base.withColumn("bk",
+          Similarity.hyperplaneBucket(F.col("v"), bucketBits))
+        (bucketed, bucketed.toDF("id2", "v2", "bk"))
+      }
+    val joined =
+      if (bucketBits <= 0) l.crossJoin(r)
+      else l.join(r, Seq("bk"))
+    joined
+      .filter(F.col("id") < F.col("id2"))
+      .withColumn("cos", VectorFunctions.cosineFast(F.col("v"), F.col("v2")))
+      .filter(F.col("cos") >= threshold)
+      .select(F.col("id").as("a"), F.col("id2").as("b"), F.col("cos"))
+  }
+}

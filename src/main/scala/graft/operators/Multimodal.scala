@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video payloads travel as opaque `binary` columns next to typed
+  * metadata, and decode/feature steps run as partition-local batch
+  * functions over the binary payloads.
+  *
+  * The Spark-side contract (schema, partitioning, batch shape) is real
+  * and tested; the actual codec is STUBBED behind [[Decoder]] with a
+  * deterministic fake, because no image/audio libraries ship in this
+  * environment. Swapping in a real decoder is a one-class change with no
+  * plan-shape impact.
+  *
+  * Scale notes:
+  *  - payloads stay columnar-binary end to end; nothing ever collects to
+  *    the driver;
+  *  - decode is mapPartitions (one JVM call per batch of rows, analogous
+  *    to a vectorized/pandas UDF batch), so per-row overhead is
+  *    amortized and the decoder can hold per-partition state (codec
+  *    contexts, model handles);
+  *  - `repartitionForDecode` sizes partitions by payload bytes, not row
+  *    count — decode cost follows bytes.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", mediaMetaSchema, nullable = true)))
+
+  /** Decoded feature batch row: fixed-width feature vector per payload. */
+  final case class MediaFeatures(media_id: Long, n_bytes: Int, features: Array[Float])
+
+  /** The codec seam. Implementations must be deterministic per payload. */
+  trait Decoder extends Serializable {
+    def featureDim: Int
+    /** Decode one payload into a feature vector. */
+    def decode(payload: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic fake standing in for a real image/audio codec: features
+    * are byte-histogram moments. Replace with a JNI/codec-backed decoder
+    * in production — the pipeline shape does not change.
+    */
+  final class StubDecoder(val featureDim: Int = 8) extends Decoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](featureDim)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          out(i % featureDim) += (payload(i) & 0xff) / 255.0f
+          i += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Size partitions by payload bytes so each decode task gets a bounded
+    * byte budget regardless of row-size skew.
+    */
+  def repartitionForDecode(media: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+    val totalBytes = media
+      .agg(F.coalesce(F.sum(F.octet_length(F.col("payload"))), F.lit(0L)))
+      .head().getLong(0)
+    val parts = math.max(1, (totalBytes / math.max(targetBytesPerPartition, 1L)).toInt)
+    media.repartition(parts)
+  }
+
+  /** Decode payloads to feature vectors, partition-batched. */
+  def decodeFeatures(media: DataFrame, decoder: Decoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // One decoder per partition: the place a real codec would allocate
+        // native contexts once per task rather than once per row.
+        rows.map { case (id, payload) =>
+          val bytes = if (payload == null) 0 else payload.length
+          MediaFeatures(id, bytes, decoder.decode(payload))
+        }
+      }
+  }
+
+  /** Synthesize a deterministic media table from any (id, text) table —
+    * the test harness for the plumbing (payload = utf8 bytes).
+    */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      F.col(idCol).cast(LongType).as("media_id"),
+      F.encode(F.col(textCol), "UTF-8").as("payload"),
+      F.struct(
+        F.lit("image/fake").as("media_type"),
+        F.octet_length(F.col(textCol)).as("width"),
+        F.lit(1).cast(IntegerType).as("height"),
+        F.lit(null).cast(LongType).as("duration_ms")).as("meta"))
+}

@@ -1,0 +1,571 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
+import graft.GraftFunctions
+import graft.functions.{TextFunctions, WeekOfMonth}
+import graft.operators.{Dedup, Multimodal, Similarity, Upsert}
+
+/** The driver-graded query surface: every operator family from SURVEY.md
+  * §2 plus the training-data extensions, each expressed over the
+  * `/root/testdata` tables, with a DuckDB oracle where ANSI SQL can state
+  * the same computation.
+  *
+  * Oracle-parity ground rules (learned the hard way across engines):
+  *  - NO floating-point aggregation: money sums go through DECIMAL(18,2)
+  *    (exact, order-insensitive) and cast to DOUBLE only at the end;
+  *  - dot products are integer-quantized (floor(x*1000)) so scores are
+  *    exact BIGINTs in both engines;
+  *  - thresholds on ratios are integer cross-multiplications
+  *    (inter*5 >= uni), never float compares;
+  *  - every query ends in a total ORDER BY so row order is deterministic;
+  *  - ties in every top-k / row_number are broken by a unique key.
+  */
+object QueryCatalog {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      headline: Boolean = true)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark's reader rejects; we read them as raw nano longs
+    * (legacy.parquet.nanosAsLong, set in [[wrap]]) and truncate to
+    * microsecond TimestampType with integer `div` — no double rounding,
+    * exact for the full int64 range.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+  /** Exact decimal view of a 2-dp money column. */
+  private def dec(c: String) = F.col(c).cast("decimal(18,2)")
+
+  // ===========================================================
+  // Relational core (reference operator families S/P/A/J/T/C)
+  // ===========================================================
+
+  /** A1/A3-style pricing summary over the fact table (scan, filter-free
+    * group-by, decimal-exact sums). Partial aggregation makes this one
+    * shuffle of 6 groups regardless of input size.
+    */
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        F.sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").as("sum_base"),
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc"),
+        F.count(F.lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1PricingSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** P1+P2+A5: filter + distinct-via-groupBy (the reference's
+    * cheap_mobile regions query, §2.10 #2) — nations having customers in
+    * a segment. nation is broadcast; the distinct collapses map-side.
+    */
+  private def qFilterDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(F.col("c_mktsegment") === "BUILDING")
+      .join(F.broadcast(t(s, dir, "nation")),
+        F.col("c_nationkey") === F.col("n_nationkey"))
+      .groupBy("n_name").agg(F.count(F.lit(1)).as("n_customers"))
+      .orderBy("n_name")
+
+  private val qFilterDistinctSql =
+    """SELECT n_name, COUNT(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** T1: top-k by aggregate with deterministic tie-break. */
+  private def qTopkUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id").agg(F.count(F.lit(1)).as("appearance"))
+      .orderBy(F.col("appearance").desc, F.col("user_id").asc)
+      .limit(2)
+
+  private val qTopkUsersSql =
+    """SELECT user_id, COUNT(*) AS appearance FROM events
+      |GROUP BY user_id ORDER BY appearance DESC, user_id ASC LIMIT 2""".stripMargin
+
+  /** C1 chain (§2.10 #3 analog): count -> top-2 -> global max ts over the
+    * join -> argmax-by-join. The 2-row and 1-row sides broadcast.
+    */
+  private def qLatestEvent(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val top = ev.groupBy("user_id").agg(F.count(F.lit(1)).as("appearance"))
+      .orderBy(F.col("appearance").desc, F.col("user_id").asc).limit(2)
+      .select("user_id")
+    val latest = ev.join(F.broadcast(top), Seq("user_id"))
+      .agg(F.max("ts").as("last_ts"))
+    ev.join(F.broadcast(latest), F.col("ts") === F.col("last_ts"))
+      .select("event_type").distinct()
+      .orderBy("event_type")
+  }
+
+  private val qLatestEventSql =
+    """WITH users AS (
+      |  SELECT user_id, COUNT(*) AS appearance FROM events GROUP BY user_id),
+      |top_users AS (
+      |  SELECT user_id FROM users ORDER BY appearance DESC, user_id ASC LIMIT 2),
+      |latest AS (
+      |  SELECT MAX(ts) AS last_ts FROM events e JOIN top_users t ON e.user_id = t.user_id)
+      |SELECT DISTINCT event_type FROM events e JOIN latest l ON e.ts = l.last_ts
+      |ORDER BY event_type""".stripMargin
+
+  /** P5-P10 + A2/A3: genuine two-level aggregate — daily counts averaged
+    * into `YYYY-MM-0W` week-of-month buckets (Postgres to_char-'W'
+    * semantics via the custom WeekOfMonth expression).
+    */
+  private def qWeeklyAvg(s: SparkSession, dir: String): DataFrame = {
+    val d = F.col("o_orderdate").cast(DateType)
+    val daily = t(s, dir, "orders")
+      .groupBy(F.col("o_orderpriority").as("priority"), d.as("d"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val bucket = F.concat(
+      F.date_format(F.col("d"), "yyyy-MM"), F.lit("-0"),
+      WeekOfMonth.weekOfMonth(F.col("d")).cast("string"))
+    daily
+      .groupBy(F.col("priority"), bucket.as("bucket"))
+      .agg(F.ceil(F.avg("cnt")).as("weekly_avg"))
+      .orderBy("priority", "bucket")
+  }
+
+  private val qWeeklyAvgSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT priority,
+      |  strftime(d, '%Y-%m') || '-0' || CAST((CAST(EXTRACT(day FROM d) AS INTEGER) - 1) // 7 + 1 AS VARCHAR) AS bucket,
+      |  CAST(CEIL(AVG(cnt)) AS BIGINT) AS weekly_avg
+      |FROM daily GROUP BY 1, 2 ORDER BY priority, bucket""".stripMargin
+
+  /** J1 + A1 at scale: 3-way join up the star schema with decimal-exact
+    * revenue. nation broadcasts; lineitem-orders and orders-customer are
+    * the two real shuffles, both on their join keys.
+    */
+  private def qNationRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), F.col("l_orderkey") === F.col("o_orderkey"))
+      .join(t(s, dir, "customer"), F.col("o_custkey") === F.col("c_custkey"))
+      .join(F.broadcast(t(s, dir, "nation")), F.col("c_nationkey") === F.col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"),
+        F.count(F.lit(1)).as("n_items"))
+      .orderBy("n_name")
+
+  private val qNationRevenueSql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** A4 + J2: global scalar max, then equi-join on the aggregate
+    * (argmax-by-join). The 1-row aggregate broadcasts.
+    */
+  private def qArgmaxJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val latest = o.agg(F.max("o_orderdate").as("maxd"))
+    o.join(F.broadcast(latest), F.col("o_orderdate") === F.col("maxd"))
+      .select("o_orderpriority").distinct()
+      .orderBy("o_orderpriority")
+  }
+
+  private val qArgmaxJoinSql =
+    """WITH latest AS (SELECT MAX(o_orderdate) AS maxd FROM orders)
+      |SELECT DISTINCT o_orderpriority FROM orders o
+      |JOIN latest l ON o.o_orderdate = l.maxd
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** J3/K1: the dedup upsert as a pure query — "hist" keys union keys new
+    * in the "batch" window, via the engine's anti-join operator.
+    */
+  private def qUpsertEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val key = F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+    val hist = ev.filter(F.col("ts") < F.lit("2024-01-21").cast(TimestampType))
+      .select(key.as("key")).distinct()
+    val batch = ev.filter(F.col("ts") >= F.lit("2024-01-15").cast(TimestampType))
+      .select(key.as("key"))
+    val fresh = Upsert.newRows(batch, hist, "key")
+    hist.withColumn("origin", F.lit("hist"))
+      .unionByName(fresh.withColumn("origin", F.lit("new")))
+      .orderBy("key", "origin")
+  }
+
+  private val qUpsertEventsSql =
+    """WITH hist AS (
+      |  SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || event_type AS key
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-21'),
+      |batch AS (
+      |  SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || event_type AS key
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+      |fresh AS (
+      |  SELECT key FROM batch WHERE key NOT IN (SELECT key FROM hist))
+      |SELECT key, 'hist' AS origin FROM hist
+      |UNION ALL
+      |SELECT key, 'new' AS origin FROM fresh
+      |ORDER BY key, origin""".stripMargin
+
+  /** Window/ranking (beyond-reference): best order per customer. */
+  private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") === 1)
+      .select("o_custkey", "o_orderkey")
+      .orderBy("o_custkey")
+  }
+
+  private val qWindowRankSql =
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey FROM ranked WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Running-frame window with decimal-exact accumulation. */
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .filter(F.col("l_suppkey") < 5)
+      .select(F.col("l_suppkey"), F.col("l_orderkey"), F.col("l_linenumber"),
+        F.sum(dec("l_quantity")).over(w).cast("double").as("running_qty"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private val qWindowRunningSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem WHERE l_suppkey < 5
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Set operation: nations present on both the customer and supplier
+    * sides (INTERSECT).
+    */
+  private def qSetIntersect(s: SparkSession, dir: String): DataFrame = {
+    val cn = t(s, dir, "customer")
+      .join(F.broadcast(t(s, dir, "nation")), F.col("c_nationkey") === F.col("n_nationkey"))
+      .select("n_name")
+    val sn = t(s, dir, "supplier")
+      .join(F.broadcast(t(s, dir, "nation")), F.col("s_nationkey") === F.col("n_nationkey"))
+      .select("n_name")
+    cn.intersect(sn).orderBy("n_name")
+  }
+
+  private val qSetIntersectSql =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |INTERSECT
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** Set operation: customer nations with no supplier (EXCEPT). */
+  private def qSetExcept(s: SparkSession, dir: String): DataFrame = {
+    val cn = t(s, dir, "customer")
+      .join(F.broadcast(t(s, dir, "nation")), F.col("c_nationkey") === F.col("n_nationkey"))
+      .select("n_name")
+    val sn = t(s, dir, "supplier")
+      .join(F.broadcast(t(s, dir, "nation")), F.col("s_nationkey") === F.col("n_nationkey"))
+      .select("n_name")
+    cn.except(sn).orderBy("n_name")
+  }
+
+  private val qSetExceptSql =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |EXCEPT
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** Grouping sets via ROLLUP with NULLS FIRST pinned in both engines. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("o_orderpriority").asc_nulls_first, F.col("o_orderstatus").asc_nulls_first)
+
+  private val qRollupSql =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  /** Scalar-function coverage (P4-P10 analogs): concat/substr/upper/ceil/
+    * cast/date-format on a projected slice.
+    */
+  private def qScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(F.col("event_id") < 1000)
+      .select(
+        F.col("event_id"),
+        F.upper(F.col("event_type")).as("et_upper"),
+        F.substring(F.col("event_type"), 1, 3).as("et3"),
+        F.concat(F.col("user_id").cast("string"), F.lit("-"), F.col("event_type")).as("ukey"),
+        F.ceil(F.col("value")).cast(LongType).as("value_ceil"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH").as("ts_hour"))
+      .orderBy("event_id")
+
+  private val qScalarFuncsSql =
+    """SELECT event_id,
+      |  UPPER(event_type) AS et_upper,
+      |  SUBSTRING(event_type, 1, 3) AS et3,
+      |  CAST(user_id AS VARCHAR) || '-' || event_type AS ukey,
+      |  CAST(CEIL(value) AS BIGINT) AS value_ceil,
+      |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
+      |FROM events WHERE event_id < 1000
+      |ORDER BY event_id""".stripMargin
+
+  // ===========================================================
+  // Training-data pipeline operators (dedup / text / similarity)
+  // ===========================================================
+
+  /** Exact dedup by normalized-text fingerprint (16-byte digest shuffle,
+    * never the document body).
+    */
+  private def qDocDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"))
+      .select(F.col("fp"), F.col("doc_id").as("keep_id"), F.col("n_copies"))
+      .orderBy("fp")
+
+  private val qDocDedupExactSql =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** Text statistics: integer counts only (token/punct/alpha/stopword/
+    * subword), all computed by codegen'd builtins.
+    */
+  private def qDocStats(s: SparkSession, dir: String): DataFrame = {
+    val txt = F.col("text")
+    t(s, dir, "documents").select(
+      F.col("doc_id"),
+      TextFunctions.tokenCount(txt).as("n_tokens"),
+      TextFunctions.punctCount(txt).cast(LongType).as("n_punct"),
+      TextFunctions.alphaCount(txt).cast(LongType).as("n_alpha"),
+      TextFunctions.stopwordCount(txt).as("n_stop"),
+      TextFunctions.subwordCount(txt).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  private val qDocStatsSql =
+    """SELECT doc_id,
+      |  CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+      |  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS BIGINT) AS n_alpha,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS BIGINT) AS n_stop,
+      |  CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS BIGINT) AS n_subwords
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID by marker-word voting, aggregated to predicted-language
+    * counts.
+    */
+  private def qDocLang(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextFunctions.langId(F.col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(F.count(F.lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  private val qDocLangSql = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val en = hits(TextFunctions.langMarkers("en"))
+    val de = hits(TextFunctions.langMarkers("de"))
+    val es = hits(TextFunctions.langMarkers("es"))
+    val fr = hits(TextFunctions.langMarkers("fr"))
+    s"""WITH scored AS (
+       |  SELECT $en AS en, $de AS de, $es AS es, $fr AS fr FROM documents),
+       |pred AS (
+       |  SELECT CASE
+       |    WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+       |    WHEN de >= es AND de >= fr THEN 'de'
+       |    WHEN es >= fr THEN 'es'
+       |    ELSE 'fr' END AS lang_pred
+       |  FROM scored)
+       |SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY 1 ORDER BY lang_pred""".stripMargin
+  }
+
+  /** n-gram Jaccard near-dup pairs, thresholded by integer
+    * cross-multiplication (jaccard >= 1/5) — no float compares.
+    */
+  private def qNgramPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3)
+      .filter(F.col("inter") * 5 >= F.col("uni"))
+      .select("a", "b", "inter", "uni")
+      .orderBy("a", "b")
+
+  private val qNgramPairsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+      |  END AS shingles FROM toks),
+      |dsh AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
+      |ex AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS sgl FROM dsh)
+      |SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter,
+      |  a.m + b.m - COUNT(*) AS uni
+      |FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      |HAVING COUNT(*) * 5 >= a.m + b.m - COUNT(*)
+      |ORDER BY a, b""".stripMargin
+
+  /** Brute-force ANN top-5 with integer-quantized dot scores (exact in
+    * both engines; quantized scoring is standard ANN practice anyway).
+    */
+  private def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val quant = F.transform(F.col("embedding"),
+      x => F.floor(x.cast("double") * 1000).cast(LongType))
+    val base = emb.select(F.col("vec_id"), quant.as("qe"))
+    val queries = base.filter(F.col("vec_id") < 10)
+      .select(F.col("vec_id").as("query_id"), F.col("qe").as("qv"))
+    val corpus = base.select(F.col("vec_id").as("neighbor_id"), F.col("qe").as("cv"))
+    val score = F.aggregate(
+      F.zip_with(F.col("qv"), F.col("cv"), (a, b) => a * b),
+      F.lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("score").desc, F.col("neighbor_id").asc)
+    corpus.join(F.broadcast(queries))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"), score.as("score"))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnTopkSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, qe AS qv FROM quant WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, qe AS cv FROM quant),
+      |pairs AS (
+      |  SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, SUM(x * y) AS score
+      |  FROM pairs GROUP BY query_id, neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Multimodal plumbing through the mapPartitions decode path: byte
+    * counts per payload must match the oracle's octet_length — proof the
+    * binary column round-trips intact through the batch decode seam.
+    */
+  private def qBinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal.decodeFeatures(media, new Multimodal.StubDecoder(8))
+      .toDF()
+      .select(F.col("media_id"), F.col("n_bytes").cast(LongType).as("n_bytes"))
+      .orderBy("media_id")
+  }
+
+  private val qBinaryMetaSql =
+    """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ------- approximate operators: rows-only checks (no ANSI oracle) -----
+
+  /** MinHash-LSH candidate pairs (engine-specific hashes -> no oracle). */
+  private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"))
+      .orderBy("a", "b")
+
+  /** SimHash signatures (engine-specific hashes -> no oracle). */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Embedding near-dup pairs above a cosine threshold (float scores ->
+    * no oracle).
+    */
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
+      .select("a", "b")
+      .orderBy("a", "b")
+
+  /** LSH-bucketed ANN (float scores -> no oracle; recall tested in specs
+    * against the brute-force baseline).
+    */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(F.col("vec_id") < 10), k = 5, bits = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style ANN (float scores -> no oracle). */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 10), k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  // ===========================================================
+
+  val all: Seq[Q] = Seq(
+    Q("q1_pricing", wrap(q1Pricing), Some(q1PricingSql)),
+    Q("q_filter_distinct", wrap(qFilterDistinct), Some(qFilterDistinctSql)),
+    Q("q_topk_users", wrap(qTopkUsers), Some(qTopkUsersSql)),
+    Q("q_latest_event", wrap(qLatestEvent), Some(qLatestEventSql)),
+    Q("q_weekly_avg", wrap(qWeeklyAvg), Some(qWeeklyAvgSql)),
+    Q("q_nation_revenue", wrap(qNationRevenue), Some(qNationRevenueSql)),
+    Q("q_argmax_join", wrap(qArgmaxJoin), Some(qArgmaxJoinSql)),
+    Q("q_upsert_events", wrap(qUpsertEvents), Some(qUpsertEventsSql)),
+    Q("q_window_rank", wrap(qWindowRank), Some(qWindowRankSql)),
+    Q("q_window_running", wrap(qWindowRunning), Some(qWindowRunningSql)),
+    Q("q_set_intersect", wrap(qSetIntersect), Some(qSetIntersectSql)),
+    Q("q_set_except", wrap(qSetExcept), Some(qSetExceptSql)),
+    Q("q_rollup", wrap(qRollup), Some(qRollupSql)),
+    Q("q_scalar_funcs", wrap(qScalarFuncs), Some(qScalarFuncsSql)),
+    Q("q_doc_dedup_exact", wrap(qDocDedupExact), Some(qDocDedupExactSql)),
+    Q("q_doc_stats", wrap(qDocStats), Some(qDocStatsSql)),
+    Q("q_doc_lang", wrap(qDocLang), Some(qDocLangSql)),
+    Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
+    Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
+    Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
+    Q("q_minhash_pairs", wrap(qMinhashPairs), None),
+    Q("q_simhash", wrap(qSimhash), None),
+    Q("q_embed_neardup", wrap(qEmbedNearDup), None),
+    Q("q_ann_lsh", wrap(qAnnLsh), None),
+    Q("q_ann_ivf", wrap(qAnnIvf), None))
+
+  private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      GraftFunctions.register(s)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      f(s, dir)
+    }
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: for each query output
+parquet written by `graft.Verify`, run the corresponding oracle SQL in
+DuckDB over the same testdata tables and compare (schema, row count,
+values). Columns are sorted by name and rows by all columns, mirroring the
+driver's hash compare; values must match exactly (floats to 1e-12 rel).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows):
+    return sorted(rows, key=lambda r: [repr(x) for x in r])
+
+
+def values_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return fa == fb or abs(fa - fb) <= 1e-12 * max(abs(fa), abs(fb))
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = list(got_rel.columns)
+            got = got_rel.fetchall()
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            failures += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
+            failures += 1
+            continue
+        # reorder got columns to expected order by name
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+        g = canon([[r[i] for i in gidx] for r in got])
+        e = canon([[r[i] for i in eidx] for r in exp])
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            failures += 1
+            continue
+        bad = None
+        for i, (gr, er) in enumerate(zip(g, e)):
+            if not all(values_equal(x, y) for x, y in zip(gr, er)):
+                bad = (i, gr, er)
+                break
+        if bad:
+            print(f"FAIL {name}: first mismatch row {bad[0]}\n  got {bad[1]}\n  exp {bad[2]}")
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+    # rows-only entries (no oracle): just confirm output exists and rows>0
+    import glob, os
+    for d in sorted(glob.glob(f"{out_dir}/q*")):
+        name = os.path.basename(d)
+        if name in oracle or not os.path.isdir(d):
+            continue
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+            print(f"INFO {name}: rows-only, {n} rows")
+        except Exception as e:
+            print(f"WARN {name}: unreadable ({e})")
+    print("RESULT:", "FAIL" if failures else "PASS", f"({failures} failures)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
