@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{VectorFunctions, WeekOfMonth}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{MinHashSig, ShingleHashes, SimHash64, VectorFunctions, WeekOfMonth}
 
 /** Registration of the engine's custom Catalyst expressions on a session,
   * making them available to both the Column API (via call_function) and
@@ -18,5 +20,21 @@ object GraftFunctions {
       "week_of_month", WeekOfMonth.builder, "scala_udf")
     reg.createOrReplaceTempFunction(
       "dot_f", VectorFunctions.builder, "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs.head, intLit(exprs(1), "shingle_hashes")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSig(exprs.head, intLit(exprs(1), "minhash_sig")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+  }
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT parameter, got $other")
   }
 }

@@ -32,19 +32,23 @@ object Dedup {
       .groupBy("fp")
       .agg(F.min(idCol).as(idCol), F.count(F.lit(1)).as("n_copies"))
 
-  /** MinHash signature: for each of `k` hash seeds, the minimum xxhash64
-    * over the document's shingles. Computed entirely inside codegen via
-    * transform+aggregate HOFs — one pass over the shingle array, no
-    * explode, no shuffle.
+  /** MinHash signature: each shingle is string-hashed ONCE (the expensive
+    * part), then the k hash families come from cheap integer re-mixing of
+    * that base hash (xxhash64 over the long) — the standard universal-
+    * hashing trick that turns k string passes into one. Shingles are
+    * deduped first (MinHash is a set sketch). Computed entirely inside
+    * codegen via transform+aggregate HOFs — no explode, no shuffle.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val baseHashes = F.transform(F.array_distinct(shingles), s => F.xxhash64(s))
     F.transform(
       F.sequence(F.lit(0), F.lit(k - 1)),
       seed =>
         F.aggregate(
-          shingles,
+          baseHashes,
           F.lit(Long.MaxValue),
-          (acc, s) => F.least(acc, F.xxhash64(s, seed))))
+          (acc, h) => F.least(acc, F.xxhash64(h, seed))))
+  }
 
   /** LSH band id: hash of one contiguous band of the signature. Documents
     * agreeing on ANY band become candidates.
@@ -62,23 +66,34 @@ object Dedup {
     *                    Jaccard s.
     * Returns distinct (a, b) id pairs with a < b.
     *
+    * Default r = numHashes/bands = 16 rows per band: collision
+    * probability s^16 stays negligible for moderately-similar corpora
+    * (s=0.6 -> 3e-4) while s>0.9 pairs still collide with near-certainty
+    * across 4 bands — the operating point that keeps candidate counts
+    * ~linear on corpora whose documents share heavy vocabulary.
+    *
     * Scale shape: explode to (bucket, id) — b rows per doc — then a
     * groupBy-bucket self-pairing. The shuffle carries (16-byte bucket,
     * id), and skewed buckets (boilerplate docs) are capped by
     * `maxBucketSize` to keep any single reducer from exploding
-    * quadratically.
+    * quadratically (capped buckets keep the `maxBucketSize` smallest ids
+    * — deterministic — and real dups still pair in their other bands).
     */
   def minhashCandidates(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleLen: Int = 5,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      numHashes: Int = 64,
+      bands: Int = 4,
+      maxBucketSize: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(
-      TextFunctions.charShingles(F.col(textCol), shingleLen), numHashes)
+    // Normalized text -> rolling shingle hashes -> signature, all through
+    // the compiled kernels (graft.functions.Hashing): one O(len) pass plus
+    // one O(k*m) mix loop per document.
+    val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
+    val sig = graft.functions.Hashing.minhashSig(
+      graft.functions.Hashing.shingleHashes(norm, shingleLen), numHashes)
     val withBuckets = docs
       .select(F.col(idCol).as("id"), sig.as("sig"))
       .select(F.col("id"),
@@ -112,21 +127,8 @@ object Dedup {
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
-    val hashes = F.transform(toks, t => F.xxhash64(t))
-    // counts(bit) = sum over tokens of (bit set ? +1 : -1). The shift
-    // amount is a lambda variable, so we go through the SQL function form
-    // (the Scala `shiftright` only takes a literal Int).
-    val bitCounts = F.transform(F.sequence(F.lit(0), F.lit(63)), bit =>
-      F.aggregate(hashes, F.lit(0L), (acc, h) =>
-        acc + F.when(
-          F.call_function("shiftright", h, bit).bitwiseAND(F.lit(1L)) === F.lit(1L),
-          F.lit(1L)).otherwise(F.lit(-1L))))
-    val sig = F.aggregate(
-      F.zip_with(bitCounts, F.sequence(F.lit(0), F.lit(63)), (c, bit) =>
-        F.when(c > 0, F.call_function("shiftleft", F.lit(1L), bit)).otherwise(F.lit(0L))),
-      F.lit(0L),
-      (acc, v) => acc.bitwiseOR(v))
-    docs.select(F.col(idCol), sig.as("simhash"))
+    docs.select(F.col(idCol),
+      graft.functions.Hashing.simhash64(toks).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit signatures. */

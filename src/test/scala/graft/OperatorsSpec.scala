@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.operators.{Dedup, Multimodal, Similarity, Upsert}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "THE  quick brown fox jumps over the lazy dog"),  // exact dup of 0 (mod case/ws)
+    (3L, "completely different content about spark engines"),
+    (4L, "yet another unrelated document body entirely xyz")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses normalized duplicates, keeps min id") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length === 4) // 0 and 2 collapse
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) === 0L) // keep_id = min(0, 2)
+  }
+
+  test("minhash candidates find the near-dup pair and the exact pair") {
+    val pairs = Dedup.minhashCandidates(docs, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 2L)),
+      s"expected near-dup candidates, got $pairs")
+    // unrelated docs should not pair with everything
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(ham(0L, 2L) === 0) // same token multiset after lowering
+    assert(ham(0L, 1L) < ham(0L, 3L))
+  }
+
+  test("ngram jaccard: exact pair has jaccard 1, near pair in (0,1)") {
+    val out = Dedup.ngramJaccardPairs(docs, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(out((0L, 2L)) === 1.0)
+    assert(out((0L, 1L)) > 0.3 && out((0L, 1L)) < 1.0)
+    assert(!out.contains((3L, 4L)))
+  }
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0L until 50L).map { i =>
+      val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force topk is deterministic and self-excluding") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 3), k = 5)
+    val rows = out.collect()
+    assert(rows.length === 15)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
+    val ranks = rows.filter(_.getLong(0) == 0L).map(_.getInt(3)).sorted
+    assert(ranks.toSeq === Seq(1, 2, 3, 4, 5))
+  }
+
+  test("lsh topk results are a subset of correct ranking universe; recall sane") {
+    val queries = vecs.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(vecs, queries, k = 3, bits = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with 2 bits the buckets are coarse; expect meaningful overlap
+    assert(lsh.nonEmpty)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.2, s"recall $recall too low")
+  }
+
+  test("ivf topk returns k neighbors per query from probed cells") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 3), k = 4,
+      nlist = 8, nprobe = 8) // probe all cells -> exact
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 3), k = 4)
+    val a = out.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = brute.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b, "probing all cells must equal brute force")
+  }
+
+  test("upsert newRows is idempotent and intra-batch deduping") {
+    val hist = Seq(("k1", "a"), ("k2", "b")).toDF("key", "v")
+    val batch = Seq(("k2", "x"), ("k3", "c"), ("k3", "d")).toDF("key", "v")
+    val fresh = Upsert.newRows(batch, hist, "key")
+    assert(fresh.select("key").as[String].collect().toSeq === Seq("k3"))
+    // re-applying the same batch against hist+fresh yields nothing
+    val hist2 = hist.unionByName(fresh)
+    assert(Upsert.newRows(batch, hist2, "key").count() === 0)
+    assert(Upsert.holdsUniqueness(hist2, "key"))
+  }
+
+  test("multimodal decode preserves ids and byte counts through mapPartitions") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq === Seq("media_id", "payload", "meta"))
+    val feats = Multimodal.decodeFeatures(media, new Multimodal.StubDecoder(4)).collect()
+    assert(feats.length === 5)
+    val byId = feats.map(f => f.media_id -> f).toMap
+    assert(byId(0L).n_bytes === "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length)
+    assert(byId(0L).features.length === 4)
+    // deterministic decode
+    assert(byId(0L).features.toSeq === new Multimodal.StubDecoder(4)
+      .decode("the quick brown fox jumps over the lazy dog".getBytes("UTF-8")).toSeq)
+  }
+
+  test("embedding near-dups finds planted duplicate pair") {
+    val planted = vecs.unionByName(
+      vecs.filter($"vec_id" === 0L).select(F.lit(999L).as("vec_id"), $"embedding"))
+    val pairs = Dedup.embeddingNearDups(planted, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 999L)))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.{functions => F}
+
+  test("file-drop trip stream upserts each micro-batch with dedup") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val drop = s"$dir/drop"; val wh = s"$dir/wh"; val cp = s"$dir/cp"
+    new java.io.File(drop).mkdirs()
+    val catalog = new graft.sources.Catalog(spark, wh)
+    catalog.ensureTable("hist_trip_data", graft.model.Trip.schema)
+
+    def writeBatch(file: String, rows: Seq[String]): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$drop/$file"),
+        ("region,origin_coord,destination_coord,datetime,datasource" +: rows).mkString("\n"))
+
+    writeBatch("b1.csv", Seq(
+      "A,POINT (1 2),POINT (3 4),2024-01-01 10:00:00,src1",
+      "B,POINT (1 2),POINT (3 4),2024-01-01 11:00:00,src1"))
+    val stream = Streams.tripFileStream(spark, drop)
+    val q = Streams.streamingUpsert(stream, catalog, "hist_trip_data", cp).start()
+    q.processAllAvailable()
+    assert(catalog.read("hist_trip_data").count() === 2)
+
+    // drop a second file containing one duplicate and one new row
+    writeBatch("b2.csv", Seq(
+      "A,POINT (1 2),POINT (3 4),2024-01-01 10:00:00,src1", // dup of b1 row
+      "C,POINT (5 6),POINT (7 8),2024-01-01 12:00:00,src2"))
+    q.processAllAvailable()
+    q.stop()
+    val hist = catalog.read("hist_trip_data")
+    assert(hist.count() === 3)
+    assert(graft.operators.Upsert.holdsUniqueness(hist, "trip_key"))
+  }
+
+  test("watermarked windowed aggregation over a rate-free memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedEventCounts(df, window = "10 minutes", lateness = "5 minutes")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("win_agg")
+      .start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((ts(1), "click", 1.50), (ts(2), "click", 2.25), (ts(11), "view", 3.00))
+    q.processAllAvailable()
+    val rows = spark.table("win_agg").collect()
+    q.stop()
+    val clicks = rows.find(_.getString(1) == "click").get
+    assert(clicks.getLong(2) === 2L)
+    assert(clicks.getDecimal(3).doubleValue() === 3.75)
+  }
+
+  test("sessionize groups events per user via mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.SessionEvent]
+    val out = Streams.sessionize(input.toDS())
+    val q = out.writeStream.outputMode("update").format("memory").queryName("sessions").start()
+    def ev(u: Long, m: Int) = Streams.SessionEvent(u, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"))
+    input.addData(ev(1, 0), ev(1, 5), ev(2, 1))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows.contains((1L, 2L, 5 * 60 * 1000L)))
+    assert(rows.contains((2L, 1L, 0L)))
+  }
+
+  test("streaming dedup drops in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val dd = Streams.dedupStream(df, Seq("user_id"), lateness = "1 hour")
+    val q = dd.writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData((t, 1L), (t, 1L), (t, 2L))
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n === 2)
+  }
+}
