@@ -1,0 +1,80 @@
+package graft
+
+import graft.queries.{QueryCatalog => QC}
+
+/** Physical-plan shape assertions: these encode the scale-design claims
+  * (filter pushdown, column pruning, broadcast joins, top-k without full
+  * sort, anti-join dedup) so a regression that silently de-optimizes a
+  * plan fails CI, not a production run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Plan after execution: under AQE the codegen'd final plan only exists
+    * once the query ran.
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("segment filter is pushed down to the parquet scan") {
+    val p = plan("q_filter_distinct")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "filter must reach the scan")
+  }
+
+  test("dimension joins broadcast instead of shuffling") {
+    assert(plan("q_filter_distinct").contains("BroadcastHashJoin"))
+    assert(plan("q_nation_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("column pruning: pricing scan reads only the 5 needed columns") {
+    val p = plan("q1_pricing")
+    assert(p.contains("ReadSchema"))
+    val read = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_partkey"),
+      s"unneeded columns in scan: $read")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_users")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("upsert dedup is a left-anti hash join") {
+    val p = plan("q_upsert_events")
+    assert(p.contains("LeftAnti"), p.take(1200))
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan("q1_pricing")
+    assert(p.contains("HashAggregate"))
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("pricing query stays inside whole-stage codegen") {
+    val p = finalPlan("q1_pricing")
+    // "*(n)" prefixes mark operators fused into a whole-stage-codegen stage
+    assert(p.contains("*("), p.take(500))
+  }
+
+  test("custom expressions (week_of_month, shingle kernels) do not break codegen") {
+    val df = SparkEntry.queries("q_weekly_avg")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+    // the custom expression survives analysis (it is pre-projected into a
+    // grouping expression by the physical planner, which is fine — that
+    // projection is itself codegen'd)
+    assert(df.queryExecution.analyzed.toString.contains("week_of_month"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.{TripQueries, Upsert}
+import graft.tools.TripPipelineDemo
+
+/** Golden end-to-end tests of the reference-parity pipeline on the
+  * synthetic trips fixture (FIXTURES.md §1: same shape as the
+  * reference's trips.csv, tie-free region counts).
+  */
+class TripPipelineSpec extends SparkSpec {
+
+  private lazy val env: (Pipeline, String) = {
+    val dir = Files.createTempDirectory("graft-trips").toString
+    val csv = s"$dir/trips.csv"
+    Files.writeString(java.nio.file.Paths.get(csv), TripPipelineDemo.syntheticCsv(100))
+    val pipe = new Pipeline(spark, s"$dir/warehouse")
+    pipe.runBatch(csv)
+    (pipe, csv)
+  }
+
+  test("batch load is idempotent: re-running the same file does not grow hist") {
+    val (pipe, csv) = env
+    val before = pipe.hist.count()
+    assert(before === 100)
+    pipe.runBatch(csv)
+    assert(pipe.hist.count() === before)
+    assert(Upsert.holdsUniqueness(pipe.hist, "trip_key"))
+  }
+
+  test("staging is truncated after each batch") {
+    val (pipe, _) = env
+    assert(pipe.catalog.read(pipe.StagingTable).count() === 0)
+  }
+
+  test("summarized view has YYYY-MM-0W buckets and positive averages") {
+    val (pipe, _) = env
+    val rows = pipe.summarized.collect()
+    assert(rows.nonEmpty)
+    val bucketRe = "\\d{4}-\\d{2}-0[1-5]".r
+    rows.foreach { r =>
+      assert(bucketRe.matches(r.getAs[String]("week_of_month")), r.toString)
+      assert(r.getAs[Long]("weekly_avg") > 0)
+    }
+  }
+
+  test("regions-with-datasource matches a hand computation") {
+    val (pipe, _) = env
+    val got = TripQueries.regionsWithDatasource(pipe.hist, "cheap_mobile")
+      .collect().map(_.getString(0)).sorted.toSeq
+    // cheap_mobile is every 4th row (i % 4 == 3); compute expected regions
+    val expected = (0 until 100).filter(_ % 4 == 3).map { i =>
+      Seq("Avalon", "Brighton", "Caldera")(i % (if (i % 7 == 0) 2 else 3))
+    }.distinct.sorted
+    assert(got === expected)
+  }
+
+  test("latest datasource query returns a single deterministic datasource") {
+    val (pipe, _) = env
+    val got = TripQueries.latestDatasourceOfTopRegions(pipe.hist).collect()
+    assert(got.length >= 1)
+    assert(got.map(_.getString(0)).distinct.length === got.length)
+  }
+
+  test("weekly avg equals direct recomputation from hist") {
+    val (pipe, _) = env
+    import org.apache.spark.sql.{functions => F}
+    val recomputed = TripQueries.weeklyAvgTripsPerRegion(pipe.hist)
+    val viaCount = pipe.hist
+      .groupBy(F.col("region"),
+        TripQueries.weekBucket(F.col("date_time").cast("date")).as("week_of_month"))
+      .agg(F.count(F.lit(1)).as("c"))
+    // reference semantics: avg over identical group key == the count itself
+    val joined = recomputed.join(viaCount, Seq("region", "week_of_month"))
+    assert(joined.filter(F.col("weekly_avg") =!= F.col("c")).count() === 0)
+  }
+}
