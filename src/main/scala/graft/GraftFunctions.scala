@@ -30,6 +30,13 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    // Aggregate functions are returned bare; the analyzer wraps them in
+    // an AggregateExpression during resolution.
+    reg.createOrReplaceTempFunction(
+      "topk_pairs",
+      exprs => graft.functions.TopKPairs(
+        exprs.head, exprs(1), intLit(exprs(2), "topk_pairs")),
+      "scala_udf")
   }
 
   private def intLit(e: Expression, fn: String): Int = e match {

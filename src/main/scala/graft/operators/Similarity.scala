@@ -27,6 +27,12 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector, ranked by dot product
     * (or cosine), ties broken by ascending candidate id for determinism.
+    *
+    * Uses the engine's bounded [[graft.functions.TopKPairs]] aggregate:
+    * every map task reduces its corpus slice to <= k candidates per query
+    * before the shuffle, so the exchange carries k-element sketches
+    * instead of |corpus| scored rows (a window row_number() would shuffle
+    * and sort them all).
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -36,6 +42,7 @@ object Similarity {
       vecCol: String = "embedding",
       metric: String = "cosine",
       excludeSelf: Boolean = true): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
     val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
     val score = metric match {
@@ -45,6 +52,38 @@ object Similarity {
     val scored = c.join(F.broadcast(q))
       .filter(if (excludeSelf) F.col("query_id") =!= F.col("neighbor_id") else F.lit(true))
       .select(F.col("query_id"), F.col("neighbor_id"), score.as("score"))
+    explodeTopK(scored, k)
+  }
+
+  /** groupBy + bounded top-k aggregate + posexplode -> one row per
+    * (query, neighbor, rank), best first.
+    */
+  private[graft] def explodeTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topkPairs(
+        F.col("score").cast("double"), F.col("neighbor_id"), k).as("top"))
+      .select(F.col("query_id"), F.posexplode(F.col("top")).as(Seq("pos", "p")))
+      .select(
+        F.col("query_id"),
+        F.col("p.id").as("neighbor_id"),
+        F.col("p.score").as("score"),
+        (F.col("pos") + 1).cast("int").as("rank"))
+
+  /** Window-based variant kept for cross-checking the aggregate in specs. */
+  def bruteForceTopKWindow(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
+    val scored = c.join(F.broadcast(q))
+      .filter(if (excludeSelf) F.col("query_id") =!= F.col("neighbor_id") else F.lit(true))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        VectorFunctions.cosineFast(F.col("qv"), F.col("cv")).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("score").desc, F.col("neighbor_id").asc)
     scored
@@ -95,9 +134,8 @@ object Similarity {
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.cosineFast(F.col("qv"), F.col("cv")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(F.col("score").desc, F.col("neighbor_id").asc)
-    scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    graft.GraftFunctions.register(corpus.sparkSession)
+    explodeTopK(scored, k)
   }
 
   /** IVF-style ANN: `nlist` centroids picked deterministically (every
@@ -167,8 +205,8 @@ object Similarity {
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.cosineFast(F.col("qv"), F.col("cv")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(F.col("score").desc, F.col("neighbor_id").asc)
-    scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+      // a probe can hit the same neighbor through multiple cells
+      .dropDuplicates("query_id", "neighbor_id")
+    explodeTopK(scored, k)
   }
 }

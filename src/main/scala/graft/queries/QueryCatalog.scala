@@ -454,13 +454,15 @@ object QueryCatalog {
     val score = F.aggregate(
       F.zip_with(F.col("qv"), F.col("cv"), (a, b) => a * b),
       F.lit(0L), (acc, v) => acc + v)
-    val w = Window.partitionBy("query_id")
-      .orderBy(F.col("score").desc, F.col("neighbor_id").asc)
-    corpus.join(F.broadcast(queries))
+    val scored = corpus.join(F.broadcast(queries))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"), score.as("score"))
-      .withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= 5)
+    // bounded topk_pairs aggregate: map-side partial top-k, the shuffle
+    // carries 5-element sketches per query instead of all scored rows
+    Similarity.explodeTopK(scored, 5)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("score").cast(LongType).as("score"),
+        F.col("rank").cast(LongType).as("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -474,7 +476,7 @@ object QueryCatalog {
       |  SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
       |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
       |scored AS (
-      |  SELECT query_id, neighbor_id, SUM(x * y) AS score
+      |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
       |  FROM pairs GROUP BY query_id, neighbor_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, score,

@@ -84,6 +84,26 @@ class OperatorsSpec extends SparkSpec {
     assert(a === b, "probing all cells must equal brute force")
   }
 
+  test("bounded topk_pairs aggregate matches the window implementation") {
+    val queries = vecs.filter($"vec_id" < 5)
+    val agg = Similarity.bruteForceTopK(vecs, queries, k = 7)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val win = Similarity.bruteForceTopKWindow(vecs, queries, k = 7)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agg === win)
+  }
+
+  test("topk_pairs does partial (map-side) aggregation") {
+    val df = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 2), k = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert("partial_topk_pairs".r.findAllIn(p).nonEmpty ||
+      "ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+  }
+
   test("upsert newRows is idempotent and intra-batch deduping") {
     val hist = Seq(("k1", "a"), ("k2", "b")).toDF("key", "v")
     val batch = Seq(("k2", "x"), ("k3", "c"), ("k3", "d")).toDF("key", "v")
