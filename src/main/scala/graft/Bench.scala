@@ -22,6 +22,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
+    // Warm up the JVM/codegen/parquet paths once so the first measured
+    // query doesn't absorb classloading + first-codegen cost.
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count()
+      .write.format("noop").mode("overwrite").save()
     // Optional filter: bench only the named queries (space/comma separated).
     val only = args.flatMap(_.split("[,\\s]+")).filter(_.nonEmpty).toSet
     val selected =

@@ -384,6 +384,27 @@ object QueryCatalog {
       |  CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS BIGINT) AS n_subwords
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Quality scoring: blended heuristic in [0,1]. Every component is a
+    * ratio of integer counts and the blend is written in the identical
+    * operation order in both engines, so the doubles match bit-for-bit.
+    */
+  private def qDocQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(F.col("doc_id"),
+        TextFunctions.qualityScore(F.col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private val qDocQualitySql = {
+    val nTok = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    val nStop = "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that')))"
+    val nPunct = "length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))"
+    s"""SELECT doc_id,
+       |  LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |  + LEAST(CAST($nStop AS DOUBLE) * 10.0 / GREATEST(CAST($nTok AS DOUBLE), 1.0), 1.0) * 0.3
+       |  + (1.0 - LEAST(CAST($nPunct AS DOUBLE) * 4.0 / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Language-ID by marker-word voting, aggregated to predicted-language
     * counts.
     */
@@ -558,6 +579,7 @@ object QueryCatalog {
     Q("q_doc_dedup_exact", wrap(qDocDedupExact), Some(qDocDedupExactSql)),
     Q("q_doc_stats", wrap(qDocStats), Some(qDocStatsSql)),
     Q("q_doc_lang", wrap(qDocLang), Some(qDocLangSql)),
+    Q("q_doc_quality", wrap(qDocQuality), Some(qDocQualitySql)),
     Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
