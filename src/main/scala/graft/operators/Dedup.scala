@@ -174,20 +174,24 @@ object Dedup {
       vecCol: String = "embedding",
       bucketBits: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions
+    graft.GraftFunctions.register(embs.sparkSession)
+    // norms precomputed per row: one dot per pair instead of three
     val base = embs.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+      .withColumn("nrm", F.sqrt(VectorFunctions.dot(F.col("v"), F.col("v"))))
     val (l, r) =
-      if (bucketBits <= 0) (base, base.toDF("id2", "v2"))
+      if (bucketBits <= 0) (base, base.toDF("id2", "v2", "nrm2"))
       else {
         val bucketed = base.withColumn("bk",
           Similarity.hyperplaneBucket(F.col("v"), bucketBits))
-        (bucketed, bucketed.toDF("id2", "v2", "bk"))
+        (bucketed, bucketed.toDF("id2", "v2", "nrm2", "bk"))
       }
     val joined =
       if (bucketBits <= 0) l.crossJoin(r)
       else l.join(r, Seq("bk"))
     joined
       .filter(F.col("id") < F.col("id2"))
-      .withColumn("cos", VectorFunctions.cosineFast(F.col("v"), F.col("v2")))
+      .withColumn("cos", VectorFunctions.dot(F.col("v"), F.col("v2")) /
+        F.nullif(F.col("nrm") * F.col("nrm2"), F.lit(0.0)))
       .filter(F.col("cos") >= threshold)
       .select(F.col("id").as("a"), F.col("id2").as("b"), F.col("cos"))
   }

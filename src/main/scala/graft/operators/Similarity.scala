@@ -43,11 +43,16 @@ object Similarity {
       metric: String = "cosine",
       excludeSelf: Boolean = true): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
+    // Norms are precomputed per row BEFORE the pair join: cosine then
+    // costs one dot per pair instead of three.
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
+      .withColumn("qn", F.sqrt(VectorFunctions.dot(F.col("qv"), F.col("qv"))))
     val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
+      .withColumn("cn", F.sqrt(VectorFunctions.dot(F.col("cv"), F.col("cv"))))
     val score = metric match {
       case "dot" => VectorFunctions.dot(F.col("qv"), F.col("cv"))
-      case _     => VectorFunctions.cosineFast(F.col("qv"), F.col("cv"))
+      case _ => VectorFunctions.dot(F.col("qv"), F.col("cv")) /
+        F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
     }
     val scored = c.join(F.broadcast(q))
       .filter(if (excludeSelf) F.col("query_id") =!= F.col("neighbor_id") else F.lit(true))
@@ -126,14 +131,18 @@ object Similarity {
       bits: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
       .withColumn("bk", hyperplaneBucket(F.col("cv"), bits))
+      .withColumn("cn", F.sqrt(VectorFunctions.dot(F.col("cv"), F.col("cv"))))
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
       .withColumn("bk", hyperplaneBucket(F.col("qv"), bits))
+      .withColumn("qn", F.sqrt(VectorFunctions.dot(F.col("qv"), F.col("qv"))))
     val scored = c.join(F.broadcast(q), Seq("bk"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
-        VectorFunctions.cosineFast(F.col("qv"), F.col("cv")).as("score"))
+        (VectorFunctions.dot(F.col("qv"), F.col("cv")) /
+          F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).as("score"))
     graft.GraftFunctions.register(corpus.sparkSession)
     explodeTopK(scored, k)
   }
@@ -201,10 +210,15 @@ object Similarity {
     val probes = queries
       .select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
       .withColumn("cell", F.explode(probeCells(F.col("qv"))))
-    val scored = assigned.join(F.broadcast(probes), Seq("cell"))
+    val scored = assigned
+      .withColumn("cn", F.sqrt(VectorFunctions.dot(F.col("cv"), F.col("cv"))))
+      .join(F.broadcast(
+        probes.withColumn("qn", F.sqrt(VectorFunctions.dot(F.col("qv"), F.col("qv"))))),
+        Seq("cell"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
-        VectorFunctions.cosineFast(F.col("qv"), F.col("cv")).as("score"))
+        (VectorFunctions.dot(F.col("qv"), F.col("cv")) /
+          F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).as("score"))
       // a probe can hit the same neighbor through multiple cells
       .dropDuplicates("query_id", "neighbor_id")
     explodeTopK(scored, k)

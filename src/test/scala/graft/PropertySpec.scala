@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.HashingUtil
+
+/** Property-based checks (SURVEY.md §5.4) for the pure kernels and the
+  * week-of-month arithmetic. Uses scalacheck generators with fixed seeds
+  * (deterministic CI) sampled manually — no scalatestplus bridge in the
+  * offline cache.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int = 200): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val dates = for {
+    y <- Gen.choose(1980, 2080)
+    m <- Gen.choose(1, 12)
+    d <- Gen.choose(1, 28)
+    dd <- Gen.choose(d, java.time.YearMonth.of(y, m).lengthOfMonth())
+  } yield java.time.LocalDate.of(y, m, dd)
+
+  test("week-of-month formula stays in [1,5] and equals ceil(dom/7)") {
+    samples(dates).foreach { d =>
+      val w = (d.getDayOfMonth - 1) / 7 + 1
+      assert(w >= 1 && w <= 5)
+      assert(w == math.ceil(d.getDayOfMonth / 7.0).toInt)
+    }
+  }
+
+  test("rolling shingle hashes: deterministic, sorted, distinct") {
+    val gen = Gen.zip(Gen.alphaNumStr.map(_.take(200)), Gen.choose(2, 8))
+    samples(gen).foreach { case (s, n) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val a = HashingUtil.rollingShingleHashes(u, n).toLongArray()
+      val b = HashingUtil.rollingShingleHashes(u, n).toLongArray()
+      assert(a.toSeq == b.toSeq)
+      assert(a.toSeq == a.sorted.toSeq && a.distinct.length == a.length)
+      if (s.nonEmpty) {
+        val windows = s.length - math.min(n, s.length) + 1
+        assert(a.nonEmpty && a.length <= windows)
+      } else assert(a.isEmpty)
+    }
+  }
+
+  test("minhash signature of a superset dominates elementwise") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.long), Gen.nonEmptyListOf(Gen.long))
+    samples(gen, 100).foreach { case (xs, extra) =>
+      val base = HashingUtil.minhashSignature(new GenericArrayData(xs.toArray), 16).toLongArray()
+      val sup = HashingUtil.minhashSignature(new GenericArrayData((xs ++ extra).toArray), 16).toLongArray()
+      base.zip(sup).foreach { case (b, s) => assert(s <= b) }
+    }
+  }
+
+  test("simhash is a pure function of the token sequence") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sig(ts: Seq[String]) = HashingUtil.simhash64(HashingUtil.hashStrings(
+      new GenericArrayData(ts.map(UTF8String.fromString).toArray)))
+    samples(Gen.nonEmptyListOf(Gen.identifier), 100).foreach { tokens =>
+      assert(sig(tokens) == sig(tokens))
+    }
+  }
+
+  test("topk buffer returns the true top-k under any insertion order") {
+    val gen = Gen.zip(
+      Gen.listOf(Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0L, 50L))),
+      Gen.choose(1, 10))
+    samples(gen, 100).foreach { case (xs, k) =>
+      val buf = new graft.functions.TopKBuffer(k)
+      xs.foreach { case (s, i) => buf.add(s, i) }
+      val expected = xs.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(buf.sorted.toSeq == expected)
+    }
+  }
+
+  test("upsert key invariant: concat_ws with separator is injective on field tuples") {
+    // the reference's separator-free CONCAT collides ("ab","c") with
+    // ("a","bc"); the hashed key must not (SURVEY.md §7.4)
+    val gen = Gen.zip(Gen.alphaStr.map(_.take(10)), Gen.alphaStr.map(_.take(10)))
+    val seen = scala.collection.mutable.Map[String, (String, String)]()
+    samples(gen, 500).foreach { case (a, b) =>
+      val key = a + "\u0001" + b
+      seen.get(key).foreach(prev => assert(prev == ((a, b))))
+      seen(key) = (a, b)
+    }
+  }
+}

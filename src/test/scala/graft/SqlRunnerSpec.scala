@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.TripQueries
+import graft.tools.TripPipelineDemo
+
+/** Reference entry-point 3 (SURVEY.md §3): ad-hoc SQL text must produce
+  * the same results as the typed DSL for the canonical queries. The SQL
+  * below states the same computation as the reference's .sql files
+  * (week-of-month spelled with this engine's registered function).
+  */
+class SqlRunnerSpec extends SparkSpec {
+
+  private lazy val pipe: Pipeline = {
+    val dir = Files.createTempDirectory("graft-sql").toString
+    val csv = s"$dir/trips.csv"
+    Files.writeString(java.nio.file.Paths.get(csv), TripPipelineDemo.syntheticCsv(100))
+    val p = new Pipeline(spark, s"$dir/warehouse")
+    p.runBatch(csv)
+    p.hist.createOrReplaceTempView("hist_trip_data")
+    p
+  }
+
+  test("SQL text and DSL agree on regions-with-datasource") {
+    pipe // force init
+    val sql = SqlRunner.run(spark,
+      """SELECT region FROM hist_trip_data
+        |WHERE datasource = 'cheap_mobile'
+        |GROUP BY region""".stripMargin)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val dsl = TripQueries.regionsWithDatasource(pipe.hist)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(sql === dsl)
+  }
+
+  test("SQL text and DSL agree on the latest-datasource CTE chain") {
+    pipe
+    val sql = SqlRunner.run(spark,
+      """WITH regions AS (
+        |  SELECT region, count(*) AS appearance FROM hist_trip_data GROUP BY region),
+        |recurring_regions AS (
+        |  SELECT region FROM regions ORDER BY appearance DESC LIMIT 2),
+        |latest_datasource AS (
+        |  SELECT max(cast(htd.date_time AS timestamp)) AS last_occurence
+        |  FROM recurring_regions rr JOIN hist_trip_data htd ON rr.region = htd.region)
+        |SELECT datasource FROM hist_trip_data htd
+        |JOIN latest_datasource ltd
+        |  ON cast(htd.date_time AS timestamp) = ltd.last_occurence""".stripMargin)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val dsl = TripQueries.latestDatasourceOfTopRegions(pipe.hist)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(sql === dsl)
+  }
+
+  test("SQL text weekly view with registered week_of_month equals the DSL view") {
+    pipe
+    val sql = SqlRunner.run(spark,
+      """SELECT wa.region, wa.week_of_month, ceil(avg(count)) AS weekly_avg
+        |FROM (SELECT region,
+        |        concat(date_format(cast(date_time AS date), 'yyyy-MM'),
+        |               '-0', week_of_month(cast(date_time AS date))) AS week_of_month,
+        |        count(*) AS count
+        |      FROM hist_trip_data
+        |      GROUP BY region,
+        |        concat(date_format(cast(date_time AS date), 'yyyy-MM'),
+        |               '-0', week_of_month(cast(date_time AS date)))) wa
+        |GROUP BY wa.region, wa.week_of_month""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val dsl = TripQueries.weeklyAvgTripsPerRegion(pipe.hist)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(sql === dsl)
+  }
+}
