@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** Corpus-preparation operators beyond dedup: chunking, stratified
+  * sampling, and composition reporting — the remaining staples of a
+  * training-data pipeline, all expressed over codegen'd builtins.
+  */
+object Corpus {
+
+  /** Split documents into overlapping token-window chunks
+    * (`size` tokens, advancing `stride` tokens — stride < size gives
+    * overlap). Output: (id, chunk_id, chunk_text, n_tokens).
+    *
+    * Map-side only: the chunk windows are computed per row with
+    * sequence+slice and posexploded; no shuffle. At 100 TB this is a pure
+    * scan -> scan pipeline that chains into tokenize/pack stages.
+    */
+  def chunk(
+      docs: DataFrame,
+      size: Int = 50,
+      stride: Int = 40,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0 && size > 0, "size and stride must be positive")
+    val toks = TextFunctions.tokens(F.col(textCol))
+    // window starts: 0, stride, 2*stride, ... while start < n (at least 1)
+    val starts = F.sequence(
+      F.lit(0),
+      F.greatest(
+        F.floor((F.size(toks).cast("long") - 1) / F.lit(stride.toLong)),
+        F.lit(0L)) * F.lit(stride.toLong),
+      F.lit(stride.toLong))
+    val chunks = F.transform(starts, s =>
+      F.concat_ws(" ", F.slice(toks, s.cast("int") + F.lit(1), F.lit(size))))
+    docs
+      .select(F.col(idCol), F.posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(F.col("chunk_text")))
+  }
+
+  /** Deterministic stratified sample: the `perStratum` lowest-keyed rows
+    * of each stratum. Rank-based (not hash-based) so it is reproducible
+    * across engines; at scale the window is a single shuffle on the
+    * stratum key, and with `topk_pairs`-style partial aggregation
+    * available it can be swapped to a bounded sketch.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      perStratum: Int,
+      keyCol: String): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(F.col(keyCol).asc)
+    df.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= perStratum)
+      .drop("rn")
+  }
+
+  /** Corpus composition report: per (lang, source), document counts,
+    * token totals, and char stats — the standard "what is in this
+    * corpus" summary. One partial-aggregated shuffle.
+    */
+  def composition(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs
+      .groupBy("lang", "source")
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum(TextFunctions.tokenCount(F.col(textCol))).as("total_tokens"),
+        F.sum(F.length(F.col(textCol)).cast("long")).as("total_chars"),
+        F.min(F.length(F.col(textCol)).cast("long")).as("min_chars"),
+        F.max(F.length(F.col(textCol)).cast("long")).as("max_chars"))
+}

@@ -41,6 +41,31 @@ object Upsert {
       .dropDuplicates(key)
       .join(existing.select(key), Seq(key), "left_anti")
 
+  /** Partition-pruned upsert for time-bounded batches: when batches are
+    * known to only ever collide with a bounded window of history (trips
+    * arrive within hours, events within days), scanning ALL historical
+    * keys is wasted I/O at 100 TB. This variant computes the batch's
+    * [min, max] of `boundCol` and prunes the historical side to that
+    * range (+/- nothing — collisions require equal keys, and equal keys
+    * imply equal bound values since the bound participates in the key),
+    * so with a date-partitioned hist table the anti-join reads only the
+    * overlapping partitions.
+    */
+  def newRowsPruned(
+      batch: DataFrame,
+      existing: DataFrame,
+      key: String,
+      boundCol: String): DataFrame = {
+    val r = batch.agg(
+      F.min(F.col(boundCol)).as("lo"), F.max(F.col(boundCol)).as("hi")).head()
+    if (r.isNullAt(0)) batch.dropDuplicates(key).limit(0)
+    else {
+      val pruned = existing
+        .filter(F.col(boundCol) >= r.get(0) && F.col(boundCol) <= r.get(1))
+      newRows(batch, pruned, key)
+    }
+  }
+
   /** The dedup invariant the unique index guaranteed in the reference. */
   def holdsUniqueness(df: DataFrame, key: String): Boolean = {
     val row = df.agg(

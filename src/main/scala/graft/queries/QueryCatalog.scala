@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
 import graft.GraftFunctions
 import graft.functions.{TextFunctions, WeekOfMonth}
-import graft.operators.{Dedup, Multimodal, Similarity, Upsert}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Upsert}
 
 /** The driver-graded query surface: every operator family from SURVEY.md
   * §2 plus the training-data extensions, each expressed over the
@@ -522,6 +522,64 @@ object QueryCatalog {
     """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Document chunking: overlapping token windows (50 tokens, stride 40),
+    * map-side only (sequence+slice+posexplode).
+    */
+  private def qDocChunks(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunk(t(s, dir, "documents"), size = 50, stride = 40)
+      .orderBy("doc_id", "chunk_id")
+
+  private val qDocChunksSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |starts AS (
+      |  SELECT doc_id, t,
+      |    generate_series(0, greatest((len(t) - 1) // 40, 0) * 40, 40) AS ss
+      |  FROM toks),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(ss)),
+      |      i -> struct_pack(chunk_id := i - 1,
+      |                       chunk_text := array_to_string(t[ss[i]+1:ss[i]+50], ' '))) AS cs
+      |  FROM starts),
+      |flat AS (SELECT doc_id, unnest(cs) AS u FROM chunks)
+      |SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_text AS chunk_text,
+      |  CAST(CASE WHEN trim(u.chunk_text) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(u.chunk_text), '\s+')) END AS BIGINT) AS n_tokens
+      |FROM flat ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Deterministic stratified sampling: 10 lowest-id docs per language. */
+  private def qDocSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        stratumCol = "lang", perStratum = 10, keyCol = "doc_id")
+      .orderBy("lang", "doc_id")
+
+  private val qDocSampleSql =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang, source FROM ranked WHERE rn <= 10
+      |ORDER BY lang, doc_id""".stripMargin
+
+  /** Corpus composition: per (lang, source) doc/token/char statistics. */
+  private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
+    Corpus.composition(t(s, dir, "documents"))
+      .orderBy("lang", "source")
+
+  private val qCorpusStatsSql =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+      |  CAST(MAX(length(text)) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   // ------- approximate operators: rows-only checks (no ANSI oracle) -----
 
   /** MinHash-LSH candidate pairs (engine-specific hashes -> no oracle). */
@@ -580,6 +638,9 @@ object QueryCatalog {
     Q("q_doc_stats", wrap(qDocStats), Some(qDocStatsSql)),
     Q("q_doc_lang", wrap(qDocLang), Some(qDocLangSql)),
     Q("q_doc_quality", wrap(qDocQuality), Some(qDocQualitySql)),
+    Q("q_doc_chunks", wrap(qDocChunks), Some(qDocChunksSql)),
+    Q("q_doc_sample", wrap(qDocSample), Some(qDocSampleSql)),
+    Q("q_corpus_stats", wrap(qCorpusStats), Some(qCorpusStatsSql)),
     Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),

@@ -128,6 +128,42 @@ class OperatorsSpec extends SparkSpec {
       .decode("the quick brown fox jumps over the lazy dog".getBytes("UTF-8")).toSeq)
   }
 
+  test("chunking produces overlapping token windows covering the document") {
+    import graft.operators.Corpus
+    val doc = (1 to 95).map(i => s"w$i").mkString(" ")
+    val out = Corpus.chunk(Seq((7L, doc)).toDF("doc_id", "text"), size = 50, stride = 40)
+      .orderBy("chunk_id").collect()
+    assert(out.length === 3) // starts 0, 40, 80
+    assert(out(0).getAs[Long]("n_tokens") === 50L)
+    assert(out(1).getAs[String]("chunk_text").startsWith("w41 "))
+    assert(out(2).getAs[Long]("n_tokens") === 15L) // tail chunk 81..95
+    // overlap: chunk 0 ends at w50, chunk 1 starts at w41
+    assert(out(0).getAs[String]("chunk_text").endsWith(" w50"))
+  }
+
+  test("stratified sample takes exactly perStratum lowest keys per stratum") {
+    import graft.operators.Corpus
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Corpus.stratifiedSample(df, "lang", 5, "doc_id").collect()
+    assert(out.length === 10)
+    val en = out.filter(_.getString(1) == "en").map(_.getLong(0)).sorted.toSeq
+    assert(en === Seq(0L, 2L, 4L, 6L, 8L))
+  }
+
+  test("pruned upsert equals unpruned when bounds participate in the key") {
+    val hist = Seq(("k1", 10L), ("k2", 20L)).toDF("key", "ts")
+    val batch = Seq(("k2", 20L), ("k3", 15L)).toDF("key", "ts")
+    val pruned = Upsert.newRowsPruned(batch, hist, "key", "ts")
+      .select("key").as[String].collect().toSeq
+    val full = Upsert.newRows(batch, hist, "key")
+      .select("key").as[String].collect().toSeq
+    assert(pruned === full)
+    // empty batch: no rows, no crash
+    val empty = batch.filter($"ts" > 100)
+    assert(Upsert.newRowsPruned(empty, hist, "key", "ts").count() === 0)
+  }
+
   test("embedding near-dups finds planted duplicate pair") {
     val planted = vecs.unionByName(
       vecs.filter($"vec_id" === 0L).select(F.lit(999L).as("vec_id"), $"embedding"))
