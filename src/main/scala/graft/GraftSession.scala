@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory encoding the engine's scale posture in one place.
+  *
+  * The same builder serves local[N] testing and a real cluster — only
+  * master/memory change; the SQL-level posture (AQE with skew-join
+  * splitting and partition coalescing, UTC determinism, shuffle
+  * partitions sized to cores not the 200 default, bounded file
+  * partitions, nanos-tolerant parquet reads) is the part that must hold
+  * at 100 TB and is therefore centralized here.
+  */
+object GraftSession {
+
+  def builder(appName: String, cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Local session for tests/benchmarks. */
+  def local(appName: String, cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(appName, cores)
+      .master(s"local[$cores]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+}

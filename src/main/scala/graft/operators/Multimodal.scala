@@ -92,6 +92,39 @@ object Multimodal {
       }
   }
 
+  final case class FrameFeatures(media_id: Long, frame_idx: Int, features: Array[Float])
+
+  /** Frame sampling: slice each payload into fixed-size "frame" blocks
+    * and decode every `stride`-th block — the plumbing shape of video
+    * frame extraction (seek -> decode keyframe -> feature). The stub
+    * treats byte blocks as frames; a real codec replaces the slicing +
+    * decode, the flatMap-over-partitions shape stays.
+    */
+  def sampleFrames(
+      media: DataFrame,
+      decoder: Decoder,
+      frameBytes: Int = 64,
+      stride: Int = 2): Dataset[FrameFeatures] = {
+    require(frameBytes > 0 && stride > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          if (payload == null || payload.isEmpty) Iterator.empty
+          else {
+            val nFrames = (payload.length + frameBytes - 1) / frameBytes
+            Iterator.range(0, nFrames, stride).map { f =>
+              val from = f * frameBytes
+              val until = math.min(from + frameBytes, payload.length)
+              FrameFeatures(id, f,
+                decoder.decode(java.util.Arrays.copyOfRange(payload, from, until)))
+            }
+          }
+        }
+      }
+  }
+
   /** Synthesize a deterministic media table from any (id, text) table —
     * the test harness for the plumbing (payload = utf8 bytes).
     */

@@ -164,6 +164,42 @@ class OperatorsSpec extends SparkSpec {
     assert(Upsert.newRowsPruned(empty, hist, "key", "ts").count() === 0)
   }
 
+  test("salted count equals plain groupBy count under heavy key skew") {
+    import graft.operators.Skew
+    val skewed = (0L until 10000L).map(i => if (i % 10 != 0) "hot" else s"k$i")
+      .toDF("key")
+    val salted = Skew.saltedCount(skewed, "key", salts = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = skewed.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    assert(salted("hot") === 9000L)
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    import graft.operators.Skew
+    val left = (0L until 1000L).map(i => (if (i % 5 != 0) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val right = Seq(("hot", "H"), ("k0", "Z")).toDF("key", "name")
+    val salted = Skew.saltedJoin(left, right, "key")
+      .select("key", "v", "name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val plain = left.join(right, Seq("key"))
+      .select("key", "v", "name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("frame sampling yields strided frames with bounded byte blocks") {
+    val media = Multimodal.syntheticMedia(
+      Seq((1L, "x" * 300)).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, new Multimodal.StubDecoder(4),
+      frameBytes = 64, stride = 2).collect().sortBy(_.frame_idx)
+    // 300 bytes -> 5 frames (0..4), stride 2 -> frames 0, 2, 4
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(frames.forall(_.features.length === 4))
+  }
+
   test("embedding near-dups finds planted duplicate pair") {
     val planted = vecs.unionByName(
       vecs.filter($"vec_id" === 0L).select(F.lit(999L).as("vec_id"), $"embedding"))
