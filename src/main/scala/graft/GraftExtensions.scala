@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{MinHashSig, ShingleHashes, SimHash64, VectorFunctions, WeekOfMonth}
+
+/** Deployment-grade registration: inject the engine's functions through
+  * SparkSessionExtensions so any session created with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) has them from birth — no
+  * imperative register() call, which matters for SQL-only users
+  * (thrift/connect) who never touch Scala.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("week_of_month"),
+      info("week_of_month", "week_of_month(date) - Postgres to_char-'W' week of month (1-5)"),
+      (exprs: Seq[Expression]) => WeekOfMonth.builder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("dot_f"),
+      info("dot_f", "dot_f(a, b) - dot product of two float arrays"),
+      (exprs: Seq[Expression]) => VectorFunctions.builder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, n) - distinct rolling n-char window hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, GraftFunctions.intLitOf(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hashes, k) - k-minima MinHash signature"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head, GraftFunctions.intLitOf(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("topk_pairs"),
+      info("topk_pairs", "topk_pairs(score, id, k) - bounded top-k (score desc, id asc) pairs"),
+      (exprs: Seq[Expression]) => graft.functions.TopKPairs(
+        exprs.head, exprs(1), GraftFunctions.intLitOf(exprs(2)))))
+  }
+}

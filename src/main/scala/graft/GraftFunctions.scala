@@ -44,4 +44,6 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal INT parameter, got $other")
   }
+
+  private[graft] def intLitOf(e: Expression): Int = intLit(e, "function")
 }

@@ -43,6 +43,12 @@ object Trip {
 
   val columns: Seq[String] = schema.fieldNames.toSeq
 
+  /** Physical historical-table schema: the logical trip columns plus the
+    * derived `trip_date` partition column (SURVEY.md §7.4 scale design).
+    */
+  val schemaWithDate: StructType =
+    schema.add(StructField("trip_date", DateType, nullable = true))
+
   /** Row identity used for dedup, exactly as the reference derives it:
     * CONCAT(region, origin_coord, destination_coord, date_time, datasource)
     * (populate_postgres.sql:10-11). `concat` is null-tolerant in Postgres'

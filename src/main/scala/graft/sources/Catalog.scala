@@ -35,10 +35,39 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         .write.mode(SaveMode.Overwrite).parquet(path(table))
     }
 
+  /** CREATE TABLE IF NOT EXISTS for a hive-partitioned table: an empty
+    * partitioned write leaves only the directory + _SUCCESS (no root
+    * data files, which would conflict with partition discovery), so
+    * readers must supply the declared schema via [[readWithSchema]].
+    */
+  def ensurePartitionedTable(
+      table: String,
+      schema: StructType,
+      partitionCols: Seq[String]): Unit =
+    if (!exists(table)) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path(table))
+    }
+
   def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  /** Read with the declared schema — required for partitioned tables that
+    * may be empty (no files to infer from), and generally the
+    * schema-first discipline the reference argues for (README.md:35-43).
+    */
+  def readWithSchema(table: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path(table))
 
   def append(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(table))
+
+  /** Append into a hive-style partitioned layout. At scale, partition
+    * columns are what turn full-table scans into pruned ones (see
+    * Upsert.newRowsPruned); dynamic partition overwrite is left to
+    * callers who need idempotent re-writes per partition.
+    */
+  def appendPartitioned(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path(table))
 
   def overwrite(table: String, df: DataFrame): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(path(table))

@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.TripPipelineDemo
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects all engine functions at session birth") {
+    // a separate session in the same JVM, configured purely via extensions
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s.sql(
+        """SELECT week_of_month(DATE'2024-03-29') AS w,
+          |  dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+          |  size(shingle_hashes('hello world', 5)) AS sh,
+          |  simhash64(array('a','b')) <> 0 AS sim""".stripMargin).head()
+      assert(r.getInt(0) === 5)
+      assert(math.abs(r.getDouble(1) - 11.0) < 1e-9)
+      assert(r.getInt(2) > 0)
+      assert(r.getBoolean(3))
+      val agg = s.sql(
+        """SELECT topk_pairs(CAST(v AS DOUBLE), id, 2) AS top FROM VALUES
+          |  (1.0, 10L), (3.0, 30L), (2.0, 20L) AS t(v, id)""".stripMargin).head()
+      val top = agg.getSeq[org.apache.spark.sql.Row](0)
+      assert(top.map(_.getLong(1)) === Seq(30L, 20L))
+    } finally {
+      // do not stop: other suites share the JVM-wide default session
+    }
+  }
+}

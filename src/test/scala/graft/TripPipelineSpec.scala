@@ -62,6 +62,18 @@ class TripPipelineSpec extends SparkSpec {
     assert(got.map(_.getString(0)).distinct.length === got.length)
   }
 
+  test("hist is date-partitioned and the pruned upsert hits partition filters") {
+    val (pipe, _) = env
+    // hive-style partition dirs exist
+    val histDir = new java.io.File(pipe.catalog.path(pipe.HistTable))
+    assert(histDir.listFiles().exists(_.getName.startsWith("trip_date=")))
+    // a date-bounded read plans PartitionFilters, not a full scan
+    import org.apache.spark.sql.{functions => F}
+    val bounded = pipe.hist.filter(F.col("trip_date") === "2024-03-05")
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("trip_date"), plan.take(600))
+  }
+
   test("weekly avg equals direct recomputation from hist") {
     val (pipe, _) = env
     import org.apache.spark.sql.{functions => F}
