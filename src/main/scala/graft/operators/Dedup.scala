@@ -121,6 +121,40 @@ object Dedup {
         F.transform(F.slice(ids, i + F.lit(2), F.size(ids)),
           y => F.struct(x.as("a"), y.as("b")))))
 
+  /** The full near-dup pipeline: MinHash-LSH candidate generation
+    * followed by EXACT verification of each candidate pair's shingle-set
+    * Jaccard (on the rolling-hash shingle sets — identical to string-set
+    * Jaccard modulo 64-bit hash collisions). Returns only pairs with
+    * jaccard >= minJaccard.
+    *
+    * Scale shape: candidates are ~linear (banded LSH), and verification
+    * joins each candidate pair to two pre-computed sorted hash arrays —
+    * cost proportional to candidates, never O(n^2).
+    */
+  def nearDuplicates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleLen: Int = 5,
+      minJaccard: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 4): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val cands = minhashCandidates(docs, textCol, idCol, shingleLen, numHashes, bands)
+    val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
+    val sets = docs.select(F.col(idCol).as("id"),
+      graft.functions.Hashing.shingleHashes(norm, shingleLen).as("hs"))
+    cands
+      .join(sets.toDF("a", "ha"), Seq("a"))
+      .join(sets.toDF("b", "hb"), Seq("b"))
+      .withColumn("inter", F.size(F.array_intersect(F.col("ha"), F.col("hb"))))
+      .withColumn("uni",
+        F.size(F.col("ha")) + F.size(F.col("hb")) - F.col("inter"))
+      .filter(F.col("inter") >= F.lit(minJaccard) * F.col("uni"))
+      .select(F.col("a"), F.col("b"),
+        (F.col("inter").cast("double") / F.col("uni")).as("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: sum +-1 per bit weighted by
     * token occurrence, take the sign bit. Hamming-close signatures ~
     * similar token multisets. One pass, no shuffle; returns (id, simhash).

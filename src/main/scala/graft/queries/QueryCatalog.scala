@@ -582,6 +582,14 @@ object QueryCatalog {
 
   // ------- approximate operators: rows-only checks (no ANSI oracle) -----
 
+  /** Full near-dup pipeline: LSH candidates + exact shingle-Jaccard
+    * verification (engine-specific hashes -> no oracle).
+    */
+  private def qNearDupVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(t(s, dir, "documents"), minJaccard = 0.5)
+      .select("a", "b")
+      .orderBy("a", "b")
+
   /** MinHash-LSH candidate pairs (engine-specific hashes -> no oracle). */
   private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(t(s, dir, "documents"))
@@ -645,6 +653,7 @@ object QueryCatalog {
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), None),
+    Q("q_neardup_verified", wrap(qNearDupVerified), None),
     Q("q_simhash", wrap(qSimhash), None),
     Q("q_embed_neardup", wrap(qEmbedNearDup), None),
     Q("q_ann_lsh", wrap(qAnnLsh), None),

@@ -200,6 +200,18 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.forall(_.features.length === 4))
   }
 
+  test("nearDuplicates pipeline: finds planted near-dup, rejects dissimilar") {
+    val corpus = Seq(
+      (0L, "spark is a unified analytics engine for large scale data processing with apis"),
+      (1L, "spark is a unified analytics engine for large scale data processing with api"), // near-dup of 0
+      (2L, "completely different text about cooking pasta with tomatoes and fresh basil"),
+      (3L, "yet another topic entirely discussing mountain hiking trails and equipment")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.nearDuplicates(corpus, minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("embedding near-dups finds planted duplicate pair") {
     val planted = vecs.unionByName(
       vecs.filter($"vec_id" === 0L).select(F.lit(999L).as("vec_id"), $"embedding"))
