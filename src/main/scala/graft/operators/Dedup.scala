@@ -20,6 +20,13 @@ import graft.functions.TextFunctions
   *
   * Everything is built from codegen'd builtins (xxhash64, explode, HOFs);
   * no Scala UDFs on the hot path.
+  *
+  * Technique provenance (public literature): MinHash resemblance sketches
+  * (Broder 1997), banded LSH (Leskovec/Rajaraman/Ullman, "Mining of
+  * Massive Datasets" ch. 3), SimHash (Charikar 2002; near-dup practice
+  * per Manku et al. 2007), and size/prefix filtering for exact
+  * similarity joins (Chaudhuri et al. 2006 SSJoin; Xiao et al. 2008
+  * PPJoin).
   */
 object Dedup {
 
@@ -174,12 +181,21 @@ object Dedup {
     * union size. `minJaccard` filters the output; intersection/union
     * sizes are returned so callers can re-threshold without recompute.
     */
+  /** @param lengthPruneRatio optional exact size-ratio prune (num, den):
+    *   when targeting jaccard >= num/den, any pair with
+    *   min(|A|,|B|) * den < max(|A|,|B|) * num is provably below the
+    *   threshold (inter <= min, uni >= max), so it is dropped AT THE
+    *   JOIN, before the per-pair counting aggregate. Integer
+    *   cross-multiplication — no float boundary effects, loses no
+    *   qualifying pair.
+    */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       n: Int = 3,
-      minJaccard: Double = 0.0): DataFrame = {
+      minJaccard: Double = 0.0,
+      lengthPruneRatio: Option[(Int, Int)] = None): DataFrame = {
     val sh = docs.select(
       F.col(idCol).as("id"),
       F.array_distinct(TextFunctions.wordShingles(F.col(textCol), n)).as("shingles"))
@@ -187,8 +203,14 @@ object Dedup {
       F.explode(F.col("shingles")).as("s"))
     val l = exploded.toDF("a", "ma", "s")
     val r = exploded.toDF("b", "mb", "s")
+    val prune = lengthPruneRatio match {
+      case Some((num, den)) =>
+        F.least(F.col("ma"), F.col("mb")) * den >=
+          F.greatest(F.col("ma"), F.col("mb")) * num
+      case None => F.lit(true)
+    }
     l.join(r, Seq("s"))
-      .filter(F.col("a") < F.col("b"))
+      .filter(F.col("a") < F.col("b") && prune)
       .groupBy("a", "b", "ma", "mb")
       .agg(F.count(F.lit(1)).as("inter"))
       .withColumn("uni", F.col("ma") + F.col("mb") - F.col("inter"))

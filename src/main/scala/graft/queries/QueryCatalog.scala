@@ -440,7 +440,8 @@ object QueryCatalog {
     * LSH candidates only (see q_minhash_pairs + Dedup.ngramJaccardPairs).
     */
   private def qNgramPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents").filter(F.col("doc_id") < 1000), n = 3)
+    Dedup.ngramJaccardPairs(t(s, dir, "documents").filter(F.col("doc_id") < 1000),
+        n = 3, lengthPruneRatio = Some((1, 5)))
       .filter(F.col("inter") * 5 >= F.col("uni"))
       .select("a", "b", "inter", "uni")
       .orderBy("a", "b")
