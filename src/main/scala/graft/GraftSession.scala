@@ -21,6 +21,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Reference cast semantics (SURVEY.md §7.4): text casts yield NULL on
+      // malformed input (Spark 4 defaults ANSI on, which throws instead).
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

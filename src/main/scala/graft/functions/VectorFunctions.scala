@@ -97,4 +97,17 @@ object VectorFunctions {
   /** Cosine using the codegen'd dot (hot path). */
   def cosineFast(a: Column, b: Column): Column =
     dot(a, b) / F.nullif(F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0))
+
+  /** Average-pooling "resize" of a feature vector to `outDim` dimensions
+    * (the multimodal resize stand-in: contiguous chunks averaged). Not a
+    * hot-path op — used on already-decoded feature rows.
+    */
+  def avgPool(v: Column, outDim: Int): Column = {
+    val step = F.ceil(F.size(v) / F.lit(outDim.toDouble)).cast("int")
+    F.transform(F.sequence(F.lit(0), F.lit(outDim - 1)), j => {
+      val chunk = F.slice(v, j * step + F.lit(1), step)
+      F.aggregate(chunk, F.lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
+        F.greatest(F.size(chunk), F.lit(1)).cast(DoubleType)
+    })
+  }
 }

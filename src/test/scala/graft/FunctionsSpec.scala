@@ -56,6 +56,21 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("malformed date_time casts to null (reference-lenient, ANSI off)") {
+    val df = Seq("2018-05-28 09:03:40", "not a date", "").toDF("date_time")
+      .select(F.col("date_time").cast(DateType).as("d"))
+    val rows = df.collect()
+    assert(rows(0).getDate(0).toString === "2018-05-28")
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
+
+  test("avgPool resizes features by contiguous-chunk averaging") {
+    val df = Seq(Array(1.0f, 3.0f, 5.0f, 7.0f, 2.0f, 4.0f, 6.0f, 8.0f)).toDF("v")
+    val out = df.select(graft.functions.VectorFunctions.avgPool($"v", 4).as("p"))
+      .head().getSeq[Double](0)
+    assert(out === Seq(2.0, 6.0, 3.0, 7.0))
+  }
+
   test("wkt parse extracts lon/lat; malformed yields null") {
     val df = Seq(
       "POINT (14.4973794438195 50.00136875782316)",
