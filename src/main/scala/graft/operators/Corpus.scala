@@ -57,6 +57,60 @@ object Corpus {
       .drop("rn")
   }
 
+  final case class PackedBin(bin_id: Long, item_ids: Seq[Long], total_tokens: Long)
+
+  /** Token-budget sequence packing: greedily fill bins of `budgetTokens`
+    * from (id, n_tokens) items — the step that turns variable-length
+    * chunks into fixed-budget training sequences.
+    *
+    * Packing is inherently order-dependent, so items are first range-
+    * partitioned and sorted by id; bins are then built per partition in a
+    * single mapPartitions pass (bin_id = partitionId << 40 | local index,
+    * collision-free for < 2^40 bins per partition). Embarrassingly
+    * parallel: no shuffle beyond the initial range partitioning, and each
+    * bin's items are contiguous in id order — the property samplers and
+    * curriculum schedules rely on. Items exceeding the budget get a bin
+    * of their own (callers chunk first — see [[chunk]]).
+    */
+  def pack(
+      items: DataFrame,
+      budgetTokens: Long,
+      idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): org.apache.spark.sql.Dataset[PackedBin] = {
+    require(budgetTokens > 0)
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .select(F.col(idCol).cast("long").as("id"), F.col(tokensCol).cast("long").as("t"))
+      .repartitionByRange(F.col("id"))
+      .sortWithinPartitions("id")
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        new Iterator[PackedBin] {
+          private var binIdx = 0L
+          private val buf = rows.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): PackedBin = {
+            val ids = scala.collection.mutable.ArrayBuffer[Long]()
+            var total = 0L
+            while (buf.hasNext && (ids.isEmpty || total + buf.head._2 <= budgetTokens)) {
+              val (id, t) = buf.next()
+              ids += id; total += t
+              if (total >= budgetTokens) {
+                val out = PackedBin((pid << 40) | binIdx, ids.toSeq, total)
+                binIdx += 1
+                return out
+              }
+            }
+            val out = PackedBin((pid << 40) | binIdx, ids.toSeq, total)
+            binIdx += 1
+            out
+          }
+        }
+      }
+  }
+
   /** Corpus composition report: per (lang, source), document counts,
     * token totals, and char stats — the standard "what is in this
     * corpus" summary. One partial-aggregated shuffle.

@@ -151,6 +151,26 @@ class OperatorsSpec extends SparkSpec {
     assert(en === Seq(0L, 2L, 4L, 6L, 8L))
   }
 
+  test("packing fills bins within budget, covers all items, isolates oversize") {
+    import graft.operators.Corpus
+    val items = Seq(
+      (1L, 60L), (2L, 50L), (3L, 40L), (4L, 30L), (5L, 20L), (6L, 150L))
+      .toDF("doc_id", "n_tokens")
+    val bins = Corpus.pack(items, budgetTokens = 100).collect()
+    // every item lands in exactly one bin
+    val all = bins.flatMap(_.item_ids).sorted.toSeq
+    assert(all === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // bins respect the budget unless they hold a single oversize item
+    bins.foreach { b =>
+      assert(b.total_tokens <= 100 || b.item_ids.length === 1, b.toString)
+    }
+    // bin ids are unique
+    assert(bins.map(_.bin_id).distinct.length === bins.length)
+    // the oversize item sits alone
+    val over = bins.find(_.item_ids.contains(6L)).get
+    assert(over.item_ids === Seq(6L) && over.total_tokens === 150L)
+  }
+
   test("pruned upsert equals unpruned when bounds participate in the key") {
     val hist = Seq(("k1", 10L), ("k2", 20L)).toDF("key", "ts")
     val batch = Seq(("k2", 20L), ("k3", 15L)).toDF("key", "ts")
