@@ -9,12 +9,19 @@ import graft.functions.{MinHashSig, ShingleHashes, SimHash64, VectorFunctions, W
   * making them available to both the Column API (via call_function) and
   * SQL text (spark.sql("... week_of_month(d) ...")).
   *
-  * Registration is idempotent (createOrReplaceTempFunction), so query
-  * entry points call [[register]] unconditionally.
+  * Query entry points call [[register]] unconditionally; a per-session
+  * guard makes repeat calls free (and keeps "function replaced" warnings
+  * out of the logs). The set holds sessions weakly so it never pins one.
   */
 object GraftFunctions {
 
+  private val registered: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "week_of_month", WeekOfMonth.builder, "scala_udf")
@@ -36,6 +43,11 @@ object GraftFunctions {
       "topk_pairs",
       exprs => graft.functions.TopKPairs(
         exprs.head, exprs(1), intLit(exprs(2), "topk_pairs")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "min_k_ids",
+      exprs => graft.functions.MinKIds(
+        exprs.head, intLit(exprs(1), "min_k_ids")),
       "scala_udf")
   }
 

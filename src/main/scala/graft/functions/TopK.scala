@@ -156,8 +156,130 @@ case class TopKPairs(
   override def prettyName: String = "topk_pairs"
 }
 
+/** Bounded "k smallest ids" buffer: a size-k binary max-heap (root =
+  * largest kept id), so inserting from a bucket of ANY cardinality costs
+  * O(log k) and the buffer never exceeds k longs. This is what caps
+  * LSH-bucket materialization per MAP TASK: the partial aggregation
+  * buffer is bounded before the shuffle, where a collect_list would
+  * materialize the whole bucket on one reducer first.
+  */
+final class MinKBuffer(val k: Int) {
+  val ids = new Array[Long](k)
+  var size = 0
+
+  def add(id: Long): Unit = {
+    if (size < k) {
+      var i = size
+      ids(i) = id; size += 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (ids(i) > ids(p)) {
+          val t = ids(i); ids(i) = ids(p); ids(p) = t; i = p
+        } else return
+      }
+    } else if (k > 0 && id < ids(0)) {
+      ids(0) = id
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < size && ids(l) > ids(m)) m = l
+        if (r < size && ids(r) > ids(m)) m = r
+        if (m == i) return
+        val t = ids(i); ids(i) = ids(m); ids(m) = t
+        i = m
+      }
+    }
+  }
+
+  def merge(other: MinKBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { add(other.ids(i)); i += 1 }
+  }
+
+  /** Ascending snapshot — identical to slice(sort_array(collect_list), 1, k). */
+  def sorted: Array[Long] = {
+    val out = java.util.Arrays.copyOf(ids, size)
+    java.util.Arrays.sort(out)
+    out
+  }
+}
+
+/** `min_k_ids(id, k)`: aggregate returning the k smallest BIGINT values
+  * of the group as a sorted array. Result-equivalent to
+  * `slice(sort_array(collect_list(id)), 1, k)` but memory-bounded: as a
+  * TypedImperativeAggregate it participates in partial aggregation, so a
+  * degenerate group (an LSH bucket full of boilerplate documents) costs
+  * each map task k longs, and the shuffle carries k-element sketches —
+  * never the full bucket.
+  */
+case class MinKIds(
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MinKBuffer] {
+
+  override def children: Seq[Expression] = Seq(id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    id.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"min_k_ids requires BIGINT, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): MinKBuffer = new MinKBuffer(k)
+
+  override def update(buf: MinKBuffer, input: InternalRow): MinKBuffer = {
+    val v = id.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: MinKBuffer, other: MinKBuffer): MinKBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: MinKBuffer): Any =
+    new GenericArrayData(buf.sorted)
+
+  override def serialize(buf: MinKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k); out.writeInt(buf.size)
+    var i = 0
+    while (i < buf.size) { out.writeLong(buf.ids(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MinKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val kk = in.readInt(); val n = in.readInt()
+    val buf = new MinKBuffer(kk)
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKIds =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKIds =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinKIds =
+    copy(id = newChildren.head)
+  override def prettyName: String = "min_k_ids"
+}
+
 object TopK {
   /** Column API — requires [[graft.GraftFunctions.register]]. */
   def topkPairs(score: Column, id: Column, k: Int): Column =
     F.call_function("topk_pairs", score, id, F.lit(k))
+
+  /** Column API — requires [[graft.GraftFunctions.register]]. */
+  def minKIds(id: Column, k: Int): Column =
+    F.call_function("min_k_ids", id, F.lit(k))
 }

@@ -94,6 +94,7 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 4,
       maxBucketSize: Int = 200): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
     val rowsPerBand = numHashes / bands
     // Normalized text -> rolling shingle hashes -> signature, all through
     // the compiled kernels (graft.functions.Hashing): one O(len) pass plus
@@ -108,10 +109,14 @@ object Dedup {
           F.struct(F.lit(b).as("band"), bandId(F.col("sig"), b, rowsPerBand).as("h"))): _*))
           .as("bucket"))
       .select(F.col("id"), F.col("bucket.band"), F.col("bucket.h"))
-    // Pair ids within a bucket; cap pathological buckets.
+    // Pair ids within a bucket; cap pathological buckets. min_k_ids is a
+    // bounded partial aggregate: each map task keeps at most
+    // maxBucketSize ids per bucket and the shuffle carries those
+    // sketches, so a degenerate bucket (boilerplate/empty docs sharing a
+    // signature) can never materialize the full bucket on one reducer.
     val grouped = withBuckets
       .groupBy("band", "h")
-      .agg(F.slice(F.sort_array(F.collect_list("id")), 1, maxBucketSize).as("ids"))
+      .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("ids"))
       .filter(F.size(F.col("ids")) > 1)
     grouped
       .select(F.explode(pairsOf(F.col("ids"))).as("p"))

@@ -30,6 +30,30 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("minhash bucket cap bounds a planted hot bucket to k smallest ids") {
+    // 300 identical docs share every band bucket; the bounded aggregate
+    // must cap each bucket at the 20 smallest ids BEFORE pairing, so the
+    // result is exactly C(20,2) pairs over ids 0..19.
+    val hot = (0L until 300L).map(i => (i, "same boilerplate text repeated exactly"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCandidates(hot, maxBucketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === 190)
+    assert(got.forall { case (a, b) => a < b && b < 20L })
+  }
+
+  test("min_k_ids aggregate equals slice(sort_array(collect_list))") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 5000).map(_ => (rnd.nextInt(7), rnd.nextLong())).toDF("g", "id")
+    val bounded = rows.groupBy("g")
+      .agg(graft.functions.TopK.minKIds($"id", 13).as("ids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val naive = rows.groupBy("g")
+      .agg(F.slice(F.sort_array(F.collect_list($"id")), 1, 13).as("ids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(bounded === naive)
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
