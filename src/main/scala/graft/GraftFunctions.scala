@@ -28,6 +28,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "dot_f", VectorFunctions.builder, "scala_udf")
     reg.createOrReplaceTempFunction(
+      "dot_l",
+      exprs => graft.functions.DotL(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashes(exprs.head, intLit(exprs(1), "shingle_hashes")),
       "scala_udf")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.{functions => F}
 
 /** Embedding math over `array<float>` columns.
@@ -71,6 +71,58 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd integer dot product over `array<bigint>` columns — the
+  * scoring kernel for the quantized (engine-reproducible) similarity
+  * path: `floor(x*1000)` vectors make every score an exact BIGINT, so
+  * ANN results can be verified bit-for-bit by an independent SQL engine.
+  */
+case class DotL(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_l"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_l requires (array<bigint>, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotL =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   def builder(exprs: Seq[Expression]): Expression = {
@@ -80,6 +132,20 @@ object VectorFunctions {
 
   /** Codegen'd dot product — requires [[graft.GraftFunctions.register]]. */
   def dot(a: Column, b: Column): Column = F.call_function("dot_f", a, b)
+
+  /** Codegen'd integer dot over `array<bigint>` — requires
+    * [[graft.GraftFunctions.register]].
+    */
+  def dotL(a: Column, b: Column): Column = F.call_function("dot_l", a, b)
+
+  /** Standard embedding quantization: floor(x * 1000) as BIGINT. Exact in
+    * IEEE double in any engine (float widens exactly; *1000 and floor are
+    * single IEEE ops), so quantized dot products and norms are integers
+    * that match bit-for-bit across engines — the foundation of the
+    * oracle-checkable ANN/near-dup path.
+    */
+  def quantize(v: Column): Column =
+    F.transform(v, x => F.floor(x.cast(DoubleType) * 1000).cast("long"))
 
   /** Builtin-only dot product (zip_with + aggregate HOFs). */
   def dotHof(a: Column, b: Column): Column =

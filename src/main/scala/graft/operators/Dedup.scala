@@ -224,36 +224,55 @@ object Dedup {
       .select("a", "b", "inter", "uni", "jaccard")
   }
 
-  /** Embedding near-dup pairs: cosine above threshold. Brute force within
-    * LSH buckets — see [[Similarity.hyperplaneBucket]] for the bucketing
-    * used at scale.
+  /** Embedding near-dup pairs: quantized cosine >= thresholdNum /
+    * thresholdDen, candidates restricted to banded hyperplane-LSH buckets
+    * — `tables` independent bucket tables of `bits` sign bits each (see
+    * [[Similarity.planeBucket]]): a pair is a candidate if it agrees on
+    * ALL bits of ANY table, so recall is 1-(1-p^bits)^tables for
+    * per-plane agreement p, and NO cross join ever appears in the plan.
+    *
+    * Everything is integer-exact on quantized vectors: the threshold test
+    * is the cross-multiplication dot^2 * den^2 >= num^2 * |a|^2 * |b|^2
+    * (in decimal(38,0), overflow-free), so the DuckDB oracle reproduces
+    * the result bit-for-bit, md5 planes included.
+    *
+    * Scale shape: explode to `tables` (table, bucket) rows per vector,
+    * shuffle-join on the 8-byte bucket key, score only within buckets —
+    * candidate volume tunes with bits/tables, never O(n^2).
     */
   def embeddingNearDups(
       embs: DataFrame,
-      threshold: Double,
+      thresholdNum: Int = 2,
+      thresholdDen: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      bucketBits: Int = 0): DataFrame = {
+      bits: Int = 4,
+      tables: Int = 4,
+      dims: Int = 64): DataFrame = {
     import graft.functions.VectorFunctions
     graft.GraftFunctions.register(embs.sparkSession)
-    // norms precomputed per row: one dot per pair instead of three
-    val base = embs.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
-      .withColumn("nrm", F.sqrt(VectorFunctions.dot(F.col("v"), F.col("v"))))
-    val (l, r) =
-      if (bucketBits <= 0) (base, base.toDF("id2", "v2", "nrm2"))
-      else {
-        val bucketed = base.withColumn("bk",
-          Similarity.hyperplaneBucket(F.col("v"), bucketBits))
-        (bucketed, bucketed.toDF("id2", "v2", "nrm2", "bk"))
-      }
-    val joined =
-      if (bucketBits <= 0) l.crossJoin(r)
-      else l.join(r, Seq("bk"))
-    joined
+    val base = embs
+      .select(F.col(idCol).as("id"), VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .withColumn("n2", VectorFunctions.dotL(F.col("qv"), F.col("qv")))
+    val bucketed = base
+      .select(F.col("id"), F.col("qv"), F.col("n2"),
+        F.explode(F.array((0 until tables).map(tb =>
+          F.struct(F.lit(tb).as("tbl"),
+            Similarity.planeBucket(F.col("qv"), bits, tb * bits, dims).as("bk"))): _*))
+          .as("b"))
+      .select(F.col("id"), F.col("qv"), F.col("n2"), F.col("b.tbl"), F.col("b.bk"))
+    val dot = VectorFunctions.dotL(F.col("qv"), F.col("qv2"))
+    bucketed
+      .join(bucketed.toDF("id2", "qv2", "n22", "tbl", "bk"), Seq("tbl", "bk"))
       .filter(F.col("id") < F.col("id2"))
-      .withColumn("cos", VectorFunctions.dot(F.col("v"), F.col("v2")) /
-        F.nullif(F.col("nrm") * F.col("nrm2"), F.lit(0.0)))
-      .filter(F.col("cos") >= threshold)
-      .select(F.col("id").as("a"), F.col("id2").as("b"), F.col("cos"))
+      .withColumn("dot", dot)
+      // cos >= num/den  <=>  dot > 0 && dot^2*den^2 >= num^2*|a|^2*|b|^2
+      .filter(F.col("dot") > 0 &&
+        F.col("dot").cast("decimal(38,0)") * F.col("dot")
+          * F.lit(thresholdDen.toLong * thresholdDen) >=
+        F.col("n2").cast("decimal(38,0)") * F.col("n22")
+          * F.lit(thresholdNum.toLong * thresholdNum))
+      .select(F.col("id").as("a"), F.col("id2").as("b"), F.col("dot").as("score"))
+      .distinct()
   }
 }

@@ -96,33 +96,66 @@ object Similarity {
       .filter(F.col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH bucket id: `bits` sign bits, each from a
-    * deterministic pseudo-random hyperplane. Plane components are derived
-    * from xxhash64(dim, seed=bit) scaled to [-1, 1] — fully reproducible
-    * across engines and runs with no stored model.
+  /** Exact top-k under the quantized-integer dot metric: vectors are
+    * quantized (floor(x*1000) BIGINT) and scored with the codegen'd
+    * [[graft.functions.DotL]], so every score is an exact integer any SQL
+    * engine reproduces bit-for-bit — this is the oracle-checkable twin of
+    * [[bruteForceTopK]], and the baseline the LSH/IVF tiers are graded
+    * against.
     */
-  def hyperplaneBucket(vec: Column, bits: Int): Column = {
-    val dims = F.sequence(F.lit(0), F.size(vec) - 1)
-    val bitVals = (0 until bits).map { b =>
-      val proj = F.aggregate(
-        F.zip_with(vec, dims, (x, i) =>
-          x.cast("double") * planeComponent(i, b)),
-        F.lit(0.0), (acc, v) => acc + v)
-      F.when(proj >= 0, F.lit(1L << b)).otherwise(F.lit(0L))
-    }
-    bitVals.reduce((a, b) => a.bitwiseOR(b))
+  def bruteForceTopKQuant(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(F.col(idCol).as("query_id"),
+      VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"),
+      VectorFunctions.quantize(F.col(vecCol)).as("cv"))
+    val scored = c.join(F.broadcast(q))
+      .filter(if (excludeSelf) F.col("query_id") =!= F.col("neighbor_id") else F.lit(true))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
+    explodeTopK(scored, k)
   }
 
-  /** Deterministic pseudo-random plane component in [-1, 1): xxhash64 of
-    * (dimension, bit) mapped through a fixed affine transform.
+  /** Integer hyperplane component for (dimension, seed): the first 32
+    * bits of md5("dim:seed") mapped to [-1000, 1000]. md5 is the one hash
+    * every engine computes identically, so the planes — and therefore the
+    * buckets — are reproducible in the DuckDB oracle with no stored
+    * model. Integer components + quantized vectors make the projection an
+    * exact BIGINT: no float summation order to disagree on.
     */
-  private def planeComponent(dim: Column, bit: Int): Column =
-    (F.pmod(F.xxhash64(dim, F.lit(bit)), F.lit(2000001L)).cast("double")
-      / F.lit(1000000.0)) - F.lit(1.0)
+  private[graft] def md5PlaneComp(dim: Int, seed: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$dim:$seed".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2001L - 1000L
+  }
+
+  private def plane(dims: Int, seed: Int): Seq[Long] =
+    (0 until dims).map(md5PlaneComp(_, seed))
+
+  /** Sign-bit LSH bucket of a QUANTIZED vector under `bits` integer
+    * hyperplanes (seeds seedBase..seedBase+bits-1). Plane literals are
+    * inlined driver-side (they are a model, ~dims*bits longs); the
+    * projection per bit is one codegen'd integer dot — map-only, exact.
+    */
+  def planeBucket(qv: Column, bits: Int, seedBase: Int, dims: Int = 64): Column =
+    (0 until bits).map { b =>
+      F.when(
+        VectorFunctions.dotL(qv, F.typedlit(plane(dims, seedBase + b))) >= 0,
+        F.lit(1L << b)).otherwise(F.lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** ANN via hyperplane LSH: queries and corpus bucketed identically;
-    * candidates come only from the query's bucket. Recall is tuned by
-    * `bits` (fewer bits -> bigger buckets -> higher recall, more work).
+    * candidates come only from the query's bucket; ranking is by the
+    * quantized dot metric (exact integers — see [[bruteForceTopKQuant]]).
+    * Recall is tuned by `bits` (fewer bits -> bigger buckets -> higher
+    * recall, more work). At scale the bucket id is the shuffle key.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -130,34 +163,36 @@ object Similarity {
       k: Int,
       bits: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
-      .withColumn("bk", hyperplaneBucket(F.col("cv"), bits))
-      .withColumn("cn", F.sqrt(VectorFunctions.dot(F.col("cv"), F.col("cv"))))
-    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
-      .withColumn("bk", hyperplaneBucket(F.col("qv"), bits))
-      .withColumn("qn", F.sqrt(VectorFunctions.dot(F.col("qv"), F.col("qv"))))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"),
+      VectorFunctions.quantize(F.col(vecCol)).as("cv"))
+      .withColumn("bk", planeBucket(F.col("cv"), bits, 0, dims))
+    val q = queries.select(F.col(idCol).as("query_id"),
+      VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .withColumn("bk", planeBucket(F.col("qv"), bits, 0, dims))
     val scored = c.join(F.broadcast(q), Seq("bk"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
-        (VectorFunctions.dot(F.col("qv"), F.col("cv")) /
-          F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).as("score"))
-    graft.GraftFunctions.register(corpus.sparkSession)
+        VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
     explodeTopK(scored, k)
   }
 
-  /** IVF-style ANN: `nlist` centroids picked deterministically (every
-    * n/nlist-th vector by id — a k-means++ seeding stand-in that needs no
-    * iteration), corpus assigned to nearest centroid once, queries probe
-    * the `nprobe` nearest cells.
+  /** IVF-style ANN: `nlist` centroids picked deterministically by
+    * md5-hash order of the id (a reproducible pseudo-random sample —
+    * ONE TakeOrdered pass over the corpus, no count/filter prescans),
+    * corpus assigned to its best cell once, queries probe the `nprobe`
+    * best cells. Scoring is the quantized dot metric throughout, so the
+    * whole operator — centroid choice, assignment, probing, ranking — is
+    * integer-exact and replicated by the DuckDB oracle.
     *
     * The centroid table is collected to the driver (it is a MODEL — nlist
     * vectors, like k-means centers) and inlined as a literal, so corpus
     * assignment is a map-only pass with zero shuffle: per row, `nlist`
-    * codegen'd dot products and an inline argmax. The only shuffle in the
-    * whole operator is the cell-id probe join, which carries candidate
-    * rows, not the corpus.
+    * codegen'd integer dots and an inline argmax (ties to the lowest cell
+    * index). The only shuffle in the whole operator is the cell-id probe
+    * join, which carries candidate rows, not the corpus.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -167,60 +202,57 @@ object Similarity {
       nprobe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
-    // Deterministic centroid sample: every (n/nlist)-th vector by id.
-    val n = c.count()
-    val step = math.max(n / nlist, 1L)
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(F.col(idCol).as("neighbor_id"),
+      VectorFunctions.quantize(F.col(vecCol)).as("cv"))
+    // Deterministic one-pass centroid sample: the nlist ids that hash
+    // lowest under md5 (hex order), ties by id. TakeOrdered — a single
+    // corpus scan, no count() or second filter pass.
     val centRows = c
-      .filter(F.pmod(F.col("neighbor_id"), F.lit(step)) === 0)
-      .orderBy("neighbor_id")
+      .orderBy(F.md5(F.col("neighbor_id").cast("string").cast("binary")),
+        F.col("neighbor_id"))
       .limit(nlist)
+      .select("cv")
       .collect()
-      .map(_.getSeq[Float](1))
+      .map(_.getSeq[Long](0))
+    val nc = centRows.length
     val cents: Column = F.typedlit(centRows.map(_.toSeq).toSeq)
 
-    /** Scores of `v` against every centroid (array<double>, map-only). */
+    /** Integer scores of quantized `v` against every centroid. */
     def cellScores(v: Column): Column =
-      F.transform(cents, cent =>
-        F.aggregate(
-          F.zip_with(v, cent, (x, y) => x.cast("double") * y.cast("double")),
-          F.lit(0.0), (acc, p) => acc + p))
+      F.transform(cents, cent => VectorFunctions.dotL(v, cent))
 
-    /** Index of the best cell — first position of the max score (1-based
-      * array_position makes the tie-break deterministic: lowest cell id).
-      */
-    def bestCell(v: Column): Column = {
-      val scores = cellScores(v)
-      (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    }
+    // Index of the best cell — first position of the max score (1-based
+    // array_position makes the tie-break deterministic: lowest cell id).
+    val assigned = c
+      .withColumn("cs", cellScores(F.col("cv")))
+      .withColumn("cell",
+        (F.array_position(F.col("cs"), F.array_max(F.col("cs"))) - 1).cast("int"))
+      .drop("cs")
 
-    /** Top-`nprobe` cell ids by score (desc), ties to lower id: sort
-      * struct(-score, idx) ascending and slice.
-      */
-    def probeCells(v: Column): Column =
-      F.slice(
+    // Top-nprobe cells by score desc, ties to lower index: sort
+    // struct(-score, idx) ascending, take the index field.
+    val probes = queries
+      .select(F.col(idCol).as("query_id"),
+        VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .withColumn("cs", cellScores(F.col("qv")))
+      .withColumn("cell", F.explode(F.slice(
         F.transform(
           F.array_sort(
-            F.zip_with(cellScores(v), F.sequence(F.lit(0), F.lit(nlist - 1)),
+            F.zip_with(F.col("cs"), F.sequence(F.lit(0), F.lit(nc - 1)),
               (s, i) => F.struct((-s).as("neg"), i.as("idx")))),
           x => x.getField("idx")),
-        1, nprobe)
+        1, nprobe)))
+      .drop("cs")
 
-    val assigned = c.withColumn("cell", bestCell(F.col("cv")))
-    val probes = queries
-      .select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
-      .withColumn("cell", F.explode(probeCells(F.col("qv"))))
+    // Each corpus vector lives in exactly one cell and a query's probe
+    // cells are distinct, so a (query, neighbor) pair appears at most
+    // once — no dedup needed.
     val scored = assigned
-      .withColumn("cn", F.sqrt(VectorFunctions.dot(F.col("cv"), F.col("cv"))))
-      .join(F.broadcast(
-        probes.withColumn("qn", F.sqrt(VectorFunctions.dot(F.col("qv"), F.col("qv"))))),
-        Seq("cell"))
+      .join(F.broadcast(probes), Seq("cell"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
-        (VectorFunctions.dot(F.col("qv"), F.col("cv")) /
-          F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).as("score"))
-      // a probe can hit the same neighbor through multiple cells
-      .dropDuplicates("query_id", "neighbor_id")
+        VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
     explodeTopK(scored, k)
   }
 }

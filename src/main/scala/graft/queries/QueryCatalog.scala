@@ -464,24 +464,13 @@ object QueryCatalog {
 
   /** Brute-force ANN top-5 with integer-quantized dot scores (exact in
     * both engines; quantized scoring is standard ANN practice anyway).
+    * Scoring runs through the codegen'd dot_l kernel; the bounded
+    * topk_pairs aggregate keeps the shuffle at 5-element sketches per
+    * query instead of all scored rows.
     */
   private def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val quant = F.transform(F.col("embedding"),
-      x => F.floor(x.cast("double") * 1000).cast(LongType))
-    val base = emb.select(F.col("vec_id"), quant.as("qe"))
-    val queries = base.filter(F.col("vec_id") < 10)
-      .select(F.col("vec_id").as("query_id"), F.col("qe").as("qv"))
-    val corpus = base.select(F.col("vec_id").as("neighbor_id"), F.col("qe").as("cv"))
-    val score = F.aggregate(
-      F.zip_with(F.col("qv"), F.col("cv"), (a, b) => a * b),
-      F.lit(0L), (acc, v) => acc + v)
-    val scored = corpus.join(F.broadcast(queries))
-      .filter(F.col("query_id") =!= F.col("neighbor_id"))
-      .select(F.col("query_id"), F.col("neighbor_id"), score.as("score"))
-    // bounded topk_pairs aggregate: map-side partial top-k, the shuffle
-    // carries 5-element sketches per query instead of all scored rows
-    Similarity.explodeTopK(scored, 5)
+    Similarity.bruteForceTopKQuant(emb, emb.filter(F.col("vec_id") < 10), k = 5)
       .select(F.col("query_id"), F.col("neighbor_id"),
         F.col("score").cast(LongType).as("score"),
         F.col("rank").cast(LongType).as("rank"))
@@ -581,6 +570,142 @@ object QueryCatalog {
       |FROM documents GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // ---- quantized-integer ANN family: md5-derived hyperplanes + exact
+  // ---- BIGINT dot scores make buckets AND rankings engine-reproducible,
+  // ---- so these approximate operators carry full DuckDB oracles.
+
+  /** Shared oracle scaffolding: quantized vectors, md5-integer planes for
+    * `seeds` hyperplanes, exact BIGINT projections.
+    */
+  private def lshOracleCtes(seeds: Int): String =
+    s"""quant AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |planes AS (
+       |  SELECT s.seed, d.dim,
+       |    (CAST(concat('0x', substr(md5(d.dim || ':' || s.seed), 1, 8)) AS BIGINT) % 2001) - 1000 AS comp
+       |  FROM generate_series(0, ${seeds - 1}) s(seed)
+       |  CROSS JOIN generate_series(0, 63) d(dim)),
+       |proj AS (
+       |  SELECT q.vec_id, p.seed, SUM(q.qv[p.dim + 1] * p.comp) AS proj
+       |  FROM quant q CROSS JOIN planes p
+       |  GROUP BY q.vec_id, p.seed)""".stripMargin
+
+  /** Embedding near-dup pairs: banded hyperplane LSH candidates (4 tables
+    * x 4 bits), verified by the integer cross-multiplied cosine threshold
+    * (>= 2/5). No cross join anywhere; the oracle reproduces buckets,
+    * candidates and threshold exactly.
+    */
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), thresholdNum = 2, thresholdDen = 5)
+      .orderBy("a", "b")
+
+  private val qEmbedNearDupSql =
+    s"""WITH ${lshOracleCtes(16)},
+       |buckets AS (
+       |  SELECT vec_id, seed // 4 AS tbl,
+       |    SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << (seed % 4) ELSE 0 END) AS bk
+       |  FROM proj GROUP BY vec_id, tbl),
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2
+       |  FROM (SELECT vec_id, unnest(qv) AS x FROM quant) GROUP BY vec_id),
+       |cand AS (
+       |  SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
+       |  FROM buckets la JOIN buckets lb ON la.tbl = lb.tbl AND la.bk = lb.bk
+       |  WHERE la.vec_id < lb.vec_id),
+       |pairvals AS (
+       |  SELECT c.a, c.b, unnest(qa.qv) AS x, unnest(qb.qv) AS y
+       |  FROM cand c JOIN quant qa ON qa.vec_id = c.a JOIN quant qb ON qb.vec_id = c.b),
+       |dots AS (
+       |  SELECT a, b, CAST(SUM(x * y) AS BIGINT) AS dot FROM pairvals GROUP BY a, b)
+       |SELECT d.a, d.b, d.dot AS score
+       |FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+       |WHERE d.dot > 0
+       |  AND CAST(d.dot AS HUGEINT) * d.dot * 25 >= CAST(na.n2 AS HUGEINT) * nb.n2 * 4
+       |ORDER BY a, b""".stripMargin
+
+  /** LSH-bucketed ANN: 4 sign-bit planes, candidates from the query's
+    * bucket only, ranked by exact quantized dot.
+    */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(F.col("vec_id") < 10), k = 5, bits = 4)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("score").cast(LongType).as("score"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnLshSql =
+    s"""WITH ${lshOracleCtes(4)},
+       |buckets AS (
+       |  SELECT vec_id, SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << seed ELSE 0 END) AS bk
+       |  FROM proj GROUP BY vec_id),
+       |pairvals AS (
+       |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id, unnest(qq.qv) AS x, unnest(qc.qv) AS y
+       |  FROM buckets bq JOIN buckets bc ON bq.bk = bc.bk
+       |  JOIN quant qq ON qq.vec_id = bq.vec_id
+       |  JOIN quant qc ON qc.vec_id = bc.vec_id
+       |  WHERE bq.vec_id < 10 AND bq.vec_id <> bc.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+       |  FROM pairvals GROUP BY query_id, neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-style ANN: 16 md5-order-sampled centroids, probe 4 cells, exact
+    * quantized-dot ranking — centroid choice, assignment, probing and
+    * ranking all integer-reproducible in the oracle.
+    */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 10), k = 5)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("score").cast(LongType).as("score"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnIvfSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT 16)),
+      |cellvals AS (
+      |  SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+      |  FROM quant q CROSS JOIN cents c),
+      |cellscore AS (
+      |  SELECT vec_id, cidx, CAST(SUM(x * y) AS BIGINT) AS s FROM cellvals GROUP BY vec_id, cidx),
+      |assign AS (
+      |  SELECT vec_id, cidx AS cell FROM (
+      |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+      |    FROM cellscore) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cidx AS cell FROM (
+      |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+      |    FROM cellscore WHERE vec_id < 10) WHERE rn <= 4),
+      |candvals AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id, unnest(qq.qv) AS x, unnest(qc.qv) AS y
+      |  FROM probes p JOIN assign a ON a.cell = p.cell
+      |  JOIN quant qq ON qq.vec_id = p.query_id
+      |  JOIN quant qc ON qc.vec_id = a.vec_id
+      |  WHERE p.query_id <> a.vec_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+      |  FROM candvals GROUP BY query_id, neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   // ------- approximate operators: rows-only checks (no ANSI oracle) -----
 
   /** Full near-dup pipeline: LSH candidates + exact shingle-Jaccard
@@ -599,32 +724,6 @@ object QueryCatalog {
   /** SimHash signatures (engine-specific hashes -> no oracle). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")
-
-  /** Embedding near-dup pairs above a cosine threshold (float scores ->
-    * no oracle).
-    */
-  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
-      .select("a", "b")
-      .orderBy("a", "b")
-
-  /** LSH-bucketed ANN (float scores -> no oracle; recall tested in specs
-    * against the brute-force baseline).
-    */
-  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(F.col("vec_id") < 10), k = 5, bits = 4)
-      .select("query_id", "neighbor_id", "rank")
-      .orderBy("query_id", "rank")
-  }
-
-  /** IVF-style ANN (float scores -> no oracle). */
-  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 10), k = 5)
-      .select("query_id", "neighbor_id", "rank")
-      .orderBy("query_id", "rank")
-  }
 
   // ===========================================================
 
@@ -656,9 +755,9 @@ object QueryCatalog {
     Q("q_minhash_pairs", wrap(qMinhashPairs), None),
     Q("q_neardup_verified", wrap(qNearDupVerified), None),
     Q("q_simhash", wrap(qSimhash), None),
-    Q("q_embed_neardup", wrap(qEmbedNearDup), None),
-    Q("q_ann_lsh", wrap(qAnnLsh), None),
-    Q("q_ann_ivf", wrap(qAnnIvf), None))
+    Q("q_embed_neardup", wrap(qEmbedNearDup), Some(qEmbedNearDupSql)),
+    Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
+    Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

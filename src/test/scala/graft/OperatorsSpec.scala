@@ -89,7 +89,8 @@ class OperatorsSpec extends SparkSpec {
 
   test("lsh topk results are a subset of correct ranking universe; recall sane") {
     val queries = vecs.filter($"vec_id" < 5)
-    val brute = Similarity.bruteForceTopK(vecs, queries, k = 3).collect()
+    // baseline under the same quantized-dot metric the LSH tier ranks by
+    val brute = Similarity.bruteForceTopKQuant(vecs, queries, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.lshTopK(vecs, queries, k = 3, bits = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -99,13 +100,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.2, s"recall $recall too low")
   }
 
-  test("ivf topk returns k neighbors per query from probed cells") {
+  test("ivf topk probing all cells equals quantized brute force") {
     val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 3), k = 4,
       nlist = 8, nprobe = 8) // probe all cells -> exact
-    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 3), k = 4)
+    val brute = Similarity.bruteForceTopKQuant(vecs, vecs.filter($"vec_id" < 3), k = 4)
     val a = out.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = brute.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b, "probing all cells must equal brute force")
+  }
+
+  test("compiled dot_l equals HOF sum over long arrays") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 200).map { _ =>
+      (Array.fill(32)(rnd.nextInt(2001).toLong - 1000),
+        Array.fill(32)(rnd.nextInt(2001).toLong - 1000))
+    }.toDF("a", "b")
+    val got = df.select(
+      graft.functions.VectorFunctions.dotL($"a", $"b").as("d"),
+      F.aggregate(F.zip_with($"a", $"b", (x, y) => x * y), F.lit(0L), (acc, v) => acc + v).as("h"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("bounded topk_pairs aggregate matches the window implementation") {
@@ -259,7 +273,9 @@ class OperatorsSpec extends SparkSpec {
   test("embedding near-dups finds planted duplicate pair") {
     val planted = vecs.unionByName(
       vecs.filter($"vec_id" === 0L).select(F.lit(999L).as("vec_id"), $"embedding"))
-    val pairs = Dedup.embeddingNearDups(planted, threshold = 0.999)
+    // identical vectors share every LSH bucket, so the banded candidate
+    // generation cannot miss the planted pair
+    val pairs = Dedup.embeddingNearDups(planted, thresholdNum = 999, thresholdDen = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 999L)))
   }

@@ -68,6 +68,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), p.take(500))
   }
 
+  test("embedding near-dup never plans a cartesian or nested-loop join") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("custom expressions (week_of_month, shingle kernels) do not break codegen") {
     val df = SparkEntry.queries("q_weekly_avg")(spark, dir)
     df.collect()
