@@ -9,8 +9,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *
   * Kept as a thin, configurable sink: file-based ingestion is the primary
   * path (the reference itself calls the JDBC route secondary,
-  * README.md:147). No driver jar ships in this environment, so this class
-  * is exercised by plan-construction tests only.
+  * README.md:147). No Postgres driver ships in this environment, so the
+  * executed round-trip test (JdbcSinkSpec) runs against embedded Derby —
+  * same Spark JDBC write path, different dialect.
   *
   * Scale note: `numPartitions` caps concurrent connections — at 1000
   * executors an uncapped JDBC write is a denial of service on the target;

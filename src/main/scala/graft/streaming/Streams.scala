@@ -82,27 +82,46 @@ object Streams {
   final case class SessionState(count: Long, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, duration_ms: Long)
 
-  /** Custom stateful operator: session windows via mapGroupsWithState —
-    * a session closes after `gapMs` of inactivity (processing-time
-    * timeout variant kept simple for library use; event-time sessions
-    * come from `session_window` in newer aggregations).
+  /** Custom stateful operator: session windows via flatMapGroupsWithState
+    * with an EVENT-TIME timeout — a session emits once `gapMs` of
+    * event-time inactivity has passed (measured against the watermark),
+    * and its state is REMOVED. State is therefore bounded by the set of
+    * keys active within the watermark horizon; a NoTimeout variant would
+    * keep every key ever seen in the state store forever, which is fatal
+    * at 100 TB/day. Gaps inside a batch split sessions too, so one key
+    * can emit several sessions.
     */
   def sessionize(
       events: Dataset[SessionEvent],
-      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          var s = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, 0L))
-          rows.foreach { e =>
-            val t = e.ts.getTime
-            s = SessionState(s.count + 1, math.min(s.start, t), math.max(s.last, t))
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: close and expire
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.count, s.last - s.start))
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, 0L))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            rows.toArray.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (s.count > 0 && t - s.last > gapMs) {
+                closed += SessionOut(uid, s.count, s.last - s.start)
+                s = SessionState(0L, Long.MaxValue, 0L)
+              }
+              s = SessionState(s.count + 1, math.min(s.start, t), math.max(s.last, t))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + gapMs)
+            closed.iterator
           }
-          state.update(s)
-          SessionOut(uid, s.count, s.last - s.start)
       }
   }
 

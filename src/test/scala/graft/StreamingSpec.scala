@@ -56,18 +56,30 @@ class StreamingSpec extends SparkSpec {
     assert(clicks.getDecimal(3).doubleValue() === 3.75)
   }
 
-  test("sessionize groups events per user via mapGroupsWithState") {
+  test("sessionize closes sessions after the event-time gap and expires state") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.SessionEvent]
-    val out = Streams.sessionize(input.toDS())
-    val q = out.writeStream.outputMode("update").format("memory").queryName("sessions").start()
-    def ev(u: Long, m: Int) = Streams.SessionEvent(u, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"))
-    input.addData(ev(1, 0), ev(1, 5), ev(2, 1))
+    val out = Streams.sessionize(input.toDS(),
+      gapMs = 10 * 60 * 1000L, watermarkDelay = "1 minute")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    def ev(u: Long, t: String) = Streams.SessionEvent(u, java.sql.Timestamp.valueOf(t))
+    input.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:05:00"),
+      ev(2, "2024-01-01 10:01:00"))
+    q.processAllAvailable()
+    // sessions still open: watermark has not passed last-event + gap
+    assert(spark.table("sessions").isEmpty)
+    // push the watermark far past both timeouts, then trigger one more
+    // batch so the (now expired) timers fire
+    input.addData(ev(3, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    input.addData(ev(3, "2024-01-01 12:30:00"))
     q.processAllAvailable()
     val rows = spark.table("sessions").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     q.stop()
-    assert(rows.contains((1L, 2L, 5 * 60 * 1000L)))
-    assert(rows.contains((2L, 1L, 0L)))
+    assert(rows.contains((1L, 2L, 5 * 60 * 1000L)), rows.toString)
+    assert(rows.contains((2L, 1L, 0L)), rows.toString)
+    // user 3's first session split on the in-batch 30-min gap too
+    assert(rows.contains((3L, 1L, 0L)), rows.toString)
   }
 
   test("streaming dedup drops in-horizon duplicates") {
