@@ -275,4 +275,62 @@ object Dedup {
       .select(F.col("id").as("a"), F.col("id2").as("b"), F.col("dot").as("score"))
       .distinct()
   }
+
+  /** Duplicate-cluster resolution: connected components over an
+    * undirected pair table `(a, b)` by min-label propagation. Every
+    * vertex starts labeled with itself; each round a vertex takes the
+    * minimum label among itself and its neighbors; fixpoint in at most
+    * `diameter` rounds. Near-dup clusters are LSH-verified pair sets
+    * with tiny diameters, so a handful of rounds suffices; for
+    * adversarial long-chain graphs the large-star/small-star rewrite
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) that halves path lengths per round is the swap-in.
+    *
+    * Returns `(v, label)` where `label` = minimum id reachable — "small
+    * id wins", so the label doubles as the canonical KEEP id of the
+    * cluster (a chain A~B~C keeps exactly A, regardless of pair order —
+    * the failure mode of naive pairwise dedup).
+    *
+    * Scale shape: each round is one shuffle-join (edges x labels, both
+    * keyed on vertex) plus a min-aggregate; `localCheckpoint` cuts the
+    * growing lineage so round N does not replay rounds 1..N-1. The
+    * convergence probe is a `limit(1).count()` on changed labels — an
+    * early-exit scan, not a collect.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(F.col("a").cast("long").as("src"), F.col("b").cast("long").as("dst"))
+      .union(pairs.select(F.col("b").cast("long").as("src"), F.col("a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(F.col("src").as("v")).distinct()
+      .withColumn("label", F.col("v"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("v"))
+        .select(F.col("dst").as("v"), F.col("label"))
+      val next = labels.select("v", "label").union(prop)
+        .groupBy("v").agg(F.min("label").as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(F.col("label") =!= F.col("old"))
+        .limit(1).count() == 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Canonical keep-set dedup: drop every document that is a
+    * NON-minimum member of its near-dup cluster. Left-anti join on the
+    * drop list, so the document bodies never shuffle.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val drops = connectedComponents(pairs)
+      .filter(F.col("v") =!= F.col("label"))
+      .select(F.col("v").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
 }

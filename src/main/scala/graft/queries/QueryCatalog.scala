@@ -570,6 +570,45 @@ object QueryCatalog {
       |FROM documents GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** Duplicate-cluster resolution: the verified near-dup pairs (same
+    * edge set as q_ngram_pairs) collapsed to connected components via
+    * min-label propagation — cluster_id is the minimum reachable doc_id,
+    * i.e. the canonical keep id. The oracle states the same fixpoint as
+    * a recursive transitive-closure CTE.
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(F.col("doc_id") < 1000),
+        n = 3, lengthPruneRatio = Some((1, 5)))
+      .filter(F.col("inter") * 5 >= F.col("uni"))
+      .select("a", "b")
+    Dedup.connectedComponents(pairs)
+      .select(F.col("v").as("doc_id"), F.col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private val qDedupClustersSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents WHERE doc_id < 1000),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+      |  END AS shingles FROM toks),
+      |dsh AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
+      |ex AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS sgl FROM dsh),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      |  HAVING COUNT(*) * 5 >= a.m + b.m - COUNT(*)),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+      |ORDER BY doc_id""".stripMargin
+
   // ---- quantized-integer ANN family: md5-derived hyperplanes + exact
   // ---- BIGINT dot scores make buckets AND rankings engine-reproducible,
   // ---- so these approximate operators carry full DuckDB oracles.
@@ -750,6 +789,7 @@ object QueryCatalog {
     Q("q_doc_sample", wrap(qDocSample), Some(qDocSampleSql)),
     Q("q_corpus_stats", wrap(qCorpusStats), Some(qCorpusStatsSql)),
     Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
+    Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), None),

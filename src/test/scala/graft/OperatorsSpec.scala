@@ -258,6 +258,29 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.forall(_.features.length === 4))
   }
 
+  test("connected components: chains collapse to min-id clusters; keep-set drops the rest") {
+    // components: {1,2,3} (chain), {10,11}, {20,21,22}, {4,5},
+    // {30..36} (a 7-node path — takes multiple propagation rounds)
+    val chain = (30L until 36L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (5L, 4L)) ++ chain)
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert(Seq(4L, 5L).forall(cc(_) == 4L))
+    assert((30L to 36L).forall(cc(_) == 30L), "long chain must fully converge")
+    // canonical keep-set: cluster minima survive, other members drop,
+    // untouched docs pass through
+    val docs = (1L to 40L).toDF("doc_id")
+    val kept = Dedup.dropNearDuplicates(docs, pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(30L) && !kept.contains(36L))
+    assert(kept.contains(7L) && kept.contains(40L))
+  }
+
   test("nearDuplicates pipeline: finds planted near-dup, rejects dissimilar") {
     val corpus = Seq(
       (0L, "spark is a unified analytics engine for large scale data processing with apis"),
