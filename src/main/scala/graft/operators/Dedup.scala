@@ -293,9 +293,10 @@ object Dedup {
     *
     * Scale shape: each round is one shuffle-join (edges x labels, both
     * keyed on vertex) plus a min-aggregate; `localCheckpoint` cuts the
-    * growing lineage so round N does not replay rounds 1..N-1. The
-    * convergence probe is a `limit(1).count()` on changed labels — an
-    * early-exit scan, not a collect.
+    * growing lineage so round N does not replay rounds 1..N-1. Labels
+    * only ever DECREASE, so convergence is detected by the total label
+    * sum going stable — one exact decimal aggregate per round over the
+    * just-checkpointed labels, no join.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
@@ -305,6 +306,10 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(F.col("src").as("v")).distinct()
       .withColumn("label", F.col("v"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -313,10 +318,9 @@ object Dedup {
       val next = labels.select("v", "label").union(prop)
         .groupBy("v").agg(F.min("label").as("label"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), "v")
-        .filter(F.col("label") =!= F.col("old"))
-        .limit(1).count() == 0
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       i += 1
     }
