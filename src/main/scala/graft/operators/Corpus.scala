@@ -126,4 +126,72 @@ object Corpus {
         F.sum(F.length(F.col(textCol)).cast("long")).as("total_chars"),
         F.min(F.length(F.col(textCol)).cast("long")).as("min_chars"),
         F.max(F.length(F.col(textCol)).cast("long")).as("max_chars"))
+
+  /** Gopher-style repetition statistics per document: distinct-token
+    * count, the frequency of the most repeated token, and the frequency
+    * of the most repeated word bigram — the integer numerators of the
+    * "fraction of tokens in the most common n-gram" quality rules used
+    * to drop boilerplate/spam before training (Rae et al. 2021, Gopher
+    * appendix A). Ratios are left to the caller so every output is an
+    * exact BIGINT.
+    *
+    * Scale shape: explode -> two-level partial-aggregated count (the
+    * same shape as word count); the second level carries one row per
+    * (doc, distinct gram), never the text. Documents with no tokens get
+    * zero token stats via the left join; the bigram column follows
+    * [[TextFunctions.wordShingles]] semantics (short docs collapse to a
+    * single whole-text shingle).
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(F.col(idCol),
+      F.explode(TextFunctions.tokens(F.lower(F.col(textCol)))).as("tok"))
+    val tokStats = toks
+      .groupBy(idCol, "tok").agg(F.count(F.lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        F.count(F.lit(1)).as("n_distinct_tok"),
+        F.max("c").as("max_tok_freq"))
+    val bigrams = docs.select(F.col(idCol),
+      F.explode(TextFunctions.wordShingles(F.col(textCol), 2)).as("bg"))
+    val bgStats = bigrams
+      .groupBy(idCol, "bg").agg(F.count(F.lit(1)).as("c"))
+      .groupBy(idCol).agg(F.max("c").as("max_bigram_freq"))
+    docs.select(idCol)
+      .join(tokStats, Seq(idCol), "left")
+      .join(bgStats, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_distinct_tok"), F.lit(0L)).as("n_distinct_tok"),
+        F.coalesce(F.col("max_tok_freq"), F.lit(0L)).as("max_tok_freq"),
+        F.coalesce(F.col("max_bigram_freq"), F.lit(0L)).as("max_bigram_freq"))
+  }
+
+  /** Deterministic importance sampling for corpus mixing: keep a row iff
+    * the 32-bit md5 hash of its id falls below num/den of the hash
+    * space, with per-stratum rational rates (e.g. downsample "en" to
+    * 1/4, keep "zh" at 3/4). Hash-threshold sampling is the corpus-scale
+    * standard: no RNG state, reproducible across engines and reruns,
+    * stable under repartitioning, and a row's fate never changes when
+    * the corpus grows. The keep test is an exact integer
+    * cross-multiplication (u * den < num * 2^32) — oracle-checkable.
+    * Map-only: no shuffle.
+    */
+  def hashSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, (Int, Int)],
+      default: (Int, Int) = (1, 1)): DataFrame = {
+    val u = F.conv(F.substring(
+      F.md5(F.col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val num = rates.foldLeft(F.lit(default._1)) {
+      case (acc, (k, (n, _))) => F.when(F.col(stratumCol) === k, F.lit(n)).otherwise(acc)
+    }
+    val den = rates.foldLeft(F.lit(default._2)) {
+      case (acc, (k, (_, d))) => F.when(F.col(stratumCol) === k, F.lit(d)).otherwise(acc)
+    }
+    df.filter(u * den < F.lit(4294967296L) * num)
+  }
 }

@@ -609,6 +609,117 @@ object QueryCatalog {
       |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
       |ORDER BY doc_id""".stripMargin
 
+  /** As-of join (time-series alignment): every purchase matched to the
+    * user's latest prior-or-same-instant view. Engine: union +
+    * running-last window — one shuffle, no range explosion. Oracle: the
+    * declarative correlated-subquery spec of the same semantics.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(F.col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(F.col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    graft.operators.AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "event_id", "event_id")
+      .select(F.col("event_id"), F.col("user_id"), F.col("matched_event_id"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofJoinSql =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |views AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id,
+      |  (SELECT v.event_id FROM views v
+      |   WHERE v.user_id = p.user_id AND v.ts <= p.ts
+      |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS matched_event_id
+      |FROM purchases p ORDER BY p.event_id""".stripMargin
+
+  /** Range join: event values matched to non-uniform [lo, hi) value
+    * bands (derived deterministically from nation keys), aggregated per
+    * band. Engine: bucketized equi-join (hash join on the bucket id —
+    * never a nested loop); oracle: the plain BETWEEN theta-join.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val nk = F.col("n_nationkey").cast("long")
+    val bands = t(s, dir, "nation").select(
+      nk.as("band_id"),
+      (nk * nk * 2).as("lo"),
+      ((nk + 1) * (nk + 1) * 2).as("hi"))
+    val pts = events(s, dir).select(F.col("event_id"), F.col("value"))
+    graft.operators.RangeJoin.bucketed(pts, "value", bands, "lo", "hi", bucketWidth = 64)
+      .groupBy("band_id")
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("band_id")
+  }
+
+  private val qRangeJoinSql =
+    """WITH bands AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+      |    CAST(n_nationkey AS BIGINT) * n_nationkey * 2 AS lo,
+      |    (CAST(n_nationkey AS BIGINT) + 1) * (n_nationkey + 1) * 2 AS hi
+      |  FROM nation)
+      |SELECT band_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin
+
+  /** Gopher-style repetition stats: integer numerators of the
+    * most-common-token / most-common-bigram quality rules.
+    */
+  private def qDocRepetition(s: SparkSession, dir: String): DataFrame =
+    Corpus.repetitionStats(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  private val qDocRepetitionSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+      |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tok
+      |  FROM documents),
+      |tokc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+      |tstats AS (
+      |  SELECT doc_id, COUNT(*) AS n_distinct_tok, MAX(c) AS max_tok_freq
+      |  FROM tokc GROUP BY doc_id),
+      |tw AS (
+      |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+      |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' '))
+      |  END) AS bg FROM tw),
+      |bigc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+      |bstats AS (SELECT doc_id, MAX(c) AS max_bigram_freq FROM bigc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(t.n_distinct_tok, 0) AS n_distinct_tok,
+      |  COALESCE(t.max_tok_freq, 0) AS max_tok_freq,
+      |  COALESCE(b.max_bigram_freq, 0) AS max_bigram_freq
+      |FROM documents d
+      |LEFT JOIN tstats t ON d.doc_id = t.doc_id
+      |LEFT JOIN bstats b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Deterministic hash-threshold importance sampling for corpus
+    * mixing: per-language rational keep rates, md5-32bit uniform hash,
+    * integer cross-multiplied keep test — reproducible byte-for-byte in
+    * any engine with md5.
+    */
+  private def qDocSampleHash(s: SparkSession, dir: String): DataFrame =
+    Corpus.hashSample(t(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> (1, 4), "de" -> (1, 2), "zh" -> (3, 4)))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  private val qDocSampleHashSql =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    * (CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'zh' THEN 4 ELSE 1 END)
+      |  < 4294967296
+      |    * (CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 1 WHEN 'zh' THEN 3 ELSE 1 END)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- quantized-integer ANN family: md5-derived hyperplanes + exact
   // ---- BIGINT dot scores make buckets AND rankings engine-reproducible,
   // ---- so these approximate operators carry full DuckDB oracles.
@@ -790,6 +901,10 @@ object QueryCatalog {
     Q("q_corpus_stats", wrap(qCorpusStats), Some(qCorpusStatsSql)),
     Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
+    Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),
+    Q("q_range_join", wrap(qRangeJoin), Some(qRangeJoinSql)),
+    Q("q_doc_repetition", wrap(qDocRepetition), Some(qDocRepetitionSql)),
+    Q("q_doc_sample_hash", wrap(qDocSampleHash), Some(qDocSampleHashSql)),
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), None),

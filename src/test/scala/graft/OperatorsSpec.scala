@@ -281,6 +281,75 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.contains(7L) && kept.contains(40L))
   }
 
+  test("asof join matches latest prior-or-equal right row; ties to highest id") {
+    import graft.operators.AsOf
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),  // before any right -> null
+      (101L, 1L, ts("2024-01-01 12:00:00")),  // after r1, r2 -> r2 (equal ts)
+      (102L, 1L, ts("2024-01-01 13:00:00")),  // -> r2 still latest
+      (103L, 2L, ts("2024-01-01 12:00:00")))  // other key -> r4
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("2024-01-01 11:00:00")),
+      (2L, 1L, ts("2024-01-01 12:00:00")),    // equal-ts match for 101
+      (9L, 1L, ts("2024-01-01 12:00:00")),    // tie: highest id wins
+      (4L, 2L, ts("2024-01-01 11:30:00")),
+      (5L, 2L, ts("2024-01-01 14:00:00")))    // future: never matches 103
+      .toDF("event_id", "user_id", "ts")
+    val got = AsOf.asofJoin(left, right, Seq("user_id"), "ts", "event_id", "event_id")
+      .collect().map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(got(100L) === None)
+    assert(got(101L) === Some(9L))
+    assert(got(102L) === Some(9L))
+    assert(got(103L) === Some(4L))
+  }
+
+  test("bucketed range join equals the theta join, including boundary points") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 0.0), (2L, 63.9), (3L, 64.0), (4L, 100.0), (5L, 199.99), (6L, 200.0), (7L, 500.0))
+      .toDF("pid", "v")
+    val ranges = Seq((10L, 0L, 64L), (11L, 64L, 200L), (12L, 100L, 300L))
+      .toDF("rid", "lo", "hi")
+    val got = RangeJoin.bucketed(points, "v", ranges, "lo", "hi", bucketWidth = 64)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.crossJoin(ranges)
+      .filter($"v" >= $"lo" && $"v" < $"hi")
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.contains((4L, 11L)) && want.contains((4L, 12L))) // overlapping bands
+    assert(!want.exists(_._1 == 7L)) // uncovered point drops out
+  }
+
+  test("repetition stats count most-repeated token and bigram") {
+    import graft.operators.Corpus
+    val d = Seq(
+      (1L, "spam spam spam ham"),
+      (2L, "all words unique here"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = Corpus.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((2L, 3L, 2L))) // {spam, ham}; spam x3; "spam spam" x2
+    assert(got(2L) === ((4L, 1L, 1L)))
+    assert(got(3L) === ((0L, 0L, 1L))) // empty doc: single empty whole-text shingle
+  }
+
+  test("hash sampling is deterministic, stratum-rated, and repartition-stable") {
+    import graft.operators.Corpus
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> (1, 4), "zh" -> (3, 4))
+    val once = Corpus.hashSample(df, "doc_id", "lang", rates)
+      .collect().map(_.getLong(0)).toSet
+    val again = Corpus.hashSample(df.repartition(7), "doc_id", "lang", rates)
+      .collect().map(_.getLong(0)).toSet
+    assert(once === again, "sampling must not depend on partitioning")
+    val enRate = once.count(_ % 2 == 0) / 1000.0
+    val zhRate = once.count(_ % 2 == 1) / 1000.0
+    assert(math.abs(enRate - 0.25) < 0.06, s"en rate $enRate")
+    assert(math.abs(zhRate - 0.75) < 0.06, s"zh rate $zhRate")
+  }
+
   test("nearDuplicates pipeline: finds planted near-dup, rejects dissimilar") {
     val corpus = Seq(
       (0L, "spark is a unified analytics engine for large scale data processing with apis"),

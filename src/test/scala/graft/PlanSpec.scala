@@ -74,6 +74,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("bucketized range join plans a hash join, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("HashJoin"), p.take(1200))
+  }
+
+  test("asof join is one window over one exchange, no range self-join") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("custom expressions (week_of_month, shingle kernels) do not break codegen") {
     val df = SparkEntry.queries("q_weekly_avg")(spark, dir)
     df.collect()
