@@ -40,6 +40,11 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "gram_stats", exprs => graft.functions.GramStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "repetition_stats",
+      exprs => graft.functions.RepetitionStats(exprs.head), "scala_udf")
     // Aggregate functions are returned bare; the analyzer wraps them in
     // an AggregateExpression during resolution.
     reg.createOrReplaceTempFunction(

@@ -135,10 +135,11 @@ object Corpus {
     * appendix A). Ratios are left to the caller so every output is an
     * exact BIGINT.
     *
-    * Scale shape: explode -> two-level partial-aggregated count (the
-    * same shape as word count); the second level carries one row per
-    * (doc, distinct gram), never the text. Documents with no tokens get
-    * zero token stats via the left join; the bigram column follows
+    * Scale shape: MAP-ONLY — the [[graft.functions.GramStats]] kernel
+    * computes each document's counts in one hash-map pass inside the
+    * scan, so nothing shuffles (the explode -> groupBy(doc, gram)
+    * formulation would shuffle one row per token in the corpus). Empty
+    * docs get zero token stats; the bigram column follows
     * [[TextFunctions.wordShingles]] semantics (short docs collapse to a
     * single whole-text shingle).
     */
@@ -146,25 +147,18 @@ object Corpus {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(F.col(idCol),
-      F.explode(TextFunctions.tokens(F.lower(F.col(textCol)))).as("tok"))
-    val tokStats = toks
-      .groupBy(idCol, "tok").agg(F.count(F.lit(1)).as("c"))
-      .groupBy(idCol).agg(
-        F.count(F.lit(1)).as("n_distinct_tok"),
-        F.max("c").as("max_tok_freq"))
-    val bigrams = docs.select(F.col(idCol),
-      F.explode(TextFunctions.wordShingles(F.col(textCol), 2)).as("bg"))
-    val bgStats = bigrams
-      .groupBy(idCol, "bg").agg(F.count(F.lit(1)).as("c"))
-      .groupBy(idCol).agg(F.max("c").as("max_bigram_freq"))
-    docs.select(idCol)
-      .join(tokStats, Seq(idCol), "left")
-      .join(bgStats, Seq(idCol), "left")
+    graft.GraftFunctions.register(docs.sparkSession)
+    import graft.functions.GramStatsF
+    // ONE codegen'd tokenization feeds one single-pass kernel; building
+    // bigrams through the wordShingles HOF instead would re-tokenize per
+    // row in interpreted lambdas (HOFs defeat subexpression elimination)
+    docs.select(F.col(idCol),
+        GramStatsF.repetitionStats(
+          TextFunctions.tokens(F.lower(F.col(textCol)))).as("rs"))
       .select(F.col(idCol),
-        F.coalesce(F.col("n_distinct_tok"), F.lit(0L)).as("n_distinct_tok"),
-        F.coalesce(F.col("max_tok_freq"), F.lit(0L)).as("max_tok_freq"),
-        F.coalesce(F.col("max_bigram_freq"), F.lit(0L)).as("max_bigram_freq"))
+        F.col("rs.n_distinct_tok").as("n_distinct_tok"),
+        F.col("rs.max_tok_freq").as("max_tok_freq"),
+        F.col("rs.max_bigram_freq").as("max_bigram_freq"))
   }
 
   /** Deterministic importance sampling for corpus mixing: keep a row iff
