@@ -609,6 +609,32 @@ object QueryCatalog {
       |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
       |ORDER BY doc_id""".stripMargin
 
+  /** Semi-structured extraction: parse the JSON `props` column with a
+    * typed schema (from_json — Jackson-backed, codegen-projected) and
+    * aggregate the extracted field. The oracle states the same value
+    * extraction declaratively (the field is numeric, so a regex capture
+    * reads it without a JSON engine).
+    */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(F.col("event_type"),
+        F.from_json(F.col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum("k").as("sum_k"),
+        F.min("k").as("min_k"),
+        F.max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val qJsonExtractSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS min_k,
+      |  MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** As-of join (time-series alignment): every purchase matched to the
     * user's latest prior-or-same-instant view. Engine: union +
     * running-last window — one shuffle, no range explosion. Oracle: the
@@ -902,6 +928,7 @@ object QueryCatalog {
     Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),
+    Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
     Q("q_range_join", wrap(qRangeJoin), Some(qRangeJoinSql)),
     Q("q_doc_repetition", wrap(qDocRepetition), Some(qDocRepetitionSql)),
     Q("q_doc_sample_hash", wrap(qDocSampleHash), Some(qDocSampleHashSql)),

@@ -125,6 +125,51 @@ object Streams {
       }
   }
 
+  /** Built-in event-time session windows: the declarative counterpart
+    * of [[sessionize]] — `session_window` grows a per-key window while
+    * events arrive within `gap` and finalizes it when the watermark
+    * passes; state expiry is managed by the engine. Prefer this when
+    * per-session output is an aggregate; drop to [[sessionize]] when
+    * session state needs custom transition logic.
+    */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n_events"))
+      .select(
+        F.col("session_window.start").as("sess_start"),
+        F.col("session_window.end").as("sess_end"),
+        F.col("user_id"), F.col("n_events"))
+
+  /** Stream-stream interval join: purchases attributed to a preceding
+    * view by the same user within `horizon`. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so each side's buffered state is evicted once the watermark passes
+    * the horizon — the state-bounded form of stream-stream joins
+    * (unbounded-condition joins must buffer a side forever).
+    */
+  def attributedPurchases(
+      purchases: DataFrame,
+      views: DataFrame,
+      horizon: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(
+      F.col("user_id"), F.col("event_id").as("purchase_id"), F.col("ts"))
+      .withWatermark("ts", lateness)
+    val v = views.select(
+      F.col("user_id").as("v_user_id"), F.col("event_id").as("view_id"),
+      F.col("ts").as("vts"))
+      .withWatermark("vts", lateness)
+    p.join(v, F.expr(
+      s"user_id = v_user_id AND vts BETWEEN ts - INTERVAL $horizon AND ts"))
+      .select(F.col("user_id"), F.col("purchase_id"), F.col("view_id"),
+        F.col("ts"), F.col("vts"))
+  }
+
   /** Start a memory-sink query for tests/demos and drain all available
     * input synchronously.
     */

@@ -82,6 +82,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((3L, 1L, 0L)), rows.toString)
   }
 
+  test("session_window aggregation finalizes sessions once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val agg = Streams.sessionWindowAgg(df, gap = "10 minutes", lateness = "1 minute")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("sess_win").start()
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:05:00"), 1L),
+      (ts("2024-01-01 10:01:00"), 2L))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 12:00:00"), 3L)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("sess_win").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(rows.contains((1L, 2L)), rows.toString) // user 1: one session, two events
+    assert(rows.contains((2L, 1L)), rows.toString)
+  }
+
+  test("stream-stream interval join attributes purchases to in-horizon views") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val pIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val views = vIn.toDF().toDF("ts", "user_id", "event_id")
+    val purchases = pIn.toDF().toDF("ts", "user_id", "event_id")
+    val joined = Streams.attributedPurchases(purchases, views, horizon = "1 hour", lateness = "5 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    vIn.addData((ts("2024-01-01 10:00:00"), 1L, 100L), // in-horizon view
+      (ts("2024-01-01 08:00:00"), 2L, 101L))           // stale view (> 1h before)
+    pIn.addData((ts("2024-01-01 10:30:00"), 1L, 200L),
+      (ts("2024-01-01 10:30:00"), 2L, 201L))
+    q.processAllAvailable()
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows === Set((200L, 100L)), rows.toString)
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
