@@ -43,5 +43,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_pairs", "topk_pairs(score, id, k) - bounded top-k (score desc, id asc) pairs"),
       (exprs: Seq[Expression]) => graft.functions.TopKPairs(
         exprs.head, exprs(1), GraftFunctions.intLitOf(exprs(2)))))
+    e.injectFunction((
+      FunctionIdentifier("dot_l"),
+      info("dot_l", "dot_l(a, b) - integer dot product of two bigint arrays"),
+      (exprs: Seq[Expression]) => graft.functions.DotL(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("min_k_ids"),
+      info("min_k_ids", "min_k_ids(id, k) - bounded k smallest ids of the group, sorted"),
+      (exprs: Seq[Expression]) => graft.functions.MinKIds(
+        exprs.head, GraftFunctions.intLitOf(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("gram_stats"),
+      info("gram_stats", "gram_stats(arr) - struct(n_distinct, max_freq) of a string array"),
+      (exprs: Seq[Expression]) => graft.functions.GramStats(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", "repetition_stats(tokens) - token+bigram repetition counts"),
+      (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head)))
   }
 }

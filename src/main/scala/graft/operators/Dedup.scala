@@ -204,8 +204,15 @@ object Dedup {
     val sh = docs.select(
       F.col(idCol).as("id"),
       F.array_distinct(TextFunctions.wordShingles(F.col(textCol), n)).as("shingles"))
+    // join on the 8-byte xxhash of the shingle, not the string: the
+    // shingle is the widest column in this shuffle, and the join only
+    // needs equality. A cross-doc 64-bit collision would inflate one
+    // intersection count; at ~1e6 distinct shingles that is P ~ 1e-7
+    // per corpus, and the DuckDB oracle (which joins exact strings)
+    // would flag it.
     val exploded = sh.select(F.col("id"), F.size(F.col("shingles")).as("m"),
-      F.explode(F.col("shingles")).as("s"))
+        F.explode(F.col("shingles")).as("s0"))
+      .select(F.col("id"), F.col("m"), F.xxhash64(F.col("s0")).as("s"))
     val l = exploded.toDF("a", "ma", "s")
     val r = exploded.toDF("b", "mb", "s")
     val prune = lengthPruneRatio match {
