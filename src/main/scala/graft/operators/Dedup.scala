@@ -299,21 +299,22 @@ object Dedup {
     * the failure mode of naive pairwise dedup).
     *
     * Scale shape: each round is one shuffle-join (edges x labels, both
-    * keyed on vertex) plus a min-aggregate; `localCheckpoint` cuts the
-    * growing lineage so round N does not replay rounds 1..N-1. Labels
-    * only ever DECREASE, so convergence is detected by the total label
-    * sum going stable — one exact decimal aggregate per round over the
-    * just-checkpointed labels, no join.
+    * keyed on vertex) plus a min-aggregate; lazy `localCheckpoint` cuts
+    * the growing lineage so round N does not replay rounds 1..N-1,
+    * and materializes under the SAME action as the convergence probe —
+    * one Spark job per round. Labels only ever DECREASE, so convergence
+    * is detected by the total label sum going stable — one exact
+    * decimal aggregate per round, no join.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .select(F.col("a").cast("long").as("src"), F.col("b").cast("long").as("dst"))
       .union(pairs.select(F.col("b").cast("long").as("src"), F.col("a").cast("long").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.select(F.col("src").as("v")).distinct()
       .withColumn("label", F.col("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
@@ -324,7 +325,7 @@ object Dedup {
         .select(F.col("dst").as("v"), F.col("label"))
       val next = labels.select("v", "label").union(prop)
         .groupBy("v").agg(F.min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -609,6 +609,57 @@ object QueryCatalog {
       |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
       |ORDER BY doc_id""".stripMargin
 
+  /** Multi-distinct aggregation: two COUNT(DISTINCT) over different
+    * columns in one group-by — planned via Expand (one input row fans
+    * out per distinct aggregate), the operator family plain group-bys
+    * don't exercise.
+    */
+  private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(F.col("event_type"), F.col("user_id"), F.to_date(F.col("ts")).as("d"))
+      .groupBy("event_type")
+      .agg(
+        F.countDistinct(F.col("user_id")).as("n_users"),
+        F.countDistinct(F.col("d")).as("n_days"),
+        F.count(F.lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val qDistinctAggSql =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exact per-group median document length by rank-pick: row_number +
+    * group count over one window partition, keep the floor((n+1)/2)-th
+    * smallest. The approximate sketch path for the same statistic is
+    * [[Corpus.lengthQuantiles]] (percentile_approx), cross-checked in
+    * the spec.
+    */
+  private def qDocLenMedian(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(F.col("lang"), F.length(F.col("text")).cast(LongType).as("len"), F.col("doc_id"))
+    val byLen = Window.partitionBy("lang").orderBy(F.col("len").asc, F.col("doc_id").asc)
+    val all = Window.partitionBy("lang")
+    d.withColumn("rn", F.row_number().over(byLen))
+      .withColumn("cnt", F.count(F.lit(1)).over(all))
+      .filter(F.col("rn") === F.floor((F.col("cnt") + 1) / 2))
+      .select(F.col("lang"), F.col("len").as("median_len"))
+      .orderBy("lang")
+  }
+
+  private val qDocLenMedianSql =
+    """WITH d AS (
+      |  SELECT lang, CAST(length(text) AS BIGINT) AS len, doc_id FROM documents),
+      |r AS (
+      |  SELECT lang, len,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY len, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM d)
+      |SELECT lang, len AS median_len FROM r WHERE rn = (cnt + 1) // 2
+      |ORDER BY lang""".stripMargin
+
   /** Semi-structured extraction: parse the JSON `props` column with a
     * typed schema (from_json — Jackson-backed, codegen-projected) and
     * aggregate the extracted field. The oracle states the same value
@@ -929,6 +980,8 @@ object QueryCatalog {
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),
     Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
+    Q("q_distinct_agg", wrap(qDistinctAgg), Some(qDistinctAggSql)),
+    Q("q_doc_len_median", wrap(qDocLenMedian), Some(qDocLenMedianSql)),
     Q("q_range_join", wrap(qRangeJoin), Some(qRangeJoinSql)),
     Q("q_doc_repetition", wrap(qDocRepetition), Some(qDocRepetitionSql)),
     Q("q_doc_sample_hash", wrap(qDocSampleHash), Some(qDocSampleHashSql)),

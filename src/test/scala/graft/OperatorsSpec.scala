@@ -334,6 +334,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 1L))) // empty doc: single empty whole-text shingle
   }
 
+  test("approx length quantiles agree with exact answers on small groups") {
+    import graft.operators.Corpus
+    val d = (1 to 101).map(i => (i.toLong, "x" * i, "en"))
+      .toDF("doc_id", "text", "lang")
+    val q = Corpus.lengthQuantiles(d, Seq(0.5)).collect()
+    assert(q.length === 1)
+    // 101 docs of lengths 1..101: exact median length is 51
+    assert(q.head.getSeq[Long](1) === Seq(51L))
+  }
+
   test("hash sampling is deterministic, stratum-rated, and repartition-stable") {
     import graft.operators.Corpus
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
