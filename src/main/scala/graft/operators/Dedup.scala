@@ -307,9 +307,15 @@ object Dedup {
     * decimal aggregate per round, no join.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(F.col("a").cast("long").as("src"), F.col("b").cast("long").as("dst"))
-      .union(pairs.select(F.col("b").cast("long").as("src"), F.col("a").cast("long").as("dst")))
+    // materialize the (possibly expensive) pair table ONCE before the
+    // symmetrize-union references it twice — otherwise its plan runs
+    // twice inside the first job
+    val p0 = pairs
+      .select(F.col("a").cast("long").as("a"), F.col("b").cast("long").as("b"))
+      .localCheckpoint()
+    val edges = p0
+      .select(F.col("a").as("src"), F.col("b").as("dst"))
+      .union(p0.select(F.col("b").as("src"), F.col("a").as("dst")))
       .distinct()
       .localCheckpoint(eager = false)
     var labels = edges.select(F.col("src").as("v")).distinct()

@@ -360,6 +360,49 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(zhRate - 0.75) < 0.06, s"zh rate $zhRate")
   }
 
+  test("connected components equal union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 80).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val groups = parent.keys.groupBy(find).map { case (_, vs) => vs.toSet -> vs.min }
+    groups.foreach { case (vs, m) => vs.foreach(v => assert(got(v) === m, s"vertex $v")) }
+    assert(got.size === parent.keys.size)
+  }
+
+  test("asof join equals the naive per-row latest-prior lookup on random data") {
+    val rnd = new scala.util.Random(9)
+    def randRows(n: Int, idBase: Long) = (0 until n).map { i =>
+      (idBase + i, rnd.nextInt(5).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L))
+    }
+    val lRows = randRows(150, 1000)
+    val rRows = randRows(150, 5000)
+    val got = graft.operators.AsOf.asofJoin(
+        lRows.toDF("event_id", "user_id", "ts"), rRows.toDF("event_id", "user_id", "ts"),
+        Seq("user_id"), "ts", "event_id", "event_id")
+      .collect().map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    lRows.foreach { case (lid, u, lts) =>
+      val cands = rRows.filter(r => r._2 == u && !r._3.after(lts))
+      val want =
+        if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._3.getTime, r._1))._1)
+      assert(got(lid) === want, s"left $lid")
+    }
+  }
+
   test("nearDuplicates pipeline: finds planted near-dup, rejects dissimilar") {
     val corpus = Seq(
       (0L, "spark is a unified analytics engine for large scale data processing with apis"),
