@@ -660,6 +660,59 @@ object QueryCatalog {
       |SELECT lang, len AS median_len FROM r WHERE rn = (cnt + 1) // 2
       |ORDER BY lang""".stripMargin
 
+  /** Pivot / crosstab: language x source document counts with a PINNED
+    * column list (explicit pivot values keep the output schema
+    * deterministic and let Catalyst plan a single aggregate instead of
+    * a values-discovery pass + aggregate — at scale, never let pivot
+    * infer its columns from the data).
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .pivot("source", Seq("src0", "src1", "src2", "src3"))
+      .agg(F.count(F.lit(1)))
+      .na.fill(0L)
+      .orderBy("lang")
+
+  private val qPivotSql =
+    """SELECT lang,
+      |  COUNT(*) FILTER (WHERE source = 'src0') AS src0,
+      |  COUNT(*) FILTER (WHERE source = 'src1') AS src1,
+      |  COUNT(*) FILTER (WHERE source = 'src2') AS src2,
+      |  COUNT(*) FILTER (WHERE source = 'src3') AS src3
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Time-series resample with gap-fill: daily event counts per type,
+    * densified to EVERY day in the observed span (missing days filled
+    * with zero). The day spine is a sequence-explode against the global
+    * min/max (a 1-row broadcast), so densification is a map-side
+    * generate + one left join — no driver-side date loop.
+    */
+  private def qResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(F.col("event_type"), F.to_date(F.col("ts")).as("d"))
+    val counts = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).as("n"))
+    val span = ev.agg(F.min("d").as("d0"), F.max("d").as("d1"))
+    val days = span.select(F.explode(F.sequence(
+      F.col("d0"), F.col("d1"), F.expr("interval 1 day"))).as("d"))
+    val types = ev.select("event_type").distinct()
+    types.crossJoin(days) // tiny spine: |types| x |days|
+      .join(counts, Seq("event_type", "d"), "left")
+      .select(F.col("event_type"), F.col("d").cast("string").as("day"),
+        F.coalesce(F.col("n"), F.lit(0L)).as("n"))
+      .orderBy("event_type", "day")
+  }
+
+  private val qResampleSql =
+    """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+      |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+      |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM span),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |counts AS (SELECT event_type, d, COUNT(*) AS n FROM ev GROUP BY event_type, d)
+      |SELECT t.event_type AS event_type, CAST(dy.d AS VARCHAR) AS day, COALESCE(c.n, 0) AS n
+      |FROM types t CROSS JOIN days dy
+      |LEFT JOIN counts c ON c.event_type = t.event_type AND c.d = dy.d
+      |ORDER BY t.event_type, day""".stripMargin
+
   /** Semi-structured extraction: parse the JSON `props` column with a
     * typed schema (from_json — Jackson-backed, codegen-projected) and
     * aggregate the extracted field. The oracle states the same value
@@ -981,6 +1034,8 @@ object QueryCatalog {
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),
     Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
     Q("q_distinct_agg", wrap(qDistinctAgg), Some(qDistinctAggSql)),
+    Q("q_pivot", wrap(qPivot), Some(qPivotSql)),
+    Q("q_resample", wrap(qResample), Some(qResampleSql)),
     Q("q_doc_len_median", wrap(qDocLenMedian), Some(qDocLenMedianSql)),
     Q("q_range_join", wrap(qRangeJoin), Some(qRangeJoinSql)),
     Q("q_doc_repetition", wrap(qDocRepetition), Some(qDocRepetitionSql)),
