@@ -61,16 +61,67 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
       Seq("trip_date"))
     // TRUNCATE staging (S5).
     catalog.truncate(StagingTable)
-    // REFRESH MATERIALIZED VIEW (S6).
-    refreshSummarizedView()
+    // REFRESH MATERIALIZED VIEW (S6) — incrementally: only the week
+    // buckets this batch touched are recomputed and replaced.
+    refreshSummarizedViewIncremental(keyed)
   }
 
-  /** Materialized-view refresh: recompute + overwrite (SURVEY.md §1.4). */
+  /** Materialized-view full refresh: recompute + overwrite, stored
+    * partitioned by week bucket so incremental refreshes can replace
+    * individual buckets (SURVEY.md §1.4).
+    */
   def refreshSummarizedView(): Unit =
-    catalog.overwrite(ViewTable, TripQueries.weeklyAvgTripsPerRegion(hist))
+    catalog.overwritePartitioned(ViewTable,
+      TripQueries.weeklyAvgTripsPerRegion(hist), Seq("week_of_month"))
+
+  /** Incremental materialized-view refresh: recompute ONLY the week
+    * buckets the batch's trip dates fall into — the historical scan is
+    * pruned to those weeks' date ranges (partition pruning on
+    * trip_date), and Spark's dynamic partition overwrite replaces just
+    * the recomputed buckets on disk. A full refresh scans ALL history
+    * every batch; at 100 TB with time-bounded batch arrivals this scans
+    * a handful of week partitions instead. Falls back to the full
+    * refresh when the view does not exist yet.
+    */
+  def refreshSummarizedViewIncremental(batch: DataFrame): Unit = {
+    import org.apache.spark.sql.{functions => F}
+    if (!catalog.exists(ViewTable)) { refreshSummarizedView(); return }
+    // a batch's distinct trip dates are bounded (time-bounded arrival),
+    // so collecting them to plan the prune is a scalar-sized action
+    val dates = batch
+      .select(F.to_date(F.col("date_time")).as("d")).distinct()
+      .collect().map(_.getDate(0).toLocalDate)
+    if (dates.isEmpty) return
+    // affected week-of-month windows: [monthStart + 7*(w-1), +7) capped
+    // at month end — the same blocks the view buckets by
+    val windows = dates.map { d =>
+      val start = d.withDayOfMonth(1).plusDays(((d.getDayOfMonth - 1) / 7) * 7L)
+      val end0 = start.plusDays(6)
+      val monthEnd = d.withDayOfMonth(d.lengthOfMonth)
+      (start, if (end0.isAfter(monthEnd)) monthEnd else end0)
+    }.distinct
+    val prune = windows.map { case (s, e) =>
+      F.col("trip_date").between(
+        F.lit(java.sql.Date.valueOf(s)), F.lit(java.sql.Date.valueOf(e)))
+    }.reduce(_ || _)
+    val recomputed = TripQueries.weeklyAvgTripsPerRegion(hist.filter(prune))
+    catalog.overwritePartitioned(ViewTable, recomputed,
+      Seq("week_of_month"), dynamic = true)
+  }
+
+  /** Declared view schema — read schema-first: bucket strings like
+    * "2024-01-03" would otherwise be type-INFERRED into dates by
+    * partition discovery.
+    */
+  private val viewSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("region", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("weekly_avg", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("week_of_month", org.apache.spark.sql.types.StringType)))
 
   def hist: DataFrame = catalog.readWithSchema(HistTable, Trip.schemaWithDate)
-  def summarized: DataFrame = catalog.read(ViewTable)
+  def summarized: DataFrame =
+    catalog.readWithSchema(ViewTable, viewSchema)
+      .select("region", "week_of_month", "weekly_avg")
 
   /** Programmatic ingestion status (O2): live job/stage counts. */
   def status(): String = {

@@ -74,6 +74,25 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     spark.catalog.refreshByPath(path(table))
   }
 
+  /** Overwrite into a hive-partitioned layout. With `dynamic = true`
+    * only the partitions PRESENT in `df` are replaced (Spark's dynamic
+    * partition overwrite) — the primitive behind incremental
+    * materialized-view refresh: recompute the touched partitions,
+    * leave the rest untouched on disk.
+    */
+  def overwritePartitioned(
+      table: String,
+      df: DataFrame,
+      partitionCols: Seq[String],
+      dynamic: Boolean = false): Unit = {
+    df.write
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path(table))
+    spark.catalog.refreshByPath(path(table))
+  }
+
   /** TRUNCATE TABLE: overwrite with an empty frame of the same schema
     * (src/sqls/populate_postgres.sql:31).
     */

@@ -33,6 +33,31 @@ class TripPipelineSpec extends SparkSpec {
     assert(pipe.catalog.read(pipe.StagingTable).count() === 0)
   }
 
+  test("incremental view refresh equals a full recompute across batches") {
+    val dir = Files.createTempDirectory("graft-trips-incr").toString
+    def writeCsv(name: String, rows: Int, dayBase: Int): String = {
+      val csv = s"$dir/$name"
+      // same synthetic generator, shifted into a different day range so
+      // the second batch touches different (and some shared) buckets
+      val body = TripPipelineDemo.syntheticCsv(rows).linesIterator.zipWithIndex.map {
+        case (l, 0) => l
+        case (l, i) => l.replaceFirst("2024-01-(\\d\\d)", f"2024-01-${(dayBase + i % 14) + 1}%02d")
+      }.mkString("\n")
+      Files.writeString(java.nio.file.Paths.get(csv), body)
+      csv
+    }
+    val pipe = new Pipeline(spark, s"$dir/warehouse")
+    pipe.runBatch(writeCsv("b1.csv", 60, 0))   // days 01..14 (weeks 1-2)
+    pipe.runBatch(writeCsv("b2.csv", 60, 14))  // days 15..28 (weeks 3-4)
+    val incremental = pipe.summarized.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    pipe.refreshSummarizedView() // full recompute over all history
+    val full = pipe.summarized.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(incremental === full)
+    assert(incremental.nonEmpty)
+  }
+
   test("summarized view has YYYY-MM-0W buckets and positive averages") {
     val (pipe, _) = env
     val rows = pipe.summarized.collect()
