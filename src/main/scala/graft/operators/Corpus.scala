@@ -41,12 +41,36 @@ object Corpus {
   }
 
   /** Deterministic stratified sample: the `perStratum` lowest-keyed rows
-    * of each stratum. Rank-based (not hash-based) so it is reproducible
-    * across engines; at scale the window is a single shuffle on the
-    * stratum key, and with `topk_pairs`-style partial aggregation
-    * available it can be swapped to a bounded sketch.
+    * of each stratum (numeric key). Rank-based (not hash-based) so it is
+    * reproducible across engines.
+    *
+    * Scale shape: the keep-set comes from the bounded `min_k_ids`
+    * partial aggregate — every map task reduces its slice to <= k keys
+    * per stratum BEFORE the shuffle (a window row_number would
+    * shuffle-sort every row of every stratum) — and the tiny
+    * (strata x k) keep-set broadcasts back as a semi-join, so full rows
+    * never shuffle at all.
     */
   def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      perStratum: Int,
+      keyCol: String): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val keep = df
+      .select(F.col(stratumCol).as("__s"), F.col(keyCol).cast("long").as("__k"))
+      .groupBy("__s")
+      .agg(graft.functions.TopK.minKIds(F.col("__k"), perStratum).as("ks"))
+      .select(F.col("__s"), F.explode(F.col("ks")).as("__k"))
+    df.join(F.broadcast(keep),
+      df(stratumCol) === F.col("__s") && df(keyCol).cast("long") === F.col("__k"),
+      "leftsemi")
+  }
+
+  /** Window-based variant kept for cross-checking the bounded aggregate
+    * in specs.
+    */
+  private[graft] def stratifiedSampleWindow(
       df: DataFrame,
       stratumCol: String,
       perStratum: Int,

@@ -187,6 +187,10 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length === 10)
     val en = out.filter(_.getString(1) == "en").map(_.getLong(0)).sorted.toSeq
     assert(en === Seq(0L, 2L, 4L, 6L, 8L))
+    // bounded-aggregate implementation equals the window formulation
+    val win = Corpus.stratifiedSampleWindow(df, "lang", 5, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSet === win)
   }
 
   test("packing fills bins within budget, covers all items, isolates oversize") {
