@@ -203,6 +203,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
+    // NOTE: the centroid pick below is a separate action, so the corpus
+    // is scanned twice (pick + assignment). That is the scale-correct
+    // trade: caching the quantized corpus would materialize the full
+    // dataset to executor storage, which loses the moment the corpus
+    // outgrows memory — two pruned columnar scans are cheaper at 100 TB.
     val c = corpus.select(F.col(idCol).as("neighbor_id"),
       VectorFunctions.quantize(F.col(vecCol)).as("cv"))
     // Deterministic one-pass centroid sample: the nlist ids that hash
