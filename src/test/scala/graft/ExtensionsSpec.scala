@@ -31,6 +31,18 @@ class ExtensionsSpec extends AnyFunSuite {
           |  (1.0, 10L), (3.0, 30L), (2.0, 20L) AS t(v, id)""".stripMargin).head()
       val top = agg.getSeq[org.apache.spark.sql.Row](0)
       assert(top.map(_.getLong(1)) === Seq(30L, 20L))
+      val r2 = s.sql(
+        """SELECT dot_l(array(1L, 2L), array(3L, 4L)) AS dl,
+          |  gram_stats(array('a', 'b', 'a')).max_freq AS gmax,
+          |  repetition_stats(array('x', 'y', 'x', 'y')).max_bigram_freq AS bmax
+          |""".stripMargin).head()
+      assert(r2.getLong(0) === 11L)
+      assert(r2.getLong(1) === 2L)
+      assert(r2.getLong(2) === 2L) // "x y" appears twice
+      val mk = s.sql(
+        """SELECT min_k_ids(id, 2) AS ks FROM VALUES (5L), (1L), (9L), (3L) AS t(id)
+          |""".stripMargin).head()
+      assert(mk.getSeq[Long](0) === Seq(1L, 3L))
     } finally {
       // do not stop: other suites share the JVM-wide default session
     }
