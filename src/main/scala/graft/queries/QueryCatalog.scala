@@ -660,6 +660,20 @@ object QueryCatalog {
       |SELECT lang, len AS median_len FROM r WHERE rn = (cnt + 1) // 2
       |ORDER BY lang""".stripMargin
 
+  /** Skew-mitigated aggregation: the two-phase salted count (hot keys
+    * fan across `salts` reducers, then `salts` partials merge per key).
+    * The oracle is the PLAIN group-by — salting must be semantically
+    * invisible, and the hash-match proves it row-for-row.
+    */
+  private def qSkewAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedCount(
+        events(s, dir).select(F.col("user_id")), "user_id", salts = 16)
+      .orderBy("user_id")
+
+  private val qSkewAggSql =
+    """SELECT user_id, COUNT(*) AS n FROM events
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Pivot / crosstab: language x source document counts with a PINNED
     * column list (explicit pivot values keep the output schema
     * deterministic and let Catalyst plan a single aggregate instead of
@@ -1035,6 +1049,7 @@ object QueryCatalog {
     Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
     Q("q_distinct_agg", wrap(qDistinctAgg), Some(qDistinctAggSql)),
     Q("q_pivot", wrap(qPivot), Some(qPivotSql)),
+    Q("q_skew_agg", wrap(qSkewAgg), Some(qSkewAggSql)),
     Q("q_resample", wrap(qResample), Some(qResampleSql)),
     Q("q_doc_len_median", wrap(qDocLenMedian), Some(qDocLenMedianSql)),
     Q("q_range_join", wrap(qRangeJoin), Some(qRangeJoinSql)),
