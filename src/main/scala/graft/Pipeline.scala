@@ -85,7 +85,14 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     */
   def refreshSummarizedViewIncremental(batch: DataFrame): Unit = {
     import org.apache.spark.sql.{functions => F}
-    if (!catalog.exists(ViewTable)) { refreshSummarizedView(); return }
+    // full rewrite when the view is absent OR still in a legacy FLAT
+    // layout (no week_of_month= dirs): a dynamic-partition overwrite on
+    // top of flat parquet files would mix the two layouts at the table
+    // root and break subsequent reads
+    if (!catalog.exists(ViewTable) ||
+        !catalog.hasPartitionDirs(ViewTable, "week_of_month")) {
+      refreshSummarizedView(); return
+    }
     // a batch's distinct trip dates are bounded (time-bounded arrival),
     // so collecting them to plan the prune is a scalar-sized action
     val dates = batch
@@ -117,6 +124,15 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     org.apache.spark.sql.types.StructField("region", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("weekly_avg", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("week_of_month", org.apache.spark.sql.types.StringType)))
+
+  /** Compact accreted small files in the historical table (each batch's
+    * pruned anti-join append adds files to the dates it touches). Run
+    * periodically, like the reference's cron cadence (README.md:27).
+    */
+  def compactHist(maxFilesPerPartition: Int = 8,
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] =
+    catalog.compactPartitioned(HistTable, "trip_date", Trip.schemaWithDate,
+      maxFilesPerPartition, targetFileBytes)
 
   def hist: DataFrame = catalog.readWithSchema(HistTable, Trip.schemaWithDate)
   def summarized: DataFrame =

@@ -51,32 +51,38 @@ object GramStatsUtil {
     * @return InternalRow(n_distinct_tok, max_tok_freq, max_bigram_freq)
     */
   def repetitionStats(arr: ArrayData): InternalRow = {
+    // null elements are skipped entirely, matching gramStats: counts
+    // ignore them and bigrams are formed over the REMAINING sequence —
+    // the semantics of "filter nulls, then process"
     val tokCounts = new java.util.HashMap[UTF8String, Array[Int]]()
+    val bigCounts = new java.util.HashMap[UTF8String, Array[Int]]()
     var maxTok = 0
+    var maxBig = 0
+    var nonNull = 0
+    var prev: UTF8String = null
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      var c = tokCounts.get(s)
-      if (c == null) { c = new Array[Int](1); tokCounts.put(s, c) }
-      c(0) += 1
-      if (c(0) > maxTok) maxTok = c(0)
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        nonNull += 1
+        var c = tokCounts.get(s)
+        if (c == null) { c = new Array[Int](1); tokCounts.put(s, c) }
+        c(0) += 1
+        if (c(0) > maxTok) maxTok = c(0)
+        if (prev != null) {
+          val bg = UTF8String.concat(prev, SPACE, s)
+          var bc = bigCounts.get(bg)
+          if (bc == null) { bc = new Array[Int](1); bigCounts.put(bg, bc) }
+          bc(0) += 1
+          if (bc(0) > maxBig) maxBig = bc(0)
+        }
+        prev = s
+      }
       i += 1
     }
-    var maxBig = 0
-    if (n < 2) {
+    if (nonNull < 2) {
       maxBig = 1 // single whole-text shingle (even for empty docs: "")
-    } else {
-      val bigCounts = new java.util.HashMap[UTF8String, Array[Int]]()
-      i = 0
-      while (i < n - 1) {
-        val bg = UTF8String.concat(arr.getUTF8String(i), SPACE, arr.getUTF8String(i + 1))
-        var c = bigCounts.get(bg)
-        if (c == null) { c = new Array[Int](1); bigCounts.put(bg, c) }
-        c(0) += 1
-        if (c(0) > maxBig) maxBig = c(0)
-        i += 1
-      }
     }
     InternalRow(tokCounts.size.toLong, maxTok.toLong, maxBig.toLong)
   }

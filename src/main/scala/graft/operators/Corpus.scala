@@ -44,6 +44,14 @@ object Corpus {
     * of each stratum (numeric key). Rank-based (not hash-based) so it is
     * reproducible across engines.
     *
+    * REQUIRES `keyCol` unique and non-null within each stratum (true of
+    * any id column): the keep-set semi-joins on key VALUES, so a
+    * duplicated key would return every row carrying it (more than
+    * `perStratum` rows) and a null key is never kept. When keys can
+    * repeat or be null, use [[stratifiedSampleWindow]] (exactly
+    * `perStratum` rows, nulls sorting first) or add a tie-breaking
+    * row-id column first.
+    *
     * Scale shape: the keep-set comes from the bounded `min_k_ids`
     * partial aggregate — every map task reduces its slice to <= k keys
     * per stratum BEFORE the shuffle (a window row_number would

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Interval (range) join: points matched to arbitrary `[lo, hi)` bands.
   *
@@ -30,16 +31,31 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val pb = points.withColumn("__bucket",
-      F.floor(F.col(pointCol) / bucketWidth).cast("long"))
+      bucketOf(F.col(pointCol), points.schema(pointCol).dataType, bucketWidth))
     // inclusive bucket span [floor(lo/W), floor(hi/W)]: the last bucket
     // may be empty when hi lands on a boundary — the exact filter below
     // discards any false candidates it contributes
     val rb = ranges.withColumn("__bucket",
       F.explode(F.sequence(
-        F.floor(F.col(loCol) / bucketWidth).cast("long"),
-        F.floor(F.col(hiCol) / bucketWidth).cast("long"))))
+        bucketOf(F.col(loCol), ranges.schema(loCol).dataType, bucketWidth),
+        bucketOf(F.col(hiCol), ranges.schema(hiCol).dataType, bucketWidth))))
     pb.join(rb, Seq("__bucket"))
       .filter(F.col(pointCol) >= F.col(loCol) && F.col(pointCol) < F.col(hiCol))
       .drop("__bucket")
+  }
+
+  /** Bucket id = floor(value / width), computed EXACTLY for integral
+    * columns: Spark's `/` is double division, which loses ulp precision
+    * above 2^53 and can misplace a value by one bucket — a MISSED match
+    * the exact post-filter cannot recover (it only removes false
+    * positives). `x - pmod(x, w)` is the largest multiple of w <= x
+    * (pmod is non-negative), and integral `div` on an exact multiple is
+    * the floor quotient, all in 64-bit integer arithmetic.
+    */
+  private def bucketOf(c: Column, dt: DataType, w: Long): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      val x = c.cast("long")
+      F.call_function("div", x - F.pmod(x, F.lit(w)), F.lit(w))
+    case _ => F.floor(c / w).cast("long")
   }
 }

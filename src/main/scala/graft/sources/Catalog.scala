@@ -49,6 +49,18 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path(table))
     }
 
+  /** True when the stored layout has hive partition directories for
+    * `col` (`col=value/`). An empty or flat (unpartitioned) table
+    * returns false — callers use this to detect a legacy flat layout
+    * before a dynamic-partition overwrite would mix the two.
+    */
+  def hasPartitionDirs(table: String, col: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$col="))
+  }
+
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
   /** Read with the declared schema — required for partitioned tables that
@@ -91,6 +103,74 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       .partitionBy(partitionCols: _*)
       .parquet(path(table))
     spark.catalog.refreshByPath(path(table))
+  }
+
+  /** Small-file compaction for a hive-partitioned table. Repeated
+    * incremental appends / dynamic-partition overwrites accrete one file
+    * per task per batch; over months a hot date partition holds
+    * thousands of tiny files and every scan pays their open/seek cost.
+    *
+    * Rewrites ONLY partitions whose data-file count exceeds
+    * `maxFilesPerPartition`, each to ceil(bytes / targetFileBytes)
+    * files. The rewrite is stage-and-swap: compacted partitions are
+    * written to a sibling staging directory (a normal distributed
+    * parquet job — no driver materialization, no read-overwrite cycle
+    * on the table path), then swapped in with per-partition renames —
+    * the unit of visibility is one partition, same as dynamic partition
+    * overwrite. Untouched partitions are never read or rewritten, so
+    * compaction cost tracks the accreted partitions, not table size.
+    *
+    * @return the partition values that were compacted
+    */
+  def compactPartitioned(
+      table: String,
+      partitionCol: String,
+      schema: StructType,
+      maxFilesPerPartition: Int = 8,
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    import org.apache.spark.sql.{functions => F}
+    val root = new org.apache.hadoop.fs.Path(path(table))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val parts = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
+    val toCompact = parts.flatMap { st =>
+      val files = fs.listStatus(st.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      if (files.length > maxFilesPerPartition) {
+        val value = st.getPath.getName.substring(partitionCol.length + 1)
+        val n = math.max(1L, (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes)
+        Some((value, n.toInt))
+      } else None
+    }.toSeq
+    if (toCompact.isEmpty) return Nil
+    // one distributed job rewrites every accreted partition: filter
+    // prunes the scan to those partitions; the (partition, slot) shuffle
+    // key bounds output files per partition at its computed target
+    val values = toCompact.map(_._1)
+    val fileTarget = toCompact.foldLeft(F.lit(1)) { case (acc, (v, n)) =>
+      F.when(F.col(partitionCol).cast("string") === v, F.lit(n)).otherwise(acc)
+    }
+    val staging = new org.apache.hadoop.fs.Path(path(table) + "__compacting")
+    fs.delete(staging, true)
+    readWithSchema(table, schema)
+      .filter(F.col(partitionCol).cast("string").isin(values: _*))
+      .withColumn("__slot",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), fileTarget.cast("long")))
+      .repartition(F.col(partitionCol), F.col("__slot"))
+      .drop("__slot")
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(staging.toString)
+    toCompact.foreach { case (value, _) =>
+      val dir = s"$partitionCol=$value"
+      val src = new org.apache.hadoop.fs.Path(staging, dir)
+      val dst = new org.apache.hadoop.fs.Path(root, dir)
+      fs.delete(dst, true)
+      fs.rename(src, dst)
+    }
+    fs.delete(staging, true)
+    spark.catalog.refreshByPath(path(table))
+    values
   }
 
   /** TRUNCATE TABLE: overwrite with an empty frame of the same schema

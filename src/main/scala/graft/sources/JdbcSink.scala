@@ -30,7 +30,7 @@ object JdbcSink {
       numPartitions: Int = 8,
       batchSize: Int = 10000,
       extraOptions: Map[String, String] = Map("stringtype" -> "unspecified")): Unit = {
-    var w = df.coalesce(numPartitions).write
+    var w = sizedForWrite(df, numPartitions).write
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)
@@ -41,4 +41,15 @@ object JdbcSink {
     extraOptions.foreach { case (k, v) => w = w.option(k, v) }
     w.mode(mode).save()
   }
+
+  /** Cap a frame at `n` write partitions WITHOUT collapsing upstream
+    * parallelism: `coalesce(n)` propagates up through narrow stages, so
+    * the entire compute stage feeding the sink would run at n tasks —
+    * at cluster scale that serializes the whole job onto n cores, not
+    * just the writes. `repartition(n)` costs one extra shuffle but
+    * leaves the upstream plan at full width; a no-op when the frame is
+    * already at or under the cap.
+    */
+  private[graft] def sizedForWrite(df: DataFrame, n: Int): DataFrame =
+    if (df.rdd.getNumPartitions <= n) df else df.repartition(n)
 }

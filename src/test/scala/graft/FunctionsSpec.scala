@@ -86,6 +86,24 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(2).getDouble(1) === -45.25)
   }
 
+  test("repetition_stats skips null elements like gram_stats") {
+    val r = spark.sql(
+      """SELECT repetition_stats(array('a', NULL, 'a', 'b')) AS r,
+        |  gram_stats(array('a', NULL, 'a', 'b')) AS g,
+        |  repetition_stats(array('x', CAST(NULL AS STRING))) AS s,
+        |  repetition_stats(array(CAST(NULL AS STRING))) AS e""".stripMargin).head()
+    // nulls filtered first: tokens [a,a,b], bigrams over the remaining
+    // sequence ("a a", "a b")
+    assert(r.getStruct(0).getLong(0) === 2L) // n_distinct_tok {a,b}
+    assert(r.getStruct(0).getLong(1) === 2L) // 'a' twice
+    assert(r.getStruct(0).getLong(2) === 1L) // no repeated bigram
+    assert(r.getStruct(1).getLong(0) === 2L) // gram_stats agrees on distincts
+    // fewer than 2 non-null tokens: whole-text-shingle convention
+    assert(r.getStruct(2).getLong(2) === 1L)
+    assert(r.getStruct(3).getLong(0) === 0L)
+    assert(r.getStruct(3).getLong(2) === 1L)
+  }
+
   test("tokenCount: empty and whitespace-heavy strings") {
     val df = Seq("", "   ", "one", "  two  words ", "a\tb\nc").toDF("t")
       .select(TextFunctions.tokenCount($"t").as("n"))

@@ -46,4 +46,19 @@ class JdbcSinkSpec extends SparkSpec {
       driver = derbyDriver, numPartitions = 2, extraOptions = Map.empty)
     assert(readBack(url, "stg_trip_data").count() === 4)
   }
+
+  test("sizedForWrite caps wide frames with a shuffle, never coalesce") {
+    import org.apache.spark.sql.catalyst.plans.logical.Repartition
+    val wide = spark.range(1000).repartition(32).toDF("id")
+    val sized = JdbcSink.sizedForWrite(wide, 8)
+    assert(sized.rdd.getNumPartitions === 8)
+    // a shuffling Repartition (not coalesce) caps ONLY the write side;
+    // coalesce(8) would propagate up and run the whole upstream stage
+    // at 8 tasks
+    val reps = sized.queryExecution.logical.collect { case r: Repartition => r }
+    assert(reps.nonEmpty && reps.forall(_.shuffle), sized.queryExecution.logical.toString)
+    // already at or under the cap: pass through untouched
+    val narrow = spark.range(10).repartition(4).toDF("id")
+    assert(JdbcSink.sizedForWrite(narrow, 8).rdd.getNumPartitions === 4)
+  }
 }

@@ -325,6 +325,26 @@ class OperatorsSpec extends SparkSpec {
     assert(!want.exists(_._1 == 7L)) // uncovered point drops out
   }
 
+  test("bucketed range join is exact above 2^53 and for negatives") {
+    import graft.operators.RangeJoin
+    // double division loses ulp precision above 2^53: these values round
+    // to different longs under `floor(v / w)` in double arithmetic, so
+    // only exact integer floor-division buckets them consistently
+    val big = 1L << 62
+    val points = Seq((1L, big + 2L), (2L, big - 1L), (3L, big + 599L),
+      (4L, -5L), (5L, -10L), (6L, 0L)).toDF("pid", "v")
+    val ranges = Seq((10L, big - 600L, big + 600L), (11L, big + 2L, big + 5L),
+      (12L, -10L, 0L)).toDF("rid", "lo", "hi")
+    val got = RangeJoin.bucketed(points, "v", ranges, "lo", "hi", bucketWidth = 3)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.crossJoin(ranges)
+      .filter($"v" >= $"lo" && $"v" < $"hi")
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want((1L, 10L)) && want((1L, 11L)) && want((4L, 12L)) && want((5L, 12L)))
+    assert(!want.exists(_._1 == 6L))
+  }
+
   test("repetition stats count most-repeated token and bigram") {
     import graft.operators.Corpus
     val d = Seq(

@@ -58,6 +58,61 @@ class TripPipelineSpec extends SparkSpec {
     assert(incremental.nonEmpty)
   }
 
+  test("incremental refresh migrates a legacy flat view layout") {
+    val dir = Files.createTempDirectory("graft-trips-flat").toString
+    val csv = s"$dir/trips.csv"
+    Files.writeString(java.nio.file.Paths.get(csv), TripPipelineDemo.syntheticCsv(40))
+    val pipe = new Pipeline(spark, s"$dir/warehouse")
+    pipe.runBatch(csv)
+    // simulate a warehouse written by a pre-partitioning version: the
+    // same rows, flat parquet at the table root
+    val legacy = pipe.summarized.select("region", "weekly_avg", "week_of_month")
+      .localCheckpoint() // materialize before overwriting the path it reads
+    pipe.catalog.overwrite(pipe.ViewTable, legacy)
+    val viewDir = new java.io.File(pipe.catalog.path(pipe.ViewTable))
+    assert(viewDir.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    // an incremental refresh on the flat layout must fall back to a full
+    // partitioned rewrite, not mix dynamic-partition dirs into it
+    pipe.runBatch(csv)
+    val entries = viewDir.listFiles()
+    assert(entries.exists(_.getName.startsWith("week_of_month=")))
+    assert(!entries.exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      entries.map(_.getName).mkString(","))
+    assert(pipe.summarized.count() > 0)
+  }
+
+  test("compaction bounds per-partition files and preserves content") {
+    import org.apache.spark.sql.{functions => F}
+    val dir = Files.createTempDirectory("graft-trips-compact").toString
+    val csv = s"$dir/trips.csv"
+    Files.writeString(java.nio.file.Paths.get(csv), TripPipelineDemo.syntheticCsv(80))
+    val pipe = new Pipeline(spark, s"$dir/warehouse")
+    pipe.runBatch(csv)
+    // accrete small files: three more appends into the same date
+    // partitions with fresh keys (each spread over 4 tasks)
+    (1 to 3).foreach { i =>
+      val extra = pipe.hist
+        .withColumn("trip_key", F.concat(F.col("trip_key"), F.lit(s"#$i")))
+        .repartition(4)
+      pipe.catalog.appendPartitioned(pipe.HistTable, extra, Seq("trip_date"))
+    }
+    val histDir = new java.io.File(pipe.catalog.path(pipe.HistTable))
+    def filesPerPartition: Map[String, Int] = histDir.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("trip_date="))
+      .map(d => d.getName -> d.listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))).toMap
+    val before = pipe.hist.collect().map(_.toSeq).toSet
+    assert(filesPerPartition.values.max > 2, filesPerPartition.toString)
+    val compacted = pipe.compactHist(maxFilesPerPartition = 2)
+    assert(compacted.nonEmpty)
+    // every accreted partition collapsed to its byte-target file count
+    // (tiny fixture -> 1), and nothing else changed
+    val after = filesPerPartition
+    assert(after.values.max <= 2, after.toString)
+    assert(pipe.hist.collect().map(_.toSeq).toSet === before)
+    assert(Upsert.holdsUniqueness(pipe.hist.filter(!F.col("trip_key").contains("#")), "trip_key"))
+  }
+
   test("summarized view has YYYY-MM-0W buckets and positive averages") {
     val (pipe, _) = env
     val rows = pipe.summarized.collect()
