@@ -53,6 +53,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.MinKIds(
         exprs.head, GraftFunctions.intLitOf(exprs(1)))))
     e.injectFunction((
+      FunctionIdentifier("char_shingles"),
+      info("char_shingles", "char_shingles(text, n) - sorted distinct character n-gram substrings"),
+      (exprs: Seq[Expression]) => graft.functions.CharShingles(
+        exprs.head, GraftFunctions.intLitOf(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("md5_minhash_sig"),
+      info("md5_minhash_sig", "md5_minhash_sig(text, n, k) - engine-reproducible md5/affine MinHash signature"),
+      (exprs: Seq[Expression]) => graft.functions.Md5MinhashSig(
+        exprs.head, GraftFunctions.intLitOf(exprs(1)), GraftFunctions.intLitOf(exprs(2)))))
+    e.injectFunction((
+      FunctionIdentifier("md5_simhash"),
+      info("md5_simhash", "md5_simhash(tokens) - struct(sim_hi, sim_lo) md5-based SimHash halves"),
+      (exprs: Seq[Expression]) => graft.functions.Md5Simhash(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("gram_stats"),
       info("gram_stats", "gram_stats(arr) - struct(n_distinct, max_freq) of a string array"),
       (exprs: Seq[Expression]) => graft.functions.GramStats(exprs.head)))

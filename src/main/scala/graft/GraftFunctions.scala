@@ -41,6 +41,20 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "char_shingles",
+      exprs => graft.functions.CharShingles(
+        exprs.head, intLit(exprs(1), "char_shingles")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "md5_minhash_sig",
+      exprs => graft.functions.Md5MinhashSig(
+        exprs.head, intLit(exprs(1), "md5_minhash_sig"),
+        intLit(exprs(2), "md5_minhash_sig")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "md5_simhash",
+      exprs => graft.functions.Md5Simhash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "gram_stats", exprs => graft.functions.GramStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "repetition_stats",

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -117,6 +118,153 @@ object HashingUtil {
     sig
   }
 
+  // ---- md5-derived, engine-reproducible hashing ----------------------
+  //
+  // The production sketches above use xxhash/splitmix mixing — fast, but
+  // private to this engine, so no independent oracle can replay them.
+  // The md5 family below trades ~5x hash cost for exact cross-engine
+  // reproducibility: every value is derived from the md5 of a string,
+  // which any engine computes identically (DuckDB:
+  // CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)). Seeded hash
+  // families come from one md5 base per shingle plus affine mixing
+  // (a_j*h + b_j) mod p over the Mersenne prime p = 2^31-1 — classic
+  // universal hashing (Carter & Wegman 1979), and every intermediate
+  // fits a 64-bit signed integer so SQL engines reproduce it exactly.
+
+  val P31 = 2147483647L // 2^31 - 1
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 32 bits of md5(utf8(s)) as an unsigned value in [0, 2^32). */
+  def md5Int(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
+  /** Affine-mix constants for seed j: a in [1, p-1], b in [0, p-1], both
+    * md5-derived so the oracle regenerates them from the same strings.
+    */
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]()
+
+  private def affineSeeds(k: Int): (Array[Long], Array[Long]) =
+    seedCache.computeIfAbsent(k, _ => {
+      val a = new Array[Long](k)
+      val b = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        a(j) = md5Int("a:" + j) % (P31 - 1) + 1
+        b(j) = md5Int("b:" + j) % P31
+        j += 1
+      }
+      (a, b)
+    })
+
+  /** Distinct character n-gram substrings of `s` (whole string when
+    * shorter than n), sorted — the exact-set counterpart of
+    * [[rollingShingleHashes]] for oracle-verifiable Jaccard.
+    */
+  def distinctCharShingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val set = new java.util.TreeSet[String]()
+    if (len < n) set.add(str)
+    else {
+      var i = 0
+      while (i <= len - n) { set.add(str.substring(i, i + n)); i += 1 }
+    }
+    val out = new Array[AnyRef](set.size)
+    var w = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(w) = UTF8String.fromString(it.next()); w += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** md5-based k-seed MinHash signature over the distinct character
+    * n-gram shingles of `s`: sig(j) = min over shingles of
+    * (a_j * (md5_32(shingle) mod p) + b_j) mod p. One md5 per distinct
+    * shingle; k affine mixes per shingle — the same one-string-hash +
+    * cheap-remix shape as the fast path, but bit-reproducible in SQL.
+    */
+  def md5MinhashSig(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val set = new java.util.HashSet[String]()
+    if (len < n) set.add(str)
+    else {
+      var i = 0
+      while (i <= len - n) { set.add(str.substring(i, i + n)); i += 1 }
+    }
+    val bases = new Array[Long](set.size)
+    var w = 0
+    val it = set.iterator()
+    while (it.hasNext) { bases(w) = md5Int(it.next()) % P31; w += 1 }
+    val (as, bs) = affineSeeds(k)
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = as(j); val b = bs(j)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < bases.length) {
+        val v = (a * bases(i) + b) % P31
+        if (v < best) best = v
+        i += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5-based 64-bit SimHash of a token array, returned as two unsigned
+    * 32-bit halves (hi = md5 hex chars 1-8 of each token, lo = chars
+    * 9-16): per bit, sum +1/-1 across token OCCURRENCES; positive sum
+    * sets the bit. Split halves keep every value in [0, 2^32) so SQL
+    * engines reproduce them without signed-overflow edge cases.
+    *
+    * @return InternalRow(sim_hi: Long, sim_lo: Long)
+    */
+  def md5Simhash(arr: ArrayData): InternalRow = {
+    val counts = new Array[Int](64)
+    val d = md5Local.get()
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        d.reset()
+        val bytes = d.digest(
+          arr.getUTF8String(i).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hi = ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+          ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+        val lo = ((bytes(4) & 0xffL) << 24) | ((bytes(5) & 0xffL) << 16) |
+          ((bytes(6) & 0xffL) << 8) | (bytes(7) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((hi >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          if (((lo >>> b) & 1L) == 1L) counts(32 + b) += 1 else counts(32 + b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var hiSig = 0L
+    var loSig = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) hiSig |= (1L << b)
+      if (counts(32 + b) > 0) loSig |= (1L << b)
+      b += 1
+    }
+    InternalRow(hiSig, loSig)
+  }
+
   /** xxhash-free 64-bit string hash (FNV-1a over UTF-16 units, mixed) for
     * token-level sketches.
     */
@@ -219,6 +367,87 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `char_shingles(text, n)`: sorted distinct character n-gram substrings
+  * (whole string when shorter than n) — compiled counterpart of the
+  * HOF-based [[TextFunctions.charShingles]], for exact Jaccard verify.
+  */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_shingles requires STRING, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashingUtil.distinctCharShingles(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingUtil.distinctCharShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+/** `md5_minhash_sig(text, n, k)`: engine-reproducible MinHash signature
+  * (md5 base hashes + affine mixing mod 2^31-1) over distinct character
+  * n-gram shingles — see [[HashingUtil.md5MinhashSig]].
+  */
+case class Md5MinhashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_minhash_sig requires STRING, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashingUtil.md5MinhashSig(s.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingUtil.md5MinhashSig($c, $n, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinhashSig =
+    copy(child = newChild)
+}
+
+/** `md5_simhash(tokens)`: struct(sim_hi, sim_lo) — engine-reproducible
+  * 64-bit SimHash as two unsigned 32-bit halves, see
+  * [[HashingUtil.md5Simhash]].
+  */
+case class Md5Simhash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sim_hi", LongType, nullable = false),
+    StructField("sim_lo", LongType, nullable = false)))
+  override def prettyName: String = "md5_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_simhash requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    HashingUtil.md5Simhash(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingUtil.md5Simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Simhash =
+    copy(child = newChild)
+}
+
 object Hashing {
   /** Column API (no registry needed — fixed literal params are baked into
     * the expression at plan time, so these go through call_function-free
@@ -230,4 +459,10 @@ object Hashing {
     F.call_function("minhash_sig", hashes, F.lit(k))
   def simhash64(tokens: Column): Column =
     F.call_function("simhash64", tokens)
+  def charShingles(text: Column, n: Int): Column =
+    F.call_function("char_shingles", text, F.lit(n))
+  def md5MinhashSig(text: Column, n: Int, k: Int): Column =
+    F.call_function("md5_minhash_sig", text, F.lit(n), F.lit(k))
+  def md5Simhash(tokens: Column): Column =
+    F.call_function("md5_simhash", tokens)
 }

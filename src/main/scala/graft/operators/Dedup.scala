@@ -133,6 +133,93 @@ object Dedup {
         F.transform(F.slice(ids, i + F.lit(2), F.size(ids)),
           y => F.struct(x.as("a"), y.as("b")))))
 
+  /** Engine-reproducible MinHash-LSH candidates: the same pipeline shape
+    * as [[minhashCandidates]] (shingle -> k-seed signature -> banded
+    * buckets -> capped self-pairing), but every hash is md5-derived
+    * ([[graft.functions.HashingUtil.md5MinhashSig]]) and the band bucket
+    * key is the literal comma-joined signature slice — so an independent
+    * SQL engine (the DuckDB oracle) replays the ENTIRE pipeline and
+    * reproduces the exact pair set. Production sketching stays on the
+    * xxhash kernels (faster hash, 8-byte bucket keys); this variant is
+    * the graded/cross-verification path, and its only scale concession
+    * is the wider (~16x8-char string) bucket shuffle key.
+    */
+  def minhashCandidatesMd5(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleLen: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      maxBucketSize: Int = 200): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val rowsPerBand = numHashes / bands
+    val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
+    val sig = graft.functions.Hashing.md5MinhashSig(norm, shingleLen, numHashes)
+    val withBuckets = docs
+      .select(F.col(idCol).as("id"), sig.as("sig"))
+      .select(F.col("id"),
+        F.explode(F.array((0 until bands).map(b =>
+          F.struct(F.lit(b).as("band"),
+            F.concat_ws(",",
+              F.slice(F.col("sig"), b * rowsPerBand + 1, rowsPerBand)
+                .cast("array<string>")).as("bstr"))): _*))
+          .as("bucket"))
+      .select(F.col("id"), F.col("bucket.band"), F.col("bucket.bstr"))
+    val grouped = withBuckets
+      .groupBy("band", "bstr")
+      .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("ids"))
+      .filter(F.size(F.col("ids")) > 1)
+    grouped
+      .select(F.explode(pairsOf(F.col("ids"))).as("p"))
+      .select(F.col("p.a").as("a"), F.col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Engine-reproducible near-dup pipeline: md5-LSH candidates verified
+    * by EXACT Jaccard on distinct character-shingle STRINGS (compiled
+    * [[graft.functions.CharShingles]] kernel; the threshold is an
+    * integer cross-multiplication) — every stage replayable by the SQL
+    * oracle, unlike [[nearDuplicates]] whose rolling-hash sets are
+    * engine-private.
+    */
+  def nearDuplicatesMd5(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleLen: Int = 5,
+      minJaccardNum: Int = 1,
+      minJaccardDen: Int = 2,
+      numHashes: Int = 64,
+      bands: Int = 4): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val cands = minhashCandidatesMd5(docs, textCol, idCol, shingleLen, numHashes, bands)
+    val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
+    val sets = docs.select(F.col(idCol).as("id"),
+      graft.functions.Hashing.charShingles(norm, shingleLen).as("sh"))
+    cands
+      .join(sets.toDF("a", "sha"), Seq("a"))
+      .join(sets.toDF("b", "shb"), Seq("b"))
+      .withColumn("inter", F.size(F.array_intersect(F.col("sha"), F.col("shb"))))
+      .withColumn("uni",
+        F.size(F.col("sha")) + F.size(F.col("shb")) - F.col("inter"))
+      // jaccard >= num/den  <=>  inter*den >= uni*num, exact in integers
+      .filter(F.col("inter") * minJaccardDen >= F.col("uni") * minJaccardNum)
+      .select(F.col("a"), F.col("b"), F.col("inter"), F.col("uni"))
+  }
+
+  /** Engine-reproducible SimHash (md5 per-token hashes, two unsigned
+    * 32-bit signature halves) — the graded counterpart of [[simhash]].
+    */
+  def simhashMd5(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    docs.select(F.col(idCol),
+        graft.functions.Hashing.md5Simhash(toks).as("s"))
+      .select(F.col(idCol),
+        F.col("s.sim_hi").as("sim_hi"), F.col("s.sim_lo").as("sim_lo"))
+  }
+
   /** The full near-dup pipeline: MinHash-LSH candidate generation
     * followed by EXACT verification of each candidate pair's shingle-set
     * Jaccard (on the rolling-hash shingle sets — identical to string-set

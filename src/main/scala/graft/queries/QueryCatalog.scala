@@ -1000,24 +1000,103 @@ object QueryCatalog {
       |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  // ------- approximate operators: rows-only checks (no ANSI oracle) -----
+  // ------- sketch families, md5-reproducible graded variants ------------
+  //
+  // The xxhash production sketches (Dedup.minhashCandidates/simhash)
+  // have no SQL twin by construction; these graded queries run the SAME
+  // pipeline shapes through the md5-derived hash family
+  // (HashingUtil.md5MinhashSig/md5Simhash — affine mixing over the
+  // Mersenne prime 2^31-1), which DuckDB replays bit-for-bit: every
+  // candidate pair, verified pair, and signature half hash-matches.
 
-  /** Full near-dup pipeline: LSH candidates + exact shingle-Jaccard
-    * verification (engine-specific hashes -> no oracle).
+  /** Shared oracle CTE prefix: distinct char-5-gram shingles -> md5 base
+    * hashes -> 64-seed affine MinHash -> 4 bands of 16 -> capped
+    * bucket self-pairing. Mirrors Dedup.minhashCandidatesMd5 stage for
+    * stage (same band strings, same 200-id bucket cap, min ids first).
+    */
+  private val minhashMd5CandidateCte =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 5 THEN [t]
+      |    ELSE list_transform(generate_series(1, len(t) - 4), i -> substr(t, i, 5))
+      |  END) AS shingles FROM docs),
+      |bh AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS h
+      |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |seeds AS (SELECT j,
+      |    CAST(concat('0x', substr(md5('a:' || j), 1, 8)) AS BIGINT) % 2147483646 + 1 AS a,
+      |    CAST(concat('0x', substr(md5('b:' || j), 1, 8)) AS BIGINT) % 2147483647 AS b
+      |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+      |mh AS (SELECT bh.doc_id, seeds.j, MIN((seeds.a * bh.h + seeds.b) % 2147483647) AS v
+      |       FROM bh CROSS JOIN seeds GROUP BY bh.doc_id, seeds.j),
+      |bandkeys AS (SELECT doc_id, j // 16 AS band,
+      |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS bstr
+      |  FROM mh GROUP BY doc_id, j // 16),
+      |capped AS (SELECT band, bstr, doc_id FROM (
+      |    SELECT band, bstr, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY band, bstr ORDER BY doc_id) AS rn,
+      |      COUNT(*) OVER (PARTITION BY band, bstr) AS cnt
+      |    FROM bandkeys) WHERE rn <= 200 AND cnt > 1),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |         FROM capped x
+      |         JOIN capped y ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Full near-dup pipeline, md5-reproducible: LSH candidates + exact
+    * char-shingle Jaccard >= 1/2 by integer cross-multiplication.
     */
   private def qNearDupVerified(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDuplicates(t(s, dir, "documents"), minJaccard = 0.5)
-      .select("a", "b")
+    Dedup.nearDuplicatesMd5(t(s, dir, "documents"),
+        minJaccardNum = 1, minJaccardDen = 2)
+      .select(F.col("a"), F.col("b"),
+        F.col("inter").cast(LongType).as("inter"),
+        F.col("uni").cast(LongType).as("uni"))
       .orderBy("a", "b")
 
-  /** MinHash-LSH candidate pairs (engine-specific hashes -> no oracle). */
+  private val qNearDupVerifiedSql =
+    s"""$minhashMd5CandidateCte,
+       |jac AS (SELECT c.a, c.b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+       |    len(sa.shingles) + len(sb.shingles)
+       |      - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b)
+       |SELECT a, b, inter, uni FROM jac WHERE inter * 2 >= uni * 1
+       |ORDER BY a, b""".stripMargin
+
+  /** MinHash-LSH candidate pairs, md5-reproducible. */
   private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(t(s, dir, "documents"))
+    Dedup.minhashCandidatesMd5(t(s, dir, "documents"))
       .orderBy("a", "b")
 
-  /** SimHash signatures (engine-specific hashes -> no oracle). */
+  private val qMinhashPairsSql =
+    s"""$minhashMd5CandidateCte
+       |SELECT a, b FROM cand ORDER BY a, b""".stripMargin
+
+  /** SimHash signatures, md5-reproducible (two unsigned 32-bit halves). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")
+    Dedup.simhashMd5(t(s, dir, "documents")).orderBy("doc_id")
+
+  private val qSimhashSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk FROM documents),
+      |h AS (SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+      |    CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+      |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)),
+      |bits AS (SELECT doc_id, i,
+      |    SUM(CASE WHEN ((hi >> i) & 1) = 1 THEN 1 ELSE -1 END) AS whi,
+      |    SUM(CASE WHEN ((lo >> i) & 1) = 1 THEN 1 ELSE -1 END) AS wlo
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+      |  GROUP BY doc_id, i),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN whi > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS sim_hi,
+      |    CAST(SUM(CASE WHEN wlo > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS sim_lo
+      |  FROM bits GROUP BY doc_id)
+      |SELECT d.doc_id AS doc_id, COALESCE(s.sim_hi, 0) AS sim_hi, COALESCE(s.sim_lo, 0) AS sim_lo
+      |FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // ===========================================================
 
@@ -1057,9 +1136,9 @@ object QueryCatalog {
     Q("q_doc_sample_hash", wrap(qDocSampleHash), Some(qDocSampleHashSql)),
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
-    Q("q_minhash_pairs", wrap(qMinhashPairs), None),
-    Q("q_neardup_verified", wrap(qNearDupVerified), None),
-    Q("q_simhash", wrap(qSimhash), None),
+    Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),
+    Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),
+    Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),
     Q("q_embed_neardup", wrap(qEmbedNearDup), Some(qEmbedNearDupSql)),
     Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)))

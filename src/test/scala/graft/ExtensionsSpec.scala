@@ -43,6 +43,13 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT min_k_ids(id, 2) AS ks FROM VALUES (5L), (1L), (9L), (3L) AS t(id)
           |""".stripMargin).head()
       assert(mk.getSeq[Long](0) === Seq(1L, 3L))
+      val md = s.sql(
+        """SELECT char_shingles('abcd', 3) AS cs,
+          |  size(md5_minhash_sig('hello world', 5, 8)) AS ml,
+          |  md5_simhash(array('a','b')).sim_hi AS sh""".stripMargin).head()
+      assert(md.getSeq[String](0) === Seq("abc", "bcd"))
+      assert(md.getInt(1) === 8)
+      assert(md.getLong(2) >= 0L && md.getLong(2) < (1L << 32))
     } finally {
       // do not stop: other suites share the JVM-wide default session
     }

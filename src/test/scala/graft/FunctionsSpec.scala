@@ -86,6 +86,65 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(2).getDouble(1) === -45.25)
   }
 
+  test("md5 hash family matches the md5 builtin's hex prefix") {
+    import graft.functions.HashingUtil
+    // md5Int must equal parsing the first 8 hex chars of the standard
+    // md5 — the contract the DuckDB oracle relies on
+    Seq("", "abc", "hello world", "a:0", "b:63").foreach { s =>
+      val viaSql = spark.sql(s"SELECT conv(substr(md5('$s'), 1, 8), 16, 10)")
+        .head().getString(0).toLong
+      assert(HashingUtil.md5Int(s) === viaSql, s"md5Int($s)")
+    }
+  }
+
+  test("md5 minhash signature is deterministic, bounded, and set-based") {
+    import graft.functions.HashingUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val p = HashingUtil.P31
+    def sig(s: String) = {
+      val a = HashingUtil.md5MinhashSig(UTF8String.fromString(s), 5, 16)
+      (0 until 16).map(a.getLong)
+    }
+    val s1 = sig("the quick brown fox jumps over the lazy dog")
+    assert(s1 === sig("the quick brown fox jumps over the lazy dog"))
+    assert(s1.forall(v => v >= 0 && v < p))
+    // duplicated shingles don't change a set sketch: every 5-char window
+    // of "aaa...a" is the same shingle regardless of length
+    assert(sig("aaaaa") === sig("a" * 12))
+    // short strings hash as one whole-string shingle
+    assert(sig("ab") !== sig("ba"))
+  }
+
+  test("md5 simhash: halves are unsigned 32-bit; similar docs are close") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Dedup.simhashMd5(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.values.foreach { case (hi, lo) =>
+      assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
+    }
+    assert(got(4L) === ((0L, 0L))) // no tokens: all-zero signature
+    def dist(x: (Long, Long), y: (Long, Long)) =
+      java.lang.Long.bitCount(x._1 ^ y._1) + java.lang.Long.bitCount(x._2 ^ y._2)
+    // 7-of-8 shared tokens beat a disjoint document by Hamming distance
+    assert(dist(got(1L), got(2L)) < dist(got(1L), got(3L)))
+  }
+
+  test("char_shingles kernel agrees with the HOF formulation as a set") {
+    val df = Seq("the quick brown fox", "tiny", "", "aaaaaaa").toDF("t")
+    val rows = df.select(
+      graft.functions.Hashing.charShingles(
+        F.regexp_replace(F.lower(F.trim(F.col("t"))), "\\s+", " "), 5).as("k"),
+      TextFunctions.charShingles(F.col("t"), 5).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0).toSet === r.getSeq[String](1).toSet, r.toString)
+    }
+  }
+
   test("repetition_stats skips null elements like gram_stats") {
     val r = spark.sql(
       """SELECT repetition_stats(array('a', NULL, 'a', 'b')) AS r,

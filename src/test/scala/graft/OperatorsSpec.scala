@@ -325,6 +325,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!want.exists(_._1 == 7L)) // uncovered point drops out
   }
 
+  test("md5 near-dup pipeline finds planted dups and skips unrelated docs") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                      // exact dup
+      (3L, base.replace("lazy", "sleepy")),            // near dup
+      (4L, "completely different content about spark catalyst expressions"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidatesMd5(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands((1L, 2L)))
+    val verified = Dedup.nearDuplicatesMd5(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified((1L, 2L)))
+    assert(verified((1L, 3L)) && verified((2L, 3L))) // high char-5-gram overlap
+    assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("bucketed range join is exact above 2^53 and for negatives") {
     import graft.operators.RangeJoin
     // double division loses ulp precision above 2^53: these values round
