@@ -125,6 +125,90 @@ object Multimodal {
       }
   }
 
+  final case class ImageMeta(
+      media_id: Long, format: String, width: Int, height: Int, channels: Int)
+
+  /** REAL image metadata decode via `javax.imageio` — which ships with
+    * the JDK, so no external codec dependency. Header-only: width/height
+    * come from the reader's header fields without decoding pixel data,
+    * so cost is O(header bytes) per payload, not O(pixels) — the right
+    * shape for a 100 TB scan that only needs shapes for filtering.
+    * Partition-batched like [[decodeFeatures]]; a full pixel decoder
+    * (resize / feature-extract) slots into the same mapPartitions seam.
+    *
+    * Unrecognized or corrupt payloads yield (null, -1, -1, -1) rather
+    * than failing the task — at corpus scale some payloads are always
+    * broken, and a decode stage must record, not crash.
+    */
+  def decodeImageMeta(media: DataFrame): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          var fmt: String = null
+          var w = -1; var h = -1; var ch = -1
+          if (payload != null && payload.nonEmpty) {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (readers.hasNext) {
+                val r = readers.next()
+                try {
+                  r.setInput(iis, true, true)
+                  fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+                  w = r.getWidth(0)
+                  h = r.getHeight(0)
+                  val types = r.getImageTypes(0)
+                  if (types.hasNext) ch = types.next().getNumBands
+                } catch {
+                  case _: java.io.IOException => fmt = null; w = -1; h = -1; ch = -1
+                } finally r.dispose()
+              }
+            } finally iis.close()
+          }
+          ImageMeta(id, fmt, w, h, ch)
+        }
+      }
+  }
+
+  /** Deterministic PNG fixture images, one per input row: dimensions are
+    * derived from the id (width = 1 + id % 37, height = 1 + id % 23) so
+    * an arithmetic oracle predicts the decoded header exactly, while the
+    * payloads are REAL PNGs encoded by ImageIO in the executors —
+    * decoding them exercises the full codec path, not a fake.
+    */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        val baos = new java.io.ByteArrayOutputStream()
+        ids.map { id =>
+          val w = (1 + id % 37).toInt
+          val h = (1 + id % 23).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // id-seeded gradient: deterministic, compresses poorly enough
+              // to exercise real encode work
+              img.setRGB(x, y, (((id * 31 + x * 7 + y * 13) & 0xffffff)).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          baos.reset()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
   /** Synthesize a deterministic media table from any (id, text) table —
     * the test harness for the plumbing (payload = utf8 bytes).
     */

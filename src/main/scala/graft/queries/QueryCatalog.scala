@@ -512,6 +512,29 @@ object QueryCatalog {
     """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** REAL image decode through javax.imageio: PNG fixtures are encoded
+    * in the executors with id-derived dimensions, then header-decoded
+    * back — the oracle predicts the decoded width/height/format/channels
+    * arithmetically, so a hash match proves an actual codec round-trip
+    * (encode -> binary column -> header decode), not a byte count.
+    */
+  private def qImageMeta(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.syntheticImages(t(s, dir, "documents"), "doc_id")
+    Multimodal.decodeImageMeta(imgs)
+      .toDF()
+      .select(F.col("media_id"), F.col("format"),
+        F.col("width").cast(LongType).as("width"),
+        F.col("height").cast(LongType).as("height"),
+        F.col("channels").cast(LongType).as("channels"))
+      .orderBy("media_id")
+  }
+
+  private val qImageMetaSql =
+    """SELECT doc_id AS media_id, 'png' AS format,
+      |  1 + doc_id % 37 AS width, 1 + doc_id % 23 AS height,
+      |  CAST(3 AS BIGINT) AS channels
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Document chunking: overlapping token windows (50 tokens, stride 40),
     * map-side only (sequence+slice+posexplode).
     */
@@ -1136,6 +1159,7 @@ object QueryCatalog {
     Q("q_doc_sample_hash", wrap(qDocSampleHash), Some(qDocSampleHashSql)),
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
+    Q("q_image_meta", wrap(qImageMeta), Some(qImageMetaSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),
     Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),

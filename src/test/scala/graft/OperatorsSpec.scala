@@ -325,6 +325,26 @@ class OperatorsSpec extends SparkSpec {
     assert(!want.exists(_._1 == 7L)) // uncovered point drops out
   }
 
+  test("imageio decode extracts real PNG headers; corrupt payloads survive") {
+    import graft.operators.Multimodal
+    val ids = Seq(0L, 5L, 36L, 40L).toDF("doc_id")
+    val imgs = Multimodal.syntheticImages(ids, "doc_id")
+    val got = Multimodal.decodeImageMeta(imgs).collect()
+      .map(m => m.media_id -> m).toMap
+    got.foreach { case (id, m) =>
+      assert(m.format === "png")
+      assert(m.width === (1 + id % 37).toInt, s"width of $id")
+      assert(m.height === (1 + id % 23).toInt, s"height of $id")
+      assert(m.channels === 3)
+    }
+    // non-image payloads: recorded, not crashed
+    val junk = Seq((1L, "definitely not a png".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val bad = Multimodal.decodeImageMeta(junk).collect().map(m => m.media_id -> m).toMap
+    assert(bad.values.forall(m => m.format == null && m.width == -1 && m.channels == -1))
+  }
+
   test("md5 near-dup pipeline finds planted dups and skips unrelated docs") {
     import graft.operators.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again today"
