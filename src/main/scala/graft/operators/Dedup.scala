@@ -371,29 +371,41 @@ object Dedup {
   }
 
   /** Duplicate-cluster resolution: connected components over an
-    * undirected pair table `(a, b)` by min-label propagation. Every
-    * vertex starts labeled with itself; each round a vertex takes the
-    * minimum label among itself and its neighbors; fixpoint in at most
-    * `diameter` rounds. Near-dup clusters are LSH-verified pair sets
-    * with tiny diameters, so a handful of rounds suffices; for
-    * adversarial long-chain graphs the large-star/small-star rewrite
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC 2014) that halves path lengths per round is the swap-in.
+    * undirected pair table `(a, b)` by min-label propagation WITH
+    * pointer jumping. Every vertex starts labeled with itself; each
+    * round a vertex takes the minimum of (its label, its neighbors'
+    * labels, its label's label). The neighbor-min alone converges in
+    * `diameter` rounds; the label-of-label shortcut doubles the distance
+    * already-propagated labels cover each round — the pointer-doubling
+    * idea behind the large-star/small-star MapReduce algorithm (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014)
+    * — so even adversarial chain graphs converge in O(log diameter)
+    * rounds (a 64-vertex path takes ~7, not 63; see the planted-chain
+    * spec).
     *
     * Returns `(v, label)` where `label` = minimum id reachable — "small
     * id wins", so the label doubles as the canonical KEEP id of the
     * cluster (a chain A~B~C keeps exactly A, regardless of pair order —
     * the failure mode of naive pairwise dedup).
     *
-    * Scale shape: each round is one shuffle-join (edges x labels, both
-    * keyed on vertex) plus a min-aggregate; lazy `localCheckpoint` cuts
-    * the growing lineage so round N does not replay rounds 1..N-1,
-    * and materializes under the SAME action as the convergence probe —
-    * one Spark job per round. Labels only ever DECREASE, so convergence
-    * is detected by the total label sum going stable — one exact
-    * decimal aggregate per round, no join.
+    * Scale shape: each round is two shuffle-joins (edges x labels on
+    * vertex, labels x labels on label) plus a min-aggregate; lazy
+    * `localCheckpoint` cuts the growing lineage so round N does not
+    * replay rounds 1..N-1, and materializes under the SAME action as
+    * the convergence probe — one Spark job per round. Labels only ever
+    * DECREASE, so convergence is detected by the total label sum going
+    * stable — one exact decimal aggregate per round, no join.
+    *
+    * @param requireConvergence when true (default), throw instead of
+    *   returning silently-wrong partial labels if the fixpoint is not
+    *   reached within `maxIter` rounds — with pointer jumping that
+    *   would take a component of diameter ~2^maxIter, so a trip means
+    *   the input, not the algorithm, needs looking at.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      requireConvergence: Boolean = true): DataFrame = {
     // materialize the (possibly expensive) pair table ONCE before the
     // symmetrize-union references it twice — otherwise its plan runs
     // twice inside the first job
@@ -416,7 +428,12 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(F.col("dst").as("v"), F.col("label"))
-      val next = labels.select("v", "label").union(prop)
+      // pointer jump: v adopts label(label(v)) — label values are always
+      // vertices, so the self-join total-covers
+      val jump = labels
+        .join(labels.toDF("v2", "label2"), F.col("label") === F.col("v2"))
+        .select(F.col("v"), F.col("label2").as("label"))
+      val next = labels.select("v", "label").union(prop).union(jump)
         .groupBy("v").agg(F.min("label").as("label"))
         .localCheckpoint(eager = false)
       val s = labelSum(next)
@@ -425,6 +442,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (requireConvergence && !converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "with pointer jumping that needs diameter ~2^maxIter; check the pair input")
     labels
   }
 

@@ -697,6 +697,35 @@ object QueryCatalog {
     """SELECT user_id, COUNT(*) AS n FROM events
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Skew-mitigated join: a third of all events are remapped onto ONE
+    * hot user (the planted skew), then salted-joined against the
+    * customer dimension — the left side fans each key across 8 salt
+    * replicas of the dim, so no single reducer owns the hot key. The
+    * oracle is the PLAIN inner join: salting must be semantically
+    * invisible, row for row.
+    */
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(F.col("event_id"),
+        F.when(F.col("event_id") % 3 === 0, F.lit(7L))
+          .otherwise(F.col("user_id")).as("user_id"))
+    val dim = t(s, dir, "customer")
+      .select(F.col("c_custkey").as("user_id"), F.col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(ev, dim, "user_id", salts = 8)
+      .select("event_id", "user_id", "c_mktsegment")
+      .orderBy("event_id")
+  }
+
+  private val qSkewJoinSql =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 3 = 0 THEN 7 ELSE user_id END AS user_id
+      |  FROM events)
+      |SELECT ev.event_id AS event_id, ev.user_id AS user_id,
+      |  c.c_mktsegment AS c_mktsegment
+      |FROM ev JOIN customer c ON c.c_custkey = ev.user_id
+      |ORDER BY event_id""".stripMargin
+
   /** Pivot / crosstab: language x source document counts with a PINNED
     * column list (explicit pivot values keep the output schema
     * deterministic and let Catalyst plan a single aggregate instead of
@@ -1152,6 +1181,7 @@ object QueryCatalog {
     Q("q_distinct_agg", wrap(qDistinctAgg), Some(qDistinctAggSql)),
     Q("q_pivot", wrap(qPivot), Some(qPivotSql)),
     Q("q_skew_agg", wrap(qSkewAgg), Some(qSkewAggSql)),
+    Q("q_skew_join", wrap(qSkewJoin), Some(qSkewJoinSql)),
     Q("q_resample", wrap(qResample), Some(qResampleSql)),
     Q("q_doc_len_median", wrap(qDocLenMedian), Some(qDocLenMedianSql)),
     Q("q_range_join", wrap(qRangeJoin), Some(qRangeJoinSql)),

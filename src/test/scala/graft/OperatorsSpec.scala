@@ -325,6 +325,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!want.exists(_._1 == 7L)) // uncovered point drops out
   }
 
+  test("connected components: 64-vertex chain converges in O(log n) rounds") {
+    import graft.operators.Dedup
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    // 12 rounds << the 63 a pure neighbor-min walk would need: only the
+    // pointer-jumping shortcut converges this fast
+    val got = Dedup.connectedComponents(chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64)
+    assert(got.values.forall(_ == 0L))
+    // non-convergence is loud, not silently-wrong labels
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+  }
+
   test("imageio decode extracts real PNG headers; corrupt payloads survive") {
     import graft.operators.Multimodal
     val ids = Seq(0L, 5L, 36L, 40L).toDF("doc_id")

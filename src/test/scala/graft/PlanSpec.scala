@@ -88,6 +88,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("salted join replicates the dim via broadcast and keeps __salt in the join key") {
+    val df = SparkEntry.queries("q_skew_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the salts spine broadcasts onto the dim (replication), and the
+    // main join's equi-key includes the salt — the shape that fans a
+    // hot key across reducers
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(p.contains("__salt"), "join key must include the salt column")
+    assert(!p.contains("CartesianProduct"), "replication must not plan a cartesian")
+  }
+
   test("custom expressions (week_of_month, shingle kernels) do not break codegen") {
     val df = SparkEntry.queries("q_weekly_avg")(spark, dir)
     df.collect()

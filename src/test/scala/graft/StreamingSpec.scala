@@ -37,6 +37,52 @@ class StreamingSpec extends SparkSpec {
     assert(graft.operators.Upsert.holdsUniqueness(hist, "trip_key"))
   }
 
+  test("streaming upsert recovers from its checkpoint without duplicates") {
+    // the failure a real user hits first: the query dies, restarts from
+    // the checkpoint, and overlapping/re-delivered input must not break
+    // the hist uniqueness invariant (the reference's cron semantics,
+    // continuously)
+    val dir = Files.createTempDirectory("graft-stream-recover").toString
+    val drop = s"$dir/drop"; val wh = s"$dir/wh"; val cp = s"$dir/cp"
+    new java.io.File(drop).mkdirs()
+    val catalog = new graft.sources.Catalog(spark, wh)
+    catalog.ensureTable("hist_trip_data", graft.model.Trip.schema)
+    def writeBatch(file: String, rows: Seq[String]): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$drop/$file"),
+        ("region,origin_coord,destination_coord,datetime,datasource" +: rows).mkString("\n"))
+    def startQuery() = Streams.streamingUpsert(
+      Streams.tripFileStream(spark, drop), catalog, "hist_trip_data", cp).start()
+
+    writeBatch("b1.csv", Seq(
+      "A,POINT (1 2),POINT (3 4),2024-01-01 10:00:00,src1",
+      "B,POINT (1 2),POINT (3 4),2024-01-01 11:00:00,src1"))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(catalog.read("hist_trip_data").count() === 2)
+
+    // kill + restart from the SAME checkpoint; deliver a file overlapping
+    // the pre-crash input
+    writeBatch("b2.csv", Seq(
+      "A,POINT (1 2),POINT (3 4),2024-01-01 10:00:00,src1", // dup of b1
+      "C,POINT (5 6),POINT (7 8),2024-01-01 12:00:00,src2"))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    assert(catalog.read("hist_trip_data").count() === 3)
+    assert(graft.operators.Upsert.holdsUniqueness(
+      catalog.read("hist_trip_data"), "trip_key"))
+
+    // a third restart with an all-duplicates file: checkpointed source
+    // state skips already-seen files, and the upsert absorbs re-delivery
+    writeBatch("b3.csv", Seq(
+      "A,POINT (1 2),POINT (3 4),2024-01-01 10:00:00,src1",
+      "C,POINT (5 6),POINT (7 8),2024-01-01 12:00:00,src2"))
+    val q3 = startQuery()
+    q3.processAllAvailable(); q3.stop()
+    val hist = catalog.read("hist_trip_data")
+    assert(hist.count() === 3)
+    assert(graft.operators.Upsert.holdsUniqueness(hist, "trip_key"))
+  }
+
   test("watermarked windowed aggregation over a rate-free memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
