@@ -401,17 +401,29 @@ object Dedup {
     *   reached within `maxIter` rounds — with pointer jumping that
     *   would take a component of diameter ~2^maxIter, so a trip means
     *   the input, not the algorithm, needs looking at.
+    * @param driverCollapseThreshold pair-count at or below which the
+    *   graph is collapsed with single-pass union-find on the driver
+    *   instead of the iterative loop: each distributed round costs a
+    *   full job (scheduling + AQE planning + shuffles), which dwarfs
+    *   the actual work for any graph that fits one task. Identical
+    *   labels either way; 0 forces the distributed loop (used by the
+    *   convergence specs). The default (1M pairs, ~16 MB collected)
+    *   is broadcast-sized — the same budget a broadcast join gets.
     */
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 20,
-      requireConvergence: Boolean = true): DataFrame = {
+      requireConvergence: Boolean = true,
+      driverCollapseThreshold: Long = 1L << 20): DataFrame = {
     // materialize the (possibly expensive) pair table ONCE before the
     // symmetrize-union references it twice — otherwise its plan runs
     // twice inside the first job
     val p0 = pairs
       .select(F.col("a").cast("long").as("a"), F.col("b").cast("long").as("b"))
       .localCheckpoint()
+    // the count is free (p0 just materialized); small graphs finish on
+    // the driver in one pass
+    if (p0.count() <= driverCollapseThreshold) return unionFindCollapse(p0)
     val edges = p0
       .select(F.col("a").as("src"), F.col("b").as("dst"))
       .union(p0.select(F.col("b").as("src"), F.col("a").as("dst")))
@@ -447,6 +459,43 @@ object Dedup {
         s"connectedComponents did not converge within $maxIter rounds — " +
           "with pointer jumping that needs diameter ~2^maxIter; check the pair input")
     labels
+  }
+
+  /** Driver-side union-find with path compression for bounded pair sets:
+    * roots are the minimum member of each set (union attaches the larger
+    * root under the smaller), so labels match the distributed loop
+    * exactly.
+    */
+  private def unionFindCollapse(p0: DataFrame): DataFrame = {
+    val spark = p0.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path-halving compression
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    val rows = p0.collect()
+    rows.foreach { r =>
+      val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val seen = new java.util.HashSet[Long]()
+    rows.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1)).foreach { v =>
+        if (seen.add(v)) out += ((v, find(v)))
+      }
+    }
+    out.toSeq.toDF("v", "label")
   }
 
   /** Canonical keep-set dedup: drop every document that is a

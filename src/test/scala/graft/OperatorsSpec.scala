@@ -328,15 +328,21 @@ class OperatorsSpec extends SparkSpec {
   test("connected components: 64-vertex chain converges in O(log n) rounds") {
     import graft.operators.Dedup
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
-    // 12 rounds << the 63 a pure neighbor-min walk would need: only the
-    // pointer-jumping shortcut converges this fast
-    val got = Dedup.connectedComponents(chain, maxIter = 12)
+    // threshold 0 forces the DISTRIBUTED loop; 12 rounds << the 63 a
+    // pure neighbor-min walk would need: only the pointer-jumping
+    // shortcut converges this fast
+    val got = Dedup.connectedComponents(chain, maxIter = 12,
+        driverCollapseThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === 64)
     assert(got.values.forall(_ == 0L))
+    // the driver union-find fast path produces identical labels
+    val viaDriver = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver === got)
     // non-convergence is loud, not silently-wrong labels
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 2)
+      Dedup.connectedComponents(chain, maxIter = 2, driverCollapseThreshold = 0)
     }
   }
 
