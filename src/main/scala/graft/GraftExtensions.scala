@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.CharShingles(
         exprs.head, GraftFunctions.intLitOf(exprs(1)))))
     e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - sorted distinct lowercased word n-gram shingles"),
+      (exprs: Seq[Expression]) => graft.functions.WordShingles(
+        exprs.head, GraftFunctions.intLitOf(exprs(1)))))
+    e.injectFunction((
       FunctionIdentifier("md5_minhash_sig"),
       info("md5_minhash_sig", "md5_minhash_sig(text, n, k) - engine-reproducible md5/affine MinHash signature"),
       (exprs: Seq[Expression]) => graft.functions.Md5MinhashSig(

@@ -46,6 +46,11 @@ object GraftFunctions {
         exprs.head, intLit(exprs(1), "char_shingles")),
       "scala_udf")
     reg.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => graft.functions.WordShingles(
+        exprs.head, intLit(exprs(1), "word_shingles")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "md5_minhash_sig",
       exprs => graft.functions.Md5MinhashSig(
         exprs.head, intLit(exprs(1), "md5_minhash_sig"),

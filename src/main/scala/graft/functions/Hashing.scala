@@ -186,6 +186,47 @@ object HashingUtil {
     new GenericArrayData(out)
   }
 
+  /** Distinct word n-gram shingles of `s` (lowercased, whitespace-split;
+    * fewer than n tokens collapse to one whole-text shingle), sorted —
+    * the compiled counterpart of the interpreted
+    * [[TextFunctions.wordShingles]] HOF, which re-tokenizes per lambda
+    * eval and dominates corpus-wide shingling cost.
+    */
+  def distinctWordShingles(s: UTF8String, n: Int): ArrayData = {
+    val lowered = s.toString.toLowerCase(java.util.Locale.ROOT)
+    // SPACE-only trim, exactly like Spark's trim() (Java's String.trim
+    // also strips \t/\n, which would diverge from the HOF + oracle)
+    var b = 0
+    var e = lowered.length
+    while (b < e && lowered.charAt(b) == ' ') b += 1
+    while (e > b && lowered.charAt(e - 1) == ' ') e -= 1
+    val str = lowered.substring(b, e)
+    val toks: Array[String] =
+      if (str.isEmpty) Array.empty[String] else str.split("\\s+")
+    val set = new java.util.TreeSet[String]()
+    if (toks.length < n) set.add(toks.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        set.add(sb.toString)
+        i += 1
+      }
+    }
+    val out = new Array[AnyRef](set.size)
+    var w = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(w) = UTF8String.fromString(it.next()); w += 1 }
+    new GenericArrayData(out)
+  }
+
   /** md5-based k-seed MinHash signature over the distinct character
     * n-gram shingles of `s`: sig(j) = min over shingles of
     * (a_j * (md5_32(shingle) mod p) + b_j) mod p. One md5 per distinct
@@ -393,6 +434,31 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `word_shingles(text, n)`: sorted distinct word n-gram shingles
+  * (lowercased), compiled — see [[HashingUtil.distinctWordShingles]].
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires STRING, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashingUtil.distinctWordShingles(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingUtil.distinctWordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** `md5_minhash_sig(text, n, k)`: engine-reproducible MinHash signature
   * (md5 base hashes + affine mixing mod 2^31-1) over distinct character
   * n-gram shingles — see [[HashingUtil.md5MinhashSig]].
@@ -461,6 +527,8 @@ object Hashing {
     F.call_function("simhash64", tokens)
   def charShingles(text: Column, n: Int): Column =
     F.call_function("char_shingles", text, F.lit(n))
+  def wordShingles(text: Column, n: Int): Column =
+    F.call_function("word_shingles", text, F.lit(n))
   def md5MinhashSig(text: Column, n: Int, k: Int): Column =
     F.call_function("md5_minhash_sig", text, F.lit(n), F.lit(k))
   def md5Simhash(tokens: Column): Column =

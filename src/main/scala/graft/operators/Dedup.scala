@@ -288,9 +288,12 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.0,
       lengthPruneRatio: Option[(Int, Int)] = None): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    // compiled word-shingle kernel: one tokenize pass per doc (the HOF
+    // formulation re-tokenizes per lambda eval, interpreted)
     val sh = docs.select(
       F.col(idCol).as("id"),
-      F.array_distinct(TextFunctions.wordShingles(F.col(textCol), n)).as("shingles"))
+      graft.functions.Hashing.wordShingles(F.col(textCol), n).as("shingles"))
     // join on the 8-byte xxhash of the shingle, not the string: the
     // shingle is the widest column in this shuffle, and the join only
     // needs equality. A cross-doc 64-bit collision would inflate one

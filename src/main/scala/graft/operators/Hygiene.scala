@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Corpus-hygiene operators: benchmark decontamination and PII
+  * detection/redaction — the release gates every training corpus passes
+  * after dedup and quality filtering.
+  *
+  * Technique provenance (public literature): n-gram overlap
+  * decontamination against evaluation sets is the method described in
+  * the GPT-3 paper's appendix C (Brown et al. 2020) and standard since;
+  * regex-based PII scrubbing is the baseline pass of every public
+  * corpus release (e.g. C4's blocklist/regex filters, Raffel et al.
+  * 2020).
+  */
+object Hygiene {
+
+  /** Per-document count of DISTINCT benchmark n-grams contained in the
+    * document — the contamination signal. A document sharing any
+    * `n`-token span with an evaluation benchmark is a leak risk; the
+    * count (rather than a boolean) lets callers set their own severity
+    * threshold.
+    *
+    * Scale shape: the corpus side explodes its distinct word n-grams
+    * once (map-side) and joins the benchmark n-gram set, which is
+    * DISTINCT and tiny relative to the corpus (benchmarks are MBs, the
+    * corpus is TBs) — so Spark broadcasts it and the corpus never
+    * shuffles. One partial-aggregated count per doc follows. Grams join
+    * as exact strings: cross-engine reproducible, and with a broadcast
+    * hash join the 8-byte-hash optimization would only save broadcast
+    * width, not a shuffle.
+    */
+  def contaminationCounts(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val docGrams = docs.select(F.col(idCol),
+      F.explode(
+        graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
+    val benchGrams = benchmark.select(
+      F.explode(
+        graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
+      .distinct()
+    docGrams
+      .join(F.broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_contaminated"))
+  }
+
+  /** Drop every document containing at least `maxContaminated` distinct
+    * benchmark n-grams (default: any). Left-anti join on the flagged id
+    * set — document bodies never shuffle.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5,
+      maxContaminated: Long = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val flagged = contaminationCounts(docs, benchmark, n, textCol, idCol)
+      .filter(F.col("n_contaminated") >= maxContaminated)
+      .select(idCol)
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Email-address pattern shared by detection and redaction. Kept to a
+    * dialect-portable subset (no \b, no lookarounds) so the SQL oracle's
+    * RE2 engine matches Java's byte-for-byte.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs — the phone/account-number heuristic. */
+  val DigitRunRe = "[0-9]{5,}"
+
+  /** Exact per-document PII indicator counts (map-only, codegen'd
+    * regexp): emails and long digit runs.
+    */
+  def piiStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(F.col(idCol),
+      F.regexp_count(F.col(textCol), F.lit(EmailRe)).cast("long").as("n_emails"),
+      F.regexp_count(F.col(textCol), F.lit(DigitRunRe)).cast("long").as("n_digit_runs"))
+
+  /** Mask PII in place: emails first (their local parts contain digit
+    * runs), then remaining long digit runs. Map-only; deterministic, so
+    * the redacted text is oracle-checkable by md5.
+    */
+  def redactPii(text: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(text, EmailRe, "<EMAIL>"),
+      DigitRunRe, "<NUM>")
+
+  /** One-pass PII report: indicator counts plus the md5 of the redacted
+    * text — the redaction grade travels as a 16-byte digest, never the
+    * document body. Map-only.
+    */
+  def piiReport(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(F.col(idCol),
+      F.regexp_count(F.col(textCol), F.lit(EmailRe)).cast("long").as("n_emails"),
+      F.regexp_count(F.col(textCol), F.lit(DigitRunRe)).cast("long").as("n_digit_runs"),
+      F.md5(redactPii(F.col(textCol))).as("redacted_md5"))
+}

@@ -632,6 +632,62 @@ object QueryCatalog {
       |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
       |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination: per-document count of distinct word
+    * 5-grams shared with the "benchmark" (docs 0-19 standing in for an
+    * eval set) — the test-set-leakage guard of training pipelines. The
+    * benchmark gram set broadcasts; the corpus never shuffles.
+    */
+  private def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    graft.operators.Hygiene.contaminationCounts(
+        all.filter(F.col("doc_id") >= 20), all.filter(F.col("doc_id") < 20), n = 5)
+      .orderBy("doc_id")
+  }
+
+  private val qDecontamSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' '))
+      |  END AS g FROM toks),
+      |dg AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM sh),
+      |bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id < 20)
+      |SELECT a.doc_id AS doc_id, COUNT(*) AS n_contaminated
+      |FROM dg a JOIN bench USING (gram) WHERE a.doc_id >= 20
+      |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin
+
+  /** PII detection + redaction: emails and long digit runs planted
+    * deterministically (so both engines see identical inputs), counted
+    * exactly, and the redacted text graded as an md5 digest — proof the
+    * masking itself is byte-identical cross-engine. Map-only.
+    */
+  private def qPii(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(F.col("doc_id"),
+      F.concat(F.col("text"),
+        F.when(F.col("doc_id") % 3 === 0,
+            F.concat(F.lit(" mail u"), F.col("doc_id"), F.lit("@example.com")))
+          .when(F.col("doc_id") % 3 === 1,
+            F.concat(F.lit(" call 55512"), F.col("doc_id")))
+          .otherwise(F.lit(""))).as("text"))
+    graft.operators.Hygiene.piiReport(planted).orderBy("doc_id")
+  }
+
+  private val qPiiSql =
+    """WITH planted AS (
+      |  SELECT doc_id, text || CASE
+      |    WHEN doc_id % 3 = 0 THEN ' mail u' || doc_id || '@example.com'
+      |    WHEN doc_id % 3 = 1 THEN ' call 55512' || doc_id
+      |    ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{5,}')) AS BIGINT) AS n_digit_runs,
+      |  md5(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{5,}', '<NUM>', 'g')) AS redacted_md5
+      |FROM planted ORDER BY doc_id""".stripMargin
+
   /** Multi-distinct aggregation: two COUNT(DISTINCT) over different
     * columns in one group-by — planned via Expand (one input row fans
     * out per distinct aggregate), the operator family plain group-bys
@@ -1190,6 +1246,8 @@ object QueryCatalog {
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
     Q("q_image_meta", wrap(qImageMeta), Some(qImageMetaSql)),
+    Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),
+    Q("q_pii", wrap(qPii), Some(qPiiSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),
     Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),

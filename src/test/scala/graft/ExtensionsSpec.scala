@@ -43,6 +43,9 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT min_k_ids(id, 2) AS ks FROM VALUES (5L), (1L), (9L), (3L) AS t(id)
           |""".stripMargin).head()
       assert(mk.getSeq[Long](0) === Seq(1L, 3L))
+      val ws = s.sql(
+        "SELECT word_shingles('A b c d', 3) AS w").head()
+      assert(ws.getSeq[String](0) === Seq("a b c", "b c d"))
       val md = s.sql(
         """SELECT char_shingles('abcd', 3) AS cs,
           |  size(md5_minhash_sig('hello world', 5, 8)) AS ml,

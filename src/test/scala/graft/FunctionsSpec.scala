@@ -134,6 +134,17 @@ class FunctionsSpec extends SparkSpec {
     assert(dist(got(1L), got(2L)) < dist(got(1L), got(3L)))
   }
 
+  test("word_shingles kernel agrees with the HOF formulation as a set") {
+    val df = Seq("The quick Brown fox jumps over", "one two", "", "  spaced  out  words here  ")
+      .toDF("t")
+    val rows = df.select(
+      graft.functions.Hashing.wordShingles(F.col("t"), 3).as("k"),
+      F.array_distinct(TextFunctions.wordShingles(F.col("t"), 3)).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0).toSet === r.getSeq[String](1).toSet, r.toString)
+    }
+  }
+
   test("char_shingles kernel agrees with the HOF formulation as a set") {
     val df = Seq("the quick brown fox", "tiny", "", "aaaaaaa").toDF("t")
     val rows = df.select(

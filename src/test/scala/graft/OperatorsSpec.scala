@@ -325,6 +325,45 @@ class OperatorsSpec extends SparkSpec {
     assert(!want.exists(_._1 == 7L)) // uncovered point drops out
   }
 
+  test("decontamination flags and drops docs overlapping the benchmark") {
+    import graft.operators.Hygiene
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon suffix"), // shares a 5-gram
+      (2L, "alpha beta gamma unrelated delta epsilon"),     // shares none
+      (3L, "completely different words here entirely now"))
+      .toDF("doc_id", "text")
+    val counts = Hygiene.contaminationCounts(docs, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 1L))
+    val kept = Hygiene.decontaminate(docs, bench, n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+    // broadcast shape: the benchmark side must not shuffle the corpus
+    val plan = Hygiene.contaminationCounts(docs, bench, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
+  test("pii detection counts and redaction mask emails and digit runs") {
+    import graft.operators.Hygiene
+    val docs = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or 0123456 now"),
+      (2L, "no pii here at all"),
+      (3L, "double a@b.co c@d.org and 12345 67890"))
+      .toDF("doc_id", "text")
+    val got = Hygiene.piiReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 === 1L && got(1L)._2 === 1L)
+    assert(got(2L)._1 === 0L && got(2L)._2 === 0L)
+    assert(got(3L)._1 === 2L && got(3L)._2 === 2L)
+    val redacted = docs.select($"doc_id", Hygiene.redactPii($"text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redacted(1L) === "reach me at <EMAIL> or <NUM> now")
+    assert(redacted(3L) === "double <EMAIL> <EMAIL> and <NUM> <NUM>")
+  }
+
   test("connected components: 64-vertex chain converges in O(log n) rounds") {
     import graft.operators.Dedup
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
