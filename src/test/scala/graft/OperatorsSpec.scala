@@ -325,6 +325,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!want.exists(_._1 == 7L)) // uncovered point drops out
   }
 
+  test("packAssignments matches pack's greedy bins on a single stream") {
+    import graft.operators.Corpus
+    val items = Seq((1L, 50L), (2L, 60L), (3L, 30L), (4L, 200L), (5L, 10L), (6L, 120L), (7L, 1L))
+      .toDF("doc_id", "n_tokens")
+    val got = Corpus.packAssignments(items, budgetTokens = 120)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // greedy: [50,60]=110 then 30 overflows -> bin1 [30]=30, 200 overflows
+    // -> bin2 [200] oversize closes, bin3 [10], 120 overflows -> bin4
+    // [120] closes at budget, bin5 [1]
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 4L, 7L -> 5L))
+    // the parallel pack() on one partition produces the same bins
+    val viaPack = Corpus.pack(items.repartition(1), budgetTokens = 120)
+      .collect().flatMap(b => b.item_ids.map(_ -> b.bin_id))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.head._2 }
+    val gotByBin = got.groupBy(_._2).map { case (_, xs) => xs.keys.toSet }.toSet
+    val packByBin = viaPack.groupBy(_._2).map { case (_, xs) => xs.keys.toSet }.toSet
+    assert(gotByBin === packByBin)
+  }
+
   test("decontamination flags and drops docs overlapping the benchmark") {
     import graft.operators.Hygiene
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
