@@ -77,6 +77,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("md5 minhash: in-range, deterministic, and superset-dominated") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = Gen.zip(Gen.alphaNumStr.map(_.take(120)), Gen.alphaNumStr.map(_.take(40)))
+    samples(gen, 100).foreach { case (s, suffix) =>
+      val u = UTF8String.fromString(s)
+      val a = HashingUtil.md5MinhashSig(u, 5, 16).toLongArray()
+      val b = HashingUtil.md5MinhashSig(u, 5, 16).toLongArray()
+      assert(a.toSeq == b.toSeq)
+      a.foreach(v => assert(v >= 0 && v < HashingUtil.P31))
+      if (s.length >= 5 && suffix.nonEmpty) {
+        // appending text only ADDS shingles: mins can only decrease
+        val sup = HashingUtil.md5MinhashSig(
+          UTF8String.fromString(s + s.takeRight(4) + suffix), 5, 16).toLongArray()
+        // (s's own shingles are all still present in the longer string)
+        a.zip(sup).foreach { case (x, y) => assert(y <= x) }
+      }
+    }
+  }
+
+  test("word shingle kernel: distinct, sorted, count bounded by token windows") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(8))
+    val gen = Gen.zip(Gen.listOf(word).map(_.take(30)), Gen.choose(2, 5))
+    samples(gen, 150).foreach { case (words, n) =>
+      val text = words.mkString(" ")
+      val arr = HashingUtil.distinctWordShingles(UTF8String.fromString(text), n)
+      val out = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      assert(out == out.sorted && out.distinct.size == out.size)
+      if (words.size < n) assert(out == Seq(words.map(_.toLowerCase).mkString(" ")))
+      else {
+        assert(out.size <= words.size - n + 1)
+        out.foreach(g => assert(g.split(" ").length == n))
+      }
+    }
+  }
+
+  test("greedy packing: bins respect the budget except oversize singletons") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(1L, 80L)).map(_.take(60))
+    samples(gen, 60).foreach { tokens =>
+      val budget = 100L
+      // replay the packAssignments recurrence directly (pure logic)
+      var bin = 0L; var total = 0L; var used = false; var closed = false
+      val assign = tokens.zipWithIndex.map { case (t, i) =>
+        if (closed || (used && total + t > budget)) { bin += 1; total = 0 }
+        total += t; closed = total >= budget; used = true
+        (i.toLong, bin, t)
+      }
+      assign.groupBy(_._2).foreach { case (_, items) =>
+        val sum = items.map(_._3).sum
+        assert(sum <= budget || items.size == 1, s"overfull bin: $items")
+      }
+      // bins are contiguous in item order
+      val byOrder = assign.map(_._2)
+      assert(byOrder == byOrder.sorted)
+    }
+  }
+
   test("upsert key invariant: concat_ws with separator is injective on field tuples") {
     // the reference's separator-free CONCAT collides ("ab","c") with
     // ("a","bc"); the hashed key must not (SURVEY.md §7.4)
