@@ -149,7 +149,10 @@ object Multimodal {
           var fmt: String = null
           var w = -1; var h = -1; var ch = -1
           if (payload != null && payload.nonEmpty) {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
+            // createImageInputStream would route through a disk-backed
+            // FileCacheImageInputStream; tiny in-memory payloads decode
+            // straight from the byte array instead
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(payload))
             try {
               val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -183,26 +186,39 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(F.col(idCol).cast(LongType)).as[Long]
+      // codec work is CPU-bound: spread it across the cluster even when
+      // the source collapses to one input split (payload content is a
+      // pure function of the id, so partitioning never changes results)
+      .repartition(F.col(idCol))
       .mapPartitions { ids =>
+        // per-partition codec state: the PNG writer is resolved from the
+        // ImageIO registry ONCE per task, not once per image (registry
+        // lookup + stream setup dominates tiny-image encode otherwise)
         val baos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
         ids.map { id =>
           val w = (1 + id % 37).toInt
           val h = (1 + id % 23).toInt
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          // id-seeded gradient: deterministic, compresses poorly enough
+          // to exercise real encode work; one batched raster write
+          val rgb = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              // id-seeded gradient: deterministic, compresses poorly enough
-              // to exercise real encode work
-              img.setRGB(x, y, (((id * 31 + x * 7 + y * 13) & 0xffffff)).toInt)
+              rgb(y * w + x) = ((id * 31 + x * 7 + y * 13) & 0xffffff).toInt
               x += 1
             }
             y += 1
           }
+          img.setRGB(0, 0, w, h, rgb, 0, w)
           baos.reset()
-          javax.imageio.ImageIO.write(img, "png", baos)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
           (id, baos.toByteArray)
         }
       }
