@@ -225,6 +225,75 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  final case class AudioMeta(
+      media_id: Long, format: String, sample_rate: Int, channels: Int, n_frames: Long)
+
+  /** REAL audio metadata decode via `javax.sound.sampled` (JDK-built-in):
+    * container type, sample rate, channel count, and frame length read
+    * from the WAV header — no sample data decoded. Same partition-batch
+    * seam and same record-don't-crash policy as [[decodeImageMeta]].
+    */
+  def decodeAudioMeta(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          var fmt: String = null
+          var rate = -1; var ch = -1; var frames = -1L
+          if (payload != null && payload.nonEmpty) {
+            try {
+              val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+                new java.io.ByteArrayInputStream(payload))
+              fmt = aff.getType.toString.toLowerCase(java.util.Locale.ROOT)
+              rate = aff.getFormat.getSampleRate.toInt
+              ch = aff.getFormat.getChannels
+              frames = aff.getFrameLength.toLong
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+              case _: java.io.IOException => ()
+            }
+          }
+          AudioMeta(id, fmt, rate, ch, frames)
+        }
+      }
+  }
+
+  /** Deterministic WAV fixtures with id-derived header fields (sample
+    * rate, channels, frame count) and an id-seeded 16-bit PCM payload —
+    * real WAVE encoding in the executors, arithmetic-oracle-checkable
+    * headers, same pattern as [[syntheticImages]].
+    */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast(LongType)).as[Long]
+      .repartition(F.col(idCol))
+      .mapPartitions { ids =>
+        val baos = new java.io.ByteArrayOutputStream()
+        ids.map { id =>
+          val rate = (8000 * (1 + id % 3)).toInt
+          val channels = (1 + id % 2).toInt
+          val frames = (200 + id % 100).toInt
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, channels, true, false)
+          val pcm = new Array[Byte](frames * channels * 2)
+          var i = 0
+          while (i < pcm.length) {
+            pcm(i) = ((id * 31 + i * 7) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          baos.reset()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          (id, baos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
   /** Synthesize a deterministic media table from any (id, text) table —
     * the test harness for the plumbing (payload = utf8 bytes).
     */

@@ -683,6 +683,29 @@ object QueryCatalog {
       |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL audio decode through javax.sound.sampled: WAV fixtures are
+    * encoded in the executors with id-derived header fields, then
+    * header-decoded back — the same encode -> binary column -> decode
+    * round-trip grade as q_image_meta, for the audio modality.
+    */
+  private def qAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    val wavs = Multimodal.syntheticAudio(t(s, dir, "documents"), "doc_id")
+    Multimodal.decodeAudioMeta(wavs)
+      .toDF()
+      .select(F.col("media_id"), F.col("format"),
+        F.col("sample_rate").cast(LongType).as("sample_rate"),
+        F.col("channels").cast(LongType).as("channels"),
+        F.col("n_frames"))
+      .orderBy("media_id")
+  }
+
+  private val qAudioMetaSql =
+    """SELECT doc_id AS media_id, 'wave' AS format,
+      |  8000 * (1 + doc_id % 3) AS sample_rate,
+      |  1 + doc_id % 2 AS channels,
+      |  200 + doc_id % 100 AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Benchmark decontamination: per-document count of distinct word
     * 5-grams shared with the "benchmark" (docs 0-19 standing in for an
     * eval set) — the test-set-leakage guard of training pipelines. The
@@ -1297,6 +1320,7 @@ object QueryCatalog {
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
     Q("q_image_meta", wrap(qImageMeta), Some(qImageMetaSql)),
+    Q("q_audio_meta", wrap(qAudioMeta), Some(qAudioMetaSql)),
     Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),
     Q("q_pii", wrap(qPii), Some(qPiiSql)),
     Q("q_pack", wrap(qPack), Some(qPackSql)),

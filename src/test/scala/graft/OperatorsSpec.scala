@@ -424,6 +424,23 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.values.forall(m => m.format == null && m.width == -1 && m.channels == -1))
   }
 
+  test("audio decode extracts real WAV headers; junk payloads survive") {
+    import graft.operators.Multimodal
+    val ids = Seq(0L, 1L, 2L, 7L).toDF("doc_id")
+    val wavs = Multimodal.syntheticAudio(ids, "doc_id")
+    val got = Multimodal.decodeAudioMeta(wavs).collect().map(m => m.media_id -> m).toMap
+    got.foreach { case (id, m) =>
+      assert(m.format === "wave")
+      assert(m.sample_rate === (8000 * (1 + id % 3)).toInt, s"rate of $id")
+      assert(m.channels === (1 + id % 2).toInt)
+      assert(m.n_frames === 200 + id % 100)
+    }
+    val junk = Seq((1L, "not audio at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val bad = Multimodal.decodeAudioMeta(junk).collect().head
+    assert(bad.format == null && bad.sample_rate == -1 && bad.n_frames == -1L)
+  }
+
   test("md5 near-dup pipeline finds planted dups and skips unrelated docs") {
     import graft.operators.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again today"
