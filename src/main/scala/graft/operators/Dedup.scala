@@ -156,18 +156,25 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
     val sig = graft.functions.Hashing.md5MinhashSig(norm, shingleLen, numHashes)
+    // bucket key = md5-32 of the comma-joined band slice: 8-byte shuffle
+    // key (not the ~150-byte signature string), still replayable in SQL
+    // (CAST(concat('0x', substr(md5(bstr),1,8)) AS BIGINT)); a 32-bit
+    // collision merges two buckets IDENTICALLY in both engines, so the
+    // oracle stays exact
     val withBuckets = docs
       .select(F.col(idCol).as("id"), sig.as("sig"))
       .select(F.col("id"),
         F.explode(F.array((0 until bands).map(b =>
           F.struct(F.lit(b).as("band"),
-            F.concat_ws(",",
-              F.slice(F.col("sig"), b * rowsPerBand + 1, rowsPerBand)
-                .cast("array<string>")).as("bstr"))): _*))
+            F.conv(F.substring(F.md5(
+              F.concat_ws(",",
+                F.slice(F.col("sig"), b * rowsPerBand + 1, rowsPerBand)
+                  .cast("array<string>"))), 1, 8), 16, 10)
+              .cast("long").as("bk"))): _*))
           .as("bucket"))
-      .select(F.col("id"), F.col("bucket.band"), F.col("bucket.bstr"))
+      .select(F.col("id"), F.col("bucket.band"), F.col("bucket.bk"))
     val grouped = withBuckets
-      .groupBy("band", "bstr")
+      .groupBy("band", "bk")
       .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("ids"))
       .filter(F.size(F.col("ids")) > 1)
     grouped
@@ -194,9 +201,16 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
     val cands = minhashCandidatesMd5(docs, textCol, idCol, shingleLen, numHashes, bands)
+      .localCheckpoint() // referenced 3x below (semi-join + two joins)
     val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
-    val sets = docs.select(F.col(idCol).as("id"),
-      graft.functions.Hashing.charShingles(norm, shingleLen).as("sh"))
+    // shingle arrays are wide; build them ONLY for candidate docs — at
+    // corpus scale candidates are ~linear while docs are everything
+    val candIds = cands.select(F.col("a").as("id"))
+      .union(cands.select(F.col("b").as("id"))).distinct()
+    val sets = docs.select(F.col(idCol).as("id"), F.col(textCol))
+      .join(candIds, Seq("id"), "leftsemi")
+      .select(F.col("id"),
+        graft.functions.Hashing.charShingles(norm, shingleLen).as("sh"))
     cands
       .join(sets.toDF("a", "sha"), Seq("a"))
       .join(sets.toDF("b", "shb"), Seq("b"))
@@ -240,9 +254,15 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
     val cands = minhashCandidates(docs, textCol, idCol, shingleLen, numHashes, bands)
+      .localCheckpoint() // referenced 3x below (semi-join + two joins)
     val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
-    val sets = docs.select(F.col(idCol).as("id"),
-      graft.functions.Hashing.shingleHashes(norm, shingleLen).as("hs"))
+    // hash arrays only for candidate docs (see nearDuplicatesMd5)
+    val candIds = cands.select(F.col("a").as("id"))
+      .union(cands.select(F.col("b").as("id"))).distinct()
+    val sets = docs.select(F.col(idCol).as("id"), F.col(textCol))
+      .join(candIds, Seq("id"), "leftsemi")
+      .select(F.col("id"),
+        graft.functions.Hashing.shingleHashes(norm, shingleLen).as("hs"))
     cands
       .join(sets.toDF("a", "ha"), Seq("a"))
       .join(sets.toDF("b", "hb"), Seq("b"))

@@ -1212,16 +1212,17 @@ object QueryCatalog {
       |mh AS (SELECT bh.doc_id, seeds.j, MIN((seeds.a * bh.h + seeds.b) % 2147483647) AS v
       |       FROM bh CROSS JOIN seeds GROUP BY bh.doc_id, seeds.j),
       |bandkeys AS (SELECT doc_id, j // 16 AS band,
-      |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS bstr
+      |    CAST(concat('0x', substr(md5(
+      |      string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)), 1, 8)) AS BIGINT) AS bk
       |  FROM mh GROUP BY doc_id, j // 16),
-      |capped AS (SELECT band, bstr, doc_id FROM (
-      |    SELECT band, bstr, doc_id,
-      |      ROW_NUMBER() OVER (PARTITION BY band, bstr ORDER BY doc_id) AS rn,
-      |      COUNT(*) OVER (PARTITION BY band, bstr) AS cnt
+      |capped AS (SELECT band, bk, doc_id FROM (
+      |    SELECT band, bk, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn,
+      |      COUNT(*) OVER (PARTITION BY band, bk) AS cnt
       |    FROM bandkeys) WHERE rn <= 200 AND cnt > 1),
       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |         FROM capped x
-      |         JOIN capped y ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id)""".stripMargin
+      |         JOIN capped y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
 
   /** Full near-dup pipeline, md5-reproducible: LSH candidates + exact
     * char-shingle Jaccard >= 1/2 by integer cross-multiplication.
