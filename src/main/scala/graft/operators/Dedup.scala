@@ -156,23 +156,8 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
     val sig = graft.functions.Hashing.md5MinhashSig(norm, shingleLen, numHashes)
-    // bucket key = md5-32 of the comma-joined band slice: 8-byte shuffle
-    // key (not the ~150-byte signature string), still replayable in SQL
-    // (CAST(concat('0x', substr(md5(bstr),1,8)) AS BIGINT)); a 32-bit
-    // collision merges two buckets IDENTICALLY in both engines, so the
-    // oracle stays exact
-    val withBuckets = docs
-      .select(F.col(idCol).as("id"), sig.as("sig"))
-      .select(F.col("id"),
-        F.explode(F.array((0 until bands).map(b =>
-          F.struct(F.lit(b).as("band"),
-            F.conv(F.substring(F.md5(
-              F.concat_ws(",",
-                F.slice(F.col("sig"), b * rowsPerBand + 1, rowsPerBand)
-                  .cast("array<string>"))), 1, 8), 16, 10)
-              .cast("long").as("bk"))): _*))
-          .as("bucket"))
-      .select(F.col("id"), F.col("bucket.band"), F.col("bucket.bk"))
+    val withBuckets = md5Buckets(
+      docs.select(F.col(idCol).as("id"), sig.as("sig")), bands, rowsPerBand)
     val grouped = withBuckets
       .groupBy("band", "bk")
       .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("ids"))
@@ -180,6 +165,75 @@ object Dedup {
     grouped
       .select(F.explode(pairsOf(F.col("ids"))).as("p"))
       .select(F.col("p.a").as("a"), F.col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Banded md5 bucket ids for a frame carrying (id, sig) plus any
+    * passthrough columns. Bucket key = md5-32 of the comma-joined band
+    * slice: 8-byte shuffle key (not the ~150-byte signature string),
+    * still replayable in SQL
+    * (CAST(concat('0x', substr(md5(bstr),1,8)) AS BIGINT)); a 32-bit
+    * collision merges two buckets IDENTICALLY in both engines, so the
+    * oracle stays exact.
+    */
+  private def md5Buckets(withSig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val passthrough = withSig.columns.filterNot(c => c == "sig").map(F.col).toSeq
+    withSig
+      .select(passthrough :+
+        F.explode(F.array((0 until bands).map(b =>
+          F.struct(F.lit(b).as("band"),
+            F.conv(F.substring(F.md5(
+              F.concat_ws(",",
+                F.slice(F.col("sig"), b * rowsPerBand + 1, rowsPerBand)
+                  .cast("array<string>"))), 1, 8), 16, 10)
+              .cast("long").as("bk"))): _*))
+          .as("bucket"): _*)
+      .select(passthrough :+ F.col("bucket.band") :+ F.col("bucket.bk"): _*)
+  }
+
+  /** Incremental near-dup screening: candidate pairs between a NEW
+    * batch and an existing corpus — the corpus-refresh shape. The
+    * corpus is NEVER paired against itself (it is already deduped);
+    * every emitted pair touches the batch, so cost tracks the batch and
+    * the buckets it lands in, not corpus x corpus. Buckets are capped
+    * per side like [[minhashCandidatesMd5]] and the whole pipeline is
+    * md5-derived, so the SQL oracle replays it exactly.
+    *
+    * A production deployment would persist the corpus's (band, bk, id)
+    * bucket table once (it is append-only under refresh) and join each
+    * batch against it, making refresh O(batch + matched buckets); here
+    * both sides bucket in one pass for self-containment.
+    */
+  def incrementalCandidatesMd5(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleLen: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      maxBucketSize: Int = 200): DataFrame = {
+    graft.GraftFunctions.register(newDocs.sparkSession)
+    val rowsPerBand = numHashes / bands
+    val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
+    val sig = graft.functions.Hashing.md5MinhashSig(norm, shingleLen, numHashes)
+    def side(df: DataFrame, isNew: Boolean) = df
+      .select(F.col(idCol).as("id"), sig.as("sig"), F.lit(isNew).as("is_new"))
+    val withBuckets = md5Buckets(
+      side(newDocs, isNew = true).union(side(corpus, isNew = false)),
+      bands, rowsPerBand)
+    val allB = withBuckets
+      .groupBy("band", "bk")
+      .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("all_ids"))
+    val newB = withBuckets.filter(F.col("is_new"))
+      .groupBy("band", "bk")
+      .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("new_ids"))
+    allB.join(newB, Seq("band", "bk"))
+      .select(F.explode(F.col("all_ids")).as("x"), F.col("new_ids"))
+      .select(F.col("x"), F.explode(F.col("new_ids")).as("y"))
+      .filter(F.col("x") =!= F.col("y"))
+      .select(F.least(F.col("x"), F.col("y")).as("a"),
+        F.greatest(F.col("x"), F.col("y")).as("b"))
       .distinct()
   }
 

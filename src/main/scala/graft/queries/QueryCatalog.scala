@@ -1196,7 +1196,7 @@ object QueryCatalog {
     * bucket self-pairing. Mirrors Dedup.minhashCandidatesMd5 stage for
     * stage (same band strings, same 200-id bucket cap, min ids first).
     */
-  private val minhashMd5CandidateCte =
+  private val minhashMd5BandkeysCte =
     """WITH docs AS (
       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
       |sh AS (
@@ -1214,15 +1214,18 @@ object QueryCatalog {
       |bandkeys AS (SELECT doc_id, j // 16 AS band,
       |    CAST(concat('0x', substr(md5(
       |      string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)), 1, 8)) AS BIGINT) AS bk
-      |  FROM mh GROUP BY doc_id, j // 16),
-      |capped AS (SELECT band, bk, doc_id FROM (
-      |    SELECT band, bk, doc_id,
-      |      ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn,
-      |      COUNT(*) OVER (PARTITION BY band, bk) AS cnt
-      |    FROM bandkeys) WHERE rn <= 200 AND cnt > 1),
-      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      |         FROM capped x
-      |         JOIN capped y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
+      |  FROM mh GROUP BY doc_id, j // 16)""".stripMargin
+
+  private val minhashMd5CandidateCte =
+    s"""$minhashMd5BandkeysCte,
+       |capped AS (SELECT band, bk, doc_id FROM (
+       |    SELECT band, bk, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn,
+       |      COUNT(*) OVER (PARTITION BY band, bk) AS cnt
+       |    FROM bandkeys) WHERE rn <= 200 AND cnt > 1),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM capped x
+       |         JOIN capped y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
 
   /** Full near-dup pipeline, md5-reproducible: LSH candidates + exact
     * char-shingle Jaccard >= 1/2 by integer cross-multiplication.
@@ -1255,6 +1258,33 @@ object QueryCatalog {
   private val qMinhashPairsSql =
     s"""$minhashMd5CandidateCte
        |SELECT a, b FROM cand ORDER BY a, b""".stripMargin
+
+  /** Incremental dedup screening: docs >= 400 are "the new batch", the
+    * rest the already-deduped corpus; candidates must all touch the
+    * batch — corpus x corpus pairs never form.
+    */
+  private def qIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    Dedup.incrementalCandidatesMd5(
+        all.filter(F.col("doc_id") >= 400), all.filter(F.col("doc_id") < 400))
+      .orderBy("a", "b")
+  }
+
+  private val qIncrDedupSql =
+    s"""$minhashMd5BandkeysCte,
+       |cappedAll AS (SELECT band, bk, doc_id FROM (
+       |    SELECT band, bk, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn
+       |    FROM bandkeys) WHERE rn <= 200),
+       |cappedNew AS (SELECT band, bk, doc_id FROM (
+       |    SELECT band, bk, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn
+       |    FROM bandkeys WHERE doc_id >= 400) WHERE rn <= 200)
+       |SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+       |  greatest(x.doc_id, y.doc_id) AS b
+       |FROM cappedAll x
+       |JOIN cappedNew y ON x.band = y.band AND x.bk = y.bk AND x.doc_id <> y.doc_id
+       |ORDER BY a, b""".stripMargin
 
   /** SimHash signatures, md5-reproducible (two unsigned 32-bit halves). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
@@ -1326,6 +1356,7 @@ object QueryCatalog {
     Q("q_pii", wrap(qPii), Some(qPiiSql)),
     Q("q_pack", wrap(qPack), Some(qPackSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),
+    Q("q_incr_dedup", wrap(qIncrDedup), Some(qIncrDedupSql)),
     Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),
     Q("q_embed_neardup", wrap(qEmbedNearDup), Some(qEmbedNearDupSql)),

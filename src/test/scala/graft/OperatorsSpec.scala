@@ -383,6 +383,27 @@ class OperatorsSpec extends SparkSpec {
     assert(redacted(3L) === "double <EMAIL> <EMAIL> and <NUM> <NUM>")
   }
 
+  test("incremental dedup pairs touch the batch, never corpus x corpus") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base), (2L, base), // corpus-internal dup: must NOT pair
+      (3L, "some totally unrelated corpus document about spark plans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                    // dups corpus docs 1 and 2
+      (11L, base),                    // dups within the batch too
+      (12L, "nothing like anything else in either set whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalCandidatesMd5(batch, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got((1L, 10L)) && got((2L, 10L)) && got((1L, 11L)) && got((10L, 11L)))
+    assert(!got((1L, 2L)), "corpus x corpus pair leaked")
+    assert(!got.exists(p => p._1 == 12L || p._2 == 12L))
+    // every pair touches the batch
+    assert(got.forall(p => p._1 >= 10L || p._2 >= 10L))
+  }
+
   test("connected components: 64-vertex chain converges in O(log n) rounds") {
     import graft.operators.Dedup
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
