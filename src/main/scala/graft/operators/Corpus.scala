@@ -186,6 +186,34 @@ object Corpus {
       .toDF(idCol, "bin_id")
   }
 
+  /** End-to-end corpus curation — the composed release pipeline: exact
+    * dedup (lowest id per normalized fingerprint survives), a token-count
+    * quality floor, benchmark decontamination, then deterministic
+    * hash-threshold downsampling. Stays ONE declarative plan: Catalyst
+    * fuses the filters, the dedup keep-set and contamination sets are
+    * semi/anti joins, and nothing materializes between stages — which is
+    * exactly how the stages compose at 100 TB (each pass over the corpus
+    * is a scan, the side tables are digests/ids).
+    */
+  def curate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minTokens: Int = 20,
+      sampleNum: Int = 3,
+      sampleDen: Int = 4,
+      contaminationNgram: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val deduped = docs.join(
+      Dedup.exact(docs, textCol, idCol).select(idCol), Seq(idCol), "leftsemi")
+    val quality = deduped.filter(
+      TextFunctions.tokenCount(F.col(textCol)) >= minTokens)
+    val clean = Hygiene.decontaminate(
+      quality, benchmark, contaminationNgram, textCol = textCol, idCol = idCol)
+    hashSample(clean, idCol, stratumCol = idCol,
+      rates = Map.empty, default = (sampleNum, sampleDen))
+  }
+
   /** Corpus composition report: per (lang, source), document counts,
     * token totals, and char stats — the standard "what is in this
     * corpus" summary. One partial-aggregated shuffle.

@@ -731,6 +731,48 @@ object QueryCatalog {
       |FROM dg a JOIN bench USING (gram) WHERE a.doc_id >= 20
       |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin
 
+  /** The composed curation pipeline end-to-end: exact dedup -> token
+    * floor -> decontamination (vs docs 0-19 as the benchmark) ->
+    * 3/4 hash-rate sampling, graded as one query — operators must
+    * compose, not just pass in isolation.
+    */
+  private def qCurate(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    Corpus.curate(
+        all.filter(F.col("doc_id") >= 20), all.filter(F.col("doc_id") < 20))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  private val qCurateSql =
+    """WITH norm AS (
+      |  SELECT doc_id, lang, text,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+      |  FROM documents WHERE doc_id >= 20),
+      |keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY fp),
+      |quality AS (
+      |  SELECT n.doc_id, n.lang, n.text FROM norm n
+      |  JOIN keep k ON k.doc_id = n.doc_id WHERE n.ntok >= 20),
+      |qtoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM quality),
+      |qsh AS (SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' '))
+      |  END AS g FROM qtoks),
+      |qg AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM qsh),
+      |btoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |          FROM documents WHERE doc_id < 20),
+      |bsh AS (SELECT CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' '))
+      |  END AS g FROM btoks),
+      |bg AS (SELECT DISTINCT unnest(list_distinct(g)) AS gram FROM bsh),
+      |contaminated AS (SELECT DISTINCT qg.doc_id FROM qg JOIN bg USING (gram))
+      |SELECT q.doc_id AS doc_id, q.lang AS lang FROM quality q
+      |WHERE q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |  AND CAST(concat('0x', substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 4
+      |      < 3 * 4294967296
+      |ORDER BY doc_id""".stripMargin
+
   /** PII detection + redaction: emails and long digit runs planted
     * deterministically (so both engines see identical inputs), counted
     * exactly, and the redacted text graded as an md5 digest — proof the
@@ -1355,6 +1397,7 @@ object QueryCatalog {
     Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),
     Q("q_pii", wrap(qPii), Some(qPiiSql)),
     Q("q_pack", wrap(qPack), Some(qPackSql)),
+    Q("q_curate", wrap(qCurate), Some(qCurateSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),
     Q("q_incr_dedup", wrap(qIncrDedup), Some(qIncrDedupSql)),
     Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),

@@ -383,6 +383,22 @@ class OperatorsSpec extends SparkSpec {
     assert(redacted(3L) === "double <EMAIL> <EMAIL> and <NUM> <NUM>")
   }
 
+  test("curate composes dedup, quality floor, decontamination, sampling") {
+    import graft.operators.Corpus
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, filler),                      // survives (if its hash lands under 3/4)
+      (2L, filler),                      // exact dup of 1: dropped by dedup
+      (3L, "too short"),                 // dropped by the token floor
+      (4L, s"alpha beta gamma delta epsilon $filler")) // contaminated
+      .toDF("doc_id", "text")
+    val kept = Corpus.curate(docs, bench, minTokens = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept(2L) && !kept(3L) && !kept(4L))
+    assert(kept.subsetOf(Set(1L)))
+  }
+
   test("incremental dedup pairs touch the batch, never corpus x corpus") {
     import graft.operators.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again today"
