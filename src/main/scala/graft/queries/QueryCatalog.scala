@@ -804,6 +804,33 @@ object QueryCatalog {
       |    '[0-9]{5,}', '<NUM>', 'g')) AS redacted_md5
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  /** Map-typed columns: per-user event-type counts built as a MAP
+    * (map_from_entries over per-type partial counts), then read back
+    * with element_at / map_keys — the map-function family §2.9 lists.
+    * The map itself stays internal; the graded output is flat columns,
+    * so the oracle needs no map support.
+    */
+  private def qMapFuncs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(F.count(F.lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct(F.col("event_type"), F.col("n")))))
+        .as("m"))
+      .select(F.col("user_id"),
+        F.coalesce(F.element_at(F.col("m"), "click"), F.lit(0L)).as("n_click"),
+        F.coalesce(F.element_at(F.col("m"), "view"), F.lit(0L)).as("n_view"),
+        F.size(F.map_keys(F.col("m"))).cast(LongType).as("n_types"))
+      .orderBy("user_id")
+
+  private val qMapFuncsSql =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Multi-distinct aggregation: two COUNT(DISTINCT) over different
     * columns in one group-by — planned via Expand (one input row fans
     * out per distinct aggregate), the operator family plain group-bys
@@ -1381,6 +1408,7 @@ object QueryCatalog {
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),
     Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
+    Q("q_map_funcs", wrap(qMapFuncs), Some(qMapFuncsSql)),
     Q("q_distinct_agg", wrap(qDistinctAgg), Some(qDistinctAggSql)),
     Q("q_pivot", wrap(qPivot), Some(qPivotSql)),
     Q("q_skew_agg", wrap(qSkewAgg), Some(qSkewAggSql)),

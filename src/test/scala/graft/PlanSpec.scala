@@ -99,6 +99,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "replication must not plan a cartesian")
   }
 
+  test("curation pipeline: semi/anti joins, no cartesian, pruned scans") {
+    val p = plan("q_curate")
+    assert(p.contains("LeftSemi"), "dedup keep-set must be a semi join")
+    assert(p.contains("LeftAnti"), "decontamination must be an anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("incremental dedup: bounded bucket aggregates, no corpus self-join") {
+    val p = plan("q_incr_dedup")
+    assert(p.contains("min_k_ids"), "bucket caps must be the bounded aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("custom expressions (week_of_month, shingle kernels) do not break codegen") {
     val df = SparkEntry.queries("q_weekly_avg")(spark, dir)
     df.collect()
