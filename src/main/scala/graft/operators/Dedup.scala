@@ -495,8 +495,11 @@ object Dedup {
     // materialize the (possibly expensive) pair table ONCE before the
     // symmetrize-union references it twice — otherwise its plan runs
     // twice inside the first job
+    // a null id is not a vertex: drop such pairs up front (they would
+    // NPE the union-find path and silently no-op in the join path)
     val p0 = pairs
       .select(F.col("a").cast("long").as("a"), F.col("b").cast("long").as("b"))
+      .filter(F.col("a").isNotNull && F.col("b").isNotNull)
       .localCheckpoint()
     // the count is free (p0 just materialized); small graphs finish on
     // the driver in one pass

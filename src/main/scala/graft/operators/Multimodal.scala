@@ -166,7 +166,11 @@ object Multimodal {
                   val types = r.getImageTypes(0)
                   if (types.hasNext) ch = types.next().getNumBands
                 } catch {
-                  case _: java.io.IOException => fmt = null; w = -1; h = -1; ch = -1
+                  // readers throw RuntimeExceptions (not just IOException)
+                  // on valid-magic corrupt headers; a decode stage must
+                  // record, not crash the task
+                  case scala.util.control.NonFatal(_) =>
+                    fmt = null; w = -1; h = -1; ch = -1
                 } finally r.dispose()
               }
             } finally iis.close()
@@ -215,7 +219,9 @@ object Multimodal {
           }
           img.setRGB(0, 0, w, h, rgb, 0, w)
           baos.reset()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          // memory-backed stream: the createImageOutputStream factory
+          // would return a disk-cache stream (temp file per image)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
           writer.setOutput(ios)
           writer.write(img)
           ios.close()
@@ -250,8 +256,9 @@ object Multimodal {
               ch = aff.getFormat.getChannels
               frames = aff.getFrameLength.toLong
             } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => ()
-              case _: java.io.IOException => ()
+              // includes UnsupportedAudioFileException, IOException, and
+              // the RuntimeExceptions parsers throw on corrupt headers
+              case scala.util.control.NonFatal(_) => ()
             }
           }
           AudioMeta(id, fmt, rate, ch, frames)

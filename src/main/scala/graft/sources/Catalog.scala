@@ -137,8 +137,13 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val toCompact = parts.flatMap { st =>
       val files = fs.listStatus(st.getPath)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-      if (files.length > maxFilesPerPartition) {
-        val value = st.getPath.getName.substring(partitionCol.length + 1)
+      val value = st.getPath.getName.substring(partitionCol.length + 1)
+      // only values that round-trip dir-name -> column-string can be
+      // re-selected and re-written safely: hive-escaped names (%xx) and
+      // the null partition would filter zero rows yet swap the live
+      // directory, so they are skipped rather than risked
+      val roundTrips = !value.contains("%") && value != "__HIVE_DEFAULT_PARTITION__"
+      if (files.length > maxFilesPerPartition && roundTrips) {
         val n = math.max(1L, (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes)
         Some((value, n.toInt))
       } else None
@@ -161,16 +166,24 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       .drop("__slot")
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(staging.toString)
-    toCompact.foreach { case (value, _) =>
+    val swapped = toCompact.flatMap { case (value, _) =>
       val dir = s"$partitionCol=$value"
       val src = new org.apache.hadoop.fs.Path(staging, dir)
       val dst = new org.apache.hadoop.fs.Path(root, dir)
-      fs.delete(dst, true)
-      fs.rename(src, dst)
+      // NEVER delete the live partition unless its staged replacement
+      // exists; a failed rename after the delete would lose data
+      if (!fs.exists(src)) None
+      else {
+        fs.delete(dst, true)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"compaction rename failed for $dir — staged data left at $src")
+        Some(value)
+      }
     }
     fs.delete(staging, true)
     spark.catalog.refreshByPath(path(table))
-    values
+    swapped
   }
 
   /** TRUNCATE TABLE: overwrite with an empty frame of the same schema

@@ -46,10 +46,13 @@ object JdbcSink {
     * parallelism: `coalesce(n)` propagates up through narrow stages, so
     * the entire compute stage feeding the sink would run at n tasks —
     * at cluster scale that serializes the whole job onto n cores, not
-    * just the writes. `repartition(n)` costs one extra shuffle but
-    * leaves the upstream plan at full width; a no-op when the frame is
-    * already at or under the cap.
+    * just the writes. `repartition(n)` costs one round-robin shuffle
+    * and leaves the upstream plan at full width. Unconditional on
+    * purpose: probing the current partition count (`df.rdd`) would
+    * materialize every upstream AQE stage once just to read a number,
+    * then the write would execute the query AGAIN — one avoidable
+    * shuffle beats one avoidable full re-execution.
     */
   private[graft] def sizedForWrite(df: DataFrame, n: Int): DataFrame =
-    if (df.rdd.getNumPartitions <= n) df else df.repartition(n)
+    df.repartition(n)
 }

@@ -57,8 +57,9 @@ class JdbcSinkSpec extends SparkSpec {
     // at 8 tasks
     val reps = sized.queryExecution.logical.collect { case r: Repartition => r }
     assert(reps.nonEmpty && reps.forall(_.shuffle), sized.queryExecution.logical.toString)
-    // already at or under the cap: pass through untouched
+    // a narrow frame still lands exactly at the cap (the sizing is
+    // unconditional — probing the width would execute the plan twice)
     val narrow = spark.range(10).repartition(4).toDF("id")
-    assert(JdbcSink.sizedForWrite(narrow, 8).rdd.getNumPartitions === 4)
+    assert(JdbcSink.sizedForWrite(narrow, 8).rdd.getNumPartitions === 8)
   }
 }

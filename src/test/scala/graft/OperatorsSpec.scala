@@ -435,6 +435,12 @@ class OperatorsSpec extends SparkSpec {
     val viaDriver = Dedup.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaDriver === got)
+    // null ids are not vertices: dropped, not NPE'd
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(2L), None))
+      .toDF("a", "b")
+    val labels = Dedup.connectedComponents(withNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L))
     // non-convergence is loud, not silently-wrong labels
     assertThrows[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIter = 2, driverCollapseThreshold = 0)
@@ -453,12 +459,18 @@ class OperatorsSpec extends SparkSpec {
       assert(m.height === (1 + id % 23).toInt, s"height of $id")
       assert(m.channels === 3)
     }
-    // non-image payloads: recorded, not crashed
+    // non-image payloads: recorded, not crashed — including a payload
+    // with a VALID PNG magic number but corrupt header bytes, which
+    // makes readers throw RuntimeExceptions rather than IOException
+    val pngMagicJunk =
+      Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+        Array.fill[Byte](16)(0x7f)
     val junk = Seq((1L, "definitely not a png".getBytes("UTF-8")),
-      (2L, Array.empty[Byte]), (3L, null.asInstanceOf[Array[Byte]]))
+      (2L, Array.empty[Byte]), (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, pngMagicJunk))
       .toDF("media_id", "payload")
     val bad = Multimodal.decodeImageMeta(junk).collect().map(m => m.media_id -> m).toMap
-    assert(bad.values.forall(m => m.format == null && m.width == -1 && m.channels == -1))
+    assert(bad.values.forall(m => m.width == -1 && m.channels == -1), bad.toString)
   }
 
   test("audio decode extracts real WAV headers; junk payloads survive") {
