@@ -186,6 +186,28 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     swapped
   }
 
+  /** Write a BUCKETED managed table: rows are hash-distributed into
+    * `buckets` files per partition by `bucketCols` at WRITE time, so
+    * every later equi-join or aggregation on those columns is already
+    * co-located — two tables bucketed by the same key and count join
+    * with ZERO shuffle exchanges (pinned in PlanSpec). This is the
+    * storage half of shuffle minimization at 100 TB: pay the
+    * distribution once when the table lands, never again per query.
+    * Optional `sortCols` additionally sort within buckets, enabling
+    * shuffle-AND-sort-free sort-merge joins.
+    */
+  def writeBucketed(
+      table: String,
+      df: DataFrame,
+      buckets: Int,
+      bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.format("parquet").saveAsTable(table)
+  }
+
   /** TRUNCATE TABLE: overwrite with an empty frame of the same schema
     * (src/sqls/populate_postgres.sql:31).
     */

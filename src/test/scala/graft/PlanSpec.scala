@@ -99,6 +99,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "replication must not plan a cartesian")
   }
 
+  test("bucketed tables co-locate the join: zero shuffle exchanges") {
+    import org.apache.spark.sql.{functions => F}
+    val cat = new graft.sources.Catalog(spark, "/tmp/unused-root")
+    val ev = spark.range(1000).select(
+      F.col("id").as("event_id"), (F.col("id") % 50).as("user_id"))
+    val dim = spark.range(50).select(
+      F.col("id").as("user_id"), F.concat(F.lit("u"), F.col("id")).as("name"))
+    cat.writeBucketed("b_events", ev, buckets = 8,
+      bucketCols = Seq("user_id"), sortCols = Seq("user_id"))
+    cat.writeBucketed("b_users", dim, buckets = 8,
+      bucketCols = Seq("user_id"), sortCols = Seq("user_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("b_events").join(spark.table("b_users"), "user_id")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(600))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle: " + p.take(800))
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("curation pipeline: semi/anti joins, no cartesian, pruned scans") {
     val p = plan("q_curate")
     assert(p.contains("LeftSemi"), "dedup keep-set must be a semi join")
