@@ -186,15 +186,27 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     swapped
   }
 
-  /** Write a BUCKETED managed table: rows are hash-distributed into
-    * `buckets` files per partition by `bucketCols` at WRITE time, so
-    * every later equi-join or aggregation on those columns is already
-    * co-located — two tables bucketed by the same key and count join
-    * with ZERO shuffle exchanges (pinned in PlanSpec). This is the
-    * storage half of shuffle minimization at 100 TB: pay the
-    * distribution once when the table lands, never again per query.
-    * Optional `sortCols` additionally sort within buckets, enabling
-    * shuffle-AND-sort-free sort-merge joins.
+  /** Write a BUCKETED table: rows are hash-distributed into `buckets`
+    * files by `bucketCols` at WRITE time, so every later equi-join or
+    * aggregation on those columns is already co-located — two tables
+    * bucketed by the same key and count join with ZERO shuffle
+    * exchanges (pinned in PlanSpec). This is the storage half of
+    * shuffle minimization at 100 TB: pay the distribution once when
+    * the table lands, never again per query.
+    *
+    * The data lands as an EXTERNAL table at this catalog's
+    * `path(table)` — the same location every sibling method resolves —
+    * while the bucketing SPEC registers in the session catalog (read
+    * back via `spark.table(table)`). Spark only attaches bucket
+    * metadata through the catalog, so cross-APPLICATION reuse needs a
+    * persistent metastore (standard in production; this environment's
+    * in-memory catalog limits spec reuse to the writing application —
+    * the files themselves remain plain parquet, readable by path).
+    *
+    * The frame is repartitioned on the bucket key first: without it,
+    * every write task emits a file per bucket it sees (tasks x buckets
+    * small files) and multi-file buckets forfeit the sorted-bucket
+    * sort-merge optimization `sortCols` exists for.
     */
   def writeBucketed(
       table: String,
@@ -202,7 +214,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       buckets: Int,
       bucketCols: Seq[String],
       sortCols: Seq[String] = Nil): Unit = {
-    var w = df.write.mode(SaveMode.Overwrite)
+    import org.apache.spark.sql.{functions => F}
+    require(buckets > 0, "buckets must be positive")
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    var distributed = df.repartition(buckets, bucketCols.map(F.col): _*)
+    if (sortCols.nonEmpty)
+      distributed = distributed.sortWithinPartitions(sortCols.map(F.col): _*)
+    var w = distributed.write.mode(SaveMode.Overwrite)
+      .option("path", path(table))
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.format("parquet").saveAsTable(table)

@@ -101,17 +101,23 @@ class PlanSpec extends SparkSpec {
 
   test("bucketed tables co-locate the join: zero shuffle exchanges") {
     import org.apache.spark.sql.{functions => F}
-    val cat = new graft.sources.Catalog(spark, "/tmp/unused-root")
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val cat = new graft.sources.Catalog(spark, wh)
     val ev = spark.range(1000).select(
       F.col("id").as("event_id"), (F.col("id") % 50).as("user_id"))
     val dim = spark.range(50).select(
       F.col("id").as("user_id"), F.concat(F.lit("u"), F.col("id")).as("name"))
-    cat.writeBucketed("b_events", ev, buckets = 8,
-      bucketCols = Seq("user_id"), sortCols = Seq("user_id"))
-    cat.writeBucketed("b_users", dim, buckets = 8,
-      bucketCols = Seq("user_id"), sortCols = Seq("user_id"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
+      cat.writeBucketed("b_events", ev, buckets = 8,
+        bucketCols = Seq("user_id"), sortCols = Seq("user_id"))
+      cat.writeBucketed("b_users", dim, buckets = 8,
+        bucketCols = Seq("user_id"), sortCols = Seq("user_id"))
+      // the data sits at the Catalog's own path, visible to siblings
+      assert(cat.exists("b_events") && cat.read("b_events").count() === 1000)
+      // one file per bucket: the write repartitions on the bucket key
+      assert(new java.io.File(cat.path("b_events"))
+        .listFiles().count(f => f.getName.endsWith(".parquet")) === 8)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
       val j = spark.table("b_events").join(spark.table("b_users"), "user_id")
       j.collect()
@@ -121,7 +127,11 @@ class PlanSpec extends SparkSpec {
         "bucketed join must not shuffle: " + p.take(800))
       assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
         p.take(800))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_events")
+      spark.sql("DROP TABLE IF EXISTS b_users")
+    }
   }
 
   test("curation pipeline: semi/anti joins, no cartesian, pruned scans") {
