@@ -240,6 +240,26 @@ object QueryCatalog {
       .orderBy("o_custkey")
   }
 
+  /** Bounded top-k per group: top-2 orders per customer via the
+    * map-side-bounded topk_pairs aggregate — same semantics as the
+    * window row_number form (the oracle), but the shuffle carries
+    * groups x 2 sketch entries instead of every row sorted.
+    */
+  private def qTopkGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopN.topKPerGroup(
+        t(s, dir, "orders"), Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 2)
+      .orderBy("o_custkey", "rank")
+
+  private val qTopkGroupSql =
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 2
+      |ORDER BY o_custkey, rank""".stripMargin
+
   private val qWindowRankSql =
     """WITH ranked AS (
       |  SELECT o_custkey, o_orderkey,
@@ -1392,6 +1412,7 @@ object QueryCatalog {
     Q("q_argmax_join", wrap(qArgmaxJoin), Some(qArgmaxJoinSql)),
     Q("q_upsert_events", wrap(qUpsertEvents), Some(qUpsertEventsSql)),
     Q("q_window_rank", wrap(qWindowRank), Some(qWindowRankSql)),
+    Q("q_topk_group", wrap(qTopkGroup), Some(qTopkGroupSql)),
     Q("q_window_running", wrap(qWindowRunning), Some(qWindowRunningSql)),
     Q("q_set_intersect", wrap(qSetIntersect), Some(qSetIntersectSql)),
     Q("q_set_except", wrap(qSetExcept), Some(qSetExceptSql)),

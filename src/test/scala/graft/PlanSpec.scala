@@ -99,6 +99,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "replication must not plan a cartesian")
   }
 
+  test("bounded top-k per group: partial sketch aggregate, no window sort") {
+    val p = plan("q_topk_group")
+    assert(p.contains("partial_topk_pairs"), "map-side sketch must bound the shuffle: " + p.take(600))
+    assert(!p.contains("Window"), "must not fall back to a window sort")
+  }
+
   test("bucketed tables co-locate the join: zero shuffle exchanges") {
     import org.apache.spark.sql.{functions => F}
     val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
