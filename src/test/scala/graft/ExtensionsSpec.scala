@@ -57,4 +57,24 @@ class ExtensionsSpec extends AnyFunSuite {
       // do not stop: other suites share the JVM-wide default session
     }
   }
+
+  test("extension injection and imperative registration stay in sync") {
+    // the two registration paths are maintained by hand; this pins that
+    // neither grows a function the other lacks
+    val ext = SparkSession.builder()
+      .master("local[2]").appName("graft-ext-parity")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    val imp = SparkSpec.session // GraftFunctions.register'd
+    def graftFns(s: SparkSession): Set[String] = {
+      val builtin = org.apache.spark.sql.catalyst.analysis
+        .FunctionRegistry.builtin.listFunction().map(_.funcName).toSet
+      s.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).filterNot(builtin).toSet
+    }
+    assert(graftFns(ext) === graftFns(imp),
+      s"extension-injected=${graftFns(ext)} imperative=${graftFns(imp)}")
+    assert(graftFns(imp).contains("word_shingles"))
+  }
 }

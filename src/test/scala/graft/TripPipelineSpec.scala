@@ -113,6 +113,28 @@ class TripPipelineSpec extends SparkSpec {
     assert(Upsert.holdsUniqueness(pipe.hist.filter(!F.col("trip_key").contains("#")), "trip_key"))
   }
 
+  test("compaction skips partitions whose dir name cannot round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-escape").toString
+    val cat = new graft.sources.Catalog(spark, dir)
+    // a partition value that hive-escapes in the dir name (colon) and
+    // accretes several files — compaction must leave it untouched
+    // rather than filter zero rows and swap away the live directory
+    (1 to 3).foreach { i =>
+      val df = Seq((i.toLong, "weird:value"), (i.toLong + 10, "plain"))
+        .toDF("id", "part").repartition(2)
+      cat.appendPartitioned("t", df, Seq("part"))
+    }
+    val before = cat.read("t").collect().map(_.toSeq).toSet
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType)))
+    val compacted = cat.compactPartitioned("t", "part", schema,
+      maxFilesPerPartition = 1)
+    assert(compacted === Seq("plain"), compacted.toString)
+    assert(cat.read("t").collect().map(_.toSeq).toSet === before)
+  }
+
   test("summarized view has YYYY-MM-0W buckets and positive averages") {
     val (pipe, _) = env
     val rows = pipe.summarized.collect()
