@@ -113,6 +113,25 @@ class TripPipelineSpec extends SparkSpec {
     assert(Upsert.holdsUniqueness(pipe.hist.filter(!F.col("trip_key").contains("#")), "trip_key"))
   }
 
+  test("jsonl corpus export round-trips with bounded gzip shards") {
+    import spark.implicits._
+    import graft.sources.CorpusIO
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/out"
+    val docs = (1L to 100L).map(i => (i, s"document body $i", s"lang${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    CorpusIO.writeJsonl(docs, dir, shards = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.length === 4, files.map(_.getName).mkString(","))
+    val back = CorpusIO.readJsonl(spark, dir, docs.schema)
+    assert(back.collect().map(_.toSeq).toSet === docs.collect().map(_.toSeq).toSet)
+    // malformed third-party line: recorded as nulls, not a crash
+    Files.writeString(java.nio.file.Paths.get(s"$dir/junk.json"), "{not json")
+    val tolerant = CorpusIO.readJsonl(spark, dir, docs.schema)
+    assert(tolerant.count() === 101)
+    assert(tolerant.filter($"doc_id".isNull).count() === 1)
+  }
+
   test("compaction skips partitions whose dir name cannot round-trip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-compact-escape").toString
