@@ -199,10 +199,11 @@ object Dedup {
     * per side like [[minhashCandidatesMd5]] and the whole pipeline is
     * md5-derived, so the SQL oracle replays it exactly.
     *
-    * A production deployment would persist the corpus's (band, bk, id)
-    * bucket table once (it is append-only under refresh) and join each
-    * batch against it, making refresh O(batch + matched buckets); here
-    * both sides bucket in one pass for self-containment.
+    * Refresh cost amortizes through [[bucketTableMd5]]: persist the
+    * corpus's (id, band, bk) table once (append-only under refresh)
+    * and call [[incrementalCandidatesFromBuckets]] per batch — the
+    * corpus text is then never re-shingled. This overload buckets both
+    * sides inline for self-containment.
     */
   def incrementalCandidatesMd5(
       newDocs: DataFrame,
@@ -212,20 +213,50 @@ object Dedup {
       shingleLen: Int = 5,
       numHashes: Int = 64,
       bands: Int = 4,
-      maxBucketSize: Int = 200): DataFrame = {
-    graft.GraftFunctions.register(newDocs.sparkSession)
-    val rowsPerBand = numHashes / bands
+      maxBucketSize: Int = 200): DataFrame =
+    incrementalCandidatesFromBuckets(
+      bucketTableMd5(newDocs, textCol, idCol, shingleLen, numHashes, bands),
+      bucketTableMd5(corpus, textCol, idCol, shingleLen, numHashes, bands),
+      maxBucketSize)
+
+  /** The corpus's persistable LSH bucket table `(id, band, bk)` — the
+    * amortization half of incremental dedup. Built once per corpus
+    * (and appended as batches are admitted), stored as a plain table,
+    * and every later refresh joins ONLY against it: the corpus text is
+    * never re-shingled. 8-byte keys + ids: the table is a tiny
+    * fraction of corpus bytes.
+    */
+  def bucketTableMd5(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleLen: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 4): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
     val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
     val sig = graft.functions.Hashing.md5MinhashSig(norm, shingleLen, numHashes)
-    def side(df: DataFrame, isNew: Boolean) = df
-      .select(F.col(idCol).as("id"), sig.as("sig"), F.lit(isNew).as("is_new"))
-    val withBuckets = md5Buckets(
-      side(newDocs, isNew = true).union(side(corpus, isNew = false)),
-      bands, rowsPerBand)
+    md5Buckets(docs.select(F.col(idCol).as("id"), sig.as("sig")),
+      bands, numHashes / bands)
+  }
+
+  /** Pair a batch's buckets against the (persisted) corpus bucket
+    * table: every emitted pair touches the batch. See
+    * [[incrementalCandidatesMd5]] for the semantics; this overload is
+    * the refresh-time entry point when the corpus buckets were stored
+    * by [[bucketTableMd5]].
+    */
+  def incrementalCandidatesFromBuckets(
+      newBuckets: DataFrame,
+      corpusBuckets: DataFrame,
+      maxBucketSize: Int = 200): DataFrame = {
+    graft.GraftFunctions.register(newBuckets.sparkSession)
+    val withBuckets = corpusBuckets.select("id", "band", "bk")
+      .union(newBuckets.select("id", "band", "bk"))
     val allB = withBuckets
       .groupBy("band", "bk")
       .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("all_ids"))
-    val newB = withBuckets.filter(F.col("is_new"))
+    val newB = newBuckets
       .groupBy("band", "bk")
       .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("new_ids"))
     allB.join(newB, Seq("band", "bk"))

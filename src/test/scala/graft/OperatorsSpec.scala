@@ -418,6 +418,15 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 12L || p._2 == 12L))
     // every pair touches the batch
     assert(got.forall(p => p._1 >= 10L || p._2 >= 10L))
+    // a PERSISTED corpus bucket table yields identical candidates: the
+    // refresh path never re-shingles the corpus
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-buckets").toString + "/corpus_buckets"
+    Dedup.bucketTableMd5(corpus).write.parquet(tableDir)
+    val viaTable = Dedup.incrementalCandidatesFromBuckets(
+        Dedup.bucketTableMd5(batch), spark.read.parquet(tableDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTable === got)
   }
 
   test("connected components: 64-vertex chain converges in O(log n) rounds") {
