@@ -199,6 +199,7 @@ object Corpus {
       docs: DataFrame,
       benchmark: DataFrame,
       minTokens: Int = 20,
+      minQuality: Double = 0.0,
       sampleNum: Int = 3,
       sampleDen: Int = 4,
       contaminationNgram: Int = 5,
@@ -206,8 +207,15 @@ object Corpus {
       idCol: String = "doc_id"): DataFrame = {
     val deduped = docs.join(
       Dedup.exact(docs, textCol, idCol).select(idCol), Seq(idCol), "leftsemi")
-    val quality = deduped.filter(
+    val floored = deduped.filter(
       TextFunctions.tokenCount(F.col(textCol)) >= minTokens)
+    // composite quality floor (length/stopword/punctuation blend) — the
+    // score is deterministic fixed-point double arithmetic, so the
+    // threshold compare is engine-exact (q_doc_quality hash-matches it)
+    val quality =
+      if (minQuality <= 0.0) floored
+      else floored.filter(
+        TextFunctions.qualityScore(F.col(textCol)) >= minQuality)
     val clean = Hygiene.decontaminate(
       quality, benchmark, contaminationNgram, textCol = textCol, idCol = idCol)
     hashSample(clean, idCol, stratumCol = idCol,

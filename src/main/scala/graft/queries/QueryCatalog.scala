@@ -759,7 +759,8 @@ object QueryCatalog {
   private def qCurate(s: SparkSession, dir: String): DataFrame = {
     val all = t(s, dir, "documents")
     Corpus.curate(
-        all.filter(F.col("doc_id") >= 20), all.filter(F.col("doc_id") < 20))
+        all.filter(F.col("doc_id") >= 20), all.filter(F.col("doc_id") < 20),
+        minQuality = 0.5)
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
@@ -769,12 +770,19 @@ object QueryCatalog {
       |  SELECT doc_id, lang, text,
       |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
       |    CASE WHEN trim(text) = '' THEN 0
-      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS nstop,
+      |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS npunct
       |  FROM documents WHERE doc_id >= 20),
       |keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY fp),
       |quality AS (
       |  SELECT n.doc_id, n.lang, n.text FROM norm n
-      |  JOIN keep k ON k.doc_id = n.doc_id WHERE n.ntok >= 20),
+      |  JOIN keep k ON k.doc_id = n.doc_id WHERE n.ntok >= 20
+      |    AND LEAST(CAST(length(n.text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |      + LEAST(CAST(n.nstop AS DOUBLE) * 10.0 / GREATEST(CAST(n.ntok AS DOUBLE), 1.0), 1.0) * 0.3
+      |      + (1.0 - LEAST(CAST(n.npunct AS DOUBLE) * 4.0 / GREATEST(CAST(length(n.text) AS DOUBLE), 1.0), 1.0)) * 0.3
+      |      >= 0.5),
       |qtoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM quality),
       |qsh AS (SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
       |    ELSE list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' '))
