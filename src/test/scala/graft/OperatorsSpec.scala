@@ -482,6 +482,28 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.values.forall(m => m.width == -1 && m.channels == -1), bad.toString)
   }
 
+  test("frame sampling slices strided blocks; byte-budget repartition sizes tasks") {
+    import graft.operators.Multimodal
+    val media = Seq(
+      (1L, Array.tabulate[Byte](300)(_.toByte)), // 5 frames of 64 -> idx 0,2,4
+      (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(media, new Multimodal.StubDecoder(4),
+        frameBytes = 64, stride = 2)
+      .collect().map(f => (f.media_id, f.frame_idx)).toSet
+    assert(frames === Set((1L, 0), (1L, 2), (1L, 4)))
+    // byte-budget partitioning: 300 payload bytes at a 100-byte budget
+    // -> 3 partitions; empty/null payloads cost nothing
+    val parts = Multimodal.repartitionForDecode(media, targetBytesPerPartition = 100)
+      .rdd.getNumPartitions
+    assert(parts === 3)
+    // hamming distance over 64-bit signatures
+    val d = spark.sql("SELECT 1").select(
+      graft.operators.Dedup.hammingDist(F.lit(0L), F.lit(-1L))).head().getInt(0)
+    assert(d === 64)
+  }
+
   test("audio decode extracts real WAV headers; junk payloads survive") {
     import graft.operators.Multimodal
     val ids = Seq(0L, 1L, 2L, 7L).toDF("doc_id")
