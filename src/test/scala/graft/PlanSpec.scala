@@ -99,6 +99,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "replication must not plan a cartesian")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import org.apache.spark.sql.{functions => F}
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying ~all the rows, with a wide payload so the
+      // skewed partition clears the byte threshold
+      val left = spark.range(40000).select(
+        F.when(F.col("id") % 100 =!= 0, F.lit(7L)).otherwise(F.col("id")).as("k"),
+        F.concat(F.lit("x" * 100), F.col("id")).as("payload"))
+      val right = spark.range(50).select(F.col("id").as("k"),
+        F.lit("dim").as("name"))
+      val j = left.join(right, "k")
+      j.collect() // finalize AQE on THIS QueryExecution
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE skew split must engage: " + p.take(900))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bounded top-k per group: partial sketch aggregate, no window sort") {
     val p = plan("q_topk_group")
     assert(p.contains("partial_topk_pairs"), "map-side sketch must bound the shuffle: " + p.take(600))
