@@ -70,4 +70,27 @@ class SqlRunnerSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(sql === dsl)
   }
+
+  test("SQL-only users can run the sketch/dedup family through ad-hoc text") {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "completely different text about something else"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_docs")
+    // the md5-reproducible sketch pipeline spelled entirely in SQL —
+    // no Scala API involved (reference entry-point 3 + §2.9 UDF story)
+    val dups = SqlRunner.run(spark,
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    md5_minhash_sig(regexp_replace(lower(trim(text)), '\\s+', ' '), 5, 16) AS sig,
+        |    char_shingles(regexp_replace(lower(trim(text)), '\\s+', ' '), 5) AS sh
+        |  FROM sql_docs)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  size(array_intersect(a.sh, b.sh)) AS inter
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND a.sig = b.sig
+        |""".stripMargin).collect()
+    assert(dups.length === 1)
+    assert(dups.head.getLong(0) === 1L && dups.head.getLong(1) === 2L)
+    assert(dups.head.getInt(2) > 0)
+  }
 }
