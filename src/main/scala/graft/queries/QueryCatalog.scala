@@ -859,6 +859,33 @@ object QueryCatalog {
       |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Batch sessionization: 30-minute-gap sessions per user over the
+    * at-rest events table — the backfill counterpart of the streaming
+    * sessionizer, graded on exact integer microsecond bounds.
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.sessionizeBatch(events(s, dir))
+      .orderBy("user_id", "session_idx")
+
+  private val qSessionizeSql =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, us,
+      |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM o),
+      |s AS (SELECT user_id, us,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  COUNT(*) AS n_events,
+      |  MIN(us) AS start_us, MAX(us) AS end_us,
+      |  MAX(us) - MIN(us) AS duration_us
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   /** Multi-distinct aggregation: two COUNT(DISTINCT) over different
     * columns in one group-by — planned via Expand (one input row fans
     * out per distinct aggregate), the operator family plain group-bys
@@ -1438,6 +1465,7 @@ object QueryCatalog {
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),
     Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
     Q("q_map_funcs", wrap(qMapFuncs), Some(qMapFuncsSql)),
+    Q("q_sessionize", wrap(qSessionize), Some(qSessionizeSql)),
     Q("q_distinct_agg", wrap(qDistinctAgg), Some(qDistinctAggSql)),
     Q("q_pivot", wrap(qPivot), Some(qPivotSql)),
     Q("q_skew_agg", wrap(qSkewAgg), Some(qSkewAggSql)),

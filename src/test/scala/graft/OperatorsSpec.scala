@@ -482,6 +482,24 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.values.forall(m => m.width == -1 && m.channels == -1), bad.toString)
   }
 
+  test("batch sessionize splits on the gap and shares one exchange") {
+    import graft.operators.Sessions
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(10)), // session 1 of user 1
+      (3L, 1L, ts(50)),                  // 40-min gap: session 2
+      (4L, 2L, ts(5)))                   // user 2: one session
+      .toDF("event_id", "user_id", "ts")
+    val got = Sessions.sessionizeBatch(ev, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(got((1L, 1L)) === ((2L, 600000000L))) // 2 events, 10 min span
+    assert(got((1L, 2L)) === ((1L, 0L)))
+    assert(got((2L, 1L)) === ((1L, 0L)))
+    // both windows + the session aggregate share ONE shuffle exchange
+    val p = Sessions.sessionizeBatch(ev).queryExecution.executedPlan.toString
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1, p.take(900))
+  }
+
   test("frame sampling slices strided blocks; byte-budget repartition sizes tasks") {
     import graft.operators.Multimodal
     val media = Seq(
