@@ -134,6 +134,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("gap sessionization: partitions events, sessions ordered, durations bounded") {
+    // replay the sessionizeBatch recurrence (pure logic): break when the
+    // gap exceeds the threshold, running sum indexes sessions
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 120L)).map(_.take(40))
+    samples(gen, 100).foreach { gaps =>
+      val gapUs = 30L * 60 * 1000000
+      val times = gaps.scanLeft(0L)((acc, g) => acc + g * 60 * 1000000).tail
+      var idx = 0L
+      var prev = Long.MinValue
+      val assigned = times.sorted.map { t =>
+        if (prev == Long.MinValue || t - prev > gapUs) idx += 1
+        prev = t
+        (t, idx)
+      }
+      // every event lands in exactly one session; indexes are contiguous
+      assert(assigned.map(_._2).distinct == (1L to idx).toList)
+      // within a session, consecutive gaps never exceed the threshold
+      assigned.groupBy(_._2).values.foreach { sess =>
+        val ts = sess.map(_._1)
+        ts.zip(ts.tail).foreach { case (a, b) => assert(b - a <= gapUs) }
+      }
+      // across a session boundary the gap always exceeds it
+      assigned.zip(assigned.tail).foreach { case ((t1, s1), (t2, s2)) =>
+        if (s2 != s1) assert(t2 - t1 > gapUs)
+      }
+    }
+  }
+
   test("upsert key invariant: concat_ws with separator is injective on field tuples") {
     // the reference's separator-free CONCAT collides ("ab","c") with
     // ("a","bc"); the hashed key must not (SURVEY.md §7.4)
