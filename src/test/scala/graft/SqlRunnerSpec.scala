@@ -71,6 +71,17 @@ class SqlRunnerSpec extends SparkSpec {
     assert(sql === dsl)
   }
 
+  test("driver contract: every oracle belongs to a query, names unique") {
+    val qNames = graft.queries.QueryCatalog.all.map(_.name)
+    assert(qNames.distinct.size === qNames.size, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // the correctness gate is only as wide as the oracle set: no graded
+    // query may silently lose its oracle
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet,
+      "rows-only queries reappeared: " +
+        (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet))
+  }
+
   test("SQL-only users can run the sketch/dedup family through ad-hoc text") {
     import spark.implicits._
     Seq((1L, "the quick brown fox jumps over the lazy dog"),
