@@ -251,7 +251,16 @@ object Dedup {
       corpusBuckets: DataFrame,
       maxBucketSize: Int = 200): DataFrame = {
     graft.GraftFunctions.register(newBuckets.sparkSession)
-    val withBuckets = corpusBuckets.select("id", "band", "bk")
+    // restrict the corpus side to buckets the BATCH actually lands in
+    // BEFORE aggregating: the batch's distinct key set is tiny, so the
+    // semi-join prunes the corpus scan+aggregate to matched buckets —
+    // per-refresh cost is O(batch + matched buckets), not O(corpus)
+    val batchKeys = newBuckets.select("band", "bk").distinct()
+    val withBuckets = corpusBuckets
+      .join(batchKeys, Seq("band", "bk"), "leftsemi")
+      // a USING-join fronts the join columns; re-select before the
+      // POSITIONAL union
+      .select("id", "band", "bk")
       .union(newBuckets.select("id", "band", "bk"))
     val allB = withBuckets
       .groupBy("band", "bk")

@@ -27,6 +27,8 @@ object Sessions {
       tsCol: String = "ts",
       orderTieCol: String = "event_id",
       gapMinutes: Int = 30): DataFrame = {
+    require(!events.columns.contains("session_idx") && !events.columns.contains("__us"),
+      "input already carries session_idx/__us — drop or rename before re-sessionizing")
     val w = Window.partitionBy(userCol)
       .orderBy(F.col(tsCol).asc, F.col(orderTieCol).asc)
     val gapUs = gapMinutes * 60L * 1000000L

@@ -25,6 +25,20 @@ object TopN {
       k: Int): DataFrame = {
     require(groupCols.nonEmpty, "topKPerGroup needs at least one group column")
     require(k > 0, "k must be positive")
+    // fail fast on shapes the sketch cannot rank: a lossy/failed cast
+    // would silently DROP rows (null score/id never enters the buffer),
+    // diverging from the window idiom this replaces
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"topKPerGroup id column '$idCol' must be integral, got ${other.catalogString}")
+    }
+    df.schema(scoreCol).dataType match {
+      case _: NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"topKPerGroup score column '$scoreCol' must be numeric, got ${other.catalogString}")
+    }
     graft.GraftFunctions.register(df.sparkSession)
     df.groupBy(groupCols.map(F.col): _*)
       .agg(graft.functions.TopK.topkPairs(

@@ -60,13 +60,24 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("extension injection and imperative registration stay in sync") {
     // the two registration paths are maintained by hand; this pins that
-    // neither grows a function the other lacks
-    val ext = SparkSession.builder()
-      .master("local[2]").appName("graft-ext-parity")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // neither grows a function the other lacks. getOrCreate() would
+    // return the existing default session (ignoring extensions), making
+    // the comparison vacuous — clear defaults to force a FRESH session
+    // through the extension path, then restore.
     val imp = SparkSpec.session // GraftFunctions.register'd
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext =
+      try SparkSession.builder()
+        .master("local[2]").appName("graft-ext-parity")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      finally {
+        SparkSession.setDefaultSession(imp)
+        SparkSession.setActiveSession(imp)
+      }
+    assert(ext ne imp, "parity test needs a distinct session")
     def graftFns(s: SparkSession): Set[String] = {
       val builtin = org.apache.spark.sql.catalyst.analysis
         .FunctionRegistry.builtin.listFunction().map(_.funcName).toSet

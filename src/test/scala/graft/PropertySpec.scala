@@ -134,31 +134,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("gap sessionization: partitions events, sessions ordered, durations bounded") {
-    // replay the sessionizeBatch recurrence (pure logic): break when the
-    // gap exceeds the threshold, running sum indexes sessions
-    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 120L)).map(_.take(40))
-    samples(gen, 100).foreach { gaps =>
+  test("gap sessionization: operator matches the reference recurrence") {
+    import org.apache.spark.sql.{functions => SF}
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 120L)).map(_.take(30))
+    // fewer samples than the pure properties: each drives a Spark job
+    samples(gen, 8).foreach { gaps =>
       val gapUs = 30L * 60 * 1000000
-      val times = gaps.scanLeft(0L)((acc, g) => acc + g * 60 * 1000000).tail
+      val times = gaps.scanLeft(0L)((acc, g) => acc + g * 60 * 1000000).tail.sorted
+      // reference recurrence, computed independently of the operator
       var idx = 0L
       var prev = Long.MinValue
-      val assigned = times.sorted.map { t =>
+      val expected = times.zipWithIndex.map { case (t, i) =>
         if (prev == Long.MinValue || t - prev > gapUs) idx += 1
         prev = t
         (t, idx)
-      }
-      // every event lands in exactly one session; indexes are contiguous
-      assert(assigned.map(_._2).distinct == (1L to idx).toList)
-      // within a session, consecutive gaps never exceed the threshold
-      assigned.groupBy(_._2).values.foreach { sess =>
-        val ts = sess.map(_._1)
-        ts.zip(ts.tail).foreach { case (a, b) => assert(b - a <= gapUs) }
-      }
-      // across a session boundary the gap always exceeds it
-      assigned.zip(assigned.tail).foreach { case ((t1, s1), (t2, s2)) =>
-        if (s2 != s1) assert(t2 - t1 > gapUs)
-      }
+      }.groupBy(_._2).map { case (s, xs) =>
+        (s, xs.size.toLong, xs.map(_._1).min, xs.map(_._1).max)
+      }.toSet
+      val ev = times.zipWithIndex
+        .map { case (t, i) => (i.toLong, 1L, t) }
+        .toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id",
+          SF.timestamp_micros($"us").as("ts"))
+      val got = graft.operators.Sessions.sessionizeBatch(ev)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got === expected, s"gaps=$gaps")
     }
   }
 
