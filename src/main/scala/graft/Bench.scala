@@ -38,7 +38,7 @@ object Bench {
     if (warmDir.isDirectory && warmDir.getPath != new java.io.File(sfDir).getPath) {
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir.getPath).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     // Two measured runs per query, report the faster: single-run local
@@ -46,20 +46,28 @@ object Bench {
     // reads as phantom regressions; min-of-N is the standard estimator
     // for the repeatable cost of a deterministic computation.
     val results = selected.map { case (name, fn) =>
+      // a failed run must NOT report its (fast) elapsed time as the
+      // query's benchmark — NaN poisons the min so the failure is
+      // visible, and the report carries an explicit failed list
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.NaN
         }
-        (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v.isNaN => k }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filterNot(_.isNaN).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -256,20 +256,26 @@ object Dedup {
     // semi-join prunes the corpus scan+aggregate to matched buckets —
     // per-refresh cost is O(batch + matched buckets), not O(corpus)
     val batchKeys = newBuckets.select("band", "bk").distinct()
-    val withBuckets = corpusBuckets
+    // cap EACH side at maxBucketSize before combining: corpus ids are
+    // typically smaller than fresh batch ids, so a shared min-id cap
+    // over the union would let a hot corpus bucket crowd every batch
+    // id out of the pairing side — silently masking new duplicates.
+    // Per-side caps guarantee batch ids always survive into pairing.
+    val corpusB = corpusBuckets
       .join(batchKeys, Seq("band", "bk"), "leftsemi")
-      // a USING-join fronts the join columns; re-select before the
-      // POSITIONAL union
+      // a USING-join fronts the join columns; re-select for clarity
       .select("id", "band", "bk")
-      .union(newBuckets.select("id", "band", "bk"))
-    val allB = withBuckets
       .groupBy("band", "bk")
-      .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("all_ids"))
+      .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("corpus_ids"))
     val newB = newBuckets
       .groupBy("band", "bk")
       .agg(graft.functions.TopK.minKIds(F.col("id"), maxBucketSize).as("new_ids"))
-    allB.join(newB, Seq("band", "bk"))
-      .select(F.explode(F.col("all_ids")).as("x"), F.col("new_ids"))
+    newB.join(corpusB, Seq("band", "bk"), "left")
+      .select(
+        F.explode(F.array_union(
+          F.coalesce(F.col("corpus_ids"), F.array().cast("array<bigint>")),
+          F.col("new_ids"))).as("x"),
+        F.col("new_ids"))
       .select(F.col("x"), F.explode(F.col("new_ids")).as("y"))
       .filter(F.col("x") =!= F.col("y"))
       .select(F.least(F.col("x"), F.col("y")).as("a"),
@@ -524,8 +530,11 @@ object Dedup {
     *   full job (scheduling + AQE planning + shuffles), which dwarfs
     *   the actual work for any graph that fits one task. Identical
     *   labels either way; 0 forces the distributed loop (used by the
-    *   convergence specs). The default (1M pairs, ~16 MB collected)
-    *   is broadcast-sized — the same budget a broadcast join gets.
+    *   convergence specs). The default (1M pairs, collected as boxed
+    *   (Long, Long) tuples at ~60 B each ≈ 60 MB of driver heap plus
+    *   the union-find map) fits a normally-sized driver with the same
+    *   kind of budget a generous broadcast join gets — size it down on
+    *   memory-constrained drivers.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -601,19 +610,22 @@ object Dedup {
       }
       x
     }
-    val rows = p0.collect()
-    rows.foreach { r =>
-      val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+    // collect as typed (Long, Long) pairs, not generic Rows: a Row
+    // costs ~100+ B (schema pointer + boxed values array) where the
+    // tuple costs ~60 B, and the typed path skips per-access schema
+    // resolution in the two passes below
+    val rows: Array[(Long, Long)] = p0.as[(Long, Long)].collect()
+    rows.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
       if (ra != rb) {
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
       }
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val seen = new java.util.HashSet[Long]()
-    rows.foreach { r =>
-      Seq(r.getLong(0), r.getLong(1)).foreach { v =>
-        if (seen.add(v)) out += ((v, find(v)))
-      }
+    rows.foreach { case (a, b) =>
+      if (seen.add(a)) out += ((a, find(a)))
+      if (seen.add(b)) out += ((b, find(b)))
     }
     out.toSeq.toDF("v", "label")
   }

@@ -1396,14 +1396,16 @@ object QueryCatalog {
 
   private val qIncrDedupSql =
     s"""$minhashMd5BandkeysCte,
-       |cappedAll AS (SELECT band, bk, doc_id FROM (
+       |cappedCorpus AS (SELECT band, bk, doc_id FROM (
        |    SELECT band, bk, doc_id,
        |      ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn
-       |    FROM bandkeys) WHERE rn <= 200),
+       |    FROM bandkeys WHERE doc_id < 400) WHERE rn <= 200),
        |cappedNew AS (SELECT band, bk, doc_id FROM (
        |    SELECT band, bk, doc_id,
        |      ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn
-       |    FROM bandkeys WHERE doc_id >= 400) WHERE rn <= 200)
+       |    FROM bandkeys WHERE doc_id >= 400) WHERE rn <= 200),
+       |cappedAll AS (SELECT band, bk, doc_id FROM cappedCorpus
+       |  UNION SELECT band, bk, doc_id FROM cappedNew)
        |SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
        |  greatest(x.doc_id, y.doc_id) AS b
        |FROM cappedAll x

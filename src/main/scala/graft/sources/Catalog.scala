@@ -157,6 +157,22 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       F.when(F.col(partitionCol).cast("string") === v, F.lit(n)).otherwise(acc)
     }
     val staging = new org.apache.hadoop.fs.Path(path(table) + "__compacting")
+    // Crash recovery before discarding leftovers: the swap below only
+    // starts after the staged write completes, so any partition dir
+    // still in staging whose LIVE counterpart is missing is a complete
+    // compacted copy orphaned between move-aside and move-in — restore
+    // it first. (A crash mid-write leaves every live dir intact, so the
+    // condition never matches partial data.)
+    if (fs.exists(staging)) {
+      fs.listStatus(staging)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
+        .foreach { st =>
+          val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+          if (!fs.exists(live) && !fs.rename(st.getPath, live))
+            throw new java.io.IOException(
+              s"compaction recovery failed restoring ${st.getPath} to $live")
+        }
+    }
     fs.delete(staging, true)
     readWithSchema(table, schema)
       .filter(F.col(partitionCol).cast("string").isin(values: _*))
@@ -170,14 +186,22 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       val dir = s"$partitionCol=$value"
       val src = new org.apache.hadoop.fs.Path(staging, dir)
       val dst = new org.apache.hadoop.fs.Path(root, dir)
-      // NEVER delete the live partition unless its staged replacement
-      // exists; a failed rename after the delete would lose data
+      // move-aside -> move-in -> drop: a crash at ANY point leaves at
+      // least one complete copy addressable — live at dst, or staged at
+      // src (restored by the entry recovery above on the next run). The
+      // aside lives INSIDE staging under a prefix that does not parse
+      // as a partition dir, so readers never see two copies and the
+      // recovery scan never mistakes it for a staged replacement.
       if (!fs.exists(src)) None
       else {
-        fs.delete(dst, true)
+        val aside = new org.apache.hadoop.fs.Path(staging, s"__old__$dir")
+        if (fs.exists(dst) && !fs.rename(dst, aside))
+          throw new java.io.IOException(
+            s"compaction move-aside failed for $dir — table untouched")
         if (!fs.rename(src, dst))
           throw new java.io.IOException(
             s"compaction rename failed for $dir — staged data left at $src")
+        fs.delete(aside, true)
         Some(value)
       }
     }

@@ -429,6 +429,19 @@ class OperatorsSpec extends SparkSpec {
     assert(viaTable === got)
   }
 
+  test("incremental dedup: hot corpus buckets cannot crowd out batch ids") {
+    import graft.operators.Dedup
+    // three corpus ids and two batch ids share one bucket, cap = 2:
+    // a shared min-id cap over the union would keep only corpus ids
+    // [1,2] on the pairing side and silently drop the batch-internal
+    // pair (10,11); per-side caps keep both
+    val corpusB = Seq((1L, 0, 7L), (2L, 0, 7L), (3L, 0, 7L)).toDF("id", "band", "bk")
+    val batchB = Seq((10L, 0, 7L), (11L, 0, 7L)).toDF("id", "band", "bk")
+    val got = Dedup.incrementalCandidatesFromBuckets(batchB, corpusB, maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (10L, 11L)))
+  }
+
   test("connected components: 64-vertex chain converges in O(log n) rounds") {
     import graft.operators.Dedup
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")

@@ -154,6 +154,33 @@ class TripPipelineSpec extends SparkSpec {
     assert(cat.read("t").collect().map(_.toSeq).toSet === before)
   }
 
+  test("compaction recovers a partition orphaned by a mid-swap crash") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-crash").toString
+    val cat = new graft.sources.Catalog(spark, dir)
+    (1 to 3).foreach { i =>
+      val df = Seq((i.toLong, "a"), (i.toLong + 10, "b"))
+        .toDF("id", "part").repartition(2)
+      cat.appendPartitioned("t", df, Seq("part"))
+    }
+    val before = cat.read("t").collect().map(_.toSeq).toSet
+    // simulate a crash between move-aside and move-in: the live dir of
+    // part=a is gone and its only complete copy sits in staging
+    val root = new java.io.File(cat.path("t"))
+    val staging = new java.io.File(cat.path("t") + "__compacting")
+    staging.mkdirs()
+    assert(new java.io.File(root, "part=a")
+      .renameTo(new java.io.File(staging, "part=a")))
+    // an aside left mid-swap must be discarded, never restored as data
+    new java.io.File(staging, "__old__part=b").mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType)))
+    cat.compactPartitioned("t", "part", schema, maxFilesPerPartition = 1)
+    assert(cat.read("t").collect().map(_.toSeq).toSet === before)
+    assert(!staging.exists())
+  }
+
   test("summarized view has YYYY-MM-0W buckets and positive averages") {
     val (pipe, _) = env
     val rows = pipe.summarized.collect()
