@@ -199,6 +199,68 @@ object QueryCatalog {
       |JOIN latest l ON o.o_orderdate = l.maxd
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** J-family tail, TPC-H Q22 shape: two scalar subqueries in WHERE plus
+    * a correlated NOT EXISTS, run as SQL TEXT so Catalyst's subquery
+    * decorrelation is what executes — the NOT EXISTS plans as a
+    * left-anti join and the 1-row aggregate broadcasts (PlanSpec pin).
+    * The "above average balance" test is an exact decimal
+    * cross-multiplication (bal * n > sum), never a float divide, so the
+    * oracle runs the IDENTICAL text.
+    */
+  private def qExistsJoin(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(qExistsJoinSql)
+  }
+
+  private val qExistsJoinSql =
+    """WITH bal AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT n FROM bal) > (SELECT s FROM bal)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** J-family tail, TPC-H Q13 flavor: FULL OUTER join of two filtered
+    * per-nation aggregates (either side can be absent), then a
+    * distribution aggregate OVER the null-bearing columns — nulls land
+    * in the 0 bucket via COALESCE, exactly Q13's count-of-counts shape.
+    * Both inputs are post-aggregation (≤ one row per nation), so the
+    * full-outer itself is a small-key join; at 100 TB the cost lives in
+    * the two partial aggregates that feed it.
+    */
+  private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(F.col("c_mktsegment") === "MACHINERY")
+      .groupBy("c_nationkey").agg(F.count(F.lit(1)).as("n_cust"))
+    val su = t(s, dir, "supplier")
+      .filter(F.col("s_acctbal") < 0)
+      .groupBy("s_nationkey").agg(F.count(F.lit(1)).as("n_supp"))
+    c.join(su, F.col("c_nationkey") === F.col("s_nationkey"), "full_outer")
+      .groupBy(F.coalesce(F.col("n_supp"), F.lit(0L)).as("supp_count"))
+      .agg(
+        F.count(F.lit(1)).as("n_nations"),
+        F.sum(F.coalesce(F.col("n_cust"), F.lit(0L))).as("n_custs"))
+      .orderBy("supp_count")
+  }
+
+  private val qFullOuterSql =
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+      |  FROM customer WHERE c_mktsegment = 'MACHINERY' GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      |  FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+      |SELECT COALESCE(s.n_supp, 0) AS supp_count,
+      |  COUNT(*) AS n_nations,
+      |  CAST(SUM(COALESCE(c.n_cust, 0)) AS BIGINT) AS n_custs
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** J3/K1: the dedup upsert as a pure query — "hist" keys union keys new
     * in the "batch" window, via the engine's anti-join operator.
     */
@@ -1447,6 +1509,8 @@ object QueryCatalog {
     Q("q_weekly_avg", wrap(qWeeklyAvg), Some(qWeeklyAvgSql)),
     Q("q_nation_revenue", wrap(qNationRevenue), Some(qNationRevenueSql)),
     Q("q_argmax_join", wrap(qArgmaxJoin), Some(qArgmaxJoinSql)),
+    Q("q_exists_join", wrap(qExistsJoin), Some(qExistsJoinSql)),
+    Q("q_full_outer", wrap(qFullOuter), Some(qFullOuterSql)),
     Q("q_upsert_events", wrap(qUpsertEvents), Some(qUpsertEventsSql)),
     Q("q_window_rank", wrap(qWindowRank), Some(qWindowRankSql)),
     Q("q_topk_group", wrap(qTopkGroup), Some(qTopkGroupSql)),

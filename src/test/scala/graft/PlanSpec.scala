@@ -168,6 +168,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("NOT EXISTS decorrelates to an anti join; scalar subqueries broadcast") {
+    val p = plan("q_exists_join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as anti join: " + p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "scalar subqueries must not force a nested loop: " + p.take(900))
+  }
+
+  test("full outer join of aggregates plans FullOuter over partial aggs") {
+    val p = plan("q_full_outer")
+    assert(p.contains("FullOuter"), p.take(900))
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "both inputs must pre-aggregate (partial+final) before the join")
+  }
+
   test("curation pipeline: semi/anti joins, no cartesian, pruned scans") {
     val p = plan("q_curate")
     assert(p.contains("LeftSemi"), "dedup keep-set must be a semi join")
