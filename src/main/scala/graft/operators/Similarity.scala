@@ -25,6 +25,20 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Broadcast the query side only while it is actually broadcast-sized.
+    *
+    * Every tier's contract is "queries are few", but a caller handing in
+    * a 10M-row query frame must degrade to a partitioned join, not OOM
+    * the driver mid-broadcast. The count is one action over the QUERY
+    * side only (columnar count, no data movement); above the threshold
+    * the frame is returned unhinted and the planner shuffles both sides
+    * — for the keyed tiers (LSH bucket, IVF cell) that is a standard
+    * shuffle hash join, for brute force a partitioned cartesian, which
+    * is the only exact plan at that query volume anyway.
+    */
+  private[graft] def broadcastIfSmall(df: DataFrame, maxRows: Long): DataFrame =
+    if (df.count() <= maxRows) F.broadcast(df) else df
+
   /** Exact top-k neighbors for each query vector, ranked by dot product
     * (or cosine), ties broken by ascending candidate id for determinism.
     *
@@ -41,7 +55,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       metric: String = "cosine",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
     // Norms are precomputed per row BEFORE the pair join: cosine then
     // costs one dot per pair instead of three.
@@ -54,7 +69,7 @@ object Similarity {
       case _ => VectorFunctions.dot(F.col("qv"), F.col("cv")) /
         F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
     }
-    val scored = c.join(F.broadcast(q))
+    val scored = c.join(broadcastIfSmall(q, maxBroadcastQueries))
       .filter(if (excludeSelf) F.col("query_id") =!= F.col("neighbor_id") else F.lit(true))
       .select(F.col("query_id"), F.col("neighbor_id"), score.as("score"))
     explodeTopK(scored, k)
@@ -109,13 +124,14 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(F.col(idCol).as("query_id"),
       VectorFunctions.quantize(F.col(vecCol)).as("qv"))
     val c = corpus.select(F.col(idCol).as("neighbor_id"),
       VectorFunctions.quantize(F.col(vecCol)).as("cv"))
-    val scored = c.join(F.broadcast(q))
+    val scored = c.join(broadcastIfSmall(q, maxBroadcastQueries))
       .filter(if (excludeSelf) F.col("query_id") =!= F.col("neighbor_id") else F.lit(true))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
@@ -164,7 +180,8 @@ object Similarity {
       bits: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(F.col(idCol).as("neighbor_id"),
       VectorFunctions.quantize(F.col(vecCol)).as("cv"))
@@ -172,8 +189,58 @@ object Similarity {
     val q = queries.select(F.col(idCol).as("query_id"),
       VectorFunctions.quantize(F.col(vecCol)).as("qv"))
       .withColumn("bk", planeBucket(F.col("qv"), bits, 0, dims))
-    val scored = c.join(F.broadcast(q), Seq("bk"))
+    val scored = c.join(broadcastIfSmall(q, maxBroadcastQueries), Seq("bk"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
+    explodeTopK(scored, k)
+  }
+
+  /** Multi-table (OR-amplified) sign-bit LSH ANN — the recall lever a
+    * single table lacks: `tables` independent tables of `bits` planes
+    * each (table t uses plane seeds [t*bits, (t+1)*bits)); a corpus
+    * vector is a candidate when it shares ANY table's bucket with the
+    * query. Candidate probability 1-(1-p^bits)^tables vs p^bits for one
+    * table — the standard amplification trade (Indyk-Motwani; the same
+    * banding [[graft.operators.Dedup.embeddingNearDups]] uses for
+    * near-dup pairs).
+    *
+    * Candidates are deduped as slim (query_id, neighbor_id) pairs, then
+    * vectors are joined back for exact quantized-dot ranking — the wide
+    * arrays never pass through the distinct. Like [[ivfTopK]], the
+    * corpus is scanned twice (bucket pass + score join) rather than
+    * cached: at 100 TB two pruned columnar scans beat materializing the
+    * working set. At scale (tbl, bk) is the shuffle key; per-table
+    * bucket sizes bound every reducer.
+    */
+  def lshTopKMulti(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      tables: Int = 8,
+      bits: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(F.col(idCol).as("neighbor_id"),
+      VectorFunctions.quantize(F.col(vecCol)).as("cv"))
+    val q = queries.select(F.col(idCol).as("query_id"),
+      VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+    def withTables(df: DataFrame, vc: String) = df
+      .select(F.col(df.columns.head), F.posexplode(F.array(
+        (0 until tables).map(t => planeBucket(F.col(vc), bits, t * bits, dims)): _*))
+        .as(Seq("tbl", "bk")))
+    val qB = withTables(q, "qv")
+    val cand = withTables(c, "cv")
+      .join(broadcastIfSmall(qB, maxBroadcastQueries * tables), Seq("tbl", "bk"))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = cand
+      .join(c, Seq("neighbor_id"))
+      .join(broadcastIfSmall(q, maxBroadcastQueries), Seq("query_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
     explodeTopK(scored, k)
@@ -201,7 +268,8 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
     // NOTE: the centroid pick below is a separate action, so the corpus
     // is scanned twice (pick + assignment). That is the scale-correct
@@ -254,7 +322,7 @@ object Similarity {
     // cells are distinct, so a (query, neighbor) pair appears at most
     // once — no dedup needed.
     val scored = assigned
-      .join(F.broadcast(probes), Seq("cell"))
+      .join(broadcastIfSmall(probes, maxBroadcastQueries * nprobe), Seq("cell"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))

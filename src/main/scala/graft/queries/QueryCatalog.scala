@@ -1368,6 +1368,115 @@ object QueryCatalog {
       |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Retrieval-QUALITY grading for the ANN tiers — not just determinism:
+    * per query, the integer |approxTopK ∩ exactTopK| for multi-table LSH
+    * (8 tables x 4 bits) and IVF (probe 8 of 16 cells) against the
+    * quantized brute-force ground truth. The oracle replays all three
+    * sides (everything is md5/integer), so a hash match certifies the
+    * index finds the RIGHT neighbors.
+    *
+    * Documented operating point on the synthetic embeddings —
+    * uniformly-random vectors, the adversarial case for ANN (no cluster
+    * structure, vanishing inner-product contrast): at sf0.01,
+    * LSH >= 35/50 recalled scanning ~21% of the corpus per query and
+    * IVF >= 35/50 scanning ~50%; OperatorsSpec pins those floors.
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(F.col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopKQuant(emb, qs, k = 5)
+      .select("query_id", "neighbor_id")
+    val lsh = Similarity.lshTopKMulti(emb, qs, k = 5, tables = 8, bits = 4)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(emb, qs, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id")
+    def hits(approx: DataFrame, out: String) =
+      truth.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(F.count(F.lit(1)).as(out))
+    qs.select(F.col("vec_id").as("query_id"))
+      .join(hits(lsh, "lsh_hits"), Seq("query_id"), "left")
+      .join(hits(ivf, "ivf_hits"), Seq("query_id"), "left")
+      .select(F.col("query_id"),
+        F.coalesce(F.col("lsh_hits"), F.lit(0L)).as("lsh_hits"),
+        F.coalesce(F.col("ivf_hits"), F.lit(0L)).as("ivf_hits"))
+      .orderBy("query_id")
+  }
+
+  private val qAnnRecallSql =
+    s"""WITH ${lshOracleCtes(32)},
+       |t_pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, unnest(q.qv) AS x, unnest(c.qv) AS y
+       |  FROM quant q CROSS JOIN quant c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |t_scored AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+       |  FROM t_pairs GROUP BY query_id, neighbor_id),
+       |t_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+       |    FROM t_scored) WHERE rn <= 5),
+       |buckets AS (
+       |  SELECT vec_id, seed // 4 AS tbl,
+       |    SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << (seed % 4) ELSE 0 END) AS bk
+       |  FROM proj GROUP BY vec_id, tbl),
+       |l_cand AS (
+       |  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+       |  FROM buckets bq JOIN buckets bc ON bq.tbl = bc.tbl AND bq.bk = bc.bk
+       |  WHERE bq.vec_id < 10 AND bq.vec_id <> bc.vec_id),
+       |l_pairs AS (
+       |  SELECT c.query_id, c.neighbor_id, unnest(qq.qv) AS x, unnest(qc.qv) AS y
+       |  FROM l_cand c JOIN quant qq ON qq.vec_id = c.query_id
+       |  JOIN quant qc ON qc.vec_id = c.neighbor_id),
+       |l_scored AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+       |  FROM l_pairs GROUP BY query_id, neighbor_id),
+       |l_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+       |    FROM l_scored) WHERE rn <= 5),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+       |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT 16)),
+       |cellvals AS (
+       |  SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+       |  FROM quant q CROSS JOIN cents c),
+       |cellscore AS (
+       |  SELECT vec_id, cidx, CAST(SUM(x * y) AS BIGINT) AS s FROM cellvals GROUP BY vec_id, cidx),
+       |assign AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+       |    FROM cellscore) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+       |    FROM cellscore WHERE vec_id < 10) WHERE rn <= 8),
+       |i_pairs AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, unnest(qq.qv) AS x, unnest(qc.qv) AS y
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  JOIN quant qq ON qq.vec_id = p.query_id
+       |  JOIN quant qc ON qc.vec_id = a.vec_id
+       |  WHERE p.query_id <> a.vec_id),
+       |i_scored AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+       |  FROM i_pairs GROUP BY query_id, neighbor_id),
+       |i_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+       |    FROM i_scored) WHERE rn <= 5),
+       |qids AS (SELECT vec_id AS query_id FROM quant WHERE vec_id < 10),
+       |lh AS (SELECT t.query_id, COUNT(*) AS lsh_hits FROM t_top t
+       |  JOIN l_top l ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id),
+       |ih AS (SELECT t.query_id, COUNT(*) AS ivf_hits FROM t_top t
+       |  JOIN i_top i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT q.query_id, COALESCE(lh.lsh_hits, 0) AS lsh_hits, COALESCE(ih.ivf_hits, 0) AS ivf_hits
+       |FROM qids q LEFT JOIN lh ON lh.query_id = q.query_id
+       |LEFT JOIN ih ON ih.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   // ------- sketch families, md5-reproducible graded variants ------------
   //
   // The xxhash production sketches (Dedup.minhashCandidates/simhash)
@@ -1555,7 +1664,8 @@ object QueryCatalog {
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),
     Q("q_embed_neardup", wrap(qEmbedNearDup), Some(qEmbedNearDupSql)),
     Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
-    Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)))
+    Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
+    Q("q_ann_recall", wrap(qAnnRecall), Some(qAnnRecallSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

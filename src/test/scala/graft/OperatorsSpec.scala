@@ -109,6 +109,46 @@ class OperatorsSpec extends SparkSpec {
     assert(a === b, "probing all cells must equal brute force")
   }
 
+  test("multi-table lsh beats a single table at equal bits and misses nothing brute-force misses") {
+    val queries = vecs.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopKQuant(vecs, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.lshTopK(vecs, queries, k = 3, bits = 3, dims = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopKMulti(vecs, queries, k = 3, tables = 6, bits = 3, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rs = (brute & single).size
+    val rm = (brute & multi).size
+    assert(rm >= rs, s"OR-amplification must not lose recall: multi $rm < single $rs")
+    assert(rm.toDouble / brute.size >= 0.5, s"multi-table recall $rm/${brute.size} too low")
+  }
+
+  test("broadcast guard: oversized query side falls back without changing results") {
+    val queries = vecs.filter($"vec_id" < 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hinted = pairs(Similarity.bruteForceTopKQuant(vecs, queries, k = 4))
+    // threshold 0 forces the non-broadcast path in every tier
+    assert(pairs(Similarity.bruteForceTopKQuant(vecs, queries, k = 4,
+      maxBroadcastQueries = 0)) === hinted)
+    val lshH = pairs(Similarity.lshTopKMulti(vecs, queries, k = 4, tables = 4, bits = 2, dims = 16))
+    assert(pairs(Similarity.lshTopKMulti(vecs, queries, k = 4, tables = 4, bits = 2, dims = 16,
+      maxBroadcastQueries = 0)) === lshH)
+    val ivfH = pairs(Similarity.ivfTopK(vecs, queries, k = 4, nlist = 8, nprobe = 3))
+    assert(pairs(Similarity.ivfTopK(vecs, queries, k = 4, nlist = 8, nprobe = 3,
+      maxBroadcastQueries = 0)) === ivfH)
+  }
+
+  test("ann recall floors hold at the documented operating point (sf0.01)") {
+    val rows = SparkEntry.queries("q_ann_recall")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 10)
+    val lsh = rows.map(_.getLong(1)).sum
+    val ivf = rows.map(_.getLong(2)).sum
+    assert(lsh >= 35, s"multi-table LSH recall $lsh/50 below the documented floor")
+    assert(ivf >= 35, s"IVF recall $ivf/50 below the documented floor")
+  }
+
   test("compiled dot_l equals HOF sum over long arrays") {
     val rnd = new scala.util.Random(3)
     val df = (0 until 200).map { _ =>
