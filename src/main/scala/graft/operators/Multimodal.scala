@@ -231,6 +231,112 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  final case class FrameMeta(
+      media_id: Long, frame_idx: Int, format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** REAL multi-frame (video-shaped) container decode via the JDK's GIF
+    * reader: per-frame dimensions and the container's frame count, read
+    * with `getNumImages(allowSearch = true)` — the multi-frame analog of
+    * [[decodeImageMeta]]'s header decode, through the same
+    * partition-batched seam. One output row per frame.
+    *
+    * Corrupt or unrecognized containers yield a single
+    * (frame_idx -1, null format, -1 dims, 0 frames) row — record, don't
+    * crash, same policy as every decode stage here.
+    */
+  def decodeFrameMeta(media: DataFrame): Dataset[FrameMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          def bad = Seq(FrameMeta(id, -1, null, -1, -1, 0))
+          val out: Seq[FrameMeta] =
+            if (payload == null || payload.isEmpty) bad
+            else {
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) bad
+                else {
+                  val r = readers.next()
+                  try {
+                    // seekForwardOnly = false: frame counting must be able
+                    // to walk the whole container, not just stream past it
+                    r.setInput(iis, false, true)
+                    val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+                    // a truncated container can report 0 frames without
+                    // throwing — that is still a corrupt-payload record
+                    val n = r.getNumImages(true)
+                    if (n <= 0) bad
+                    // materialized BEFORE the reader is disposed
+                    else (0 until n).map { f =>
+                      FrameMeta(id, f, fmt, r.getWidth(f), r.getHeight(f), n)
+                    }
+                  } catch {
+                    case scala.util.control.NonFatal(_) => bad
+                  } finally r.dispose()
+                }
+              } finally {
+                try iis.close()
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+            }
+          out.iterator
+        }
+      }
+  }
+
+  /** Deterministic multi-frame GIF fixtures: frame count and dimensions
+    * derive from the id (frames = 2 + id % 5, width = 3 + id % 21,
+    * height = 2 + id % 13), payload pixels are id+frame seeded — REAL
+    * animated-GIF encoding via ImageIO's sequence writer in the
+    * executors, so decoding exercises an actual multi-frame container
+    * walk. Same fixture-encode/arithmetic-oracle pattern as
+    * [[syntheticImages]], one modality up.
+    */
+  def syntheticGifs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast(LongType)).as[Long]
+      .repartition(F.col(idCol))
+      .mapPartitions { ids =>
+        val baos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        ids.map { id =>
+          val w = (3 + id % 21).toInt
+          val h = (2 + id % 13).toInt
+          val n = (2 + id % 5).toInt
+          baos.reset()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < n) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, ((id * 31 + f * 131 + x * 7 + y * 13) & 0xffffff).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          (id, baos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
   final case class AudioMeta(
       media_id: Long, format: String, sample_rate: Int, channels: Int, n_frames: Long)
 

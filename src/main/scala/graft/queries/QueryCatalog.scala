@@ -617,6 +617,35 @@ object QueryCatalog {
       |  CAST(3 AS BIGINT) AS channels
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** REAL multi-frame container decode: deterministic animated GIFs are
+    * sequence-encoded in the executors (frames/width/height all
+    * id-derived), then the container is walked back frame by frame —
+    * one graded row per frame, count + dimensions predicted
+    * arithmetically by the oracle. Proves an actual multi-frame codec
+    * round trip (the video-shaped analog of q_image_meta).
+    */
+  private def qFrameMeta(s: SparkSession, dir: String): DataFrame = {
+    val gifs = Multimodal.syntheticGifs(t(s, dir, "documents"), "doc_id")
+    Multimodal.decodeFrameMeta(gifs)
+      .toDF()
+      .select(F.col("media_id"),
+        F.col("frame_idx").cast(LongType).as("frame_idx"),
+        F.col("format"),
+        F.col("width").cast(LongType).as("width"),
+        F.col("height").cast(LongType).as("height"),
+        F.col("n_frames").cast(LongType).as("n_frames"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  private val qFrameMetaSql =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 5)) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id AS media_id, frame_idx, 'gif' AS format,
+      |  3 + doc_id % 21 AS width, 2 + doc_id % 13 AS height,
+      |  2 + doc_id % 5 AS n_frames
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   /** Document chunking: overlapping token windows (50 tokens, stride 40),
     * map-side only (sequence+slice+posexplode).
     */
@@ -1654,6 +1683,7 @@ object QueryCatalog {
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
     Q("q_image_meta", wrap(qImageMeta), Some(qImageMetaSql)),
     Q("q_audio_meta", wrap(qAudioMeta), Some(qAudioMetaSql)),
+    Q("q_frame_meta", wrap(qFrameMeta), Some(qFrameMetaSql)),
     Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),
     Q("q_pii", wrap(qPii), Some(qPiiSql)),
     Q("q_pack", wrap(qPack), Some(qPackSql)),

@@ -535,6 +535,36 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.values.forall(m => m.width == -1 && m.channels == -1), bad.toString)
   }
 
+  test("gif sequence encode/decode round-trips frame counts and per-frame dims") {
+    import graft.operators.Multimodal
+    val ids = Seq(0L, 3L, 20L, 64L).toDF("doc_id")
+    val gifs = Multimodal.syntheticGifs(ids, "doc_id")
+    val got = Multimodal.decodeFrameMeta(gifs).collect()
+    val byId = got.groupBy(_.media_id)
+    byId.foreach { case (id, frames) =>
+      val n = (2 + id % 5).toInt
+      assert(frames.length === n, s"frame count of $id")
+      assert(frames.map(_.frame_idx).sorted.toSeq === (0 until n))
+      frames.foreach { m =>
+        assert(m.format === "gif")
+        assert(m.n_frames === n)
+        assert(m.width === (3 + id % 21).toInt)
+        assert(m.height === (2 + id % 13).toInt)
+      }
+    }
+    // corrupt containers record one sentinel row, never crash: junk
+    // bytes, empty, null, and a valid GIF magic with a truncated body
+    val gifMagicJunk = "GIF89a".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0x7f)
+    val junk = Seq((1L, "definitely not a gif".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]), (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, gifMagicJunk))
+      .toDF("media_id", "payload")
+    val bad = Multimodal.decodeFrameMeta(junk).collect()
+    assert(bad.length === 4)
+    assert(bad.forall(m => m.frame_idx == -1 && m.n_frames == 0 && m.width == -1),
+      bad.mkString(","))
+  }
+
   test("batch sessionize splits on the gap and shares one exchange") {
     import graft.operators.Sessions
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
