@@ -62,6 +62,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "gram_stats", exprs => graft.functions.GramStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "script_counts",
+      exprs => graft.functions.ScriptCounts(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "nfc", exprs => graft.functions.Nfc(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "repetition_stats",
       exprs => graft.functions.RepetitionStats(exprs.head), "scala_udf")
     // Aggregate functions are returned bare; the analyzer wraps them in

@@ -102,6 +102,31 @@ object TextFunctions {
       .otherwise(F.lit("fr"))
   }
 
+  /** Script-aware language ID — the coverage [[langId]]'s latin marker
+    * voting lacks: non-latin scripts identify by their dominant block
+    * (in a fixed priority: Japanese kana before Han so ja beats zh on
+    * mixed kanji+kana text, then Hangul, Cyrillic, Arabic, Greek,
+    * Hebrew, Devanagari), and only script-ambiguous (latin) text falls
+    * through to marker voting. Every branch is a count comparison over
+    * [[ScriptStatsF.scriptCounts]] fields, so a SQL oracle replays the
+    * whole decision chain. Input should be NFC-normalized
+    * ([[ScriptStatsF.nfc]]) so decomposed accents count as their
+    * precomposed latin forms.
+    */
+  def langIdScript(text: Column): Column = {
+    val sc = ScriptStatsF.scriptCounts(ScriptStatsF.nfc(text))
+    def c(b: String) = sc.getField(b)
+    F.when(c("hiragana") + c("katakana") > 0, F.lit("ja"))
+      .when(c("hangul") > 0, F.lit("ko"))
+      .when(c("han") > 0, F.lit("zh"))
+      .when(c("cyrillic") > 0, F.lit("ru"))
+      .when(c("arabic") > 0, F.lit("ar"))
+      .when(c("greek") > 0, F.lit("el"))
+      .when(c("hebrew") > 0, F.lit("he"))
+      .when(c("devanagari") > 0, F.lit("hi"))
+      .otherwise(langId(text))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Stable across engines (md5 is standard), cheap (single pass),
     * and the first stage of exact dedup at corpus scale — group by a

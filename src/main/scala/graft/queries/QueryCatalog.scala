@@ -515,6 +515,77 @@ object QueryCatalog {
        |SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY 1 ORDER BY lang_pred""".stripMargin
   }
 
+  /** Script-aware text analysis past ASCII: per-document mixed-script
+    * fixtures (id-derived Han/Hiragana/Cyrillic runs appended to a latin
+    * prefix, plus a DECOMPOSED e+U+0301 so NFC has real work) are
+    * NFC-normalized and classified by the one-pass `script_counts`
+    * kernel, then language-identified by the script-priority chain with
+    * latin marker voting as the fallback. The oracle rebuilds the same
+    * strings and replays everything: `nfc_normalize`, literal codepoint
+    * ranges for each script block, and the decision chain.
+    */
+  private def qDocScript(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScriptStatsF
+    val id = F.col("doc_id")
+    def rep(ch: String, m: Int) =
+      F.call_function("repeat", F.lit(ch), (id % m).cast(IntegerType))
+    val raw = F.concat(
+      F.substring(F.col("text"), 1, 40),
+      rep("漢", 4), rep("か", 3), rep("й", 5),
+      // DECOMPOSED e + combining acute: the nfc kernel must do real
+      // composition work, not hit its already-normalized fast path
+      F.lit("é"))
+    def c(b: String) = F.col("sc").getField(b).as(b)
+    t(s, dir, "documents")
+      .withColumn("raw", raw)
+      .withColumn("sc", ScriptStatsF.scriptCounts(ScriptStatsF.nfc(F.col("raw"))))
+      .select(F.col("doc_id"),
+        c("latin"), c("cyrillic"), c("han"), c("hiragana"), c("katakana"),
+        c("hangul"), c("digit"), c("other"),
+        TextFunctions.langIdScript(F.col("raw")).as("lang"))
+      .orderBy("doc_id")
+  }
+
+  private val qDocScriptSql = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter(regexp_split_to_array(lower(trim(raw)), '\\s+'), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val en = hits(TextFunctions.langMarkers("en"))
+    val de = hits(TextFunctions.langMarkers("de"))
+    val es = hits(TextFunctions.langMarkers("es"))
+    val fr = hits(TextFunctions.langMarkers("fr"))
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 40)
+       |      || repeat('漢', CAST(doc_id % 4 AS INTEGER))
+       |      || repeat('か', CAST(doc_id % 3 AS INTEGER))
+       |      || repeat('й', CAST(doc_id % 5 AS INTEGER))
+       |      || 'e' || chr(769) AS raw
+       |  FROM documents),
+       |w AS (SELECT doc_id, raw,
+       |    regexp_replace(nfc_normalize(raw), '\\s', '', 'g') AS t FROM m),
+       |cnt AS (SELECT doc_id, raw,
+       |  CAST(len(t) - len(regexp_replace(t, '[A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS BIGINT) AS latin,
+       |  CAST(len(t) - len(regexp_replace(t, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT) AS cyrillic,
+       |  CAST(len(t) - len(regexp_replace(t, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS BIGINT) AS han,
+       |  CAST(len(t) - len(regexp_replace(t, '[\\x{3040}-\\x{309F}]', '', 'g')) AS BIGINT) AS hiragana,
+       |  CAST(len(t) - len(regexp_replace(t, '[\\x{30A0}-\\x{30FF}]', '', 'g')) AS BIGINT) AS katakana,
+       |  CAST(len(t) - len(regexp_replace(t, '[\\x{AC00}-\\x{D7A3}]', '', 'g')) AS BIGINT) AS hangul,
+       |  CAST(len(t) - len(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+       |  CAST(len(t) AS BIGINT) AS total
+       |  FROM w)
+       |SELECT doc_id, latin, cyrillic, han, hiragana, katakana, hangul, digit,
+       |  total - latin - cyrillic - han - hiragana - katakana - hangul - digit AS other,
+       |  CASE WHEN hiragana + katakana > 0 THEN 'ja'
+       |       WHEN hangul > 0 THEN 'ko'
+       |       WHEN han > 0 THEN 'zh'
+       |       WHEN cyrillic > 0 THEN 'ru'
+       |       WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       |       WHEN $de >= $es AND $de >= $fr THEN 'de'
+       |       WHEN $es >= $fr THEN 'es'
+       |       ELSE 'fr' END AS lang
+       |FROM cnt ORDER BY doc_id""".stripMargin
+  }
+
   /** n-gram Jaccard near-dup pairs, thresholded by integer
     * cross-multiplication (jaccard >= 1/5) — no float compares. Exact
     * all-pairs Jaccard is inherently quadratic, so this query bounds the
@@ -1660,6 +1731,7 @@ object QueryCatalog {
     Q("q_doc_dedup_exact", wrap(qDocDedupExact), Some(qDocDedupExactSql)),
     Q("q_doc_stats", wrap(qDocStats), Some(qDocStatsSql)),
     Q("q_doc_lang", wrap(qDocLang), Some(qDocLangSql)),
+    Q("q_doc_script", wrap(qDocScript), Some(qDocScriptSql)),
     Q("q_doc_quality", wrap(qDocQuality), Some(qDocQualitySql)),
     Q("q_doc_chunks", wrap(qDocChunks), Some(qDocChunksSql)),
     Q("q_doc_sample", wrap(qDocSample), Some(qDocSampleSql)),

@@ -191,6 +191,55 @@ class FunctionsSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "es", "fr", "en"))
   }
 
+  test("script_counts classifies mixed-script text by codepoint block") {
+    import graft.functions.ScriptStatsF
+    GraftFunctions.register(spark)
+    val df = Seq(
+      "Hello 世界",                 // 5 latin + 2 han, 1 space skipped
+      "日本語のテキストです",         // han + hiragana + katakana
+      "Привет мир 123",             // cyrillic + digits
+      "한국어 텍스트",               // hangul
+      "مرحبا",                      // arabic
+      "",                           // all-zero
+      "a😀b"              // surrogate-pair emoji -> other, not 2 chars
+    ).toDF("t").select(ScriptStatsF.scriptCounts($"t").as("sc"))
+    val rows = df.collect().map(_.getStruct(0))
+    def g(i: Int, f: String) = rows(i).getAs[Long](f)
+    assert(g(0, "latin") === 5L && g(0, "han") === 2L && g(0, "other") === 0L)
+    assert(g(1, "han") === 3L && g(1, "hiragana") === 3L && g(1, "katakana") === 4L)
+    assert(g(2, "cyrillic") === 9L && g(2, "digit") === 3L)
+    assert(g(3, "hangul") === 6L)
+    assert(g(4, "arabic") === 5L)
+    assert(graft.functions.ScriptUtil.buckets.forall(b => g(5, b) === 0L))
+    assert(g(6, "latin") === 2L && g(6, "other") === 1L)
+  }
+
+  test("nfc composes combining sequences; langIdScript covers non-latin scripts") {
+    import graft.functions.ScriptStatsF
+    GraftFunctions.register(spark)
+    // decomposed e+U+0301: 1 latin + 1 other raw, but 1 latin after NFC
+    val deco = Seq("e\u0301").toDF("t")
+    val before = deco.select(ScriptStatsF.scriptCounts($"t").as("sc"))
+      .collect().head.getStruct(0)
+    val after = deco.select(ScriptStatsF.scriptCounts(ScriptStatsF.nfc($"t")).as("sc"))
+      .collect().head.getStruct(0)
+    assert(before.getAs[Long]("latin") === 1L && before.getAs[Long]("other") === 1L)
+    assert(after.getAs[Long]("latin") === 1L && after.getAs[Long]("other") === 0L)
+    val df = Seq(
+      "漢字と仮名が混ざった文",   // kanji + kana -> ja (kana outranks han)
+      "中文文本没有假名",         // pure han -> zh
+      "한국어 문장입니다",         // ko
+      "Русский текст",            // ru
+      "نص عربي",                  // ar
+      "Ελληνικά",                 // el
+      "עברית",                    // he
+      "हिन्दी",                    // hi
+      "the plain english text"    // latin -> marker voting -> en
+    ).toDF("t").select(TextFunctions.langIdScript($"t").as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq ===
+      Seq("ja", "zh", "ko", "ru", "ar", "el", "he", "hi", "en"))
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = Seq("Hello   World", "hello world", "hello  world ").toDF("t")
       .select(TextFunctions.fingerprint($"t").as("f"))
