@@ -478,6 +478,11 @@ object Dedup {
             Similarity.planeBucket(F.col("qv"), bits, tb * bits, dims).as("bk"))): _*))
           .as("b"))
       .select(F.col("id"), F.col("qv"), F.col("n2"), F.col("b.tbl"), F.col("b.bk"))
+      // both sides of the self-join read this frame: materialize the slim
+      // (id, qv, n2, tbl, bk) projection ONCE so the quantize/bucket
+      // pipeline — and the embeddings scan under it — does not execute
+      // twice (the nearDuplicatesMd5 pattern; PlanSpec pins one scan)
+      .localCheckpoint()
     val dot = VectorFunctions.dotL(F.col("qv"), F.col("qv2"))
     bucketed
       .join(bucketed.toDF("id2", "qv2", "n22", "tbl", "bk"), Seq("tbl", "bk"))

@@ -796,6 +796,104 @@ object QueryCatalog {
       |  FROM walk w JOIN items i ON i.rn = w.rn + 1)
       |SELECT item_id, bin_id FROM walk ORDER BY item_id""".stripMargin
 
+  /** Grades the SCALE-path [[Corpus.pack]] (range-partitioned,
+    * per-partition greedy), whose exact bin boundaries depend on range
+    * sampling and so cannot be replayed row-for-row by any oracle.
+    * What IS partition-independent: the packing invariants. This emits
+    * them as one graded row — exact totals (every item assigned exactly
+    * once, token mass conserved) and violation counts that must all be
+    * zero (no multi-item bin over budget, no empty bin, no oversized
+    * item sharing a bin, no two bins with overlapping id ranges — bins
+    * are contiguous id segments). The oracle replays the totals from
+    * the chunk items and states the zeros; any packing bug flips a
+    * count and hash-mismatches.
+    */
+  private def qPackBins(s: SparkSession, dir: String): DataFrame = {
+    val budget = 120L
+    val chunks = Corpus.chunk(
+      t(s, dir, "documents").filter(F.col("doc_id") < 200), size = 50, stride = 40)
+    val items = chunks.select(
+      (F.col("doc_id") * 1000 + F.col("chunk_id")).as("item_id"),
+      F.col("n_tokens"))
+      .localCheckpoint() // referenced by pack AND the oversize/total checks
+    // materialize ONE packing: the invariant aggregates below reference
+    // the result several times, and re-executing a range-partitioned
+    // plan could legally re-sample different partition boundaries
+    val bins = Corpus.pack(items, budgetTokens = budget, idCol = "item_id")
+      .toDF().localCheckpoint()
+    val perBin = bins.select(F.col("bin_id"),
+      F.size(F.col("item_ids")).cast(LongType).as("n"),
+      F.col("total_tokens").as("tot"),
+      F.array_min(F.col("item_ids")).as("lo"),
+      F.array_max(F.col("item_ids")).as("hi"))
+    val binAgg = perBin.agg(
+      F.sum("n").as("n_assigned"),
+      F.sum("tot").as("total_tokens"),
+      F.sum(F.when(F.col("tot") > budget && F.col("n") > 1, 1L).otherwise(0L))
+        .as("overfull_multi_bins"),
+      F.sum(F.when(F.col("n") === 0, 1L).otherwise(0L)).as("empty_bins"))
+    // bins must be disjoint contiguous id segments: sorted by lo, no bin
+    // may start at or before the running max of earlier his (the window
+    // is over n_bins rows — thousands, not corpus rows — so the single
+    // partition it implies is fine)
+    val w = Window.orderBy("lo", "bin_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val overlapAgg = perBin
+      .withColumn("prev_hi", F.max("hi").over(w))
+      .agg(F.sum(F.when(F.col("prev_hi").isNotNull && F.col("lo") <= F.col("prev_hi"),
+        1L).otherwise(0L)).as("overlapping_bins"))
+    val exploded = bins.select(
+      F.size(F.col("item_ids")).cast(LongType).as("n"),
+      F.explode(F.col("item_ids")).as("item_id"))
+    val itemAgg = exploded.join(items, Seq("item_id"))
+      .agg(
+        F.sum(F.when(F.col("n_tokens") > budget && F.col("n") > 1, 1L).otherwise(0L))
+          .as("oversize_split"),
+        F.countDistinct("item_id").as("distinct_assigned"))
+    val totals = items.agg(F.count(F.lit(1)).as("n_items"))
+    totals.crossJoin(binAgg).crossJoin(overlapAgg).crossJoin(itemAgg)
+      .select(
+        F.col("n_items"),
+        F.col("total_tokens"),
+        (F.col("n_assigned") - F.col("n_items")).as("assign_delta"),
+        (F.col("distinct_assigned") - F.col("n_items")).as("dup_delta"),
+        F.col("overfull_multi_bins"),
+        F.col("empty_bins"),
+        F.col("oversize_split"),
+        F.col("overlapping_bins"))
+  }
+
+  private val qPackBinsSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents WHERE doc_id < 200),
+      |starts AS (
+      |  SELECT doc_id, t,
+      |    generate_series(0, greatest((len(t) - 1) // 40, 0) * 40, 40) AS ss
+      |  FROM toks),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(ss)),
+      |      i -> struct_pack(chunk_id := i - 1,
+      |                       chunk_text := array_to_string(t[ss[i]+1:ss[i]+50], ' '))) AS cs
+      |  FROM starts),
+      |flat AS (SELECT doc_id, unnest(cs) AS u FROM chunks),
+      |items AS (
+      |  SELECT doc_id * 1000 + u.chunk_id AS item_id,
+      |    CAST(CASE WHEN trim(u.chunk_text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(u.chunk_text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM flat)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(0 AS BIGINT) AS assign_delta,
+      |  CAST(0 AS BIGINT) AS dup_delta,
+      |  CAST(0 AS BIGINT) AS overfull_multi_bins,
+      |  CAST(0 AS BIGINT) AS empty_bins,
+      |  CAST(0 AS BIGINT) AS oversize_split,
+      |  CAST(0 AS BIGINT) AS overlapping_bins
+      |FROM items""".stripMargin
+
   /** Deterministic stratified sampling: 10 lowest-id docs per language. */
   private def qDocSample(s: SparkSession, dir: String): DataFrame =
     Corpus.stratifiedSample(
@@ -1759,6 +1857,7 @@ object QueryCatalog {
     Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),
     Q("q_pii", wrap(qPii), Some(qPiiSql)),
     Q("q_pack", wrap(qPack), Some(qPackSql)),
+    Q("q_pack_bins", wrap(qPackBins), Some(qPackBinsSql)),
     Q("q_curate", wrap(qCurate), Some(qCurateSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),
     Q("q_incr_dedup", wrap(qIncrDedup), Some(qIncrDedupSql)),

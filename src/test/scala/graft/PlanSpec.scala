@@ -72,6 +72,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_embed_neardup")
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the bucketed projection is checkpointed once: the self-join reads
+    // the materialized RDD from both sides — no parquet rescan of the
+    // embeddings table anywhere in the final plan
+    assert(!p.toLowerCase.contains("parquet"),
+      "self-join must read the checkpointed projection, not rescan: " + p.take(800))
+    assert(p.contains("ExistingRDD"), p.take(400))
   }
 
   test("bucketized range join plans a hash join, not a nested loop") {
