@@ -61,12 +61,42 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
-    val failed = results.collect { case (k, v) if v.isNaN => k }
-    val qs = results.map { case (k, v) =>
+    // The reference's ACTUAL workload, timed end-to-end: three pipeline
+    // batches (CSV ingest -> trip_key derivation -> date-pruned dedup
+    // upsert -> incremental matview refresh; the middle batch repeats
+    // the first, so its upsert is pure dedup work; the third overlaps
+    // 50%), then small-file compaction of the accreted partitions.
+    val withPipeline =
+      if (only.nonEmpty && !only("pipeline")) results
+      else results :+ ("pipeline" -> {
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
+        def csv(name: String, rows: Int, offset: Int): String = {
+          val p = s"$dir/$name.csv"
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+            graft.tools.TripPipelineDemo.syntheticCsv(rows, offset))
+          p
+        }
+        val b1 = csv("b1", 20000, 0)
+        val b2 = csv("b2", 20000, 10000)
+        val t0 = System.nanoTime()
+        try {
+          val pipe = new Pipeline(spark, s"$dir/warehouse")
+          pipe.runBatch(b1)
+          pipe.runBatch(b1) // idempotent re-run: all-duplicate batch
+          pipe.runBatch(b2) // 50% fresh keys
+          pipe.compactHist(maxFilesPerPartition = 1)
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+          Double.NaN
+        }
+      })
+    val failed = withPipeline.collect { case (k, v) if v.isNaN => k }
+    val qs = withPipeline.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filterNot(_.isNaN).sum
+    val total = withPipeline.map(_._2).filterNot(_.isNaN).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

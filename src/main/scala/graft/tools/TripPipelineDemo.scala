@@ -15,11 +15,16 @@ object TripPipelineDemo {
     * trips.csv (same columns, same WKT/timestamp text formats) — NOT a copy
     * of the data.
     */
-  def syntheticCsv(rows: Int = 100): String = {
+  /** @param offset shifts the row index, so two calls with overlapping
+    *   [offset, offset+rows) windows produce batches with exactly that
+    *   key overlap — the knob the pipeline bench uses to exercise the
+    *   dedup upsert with a controlled duplicate fraction.
+    */
+  def syntheticCsv(rows: Int = 100, offset: Int = 0): String = {
     val regions = Seq("Avalon", "Brighton", "Caldera")
     val sources = Seq("app_one", "app_two", "app_three", "cheap_mobile")
     val sb = new StringBuilder("region,origin_coord,destination_coord,datetime,datasource\n")
-    (0 until rows).foreach { i =>
+    (offset until offset + rows).foreach { i =>
       val r = regions(i % (if (i % 7 == 0) 2 else 3)) // skew region counts
       val s = sources(i % sources.length)
       val lon = 7.0 + (i % 50) * 0.01
