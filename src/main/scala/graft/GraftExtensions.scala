@@ -76,6 +76,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("gram_stats", "gram_stats(arr) - struct(n_distinct, max_freq) of a string array"),
       (exprs: Seq[Expression]) => graft.functions.GramStats(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("script_counts"),
+      info("script_counts", "script_counts(text) - per-Unicode-script codepoint counts struct"),
+      (exprs: Seq[Expression]) => graft.functions.ScriptCounts(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("nfc"),
+      info("nfc", "nfc(text) - Unicode NFC normalization"),
+      (exprs: Seq[Expression]) => graft.functions.Nfc(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(tokens) - token+bigram repetition counts"),
       (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head)))
