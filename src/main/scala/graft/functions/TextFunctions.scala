@@ -19,6 +19,11 @@ object TextFunctions {
   /** Whitespace tokens, empty-safe: trim first so leading/trailing blanks
     * don't produce empty tokens, and return 0 for blank/empty strings
     * (Spark's split("") yields [""], size 1 — guarded here).
+    *
+    * This is the WORD rule — marker voting, stopwords, and word-shingle
+    * dedup all want whitespace words. For token BUDGETS (chunk windows,
+    * pack bins, length floors) use [[scriptTokens]]/[[tokenCountScript]],
+    * which count unspaced CJK scripts correctly.
     */
   def tokens(text: Column): Column =
     F.when(F.trim(text) === F.lit(""), F.array().cast("array<string>"))
@@ -26,6 +31,32 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column =
     F.size(tokens(text)).cast(LongType)
+
+  /** Character class of the scripts that tokenize one-codepoint-per-token:
+    * Han, Hiragana, Katakana, Hangul — [[ScriptUtil]]'s primary-block
+    * ranges verbatim, so script counting and tokenization agree. Public
+    * because the DuckDB oracles restate the identical intervals.
+    */
+  val cjkClass: String =
+    "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}\\x{AC00}-\\x{D7A3}]"
+
+  /** Script-aware tokens: each CJK codepoint is its own token (the
+    * standard fallback for scripts written without word spaces — a
+    * whitespace split counts a whole Chinese document as ~1 token);
+    * everything else whitespace-splits as [[tokens]]. Implemented by
+    * space-padding each CJK codepoint and reusing the whitespace rule,
+    * so one `regexp_replace` makes the oracle replay exact. Map-only,
+    * codegen'd.
+    */
+  def scriptTokens(text: Column): Column =
+    tokens(F.regexp_replace(text, s"($cjkClass)", " $1 "))
+
+  /** Token count for budget-style uses (chunk windows, pack bins, length
+    * floors, corpus token totals): whitespace words plus one per CJK
+    * codepoint.
+    */
+  def tokenCountScript(text: Column): Column =
+    F.size(scriptTokens(text)).cast(LongType)
 
   /** A crude BPE-ish subword count: word characters grouped in runs of at
     * most 4 plus isolated non-space symbols — a deterministic, dependency-
@@ -63,9 +94,12 @@ object TextFunctions {
   def qualityScore(text: Column): Column = {
     val n = F.length(text).cast(DoubleType)
     val lenSat = F.least(n / F.lit(500.0), F.lit(1.0))
+    // denominator is the script-aware budget count: an unspaced CJK doc
+    // is thousands of tokens with zero latin stopwords, not one token
+    // with an inflated stop ratio
     val stopRatio = F.least(
       stopwordCount(text).cast(DoubleType) * F.lit(10.0) /
-        F.greatest(tokenCount(text).cast(DoubleType), F.lit(1.0)),
+        F.greatest(tokenCountScript(text).cast(DoubleType), F.lit(1.0)),
       F.lit(1.0))
     val punctOk = F.lit(1.0) - F.least(
       punctCount(text).cast(DoubleType) * F.lit(4.0) / F.greatest(n, F.lit(1.0)),

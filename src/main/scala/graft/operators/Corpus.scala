@@ -14,6 +14,12 @@ object Corpus {
     * (`size` tokens, advancing `stride` tokens — stride < size gives
     * overlap). Output: (id, chunk_id, chunk_text, n_tokens).
     *
+    * Tokens are script-aware ([[TextFunctions.scriptTokens]]): CJK
+    * codepoints are single-character tokens, so an unspaced Chinese
+    * document chunks into real windows instead of one giant "token";
+    * chunk_text rejoins tokens with spaces (latin text round-trips
+    * unchanged).
+    *
     * Map-side only: the chunk windows are computed per row with
     * sequence+slice and posexploded; no shuffle. At 100 TB this is a pure
     * scan -> scan pipeline that chains into tokenize/pack stages.
@@ -25,7 +31,7 @@ object Corpus {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(stride > 0 && size > 0, "size and stride must be positive")
-    val toks = TextFunctions.tokens(F.col(textCol))
+    val toks = TextFunctions.scriptTokens(F.col(textCol))
     // window starts: 0, stride, 2*stride, ... while start < n (at least 1)
     val starts = F.sequence(
       F.lit(0),
@@ -37,7 +43,7 @@ object Corpus {
       F.concat_ws(" ", F.slice(toks, s.cast("int") + F.lit(1), F.lit(size))))
     docs
       .select(F.col(idCol), F.posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
-      .withColumn("n_tokens", TextFunctions.tokenCount(F.col("chunk_text")))
+      .withColumn("n_tokens", TextFunctions.tokenCountScript(F.col("chunk_text")))
   }
 
   /** Deterministic stratified sample: the `perStratum` lowest-keyed rows
@@ -208,7 +214,7 @@ object Corpus {
     val deduped = docs.join(
       Dedup.exact(docs, textCol, idCol).select(idCol), Seq(idCol), "leftsemi")
     val floored = deduped.filter(
-      TextFunctions.tokenCount(F.col(textCol)) >= minTokens)
+      TextFunctions.tokenCountScript(F.col(textCol)) >= minTokens)
     // composite quality floor (length/stopword/punctuation blend) — the
     // score is deterministic fixed-point double arithmetic, so the
     // threshold compare is engine-exact (q_doc_quality hash-matches it)
@@ -233,7 +239,7 @@ object Corpus {
       .groupBy("lang", "source")
       .agg(
         F.count(F.lit(1)).as("n_docs"),
-        F.sum(TextFunctions.tokenCount(F.col(textCol))).as("total_tokens"),
+        F.sum(TextFunctions.tokenCountScript(F.col(textCol))).as("total_tokens"),
         F.sum(F.length(F.col(textCol)).cast("long")).as("total_chars"),
         F.min(F.length(F.col(textCol)).cast("long")).as("min_chars"),
         F.max(F.length(F.col(textCol)).cast("long")).as("max_chars"))

@@ -46,6 +46,17 @@ object QueryCatalog {
   /** Exact decimal view of a 2-dp money column. */
   private def dec(c: String) = F.col(c).cast("decimal(18,2)")
 
+  /** DuckDB twin of [[TextFunctions.scriptTokens]]' space-padding: each
+    * CJK codepoint (Han/Hiragana/Katakana/Hangul primary blocks — the
+    * identical intervals as the engine's `cjkClass`) gets spaces around
+    * it, after which the whitespace token rule applies. Spliced into
+    * oracle SQL via `.replace` so the raw `\s`/`\x` escapes in the
+    * surrounding literals stay untouched.
+    */
+  private def cjkSpaced(col: String): String =
+    "regexp_replace(" + col + ", '([\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{309F}" +
+      "\\x{30A0}-\\x{30FF}\\x{AC00}-\\x{D7A3}])', ' \\1 ', 'g')"
+
   // ===========================================================
   // Relational core (reference operator families S/P/A/J/T/C)
   // ===========================================================
