@@ -73,7 +73,8 @@ object Bench {
         def csv(name: String, rows: Int, offset: Int): String = {
           val p = s"$dir/$name.csv"
           java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-            graft.tools.TripPipelineDemo.syntheticCsv(rows, offset))
+            graft.tools.TripPipelineDemo.syntheticCsv(rows, offset,
+              tsHeader = "date_time"))
           p
         }
         val b1 = csv("b1", 20000, 0)
@@ -91,12 +92,43 @@ object Bench {
           Double.NaN
         }
       })
-    val failed = withPipeline.collect { case (k, v) if v.isNaN => k }
-    val qs = withPipeline.map { case (k, v) =>
+    // The streaming path, timed: three files dropped up front, consumed
+    // as three micro-batches (maxFilesPerTrigger=1) through the
+    // file-drop source -> keyed dedup-upsert flow (S8) — the continuous
+    // form of the pipeline entry above, sharing its batch operators.
+    val withStreaming =
+      if (only.nonEmpty && !only("streaming")) withPipeline
+      else withPipeline :+ ("streaming" -> {
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+        val drop = s"$dir/drop"
+        new java.io.File(drop).mkdirs()
+        (0 until 3).foreach { i =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$drop/b$i.csv"),
+            graft.tools.TripPipelineDemo.syntheticCsv(20000, i * 10000,
+              tsHeader = "date_time"))
+        }
+        val t0 = System.nanoTime()
+        try {
+          val catalog = new graft.sources.Catalog(spark, s"$dir/warehouse")
+          catalog.ensureTable("hist_trip_data", graft.model.Trip.schema)
+          val q = graft.streaming.Streams.streamingUpsert(
+            graft.streaming.Streams.tripFileStream(spark, drop, maxFilesPerTrigger = 1),
+            catalog, "hist_trip_data", s"$dir/ckpt").start()
+          q.processAllAvailable()
+          q.stop()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+          Double.NaN
+        }
+      })
+    val failed = withStreaming.collect { case (k, v) if v.isNaN => k }
+    val qs = withStreaming.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = withPipeline.map(_._2).filterNot(_.isNaN).sum
+    val total = withStreaming.map(_._2).filterNot(_.isNaN).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -200,7 +200,7 @@ object Multimodal {
         // lookup + stream setup dominates tiny-image encode otherwise)
         val baos = new java.io.ByteArrayOutputStream()
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
-        ids.map { id =>
+        val encoded = ids.map { id =>
           val w = (1 + id % 37).toInt
           val h = (1 + id % 23).toInt
           val img = new java.awt.image.BufferedImage(
@@ -226,6 +226,17 @@ object Multimodal {
           writer.write(img)
           ios.close()
           (id, baos.toByteArray)
+        }
+        // same per-partition writer lifecycle as syntheticGifs: dispose
+        // at iterator exhaustion, not via GC
+        new Iterator[(Long, Array[Byte])] {
+          private var disposed = false
+          override def hasNext: Boolean = {
+            val h = encoded.hasNext
+            if (!h && !disposed) { disposed = true; writer.dispose() }
+            h
+          }
+          override def next(): (Long, Array[Byte]) = encoded.next()
         }
       }
       .toDF("media_id", "payload")
@@ -305,7 +316,7 @@ object Multimodal {
       .mapPartitions { ids =>
         val baos = new java.io.ByteArrayOutputStream()
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        ids.map { id =>
+        val encoded = ids.map { id =>
           val w = (3 + id % 21).toInt
           val h = (2 + id % 13).toInt
           val n = (2 + id % 5).toInt
@@ -332,6 +343,19 @@ object Multimodal {
           writer.endWriteSequence()
           ios.close()
           (id, baos.toByteArray)
+        }
+        // The shared writer holds native/heap codec resources: release it
+        // when the partition is exhausted (decodeFrameMeta disposes its
+        // reader per payload; one writer serves the whole partition here,
+        // so the hook is iterator completion).
+        new Iterator[(Long, Array[Byte])] {
+          private var disposed = false
+          override def hasNext: Boolean = {
+            val h = encoded.hasNext
+            if (!h && !disposed) { disposed = true; writer.dispose() }
+            h
+          }
+          override def next(): (Long, Array[Byte]) = encoded.next()
         }
       }
       .toDF("media_id", "payload")

@@ -35,9 +35,17 @@ object Similarity {
     * — for the keyed tiers (LSH bucket, IVF cell) that is a standard
     * shuffle hash join, for brute force a partitioned cartesian, which
     * is the only exact plan at that query volume anyway.
+    *
+    * Each operator counts its RAW query input exactly once and derives
+    * every downstream broadcast decision from that number (exploded
+    * frames are exact multiples of it) — [[broadcastIf]] applies a
+    * decision already made, so no operator pays more than one count job.
     */
+  private[graft] def broadcastIf(df: DataFrame, small: Boolean): DataFrame =
+    if (small) F.broadcast(df) else df
+
   private[graft] def broadcastIfSmall(df: DataFrame, maxRows: Long): DataFrame =
-    if (df.count() <= maxRows) F.broadcast(df) else df
+    broadcastIf(df, df.count() <= maxRows)
 
   /** Exact top-k neighbors for each query vector, ranked by dot product
     * (or cosine), ties broken by ascending candidate id for determinism.
@@ -224,6 +232,10 @@ object Similarity {
       dims: Int = 64,
       maxBroadcastQueries: Long = 100000L): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
+    // One count of the raw query input decides every broadcast below:
+    // qB is exactly |q| * tables rows (posexplode of a fixed-length
+    // array), so both thresholds reduce to the same comparison.
+    val qSmall = queries.count() <= maxBroadcastQueries
     val c = corpus.select(F.col(idCol).as("neighbor_id"),
       VectorFunctions.quantize(F.col(vecCol)).as("cv"))
     val q = queries.select(F.col(idCol).as("query_id"),
@@ -234,13 +246,13 @@ object Similarity {
         .as(Seq("tbl", "bk")))
     val qB = withTables(q, "qv")
     val cand = withTables(c, "cv")
-      .join(broadcastIfSmall(qB, maxBroadcastQueries * tables), Seq("tbl", "bk"))
+      .join(broadcastIf(qB, qSmall), Seq("tbl", "bk"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
     val scored = cand
       .join(c, Seq("neighbor_id"))
-      .join(broadcastIfSmall(q, maxBroadcastQueries), Seq("query_id"))
+      .join(broadcastIf(q, qSmall), Seq("query_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
     explodeTopK(scored, k)
@@ -320,9 +332,12 @@ object Similarity {
 
     // Each corpus vector lives in exactly one cell and a query's probe
     // cells are distinct, so a (query, neighbor) pair appears at most
-    // once — no dedup needed.
+    // once — no dedup needed. The broadcast decision counts the RAW
+    // query input (probes is at most |queries| * nprobe rows); counting
+    // the probes frame itself would evaluate the per-row centroid
+    // scoring a second time just to decide a hint.
     val scored = assigned
-      .join(broadcastIfSmall(probes, maxBroadcastQueries * nprobe), Seq("cell"))
+      .join(broadcastIf(probes, queries.count() <= maxBroadcastQueries), Seq("cell"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))

@@ -577,6 +577,10 @@ object QueryCatalog {
        |cnt AS (SELECT doc_id, raw,
        |  CAST(len(t) - len(regexp_replace(t, '[A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS BIGINT) AS latin,
        |  CAST(len(t) - len(regexp_replace(t, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT) AS cyrillic,
+       |  CAST(len(t) - len(regexp_replace(t, '[\\x{0370}-\\x{03FF}]', '', 'g')) AS BIGINT) AS greek,
+       |  CAST(len(t) - len(regexp_replace(t, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS BIGINT) AS arabic,
+       |  CAST(len(t) - len(regexp_replace(t, '[\\x{0590}-\\x{05FF}]', '', 'g')) AS BIGINT) AS hebrew,
+       |  CAST(len(t) - len(regexp_replace(t, '[\\x{0900}-\\x{097F}]', '', 'g')) AS BIGINT) AS devanagari,
        |  CAST(len(t) - len(regexp_replace(t, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS BIGINT) AS han,
        |  CAST(len(t) - len(regexp_replace(t, '[\\x{3040}-\\x{309F}]', '', 'g')) AS BIGINT) AS hiragana,
        |  CAST(len(t) - len(regexp_replace(t, '[\\x{30A0}-\\x{30FF}]', '', 'g')) AS BIGINT) AS katakana,
@@ -585,11 +589,16 @@ object QueryCatalog {
        |  CAST(len(t) AS BIGINT) AS total
        |  FROM w)
        |SELECT doc_id, latin, cyrillic, han, hiragana, katakana, hangul, digit,
-       |  total - latin - cyrillic - han - hiragana - katakana - hangul - digit AS other,
+       |  total - latin - cyrillic - greek - arabic - hebrew - devanagari
+       |    - han - hiragana - katakana - hangul - digit AS other,
        |  CASE WHEN hiragana + katakana > 0 THEN 'ja'
        |       WHEN hangul > 0 THEN 'ko'
        |       WHEN han > 0 THEN 'zh'
        |       WHEN cyrillic > 0 THEN 'ru'
+       |       WHEN arabic > 0 THEN 'ar'
+       |       WHEN greek > 0 THEN 'el'
+       |       WHEN hebrew > 0 THEN 'he'
+       |       WHEN devanagari > 0 THEN 'hi'
        |       WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
        |       WHEN $de >= $es AND $de >= $fr THEN 'de'
        |       WHEN $es >= $fr THEN 'es'

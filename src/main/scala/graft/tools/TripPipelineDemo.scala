@@ -19,11 +19,18 @@ object TripPipelineDemo {
     *   [offset, offset+rows) windows produce batches with exactly that
     *   key overlap — the knob the pipeline bench uses to exercise the
     *   dedup upsert with a controlled duplicate fraction.
+    * @param tsHeader header name of the timestamp column. The reference's
+    *   files say `datetime` while the table column is `date_time` —
+    *   positional bind covers the mismatch (and the demo + unit specs
+    *   keep exercising it). The bench passes `date_time` so its tail is
+    *   not pages of intentional CSVHeaderChecker warnings.
     */
-  def syntheticCsv(rows: Int = 100, offset: Int = 0): String = {
+  def syntheticCsv(rows: Int = 100, offset: Int = 0,
+      tsHeader: String = "datetime"): String = {
     val regions = Seq("Avalon", "Brighton", "Caldera")
     val sources = Seq("app_one", "app_two", "app_three", "cheap_mobile")
-    val sb = new StringBuilder("region,origin_coord,destination_coord,datetime,datasource\n")
+    val sb = new StringBuilder(
+      s"region,origin_coord,destination_coord,$tsHeader,datasource\n")
     (offset until offset + rows).foreach { i =>
       val r = regions(i % (if (i % 7 == 0) 2 else 3)) // skew region counts
       val s = sources(i % sources.length)
