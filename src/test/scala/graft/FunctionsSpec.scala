@@ -180,6 +180,23 @@ class FunctionsSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(0L, 0L, 1L, 2L, 3L))
   }
 
+  test("scriptTokens: one token per CJK codepoint, whitespace elsewhere") {
+    val cases = Seq(
+      ("hello world", 2L, 2L),      // pure latin: rules agree
+      ("日本語のテスト", 1L, 7L),   // unspaced CJK: 1 ws "token" vs 7 codepoints
+      ("mixed 漢字 text", 3L, 4L),  // han chars split out of their ws token
+      ("한국어", 1L, 3L),           // hangul syllables count individually
+      ("", 0L, 0L))                 // blank guard holds for both rules
+    val got = cases.map(_._1).toDF("t").select(
+      F.col("t"),
+      TextFunctions.tokenCount(F.col("t")).as("ws"),
+      TextFunctions.tokenCountScript(F.col("t")).as("sc"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    cases.foreach { case (t, ws, sc) =>
+      assert(got(t) === ((ws, sc)), s"token counts of '$t'")
+    }
+  }
+
   test("langId votes marker words with deterministic tie-break") {
     val df = Seq(
       "the cat and the dog is here",       // en

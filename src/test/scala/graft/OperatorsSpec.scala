@@ -535,6 +535,46 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.values.forall(m => m.width == -1 && m.channels == -1), bad.toString)
   }
 
+  test("decodePixelStats round-trips seeded PNG pixels exactly") {
+    import graft.operators.Multimodal
+    val ids = Seq(1L, 5L, 38L)
+    val imgs = Multimodal.syntheticImages(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.decodePixelStats(imgs).collect()
+      .map(p => p.media_id -> p).toMap
+    ids.foreach { id =>
+      val w = (1 + id % 37).toInt; val h = (1 + id % 23).toInt
+      var r = 0L; var g = 0L; var b = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id * 31 + x * 7 + y * 13) & 0xffffff).toInt
+        r += (v >> 16) & 0xff; g += (v >> 8) & 0xff; b += v & 0xff
+      }
+      val p = got(id)
+      assert((p.width, p.height) === ((w, h)), s"dims of $id")
+      assert((p.sum_r, p.sum_g, p.sum_b) === ((r, g, b)), s"channel sums of $id")
+    }
+    // corrupt payloads: recorded, not crashed
+    val bad = Multimodal.decodePixelStats(
+      Seq((99L, "not an image".getBytes("UTF-8"))).toDF("media_id", "payload"))
+      .head()
+    assert(bad.width === -1 && bad.sum_r === 0L)
+  }
+
+  test("compositionApprox sketch stays within the graded error bound") {
+    import graft.operators.Corpus
+    val corpus = (0 until 300)
+      .map(i => (i.toLong, s"document body number $i with shared words",
+        if (i % 2 == 0) "en" else "de", s"s${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = Corpus.compositionApprox(corpus).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      val approx = r.getAs[Long]("approx_distinct")
+      assert(math.abs(approx - exact) <= math.max(2L, exact / 20),
+        s"sketch outside bound for ${r.getAs[String]("lang")}/${r.getAs[String]("source")}")
+    }
+  }
+
   test("gif sequence encode/decode round-trips frame counts and per-frame dims") {
     import graft.operators.Multimodal
     val ids = Seq(0L, 3L, 20L, 64L).toDF("doc_id")
