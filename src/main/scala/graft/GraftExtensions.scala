@@ -87,5 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(tokens) - token+bigram repetition counts"),
       (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(xxhash64(col)[, est_items[, num_bits]]) - binary Bloom filter aggregate"),
+      (exprs: Seq[Expression]) => GraftFunctions.bloomAggBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("might_contain"),
+      info("might_contain", "might_contain(bloom, xxhash64(col)) - Bloom filter membership probe"),
+      (exprs: Seq[Expression]) => GraftFunctions.mightContainBuilder(exprs)))
   }
 }

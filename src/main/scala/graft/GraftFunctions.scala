@@ -81,7 +81,32 @@ object GraftFunctions {
       exprs => graft.functions.MinKIds(
         exprs.head, intLit(exprs(1), "min_k_ids")),
       "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_agg", bloomAggBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "might_contain", mightContainBuilder, "scala_udf")
   }
+
+  /** Spark's own runtime-filter Bloom expressions, surfaced as callable
+    * functions: `bloom_agg(xxhash64(col)[, est_items[, num_bits]])`
+    * builds a binary Bloom filter; `might_contain(bloom, xxhash64(col))`
+    * is the codegen'd membership probe. These are the exact kernels AQE
+    * injects for runtime join filters — reused, not reimplemented.
+    */
+  private[graft] def bloomAggBuilder(exprs: Seq[Expression]): Expression =
+    exprs match {
+      case Seq(c) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+      case Seq(c, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+      case Seq(c, n, b) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+      case other => throw new IllegalArgumentException(
+        s"bloom_agg expects 1-3 arguments, got ${other.length}")
+    }
+
+  private[graft] def mightContainBuilder(exprs: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs.head, exprs(1))
 
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

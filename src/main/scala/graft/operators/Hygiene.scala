@@ -50,6 +50,69 @@ object Hygiene {
       .agg(F.count(F.lit(1)).as("n_contaminated"))
   }
 
+  /** Build the benchmark's distinct-gram Bloom filter and return its
+    * serialized bytes — a fixed-size membership sketch of the eval set
+    * (1M expected items ≈ 1.2 MB at the default FPP) that ships to every
+    * task as a literal. Uses Spark's own `BloomFilterAggregate` (the
+    * runtime-join-filter kernel) over `xxhash64` of each gram.
+    *
+    * @return None when the benchmark has no grams (empty eval set)
+    */
+  def benchmarkBloom(
+      benchmark: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      expectedItems: Long = 1000000L): Option[Array[Byte]] = {
+    graft.GraftFunctions.register(benchmark.sparkSession)
+    val row = benchmark
+      .select(F.explode(
+        graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
+      .distinct()
+      .agg(F.call_function("bloom_agg",
+        F.xxhash64(F.col("gram")), F.lit(expectedItems)).as("bf"))
+      .head()
+    Option(row.getAs[Array[Byte]](0))
+  }
+
+  /** [[contaminationCounts]] with a Bloom prefilter — the 100 TB shape:
+    * the benchmark's gram Bloom filter probes each corpus gram INSIDE the
+    * scan (`might_contain` is codegen'd, zero shuffle, zero join input
+    * for the overwhelmingly-common clean gram), and only Bloom hits reach
+    * the exact broadcast join that removes false positives. The final
+    * counts are bit-identical to the exact operator — the Bloom pass
+    * can only discard true negatives — so the same oracle grades both;
+    * what changes is that the join's probe side shrinks from |corpus
+    * grams| to |contaminated grams + FPP x corpus grams|.
+    */
+  def contaminationCountsBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      expectedItems: Long = 1000000L): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    benchmarkBloom(benchmark, n, textCol, expectedItems) match {
+      case None =>
+        // empty benchmark: nothing can be contaminated
+        docs.select(F.col(idCol), F.lit(0L).as("n_contaminated")).limit(0)
+      case Some(bloom) =>
+        val docGrams = docs.select(F.col(idCol),
+          F.explode(
+            graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
+        val candidates = docGrams.filter(F.call_function("might_contain",
+          F.lit(bloom), F.xxhash64(F.col("gram"))))
+        val benchGrams = benchmark.select(
+          F.explode(
+            graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
+          .distinct()
+        candidates
+          .join(F.broadcast(benchGrams), Seq("gram"))
+          .groupBy(idCol)
+          .agg(F.count(F.lit(1)).as("n_contaminated"))
+    }
+  }
+
   /** Drop every document containing at least `maxContaminated` distinct
     * benchmark n-grams (default: any). Left-anti join on the flagged id
     * set — document bodies never shuffle.

@@ -1137,6 +1137,22 @@ object QueryCatalog {
       |FROM dg a JOIN bench USING (gram) WHERE a.doc_id >= 20
       |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination — the same answer as q_decontam
+    * through the 100 TB plan: the benchmark's gram Bloom filter (Spark's
+    * own runtime-filter kernel, surfaced as `bloom_agg`/`might_contain`)
+    * probes every corpus gram inside the scan, and only Bloom hits reach
+    * the exact broadcast join that removes false positives. Graded
+    * against the SAME oracle as the exact operator: a hash match proves
+    * the sketch path loses nothing (no false negatives) and the verify
+    * join removes everything the sketch over-admits.
+    */
+  private def qBloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    graft.operators.Hygiene.contaminationCountsBloom(
+        all.filter(F.col("doc_id") >= 20), all.filter(F.col("doc_id") < 20), n = 5)
+      .orderBy("doc_id")
+  }
+
   /** The composed curation pipeline end-to-end: exact dedup -> token
     * floor -> decontamination (vs docs 0-19 as the benchmark) ->
     * 3/4 hash-rate sampling, graded as one query — operators must
@@ -1984,6 +2000,7 @@ object QueryCatalog {
     Q("q_audio_meta", wrap(qAudioMeta), Some(qAudioMetaSql)),
     Q("q_frame_meta", wrap(qFrameMeta), Some(qFrameMetaSql)),
     Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),
+    Q("q_bloom_decontam", wrap(qBloomDecontam), Some(qDecontamSql)),
     Q("q_pii", wrap(qPii), Some(qPiiSql)),
     Q("q_pack", wrap(qPack), Some(qPackSql)),
     Q("q_pack_bins", wrap(qPackBins), Some(qPackBinsSql)),

@@ -535,6 +535,33 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.values.forall(m => m.width == -1 && m.channels == -1), bad.toString)
   }
 
+  test("bloom-prefiltered contamination counts match the exact operator") {
+    import graft.operators.Hygiene
+    val corpus = docs.filter(F.col("doc_id") >= 2)
+    val bench = docs.filter(F.col("doc_id") < 2)
+    val exact = Hygiene.contaminationCounts(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Hygiene.contaminationCountsBloom(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom === exact)
+    assert(exact.nonEmpty) // fixture docs 0/2 share 3-grams, so non-trivial
+    // a Bloom filter admits false positives but never false negatives:
+    // every inserted gram must probe true through the SQL surface
+    // the bloom side must be a constant or scalar subquery (the same
+    // contract Spark's runtime filters obey)
+    val hits = spark.sql(
+      """WITH g AS (SELECT explode(sequence(1, 500)) AS v)
+        |SELECT COUNT(*) AS n FROM g
+        |WHERE might_contain(
+        |  (SELECT bloom_agg(xxhash64(CAST(v AS STRING)), CAST(500 AS BIGINT)) FROM g),
+        |  xxhash64(CAST(v AS STRING)))""".stripMargin)
+      .head().getLong(0)
+    assert(hits === 500L)
+    // empty benchmark: nothing flagged, empty result
+    assert(Hygiene.contaminationCountsBloom(
+      corpus, bench.limit(0), n = 3).count() === 0L)
+  }
+
   test("decodePixelStats round-trips seeded PNG pixels exactly") {
     import graft.operators.Multimodal
     val ids = Seq(1L, 5L, 38L)
