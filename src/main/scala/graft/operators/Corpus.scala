@@ -244,6 +244,58 @@ object Corpus {
         F.min(F.length(F.col(textCol)).cast("long")).as("min_chars"),
         F.max(F.length(F.col(textCol)).cast("long")).as("max_chars"))
 
+  /** Sentence segmentation: split on runs of sentence-ending punctuation
+    * followed by whitespace (`[.!?]+\s+` — deliberately lookaround-free
+    * so RE2-based engines replay it identically), trim each piece, drop
+    * empties. One row per (doc, sentence_idx, sentence). Map-only:
+    * the split/trim/filter pipeline runs inside the scan, no shuffle —
+    * the upstream stage of sentence-level dedup, quality scoring, and
+    * context-window packing.
+    */
+  def sentences(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(F.col(idCol),
+      F.posexplode(
+        F.filter(
+          F.transform(F.split(F.col(textCol), "[.!?]+\\s+"), s => F.trim(s)),
+          s => s =!= F.lit("")))
+        .as(Seq("sentence_idx", "sentence")))
+
+  /** Per-document keyword extraction: top-`k` terms ranked tf-idf-style
+    * with a RATIONAL idf (score ∝ tf/df — monotone in the classic
+    * tf·log(N/df) for fixed tf, and exactly reproducible: both engines
+    * compute the identical IEEE-754 division of the same integer counts,
+    * so ordering never diverges; ties break on the term itself).
+    *
+    * Scale shape: one shuffle builds (doc, term, tf) partial-aggregated
+    * term counts; df derives from THAT table (one row per distinct
+    * (doc, term), not per token occurrence), so the document-frequency
+    * pass aggregates an already-reduced input. The df side joins back on
+    * term — vocabulary-sized, orders of magnitude under the corpus, and
+    * AQE broadcast-promotes it when it fits. The final per-doc top-k is
+    * a window over the (doc, term) table; at extreme scale swap in a
+    * bounded top-k aggregate keyed by term dictionary ids.
+    */
+  def keywordsTfIdf(
+      docs: DataFrame,
+      k: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0)
+    val toks = docs.select(F.col(idCol),
+      F.explode(TextFunctions.tokens(F.lower(F.col(textCol)))).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy((F.col("tf").cast("double") / F.col("df")).desc, F.col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(F.col(idCol), F.col("rank"), F.col("term"), F.col("tf"), F.col("df"))
+  }
+
   /** Sketch-based composition — the 100 TB form of [[composition]]'s
     * distinct counting: `approx_count_distinct` (HyperLogLog++) carries
     * a fixed-size register set through the partial aggregation instead

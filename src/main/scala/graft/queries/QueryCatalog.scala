@@ -647,6 +647,79 @@ object QueryCatalog {
        |  CAST(len(regexp_split_to_array(trim(${cjkSpaced("raw")}), '\\s+')) AS BIGINT) AS script_tokens
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Sentence segmentation over fixture text given real boundaries by a
+    * deterministic rewrite (every ' a ' becomes '. ' — plain string
+    * replace, identical left-to-right non-overlapping semantics in both
+    * engines). Grades [[Corpus.sentences]]' full split/trim/filter
+    * pipeline: index, text, and per-document sentence counts all
+    * hash-match.
+    */
+  private def qDocSentences(s: SparkSession, dir: String): DataFrame =
+    Corpus.sentences(
+        t(s, dir, "documents")
+          .withColumn("text", F.expr("replace(text, ' a ', '. ')")))
+      .select(F.col("doc_id"),
+        F.col("sentence_idx").cast(IntegerType).as("sentence_idx"),
+        F.col("sentence"))
+      .orderBy("doc_id", "sentence_idx")
+
+  private val qDocSentencesSql =
+    """WITH m AS (
+      |  SELECT doc_id, replace(text, ' a ', '. ') AS raw FROM documents),
+      |arrs AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(regexp_split_to_array(raw, '[.!?]+\s+'),
+      |      x -> trim(x)), x -> x <> '') AS arr
+      |  FROM m)
+      |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sentence_idx, arr[i] AS sentence
+      |FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)
+      |ORDER BY doc_id, sentence_idx""".stripMargin
+
+  /** Character-length histogram per language: 100-char buckets via exact
+    * integer arithmetic (len - len mod 100). A map-side partial
+    * aggregation of a few hundred (lang, bucket) cells — distribution
+    * reporting whose shuffle is O(groups), not O(corpus), at any scale.
+    */
+  private def qLengthHist(s: SparkSession, dir: String): DataFrame = {
+    val len = F.length(F.col("text")).cast(LongType)
+    t(s, dir, "documents")
+      .select(F.col("lang"), (len - F.pmod(len, F.lit(100L))).as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(F.count(F.lit(1)).as("n"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val qLengthHistSql =
+    """SELECT lang, CAST(len(text) - len(text) % 100 AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  /** Keyword extraction: top-3 terms per document by rational tf-idf
+    * ([[Corpus.keywordsTfIdf]]). The score is the IEEE division of two
+    * exact integer counts — bit-identical across engines — and ties
+    * break on the term, so the full ranking is deterministic and the
+    * oracle replays tf, df, and rank exactly.
+    */
+  private def qKeywords(s: SparkSession, dir: String): DataFrame =
+    Corpus.keywordsTfIdf(t(s, dir, "documents"), k = 3)
+      .select(F.col("doc_id"), F.col("rank"), F.col("term"),
+        F.col("tf"), F.col("df"))
+      .orderBy("doc_id", "rank")
+
+  private val qKeywordsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |ranked AS (
+      |  SELECT doc_id, term, tf.tf AS tf, df.df AS df,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, term ASC) AS rank
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Approximate-distinct corpus composition, graded against the exact
     * count: per (lang, source), the exact distinct-fingerprint count and
     * a 0/1 flag asserting the HLL sketch
@@ -1974,6 +2047,9 @@ object QueryCatalog {
     Q("q_doc_script", wrap(qDocScript), Some(qDocScriptSql)),
     Q("q_doc_tokens_cjk", wrap(qDocTokensCjk), Some(qDocTokensCjkSql)),
     Q("q_approx_distinct", wrap(qApproxDistinct), Some(qApproxDistinctSql)),
+    Q("q_keywords", wrap(qKeywords), Some(qKeywordsSql)),
+    Q("q_doc_sentences", wrap(qDocSentences), Some(qDocSentencesSql)),
+    Q("q_length_hist", wrap(qLengthHist), Some(qLengthHistSql)),
     Q("q_doc_quality", wrap(qDocQuality), Some(qDocQualitySql)),
     Q("q_doc_chunks", wrap(qDocChunks), Some(qDocChunksSql)),
     Q("q_doc_sample", wrap(qDocSample), Some(qDocSampleSql)),

@@ -586,6 +586,42 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.width === -1 && bad.sum_r === 0L)
   }
 
+  test("sentences splits on punctuation runs, trims, and drops empties") {
+    import graft.operators.Corpus
+    val fixture = Seq(
+      (1L, "First sentence. Second one! And... a third?  Tail"),
+      (2L, "no punctuation at all"),
+      (3L, "trailing period. ")).toDF("doc_id", "text")
+    val got = Corpus.sentences(fixture).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got((1L, 0)) === "First sentence")
+    assert(got((1L, 1)) === "Second one")
+    assert(got((1L, 2)) === "And")
+    assert(got((1L, 3)) === "a third")
+    assert(got((1L, 4)) === "Tail")
+    assert(got((2L, 0)) === "no punctuation at all")
+    // the trailing '. ' leaves an empty tail piece, which is dropped
+    assert(got((3L, 0)) === "trailing period")
+    assert(!got.contains((3L, 1)))
+  }
+
+  test("keywordsTfIdf ranks terms by tf/df with deterministic ties") {
+    import graft.operators.Corpus
+    val corpus = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry cherry cherry"),
+      (3L, "apple date")).toDF("doc_id", "text")
+    val got = Corpus.keywordsTfIdf(corpus, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // df: apple 2, banana 2, cherry 1, date 1
+    assert(got((1L, 1)) === (("apple", 2L, 2L)))  // 2/2 = 1.0
+    assert(got((1L, 2)) === (("banana", 1L, 2L))) // 1/2 = 0.5
+    assert(got((2L, 1)) === (("cherry", 3L, 1L))) // 3/1 = 3.0
+    assert(got((3L, 1)) === (("date", 1L, 1L)))   // 1/1 beats 1/2
+    assert(got((3L, 2)) === (("apple", 1L, 2L)))
+  }
+
   test("compositionApprox sketch stays within the graded error bound") {
     import graft.operators.Corpus
     val corpus = (0 until 300)
