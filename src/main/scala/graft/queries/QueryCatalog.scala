@@ -995,6 +995,46 @@ object QueryCatalog {
       |  FROM walk w JOIN items i ON i.rn = w.rn + 1)
       |SELECT item_id, bin_id FROM walk ORDER BY item_id""".stripMargin
 
+  /** Packed-sequence materialization: documents below id 200 flow
+    * through the graded greedy walk (budget 200 whitespace tokens) and
+    * each bin's texts concatenate in id order — the step that turns bin
+    * assignments into actual training sequences. Graded by exact counts
+    * plus the md5 of every concatenated sequence; the oracle replays the
+    * greedy recurrence (same recursive CTE as q_pack) and string_aggs
+    * the same texts with the same two-newline separator.
+    */
+  private def qPackText(s: SparkSession, dir: String): DataFrame =
+    Corpus.packText(
+        t(s, dir, "documents").filter(F.col("doc_id") < 200),
+        budgetTokens = 200L)
+      .orderBy("bin_id")
+
+  private val qPackTextSql =
+    """WITH RECURSIVE items AS (
+      |  SELECT doc_id, text,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      |  FROM documents WHERE doc_id < 200),
+      |walk AS (
+      |  SELECT rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin_id,
+      |    n_tokens AS total
+      |  FROM items WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.doc_id, i.n_tokens,
+      |    CASE WHEN w.total >= 200 OR w.total + i.n_tokens > 200
+      |         THEN w.bin_id + 1 ELSE w.bin_id END,
+      |    CASE WHEN w.total >= 200 OR w.total + i.n_tokens > 200
+      |         THEN i.n_tokens ELSE w.total + i.n_tokens END
+      |  FROM walk w JOIN items i ON i.rn = w.rn + 1),
+      |b AS (
+      |  SELECT w.bin_id, w.n_tokens, i.doc_id, i.text
+      |  FROM walk w JOIN items i USING (rn))
+      |SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5
+      |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin
+
   /** Grades the SCALE-path [[Corpus.pack]] (range-partitioned,
     * per-partition greedy), whose exact bin boundaries depend on range
     * sampling and so cannot be replayed row-for-row by any oracle.
@@ -1411,6 +1451,44 @@ object QueryCatalog {
       |  FROM d)
       |SELECT lang, len AS median_len FROM r WHERE rn = (cnt + 1) // 2
       |ORDER BY lang""".stripMargin
+
+  /** Approximate-quantile grading — the second sketch family pinned the
+    * same way as q_approx_distinct: per language, the exact rank-pick
+    * median beside a flag asserting `percentile_approx`
+    * ([[Corpus.lengthQuantiles]]'s mergeable QuantileSummaries sketch)
+    * landed within 5% of it. The oracle computes the exact median and
+    * asserts the flag; sketch internals never cross engines.
+    */
+  private def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(F.col("lang"), F.length(F.col("text")).cast(LongType).as("len"),
+        F.col("doc_id"))
+    val byLen = Window.partitionBy("lang").orderBy(F.col("len").asc, F.col("doc_id").asc)
+    val all = Window.partitionBy("lang")
+    val exact = d.withColumn("rn", F.row_number().over(byLen))
+      .withColumn("cnt", F.count(F.lit(1)).over(all))
+      .filter(F.col("rn") === F.floor((F.col("cnt") + 1) / 2))
+      .select(F.col("lang"), F.col("len").as("exact_p50"))
+    val approx = Corpus.lengthQuantiles(
+        t(s, dir, "documents"), probabilities = Seq(0.5))
+      .select(F.col("lang"), F.element_at(F.col("quantiles"), 1).as("approx_p50"))
+    exact.join(approx, Seq("lang"))
+      .select(F.col("lang"), F.col("exact_p50"),
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) * 20 <= F.col("exact_p50"))
+          .cast(IntegerType).as("sketch_ok"))
+      .orderBy("lang")
+  }
+
+  private val qApproxQuantileSql =
+    """WITH d AS (
+      |  SELECT lang, CAST(length(text) AS BIGINT) AS len, doc_id FROM documents),
+      |r AS (
+      |  SELECT lang, len,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY len, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM d)
+      |SELECT lang, len AS exact_p50, CAST(1 AS INTEGER) AS sketch_ok
+      |FROM r WHERE rn = (cnt + 1) // 2 ORDER BY lang""".stripMargin
 
   /** Skew-mitigated aggregation: the two-phase salted count (hot keys
     * fan across `salts` reducers, then `salts` partials merge per key).
@@ -2066,6 +2144,7 @@ object QueryCatalog {
     Q("q_skew_join", wrap(qSkewJoin), Some(qSkewJoinSql)),
     Q("q_resample", wrap(qResample), Some(qResampleSql)),
     Q("q_doc_len_median", wrap(qDocLenMedian), Some(qDocLenMedianSql)),
+    Q("q_approx_quantile", wrap(qApproxQuantile), Some(qApproxQuantileSql)),
     Q("q_range_join", wrap(qRangeJoin), Some(qRangeJoinSql)),
     Q("q_doc_repetition", wrap(qDocRepetition), Some(qDocRepetitionSql)),
     Q("q_doc_sample_hash", wrap(qDocSampleHash), Some(qDocSampleHashSql)),
@@ -2079,6 +2158,7 @@ object QueryCatalog {
     Q("q_bloom_decontam", wrap(qBloomDecontam), Some(qDecontamSql)),
     Q("q_pii", wrap(qPii), Some(qPiiSql)),
     Q("q_pack", wrap(qPack), Some(qPackSql)),
+    Q("q_pack_text", wrap(qPackText), Some(qPackTextSql)),
     Q("q_pack_bins", wrap(qPackBins), Some(qPackBinsSql)),
     Q("q_curate", wrap(qCurate), Some(qCurateSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),

@@ -586,6 +586,38 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.width === -1 && bad.sum_r === 0L)
   }
 
+  test("lsh bucket index persisted to parquet serves identical ANN results") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val direct = Similarity.lshTopK(emb, queries, k = 3, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // build the index once, round-trip it through storage, serve from it
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+    Similarity.lshBucketTable(emb, bits = 4).write.mode("overwrite").parquet(dir)
+    val served = Similarity.lshTopKFromIndex(
+        spark.read.parquet(dir), queries, k = 3, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(served === direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("packText concatenates each bin's texts in id order") {
+    import graft.operators.Corpus
+    val fixture = Seq(
+      (1L, "one two three"),   // 3 tokens
+      (2L, "four five"),       // 2 tokens -> bin 0 now at 5, next overflows
+      (3L, "six seven eight"), // 3 tokens -> bin 1
+      (4L, "nine ten")).toDF("doc_id", "text")
+    val got = Corpus.packText(fixture, budgetTokens = 5L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    assert(got(0L) === ((2L, 5L, md5("one two three\n\nfour five"))))
+    assert(got(1L) === ((2L, 5L, md5("six seven eight\n\nnine ten"))))
+  }
+
   test("sentences splits on punctuation runs, trims, and drops empties") {
     import graft.operators.Corpus
     val fixture = Seq(

@@ -201,6 +201,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("bloom decontamination: in-scan probe filter, broadcast verify join") {
+    val p = plan("q_bloom_decontam")
+    assert(p.contains("might_contain"),
+      "Bloom probe must be a Filter inside the scan stage: " + p.take(600))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "exact verify must broadcast the benchmark grams")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("keywords: both aggregations are partial+final; hist has no join") {
+    val p = plan("q_keywords")
+    // tf (partial+final) and df (partial+final) both pre-aggregate
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p.take(900))
+    val h = plan("q_length_hist")
+    assert(h.contains("HashAggregate") && !h.contains("Join"),
+      "length histogram must be a pure partial-aggregated scan")
+  }
+
   test("custom expressions (week_of_month, shingle kernels) do not break codegen") {
     val df = SparkEntry.queries("q_weekly_avg")(spark, dir)
     df.collect()
