@@ -88,6 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("repetition_stats", "repetition_stats(tokens) - token+bigram repetition counts"),
       (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("sum_vec_l"),
+      info("sum_vec_l", "sum_vec_l(array<bigint>) - element-wise vector sum aggregate"),
+      (exprs: Seq[Expression]) => graft.functions.VectorSumL(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       info("bloom_agg", "bloom_agg(xxhash64(col)[, est_items[, num_bits]]) - binary Bloom filter aggregate"),
       (exprs: Seq[Expression]) => GraftFunctions.bloomAggBuilder(exprs)))

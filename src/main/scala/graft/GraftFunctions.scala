@@ -81,6 +81,9 @@ object GraftFunctions {
       exprs => graft.functions.MinKIds(
         exprs.head, intLit(exprs(1), "min_k_ids")),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "sum_vec_l",
+      exprs => graft.functions.VectorSumL(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("bloom_agg", bloomAggBuilder, "scala_udf")
     reg.createOrReplaceTempFunction(
       "might_contain", mightContainBuilder, "scala_udf")

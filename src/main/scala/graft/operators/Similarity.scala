@@ -308,6 +308,63 @@ object Similarity {
     * index). The only shuffle in the whole operator is the cell-id probe
     * join, which carries candidate rows, not the corpus.
     */
+  /** Deterministic one-pass centroid sample: the `nlist` QUANTIZED
+    * vectors whose ids hash lowest under md5 (hex order, ties by id).
+    * ONE TakeOrdered pass over the corpus — no count/filter prescans —
+    * and fully oracle-replayable (ORDER BY md5(id) LIMIT nlist). The
+    * k-means seeding rule shared by [[ivfTopK]] and [[kmeansStep]].
+    */
+  def sampleCentroids(
+      corpus: DataFrame,
+      nlist: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Long]] = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(F.col(idCol).as("id"),
+      VectorFunctions.quantize(F.col(vecCol)).as("cv"))
+      .orderBy(F.md5(F.col("id").cast("string").cast("binary")), F.col("id"))
+      .limit(nlist)
+      .select("cv")
+      .collect()
+      .map(_.getSeq[Long](0).toSeq)
+      .toSeq
+  }
+
+  /** One distributed k-means (Lloyd) iteration over quantized vectors:
+    * assign every corpus vector to its best (max integer dot) centroid —
+    * ties to the lowest cell index, the same rule as [[ivfTopK]] — and
+    * emit, per cell, the assignment count and the ELEMENT-WISE component
+    * sums. Those are the exact sufficient statistics of the centroid
+    * update (new centroid = sums / n); the division is left to the
+    * caller so every engine-facing value stays an exact BIGINT.
+    *
+    * Scale shape: map-only assignment against broadcast centroid
+    * literals (the model is nlist vectors), then ONE partial-aggregated
+    * shuffle whose payload is O(cells × dims) longs regardless of corpus
+    * size — the [[graft.functions.VectorSumL]] buffer does map-side
+    * combine, so training IVF centroids on 100 TB costs scans, not
+    * shuffles. Iterate by feeding `sums/n` back in as the next round's
+    * centroids.
+    */
+  def kmeansStep(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Long]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "kmeansStep needs at least one centroid")
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val cents: Column = F.typedlit(centroids)
+    val cs = F.transform(cents, c => VectorFunctions.dotL(F.col("cv"), c))
+    corpus.select(VectorFunctions.quantize(F.col(vecCol)).as("cv"))
+      .withColumn("cs", cs)
+      .withColumn("cell",
+        (F.array_position(F.col("cs"), F.array_max(F.col("cs"))) - 1).cast("int"))
+      .groupBy("cell")
+      .agg(
+        F.count(F.lit(1)).as("n_assigned"),
+        graft.functions.VectorAgg.sumVecL(F.col("cv")).as("sums"))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -325,18 +382,9 @@ object Similarity {
     // outgrows memory — two pruned columnar scans are cheaper at 100 TB.
     val c = corpus.select(F.col(idCol).as("neighbor_id"),
       VectorFunctions.quantize(F.col(vecCol)).as("cv"))
-    // Deterministic one-pass centroid sample: the nlist ids that hash
-    // lowest under md5 (hex order), ties by id. TakeOrdered — a single
-    // corpus scan, no count() or second filter pass.
-    val centRows = c
-      .orderBy(F.md5(F.col("neighbor_id").cast("string").cast("binary")),
-        F.col("neighbor_id"))
-      .limit(nlist)
-      .select("cv")
-      .collect()
-      .map(_.getSeq[Long](0))
+    val centRows = sampleCentroids(corpus, nlist, idCol, vecCol)
     val nc = centRows.length
-    val cents: Column = F.typedlit(centRows.map(_.toSeq).toSeq)
+    val cents: Column = F.typedlit(centRows)
 
     /** Integer scores of quantized `v` against every centroid. */
     def cellScores(v: Column): Column =

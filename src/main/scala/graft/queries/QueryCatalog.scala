@@ -543,6 +543,10 @@ object QueryCatalog {
     val raw = F.concat(
       F.substring(F.col("text"), 1, 40),
       rep("漢", 4), rep("か", 3), rep("й", 5),
+      // the 4 scripts below appear only for SOME ids (coprime moduli), so
+      // every langIdScript branch both fires and declines across the
+      // fixture, and the priority order is exercised by the overlaps
+      rep("ش", 6), rep("Ω", 7), rep("א", 11), rep("द", 13),
       // DECOMPOSED e + combining acute: the nfc kernel must do real
       // composition work, not hit its already-normalized fast path
       F.lit("é"))
@@ -551,7 +555,8 @@ object QueryCatalog {
       .withColumn("raw", raw)
       .withColumn("sc", ScriptStatsF.scriptCounts(ScriptStatsF.nfc(F.col("raw"))))
       .select(F.col("doc_id"),
-        c("latin"), c("cyrillic"), c("han"), c("hiragana"), c("katakana"),
+        c("latin"), c("cyrillic"), c("greek"), c("arabic"), c("hebrew"),
+        c("devanagari"), c("han"), c("hiragana"), c("katakana"),
         c("hangul"), c("digit"), c("other"),
         TextFunctions.langIdScript(F.col("raw")).as("lang"))
       .orderBy("doc_id")
@@ -570,6 +575,10 @@ object QueryCatalog {
        |      || repeat('漢', CAST(doc_id % 4 AS INTEGER))
        |      || repeat('か', CAST(doc_id % 3 AS INTEGER))
        |      || repeat('й', CAST(doc_id % 5 AS INTEGER))
+       |      || repeat('ش', CAST(doc_id % 6 AS INTEGER))
+       |      || repeat('Ω', CAST(doc_id % 7 AS INTEGER))
+       |      || repeat('א', CAST(doc_id % 11 AS INTEGER))
+       |      || repeat('द', CAST(doc_id % 13 AS INTEGER))
        |      || 'e' || chr(769) AS raw
        |  FROM documents),
        |w AS (SELECT doc_id, raw,
@@ -588,7 +597,8 @@ object QueryCatalog {
        |  CAST(len(t) - len(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS digit,
        |  CAST(len(t) AS BIGINT) AS total
        |  FROM w)
-       |SELECT doc_id, latin, cyrillic, han, hiragana, katakana, hangul, digit,
+       |SELECT doc_id, latin, cyrillic, greek, arabic, hebrew, devanagari,
+       |  han, hiragana, katakana, hangul, digit,
        |  total - latin - cyrillic - greek - arabic - hebrew - devanagari
        |    - han - hiragana - katakana - hangul - digit AS other,
        |  CASE WHEN hiragana + katakana > 0 THEN 'ja'
@@ -1859,6 +1869,59 @@ object QueryCatalog {
       |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** One distributed k-means (Lloyd) training step, graded exactly: the
+    * 8 md5-sampled seed centroids, the integer-argmax assignment, and
+    * the per-cell sufficient statistics (count + element-wise component
+    * sums of the quantized vectors) are all replayed by the oracle —
+    * components 0-2 pin individual dimensions, sum_all pins every
+    * dimension of the [[graft.functions.VectorSumL]] buffer at once.
+    * The update itself (sums / n) is the caller's division, so the
+    * graded surface stays pure BIGINTs.
+    */
+  private def qKmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.sampleCentroids(emb, nlist = 8)
+    Similarity.kmeansStep(emb, cents)
+      .select(F.col("cell").cast(LongType).as("cell"),
+        F.col("n_assigned"),
+        F.element_at(F.col("sums"), 1).as("sum_d0"),
+        F.element_at(F.col("sums"), 2).as("sum_d1"),
+        F.element_at(F.col("sums"), 3).as("sum_d2"),
+        F.aggregate(F.col("sums"), F.lit(0L), (a, x) => a + x).as("sum_all"))
+      .orderBy("cell")
+  }
+
+  private val qKmeansStepSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT 8)),
+      |cellvals AS (
+      |  SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+      |  FROM quant q CROSS JOIN cents c),
+      |cellscore AS (
+      |  SELECT vec_id, cidx, CAST(SUM(x * y) AS BIGINT) AS s FROM cellvals GROUP BY vec_id, cidx),
+      |assign AS (
+      |  SELECT vec_id, cidx AS cell FROM (
+      |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+      |    FROM cellscore) WHERE rn = 1),
+      |counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_assigned FROM assign GROUP BY cell),
+      |comps AS (
+      |  SELECT a.cell, t.i, q.qv[t.i] AS x
+      |  FROM assign a JOIN quant q USING (vec_id),
+      |    unnest(generate_series(1, len(q.qv))) AS t(i)),
+      |csums AS (
+      |  SELECT cell,
+      |    CAST(SUM(CASE WHEN i = 1 THEN x ELSE 0 END) AS BIGINT) AS sum_d0,
+      |    CAST(SUM(CASE WHEN i = 2 THEN x ELSE 0 END) AS BIGINT) AS sum_d1,
+      |    CAST(SUM(CASE WHEN i = 3 THEN x ELSE 0 END) AS BIGINT) AS sum_d2,
+      |    CAST(SUM(x) AS BIGINT) AS sum_all
+      |  FROM comps GROUP BY cell)
+      |SELECT cell, n_assigned, sum_d0, sum_d1, sum_d2, sum_all
+      |FROM counts JOIN csums USING (cell) ORDER BY cell""".stripMargin
+
   /** Retrieval-QUALITY grading for the ANN tiers — not just determinism:
     * per query, the integer |approxTopK ∩ exactTopK| for multi-table LSH
     * (8 tables x 4 bits) and IVF (probe 8 of 16 cells) against the
@@ -2168,6 +2231,7 @@ object QueryCatalog {
     Q("q_embed_neardup", wrap(qEmbedNearDup), Some(qEmbedNearDupSql)),
     Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
+    Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_ann_recall", wrap(qAnnRecall), Some(qAnnRecallSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =

@@ -586,6 +586,28 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.width === -1 && bad.sum_r === 0L)
   }
 
+  test("kmeansStep emits exact per-cell counts and component sums") {
+    import graft.operators.Similarity
+    // two obvious clusters on the axes; quantization x1000 is exact here
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1000L, 0L), Seq(0L, 1000L))
+    val got = Similarity.kmeansStep(vecs, cents).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    // floor-quantization of floats: 0.9f = 0.8999999... -> 899
+    assert(got(0) === ((2L, Seq(1899L, 100L))))  // ids 1,2: (1000+899, 0+100)
+    assert(got(1) === ((2L, Seq(100L, 1899L))))  // ids 3,4
+    // the aggregate is SQL-callable and merges across partitions
+    val sql = spark.sql(
+      """SELECT sum_vec_l(v) AS s FROM (
+        |  SELECT array(CAST(id AS BIGINT), CAST(id * 2 AS BIGINT)) AS v
+        |  FROM range(1, 101) t(id) DISTRIBUTE BY id)""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(sql === Seq(5050L, 10100L))
+  }
+
   test("lsh bucket index persisted to parquet serves identical ANN results") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
