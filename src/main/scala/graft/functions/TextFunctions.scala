@@ -161,6 +161,30 @@ object TextFunctions {
       .otherwise(langId(text))
   }
 
+  /** URL pattern — RE2-portable (no lookarounds, no \b) so the SQL
+    * oracle's regex engine matches Java byte-for-byte.
+    */
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Markup tag pattern: one angle-bracketed run with no nested
+    * brackets — the boilerplate-stripping heuristic, not an HTML parser.
+    */
+  val TagRe = "<[^<>]+>"
+
+  def urlCount(text: Column): Column =
+    F.regexp_count(text, F.lit(UrlRe)).cast(LongType)
+
+  def tagCount(text: Column): Column =
+    F.regexp_count(text, F.lit(TagRe)).cast(LongType)
+
+  /** Strip markup tags and collapse whitespace — the standard first
+    * cleaning pass over scraped web text. Map-only, codegen'd regexes;
+    * deterministic, so cleaned output grades as an md5 digest.
+    */
+  def stripMarkup(text: Column): Column =
+    F.trim(F.regexp_replace(
+      F.regexp_replace(text, TagRe, " "), "\\s+", " "))
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Stable across engines (md5 is standard), cheap (single pass),
     * and the first stage of exact dedup at corpus scale — group by a

@@ -362,6 +362,33 @@ object QueryCatalog {
       |FROM lineitem WHERE l_suppkey < 5
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  /** Tumbling-window aggregation over event time — the BATCH twin of
+    * [[graft.streaming.Streams.windowedEventCounts]]: same `window()`
+    * assignment, graded exactly (the oracle rebuilds each 5-minute
+    * bucket from integer epoch arithmetic). Value sums are floor-cent
+    * integers so no float aggregation order can diverge. One
+    * partial-aggregated shuffle of O(buckets × types) cells.
+    */
+  private def qTumbling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(F.window(F.col("ts"), "5 minutes"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.floor(F.col("value") * 100).cast(LongType)).as("sum_cents"))
+      .select(F.col("window.start").cast(LongType).as("win_start"),
+        F.col("event_type"), F.col("n"), F.col("sum_cents"))
+      .orderBy("win_start", "event_type")
+
+  private val qTumblingSql =
+    """WITH b AS (
+      |  SELECT epoch_ns(ts) // 1000000000
+      |       - (epoch_ns(ts) // 1000000000) % 300 AS win_start,
+      |    event_type, value
+      |  FROM events)
+      |SELECT win_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM b GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
   /** Set operation: nations present on both the customer and supplier
     * sides (INTERSECT).
     */
@@ -703,6 +730,42 @@ object QueryCatalog {
     """SELECT lang, CAST(len(text) - len(text) % 100 AS BIGINT) AS bucket,
       |  COUNT(*) AS n
       |FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  /** Web-text cleaning over fixture markup: each document is wrapped in
+    * deterministic HTML-ish tags plus an id-derived URL, then graded on
+    * URL/tag counts and the md5 of [[TextFunctions.stripMarkup]]'s
+    * output — strip tags, collapse whitespace, trim. The scraped-corpus
+    * first pass, map-only.
+    */
+  private def qDocClean(s: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val raw = F.concat(
+      F.lit("<p id=\""), id.cast("string"), F.lit("\">"),
+      F.substring(F.col("text"), 1, 60),
+      F.lit("</p> see https://ex.org/d/"), id.cast("string"),
+      F.lit(" <br/> end"))
+    t(s, dir, "documents")
+      .withColumn("raw", raw)
+      .select(F.col("doc_id"),
+        TextFunctions.urlCount(F.col("raw")).as("n_urls"),
+        TextFunctions.tagCount(F.col("raw")).as("n_tags"),
+        F.md5(TextFunctions.stripMarkup(F.col("raw"))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val qDocCleanSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    '<p id="' || CAST(doc_id AS VARCHAR) || '">'
+      |      || substr(text, 1, 60)
+      |      || '</p> see https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+      |      || ' <br/> end' AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+      |  CAST(len(regexp_extract_all(raw, '<[^<>]+>')) AS BIGINT) AS n_tags,
+      |  md5(trim(regexp_replace(regexp_replace(raw, '<[^<>]+>', ' ', 'g'), '\s+', ' ', 'g'))) AS clean_md5
+      |FROM m ORDER BY doc_id""".stripMargin
 
   /** Keyword extraction: top-3 terms per document by rational tf-idf
     * ([[Corpus.keywordsTfIdf]]). The score is the IEEE division of two
@@ -2190,6 +2253,8 @@ object QueryCatalog {
     Q("q_approx_distinct", wrap(qApproxDistinct), Some(qApproxDistinctSql)),
     Q("q_keywords", wrap(qKeywords), Some(qKeywordsSql)),
     Q("q_doc_sentences", wrap(qDocSentences), Some(qDocSentencesSql)),
+    Q("q_doc_clean", wrap(qDocClean), Some(qDocCleanSql)),
+    Q("q_tumbling", wrap(qTumbling), Some(qTumblingSql)),
     Q("q_length_hist", wrap(qLengthHist), Some(qLengthHistSql)),
     Q("q_doc_quality", wrap(qDocQuality), Some(qDocQualitySql)),
     Q("q_doc_chunks", wrap(qDocChunks), Some(qDocChunksSql)),

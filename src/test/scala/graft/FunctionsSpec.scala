@@ -197,6 +197,22 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("stripMarkup removes tags and collapses whitespace; counts are exact") {
+    val df = Seq(
+      "<p>hello  <b>world</b></p> see https://a.b/c and http://d.e",
+      "no markup here",
+      "<br/><br/>").toDF("t")
+    val got = df.select(
+      TextFunctions.urlCount(F.col("t")).as("u"),
+      TextFunctions.tagCount(F.col("t")).as("g"),
+      TextFunctions.stripMarkup(F.col("t")).as("c")).collect()
+    assert((got(0).getLong(0), got(0).getLong(1)) === ((2L, 4L)))
+    assert(got(0).getString(2) === "hello world see https://a.b/c and http://d.e")
+    assert((got(1).getLong(0), got(1).getLong(1), got(1).getString(2)) ===
+      ((0L, 0L, "no markup here")))
+    assert(got(2).getString(2) === "")
+  }
+
   test("langId votes marker words with deterministic tie-break") {
     val df = Seq(
       "the cat and the dog is here",       // en
