@@ -88,6 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("repetition_stats", "repetition_stats(tokens) - token+bigram repetition counts"),
       (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      info("freq_sketch", "freq_sketch(term, k) - Misra-Gries struct(items, total) frequency sketch"),
+      (exprs: Seq[Expression]) => graft.functions.FreqSketch(
+        exprs.head, GraftFunctions.intLitOf(exprs(1)))))
+    e.injectFunction((
       FunctionIdentifier("sum_vec_l"),
       info("sum_vec_l", "sum_vec_l(array<bigint>) - element-wise vector sum aggregate"),
       (exprs: Seq[Expression]) => graft.functions.VectorSumL(exprs.head)))

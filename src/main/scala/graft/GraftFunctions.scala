@@ -84,6 +84,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "sum_vec_l",
       exprs => graft.functions.VectorSumL(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "freq_sketch",
+      exprs => graft.functions.FreqSketch(
+        exprs.head, intLit(exprs(1), "freq_sketch")),
+      "scala_udf")
     reg.createOrReplaceTempFunction("bloom_agg", bloomAggBuilder, "scala_udf")
     reg.createOrReplaceTempFunction(
       "might_contain", mightContainBuilder, "scala_udf")

@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.{functions => F}
+
+/** Misra-Gries frequency-sketch buffer: at most k (item, count) entries
+  * plus the true processed total. The classic guarantee: any item whose
+  * true frequency exceeds total/k is GUARANTEED to be present when the
+  * sketch is evaluated — and that survives buffer merges (Agarwal et al.
+  * 2013, mergeable summaries), which is exactly what Spark's partial
+  * aggregation needs.
+  */
+final class FreqBuffer(val k: Int) {
+  val counts = new java.util.HashMap[String, Long]()
+  var total: Long = 0L
+
+  def add(term: String): Unit = {
+    total += 1L
+    // entries are strictly positive (zeros are removed), so presence
+    // and a positive default-get agree
+    val cur = counts.getOrDefault(term, 0L)
+    if (cur > 0L) counts.put(term, cur + 1L)
+    else if (counts.size < k) counts.put(term, 1L)
+    else decrementAll(1L)
+  }
+
+  /** Subtract d from every entry, dropping those that reach zero. */
+  private def decrementAll(d: Long): Unit = {
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - d
+      if (nv <= 0L) it.remove() else e.setValue(nv)
+    }
+  }
+
+  def merge(other: FreqBuffer): Unit = {
+    total += other.total
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      counts.put(e.getKey, counts.getOrDefault(e.getKey, 0L) + e.getValue)
+    }
+    if (counts.size > k) {
+      // subtract the (k+1)-th largest count from everything — the
+      // standard mergeable-MG shrink that preserves the frequency
+      // guarantee while restoring the k-entry bound
+      val vals = new Array[Long](counts.size)
+      var i = 0
+      val vit = counts.values().iterator()
+      while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val d = vals(vals.length - k - 1)
+      decrementAll(d)
+    }
+  }
+}
+
+/** `freq_sketch(term, k)`: struct(items array<string> sorted, total
+  * bigint) — the Misra-Gries candidate set over the group plus the exact
+  * processed total. Fixed O(k) state per partial buffer, so a global
+  * aggregation over a 100 TB token stream shuffles k entries per task,
+  * not the vocabulary. Candidate items are a SUPERSET of every term with
+  * frequency > total/k; pair with an exact count of just the candidates
+  * (see `Corpus.heavyHitters`) for a deterministic final answer.
+  */
+case class FreqSketch(
+    term: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FreqBuffer] {
+
+  override def children: Seq[Expression] = Seq(term)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("items", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("total", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    term.dataType match {
+      case StringType if k > 0 => TypeCheckResult.TypeCheckSuccess
+      case StringType => TypeCheckResult.TypeCheckFailure("freq_sketch needs k > 0")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"freq_sketch requires STRING, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): FreqBuffer = new FreqBuffer(k)
+
+  override def update(buf: FreqBuffer, input: InternalRow): FreqBuffer = {
+    val v = term.eval(input)
+    if (v != null) buf.add(v.toString)
+    buf
+  }
+
+  override def merge(buf: FreqBuffer, other: FreqBuffer): FreqBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: FreqBuffer): Any = {
+    val items = buf.counts.keySet().toArray(new Array[String](0))
+    scala.util.Sorting.quickSort(items)
+    InternalRow(
+      new GenericArrayData(items.map(s => UTF8String.fromString(s): Any)),
+      buf.total)
+  }
+
+  override def serialize(buf: FreqBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k); out.writeLong(buf.total); out.writeInt(buf.counts.size)
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): FreqBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new FreqBuffer(in.readInt())
+    buf.total = in.readLong()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.counts.put(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FreqSketch =
+    copy(term = newChildren.head)
+  override def prettyName: String = "freq_sketch"
+}
+
+object FreqSketchF {
+  /** Column API — requires [[graft.GraftFunctions.register]]. */
+  def freqSketch(term: Column, k: Int): Column =
+    F.call_function("freq_sketch", term, F.lit(k))
+}

@@ -275,6 +275,40 @@ object Corpus {
         F.min(F.length(F.col(textCol)).cast("long")).as("min_chars"),
         F.max(F.length(F.col(textCol)).cast("long")).as("max_chars"))
 
+  /** Exact corpus heavy hitters by the 2-pass sketch protocol: pass one
+    * reduces the token stream through the mergeable Misra-Gries
+    * aggregate ([[graft.functions.FreqSketch]] — O(k) state per partial
+    * buffer, so nothing vocabulary-sized ever shuffles) into a candidate
+    * set GUARANTEED to contain every term with frequency > total/k;
+    * pass two exact-counts only those candidates (a broadcast-sized isin
+    * filter inside the scan) and applies the integer threshold. The
+    * final answer is therefore EXACT and deterministic — the sketch only
+    * decides what pass two bothers counting — which is what makes it
+    * oracle-gradable against a plain GROUP BY.
+    */
+  def heavyHitters(
+      docs: DataFrame,
+      k: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0)
+    graft.GraftFunctions.register(docs.sparkSession)
+    val terms = docs.select(
+      F.explode(TextFunctions.tokens(F.lower(F.col(textCol)))).as("term"))
+    val sketch = terms
+      .agg(graft.functions.FreqSketchF.freqSketch(F.col("term"), k).as("s"))
+      .select(F.col("s.items").as("items"), F.col("s.total").as("total"))
+      .head()
+    val candidates = sketch.getSeq[String](0)
+    val total = sketch.getLong(1)
+    if (candidates.isEmpty)
+      terms.select(F.col("term"), F.lit(0L).as("cnt")).limit(0)
+    else
+      terms.filter(F.col("term").isin(candidates: _*))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).as("cnt"))
+        .filter(F.col("cnt") * k > total)
+  }
+
   /** Sentence segmentation: split on runs of sentence-ending punctuation
     * followed by whitespace (`[.!?]+\s+` — deliberately lookaround-free
     * so RE2-based engines replay it identically), trim each piece, drop

@@ -731,6 +731,24 @@ object QueryCatalog {
       |  COUNT(*) AS n
       |FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
+  /** Corpus heavy hitters ([[Corpus.heavyHitters]], k=30): the 2-pass
+    * Misra-Gries protocol's final answer is the EXACT set of terms with
+    * frequency > total/30, so the oracle is a plain token GROUP BY with
+    * an integer HAVING — a hash match proves the sketch candidates were
+    * a true superset and the exact pass counted them right.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Corpus.heavyHitters(t(s, dir, "documents"), k = 30)
+      .orderBy("term")
+
+  private val qHeavyHittersSql =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+      |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term)
+      |SELECT term, cnt FROM c, tot WHERE cnt * 30 > tot.n ORDER BY term""".stripMargin
+
   /** Web-text cleaning over fixture markup: each document is wrapped in
     * deterministic HTML-ish tags plus an id-derived URL, then graded on
     * URL/tag counts and the md5 of [[TextFunctions.stripMarkup]]'s
@@ -2254,6 +2272,7 @@ object QueryCatalog {
     Q("q_keywords", wrap(qKeywords), Some(qKeywordsSql)),
     Q("q_doc_sentences", wrap(qDocSentences), Some(qDocSentencesSql)),
     Q("q_doc_clean", wrap(qDocClean), Some(qDocCleanSql)),
+    Q("q_heavy_hitters", wrap(qHeavyHitters), Some(qHeavyHittersSql)),
     Q("q_tumbling", wrap(qTumbling), Some(qTumblingSql)),
     Q("q_length_hist", wrap(qLengthHist), Some(qLengthHistSql)),
     Q("q_doc_quality", wrap(qDocQuality), Some(qDocQualitySql)),

@@ -586,6 +586,28 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.width === -1 && bad.sum_r === 0L)
   }
 
+  test("heavyHitters: exact terms above total/k via the MG 2-pass protocol") {
+    import graft.operators.Corpus
+    // 'hot' is 55/90 tokens, 'warm' 15/90; everything else appears once
+    val fixture = (0 until 45).map { i =>
+      val body =
+        if (i < 20) "hot hot"
+        else if (i < 35) "hot warm"
+        else s"cold$i unique$i"
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+    val got = Corpus.heavyHitters(fixture, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total = 90 tokens; threshold cnt*10 > 90 -> cnt > 9
+    assert(got === Map("hot" -> 55L, "warm" -> 15L))
+    // guarantee survives partition merges: same answer highly partitioned
+    val gotP = Corpus.heavyHitters(fixture.repartition(13), k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotP === got)
+    // empty corpus: empty result, no crash
+    assert(Corpus.heavyHitters(fixture.limit(0), k = 10).count() === 0L)
+  }
+
   test("kmeansStep emits exact per-cell counts and component sums") {
     import graft.operators.Similarity
     // two obvious clusters on the axes; quantization x1000 is exact here
