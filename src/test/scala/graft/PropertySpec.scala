@@ -134,6 +134,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries guarantee: items above total/k survive any merge split") {
+    import graft.functions.FreqBuffer
+    val gen = for {
+      n <- Gen.choose(50, 400)
+      k <- Gen.choose(3, 12)
+      // zipf-ish: small alphabet with geometric skew so heavy items exist
+      terms <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.const("a"), 4 -> Gen.const("b"), 2 -> Gen.const("c"),
+        1 -> Gen.choose(0, 50).map("t" + _)))
+      splits <- Gen.choose(1, 8)
+    } yield (terms, k, splits)
+    samples(gen, 100).foreach { case (terms, k, splits) =>
+      // build per-"partition" buffers, then merge — the aggregation path
+      val parts = terms.grouped(math.max(1, terms.length / splits)).toSeq
+      val merged = parts.map { p =>
+        val b = new FreqBuffer(k); p.foreach(b.add); b
+      }.reduce { (a, b) => a.merge(b); a }
+      assert(merged.total === terms.length)
+      assert(merged.counts.size <= k)
+      val exact = terms.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.foreach { case (t, c) =>
+        if (c * k > terms.length)
+          assert(merged.counts.containsKey(t),
+            s"item $t (freq $c, n=${terms.length}, k=$k) missing from sketch")
+      }
+    }
+  }
+
+  test("vector-sum buffer: merge order never changes element-wise sums") {
+    import graft.functions.VecSumBuffer
+    val gen = for {
+      dims <- Gen.choose(1, 16)
+      rows <- Gen.choose(1, 60)
+      data <- Gen.listOfN(rows, Gen.listOfN(dims, Gen.choose(-1000L, 1000L)))
+      splits <- Gen.choose(1, 6)
+    } yield (data, splits)
+    samples(gen, 100).foreach { case (data, splits) =>
+      val expect = data.transpose.map(_.sum)
+      val parts = data.grouped(math.max(1, data.length / splits)).toSeq
+      val merged = parts.map { p =>
+        val b = new VecSumBuffer
+        p.foreach(v => b.add(new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray)))
+        b
+      }.reduce { (a, b) => a.merge(b); a }
+      assert(merged.sums.toSeq === expect)
+      assert(merged.n === data.length)
+    }
+  }
+
   test("gap sessionization: operator matches the reference recurrence") {
     import org.apache.spark.sql.{functions => SF}
     val spark = SparkSpec.session
