@@ -408,6 +408,48 @@ object QueryCatalog {
       |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY n_name""".stripMargin
 
+  /** Set operation: nations on either side, deduplicated (UNION —
+    * distinct union plans as union-all + aggregate, completing the set
+    * family beside intersect/except).
+    */
+  private def qSetUnion(s: SparkSession, dir: String): DataFrame = {
+    val cn = t(s, dir, "customer")
+      .join(F.broadcast(t(s, dir, "nation")), F.col("c_nationkey") === F.col("n_nationkey"))
+      .select("n_name")
+    val sn = t(s, dir, "supplier")
+      .join(F.broadcast(t(s, dir, "nation")), F.col("s_nationkey") === F.col("n_nationkey"))
+      .select("n_name")
+    cn.union(sn).distinct().orderBy("n_name")
+  }
+
+  private val qSetUnionSql =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |UNION
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** Correlated scalar subquery in the projection — the remaining
+    * decorrelation shape beside NOT EXISTS: per nation, its customer
+    * count via a subquery Catalyst rewrites into an aggregate + outer
+    * join (zero-match nations must surface 0, not NULL — the classic
+    * COUNT-bug case, covered because some fixture nations may lack
+    * customers at small SFs). Expressed as SQL text through the same
+    * session the DSL queries use.
+    */
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT n_name,
+        |  (SELECT COUNT(*) FROM customer_v c WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+        |FROM nation_v n ORDER BY n_name""".stripMargin)
+  }
+
+  private val qScalarSubquerySql =
+    """SELECT n_name,
+      |  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+      |FROM nation n ORDER BY n_name""".stripMargin
+
   /** Set operation: customer nations with no supplier (EXCEPT). */
   private def qSetExcept(s: SparkSession, dir: String): DataFrame = {
     val cn = t(s, dir, "customer")
@@ -2261,6 +2303,8 @@ object QueryCatalog {
     Q("q_window_running", wrap(qWindowRunning), Some(qWindowRunningSql)),
     Q("q_set_intersect", wrap(qSetIntersect), Some(qSetIntersectSql)),
     Q("q_set_except", wrap(qSetExcept), Some(qSetExceptSql)),
+    Q("q_set_union", wrap(qSetUnion), Some(qSetUnionSql)),
+    Q("q_scalar_subquery", wrap(qScalarSubquery), Some(qScalarSubquerySql)),
     Q("q_rollup", wrap(qRollup), Some(qRollupSql)),
     Q("q_scalar_funcs", wrap(qScalarFuncs), Some(qScalarFuncsSql)),
     Q("q_doc_dedup_exact", wrap(qDocDedupExact), Some(qDocDedupExactSql)),

@@ -201,6 +201,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("correlated scalar subquery decorrelates to aggregate + outer join") {
+    val p = plan("q_scalar_subquery")
+    assert(p.contains("HashAggregate"), "subquery must become an aggregate: " + p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decorrelation must not fall back to a nested loop: " + p.take(900))
+  }
+
   test("bloom decontamination: in-scan probe filter, broadcast verify join") {
     val p = plan("q_bloom_decontam")
     assert(p.contains("might_contain"),
