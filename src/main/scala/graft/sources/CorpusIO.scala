@@ -38,4 +38,22 @@ object CorpusIO {
     */
   def readJsonl(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(dir)
+
+  /** ORC interchange — the OTHER columnar format corpora arrive in
+    * (Hive-lineage pipelines). Same bounded-shard contract as
+    * [[writeJsonl]]; ORC carries its own schema and supports the same
+    * predicate-pushdown/column-pruning the engine relies on for
+    * parquet, so an ORC-sourced corpus scans just as prunably.
+    */
+  def writeOrc(df: DataFrame, dir: String, shards: Int = 0): Unit = {
+    val sized = if (shards > 0) df.repartition(shards) else df
+    sized.write.mode(SaveMode.Overwrite).orc(dir)
+  }
+
+  /** Schema-first ORC read: the stored schema is not trusted blindly —
+    * pinning the expected schema keeps third-party drops from silently
+    * widening/renaming columns mid-ingest.
+    */
+  def readOrc(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
 }

@@ -113,6 +113,24 @@ class TripPipelineSpec extends SparkSpec {
     assert(Upsert.holdsUniqueness(pipe.hist.filter(!F.col("trip_key").contains("#")), "trip_key"))
   }
 
+  test("orc corpus interchange round-trips schema-first with bounded shards") {
+    import spark.implicits._
+    import graft.sources.CorpusIO
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    val docs = (1L to 100L).map(i => (i, s"document body $i", s"lang${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    CorpusIO.writeOrc(docs, dir, shards = 3)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".orc"))
+    assert(files.length === 3, files.map(_.getName).mkString(","))
+    val back = CorpusIO.readOrc(spark, dir, docs.schema)
+    // file reads are nullable regardless of the writer's schema; names
+    // and types are the pinned contract
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      docs.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(_.toSeq).toSet === docs.collect().map(_.toSeq).toSet)
+  }
+
   test("jsonl corpus export round-trips with bounded gzip shards") {
     import spark.implicits._
     import graft.sources.CorpusIO
