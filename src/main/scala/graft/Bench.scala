@@ -115,8 +115,11 @@ object Bench {
           val q = graft.streaming.Streams.streamingUpsert(
             graft.streaming.Streams.tripFileStream(spark, drop, maxFilesPerTrigger = 1),
             catalog, "hist_trip_data", s"$dir/ckpt").start()
-          q.processAllAvailable()
-          q.stop()
+          // stop in finally: a failed micro-batch must not leave the
+          // stream's listing/microbatch threads competing with whatever
+          // the bench measures next
+          try q.processAllAvailable()
+          finally q.stop()
           (System.nanoTime() - t0) / 1e9
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] streaming failed: ${e.getMessage}")

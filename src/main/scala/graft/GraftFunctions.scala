@@ -112,9 +112,12 @@ object GraftFunctions {
         s"bloom_agg expects 1-3 arguments, got ${other.length}")
     }
 
-  private[graft] def mightContainBuilder(exprs: Seq[Expression]): Expression =
+  private[graft] def mightContainBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2) throw new IllegalArgumentException(
+      s"might_contain expects 2 arguments (bloom, xxhash64(value)), got ${exprs.length}")
     org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       exprs.head, exprs(1))
+  }
 
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -120,7 +120,11 @@ case class FreqSketch(
     val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      // length-prefixed raw UTF-8, not writeUTF: a web corpus can carry
+      // an unbroken >64KB token (base64 blob, minified JS), and
+      // writeUTF's 65535-byte ceiling would fail the whole aggregation
+      val kb = e.getKey.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush(); bos.toByteArray
   }
@@ -131,7 +135,12 @@ case class FreqSketch(
     buf.total = in.readLong()
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.counts.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.counts.put(new String(kb, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -24,7 +24,14 @@ final class VecSumBuffer {
     else require(sums.length == d,
       s"sum_vec_l: dimension mismatch (${sums.length} vs $d)")
     var i = 0
-    while (i < d) { sums(i) += v.getLong(i); i += 1 }
+    while (i < d) {
+      // a null COMPONENT would silently corrupt centroid math (getLong
+      // on a null slot is undefined) — same loud-error policy as the
+      // dimension check
+      require(!v.isNullAt(i), s"sum_vec_l: null element at index $i")
+      sums(i) += v.getLong(i)
+      i += 1
+    }
     n += 1L
   }
 

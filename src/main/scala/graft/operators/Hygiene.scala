@@ -30,6 +30,17 @@ object Hygiene {
     * hash join the 8-byte-hash optimization would only save broadcast
     * width, not a shuffle.
     */
+  /** The benchmark's DISTINCT word n-gram set — the one definition every
+    * decontamination path (exact join, Bloom build, Bloom verify) must
+    * share: a drift between them would break the "Bloom discards only
+    * true negatives" invariant that lets one oracle grade both paths.
+    */
+  private def benchGrams(benchmark: DataFrame, n: Int, textCol: String): DataFrame =
+    benchmark.select(
+      F.explode(
+        graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
+      .distinct()
+
   def contaminationCounts(
       docs: DataFrame,
       benchmark: DataFrame,
@@ -40,12 +51,8 @@ object Hygiene {
     val docGrams = docs.select(F.col(idCol),
       F.explode(
         graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
-    val benchGrams = benchmark.select(
-      F.explode(
-        graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
-      .distinct()
     docGrams
-      .join(F.broadcast(benchGrams), Seq("gram"))
+      .join(F.broadcast(benchGrams(benchmark, n, textCol)), Seq("gram"))
       .groupBy(idCol)
       .agg(F.count(F.lit(1)).as("n_contaminated"))
   }
@@ -64,10 +71,7 @@ object Hygiene {
       textCol: String = "text",
       expectedItems: Long = 1000000L): Option[Array[Byte]] = {
     graft.GraftFunctions.register(benchmark.sparkSession)
-    val row = benchmark
-      .select(F.explode(
-        graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
-      .distinct()
+    val row = benchGrams(benchmark, n, textCol)
       .agg(F.call_function("bloom_agg",
         F.xxhash64(F.col("gram")), F.lit(expectedItems)).as("bf"))
       .head()
@@ -102,12 +106,8 @@ object Hygiene {
             graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
         val candidates = docGrams.filter(F.call_function("might_contain",
           F.lit(bloom), F.xxhash64(F.col("gram"))))
-        val benchGrams = benchmark.select(
-          F.explode(
-            graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
-          .distinct()
         candidates
-          .join(F.broadcast(benchGrams), Seq("gram"))
+          .join(F.broadcast(benchGrams(benchmark, n, textCol)), Seq("gram"))
           .groupBy(idCol)
           .agg(F.count(F.lit(1)).as("n_contaminated"))
     }

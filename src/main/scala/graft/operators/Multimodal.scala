@@ -66,6 +66,23 @@ object Multimodal {
     }
   }
 
+  /** Run `cleanup` once when `it` is exhausted — the lifecycle hook for
+    * per-partition codec state (ImageIO writers hold native/heap
+    * resources that must not wait for GC). NOTE: the hook fires on
+    * exhaustion; an iterator abandoned mid-partition (e.g. a downstream
+    * limit) still falls back to GC finalization.
+    */
+  private def disposeOnExhaust[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var disposed = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !disposed) { disposed = true; cleanup }
+        h
+      }
+      override def next(): T = it.next()
+    }
+
   /** Size partitions by payload bytes so each decode task gets a bounded
     * byte budget regardless of row-size skew.
     */
@@ -280,17 +297,7 @@ object Multimodal {
           ios.close()
           (id, baos.toByteArray)
         }
-        // same per-partition writer lifecycle as syntheticGifs: dispose
-        // at iterator exhaustion, not via GC
-        new Iterator[(Long, Array[Byte])] {
-          private var disposed = false
-          override def hasNext: Boolean = {
-            val h = encoded.hasNext
-            if (!h && !disposed) { disposed = true; writer.dispose() }
-            h
-          }
-          override def next(): (Long, Array[Byte]) = encoded.next()
-        }
+        disposeOnExhaust(encoded)(writer.dispose())
       }
       .toDF("media_id", "payload")
   }
@@ -397,19 +404,7 @@ object Multimodal {
           ios.close()
           (id, baos.toByteArray)
         }
-        // The shared writer holds native/heap codec resources: release it
-        // when the partition is exhausted (decodeFrameMeta disposes its
-        // reader per payload; one writer serves the whole partition here,
-        // so the hook is iterator completion).
-        new Iterator[(Long, Array[Byte])] {
-          private var disposed = false
-          override def hasNext: Boolean = {
-            val h = encoded.hasNext
-            if (!h && !disposed) { disposed = true; writer.dispose() }
-            h
-          }
-          override def next(): (Long, Array[Byte]) = encoded.next()
-        }
+        disposeOnExhaust(encoded)(writer.dispose())
       }
       .toDF("media_id", "payload")
   }
