@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
 import graft.GraftFunctions
@@ -361,6 +361,30 @@ object QueryCatalog {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem WHERE l_suppkey < 5
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** NTILE bucketing: per event type, users split into activity
+    * quartiles — the remaining ranking-window family beside
+    * rank/row_number/running frames. Deterministic because the window
+    * order is total (count desc, user_id asc) and NTILE's bucket
+    * boundary rule is SQL-standard in both engines.
+    */
+  private def qWindowNtile(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(F.count(F.lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(F.col("n").desc, F.col("user_id").asc)
+    counts.withColumn("quartile", F.ntile(4).over(w))
+      .orderBy("event_type", "user_id")
+  }
+
+  private val qWindowNtileSql =
+    """WITH c AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, user_id)
+      |SELECT event_type, user_id, n,
+      |  NTILE(4) OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS quartile
+      |FROM c ORDER BY event_type, user_id""".stripMargin
 
   /** Tumbling-window aggregation over event time — the BATCH twin of
     * [[graft.streaming.Streams.windowedEventCounts]]: same `window()`
@@ -2222,6 +2246,37 @@ object QueryCatalog {
        |SELECT a, b, inter, uni FROM jac WHERE inter * 2 >= uni * 1
        |ORDER BY a, b""".stripMargin
 
+  /** Edit-distance verification tier over the LSH candidate pairs — the
+    * third verify metric beside n-gram Jaccard and quantized cosine:
+    * exact Levenshtein distance (both engines implement the standard
+    * unit-cost DP) of the whitespace-normalized texts, computed ONLY for
+    * candidates — all-pairs edit distance is quadratic in corpus size
+    * AND text length, so at scale it exists strictly behind a
+    * candidate generator.
+    */
+  private def qEditDist(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def norm(c: Column) = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+    val pairs = Dedup.minhashCandidatesMd5(docs)
+    val ta = docs.select(F.col("doc_id").as("a"), norm(F.col("text")).as("ta"))
+    val tb = docs.select(F.col("doc_id").as("b"), norm(F.col("text")).as("tb"))
+    pairs.join(ta, Seq("a")).join(tb, Seq("b"))
+      .select(F.col("a"), F.col("b"),
+        F.levenshtein(F.col("ta"), F.col("tb")).as("lev"))
+      .orderBy("a", "b")
+  }
+
+  private val qEditDistSql =
+    s"""$minhashMd5CandidateCte,
+       |nrm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents)
+       |SELECT c.a, c.b, CAST(levenshtein(na.t, nb.t) AS INTEGER) AS lev
+       |FROM cand c
+       |JOIN nrm na ON na.doc_id = c.a
+       |JOIN nrm nb ON nb.doc_id = c.b
+       |ORDER BY a, b""".stripMargin
+
   /** MinHash-LSH candidate pairs, md5-reproducible. */
   private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatesMd5(t(s, dir, "documents"))
@@ -2353,6 +2408,8 @@ object QueryCatalog {
     Q("q_pack_bins", wrap(qPackBins), Some(qPackBinsSql)),
     Q("q_curate", wrap(qCurate), Some(qCurateSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),
+    Q("q_editdist_pairs", wrap(qEditDist), Some(qEditDistSql)),
+    Q("q_window_ntile", wrap(qWindowNtile), Some(qWindowNtileSql)),
     Q("q_incr_dedup", wrap(qIncrDedup), Some(qIncrDedupSql)),
     Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),
