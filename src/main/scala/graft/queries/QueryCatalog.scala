@@ -1796,6 +1796,35 @@ object QueryCatalog {
       |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS matched_event_id
       |FROM purchases p ORDER BY p.event_id""".stripMargin
 
+  /** Forward as-of: each purchase matched to the user's NEXT view at or
+    * after it — [[graft.operators.AsOf.asofJoinForward]]'s look-ahead
+    * twin of q_asof_join, same one-shuffle union + running-last shape
+    * walking time backwards. Oracle: the correlated next-row subquery
+    * with the pinned tie order (earliest ts, then lowest id).
+    */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(F.col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(F.col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    graft.operators.AsOf.asofJoinForward(
+        purchases, views, Seq("user_id"), "ts", "event_id", "event_id")
+      .select(F.col("event_id"), F.col("user_id"), F.col("matched_event_id"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofForwardSql =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |views AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id,
+      |  (SELECT v.event_id FROM views v
+      |   WHERE v.user_id = p.user_id AND v.ts >= p.ts
+      |   ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS matched_event_id
+      |FROM purchases p ORDER BY p.event_id""".stripMargin
+
   /** Range join: event values matched to non-uniform [lo, hi) value
     * bands (derived deterministically from nation keys), aggregated per
     * band. Engine: bucketized equi-join (hash join on the bucket id —
@@ -2381,6 +2410,7 @@ object QueryCatalog {
     Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),
+    Q("q_asof_forward", wrap(qAsofForward), Some(qAsofForwardSql)),
     Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
     Q("q_map_funcs", wrap(qMapFuncs), Some(qMapFuncsSql)),
     Q("q_sessionize", wrap(qSessionize), Some(qSessionizeSql)),

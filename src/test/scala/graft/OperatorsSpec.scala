@@ -349,6 +349,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got(103L) === Some(4L))
   }
 
+  test("forward asof matches earliest at-or-after right row; ties to lowest id") {
+    import graft.operators.AsOf
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),  // -> r1 (first future right)
+      (101L, 1L, ts("2024-01-01 12:00:00")),  // equal ts: tie -> LOWEST id (2)
+      (102L, 1L, ts("2024-01-01 13:00:00")),  // after every right -> null
+      (103L, 2L, ts("2024-01-01 12:00:00")))  // other key -> r5
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("2024-01-01 11:00:00")),
+      (2L, 1L, ts("2024-01-01 12:00:00")),
+      (9L, 1L, ts("2024-01-01 12:00:00")),
+      (4L, 2L, ts("2024-01-01 11:30:00")),    // past: never matches 103
+      (5L, 2L, ts("2024-01-01 14:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val got = AsOf.asofJoinForward(left, right, Seq("user_id"), "ts", "event_id", "event_id")
+      .collect().map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(got(100L) === Some(1L))
+    assert(got(101L) === Some(2L))
+    assert(got(102L) === None)
+    assert(got(103L) === Some(5L))
+  }
+
   test("bucketed range join equals the theta join, including boundary points") {
     import graft.operators.RangeJoin
     val points = Seq((1L, 0.0), (2L, 63.9), (3L, 64.0), (4L, 100.0), (5L, 199.99), (6L, 200.0), (7L, 500.0))
