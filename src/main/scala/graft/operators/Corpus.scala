@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
 
@@ -439,6 +439,29 @@ object Corpus {
         F.length(F.col(textCol)).cast("long"),
         F.typedlit(probabilities),
         F.lit(accuracy)).as("quantiles"))
+
+  /** Probability-proportional-to-size sampling: keep a row with
+    * probability min(1, weight / threshold) — the length-weighted
+    * variant of [[hashSample]] used when mixture tuning should favor
+    * long documents (or any other per-row weight) instead of flat
+    * per-stratum rates. Same md5-threshold machinery: the keep test is
+    * the exact integer cross-multiplication
+    * `u32(md5(id)) * threshold < weight * 2^32`, so a row's fate is a
+    * pure function of (id, weight) — reproducible across engines,
+    * reruns, and repartitioning, and stable as the corpus grows.
+    * Map-only: no shuffle.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      threshold: Long): DataFrame = {
+    require(threshold > 0)
+    val u = F.conv(F.substring(
+      F.md5(F.col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(u * threshold < weight.cast("long") * F.lit(4294967296L))
+  }
 
   /** Deterministic importance sampling for corpus mixing: keep a row iff
     * the 32-bit md5 hash of its id falls below num/den of the hash

@@ -797,6 +797,26 @@ object QueryCatalog {
       |  COUNT(*) AS n
       |FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
+  /** Length-weighted (PPS) sampling: documents kept with probability
+    * proportional to their character length against a 400-char
+    * threshold ([[Corpus.weightedSample]]) — long documents nearly
+    * always survive, short ones proportionally. The oracle replays the
+    * exact integer keep test, so membership itself is graded.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSample(
+        t(s, dir, "documents"), "doc_id",
+        F.length(F.col("text")).cast("long"), threshold = 400L)
+      .select(F.col("doc_id"), F.length(F.col("text")).cast(LongType).as("n_chars"))
+      .orderBy("doc_id")
+
+  private val qWeightedSampleSql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents
+      |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 400
+      |    < CAST(length(text) AS BIGINT) * 4294967296
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus heavy hitters ([[Corpus.heavyHitters]], k=30): the 2-pass
     * Misra-Gries protocol's final answer is the EXACT set of terms with
     * frequency > total/30, so the oracle is a plain token GROUP BY with
@@ -2424,6 +2444,7 @@ object QueryCatalog {
     Q("q_range_join", wrap(qRangeJoin), Some(qRangeJoinSql)),
     Q("q_doc_repetition", wrap(qDocRepetition), Some(qDocRepetitionSql)),
     Q("q_doc_sample_hash", wrap(qDocSampleHash), Some(qDocSampleHashSql)),
+    Q("q_weighted_sample", wrap(qWeightedSample), Some(qWeightedSampleSql)),
     Q("q_ann_topk", wrap(qAnnTopk), Some(qAnnTopkSql)),
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
     Q("q_image_meta", wrap(qImageMeta), Some(qImageMetaSql)),
