@@ -39,11 +39,21 @@ object Corpus {
         F.floor((F.size(toks).cast("long") - 1) / F.lit(stride.toLong)),
         F.lit(0L)) * F.lit(stride.toLong),
       F.lit(stride.toLong))
-    val chunks = F.transform(starts, s =>
-      F.concat_ws(" ", F.slice(toks, s.cast("int") + F.lit(1), F.lit(size))))
+    // n_tokens is pure slice arithmetic: chunk_text is these tokens
+    // joined by single spaces (tokens are never empty or contain
+    // whitespace by construction), so re-tokenizing every chunk row to
+    // count them would only repeat the regex work the scan already did
+    val chunks = F.transform(starts, s => F.struct(
+      F.concat_ws(" ", F.slice(toks, s.cast("int") + F.lit(1), F.lit(size)))
+        .as("chunk_text"),
+      F.greatest(
+        F.least(F.lit(size.toLong), F.size(toks).cast("long") - s),
+        F.lit(0L)).as("n_tokens")))
     docs
-      .select(F.col(idCol), F.posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
-      .withColumn("n_tokens", TextFunctions.tokenCountScript(F.col("chunk_text")))
+      .select(F.col(idCol), F.posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(F.col(idCol), F.col("chunk_id"),
+        F.col("c.chunk_text").as("chunk_text"),
+        F.col("c.n_tokens").as("n_tokens"))
   }
 
   /** Deterministic stratified sample: the `perStratum` lowest-keyed rows

@@ -654,6 +654,23 @@ class OperatorsSpec extends SparkSpec {
     assert(sql === Seq(5050L, 10100L))
   }
 
+  test("kmeansStep conserves mass: every vector assigned once, sums total") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.sampleCentroids(emb, nlist = 4)
+    val stats = Similarity.kmeansStep(emb, cents).collect()
+    assert(stats.map(_.getLong(1)).sum === emb.count())
+    // element-wise totals across cells equal the global quantized sum
+    val dims = stats.head.getSeq[Long](2).length
+    val byCell = stats.map(_.getSeq[Long](2))
+    val total = (0 until dims).map(i => byCell.map(_(i)).sum)
+    val global = emb.select(
+        graft.functions.VectorAgg.sumVecL(
+          graft.functions.VectorFunctions.quantize(F.col("embedding"))).as("s"))
+      .head().getSeq[Long](0)
+    assert(total === global)
+  }
+
   test("lsh bucket index persisted to parquet serves identical ANN results") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
