@@ -362,6 +362,35 @@ object QueryCatalog {
       |FROM lineitem WHERE l_suppkey < 5
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  /** Per-group argmax via the struct-max aggregate — the scale-preferred
+    * form of "most active user per event type": `max(struct(n, user))`
+    * rides ordinary partial aggregation (one shuffle of one struct per
+    * group), where the window formulation sorts every row of every
+    * group and the join formulation scans twice. Ties deterministic by
+    * struct comparison (highest count, then highest user id).
+    */
+  private def qArgmaxAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(F.count(F.lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(F.max(F.struct(F.col("n"), F.col("user_id"))).as("m"))
+      .select(F.col("event_type"),
+        F.col("m.n").as("top_n"), F.col("m.user_id").as("top_user"))
+      .orderBy("event_type")
+
+  private val qArgmaxAggSql =
+    """WITH c AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, user_id),
+      |r AS (
+      |  SELECT event_type, n, user_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY n DESC, user_id DESC) AS rn
+      |  FROM c)
+      |SELECT event_type, n AS top_n, user_id AS top_user
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   /** NTILE bucketing: per event type, users split into activity
     * quartiles — the remaining ranking-window family beside
     * rank/row_number/running frames. Deterministic because the window
@@ -2399,6 +2428,7 @@ object QueryCatalog {
     Q("q_weekly_avg", wrap(qWeeklyAvg), Some(qWeeklyAvgSql)),
     Q("q_nation_revenue", wrap(qNationRevenue), Some(qNationRevenueSql)),
     Q("q_argmax_join", wrap(qArgmaxJoin), Some(qArgmaxJoinSql)),
+    Q("q_argmax_agg", wrap(qArgmaxAgg), Some(qArgmaxAggSql)),
     Q("q_exists_join", wrap(qExistsJoin), Some(qExistsJoinSql)),
     Q("q_full_outer", wrap(qFullOuter), Some(qFullOuterSql)),
     Q("q_upsert_events", wrap(qUpsertEvents), Some(qUpsertEventsSql)),
