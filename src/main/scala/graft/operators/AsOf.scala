@@ -32,29 +32,8 @@ object AsOf {
       keyCols: Seq[String],
       tsCol: String,
       leftIdCol: String,
-      rightIdCol: String): DataFrame = {
-    val keys = keyCols.map(F.col)
-    val l = left.select(keys ++ Seq(
-      F.col(tsCol).as("__ts"), F.lit(1).as("__side"),
-      F.col(leftIdCol).cast("long").as("__lid"),
-      F.lit(null).cast("long").as("__rid")): _*)
-    val r = right.select(keys ++ Seq(
-      F.col(tsCol).as("__ts"), F.lit(0).as("__side"),
-      F.lit(null).cast("long").as("__lid"),
-      F.col(rightIdCol).cast("long").as("__rid")): _*)
-    // right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
-    // same-instant right row is visible to the left row's running last
-    val w = Window.partitionBy(keys: _*)
-      .orderBy(F.col("__ts").asc, F.col("__side").asc, F.col("__rid").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("__matched", F.last(F.col("__rid"), ignoreNulls = true).over(w))
-      .filter(F.col("__side") === 1)
-      .select(keys ++ Seq(
-        F.col("__lid").as(leftIdCol),
-        F.col("__ts").as(tsCol),
-        F.col("__matched").as(s"matched_$rightIdCol")): _*)
-  }
+      rightIdCol: String): DataFrame =
+    asofImpl(left, right, keyCols, tsCol, leftIdCol, rightIdCol, forward = false)
 
   /** Forward as-of: for every left row, the single EARLIEST right row
     * with `right.ts >= left.ts` on the same key — the look-AHEAD
@@ -71,7 +50,25 @@ object AsOf {
       keyCols: Seq[String],
       tsCol: String,
       leftIdCol: String,
-      rightIdCol: String): DataFrame = {
+      rightIdCol: String): DataFrame =
+    asofImpl(left, right, keyCols, tsCol, leftIdCol, rightIdCol, forward = true)
+
+  /** Shared union + running-last machinery. The two directions differ
+    * only in sort orientation: backward walks ts ascending (running
+    * last = latest prior right, ties to HIGHEST rid), forward walks ts
+    * descending (running last = earliest following right, ties to
+    * LOWEST rid via rid desc). In both, right rows (side 0) sort before
+    * left rows (side 1) at equal ts so a same-instant right row is
+    * visible to the left row's running last.
+    */
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      leftIdCol: String,
+      rightIdCol: String,
+      forward: Boolean): DataFrame = {
     val keys = keyCols.map(F.col)
     val l = left.select(keys ++ Seq(
       F.col(tsCol).as("__ts"), F.lit(1).as("__side"),
@@ -81,12 +78,11 @@ object AsOf {
       F.col(tsCol).as("__ts"), F.lit(0).as("__side"),
       F.lit(null).cast("long").as("__lid"),
       F.col(rightIdCol).cast("long").as("__rid")): _*)
-    // ts DESCENDING: the running last right id is the nearest right at
-    // or after the left row; right rows still sort before left rows at
-    // equal ts (side 0 < 1), and __rid DESC makes the running last the
-    // LOWEST id among same-instant right rows
+    val (tsOrd, ridOrd) =
+      if (forward) (F.col("__ts").desc, F.col("__rid").desc)
+      else (F.col("__ts").asc, F.col("__rid").asc)
     val w = Window.partitionBy(keys: _*)
-      .orderBy(F.col("__ts").desc, F.col("__side").asc, F.col("__rid").desc)
+      .orderBy(tsOrd, F.col("__side").asc, ridOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__matched", F.last(F.col("__rid"), ignoreNulls = true).over(w))

@@ -466,11 +466,19 @@ object Corpus {
       idCol: String,
       weight: Column,
       threshold: Long): DataFrame = {
-    require(threshold > 0)
+    // threshold must stay below 2^31 so neither product below can wrap
+    // Long (ANSI mode is off — overflow would be a SILENT wrap that
+    // inverts keep decisions): u < 2^32 and clamped weight <= threshold
+    // keep both products under 2^63.
+    require(threshold > 0 && threshold <= Int.MaxValue,
+      s"weightedSample threshold must be in [1, 2^31-1], got $threshold")
     val u = F.conv(F.substring(
       F.md5(F.col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
-    df.filter(u * threshold < weight.cast("long") * F.lit(4294967296L))
+    // weights >= threshold always keep, so clamping changes nothing
+    // semantically while bounding the multiplication
+    val w = F.least(weight.cast("long"), F.lit(threshold))
+    df.filter(u * threshold < w * F.lit(4294967296L))
   }
 
   /** Deterministic importance sampling for corpus mixing: keep a row iff

@@ -412,7 +412,7 @@ object QueryCatalog {
       |  SELECT event_type, user_id, COUNT(*) AS n
       |  FROM events GROUP BY event_type, user_id)
       |SELECT event_type, user_id, n,
-      |  NTILE(4) OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS quartile
+      |  CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS INTEGER) AS quartile
       |FROM c ORDER BY event_type, user_id""".stripMargin
 
   /** Tumbling-window aggregation over event time — the BATCH twin of
@@ -2345,14 +2345,11 @@ object QueryCatalog {
   }
 
   private val qEditDistSql =
-    s"""$minhashMd5CandidateCte,
-       |nrm AS (
-       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-       |  FROM documents)
+    s"""$minhashMd5CandidateCte
        |SELECT c.a, c.b, CAST(levenshtein(na.t, nb.t) AS INTEGER) AS lev
        |FROM cand c
-       |JOIN nrm na ON na.doc_id = c.a
-       |JOIN nrm nb ON nb.doc_id = c.b
+       |JOIN docs na ON na.doc_id = c.a
+       |JOIN docs nb ON nb.doc_id = c.b
        |ORDER BY a, b""".stripMargin
 
   /** MinHash-LSH candidate pairs, md5-reproducible. */
