@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("nfc", "nfc(text) - Unicode NFC normalization"),
       (exprs: Seq[Expression]) => graft.functions.Nfc(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("script_tokens"),
+      info("script_tokens", "script_tokens(text) - script-aware tokens: one per CJK codepoint, whitespace words elsewhere"),
+      (exprs: Seq[Expression]) => graft.functions.ScriptTokens(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(tokens) - token+bigram repetition counts"),
       (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head)))

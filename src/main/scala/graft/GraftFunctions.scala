@@ -67,6 +67,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "nfc", exprs => graft.functions.Nfc(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "script_tokens",
+      exprs => graft.functions.ScriptTokens(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "repetition_stats",
       exprs => graft.functions.RepetitionStats(exprs.head), "scala_udf")
     // Aggregate functions are returned bare; the analyzer wraps them in

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -49,6 +50,64 @@ object ScriptUtil {
 
   private def isWs(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  /** CJK one-codepoint-per-token ranges — [[TextFunctions.cjkClass]]'
+    * intervals verbatim (all BMP, so char-level checks suffice).
+    */
+  @inline private def isCjk(c: Char): Boolean =
+    (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3040 && c <= 0x30FF) ||
+      (c >= 0xAC00 && c <= 0xD7A3)
+
+  /** Script-aware tokens, compiled: EXACTLY the result of space-padding
+    * each CJK codepoint (`regexp_replace(text, "(cjk)", " $1 ")`), Spark
+    * `trim` (ASCII spaces only), then `split(_, "\\s+", -1)` with the
+    * blank-string empty-array guard — but as two plain char passes
+    * instead of two regex-engine runs over the full document. The regex
+    * formulation stays in [[TextFunctions.scriptTokensRegex]] as the
+    * oracle-replayable statement of these semantics; a differential spec
+    * pins the two equal. Faithfully preserved quirks: leading/trailing
+    * NON-space whitespace (\t \n \x0B \f \r) survives trim, so such
+    * documents produce leading/trailing empty tokens, exactly as the
+    * regex split with limit -1 does.
+    */
+  def scriptTokens(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    var hasCjk = false
+    var i = 0
+    while (i < n && !hasCjk) { if (isCjk(str.charAt(i))) hasCjk = true; i += 1 }
+    val t = if (!hasCjk) str else {
+      val sb = new java.lang.StringBuilder(n + (n >> 1) + 2)
+      var j = 0
+      while (j < n) {
+        val c = str.charAt(j)
+        if (isCjk(c)) sb.append(' ').append(c).append(' ') else sb.append(c)
+        j += 1
+      }
+      sb.toString
+    }
+    // Spark trim: strip ASCII 0x20 only (tabs/newlines are NOT trimmed)
+    var start = 0
+    var end = t.length
+    while (start < end && t.charAt(start) == ' ') start += 1
+    while (end > start && t.charAt(end - 1) == ' ') end -= 1
+    if (start >= end) return new GenericArrayData(Array.empty[Any])
+    // split on \s+ runs, Java limit=-1 semantics: an initial separator
+    // yields a leading empty piece, a final separator a trailing one
+    val out = new java.util.ArrayList[AnyRef]
+    var tokStart = start
+    var k = start
+    while (k < end) {
+      if (isWs(t.charAt(k))) {
+        out.add(UTF8String.fromString(t.substring(tokStart, k)))
+        k += 1
+        while (k < end && isWs(t.charAt(k))) k += 1
+        tokStart = k
+      } else k += 1
+    }
+    out.add(UTF8String.fromString(t.substring(tokStart, end)))
+    new GenericArrayData(out.toArray)
+  }
 
   /** @return InternalRow of 12 longs in [[buckets]] order. */
   def scriptCounts(s: UTF8String): InternalRow = {
@@ -128,6 +187,31 @@ case class Nfc(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.ScriptUtil.nfc($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Nfc =
+    copy(child = newChild)
+}
+
+/** `script_tokens(string)`: compiled script-aware tokenization — see
+  * [[ScriptUtil.scriptTokens]].
+  */
+case class ScriptTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "script_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"script_tokens requires STRING, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    ScriptUtil.scriptTokens(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ScriptUtil.scriptTokens($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptTokens =
     copy(child = newChild)
 }
 

@@ -49,6 +49,16 @@ object TextFunctions {
     * codegen'd.
     */
   def scriptTokens(text: Column): Column =
+    F.call_function("script_tokens", text)
+
+  /** The declarative (regex) statement of [[scriptTokens]]' semantics —
+    * what the DuckDB oracles replay. The compiled kernel
+    * ([[ScriptUtil.scriptTokens]]) is the production path (two plain char
+    * passes vs two regex-engine runs per document); a differential spec
+    * pins kernel == regex on the edge cases (CJK at string edges,
+    * untrimmable \t/\n whitespace, all-space/empty input).
+    */
+  private[graft] def scriptTokensRegex(text: Column): Column =
     tokens(F.regexp_replace(text, s"($cjkClass)", " $1 "))
 
   /** Token count for budget-style uses (chunk windows, pack bins, length

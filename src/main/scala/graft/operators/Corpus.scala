@@ -31,7 +31,17 @@ object Corpus {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(stride > 0 && size > 0, "size and stride must be positive")
-    val toks = TextFunctions.scriptTokens(F.col(textCol))
+    graft.GraftFunctions.register(docs.sparkSession)
+    // Materialize the token array ONCE per document in its own projection.
+    // The window transform below is an interpreted HOF lambda, which
+    // defeats subexpression elimination: referencing the tokenizing
+    // expression directly would re-run the full-text regexp_replace once
+    // per window start (O(chunks * doc_length)). An attribute reference
+    // keeps it O(doc_length); CollapseProject leaves the alias alone
+    // because it is referenced more than once (pinned in PlanSpec).
+    val withToks = docs.withColumn(
+      "__toks", TextFunctions.scriptTokens(F.col(textCol)))
+    val toks = F.col("__toks")
     // window starts: 0, stride, 2*stride, ... while start < n (at least 1)
     val starts = F.sequence(
       F.lit(0),
@@ -49,7 +59,7 @@ object Corpus {
       F.greatest(
         F.least(F.lit(size.toLong), F.size(toks).cast("long") - s),
         F.lit(0L)).as("n_tokens")))
-    docs
+    withToks
       .select(F.col(idCol), F.posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(F.col(idCol), F.col("chunk_id"),
         F.col("c.chunk_text").as("chunk_text"),
@@ -252,6 +262,7 @@ object Corpus {
       contaminationNgram: Int = 5,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
     val deduped = docs.join(
       Dedup.exact(docs, textCol, idCol).select(idCol), Seq(idCol), "leftsemi")
     val floored = deduped.filter(
@@ -275,7 +286,8 @@ object Corpus {
     */
   def composition(
       docs: DataFrame,
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
     docs
       .groupBy("lang", "source")
       .agg(
@@ -284,6 +296,7 @@ object Corpus {
         F.sum(F.length(F.col(textCol)).cast("long")).as("total_chars"),
         F.min(F.length(F.col(textCol)).cast("long")).as("min_chars"),
         F.max(F.length(F.col(textCol)).cast("long")).as("max_chars"))
+  }
 
   /** Exact corpus heavy hitters by the 2-pass sketch protocol: pass one
     * reduces the token stream through the mergeable Misra-Gries

@@ -197,6 +197,34 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("script_tokens kernel matches the regex formulation exactly") {
+    // the compiled kernel must preserve every quirk of
+    // pad-CJK -> trim(spaces only) -> split("\\s+", -1), including the
+    // leading/trailing EMPTY tokens produced by untrimmable \t/\n edges
+    val edges = Seq(
+      "", " ", "   ", "\t", "\n", "\t\n", "a", " a ", "\ta", "a\t",
+      "\ta\t", "a b  c", "  a  b  ", "\t a \t b \n", "中文abc", "中",
+      " 中 ", "\t中", "中\t", "ab中cd日ef", "中中", "日本語テスト",
+      "한국어 text", "a中 b日", " mixed  ws \r", "中 \t 日",
+      " \t ", "中\n中")
+    // deterministic fuzz over a ws/CJK/latin-heavy alphabet
+    val alphabet = " \t\n\rab中日本語한aZ09."
+    val rnd = new scala.util.Random(42)
+    val fuzz = (1 to 300).map { _ =>
+      val len = rnd.nextInt(30)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val rows = (edges ++ fuzz).toDF("t").select(
+      F.col("t"),
+      TextFunctions.scriptTokens(F.col("t")).as("k"),
+      TextFunctions.scriptTokensRegex(F.col("t")).as("r"))
+      .collect()
+    rows.foreach { row =>
+      assert(row.getSeq[String](1) === row.getSeq[String](2),
+        s"kernel != regex on ${row.getString(0).map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("stripMarkup removes tags and collapses whitespace; counts are exact") {
     val df = Seq(
       "<p>hello  <b>world</b></p> see https://a.b/c and http://d.e",

@@ -226,6 +226,22 @@ class PlanSpec extends SparkSpec {
       "length histogram must be a pure partial-aggregated scan")
   }
 
+  test("chunking evaluates the tokenizing regex exactly once per document") {
+    // Corpus.chunk materializes the token array in a projection and the
+    // interpreted window-transform lambda references the attribute; if
+    // CollapseProject ever inlined the alias back, the tokenizing
+    // regexp_replace would re-run once per window start
+    // (O(chunks * doc_length)) and appear inside the Generate node.
+    val p = plan("q_doc_chunks")
+    val gen = p.linesIterator.find(_.contains("Generate ")).getOrElse("")
+    assert(gen.contains("__toks"), "transform must reference the attribute: " + gen)
+    assert(!gen.contains("script_tokens") && !gen.contains("regexp_replace"),
+      "tokenization leaked into the interpreted lambda: " + gen)
+    // the compiled kernel appears exactly once, in the materializing
+    // Project below the Generate
+    assert("script_tokens".r.findAllIn(p).length == 1, p.take(1500))
+  }
+
   test("custom expressions (week_of_month, shingle kernels) do not break codegen") {
     val df = SparkEntry.queries("q_weekly_avg")(spark, dir)
     df.collect()
