@@ -365,6 +365,70 @@ object Similarity {
         graft.functions.VectorAgg.sumVecL(F.col("cv")).as("sums"))
   }
 
+  /** Result of [[kmeansTrain]]: quantized centroids plus how the loop
+    * ended. `centroids(j)` is cell j's component vector (exact BIGINTs in
+    * the same floor(x*1000) plane as [[VectorFunctions.quantize]]).
+    */
+  final case class KmeansResult(
+      centroids: Seq[Seq[Long]], iterations: Int, converged: Boolean)
+
+  /** Full Lloyd training loop over [[kmeansStep]] — the composition that
+    * turns the one-iteration primitive into an IVF-centroid trainer.
+    *
+    * Everything stays integer-exact so an unrolled SQL oracle can replay
+    * the whole loop: seeds are the md5-order sample
+    * ([[sampleCentroids]]), the centroid update is `floorDiv(sum_d, n)`
+    * per component, and convergence is quantized-centroid fixed point
+    * (next == current, bitwise) — no epsilon, no floating drift.
+    *
+    * Empty cells reseed from the SAME md5-ordered candidate pool at the
+    * deterministic index `nlist * iter + cellIdx` (pool size
+    * `nlist * (maxIters + 1)`, one disjoint reseed block per iteration,
+    * so no cross-iteration counter is needed to replay it); a pool past
+    * its end keeps the old centroid. A reseeding iteration never counts
+    * as converged, even if the reseed happens to reproduce the previous
+    * centroid.
+    *
+    * Scale shape: per iteration, ONE map-only assignment scan against
+    * broadcast centroid literals and one partial-aggregated shuffle of
+    * O(cells × dims) longs ([[kmeansStep]]); the driver touches only the
+    * nlist-row sufficient statistics and the bounded candidate pool —
+    * model-sized data, never the corpus.
+    */
+  def kmeansTrain(
+      corpus: DataFrame,
+      nlist: Int = 8,
+      maxIters: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): KmeansResult = {
+    require(nlist > 0 && maxIters > 0, "nlist and maxIters must be positive")
+    val candidates = sampleCentroids(corpus, nlist * (maxIters + 1), idCol, vecCol)
+    require(candidates.nonEmpty, "kmeansTrain needs a non-empty corpus")
+    var cents: Seq[Seq[Long]] = candidates.take(nlist)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      iter += 1
+      val stats = kmeansStep(corpus, cents, idCol, vecCol)
+        .select("cell", "n_assigned", "sums").collect()
+      val byCell = stats.map(r =>
+        r.getInt(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+      var reseeded = false
+      val next: Seq[Seq[Long]] = cents.indices.map { j =>
+        byCell.get(j) match {
+          case Some((n, sums)) => sums.map(x => Math.floorDiv(x, n))
+          case None =>
+            val ci = nlist * iter + j
+            if (ci < candidates.length) { reseeded = true; candidates(ci) }
+            else cents(j)
+        }
+      }
+      converged = !reseeded && next == cents
+      cents = next
+    }
+    KmeansResult(cents, iter, converged)
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -2147,6 +2147,108 @@ object QueryCatalog {
       |SELECT cell, n_assigned, sum_d0, sum_d1, sum_d2, sum_all
       |FROM counts JOIN csums USING (cell) ORDER BY cell""".stripMargin
 
+  /** Full k-means TRAINING loop, graded end to end: 3 unrolled Lloyd
+    * iterations (seed from the md5-order sample, assign by max integer
+    * dot, update by floorDiv(sum, n), reseed empty cells from the
+    * deterministic candidate pool), then the final assignment's
+    * sufficient statistics AND the trained centroids themselves — all
+    * exact BIGINTs, so the DuckDB oracle replays the entire loop as a
+    * chain of generated CTE blocks (one per iteration). Early
+    * convergence on the Spark side is oracle-safe: a fixed point
+    * reproduces itself under further oracle iterations.
+    */
+  private def qKmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val r = Similarity.kmeansTrain(emb, nlist = 8, maxIters = 3)
+    val cl = F.typedlit(r.centroids)
+    val cent = F.element_at(cl, F.col("cell") + 1)
+    Similarity.kmeansStep(emb, r.centroids)
+      .select(F.col("cell").cast(LongType).as("cell"),
+        F.col("n_assigned"),
+        F.element_at(F.col("sums"), 1).as("sum_d0"),
+        F.element_at(F.col("sums"), 2).as("sum_d1"),
+        F.element_at(F.col("sums"), 3).as("sum_d2"),
+        F.aggregate(F.col("sums"), F.lit(0L), (a, x) => a + x).as("sum_all"),
+        F.element_at(cent, 1).as("c_d0"),
+        F.aggregate(cent, F.lit(0L), (a, x) => a + x).as("c_all"))
+      .orderBy("cell")
+  }
+
+  /** Generates the unrolled training-loop oracle: `iters` copies of the
+    * assign/aggregate/update block chained through cents_0..cents_iters,
+    * with the reseed rule as a COALESCE over (computed update, candidate
+    * pool at nlist*iter+cell, previous centroid) — exactly
+    * [[Similarity.kmeansTrain]]'s driver loop.
+    */
+  private def kmeansTrainOracleSql(nlist: Int, iters: Int): String = {
+    val blocks = (1 to iters).map { i =>
+      val prev = s"cents_${i - 1}"
+      s"""cv_$i AS (
+         |  SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+         |  FROM quant q CROSS JOIN $prev c),
+         |sc_$i AS (
+         |  SELECT vec_id, cidx, SUM(x * y) AS s FROM cv_$i GROUP BY vec_id, cidx),
+         |asg_$i AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+         |    FROM sc_$i) WHERE rn = 1),
+         |cnt_$i AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM asg_$i GROUP BY cell),
+         |comp_$i AS (
+         |  SELECT a.cell, t.i AS d, CAST(SUM(q.qv[t.i]) AS BIGINT) AS sd
+         |  FROM asg_$i a JOIN quant q USING (vec_id),
+         |    unnest(generate_series(1, len(q.qv))) AS t(i)
+         |  GROUP BY a.cell, t.i),
+         |ncv_$i AS (
+         |  SELECT cell, list(CAST(FLOOR(CAST(sd AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS cv
+         |  FROM comp_$i JOIN cnt_$i USING (cell) GROUP BY cell),
+         |cents_$i AS (
+         |  SELECT cl.cidx, COALESCE(s.cv, cand.qv, p.cv) AS cv
+         |  FROM cells cl
+         |  LEFT JOIN ncv_$i s ON s.cell = cl.cidx
+         |  LEFT JOIN cands cand ON cand.ci = ${nlist * i} + cl.cidx
+         |  LEFT JOIN $prev p ON p.cidx = cl.cidx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH quant AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cands AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS ci, qv
+       |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT ${nlist * (iters + 1)})),
+       |cells AS (SELECT unnest(generate_series(0, ${nlist - 1})) AS cidx),
+       |cents_0 AS (SELECT ci AS cidx, qv AS cv FROM cands WHERE ci < $nlist),
+       |$blocks,
+       |fcv AS (
+       |  SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+       |  FROM quant q CROSS JOIN cents_$iters c),
+       |fsc AS (
+       |  SELECT vec_id, cidx, SUM(x * y) AS s FROM fcv GROUP BY vec_id, cidx),
+       |fasg AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+       |    FROM fsc) WHERE rn = 1),
+       |fcnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_assigned FROM fasg GROUP BY cell),
+       |fcomp AS (
+       |  SELECT a.cell, t.i AS d, CAST(SUM(q.qv[t.i]) AS BIGINT) AS sd
+       |  FROM fasg a JOIN quant q USING (vec_id),
+       |    unnest(generate_series(1, len(q.qv))) AS t(i)
+       |  GROUP BY a.cell, t.i),
+       |fsums AS (
+       |  SELECT cell,
+       |    CAST(SUM(CASE WHEN d = 1 THEN sd ELSE 0 END) AS BIGINT) AS sum_d0,
+       |    CAST(SUM(CASE WHEN d = 2 THEN sd ELSE 0 END) AS BIGINT) AS sum_d1,
+       |    CAST(SUM(CASE WHEN d = 3 THEN sd ELSE 0 END) AS BIGINT) AS sum_d2,
+       |    CAST(SUM(sd) AS BIGINT) AS sum_all
+       |  FROM fcomp GROUP BY cell)
+       |SELECT f.cell, n.n_assigned, f.sum_d0, f.sum_d1, f.sum_d2, f.sum_all,
+       |  c.cv[1] AS c_d0, CAST(list_sum(c.cv) AS BIGINT) AS c_all
+       |FROM fsums f
+       |JOIN fcnt n USING (cell)
+       |JOIN cents_$iters c ON c.cidx = f.cell
+       |ORDER BY cell""".stripMargin
+  }
+
+  private val qKmeansTrainSql = kmeansTrainOracleSql(nlist = 8, iters = 3)
+
   /** Retrieval-QUALITY grading for the ANN tiers — not just determinism:
     * per query, the integer |approxTopK ∩ exactTopK| for multi-table LSH
     * (8 tables x 4 bits) and IVF (probe 8 of 16 cells) against the
@@ -2495,6 +2597,7 @@ object QueryCatalog {
     Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
+    Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),
     Q("q_ann_recall", wrap(qAnnRecall), Some(qAnnRecallSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =

@@ -671,6 +671,50 @@ class OperatorsSpec extends SparkSpec {
     assert(total === global)
   }
 
+  test("kmeansTrain converges on planted clusters and reseeds empty cells") {
+    import graft.operators.Similarity
+    // Arrange vectors by each id's md5-order POSITION (the engine's seed
+    // rule) so the scenario is fully pinned: the three seeds are X, X, Y
+    // — duplicate seeds, so cell 1 is empty after iteration 1 (ties
+    // assign to the lowest cell) and must reseed from pool index
+    // nlist*iter + cell = 4, where we plant the corpus' single Z vector.
+    def h(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byMd5 = (1L to 20L).sortBy(id => (h(id), id))
+    val X = Seq(1.0f, 0.0f, 0.0f)
+    val Y = Seq(0.0f, 1.0f, 0.0f)
+    val Z = Seq(0.0f, 0.0f, 1.0f)
+    val vecOf = byMd5.zipWithIndex.map { case (id, pos) =>
+      id -> (pos match {
+        case 0 | 1 => X
+        case 2 => Y
+        case 4 => Z
+        case p if p % 2 == 0 => X
+        case _ => Y
+      })
+    }.toMap
+    val df = (1L to 20L).map(id => (id, vecOf(id))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val r = Similarity.kmeansTrain(df, nlist = 3, maxIters = 10)
+    // iter 1: Z rides with cell 0 (all dots 0, tie to lowest) and cell 1
+    // reseeds to Z; iter 2: clusters separate, centroids become exactly
+    // (X, Z, Y); iter 3: fixed point detected
+    assert(r.converged, r.toString)
+    assert(r.iterations === 3, r.toString)
+    assert(r.centroids === Seq(
+      Seq(1000L, 0L, 0L), Seq(0L, 0L, 1000L), Seq(0L, 1000L, 0L)))
+    // the result is a true fixed point and conserves mass
+    val stats = Similarity.kmeansStep(df, r.centroids).collect()
+      .map(row => row.getInt(0) ->
+        ((row.getLong(1), row.getSeq[Long](2)))).toMap
+    assert(stats.values.map(_._1).sum === 20L)
+    r.centroids.zipWithIndex.foreach { case (c, j) =>
+      val (n, sums) = stats(j)
+      assert(sums.map(x => Math.floorDiv(x, n)) === c, s"cell $j not fixed")
+    }
+  }
+
   test("lsh bucket index persisted to parquet serves identical ANN results") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
