@@ -48,18 +48,69 @@ object Multimodal {
     def decode(payload: Array[Byte]): Array[Float]
   }
 
-  /** Deterministic fake standing in for a real image/audio codec: features
-    * are byte-histogram moments. Replace with a JNI/codec-backed decoder
-    * in production — the pipeline shape does not change.
+  /** Null-safe full decode: unreadable/corrupt payloads return null
+    * (record, don't crash — the policy of every decode stage here).
     */
-  final class StubDecoder(val featureDim: Int = 8) extends Decoder {
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    if (payload == null || payload.isEmpty) null
+    else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Exact per-band channel sums over a decoded raster: pixel rows are
+    * split into `bands` contiguous chunks by [[graft.functions
+    * .VectorFunctions.avgPool]]'s rule (step = ceil(h / bands)), and
+    * each band reduces to integer (r, g, b) sums over its pixels.
+    * @return (sums: 3*bands longs laid out r,g,b per band,
+    *          px: pixels per band — 0 marks an empty band)
+    */
+  private def bandChannelSums(
+      img: java.awt.image.BufferedImage, bands: Int): (Array[Long], Array[Long]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val step = math.max(1, math.ceil(h.toDouble / bands).toInt)
+    val sums = new Array[Long](3 * bands)
+    val px = new Array[Long](bands)
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    var y = 0
+    while (y < h) {
+      val b = y / step
+      var x = 0
+      while (x < w) {
+        val v = rgb(y * w + x)
+        sums(3 * b) += (v >> 16) & 0xff
+        sums(3 * b + 1) += (v >> 8) & 0xff
+        sums(3 * b + 2) += v & 0xff
+        x += 1
+      }
+      px(b) += w
+      y += 1
+    }
+    (sums, px)
+  }
+
+  /** REAL image feature decoder for the [[decodeFeatures]] seam: the
+    * payload is fully decoded (`ImageIO.read`, same path as
+    * [[decodePixelStats]]) and reduced to per-band channel MEANS — the
+    * float view of [[decodeImageFeatures]]' exact integer sums, under
+    * avgPool's contiguous-chunk banding rule. Unreadable payloads yield
+    * the zero vector.
+    */
+  final class ImageBandDecoder(val bands: Int = 4) extends Decoder {
+    require(bands > 0, "bands must be positive")
+    def featureDim: Int = 3 * bands
     def decode(payload: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](featureDim)
-      if (payload != null) {
-        var i = 0
-        while (i < payload.length) {
-          out(i % featureDim) += (payload(i) & 0xff) / 255.0f
-          i += 1
+      val out = new Array[Float](3 * bands)
+      val img = readImage(payload)
+      if (img != null) {
+        val (sums, px) = bandChannelSums(img, bands)
+        var b = 0
+        while (b < bands) {
+          if (px(b) > 0) {
+            out(3 * b) = (sums(3 * b).toDouble / px(b)).toFloat
+            out(3 * b + 1) = (sums(3 * b + 1).toDouble / px(b)).toFloat
+            out(3 * b + 2) = (sums(3 * b + 2).toDouble / px(b)).toFloat
+          }
+          b += 1
         }
       }
       out
@@ -246,6 +297,40 @@ object Multimodal {
             }
           }
           PixelStats(id, w, h, r, g, b)
+        }
+      }
+  }
+
+  final case class ImageBandStats(
+      media_id: Long, band: Int, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL pixel feature extraction, integer-exact: full raster decode,
+    * then per-band channel sums under avgPool's contiguous-chunk banding
+    * (step = ceil(h / bands)) — one row per NON-EMPTY band (a band whose
+    * first row index >= h never materializes, matching a group-by over
+    * `y / step` exactly). This is [[decodeFeatures]]' image path with
+    * the arithmetic kept in exact BIGINTs so the seeded-fixture oracle
+    * can replay every value; [[ImageBandDecoder]] is the same raster
+    * banding exposed as a float [[Decoder]]. Corrupt payloads record a
+    * single (band -1, zero sums) row.
+    */
+  def decodeImageFeatures(media: DataFrame, bands: Int = 4): Dataset[ImageBandStats] = {
+    require(bands > 0, "bands must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val img = readImage(payload)
+          if (img == null) Iterator.single(ImageBandStats(id, -1, 0L, 0L, 0L, 0L))
+          else {
+            val (sums, px) = bandChannelSums(img, bands)
+            Iterator.range(0, bands).filter(px(_) > 0).map { b =>
+              ImageBandStats(id, b, px(b),
+                sums(3 * b), sums(3 * b + 1), sums(3 * b + 2))
+            }
+          }
         }
       }
   }

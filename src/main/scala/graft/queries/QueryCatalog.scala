@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
 import graft.GraftFunctions
 import graft.functions.{TextFunctions, WeekOfMonth}
 import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Upsert}
@@ -1025,7 +1025,10 @@ object QueryCatalog {
     */
   private def qBinaryMeta(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
-    Multimodal.decodeFeatures(media, new Multimodal.StubDecoder(8))
+    // the REAL image decoder over non-image payloads: every row takes the
+    // unreadable-payload path (zero features), and the graded byte count
+    // proves the binary column still round-trips the batch seam intact
+    Multimodal.decodeFeatures(media, new Multimodal.ImageBandDecoder(4))
       .toDF()
       .select(F.col("media_id"), F.col("n_bytes").cast(LongType).as("n_bytes"))
       .orderBy("media_id")
@@ -1092,6 +1095,49 @@ object QueryCatalog {
       |  CAST(SUM((v // 256) % 256) AS BIGINT) AS sum_g,
       |  CAST(SUM(v % 256) AS BIGINT) AS sum_b
       |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** REAL pixel FEATURE extraction grading: the seeded PNGs are fully
+    * decoded and reduced to per-band exact channel sums (avgPool's
+    * contiguous banding over pixel rows) plus the IEEE-double band means
+    * — the feature-vector seam ([[Multimodal.decodeImageFeatures]] /
+    * ImageBandDecoder) now graded on real codec output, replacing the
+    * last synthetic decode stub. Means divide exact integers, so the
+    * doubles are bit-identical across engines.
+    */
+  private def qImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.syntheticImages(t(s, dir, "documents"), "doc_id")
+    Multimodal.decodeImageFeatures(imgs, bands = 4)
+      .toDF()
+      .select(F.col("media_id"),
+        F.col("band").cast(LongType).as("band"),
+        F.col("n_px"), F.col("sum_r"), F.col("sum_g"), F.col("sum_b"),
+        (F.col("sum_r").cast(DoubleType) / F.col("n_px")).as("mean_r"),
+        (F.col("sum_g").cast(DoubleType) / F.col("n_px")).as("mean_g"),
+        (F.col("sum_b").cast(DoubleType) / F.col("n_px")).as("mean_b"))
+      .orderBy("media_id", "band")
+  }
+
+  private val qImageFeaturesSql =
+    """WITH px AS (
+      |  SELECT d.doc_id, xs.range AS x, ys.range AS y
+      |  FROM documents d
+      |  CROSS JOIN range(37) xs
+      |  CROSS JOIN range(23) ys
+      |  WHERE xs.range <= d.doc_id % 37 AND ys.range <= d.doc_id % 23),
+      |v AS (
+      |  SELECT doc_id,
+      |    y // CAST(CEIL((1 + doc_id % 23) / 4.0) AS BIGINT) AS band,
+      |    (doc_id * 31 + x * 7 + y * 13) % 16777216 AS v
+      |  FROM px)
+      |SELECT doc_id AS media_id, CAST(band AS BIGINT) AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_px,
+      |  CAST(SUM(v // 65536) AS BIGINT) AS sum_r,
+      |  CAST(SUM((v // 256) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM(v % 256) AS BIGINT) AS sum_b,
+      |  CAST(SUM(v // 65536) AS DOUBLE) / COUNT(*) AS mean_r,
+      |  CAST(SUM((v // 256) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
+      |  CAST(SUM(v % 256) AS DOUBLE) / COUNT(*) AS mean_b
+      |FROM v GROUP BY doc_id, band ORDER BY media_id, band""".stripMargin
 
   /** REAL multi-frame container decode: deterministic animated GIFs are
     * sequence-encoded in the executors (frames/width/height all
@@ -2578,6 +2624,7 @@ object QueryCatalog {
     Q("q_binary_meta", wrap(qBinaryMeta), Some(qBinaryMetaSql)),
     Q("q_image_meta", wrap(qImageMeta), Some(qImageMetaSql)),
     Q("q_image_pixels", wrap(qImagePixels), Some(qImagePixelsSql)),
+    Q("q_image_features", wrap(qImageFeatures), Some(qImageFeaturesSql)),
     Q("q_audio_meta", wrap(qAudioMeta), Some(qAudioMetaSql)),
     Q("q_frame_meta", wrap(qFrameMeta), Some(qFrameMetaSql)),
     Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),

@@ -196,14 +196,45 @@ class OperatorsSpec extends SparkSpec {
   test("multimodal decode preserves ids and byte counts through mapPartitions") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq === Seq("media_id", "payload", "meta"))
-    val feats = Multimodal.decodeFeatures(media, new Multimodal.StubDecoder(4)).collect()
+    val feats = Multimodal.decodeFeatures(media, new StubDecoder(4)).collect()
     assert(feats.length === 5)
     val byId = feats.map(f => f.media_id -> f).toMap
     assert(byId(0L).n_bytes === "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length)
     assert(byId(0L).features.length === 4)
     // deterministic decode
-    assert(byId(0L).features.toSeq === new Multimodal.StubDecoder(4)
+    assert(byId(0L).features.toSeq === new StubDecoder(4)
       .decode("the quick brown fox jumps over the lazy dog".getBytes("UTF-8")).toSeq)
+  }
+
+  test("real-pixel band features: decoder means equal the exact sums") {
+    val imgs = Multimodal.syntheticImages(
+      Seq(5L, 17L, 40L).toDF("doc_id"), "doc_id")
+    val stats = Multimodal.decodeImageFeatures(imgs, bands = 4).collect()
+    assert(stats.forall(_.band >= 0), "real PNGs must all decode")
+    // per image: full-band sums re-aggregate to decodePixelStats' totals
+    val pix = Multimodal.decodePixelStats(imgs).collect()
+      .map(p => p.media_id -> p).toMap
+    stats.groupBy(_.media_id).foreach { case (id, rows) =>
+      assert(rows.map(_.sum_r).sum === pix(id).sum_r)
+      assert(rows.map(_.sum_g).sum === pix(id).sum_g)
+      assert(rows.map(_.sum_b).sum === pix(id).sum_b)
+      assert(rows.map(_.n_px).sum ===
+        pix(id).width.toLong * pix(id).height)
+    }
+    // the float Decoder view is exactly sums/px of the integer path
+    val byIdBand = stats.map(s => (s.media_id, s.band) -> s).toMap
+    val feats = Multimodal.decodeFeatures(imgs, new Multimodal.ImageBandDecoder(4))
+      .collect().map(f => f.media_id -> f.features).toMap
+    byIdBand.foreach { case ((id, b), s) =>
+      assert(feats(id)(3 * b) === (s.sum_r.toDouble / s.n_px).toFloat)
+      assert(feats(id)(3 * b + 1) === (s.sum_g.toDouble / s.n_px).toFloat)
+      assert(feats(id)(3 * b + 2) === (s.sum_b.toDouble / s.n_px).toFloat)
+    }
+    // unreadable payloads record, not crash: one (band -1, zeros) row
+    val junk = Seq((99L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val bad = Multimodal.decodeImageFeatures(junk, bands = 4).collect()
+    assert(bad.toSeq === Seq(Multimodal.ImageBandStats(99L, -1, 0L, 0L, 0L, 0L)))
   }
 
   test("chunking produces overlapping token windows covering the document") {
@@ -295,7 +326,7 @@ class OperatorsSpec extends SparkSpec {
   test("frame sampling yields strided frames with bounded byte blocks") {
     val media = Multimodal.syntheticMedia(
       Seq((1L, "x" * 300)).toDF("doc_id", "text"), "doc_id", "text")
-    val frames = Multimodal.sampleFrames(media, new Multimodal.StubDecoder(4),
+    val frames = Multimodal.sampleFrames(media, new StubDecoder(4),
       frameBytes = 64, stride = 2).collect().sortBy(_.frame_idx)
     // 300 bytes -> 5 frames (0..4), stride 2 -> frames 0, 2, 4
     assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
@@ -854,7 +885,7 @@ class OperatorsSpec extends SparkSpec {
       (2L, Array.empty[Byte]),
       (3L, null.asInstanceOf[Array[Byte]]))
       .toDF("media_id", "payload")
-    val frames = Multimodal.sampleFrames(media, new Multimodal.StubDecoder(4),
+    val frames = Multimodal.sampleFrames(media, new StubDecoder(4),
         frameBytes = 64, stride = 2)
       .collect().map(f => (f.media_id, f.frame_idx)).toSet
     assert(frames === Set((1L, 0), (1L, 2), (1L, 4)))
