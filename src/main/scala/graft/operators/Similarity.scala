@@ -208,16 +208,32 @@ object Similarity {
       bits: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64,
+      attrCols: Seq[String] = Nil): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    corpus.select(F.col(idCol).as("neighbor_id"),
-      VectorFunctions.quantize(F.col(vecCol)).as("cv"))
+    // attrCols travel with the index so attribute-filtered serving
+    // (lshTopKFromIndex's predicate) can prune index rows in the scan
+    // instead of joining attributes back per query batch
+    corpus.select(F.col(idCol).as("neighbor_id") +:
+        VectorFunctions.quantize(F.col(vecCol)).as("cv") +:
+        attrCols.map(F.col): _*)
       .withColumn("bk", planeBucket(F.col("cv"), bits, 0, dims))
   }
 
   /** ANN over a prebuilt [[lshBucketTable]] (inline or read back from
     * storage): queries bucket themselves under the same planes and join
     * the index on the bucket key.
+    *
+    * `predicate` (over the index's carried attribute columns —
+    * [[lshBucketTable]]'s `attrCols`) restricts CANDIDATES before the
+    * bucket join, pushed down into the index scan (pinned in PlanSpec).
+    * RECALL NOTE: buckets were built on the full corpus, so filtering
+    * shrinks each bucket without re-bucketing — the more selective the
+    * predicate, the fewer in-bucket candidates survive and the lower
+    * the recall vs a filtered brute-force scan. For highly selective
+    * predicates, build a dedicated index over the filtered corpus (or
+    * use more/coarser tables); q_ann_filtered grades the operating
+    * point on the synthetic embeddings.
     */
   def lshTopKFromIndex(
       index: DataFrame,
@@ -227,12 +243,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dims: Int = 64,
-      maxBroadcastQueries: Long = 100000L): DataFrame = {
+      maxBroadcastQueries: Long = 100000L,
+      predicate: Option[Column] = None): DataFrame = {
     graft.GraftFunctions.register(index.sparkSession)
+    val cands = predicate.fold(index)(index.filter)
     val q = queries.select(F.col(idCol).as("query_id"),
       VectorFunctions.quantize(F.col(vecCol)).as("qv"))
       .withColumn("bk", planeBucket(F.col("qv"), bits, 0, dims))
-    val scored = index.join(broadcastIfSmall(q, maxBroadcastQueries), Seq("bk"))
+    val scored = cands.join(broadcastIfSmall(q, maxBroadcastQueries), Seq("bk"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
@@ -429,6 +447,18 @@ object Similarity {
     KmeansResult(cents, iter, converged)
   }
 
+  /** `predicate` (over corpus columns) restricts CANDIDATES: it prunes
+    * the corpus scan before cell assignment (pinned in PlanSpec), while
+    * centroids still come from the UNFILTERED corpus — the cell geometry
+    * is an index artifact that must not move per predicate, or cached
+    * centroid models would be unusable for filtered serving. Probing is
+    * unchanged, so recall vs a filtered brute force degrades with
+    * selectivity exactly like [[lshTopKFromIndex]]'s (see its note).
+    *
+    * `querySizeHint` skips the count job that sizes the broadcast
+    * decision when the caller already knows |queries| (e.g. a serving
+    * layer with a fixed batch size).
+    */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -437,15 +467,18 @@ object Similarity {
       nprobe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxBroadcastQueries: Long = 100000L): DataFrame = {
+      maxBroadcastQueries: Long = 100000L,
+      predicate: Option[Column] = None,
+      querySizeHint: Option[Long] = None): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
     // NOTE: the centroid pick below is a separate action, so the corpus
     // is scanned twice (pick + assignment). That is the scale-correct
     // trade: caching the quantized corpus would materialize the full
     // dataset to executor storage, which loses the moment the corpus
     // outgrows memory — two pruned columnar scans are cheaper at 100 TB.
-    val c = corpus.select(F.col(idCol).as("neighbor_id"),
-      VectorFunctions.quantize(F.col(vecCol)).as("cv"))
+    val c = predicate.fold(corpus)(corpus.filter)
+      .select(F.col(idCol).as("neighbor_id"),
+        VectorFunctions.quantize(F.col(vecCol)).as("cv"))
     val centRows = sampleCentroids(corpus, nlist, idCol, vecCol)
     val nc = centRows.length
     val cents: Column = F.typedlit(centRows)
@@ -483,8 +516,9 @@ object Similarity {
     // query input (probes is at most |queries| * nprobe rows); counting
     // the probes frame itself would evaluate the per-row centroid
     // scoring a second time just to decide a hint.
+    val qSmall = querySizeHint.getOrElse(queries.count()) <= maxBroadcastQueries
     val scored = assigned
-      .join(broadcastIf(probes, queries.count() <= maxBroadcastQueries), Seq("cell"))
+      .join(broadcastIf(probes, qSmall), Seq("cell"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))

@@ -2329,6 +2329,128 @@ object QueryCatalog {
       .orderBy("query_id")
   }
 
+  /** Attribute-FILTERED ANN grading — "top-k neighbors WHERE label = 1",
+    * the first thing every real vector-search user asks for. Ground
+    * truth is a brute-force scan of the filtered corpus; the LSH tier
+    * serves from an index that carries the attribute (predicate pruned
+    * in the index scan), the IVF tier prunes the corpus before cell
+    * assignment while keeping the UNFILTERED centroid geometry. Hits
+    * against the filtered truth are graded per query; the documented
+    * recall degradation of filter-after-bucket is pinned as floors in
+    * OperatorsSpec.
+    */
+  private def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(F.col("vec_id") < 10)
+    val pred = F.col("label") === 1
+    val truth = Similarity.bruteForceTopKQuant(emb.filter(pred), qs, k = 5)
+      .select("query_id", "neighbor_id")
+    val idx = Similarity.lshBucketTable(emb, bits = 2, attrCols = Seq("label"))
+    val lsh = Similarity.lshTopKFromIndex(idx, qs, k = 5, bits = 2,
+      predicate = Some(pred)).select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(emb, qs, k = 5, nprobe = 8, predicate = Some(pred))
+      .select("query_id", "neighbor_id")
+    def hits(approx: DataFrame, out: String) =
+      truth.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(F.count(F.lit(1)).as(out))
+    qs.select(F.col("vec_id").as("query_id"))
+      .join(hits(lsh, "lsh_hits"), Seq("query_id"), "left")
+      .join(hits(ivf, "ivf_hits"), Seq("query_id"), "left")
+      .select(F.col("query_id"),
+        F.coalesce(F.col("lsh_hits"), F.lit(0L)).as("lsh_hits"),
+        F.coalesce(F.col("ivf_hits"), F.lit(0L)).as("ivf_hits"))
+      .orderBy("query_id")
+  }
+
+  private val qAnnFilteredSql =
+    """WITH quant AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT s.seed, d.dim,
+      |    (CAST(concat('0x', substr(md5(d.dim || ':' || s.seed), 1, 8)) AS BIGINT) % 2001) - 1000 AS comp
+      |  FROM generate_series(0, 1) s(seed)
+      |  CROSS JOIN generate_series(0, 63) d(dim)),
+      |proj AS (
+      |  SELECT q.vec_id, p.seed, SUM(q.qv[p.dim + 1] * p.comp) AS proj
+      |  FROM quant q CROSS JOIN planes p
+      |  GROUP BY q.vec_id, p.seed),
+      |bk AS (
+      |  SELECT vec_id, SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << seed ELSE 0 END) AS bk
+      |  FROM proj GROUP BY vec_id),
+      |t_pairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, unnest(q.qv) AS x, unnest(c.qv) AS y
+      |  FROM quant q CROSS JOIN quant c
+      |  WHERE q.vec_id < 10 AND c.label = 1 AND q.vec_id <> c.vec_id),
+      |t_scored AS (
+      |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+      |  FROM t_pairs GROUP BY query_id, neighbor_id),
+      |t_top AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+      |    FROM t_scored) WHERE rn <= 5),
+      |l_cand AS (
+      |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+      |  FROM bk bq JOIN bk bc ON bq.bk = bc.bk
+      |  JOIN quant qc ON qc.vec_id = bc.vec_id
+      |  WHERE bq.vec_id < 10 AND qc.label = 1 AND bq.vec_id <> bc.vec_id),
+      |l_pairs AS (
+      |  SELECT c.query_id, c.neighbor_id, unnest(qq.qv) AS x, unnest(qc.qv) AS y
+      |  FROM l_cand c JOIN quant qq ON qq.vec_id = c.query_id
+      |  JOIN quant qc ON qc.vec_id = c.neighbor_id),
+      |l_scored AS (
+      |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+      |  FROM l_pairs GROUP BY query_id, neighbor_id),
+      |l_top AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+      |    FROM l_scored) WHERE rn <= 5),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT 16)),
+      |cellvals AS (
+      |  SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+      |  FROM quant q CROSS JOIN cents c),
+      |cellscore AS (
+      |  SELECT vec_id, cidx, CAST(SUM(x * y) AS BIGINT) AS s FROM cellvals GROUP BY vec_id, cidx),
+      |assign AS (
+      |  SELECT vec_id, cidx AS cell FROM (
+      |    SELECT cs.vec_id, cs.cidx,
+      |      ROW_NUMBER() OVER (PARTITION BY cs.vec_id ORDER BY cs.s DESC, cs.cidx ASC) AS rn
+      |    FROM cellscore cs JOIN quant q2 ON q2.vec_id = cs.vec_id
+      |    WHERE q2.label = 1) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cidx AS cell FROM (
+      |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+      |    FROM cellscore WHERE vec_id < 10) WHERE rn <= 8),
+      |i_pairs AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id, unnest(qq.qv) AS x, unnest(qc.qv) AS y
+      |  FROM probes p JOIN assign a ON a.cell = p.cell
+      |  JOIN quant qq ON qq.vec_id = p.query_id
+      |  JOIN quant qc ON qc.vec_id = a.vec_id
+      |  WHERE p.query_id <> a.vec_id),
+      |i_scored AS (
+      |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+      |  FROM i_pairs GROUP BY query_id, neighbor_id),
+      |i_top AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+      |    FROM i_scored) WHERE rn <= 5),
+      |qids AS (SELECT vec_id AS query_id FROM quant WHERE vec_id < 10),
+      |lh AS (SELECT t.query_id, COUNT(*) AS lsh_hits FROM t_top t
+      |  JOIN l_top l ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+      |  GROUP BY t.query_id),
+      |ih AS (SELECT t.query_id, COUNT(*) AS ivf_hits FROM t_top t
+      |  JOIN i_top i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+      |  GROUP BY t.query_id)
+      |SELECT q.query_id, COALESCE(lh.lsh_hits, 0) AS lsh_hits, COALESCE(ih.ivf_hits, 0) AS ivf_hits
+      |FROM qids q LEFT JOIN lh ON lh.query_id = q.query_id
+      |LEFT JOIN ih ON ih.query_id = q.query_id
+      |ORDER BY q.query_id""".stripMargin
+
   private val qAnnRecallSql =
     s"""WITH ${lshOracleCtes(32)},
        |t_pairs AS (
@@ -2645,7 +2767,8 @@ object QueryCatalog {
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),
-    Q("q_ann_recall", wrap(qAnnRecall), Some(qAnnRecallSql)))
+    Q("q_ann_recall", wrap(qAnnRecall), Some(qAnnRecallSql)),
+    Q("q_ann_filtered", wrap(qAnnFiltered), Some(qAnnFilteredSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

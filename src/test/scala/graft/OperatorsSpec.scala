@@ -149,6 +149,40 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf >= 35, s"IVF recall $ivf/50 below the documented floor")
   }
 
+  test("filtered ANN floors hold; filtering degrades LSH recall as documented (sf0.01)") {
+    val rows = SparkEntry.queries("q_ann_filtered")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 10)
+    val lsh = rows.map(_.getLong(1)).sum
+    val ivf = rows.map(_.getLong(2)).sum
+    // documented operating point: a ~9%-selective predicate over buckets
+    // built on the full corpus leaves few in-bucket candidates (measured
+    // 9/50 for the 2-bit single table) — the recall note on
+    // lshTopKFromIndex; IVF probing half the cells holds up (35/50)
+    assert(lsh >= 5, s"filtered LSH hits $lsh/50 below floor")
+    assert(ivf >= 25, s"filtered IVF hits $ivf/50 below floor")
+  }
+
+  test("filtered ANN tiers return only rows matching the predicate") {
+    val queries = vecs.filter($"vec_id" < 3)
+    val pred = F.col("vec_id") % 2 === 0
+    val evenIds = vecs.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val idx = Similarity.lshBucketTable(vecs, bits = 2, dims = 16,
+      attrCols = Seq("vec_id"))
+      .withColumnRenamed("vec_id", "orig_id")
+    val lsh = Similarity.lshTopKFromIndex(idx, queries, k = 3, bits = 2, dims = 16,
+      predicate = Some(F.col("orig_id") % 2 === 0)).collect()
+    assert(lsh.nonEmpty && lsh.forall(r => evenIds(r.getLong(1))))
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 3, nlist = 4, nprobe = 4,
+      predicate = Some(pred)).collect()
+    assert(ivf.nonEmpty && ivf.forall(r => evenIds(r.getLong(1))))
+    // probing all cells with the predicate equals filtered brute force
+    val bf = Similarity.bruteForceTopKQuant(vecs.filter(pred), queries, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.map(r => (r.getLong(0), r.getLong(1))).toSet === bf)
+  }
+
   test("compiled dot_l equals HOF sum over long arrays") {
     val rnd = new scala.util.Random(3)
     val df = (0 until 200).map { _ =>

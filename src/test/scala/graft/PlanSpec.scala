@@ -226,6 +226,16 @@ class PlanSpec extends SparkSpec {
       "length histogram must be a pure partial-aggregated scan")
   }
 
+  test("filtered ANN pushes the attribute predicate into the scans") {
+    val p = plan("q_ann_filtered")
+    // both the LSH index side and the IVF corpus side prune label = 1
+    // at the parquet scan — filtering after the bucket/cell join would
+    // ship every candidate row first
+    assert(p.contains("EqualTo(label,1)"),
+      "label predicate must reach PushedFilters: " + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("chunking evaluates the tokenizing regex exactly once per document") {
     // Corpus.chunk materializes the token array in a projection and the
     // interpreted window-transform lambda references the attribute; if
