@@ -126,12 +126,55 @@ object Bench {
           Double.NaN
         }
       })
-    val failed = withStreaming.collect { case (k, v) if v.isNaN => k }
-    val qs = withStreaming.map { case (k, v) =>
+    // Streaming incremental dedup, timed end-to-end: three JSONL batches
+    // (the third re-drops 30% of the second's texts under new ids) flow
+    // through the file-drop source -> persisted-bucket-table candidate
+    // probe -> exact-Jaccard verify -> corpus+bucket append. The corpus
+    // admitted in earlier micro-batches is never re-shingled.
+    val withStreamDedup =
+      if (only.nonEmpty && !only("streaming_dedup")) withStreaming
+      else withStreaming :+ ("streaming_dedup" -> {
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-sdedup").toString
+        val drop = s"$dir/drop"
+        new java.io.File(drop).mkdirs()
+        // deterministic word-salad texts; batch 2 re-uses batch 1 text
+        // seeds for 30% of its ids (caught via the bucket table)
+        def text(seed: Long): String =
+          (0 until 30).map(j => s"w${(seed * 31 + j * 7) % 997}").mkString(" ")
+        def batchFile(name: String, ids: Range, dupFrom: Long => Long): Unit = {
+          val lines = ids.map { i =>
+            s"""{"doc_id":$i,"text":"${text(dupFrom(i.toLong))}"}"""
+          }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$drop/$name"), lines.mkString("\n"))
+        }
+        batchFile("b0.jsonl", 0 until 1000, identity)
+        batchFile("b1.jsonl", 1000 until 2000, identity)
+        batchFile("b2.jsonl", 2000 until 3000,
+          i => if (i % 10 < 3) i - 1000 else i) // 30% dups of b1
+        val t0 = System.nanoTime()
+        try {
+          val catalog = new graft.sources.Catalog(spark, s"$dir/warehouse")
+          val ddl = org.apache.spark.sql.types.StructType.fromDDL _
+          catalog.ensureTable("corpus", ddl("doc_id BIGINT, text STRING"))
+          catalog.ensureTable("corpus_buckets", ddl("id BIGINT, band INT, bk BIGINT"))
+          val q = graft.streaming.Streams.streamingDocDedup(
+            graft.streaming.Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+            catalog, "corpus", "corpus_buckets", s"$dir/ckpt").start()
+          try q.processAllAvailable()
+          finally q.stop()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] streaming_dedup failed: ${e.getMessage}")
+          Double.NaN
+        }
+      })
+    val failed = withStreamDedup.collect { case (k, v) if v.isNaN => k }
+    val qs = withStreamDedup.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = withStreaming.map(_._2).filterNot(_.isNaN).sum
+    val total = withStreamDedup.map(_._2).filterNot(_.isNaN).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -302,9 +302,29 @@ object Dedup {
     graft.GraftFunctions.register(docs.sparkSession)
     val cands = minhashCandidatesMd5(docs, textCol, idCol, shingleLen, numHashes, bands)
       .localCheckpoint() // referenced 3x below (semi-join + two joins)
+    verifyJaccardPairs(cands, docs, textCol, idCol, shingleLen,
+      minJaccardNum, minJaccardDen)
+  }
+
+  /** Exact character-shingle Jaccard verification of candidate pairs
+    * `(a, b)` against a `(id, text)` doc side: shingle arrays are built
+    * ONLY for docs that appear in some pair (at corpus scale candidates
+    * are ~linear while docs are everything), and the threshold is the
+    * integer cross-multiplication — engine-exact. The verify tier shared
+    * by [[nearDuplicatesMd5]] and the streaming refresh
+    * ([[graft.streaming.Streams.streamingDocDedup]]). Callers should
+    * checkpoint `cands` (it is referenced three times).
+    */
+  def verifyJaccardPairs(
+      cands: DataFrame,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleLen: Int = 5,
+      minJaccardNum: Int = 1,
+      minJaccardDen: Int = 2): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
     val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
-    // shingle arrays are wide; build them ONLY for candidate docs — at
-    // corpus scale candidates are ~linear while docs are everything
     val candIds = cands.select(F.col("a").as("id"))
       .union(cands.select(F.col("b").as("id"))).distinct()
     val sets = docs.select(F.col(idCol).as("id"), F.col(textCol))

@@ -54,6 +54,103 @@ object Streams {
       }
   }
 
+  /** Continuous document ingestion from a JSONL drop directory — the
+    * corpus-refresh source: one `{"doc_id":…,"text":…}` object per line.
+    */
+  def docFileStream(spark: SparkSession, dropDir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .schema(StructType.fromDDL("doc_id BIGINT, text STRING"))
+      .json(dropDir)
+
+  /** Streaming incremental near-dup dedup — the production corpus-refresh
+    * shape: each micro-batch probes the PERSISTED bucket table
+    * ([[graft.operators.Dedup.bucketTableMd5]]) for LSH candidates, so
+    * the admitted corpus text is NEVER re-shingled; candidates verify by
+    * exact character-shingle Jaccard; rejected batch docs never reach
+    * the corpus, and admitted docs append BOTH their rows and their
+    * buckets — keeping the index exactly in sync with the corpus across
+    * restarts (both appends ride the same foreachBatch epoch).
+    *
+    * Admission rules, in order:
+    *  - an id already in the corpus is dropped (insert-if-absent, same
+    *    as [[streamingUpsert]]);
+    *  - a batch doc that verifies against ANY corpus doc is rejected;
+    *  - of a verified batch-batch pair, the greater id is rejected
+    *    (transitively: every doc that pairs with a smaller batch id
+    *    loses, the same min-id-wins rule as batch dedup).
+    *
+    * Per-batch cost is O(batch + matched buckets): the candidate probe
+    * semi-joins the bucket table on the batch's bucket keys, and
+    * shingle/verify work touches only docs that appear in some pair.
+    * Caller must `ensureTable` both tables before starting the stream.
+    */
+  def streamingDocDedup(
+      docs: DataFrame,
+      catalog: Catalog,
+      corpusTable: String,
+      bucketTable: String,
+      checkpoint: String,
+      shingleLen: Int = 5,
+      minJaccardNum: Int = 1,
+      minJaccardDen: Int = 2,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      maxBucketSize: Int = 200): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.Dedup
+        val corpus = catalog.read(corpusTable)
+        // pairs are strictly a < b, so a re-dropped id can never pair
+        // with itself — id-level admission must happen first
+        val fresh = Upsert.newRows(batch, corpus, "doc_id")
+        val newBuckets = Dedup.bucketTableMd5(
+            fresh, "text", "doc_id", shingleLen, numHashes, bands)
+          .localCheckpoint(false) // reused: candidate probe + index append
+        val cands = Dedup.incrementalCandidatesFromBuckets(
+            newBuckets, catalog.read(bucketTable), maxBucketSize)
+          // EAGER: the hub frame — five downstream references; a
+          // materialized (tiny) pair set cuts every later plan's lineage
+          // to an ExistingRDD, keeping per-batch Catalyst work flat
+          .localCheckpoint()
+        val pairIds = cands.select(F.col("a").as("doc_id"))
+          .union(cands.select(F.col("b").as("doc_id"))).distinct()
+        // verify texts: the batch plus ONLY corpus docs in some pair
+        val texts = fresh.select("doc_id", "text").union(
+          corpus.select("doc_id", "text")
+            .join(pairIds, Seq("doc_id"), "leftsemi"))
+        val verified = Dedup.verifyJaccardPairs(cands, texts,
+            "text", "doc_id", shingleLen, minJaccardNum, minJaccardDen)
+          .select("a", "b")
+        // which pair members are corpus docs decides who gets rejected
+        // tiny (bounded by the pair id set); referenced twice below but
+        // deliberately NOT checkpointed: with cands materialized its
+        // subtree is one pruned id-column scan — recomputing it costs
+        // less than another per-batch planning pass + job
+        val inCorpus = corpus.select("doc_id")
+          .join(pairIds, Seq("doc_id"), "leftsemi")
+        val rejected = verified
+          .join(inCorpus.select(F.col("doc_id").as("a"),
+            F.lit(true).as("ac")), Seq("a"), "left")
+          .join(inCorpus.select(F.col("doc_id").as("b"),
+            F.lit(true).as("bc")), Seq("b"), "left")
+          .select(
+            F.when(F.coalesce(F.col("ac"), F.lit(false)),
+                F.col("b")) // corpus a rejects batch b
+              .when(F.coalesce(F.col("bc"), F.lit(false)),
+                F.col("a")) // corpus b rejects batch a
+              .otherwise(F.greatest(F.col("a"), F.col("b"))) // batch pair
+              .as("doc_id"))
+          .distinct()
+        val admitted = fresh.join(rejected, Seq("doc_id"), "leftanti")
+          .localCheckpoint(false) // reused: corpus append + bucket filter
+        catalog.append(corpusTable, admitted.select("doc_id", "text"))
+        catalog.append(bucketTable, newBuckets.join(
+          admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi"))
+      }
+
   /** Watermarked tumbling-window aggregation over an event stream:
     * count + decimal-exact value sum per (window, event_type). Late data
     * beyond `lateness` is dropped; state is bounded by the watermark.

@@ -167,6 +167,56 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((200L, 100L)), rows.toString)
   }
 
+  test("streaming incremental dedup: bucket-table probe catches cross-batch dups") {
+    val dir = Files.createTempDirectory("graft-docstream").toString
+    val drop = s"$dir/drop"; val wh = s"$dir/wh"; val cp = s"$dir/cp"
+    new java.io.File(drop).mkdirs()
+    val catalog = new graft.sources.Catalog(spark, wh)
+    catalog.ensureTable("corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
+    catalog.ensureTable("corpus_buckets",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, band INT, bk BIGINT"))
+    def drop1(file: String, rows: (Long, String)*): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$drop/$file"),
+        rows.map { case (id, t) =>
+          s"""{"doc_id":$id,"text":"$t"}"""
+        }.mkString("\n"))
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different content about distributed spark engines"
+    val t3 = "a third body of text with nothing shared across documents"
+    val t4 = "fresh material arriving in the second micro batch entirely new"
+    val t5 = "twin texts landing together inside one single micro batch"
+    val q = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+      catalog, "corpus", "corpus_buckets", cp).start()
+    try {
+      drop1("b1.jsonl", 1L -> t1, 2L -> t2, 3L -> t3)
+      q.processAllAvailable()
+      assert(catalog.read("corpus").count() === 3)
+      // batch 2: a normalized dup of doc 1 (case/whitespace), a fresh
+      // doc, an intra-batch twin pair, and a re-dropped id
+      drop1("b2.jsonl",
+        10L -> t1.toUpperCase.replace(" ", "  "),
+        11L -> t4, 12L -> t5, 13L -> t5, 3L -> t3)
+      q.processAllAvailable()
+      // batch 3: duplicates a doc ADMITTED IN BATCH 2 — only the
+      // persisted bucket table can catch it
+      drop1("b3.jsonl", 20L -> t5)
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpusIds = catalog.read("corpus").collect()
+      .map(_.getLong(0)).toSet
+    assert(corpusIds === Set(1L, 2L, 3L, 11L, 12L),
+      s"admitted $corpusIds")
+    assert(graft.operators.Upsert.holdsUniqueness(catalog.read("corpus"), "doc_id"))
+    // the bucket index stays exactly in sync with the corpus: one row
+    // per (admitted doc, band), no rows for rejected docs — so later
+    // batches probe buckets instead of re-shingling the corpus
+    val buckets = catalog.read("corpus_buckets")
+    assert(buckets.count() === 5L * 4L)
+    assert(buckets.select("id").collect().map(_.getLong(0)).toSet === corpusIds)
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
