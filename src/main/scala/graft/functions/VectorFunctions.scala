@@ -166,7 +166,10 @@ object VectorFunctions {
 
   /** Average-pooling "resize" of a feature vector to `outDim` dimensions
     * (the multimodal resize stand-in: contiguous chunks averaged). Not a
-    * hot-path op — used on already-decoded feature rows.
+    * hot-path op — used on already-decoded feature rows. Interpreted-HOF
+    * audit: the lambda slices `v` once per OUTPUT dim (outDim is small
+    * and fixed); pass `v` as an attribute so nothing expensive rides
+    * into the per-element re-evaluation.
     */
   def avgPool(v: Column, outDim: Int): Column = {
     val step = F.ceil(F.size(v) / F.lit(outDim.toDouble)).cast("int")

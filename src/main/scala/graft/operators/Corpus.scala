@@ -347,6 +347,9 @@ object Corpus {
     docs.select(F.col(idCol),
       F.posexplode(
         F.filter(
+          // interpreted-HOF audit: the split is the transform's TARGET
+          // (evaluated once per document); the lambda is a cheap trim
+          // per element — the intended evaluation count
           F.transform(F.split(F.col(textCol), "[.!?]+\\s+"), s => F.trim(s)),
           s => s =!= F.lit("")))
         .as(Seq("sentence_idx", "sentence")))

@@ -39,24 +39,6 @@ object Dedup {
       .groupBy("fp")
       .agg(F.min(idCol).as(idCol), F.count(F.lit(1)).as("n_copies"))
 
-  /** MinHash signature: each shingle is string-hashed ONCE (the expensive
-    * part), then the k hash families come from cheap integer re-mixing of
-    * that base hash (xxhash64 over the long) — the standard universal-
-    * hashing trick that turns k string passes into one. Shingles are
-    * deduped first (MinHash is a set sketch). Computed entirely inside
-    * codegen via transform+aggregate HOFs — no explode, no shuffle.
-    */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val baseHashes = F.transform(F.array_distinct(shingles), s => F.xxhash64(s))
-    F.transform(
-      F.sequence(F.lit(0), F.lit(k - 1)),
-      seed =>
-        F.aggregate(
-          baseHashes,
-          F.lit(Long.MaxValue),
-          (acc, h) => F.least(acc, F.xxhash64(h, seed))))
-  }
-
   /** LSH band id: hash of one contiguous band of the signature. Documents
     * agreeing on ANY band become candidates.
     */

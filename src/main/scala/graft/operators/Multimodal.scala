@@ -117,22 +117,27 @@ object Multimodal {
     }
   }
 
-  /** Run `cleanup` once when `it` is exhausted — the lifecycle hook for
-    * per-partition codec state (ImageIO writers hold native/heap
-    * resources that must not wait for GC). NOTE: the hook fires on
-    * exhaustion; an iterator abandoned mid-partition (e.g. a downstream
-    * limit) still falls back to GC finalization.
+  /** Run `cleanup` exactly once when `it` is exhausted OR the task ends —
+    * the lifecycle hook for per-partition codec state (ImageIO writers
+    * hold native/heap resources that must not wait for GC). Exhaustion
+    * handles the common full-drain case promptly; the task-completion
+    * listener covers iterators abandoned mid-partition (a downstream
+    * limit, a failed task), where exhaustion never happens.
     */
-  private def disposeOnExhaust[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] =
+  private def disposeOnExhaust[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] = {
+    val disposed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def disposeOnce(): Unit = if (disposed.compareAndSet(false, true)) cleanup
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => disposeOnce()))
     new Iterator[T] {
-      private var disposed = false
       override def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !disposed) { disposed = true; cleanup }
+        if (!h) disposeOnce()
         h
       }
       override def next(): T = it.next()
     }
+  }
 
   /** Size partitions by payload bytes so each decode task gets a bounded
     * byte budget regardless of row-size skew.

@@ -372,6 +372,9 @@ object Similarity {
     require(centroids.nonEmpty, "kmeansStep needs at least one centroid")
     graft.GraftFunctions.register(corpus.sparkSession)
     val cents: Column = F.typedlit(centroids)
+    // interpreted-HOF audit: the lambda references only the `cv`
+    // ATTRIBUTE and the centroid literal — one dotL per centroid is the
+    // intended evaluation count, nothing outer re-evaluates per element
     val cs = F.transform(cents, c => VectorFunctions.dotL(F.col("cv"), c))
     corpus.select(VectorFunctions.quantize(F.col(vecCol)).as("cv"))
       .withColumn("cs", cs)
@@ -483,7 +486,11 @@ object Similarity {
     val nc = centRows.length
     val cents: Column = F.typedlit(centRows)
 
-    /** Integer scores of quantized `v` against every centroid. */
+    /** Integer scores of quantized `v` against every centroid.
+      * Interpreted-HOF audit: callers pass `v` as an ATTRIBUTE (`cv`,
+      * `qv`), so the lambda evaluates one dotL per centroid — the
+      * intended count; no outer expression re-evaluates per element.
+      */
     def cellScores(v: Column): Column =
       F.transform(cents, cent => VectorFunctions.dotL(v, cent))
 

@@ -489,13 +489,25 @@ object QueryCatalog {
     * customers at small SFs). Expressed as SQL text through the same
     * session the DSL queries use.
     */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "nation").createOrReplaceTempView("nation_v")
-    t(s, dir, "customer").createOrReplaceTempView("customer_v")
-    s.sql(
-      """SELECT n_name,
-        |  (SELECT COUNT(*) FROM customer_v c WHERE c.c_nationkey = n.n_nationkey) AS n_cust
-        |FROM nation_v n ORDER BY n_name""".stripMargin)
+    // per-run unique view names, dropped once the plan is analyzed: a
+    // fixed global name would silently rebind a user's view of the same
+    // name and race concurrent catalog runs on the shared session
+    val id = viewSeq.incrementAndGet()
+    val nv = s"graft_nation_v_$id"
+    val cv = s"graft_customer_v_$id"
+    t(s, dir, "nation").createOrReplaceTempView(nv)
+    t(s, dir, "customer").createOrReplaceTempView(cv)
+    try s.sql(
+      s"""SELECT n_name,
+         |  (SELECT COUNT(*) FROM $cv c WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+         |FROM $nv n ORDER BY n_name""".stripMargin)
+    finally {
+      s.catalog.dropTempView(nv)
+      s.catalog.dropTempView(cv)
+    }
   }
 
   private val qScalarSubquerySql =
