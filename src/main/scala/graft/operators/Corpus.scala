@@ -298,6 +298,46 @@ object Corpus {
         F.max(F.length(F.col(textCol)).cast("long")).as("max_chars"))
   }
 
+  /** Deterministic data MIXING by integer weights — the "3 parts web,
+    * 1 part books" step that turns curated sources into a training
+    * stream. Group g's r-th document (r = 0,1,… in md5-of-id order, the
+    * engine's reproducible shuffle) gets the integer interleave key
+    * `r * (L / w_g)` with L = lcm(weights): reading the output in
+    * (mix_key, grp, src_rank) order yields a stream whose every prefix
+    * holds each group's share within one document of n·w_g/Σw — the
+    * classic rational-deadline interleave, exact in BIGINTs, no RNG.
+    *
+    * Scale shape: one shuffle for the per-group ranking window; the
+    * total order is a plain range-partitionable sort on mix_key (no
+    * global single-partition window anywhere). Unknown groups take
+    * `defaultWeight`.
+    */
+  def mixByWeights(
+      docs: DataFrame,
+      groupCol: String,
+      weights: Map[String, Int],
+      defaultWeight: Int = 1,
+      idCol: String = "doc_id"): DataFrame = {
+    require(defaultWeight > 0 && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (weights.values.toSeq :+ defaultWeight).distinct
+      .foldLeft(1L)((a, b) => a / gcd(a, b.toLong) * b)
+    // per-group stride L / w_g, bound as a literal CASE chain (the
+    // weight table is a model — a handful of groups)
+    val stride = weights.foldLeft(F.lit(lcm / defaultWeight)) {
+      case (acc, (g, w)) => F.when(F.col("grp") === g, F.lit(lcm / w)).otherwise(acc)
+    }
+    val w = Window.partitionBy("grp").orderBy(
+      F.md5(F.col(idCol).cast("string").cast("binary")), F.col(idCol))
+    docs
+      .select(F.col(idCol), F.col(groupCol).as("grp"))
+      .withColumn("src_rank", (F.row_number().over(w) - 1).cast("long"))
+      .withColumn("mix_key", F.col("src_rank") * stride)
+      .orderBy("mix_key", "grp", "src_rank")
+  }
+
   /** Exact corpus heavy hitters by the 2-pass sketch protocol: pass one
     * reduces the token stream through the mergeable Misra-Gries
     * aggregate ([[graft.functions.FreqSketch]] — O(k) state per partial

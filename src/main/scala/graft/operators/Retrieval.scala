@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.functions.TextFunctions
+
+/** Retrieval primitives over a tokenized corpus: an inverted index
+  * (bounded posting lists) and a BM25-family relevance scorer — the
+  * "find the training documents about X" tools every corpus curation
+  * loop ends up needing (inspecting contamination hits, pulling topical
+  * slices, spot-checking dedup clusters).
+  *
+  * Everything is integer-derived or fixed-shape IEEE double arithmetic,
+  * so the DuckDB oracle replays scores bit-for-bit. The reference has no
+  * retrieval surface (SURVEY §2.9); these are training-data extensions.
+  */
+object Retrieval {
+
+  /** Inverted index: one row per term with its exact document frequency
+    * and a bounded posting list (the `maxPostings` smallest doc ids).
+    *
+    * Scale shape: terms are deduped per document map-side
+    * (array_distinct before the explode), and the posting list is the
+    * bounded min-k aggregate — every map task reduces its slice to at
+    * most k ids per term BEFORE the shuffle, so a stopword's posting
+    * list costs O(k) per partition, never a vocabulary-sized reducer.
+    * df stays exact (count is unbounded-safe).
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      maxPostings: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    docs
+      .select(F.col(idCol).cast("long").as("id"),
+        F.explode(F.array_distinct(toks)).as("term"))
+      .groupBy("term")
+      .agg(
+        F.count(F.lit(1)).as("df"),
+        graft.functions.TopK.minKIds(F.col("id"), maxPostings).as("postings"))
+  }
+
+  /** Top-k documents for a bag-of-terms query under a BM25-family score
+    * with a RATIO idf instead of the usual log:
+    *
+    *   idf(t)  = (N - df_t + 0.5) / (df_t + 0.5)
+    *   s(t, d) = idf(t) * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * (dl / avgdl)))
+    *   score   = s(t1, d) + s(t2, d) + …   (FIXED term order)
+    *
+    * Dropping the log keeps every step a fixed-shape IEEE double
+    * expression over exact integers (tf, df, dl, N), which another
+    * engine replays bit-identically — `log`'s rounding is libm-specific
+    * and would poison a hash-compare. The ranking it induces is the
+    * same family (idf_ratio is monotone in the classic idf).
+    *
+    * Determinism details, both load-bearing:
+    *  - per-term tf is computed map-side (size of a filtered token
+    *    array) and the score sums the terms in the CALLER'S order in one
+    *    projection — no float aggregation whose partition order could
+    *    reassociate the sum;
+    *  - N, avgdl, df all come from ONE global partial-aggregated pass,
+    *    broadcast back as a single-row cross join — no driver action.
+    *
+    * Scale shape: one corpus scan for the stats row, one for the scored
+    * projection; candidates are docs containing ANY query term (the
+    * filter is map-side); top-k compiles to TakeOrderedAndProject.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    graft.GraftFunctions.register(docs.sparkSession)
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    // interpreted-HOF audit: each filter lambda compares ELEMENTS of the
+    // materialized token attribute against a literal — one equality per
+    // token per term is the intended evaluation count
+    val base = docs
+      .select(F.col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .select(F.col("doc_id") +: F.size(F.col("toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          F.size(F.filter(F.col("toks"), x => x === F.lit(t)))
+            .cast("long").as(s"tf$i")
+        }: _*)
+    val statCols = F.count(F.lit(1)).as("n_docs") +:
+      F.sum(F.col("dl")).as("total_dl") +:
+      terms.indices.map(i =>
+        F.sum((F.col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base
+      .filter(terms.indices.map(i => F.col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(F.broadcast(stats))
+    val n = F.col("n_docs")
+    val avgdl = F.col("total_dl").cast("double") / n
+    def s(i: Int) = {
+      val tf = F.col(s"tf$i")
+      val df = F.col(s"df$i")
+      val idf = (n - df + F.lit(0.5)) / (df + F.lit(0.5))
+      idf * (tf * F.lit(k1 + 1)) /
+        (tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+    }
+    scored
+      .withColumn("score", terms.indices.map(s).reduce(_ + _))
+      .select(F.col("doc_id") +: F.col("dl") +:
+        terms.indices.map(i => F.col(s"tf$i")) :+ F.col("score"): _*)
+      .orderBy(F.col("score").desc, F.col("doc_id"))
+      .limit(k)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
 import graft.GraftFunctions
 import graft.functions.{TextFunctions, WeekOfMonth}
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Upsert}
+import graft.operators.{Corpus, Dedup, Multimodal, Retrieval, Similarity, Upsert}
 
 /** The driver-graded query surface: every operator family from SURVEY.md
   * §2 plus the training-data extensions, each expressed over the
@@ -2341,6 +2341,79 @@ object QueryCatalog {
       .orderBy("query_id")
   }
 
+  /** Deterministic data mixing by integer weights (en:3, de:2, rest:1):
+    * the rational-deadline interleave graded end to end — per-group
+    * md5-order ranks, exact BIGINT interleave keys, and the total
+    * stream order all replayed by the oracle.
+    */
+  private def qMix(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixByWeights(t(s, dir, "documents"), "lang",
+      Map("en" -> 3, "de" -> 2), defaultWeight = 1)
+
+  private val qMixSql =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang AS grp,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS src_rank
+      |  FROM documents)
+      |SELECT doc_id, grp, src_rank,
+      |  src_rank * (CASE WHEN grp = 'en' THEN 2 WHEN grp = 'de' THEN 3 ELSE 6 END) AS mix_key
+      |FROM ranked ORDER BY mix_key, grp, src_rank""".stripMargin
+
+  /** Inverted index: exact df per term + bounded min-k posting lists,
+    * both hash-graded (the oracle rebuilds the whole index).
+    */
+  private def qInverted(s: SparkSession, dir: String): DataFrame =
+    Retrieval.invertedIndex(t(s, dir, "documents"), maxPostings = 5)
+      .orderBy("term")
+
+  private val qInvertedSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |terms AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |  list_slice(list(doc_id ORDER BY doc_id), 1, 5) AS postings
+      |FROM terms GROUP BY term ORDER BY term""".stripMargin
+
+  /** BM25-family retrieval scoring for a fixed 3-term query, graded to
+    * the BIT on the double scores: the ratio idf avoids `log` (libm-
+    * specific rounding), every operand is an exact integer, and the
+    * oracle restates the identical expression shape — casts forced to
+    * DOUBLE because DuckDB parses bare decimal literals as DECIMAL,
+    * whose arithmetic is not IEEE.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(t(s, dir, "documents"),
+      Seq("hash", "scan", "merge"), k = 20)
+
+  private val qBm25Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(t, x -> x = 'hash')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(t, x -> x = 'scan')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf2
+      |  FROM toks),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS total_dl,
+      |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+      |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      |  FROM base)
+      |SELECT b.doc_id, b.dl, b.tf0, b.tf1, b.tf2,
+      |  (n_docs - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) * (tf0 * (CAST(1.2 AS DOUBLE) + 1)) / (tf0 + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * (b.dl / (CAST(total_dl AS DOUBLE) / n_docs))))
+      |  + (n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) * (tf1 * (CAST(1.2 AS DOUBLE) + 1)) / (tf1 + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * (b.dl / (CAST(total_dl AS DOUBLE) / n_docs))))
+      |  + (n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) * (tf2 * (CAST(1.2 AS DOUBLE) + 1)) / (tf2 + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * (b.dl / (CAST(total_dl AS DOUBLE) / n_docs))))
+      |  AS score
+      |FROM base b CROSS JOIN stats
+      |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** Attribute-FILTERED ANN grading — "top-k neighbors WHERE label = 1",
     * the first thing every real vector-search user asks for. Ground
     * truth is a brute-force scan of the filtered corpus; the LSH tier
@@ -2780,7 +2853,10 @@ object QueryCatalog {
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),
     Q("q_ann_recall", wrap(qAnnRecall), Some(qAnnRecallSql)),
-    Q("q_ann_filtered", wrap(qAnnFiltered), Some(qAnnFilteredSql)))
+    Q("q_ann_filtered", wrap(qAnnFiltered), Some(qAnnFilteredSql)),
+    Q("q_mix", wrap(qMix), Some(qMixSql)),
+    Q("q_inverted", wrap(qInverted), Some(qInvertedSql)),
+    Q("q_bm25", wrap(qBm25), Some(qBm25Sql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

@@ -240,6 +240,67 @@ class OperatorsSpec extends SparkSpec {
       .decode("the quick brown fox jumps over the lazy dog".getBytes("UTF-8")).toSeq)
   }
 
+  test("mixByWeights: every prefix holds each group's share within one doc") {
+    import graft.operators.Corpus
+    val rows = (0L until 600L).map { i =>
+      (i, if (i % 6 < 3) "en" else if (i % 6 < 5) "de" else "zh")
+    }.toDF("doc_id", "lang")
+    val mixed = Corpus.mixByWeights(rows, "lang",
+      Map("en" -> 3, "de" -> 2), defaultWeight = 1).collect()
+    assert(mixed.length === 600)
+    // rational-deadline interleave guarantee: in the first n docs, group
+    // g appears floor-or-ceil of n * w_g / W times (within 1 + ties)
+    val grps = mixed.map(_.getString(1))
+    for (n <- Seq(60, 120, 300, 600)) {
+      val counts = grps.take(n).groupBy(identity).view.mapValues(_.length)
+      for ((g, w) <- Seq(("en", 3), ("de", 2), ("zh", 1))) {
+        val expected = n.toDouble * w / 6
+        assert(math.abs(counts.getOrElse(g, 0) - expected) <= 2,
+          s"prefix $n: $g has ${counts.getOrElse(g, 0)}, expected ~$expected")
+      }
+    }
+    // deterministic under physical layout
+    val again = Corpus.mixByWeights(rows.repartition(7), "lang",
+      Map("en" -> 3, "de" -> 2), defaultWeight = 1).collect()
+    assert(again.map(_.toSeq).toSeq === mixed.map(_.toSeq).toSeq)
+  }
+
+  test("inverted index: exact df, bounded sorted postings") {
+    import graft.operators.Retrieval
+    val idx = Retrieval.invertedIndex(docs, maxPostings = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    // "the" appears in docs 0,1,2 (df 3) but postings cap at the 2 lowest
+    assert(idx("the")._1 === 3L)
+    assert(idx("the")._2 === Seq(0L, 1L))
+    assert(idx("spark")._1 === 1L)
+    assert(idx("spark")._2 === Seq(3L))
+    // per-doc dedup: "the" appears twice inside each of docs 0/1/2 but
+    // df counted it once per doc (3, asserted above); "dog" is in 0 and 2
+    assert(idx("dog")._1 === 2L)
+    assert(idx("dog")._2 === Seq(0L, 2L))
+  }
+
+  test("bm25TopK: idf favors rare terms, length norm demotes long docs") {
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (1L, "hash hash hash join"),           // dense in "hash", short
+      (2L, "hash " + ("filler " * 50).trim), // one hit, long
+      (3L, "scan merge"),
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(corpus, Seq("hash", "scan"), k = 10).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L, 3L)) // doc 4 filtered
+    // the rare term ("scan", df 1) outscores the common one via idf;
+    // among the "hash" docs, density + length normalization decide
+    assert(out.map(_.getLong(0)).toSeq === Seq(3L, 1L, 2L))
+    val scores = out.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(scores(1L) > scores(2L), "length normalization must demote the long doc")
+    // bit-determinism under repartition (fixed-order float sum)
+    val again = Retrieval.bm25TopK(corpus.repartition(5), Seq("hash", "scan"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(again === scores)
+  }
+
   test("real-pixel band features: decoder means equal the exact sums") {
     val imgs = Multimodal.syntheticImages(
       Seq(5L, 17L, 40L).toDF("doc_id"), "doc_id")

@@ -226,6 +226,16 @@ class PlanSpec extends SparkSpec {
       "length histogram must be a pure partial-aggregated scan")
   }
 
+  test("bm25: broadcast stats row, top-k without a global sort") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(900))
+    // the single-row corpus-stats side rides a broadcast, not a shuffle
+    assert(p.contains("Broadcast"), p.take(900))
+    val i = plan("q_inverted")
+    // bounded posting lists pre-aggregate map-side (partial + final)
+    assert("ObjectHashAggregate|HashAggregate".r.findAllIn(i).length >= 2, i.take(900))
+  }
+
   test("filtered ANN pushes the attribute predicate into the scans") {
     val p = plan("q_ann_filtered")
     // both the LSH index side and the IVF corpus side prune label = 1
