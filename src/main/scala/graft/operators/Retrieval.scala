@@ -41,6 +41,48 @@ object Retrieval {
         graft.functions.TopK.minKIds(F.col("id"), maxPostings).as("postings"))
   }
 
+  /** One BPE pair-counting step — the core primitive of tokenizer
+    * training at corpus scale: the weighted count of every adjacent
+    * character pair, tallied over the DISTINCT word vocabulary with
+    * multiplicities rather than over the corpus. That ordering of
+    * operations is the scale lever: the corpus reduces to (word, count)
+    * through one partial-aggregated shuffle, and the quadratic-ish pair
+    * expansion runs over the vocab (thousands of rows) instead of the
+    * corpus (billions). The top pair is the merge a BPE trainer would
+    * apply next; iterating with a merged symbol table is the full
+    * trainer loop.
+    *
+    * Interpreted-HOF audit: the pair lambda reads ELEMENTS of the
+    * materialized char-array attribute (two element_at + one concat per
+    * adjacent position) — the intended evaluation count.
+    */
+  def bpePairCounts(
+      docs: DataFrame,
+      topK: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val words = docs
+      .select(F.explode(toks).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("n"))
+    words
+      .select(F.col("n"), F.split(F.col("w"), "").as("cs"))
+      .select(F.col("n"), F.explode(
+        // guard single-char/empty words: sequence(1, 0) DESCENDS in
+        // Spark (default step -1) rather than being empty
+        F.when(F.size(F.col("cs")) >= 2,
+          F.transform(
+            F.sequence(F.lit(1), F.size(F.col("cs")) - 1),
+            i => F.concat(
+              F.element_at(F.col("cs"), i), F.lit(" "),
+              F.element_at(F.col("cs"), i + 1))))
+          .otherwise(F.array().cast("array<string>"))).as("pair"))
+      .groupBy("pair")
+      .agg(F.sum(F.col("n")).as("cnt"))
+      .orderBy(F.col("cnt").desc, F.col("pair"))
+      .limit(topK)
+  }
+
   /** Top-k documents for a bag-of-terms query under a BM25-family score
     * with a RATIO idf instead of the usual log:
     *

@@ -2414,6 +2414,27 @@ object QueryCatalog {
       |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** One BPE pair-counting step: weighted adjacent-char-pair counts
+    * tallied over the distinct word vocabulary (the tokenizer-training
+    * primitive), top-20 merges graded exactly.
+    */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bpePairCounts(t(s, dir, "documents"), topK = 20)
+
+  private val qBpePairsSql =
+    """WITH toks AS (
+      |  SELECT CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |wc AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |pc AS (
+      |  SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, SUM(n) AS cnt
+      |  FROM wc, unnest(generate_series(1, len(w) - 1)) AS g(i)
+      |  GROUP BY pair)
+      |SELECT pair, CAST(cnt AS BIGINT) AS cnt
+      |FROM pc ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   /** Attribute-FILTERED ANN grading — "top-k neighbors WHERE label = 1",
     * the first thing every real vector-search user asks for. Ground
     * truth is a brute-force scan of the filtered corpus; the LSH tier
@@ -2856,7 +2877,8 @@ object QueryCatalog {
     Q("q_ann_filtered", wrap(qAnnFiltered), Some(qAnnFilteredSql)),
     Q("q_mix", wrap(qMix), Some(qMixSql)),
     Q("q_inverted", wrap(qInverted), Some(qInvertedSql)),
-    Q("q_bm25", wrap(qBm25), Some(qBm25Sql)))
+    Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
+    Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

@@ -280,6 +280,18 @@ class OperatorsSpec extends SparkSpec {
     assert(idx("dog")._2 === Seq(0L, 2L))
   }
 
+  test("bpePairCounts: vocab-weighted adjacent pairs, single chars contribute none") {
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (1L, "aab aab ab"),   // "aab" x2 contributes (a a) x2, (a b) x2; "ab" x1 -> (a b)
+      (2L, "aab x y z")     // one more "aab"; single-char words add no pairs
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bpePairCounts(corpus, topK = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // weighted by WORD frequency: "aab" n=3, "ab" n=1
+    assert(got.toSeq === Seq("a b" -> 4L, "a a" -> 3L))
+  }
+
   test("bm25TopK: idf favors rare terms, length norm demotes long docs") {
     import graft.operators.Retrieval
     val corpus = Seq(
