@@ -137,10 +137,12 @@ object Bench {
         val dir = java.nio.file.Files.createTempDirectory("graft-bench-sdedup").toString
         val drop = s"$dir/drop"
         new java.io.File(drop).mkdirs()
-        // deterministic word-salad texts; batch 2 re-uses batch 1 text
-        // seeds for 30% of its ids (caught via the bucket table)
+        // deterministic word-salad texts over a 99991-word vocabulary;
+        // the word sequence is an arithmetic progression determined by
+        // seed mod 99991, and all seeds (< 3000) are distinct residues —
+        // so the ONLY duplicates are the intended dupFrom re-drops
         def text(seed: Long): String =
-          (0 until 30).map(j => s"w${(seed * 31 + j * 7) % 997}").mkString(" ")
+          (0 until 30).map(j => s"w${(seed * 1009 + j * 7919) % 99991}").mkString(" ")
         def batchFile(name: String, ids: Range, dupFrom: Long => Long): Unit = {
           val lines = ids.map { i =>
             s"""{"doc_id":$i,"text":"${text(dupFrom(i.toLong))}"}"""

@@ -59,8 +59,7 @@ object Retrieval {
   def bpePairCounts(
       docs: DataFrame,
       topK: Int = 10,
-      textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text"): DataFrame = {
     val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
     val words = docs
       .select(F.explode(toks).as("w"))

@@ -2257,7 +2257,7 @@ object QueryCatalog {
          |    unnest(generate_series(1, len(q.qv))) AS t(i)
          |  GROUP BY a.cell, t.i),
          |ncv_$i AS (
-         |  SELECT cell, list(CAST(FLOOR(CAST(sd AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS cv
+         |  SELECT cell, list((sd - ((sd % n) + n) % n) // n ORDER BY d) AS cv
          |  FROM comp_$i JOIN cnt_$i USING (cell) GROUP BY cell),
          |cents_$i AS (
          |  SELECT cl.cidx, COALESCE(s.cv, cand.qv, p.cv) AS cv

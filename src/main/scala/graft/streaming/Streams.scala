@@ -84,6 +84,17 @@ object Streams {
     * semi-joins the bucket table on the batch's bucket keys, and
     * shingle/verify work touches only docs that appear in some pair.
     * Caller must `ensureTable` both tables before starting the stream.
+    *
+    * Crash-window consistency (the two appends are not one atomic
+    * commit): ADMISSION AUTHORITY IS THE CORPUS (the id anti-join), the
+    * bucket table is a probe index. Buckets are written FIRST, so a
+    * crash between the writes leaves the index LEADING the corpus, never
+    * trailing it: on replay the batch re-admits (ids absent from the
+    * corpus), its stale bucket rows produce only self-pairs (filtered)
+    * or pairs the batch-batch rule resolves identically, and the
+    * bucket re-append anti-joins already-bucketed ids so replays never
+    * duplicate index rows. The reverse order would silently strand
+    * admitted docs without buckets — invisible to every future probe.
     */
   def streamingDocDedup(
       docs: DataFrame,
@@ -145,10 +156,15 @@ object Streams {
               .as("doc_id"))
           .distinct()
         val admitted = fresh.join(rejected, Seq("doc_id"), "leftanti")
-          .localCheckpoint(false) // reused: corpus append + bucket filter
+          .localCheckpoint(false) // reused: bucket filter + corpus append
+        // index first (see crash-window note above); idempotent under
+        // replay: ids already bucketed by a crashed attempt are skipped
+        val alreadyBucketed = catalog.read(bucketTable).select("id")
+          .join(newBuckets.select("id").distinct(), Seq("id"), "leftsemi")
+        catalog.append(bucketTable, newBuckets
+          .join(admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi")
+          .join(alreadyBucketed, Seq("id"), "leftanti"))
         catalog.append(corpusTable, admitted.select("doc_id", "text"))
-        catalog.append(bucketTable, newBuckets.join(
-          admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi"))
       }
 
   /** Watermarked tumbling-window aggregation over an event stream:
