@@ -564,4 +564,48 @@ object Corpus {
     }
     df.filter(u * den < F.lit(4294967296L) * num)
   }
+
+  /** Intra-document repetition removal: split each document into
+    * consecutive `blockTokens`-token blocks, keep only the FIRST
+    * occurrence of each distinct block, and report the shrink plus a
+    * digest of the cleaned text (the within-doc cousin of corpus-level
+    * line dedup — boilerplate paragraphs repeated inside one page
+    * collapse without touching any other document).
+    *
+    * Scale shape: block construction is map-only slice arithmetic over
+    * a token array materialized ONCE per document (attribute reference
+    * inside the HOF lambda — the [[chunk]] lesson); the dedup + rebuild
+    * is two partial-aggregated shuffles keyed by doc_id, each carrying
+    * block digests and indexes, never the raw text twice. Work is
+    * O(doc_length) per document regardless of repetition.
+    */
+  def segmentDedup(
+      docs: DataFrame,
+      blockTokens: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val withToks = docs.withColumn("__t", TextFunctions.tokens(F.col(textCol)))
+    val toks = F.col("__t")
+    val b = blockTokens.toLong
+    // number of blocks: ceil(n / blockTokens), at least 1 (an empty doc
+    // is one empty block, so every doc_id survives to the output)
+    val nblk = F.greatest(
+      F.floor((F.size(toks).cast("long") + F.lit(b - 1)) / F.lit(b)), F.lit(1L))
+    val blocks = F.transform(
+      F.sequence(F.lit(0L), nblk - 1),
+      j => F.concat_ws(" ", F.slice(toks, (j * b).cast("int") + 1, F.lit(blockTokens))))
+    withToks
+      .select(F.col(idCol), F.posexplode(blocks).as(Seq("idx", "block")))
+      .groupBy(F.col(idCol), F.col("block"))
+      .agg(F.min(F.col("idx")).as("first_idx"), F.count(F.lit(1)).as("occ"))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.sum(F.col("occ")).as("n_blocks"),
+        F.count(F.lit(1)).as("n_kept"),
+        F.md5(F.concat_ws(" ",
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("first_idx"), F.col("block")))),
+            x => x.getField("block"))).cast("binary")).as("kept_md5"))
+  }
 }

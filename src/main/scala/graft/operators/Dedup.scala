@@ -647,4 +647,41 @@ object Dedup {
       .select(F.col("v").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Cross-document duplicated-span detection: the word n-gram spans
+    * that appear verbatim in >= `minDocs` distinct documents, with a
+    * BOUNDED sample of the documents containing each (the boilerplate /
+    * template-text finder of corpus-level substring dedup — span-level
+    * where [[exact]] is document-level and [[nearDuplicates]] is
+    * fuzzy-document-level).
+    *
+    * Scale shape: spans are built per document by the compiled
+    * [[graft.functions.Hashing.distinctWordShingles]] kernel (one
+    * tokenize pass, per-doc distinct BEFORE the explode, so a doc
+    * repeating a span 1000× contributes one shuffle row), the doc
+    * sample is the bounded min-k aggregate (O(k) partial state per
+    * span — a boilerplate span in a billion docs still reduces
+    * map-side), and the final cut is a TakeOrderedAndProject top-k,
+    * never a global sort.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      n: Int = 5,
+      minDocs: Long = 2,
+      topK: Int = 20,
+      maxSample: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(F.col(idCol).cast("long").as("id"),
+        F.explode(graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("span"))
+      .groupBy("span")
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        graft.functions.TopK.minKIds(F.col("id"), maxSample).as("sample_docs"))
+      .filter(F.col("n_docs") >= minDocs)
+      .orderBy(F.col("n_docs").desc, F.col("span").asc)
+      .limit(topK)
+  }
 }

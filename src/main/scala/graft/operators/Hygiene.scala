@@ -171,4 +171,39 @@ object Hygiene {
       F.regexp_count(F.col(textCol), F.lit(EmailRe)).cast("long").as("n_emails"),
       F.regexp_count(F.col(textCol), F.lit(DigitRunRe)).cast("long").as("n_digit_runs"),
       F.md5(redactPii(F.col(textCol))).as("redacted_md5"))
+
+  /** Graded contamination SCORE (not just the hit count): per document,
+    * the number of distinct word n-grams, how many of them appear in
+    * the benchmark's gram set, and the integer pair from which any
+    * overlap-fraction policy thresholds via cross-multiplication
+    * (`n_hits * den >= n_grams * num` — no float compare). The binary
+    * [[contaminationCounts]] answers "touched the eval set at all?";
+    * this answers the policy question real pipelines act on — "MOSTLY
+    * eval material, or one incidental quote?".
+    *
+    * Scale shape: identical to [[contaminationCounts]] — the compiled
+    * shingle kernel dedups grams per doc map-side, the benchmark side
+    * broadcasts (an eval set is MBs against a corpus of TBs), and one
+    * partial-aggregated shuffle keyed by doc_id carries two longs per
+    * doc. The left join (vs inner) keeps zero-hit docs so the output is
+    * a total score table, not a hit list.
+    */
+  def contaminationFraction(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val docGrams = docs.select(F.col(idCol),
+      F.explode(
+        graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
+    docGrams
+      .join(F.broadcast(benchGrams(benchmark, n, textCol).withColumn("__hit", F.lit(1L))),
+        Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(
+        F.count(F.lit(1)).as("n_grams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0L))).as("n_hits"))
+  }
 }

@@ -415,6 +415,96 @@ object QueryCatalog {
       |  CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS INTEGER) AS quartile
       |FROM c ORDER BY event_type, user_id""".stripMargin
 
+  /** LEAD/LAG offset windows — the remaining window-function family
+    * beside ranking (rank/row_number/ntile) and frames (running sums):
+    * per-user inter-event gaps and the next event id. All arithmetic is
+    * exact micros longs (no timestamp subtraction semantics to diverge),
+    * and the window order is total (ts_us, event_id), so the offsets are
+    * deterministic in both engines. One shuffle on user_id; the sort is
+    * per-user within partitions.
+    */
+  private def qWindowLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(F.col("ts_us").asc, F.col("event_id").asc)
+    events(s, dir)
+      .filter(F.col("user_id") < 30)
+      .select(F.col("user_id"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("ts_us"))
+      .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us", 1).over(w))
+      .withColumn("next_event", F.lead("event_id", 1).over(w))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  private val qWindowLeadSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events WHERE user_id < 30)
+      |SELECT user_id, event_id, ts_us,
+      |  ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us,
+      |  LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_event
+      |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  /** CUBE / grouping-sets aggregation with an explicit grouping id —
+    * every subtotal combination of (returnflag, linestatus) in ONE pass:
+    * Spark expands the grouping sets before the exchange, so partial
+    * aggregation still combines map-side and the shuffle carries
+    * O(groups × 4) cells, not 4 scans. The grouping id is computed as
+    * grouping(flag)*2 + grouping(status) — portable arithmetic instead
+    * of engine-specific GROUPING_ID bit orders — and NULL group keys are
+    * coalesced to a sentinel so ordering never hits engine NULL-order
+    * defaults.
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        F.sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        F.count(F.lit(1)).as("n"),
+        (F.grouping("l_returnflag").cast(LongType) * 2 +
+          F.grouping("l_linestatus").cast(LongType)).as("gid"))
+      .select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).as("flag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).as("status"),
+        F.col("gid"), F.col("sum_qty"), F.col("n"))
+      .orderBy("gid", "flag", "status")
+
+  private val qCubeSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, flag, status""".stripMargin
+
+  /** Sliding-window aggregation (10-minute windows every 5 minutes) —
+    * the overlapping-window twin of [[qTumbling]]: `window()` with a
+    * slide assigns each event to len/slide = 2 windows, which the
+    * oracle replays as integer epoch arithmetic over k ∈ {0,1}. The
+    * expansion happens map-side before ONE partial-aggregated shuffle
+    * of O(windows × types) cells, so the overlap factor multiplies map
+    * output, never shuffle rounds.
+    */
+  private def qSliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(F.window(F.col("ts"), "10 minutes", "5 minutes"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.floor(F.col("value") * 100).cast(LongType)).as("sum_cents"))
+      .select(F.col("window.start").cast(LongType).as("win_start"),
+        F.col("event_type"), F.col("n"), F.col("sum_cents"))
+      .orderBy("win_start", "event_type")
+
+  private val qSlidingSql =
+    """WITH b AS (
+      |  SELECT (epoch_ns(ts) // 1000000000 // 300 - k) * 300 AS win_start,
+      |    event_type, value
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+      |SELECT win_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM b GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
   /** Tumbling-window aggregation over event time — the BATCH twin of
     * [[graft.streaming.Streams.windowedEventCounts]]: same `window()`
     * assignment, graded exactly (the oracle rebuilds each 5-minute
@@ -997,6 +1087,60 @@ object QueryCatalog {
       |HAVING COUNT(*) * 5 >= a.m + b.m - COUNT(*)
       |ORDER BY a, b""".stripMargin
 
+  /** Cross-document duplicated-span mining (substring-level dedup's
+    * discovery pass): the word 5-grams appearing verbatim in >= 2
+    * documents, with a bounded sample of the documents carrying each —
+    * the "find the boilerplate" report that decides what line/span
+    * dedup should strip corpus-wide. Top-20 by document frequency; the
+    * compiled shingle kernel dedups per doc before the explode and the
+    * doc sample is the bounded min-k aggregate, so the shuffle carries
+    * one row per (doc, distinct span) and O(5) ids per span.
+    */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.duplicatedSpans(
+      t(s, dir, "documents"), n = 5, minDocs = 2, topK = 20, maxSample = 5)
+
+  private val qDupSpansSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' '))
+      |  END AS g FROM toks),
+      |dg AS (SELECT doc_id, unnest(list_distinct(g)) AS span FROM sh),
+      |agg AS (
+      |  SELECT span, COUNT(*) AS n_docs,
+      |    list_slice(list(doc_id ORDER BY doc_id), 1, 5) AS sample_docs
+      |  FROM dg GROUP BY span)
+      |SELECT span, n_docs, sample_docs FROM agg WHERE n_docs >= 2
+      |ORDER BY n_docs DESC, span ASC LIMIT 20""".stripMargin
+
+  /** Intra-document repetition removal, graded end to end: block dedup
+    * keeps the first occurrence of each distinct 10-token block and the
+    * cleaned text travels as an md5 digest — the within-page
+    * boilerplate collapse beside [[qDupSpans]]' corpus-wide discovery.
+    */
+  private def qSegDedup(s: SparkSession, dir: String): DataFrame =
+    Corpus.segmentDedup(t(s, dir, "documents"), blockTokens = 10)
+      .orderBy("doc_id")
+
+  private val qSegDedupSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |blk AS (
+      |  SELECT doc_id, list_transform(generate_series(1, greatest((len(t) + 9) // 10, 1)),
+      |    j -> struct_pack(idx := j, block := array_to_string(t[(j-1)*10+1:(j-1)*10+10], ' '))) AS bs
+      |  FROM toks),
+      |ex AS (SELECT doc_id, u.idx AS idx, u.block AS block
+      |  FROM (SELECT doc_id, unnest(bs) AS u FROM blk)),
+      |pd AS (SELECT doc_id, block, MIN(idx) AS first_idx, COUNT(*) AS occ
+      |  FROM ex GROUP BY doc_id, block)
+      |SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_blocks, COUNT(*) AS n_kept,
+      |  md5(string_agg(block, ' ' ORDER BY first_idx)) AS kept_md5
+      |FROM pd GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Brute-force ANN top-5 with integer-quantized dot scores (exact in
     * both engines; quantized scoring is standard ANN practice anyway).
     * Scoring runs through the codegen'd dot_l kernel; the bounded
@@ -1513,6 +1657,39 @@ object QueryCatalog {
       |SELECT a.doc_id AS doc_id, COUNT(*) AS n_contaminated
       |FROM dg a JOIN bench USING (gram) WHERE a.doc_id >= 20
       |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Contamination scored as a fraction, not a flag: per clean-side
+    * document, its distinct 5-gram count and how many appear in the
+    * benchmark set, with the 20% policy threshold applied by integer
+    * cross-multiplication — "mostly eval material" vs "one incidental
+    * quote" is the decision real decontamination acts on. Zero-hit docs
+    * stay in the output (left join), so this grades the totality of the
+    * score table, not just the hit list.
+    */
+  private def qContamFrac(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    graft.operators.Hygiene.contaminationFraction(
+        all.filter(F.col("doc_id") >= 20), all.filter(F.col("doc_id") < 20), n = 5)
+      .withColumn("flagged", F.col("n_hits") * 5 >= F.col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  private val qContamFracSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' '))
+      |  END AS g FROM toks),
+      |dg AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM sh),
+      |bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id < 20),
+      |agg AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM dg c LEFT JOIN bench b ON c.gram = b.gram
+      |  WHERE c.doc_id >= 20 GROUP BY c.doc_id)
+      |SELECT doc_id, n_grams, n_hits, n_hits * 5 >= n_grams AS flagged
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Bloom-prefiltered decontamination — the same answer as q_decontam
     * through the 100 TB plan: the benchmark's gram Bloom filter (Spark's
@@ -2831,6 +3008,8 @@ object QueryCatalog {
     Q("q_doc_sample", wrap(qDocSample), Some(qDocSampleSql)),
     Q("q_corpus_stats", wrap(qCorpusStats), Some(qCorpusStatsSql)),
     Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
+    Q("q_dup_spans", wrap(qDupSpans), Some(qDupSpansSql)),
+    Q("q_seg_dedup", wrap(qSegDedup), Some(qSegDedupSql)),
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),
     Q("q_asof_forward", wrap(qAsofForward), Some(qAsofForwardSql)),
@@ -2857,6 +3036,7 @@ object QueryCatalog {
     Q("q_frame_meta", wrap(qFrameMeta), Some(qFrameMetaSql)),
     Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),
     Q("q_bloom_decontam", wrap(qBloomDecontam), Some(qDecontamSql)),
+    Q("q_contam_frac", wrap(qContamFrac), Some(qContamFracSql)),
     Q("q_pii", wrap(qPii), Some(qPiiSql)),
     Q("q_pack", wrap(qPack), Some(qPackSql)),
     Q("q_pack_text", wrap(qPackText), Some(qPackTextSql)),
@@ -2865,6 +3045,9 @@ object QueryCatalog {
     Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),
     Q("q_editdist_pairs", wrap(qEditDist), Some(qEditDistSql)),
     Q("q_window_ntile", wrap(qWindowNtile), Some(qWindowNtileSql)),
+    Q("q_window_lead", wrap(qWindowLead), Some(qWindowLeadSql)),
+    Q("q_cube", wrap(qCube), Some(qCubeSql)),
+    Q("q_sliding", wrap(qSliding), Some(qSlidingSql)),
     Q("q_incr_dedup", wrap(qIncrDedup), Some(qIncrDedupSql)),
     Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),

@@ -1166,4 +1166,52 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 999L)))
   }
+
+  test("duplicatedSpans surfaces shared boilerplate with bounded doc samples") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over it"),
+      (1L, "intro text the quick brown fox jumps away"),
+      (2L, "the quick brown fox jumps again and again"),
+      (3L, "completely different words here entirely now")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.duplicatedSpans(docs, n = 5, minDocs = 2, topK = 10, maxSample = 2)
+      .collect()
+    val bySpan = rows.map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(bySpan.contains("the quick brown fox jumps"))
+    val (nDocs, sample) = bySpan("the quick brown fox jumps")
+    assert(nDocs === 3L)
+    assert(sample === Seq(0L, 1L)) // bounded to the 2 smallest ids
+    // a span repeated within ONE doc (doc 2: "again") never qualifies alone
+    assert(!bySpan.keys.exists(_.contains("again and again")))
+  }
+
+  test("segmentDedup keeps first occurrences and reports exact shrink") {
+    val rep = (("alpha beta gamma delta eps one two three four five " * 2) +
+      "tail word").trim // 10-token block repeated, then a 2-token tail
+    val docs = Seq((0L, rep), (1L, ""), (2L, "short doc")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.segmentDedup(docs, blockTokens = 10)
+      .orderBy("doc_id").collect()
+    // doc 0: 3 blocks (two identical + tail), 2 kept
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 2L)
+    // empty doc: one empty block, kept
+    assert(out(1).getLong(1) === 1L && out(1).getLong(2) === 1L)
+    // digest equals md5 of the first-occurrence reconstruction
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma delta eps one two three four five tail word"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(3) === expected)
+  }
+
+  test("contaminationFraction scores overlap and keeps zero-hit docs") {
+    val bench = Seq((100L, "secret eval question one two")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "secret eval question one two plus commentary words"), // hits
+      (1L, "totally unrelated content about other things here")   // zero hits
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Hygiene.contaminationFraction(corpus, bench, n = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 4L) // 8 tokens -> 4 distinct 5-grams
+    assert(out(0).getLong(2) === 1L) // exactly the benchmark's 5-gram
+    assert(out(1).getLong(2) === 0L) // zero-hit doc present, not dropped
+  }
 }
