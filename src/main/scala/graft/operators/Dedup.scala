@@ -336,6 +336,54 @@ object Dedup {
         F.col("s.sim_hi").as("sim_hi"), F.col("s.sim_lo").as("sim_lo"))
   }
 
+  /** SimHash completed into a dedup path: banded candidate generation
+    * over the 64-bit signatures (four 16-bit bands — two per 32-bit
+    * half; Hamming-close signatures must collide in at least one band
+    * whenever fewer than 4 differing bits spread across bands), then
+    * EXACT Hamming verification `popcount(xor)` on each candidate pair.
+    *
+    * Scale shape: the classic signature-LSH split — the corpus shuffles
+    * 4 slim (band, key16, id, sig) rows per doc, the self-join meets
+    * only within (band, key) buckets, and verification is two xor+
+    * popcount ops per candidate, so the quadratic blowup is confined to
+    * signature-collision buckets exactly like [[minhashCandidates]]'
+    * band buckets. Text is read once (by [[simhashMd5]]) and never
+    * joins.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sigs = simhashMd5(docs, textCol, idCol)
+      .select(F.col(idCol).as("id"), F.col("sim_hi"), F.col("sim_lo"))
+    val banded = sigs.select(F.col("id"), F.col("sim_hi"), F.col("sim_lo"),
+      F.explode(F.array((0 until 4).map { b =>
+        val half = if (b < 2) F.col("sim_hi") else F.col("sim_lo")
+        val key = F.shiftright(half, 16 * (b % 2)).bitwiseAND(F.lit(65535L))
+        F.struct(F.lit(b).as("band"), key.as("k"))
+      }: _*)).as("bk"))
+      .select(F.col("id"), F.col("sim_hi"), F.col("sim_lo"),
+        F.col("bk.band").as("band"), F.col("bk.k").as("k"))
+      // both sides of the self-join read this frame: materialize the slim
+      // (id, sig, band, key) projection ONCE so tokenization + per-token
+      // md5 — and the documents scan under it — does not run twice (the
+      // embeddingNearDups pattern)
+      .localCheckpoint()
+    val hamming =
+      F.bit_count(F.col("sim_hi").bitwiseXOR(F.col("hb"))) +
+        F.bit_count(F.col("sim_lo").bitwiseXOR(F.col("lb")))
+    banded
+      .join(banded.toDF("id2", "hb", "lb", "band", "k"), Seq("band", "k"))
+      .filter(F.col("id") < F.col("id2"))
+      .select(F.col("id").as("a"), F.col("id2").as("b"),
+        F.col("sim_hi"), F.col("sim_lo"), F.col("hb"), F.col("lb"))
+      .distinct()
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(F.col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   /** The full near-dup pipeline: MinHash-LSH candidate generation
     * followed by EXACT verification of each candidate pair's shingle-set
     * Jaccard (on the rolling-hash shingle sets — identical to string-set
@@ -498,6 +546,69 @@ object Dedup {
           * F.lit(thresholdNum.toLong * thresholdNum))
       .select(F.col("id").as("a"), F.col("id2").as("b"), F.col("dot").as("score"))
       .distinct()
+  }
+
+  /** SemDeDup-style semantic deduplication: cluster the embedding space
+    * (deterministic md5-order centroids, argmax-dot assignment — the
+    * identical cell rule as [[Similarity.ivfTopK]]/kmeansStep), then
+    * WITHIN each cell drop every vector that has a smaller-id neighbor
+    * above the cosine threshold. One representative (the smallest id of
+    * each intra-cell near-dup group reachable by the pairwise rule)
+    * always survives. Returns the full verdict table
+    * (id, cell, kept) — a total score surface, not just a drop list.
+    *
+    * The threshold is the exact integer rule of [[embeddingNearDups]]:
+    * cos >= num/den  <=>  dot > 0 && dot²·den² >= |a|²·|b|²·num²,
+    * evaluated in decimal(38,0) so no quantized corpus can overflow it.
+    *
+    * Scale shape: assignment is map-only against broadcast centroid
+    * literals; the quadratic pair join is confined to cells (the
+    * SemDeDup observation: semantic duplicates land in the same
+    * cluster, so cross-cell pairs need never be scored); the slim
+    * (id, cell, qv, n2) projection materializes once for both join
+    * sides. Cells bound the blowup the way LSH bands do for MinHash —
+    * at 100 TB, nlist scales with the corpus so cells stay bounded.
+    */
+  def semDedup(
+      embs: DataFrame,
+      nlist: Int = 16,
+      thresholdNum: Int = 2,
+      thresholdDen: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions
+    graft.GraftFunctions.register(embs.sparkSession)
+    val centRows = Similarity.sampleCentroids(embs, nlist, idCol, vecCol)
+    require(centRows.nonEmpty, "semDedup needs a non-empty corpus")
+    val cents: Column = F.typedlit(centRows)
+    val base = embs
+      .select(F.col(idCol).as("id"), VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      // interpreted-HOF audit: lambda reads the qv ATTRIBUTE + centroid
+      // literal — one dotL per centroid, the intended count
+      .withColumn("cs", F.transform(cents, c => VectorFunctions.dotL(F.col("qv"), c)))
+      .withColumn("cell",
+        (F.array_position(F.col("cs"), F.array_max(F.col("cs"))) - 1).cast("int"))
+      .withColumn("n2", VectorFunctions.dotL(F.col("qv"), F.col("qv")))
+      .select("id", "cell", "qv", "n2")
+      // both sides of the intra-cell self-join read this frame (the
+      // embeddingNearDups pattern): quantize + centroid scoring run once
+      .localCheckpoint()
+    val dot = VectorFunctions.dotL(F.col("qv"), F.col("qv2"))
+    val drops = base
+      .join(base.toDF("id2", "cell", "qv2", "n22"), Seq("cell"))
+      .filter(F.col("id2") < F.col("id"))
+      .withColumn("dot", dot)
+      .filter(F.col("dot") > 0 &&
+        F.col("dot").cast("decimal(38,0)") * F.col("dot")
+          * F.lit(thresholdDen.toLong * thresholdDen) >=
+        F.col("n2").cast("decimal(38,0)") * F.col("n22")
+          * F.lit(thresholdNum.toLong * thresholdNum))
+      .select(F.col("id")).distinct()
+      .withColumn("__drop", F.lit(true))
+    base
+      .join(drops, Seq("id"), "left")
+      .select(F.col("id").as(idCol), F.col("cell"),
+        F.col("__drop").isNull.as("kept"))
   }
 
   /** Duplicate-cluster resolution: connected components over an

@@ -531,4 +531,56 @@ object Similarity {
         VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
     explodeTopK(scored, k)
   }
+
+  /** Product-quantization code assignment — the compression half of
+    * IVF-PQ: each quantized vector splits into `m` contiguous
+    * subvectors, and each subvector is replaced by the index of its
+    * nearest sub-centroid (exact integer L2², ties to the lowest
+    * index). The codebook is deterministic: the first `ksub` md5-order
+    * sampled vectors ([[sampleCentroids]]), each cut into its m
+    * sub-centroids — so the oracle replays codebook, assignment, and
+    * the total quantization error bit for bit.
+    *
+    * The argmin avoids materializing per-pair subtractions: over
+    * integers, argmin_j |x−c_j|² = argmin_j (|c_j|² − 2·x·c_j), so each
+    * candidate costs ONE codegen'd dotL against a literal sub-centroid
+    * plus a precomputed constant; |x_s|² is added back once per
+    * subspace to report the true quantization error.
+    *
+    * Scale shape: map-only — the codebook is m×ksub literals broadcast
+    * in the plan, each row does m×ksub compiled dot products, and no
+    * shuffle exists at all. Output is the m-byte-ish code table that at
+    * 100 TB replaces the raw vectors for ADC scanning.
+    */
+  def pqCodes(
+      corpus: DataFrame,
+      m: Int = 4,
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val samples = sampleCentroids(corpus, ksub, idCol, vecCol)
+    require(samples.nonEmpty, "pqCodes needs a non-empty corpus")
+    val dims = samples.head.length
+    require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val dsub = dims / m
+    val base = corpus.select(F.col(idCol),
+      VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+    val perSub = (0 until m).map { sIdx =>
+      def xs = F.slice(F.col("qv"), sIdx * dsub + 1, dsub)
+      val scores = F.array((0 until samples.length).map { j =>
+        val c = samples(j).slice(sIdx * dsub, (sIdx + 1) * dsub)
+        val c2 = c.map(v => v * v).sum
+        F.lit(c2) - F.lit(2L) * VectorFunctions.dotL(xs, F.typedlit(c))
+      }: _*)
+      val code = (F.array_position(scores, F.array_min(scores)) - 1)
+        .cast("int").as(s"code_$sIdx")
+      // true per-subspace L2^2: |x|^2 + min_j(|c_j|^2 - 2 x.c_j)
+      val err = VectorFunctions.dotL(xs, xs) + F.array_min(scores)
+      (code, err)
+    }
+    base.select(
+      (F.col(idCol) +: perSub.map(_._1)) :+
+        perSub.map(_._2).reduce(_ + _).as("qerr"): _*)
+  }
 }

@@ -2968,6 +2968,127 @@ object QueryCatalog {
       |FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** SimHash signatures completed into graded PAIRS: banded 16-bit LSH
+    * over the 64-bit signatures, then exact popcount(xor) Hamming
+    * verification — q_simhash grades the signature computation, this
+    * grades the dedup decision built on it. The oracle replays the
+    * identical signature construction (q_simhash's CTEs) plus the band
+    * join and bit arithmetic.
+    */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
+      .orderBy("a", "b")
+
+  private val qSimhashPairsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk FROM documents),
+      |h AS (SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+      |    CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+      |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)),
+      |bits AS (SELECT doc_id, i,
+      |    SUM(CASE WHEN ((hi >> i) & 1) = 1 THEN 1 ELSE -1 END) AS whi,
+      |    SUM(CASE WHEN ((lo >> i) & 1) = 1 THEN 1 ELSE -1 END) AS wlo
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+      |  GROUP BY doc_id, i),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN whi > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS sim_hi,
+      |    CAST(SUM(CASE WHEN wlo > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS sim_lo
+      |  FROM bits GROUP BY doc_id),
+      |allsig AS (
+      |  SELECT d.doc_id, COALESCE(s.sim_hi, 0) AS sim_hi, COALESCE(s.sim_lo, 0) AS sim_lo
+      |  FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id),
+      |bands AS (
+      |  SELECT doc_id, sim_hi, sim_lo, b,
+      |    CASE WHEN b < 2 THEN (sim_hi >> (16*b)) & 65535
+      |         ELSE (sim_lo >> (16*(b-2))) & 65535 END AS k
+      |  FROM allsig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a, bb.doc_id AS b,
+      |    a.sim_hi AS ha, a.sim_lo AS la, bb.sim_hi AS hb, bb.sim_lo AS lb
+      |  FROM bands a JOIN bands bb ON a.b = bb.b AND a.k = bb.k AND a.doc_id < bb.doc_id)
+      |SELECT a, b, CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+      |ORDER BY a, b""".stripMargin
+
+  /** Product-quantization codes + exact total quantization error — the
+    * vector-compression stage of IVF-PQ, graded end to end: codebook
+    * sampling, per-subspace integer-L2 argmin, and the summed error are
+    * all BIGINT-exact, so the oracle replays the whole assignment. The
+    * engine computes argmin via |c|²−2x·c against literal sub-centroids
+    * (one codegen'd dotL each, map-only, zero shuffle); the oracle
+    * computes Σ(x−c)² directly — equal by integer algebra.
+    */
+  private def qPqCodes(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(t(s, dir, "embeddings"), m = 4, ksub = 8)
+      .orderBy("vec_id")
+
+  private val qPqCodesSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT 8)),
+      |sub AS (SELECT vec_id, s, list_slice(qv, s*16+1, (s+1)*16) AS xs
+      |  FROM quant CROSS JOIN (SELECT unnest([0,1,2,3]) AS s)),
+      |csub AS (SELECT cidx, s, list_slice(cv, s*16+1, (s+1)*16) AS cs
+      |  FROM cents CROSS JOIN (SELECT unnest([0,1,2,3]) AS s)),
+      |vals AS (SELECT vec_id, a.s AS s, cidx, unnest(a.xs) AS x, unnest(c.cs) AS c
+      |  FROM sub a JOIN csub c ON a.s = c.s),
+      |score AS (SELECT vec_id, s, cidx,
+      |  CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d FROM vals GROUP BY vec_id, s, cidx),
+      |best AS (SELECT vec_id, s, cidx, d,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cidx ASC) AS rn FROM score)
+      |SELECT vec_id,
+      |  CAST(MAX(CASE WHEN s = 0 THEN cidx END) AS INTEGER) AS code_0,
+      |  CAST(MAX(CASE WHEN s = 1 THEN cidx END) AS INTEGER) AS code_1,
+      |  CAST(MAX(CASE WHEN s = 2 THEN cidx END) AS INTEGER) AS code_2,
+      |  CAST(MAX(CASE WHEN s = 3 THEN cidx END) AS INTEGER) AS code_3,
+      |  CAST(SUM(d) AS BIGINT) AS qerr
+      |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup graded as a total verdict table: md5-deterministic
+    * clustering, intra-cell pairwise quantized cosine, smallest-id
+    * representative survives — the oracle replays cells, pairs, and the
+    * decimal-exact threshold, and every vector appears with its cell
+    * and kept/dropped verdict.
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.semDedup(
+        t(s, dir, "embeddings"), nlist = 16, thresholdNum = 2, thresholdDen = 5)
+      .orderBy("vec_id")
+
+  private val qSemDedupSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT 16)),
+      |cellvals AS (SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+      |  FROM quant q CROSS JOIN cents c),
+      |cellscore AS (SELECT vec_id, cidx, CAST(SUM(x*y) AS BIGINT) AS s
+      |  FROM cellvals GROUP BY vec_id, cidx),
+      |assign AS (SELECT vec_id, cidx AS cell FROM (
+      |  SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+      |  FROM cellscore) WHERE rn = 1),
+      |n2 AS (SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2
+      |  FROM (SELECT vec_id, unnest(qv) AS x FROM quant) GROUP BY vec_id),
+      |pairvals AS (SELECT a.vec_id AS v, b.vec_id AS u, unnest(qa.qv) AS x, unnest(qb.qv) AS y
+      |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      |  JOIN quant qa ON qa.vec_id = a.vec_id JOIN quant qb ON qb.vec_id = b.vec_id),
+      |dots AS (SELECT v, u, CAST(SUM(x*y) AS BIGINT) AS dot FROM pairvals GROUP BY v, u),
+      |drops AS (SELECT DISTINCT d.v AS vec_id
+      |  FROM dots d JOIN n2 na ON na.vec_id = d.v JOIN n2 nb ON nb.vec_id = d.u
+      |  WHERE d.dot > 0
+      |    AND CAST(d.dot AS HUGEINT) * d.dot * 25 >= CAST(na.n2 AS HUGEINT) * nb.n2 * 4)
+      |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell, dr.vec_id IS NULL AS kept
+      |FROM assign a LEFT JOIN drops dr ON dr.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -3051,9 +3172,12 @@ object QueryCatalog {
     Q("q_incr_dedup", wrap(qIncrDedup), Some(qIncrDedupSql)),
     Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),
+    Q("q_simhash_pairs", wrap(qSimhashPairs), Some(qSimhashPairsSql)),
     Q("q_embed_neardup", wrap(qEmbedNearDup), Some(qEmbedNearDupSql)),
     Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
+    Q("q_pq_codes", wrap(qPqCodes), Some(qPqCodesSql)),
+    Q("q_semdedup", wrap(qSemDedup), Some(qSemDedupSql)),
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),
     Q("q_ann_recall", wrap(qAnnRecall), Some(qAnnRecallSql)),

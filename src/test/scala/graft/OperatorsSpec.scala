@@ -1167,6 +1167,41 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((0L, 999L)))
   }
 
+  test("simhashPairs finds identical docs at hamming 0, skips dissimilar") {
+    val docs = Seq(
+      (0L, "spark shuffles partition data across the cluster nodes"),
+      (1L, "spark shuffles partition data across the cluster nodes"),
+      (2L, "an entirely unrelated sentence about cooking pasta dinner")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0L })
+    assert(!pairs.exists { case (a, b, _) => b == 2L || a == 2L })
+  }
+
+  test("pqCodes gives codebook members zero error and bounded codes") {
+    val out = Similarity.pqCodes(vecs, m = 4, ksub = 8).collect()
+    assert(out.length === 50)
+    // every code indexes into the 8-entry sub-codebook
+    assert(out.forall(r => (1 to 4).forall(i => r.getInt(i) >= 0 && r.getInt(i) < 8)))
+    // the 8 sampled codebook vectors reconstruct themselves exactly
+    assert(out.count(_.getLong(5) == 0L) >= 8)
+    // non-members carry positive quantization error
+    assert(out.exists(_.getLong(5) > 0L))
+  }
+
+  test("semDedup keeps the smallest id of a planted duplicate pair") {
+    val planted = vecs.unionByName(
+      vecs.filter($"vec_id" === 3L).select(F.lit(777L).as("vec_id"), $"embedding"))
+    val out = Dedup.semDedup(planted, nlist = 4, thresholdNum = 99, thresholdDen = 100)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out.size === 51)
+    val (cell3, kept3) = out(3L)
+    val (cell777, kept777) = out(777L)
+    assert(cell3 === cell777) // identical vectors share the argmax cell
+    assert(kept3 && !kept777) // smallest id survives, duplicate dropped
+  }
+
   test("duplicatedSpans surfaces shared boilerplate with bounded doc samples") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over it"),
