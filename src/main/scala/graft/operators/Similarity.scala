@@ -583,4 +583,69 @@ object Similarity {
       (F.col(idCol) +: perSub.map(_._1)) :+
         perSub.map(_._2).reduce(_ + _).as("qerr"): _*)
   }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * serving half of IVF-PQ: each query precomputes its m×ksub lookup
+    * table of exact sub-distances |q_s − c_{s,j}|² against the literal
+    * codebook, and every corpus vector is then scored by m array
+    * lookups on its CODES — the raw vectors never participate. Exact
+    * integer arithmetic end to end, so the oracle replays LUTs, lookup
+    * sums, and ranking bit for bit.
+    *
+    * Scale shape: THE reason PQ exists — the scan side reads an
+    * m-int16-ish code table instead of the full vectors (a 64-to-1-ish
+    * byte reduction at dims=64/m=4), queries broadcast with their LUTs
+    * attached, scoring is map-only, and the bounded topk_pairs
+    * aggregate keeps the shuffle at k-element sketches per query. Rank
+    * quality trades against [[bruteForceTopKQuant]] exactly as PQ
+    * promises; compose with [[ivfTopK]]'s cells to prune the scan too.
+    */
+  def pqAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBroadcastQueries: Long = 100000L,
+      querySizeHint: Option[Long] = None): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val samples = sampleCentroids(corpus, ksub, idCol, vecCol)
+    require(samples.nonEmpty, "pqAdcTopK needs a non-empty corpus")
+    val dims = samples.head.length
+    require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val dsub = dims / m
+    val codes = pqCodes(corpus, m, ksub, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .drop("qerr")
+    val withLuts = queries
+      .select(F.col(idCol).as("query_id"),
+        VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .select(F.col("query_id") +: (0 until m).map { sIdx =>
+        def qs = F.slice(F.col("qv"), sIdx * dsub + 1, dsub)
+        F.array((0 until samples.length).map { j =>
+          val c = samples(j).slice(sIdx * dsub, (sIdx + 1) * dsub)
+          val c2 = c.map(v => v * v).sum
+          // |q_s|^2 + |c_j|^2 - 2 q_s.c_j = |q_s - c_j|^2, all BIGINT
+          VectorFunctions.dotL(qs, qs) + F.lit(c2) -
+            F.lit(2L) * VectorFunctions.dotL(qs, F.typedlit(c))
+        }: _*).as(s"lut_$sIdx")
+      }: _*)
+    val qSmall = querySizeHint.getOrElse(queries.count()) <= maxBroadcastQueries
+    val dist = (0 until m)
+      .map(s => F.element_at(F.col(s"lut_$s"), F.col(s"code_$s") + 1))
+      .reduce(_ + _)
+    val scored = codes
+      .crossJoin(broadcastIf(withLuts, qSmall))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      // topk_pairs ranks score DESC with ids ascending on ties, so the
+      // negated distance makes it a nearest-first ranking
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        (-dist).cast("double").as("score"))
+    explodeTopK(scored, k)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        (-F.col("score")).cast("long").as("adc_dist"),
+        F.col("rank"))
+  }
 }

@@ -3050,6 +3050,50 @@ object QueryCatalog {
       |  CAST(SUM(d) AS BIGINT) AS qerr
       |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** ADC serving over the PQ codes — queries precompute exact integer
+    * sub-distance LUTs against the codebook and every corpus vector is
+    * ranked by m array lookups on its codes; raw vectors never join.
+    * The oracle replays the identical distances (its per-vector
+    * sub-distance table doubles as the query LUT) and the identical
+    * nearest-first tie ordering.
+    */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqAdcTopK(emb, emb.filter(F.col("vec_id") < 10), k = 5)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("adc_dist"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnPqSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT 8)),
+      |sub AS (SELECT vec_id, s, list_slice(qv, s*16+1, (s+1)*16) AS xs
+      |  FROM quant CROSS JOIN (SELECT unnest([0,1,2,3]) AS s)),
+      |csub AS (SELECT cidx, s, list_slice(cv, s*16+1, (s+1)*16) AS cs
+      |  FROM cents CROSS JOIN (SELECT unnest([0,1,2,3]) AS s)),
+      |vals AS (SELECT vec_id, a.s AS s, cidx, unnest(a.xs) AS x, unnest(c.cs) AS c
+      |  FROM sub a JOIN csub c ON a.s = c.s),
+      |score AS (SELECT vec_id, s, cidx,
+      |  CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d FROM vals GROUP BY vec_id, s, cidx),
+      |best AS (SELECT vec_id, s, cidx, d,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cidx ASC) AS rn FROM score),
+      |codes AS (SELECT vec_id, s, cidx AS code FROM best WHERE rn = 1),
+      |adc AS (SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      |  FROM codes c JOIN score l ON l.s = c.s AND l.cidx = c.code
+      |  WHERE l.vec_id < 10 AND l.vec_id <> c.vec_id
+      |  GROUP BY l.vec_id, c.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, adc_dist,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      |  FROM adc)
+      |SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** SemDeDup graded as a total verdict table: md5-deterministic
     * clustering, intra-cell pairwise quantized cosine, smallest-id
     * representative survives — the oracle replays cells, pairs, and the
@@ -3177,6 +3221,7 @@ object QueryCatalog {
     Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
     Q("q_pq_codes", wrap(qPqCodes), Some(qPqCodesSql)),
+    Q("q_ann_pq", wrap(qAnnPq), Some(qAnnPqSql)),
     Q("q_semdedup", wrap(qSemDedup), Some(qSemDedupSql)),
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),
