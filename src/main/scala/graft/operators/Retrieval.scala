@@ -152,4 +152,78 @@ object Retrieval {
       .orderBy(F.col("score").desc, F.col("doc_id"))
       .limit(k)
   }
+
+  /** Full BPE training loop — [[bpePairCounts]]' one-step primitive
+    * iterated into an actual tokenizer trainer: each round counts
+    * adjacent-symbol pairs over the weighted vocabulary, picks the top
+    * pair (count desc, pair asc — total order), and applies the merge
+    * greedily left-to-right through every word. Returns the learned
+    * merge table (step, pair, cnt).
+    *
+    * Merge application is a plain string `replace` over a
+    * separator-encoded symbol string (S = U+0001): each symbol is
+    * wrapped as `S sym S`, so the search pattern `S a S S b S` matches
+    * exactly at symbol boundaries, never inside a symbol, and two
+    * matches can never overlap (each consumes its own wrapping) —
+    * leftmost non-overlapping replace-all IS the BPE greedy scan,
+    * identically in Spark and the SQL oracle. U+0001 cannot appear in
+    * UTF-8 continuation bytes, so byte-wise replace is char-safe.
+    *
+    * Scale shape: the corpus reduces ONCE to (word, count) through one
+    * partial-aggregated shuffle; every iteration after that is
+    * vocabulary-sized (the classic BPE-at-scale layout — merge work is
+    * O(vocab), never O(corpus)). The driver touches one row per step
+    * (the argmax pair — bounded like heavyHitters' sketch head); the
+    * per-step localCheckpoint keeps the iterated plan from growing.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      merges: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(merges > 0, "merges must be positive")
+    val spark = docs.sparkSession
+    graft.GraftFunctions.register(spark)
+    val sep = "\u0001"
+    val sep2 = sep + sep
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    var vocab = docs.select(F.explode(toks).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("w"), F.col("n"),
+        F.concat(F.lit(sep),
+          F.array_join(F.split(F.col("w"), ""), sep2), F.lit(sep)).as("enc"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val top = vocab
+        .select(F.col("n"),
+          F.split(F.expr("substring(enc, 2, length(enc) - 2)"), sep2).as("sy"))
+        .select(F.col("n"), F.explode(
+          // interpreted-HOF audit: the lambda reads ELEMENTS of the
+          // materialized `sy` attribute — intended evaluation count
+          F.when(F.size(F.col("sy")) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(F.col("sy")) - 1),
+              i => F.concat(F.element_at(F.col("sy"), i), F.lit(" "),
+                F.element_at(F.col("sy"), i + 1))))
+            .otherwise(F.array().cast("array<string>"))).as("pair"))
+        .groupBy("pair").agg(F.sum(F.col("n")).as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        learned += ((step, pair, top(0).getLong(1)))
+        val Array(a, b) = pair.split(" ", 2)
+        vocab = vocab.withColumn("enc",
+          F.call_function("replace", F.col("enc"),
+            F.lit(sep + a + sep2 + b + sep), F.lit(sep + a + b + sep)))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("step", "pair", "cnt")
+      .select(F.col("step").cast("int").as("step"), F.col("pair"), F.col("cnt"))
+  }
 }

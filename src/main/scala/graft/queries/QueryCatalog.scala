@@ -2612,6 +2612,51 @@ object QueryCatalog {
       |SELECT pair, CAST(cnt AS BIGINT) AS cnt
       |FROM pc ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** The full BPE trainer graded end to end: 5 merges learned over the
+    * weighted word vocabulary, each step's chosen pair + count hash-
+    * matched. The oracle unrolls the loop as chained CTEs, applying
+    * each merge with the identical separator-encoded string replace
+    * (see [[graft.operators.Retrieval.bpeTrain]]) — so the grade covers
+    * pair counting, argmax choice, AND greedy merge application.
+    */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bpeTrain(t(s, dir, "documents"), merges = 5)
+      .orderBy("step")
+
+  private val qBpeTrainSql = bpeTrainOracleSql(merges = 5)
+
+  private def bpeTrainOracleSql(merges: Int): String = {
+    val blocks = (1 to merges).map { i =>
+      val prev = s"v_${i - 1}"
+      s"""sy_$i AS (
+         |  SELECT w, n, string_split(substr(enc, 2, length(enc) - 2), chr(1)||chr(1)) AS syms FROM $prev),
+         |p_$i AS (
+         |  SELECT syms[i] || ' ' || syms[i+1] AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM sy_$i, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+         |  GROUP BY pair),
+         |b_$i AS (SELECT pair, cnt FROM p_$i ORDER BY cnt DESC, pair LIMIT 1),
+         |v_$i AS (
+         |  SELECT w, n, replace(enc,
+         |      chr(1) || sp[1] || chr(1) || chr(1) || sp[2] || chr(1),
+         |      chr(1) || sp[1] || sp[2] || chr(1)) AS enc
+         |  FROM $prev CROSS JOIN (SELECT string_split(pair, ' ') AS sp FROM b_$i))""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to merges)
+      .map(i => s"SELECT $i AS step, pair, cnt FROM b_$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |wc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |v_0 AS (
+       |  SELECT w, n, chr(1) || array_to_string(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), chr(1)||chr(1)) || chr(1) AS enc
+       |  FROM wc),
+       |$blocks
+       |SELECT CAST(step AS INTEGER) AS step, pair, cnt FROM ($finals) ORDER BY step""".stripMargin
+  }
+
   /** Attribute-FILTERED ANN grading — "top-k neighbors WHERE label = 1",
     * the first thing every real vector-search user asks for. Ground
     * truth is a brute-force scan of the filtered corpus; the LSH tier
@@ -3230,7 +3275,8 @@ object QueryCatalog {
     Q("q_mix", wrap(qMix), Some(qMixSql)),
     Q("q_inverted", wrap(qInverted), Some(qInvertedSql)),
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
-    Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)))
+    Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
+    Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

@@ -1221,6 +1221,18 @@ class OperatorsSpec extends SparkSpec {
     assert(kept3 && !kept777) // smallest id survives, duplicate dropped
   }
 
+  test("bpeTrain applies merges greedily (back-to-back) and stops when exhausted") {
+    val docs = Seq((0L, "abab abab abab")).toDF("doc_id", "text")
+    val out = graft.operators.Retrieval.bpeTrain(docs, merges = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // step 1: pair "a b" appears twice per word (6 total) and beats
+    // "b a" (3); applying it must merge BOTH occurrences in one pass
+    // ([a,b,a,b] -> [ab,ab], the non-overlapping back-to-back case)
+    // step 2: "ab ab" -> [abab]; step 3: no pairs left -> loop stops
+    assert(out.toSeq === Seq((1, "a b", 6L), (2, "ab ab", 3L)))
+  }
+
   test("duplicatedSpans surfaces shared boilerplate with bounded doc samples") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over it"),
