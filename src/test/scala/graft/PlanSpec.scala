@@ -262,6 +262,38 @@ class PlanSpec extends SparkSpec {
     assert("script_tokens".r.findAllIn(p).length == 1, p.take(1500))
   }
 
+  test("pq code assignment is map-only: zero exchanges in the plan") {
+    // the codebook rides as literals, so the only job structure is the
+    // sampling action inside pqCodes; the code-assignment plan itself
+    // must contain no shuffle and no join
+    val df = graft.operators.Similarity.pqCodes(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "PQ assignment must not shuffle: " + p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("duplicated spans: bounded top-k, min-k sample aggregate, no cartesian") {
+    val p = plan("q_dup_spans")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+    assert(p.contains("min_k_ids"), "doc sample must be the bounded aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("contamination fraction: benchmark side broadcasts into a left join") {
+    val p = plan("q_contam_frac")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(p.contains("LeftOuter"), "zero-hit docs must survive the join")
+  }
+
+  test("simhash pairs: bucket equi-join, no cartesian product") {
+    val p = plan("q_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    // candidate generation must meet on the (band, key) bucket columns
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1000))
+  }
+
   test("custom expressions (week_of_month, shingle kernels) do not break codegen") {
     val df = SparkEntry.queries("q_weekly_avg")(spark, dir)
     df.collect()
