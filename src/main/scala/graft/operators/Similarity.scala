@@ -552,6 +552,27 @@ object Similarity {
     * shuffle exists at all. Output is the m-byte-ish code table that at
     * 100 TB replaces the raw vectors for ADC scanning.
     */
+  /** Per-subspace (code, error) column pairs over a quantized-vector
+    * attribute `qv` — the shared argmin core of [[pqCodes]] and
+    * [[ivfPqTopK]]'s corpus side. Codes via |c|²−2x·c against literal
+    * sub-centroids; error adds |x_s|² back for the true L2².
+    */
+  private def pqCodeCols(
+      samples: Seq[Seq[Long]], m: Int, dsub: Int): Seq[(Column, Column)] =
+    (0 until m).map { sIdx =>
+      def xs = F.slice(F.col("qv"), sIdx * dsub + 1, dsub)
+      val scores = F.array(samples.indices.map { j =>
+        val c = samples(j).slice(sIdx * dsub, (sIdx + 1) * dsub)
+        val c2 = c.map(v => v * v).sum
+        F.lit(c2) - F.lit(2L) * VectorFunctions.dotL(xs, F.typedlit(c))
+      }: _*)
+      val code = (F.array_position(scores, F.array_min(scores)) - 1)
+        .cast("int").as(s"code_$sIdx")
+      // true per-subspace L2^2: |x|^2 + min_j(|c_j|^2 - 2 x.c_j)
+      val err = VectorFunctions.dotL(xs, xs) + F.array_min(scores)
+      (code, err)
+    }
+
   def pqCodes(
       corpus: DataFrame,
       m: Int = 4,
@@ -566,19 +587,7 @@ object Similarity {
     val dsub = dims / m
     val base = corpus.select(F.col(idCol),
       VectorFunctions.quantize(F.col(vecCol)).as("qv"))
-    val perSub = (0 until m).map { sIdx =>
-      def xs = F.slice(F.col("qv"), sIdx * dsub + 1, dsub)
-      val scores = F.array((0 until samples.length).map { j =>
-        val c = samples(j).slice(sIdx * dsub, (sIdx + 1) * dsub)
-        val c2 = c.map(v => v * v).sum
-        F.lit(c2) - F.lit(2L) * VectorFunctions.dotL(xs, F.typedlit(c))
-      }: _*)
-      val code = (F.array_position(scores, F.array_min(scores)) - 1)
-        .cast("int").as(s"code_$sIdx")
-      // true per-subspace L2^2: |x|^2 + min_j(|c_j|^2 - 2 x.c_j)
-      val err = VectorFunctions.dotL(xs, xs) + F.array_min(scores)
-      (code, err)
-    }
+    val perSub = pqCodeCols(samples, m, dsub)
     base.select(
       (F.col(idCol) +: perSub.map(_._1)) :+
         perSub.map(_._2).reduce(_ + _).as("qerr"): _*)
@@ -641,6 +650,88 @@ object Similarity {
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       // topk_pairs ranks score DESC with ids ascending on ties, so the
       // negated distance makes it a nearest-first ranking
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        (-dist).cast("double").as("score"))
+    explodeTopK(scored, k)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        (-F.col("score")).cast("long").as("adc_dist"),
+        F.col("rank"))
+  }
+
+  /** The full IVF-PQ composition: coarse cells prune WHICH vectors are
+    * scanned ([[ivfTopK]]'s assignment/probe rule), PQ codes compress
+    * WHAT is scanned ([[pqAdcTopK]]'s LUT lookups) — one corpus scan
+    * computes both the cell and the codes, so the serving table is
+    * (id, cell, m codes) and the raw vectors appear in no join at all.
+    * The PQ codebook is the md5-order sample PREFIX of the cell
+    * centroids (same ordered pool), keeping the whole model replayable.
+    *
+    * Scale shape: the 100 TB ANN layout verbatim — broadcast queries
+    * carry their integer LUTs into the probed cells only (the cell join
+    * replaces pqAdcTopK's full-scan cross join), scoring is m array
+    * lookups per candidate, and the bounded topk_pairs aggregate
+    * shuffles k-element sketches per query.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBroadcastQueries: Long = 100000L,
+      querySizeHint: Option[Long] = None): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val pool = sampleCentroids(corpus, math.max(nlist, ksub), idCol, vecCol)
+    require(pool.nonEmpty, "ivfPqTopK needs a non-empty corpus")
+    val centRows = pool.take(nlist)
+    val samples = pool.take(ksub)
+    val dims = samples.head.length
+    require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val dsub = dims / m
+    val nc = centRows.length
+    val cents: Column = F.typedlit(centRows)
+    // interpreted-HOF audit: lambdas read the qv ATTRIBUTE + centroid
+    // literals — one dotL per centroid, the intended count
+    def cellScores = F.transform(cents, c => VectorFunctions.dotL(F.col("qv"), c))
+    val perSub = pqCodeCols(samples, m, dsub)
+    val corpusCodes = corpus
+      .select(F.col(idCol).as("neighbor_id"),
+        VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .withColumn("cs", cellScores)
+      .withColumn("cell",
+        (F.array_position(F.col("cs"), F.array_max(F.col("cs"))) - 1).cast("int"))
+      .select(F.col("neighbor_id") +: F.col("cell") +: perSub.map(_._1): _*)
+    val withLuts = queries
+      .select(F.col(idCol).as("query_id"),
+        VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .withColumn("cs", cellScores)
+      .withColumn("cell", F.explode(F.slice(
+        F.transform(
+          F.array_sort(
+            F.zip_with(F.col("cs"), F.sequence(F.lit(0), F.lit(nc - 1)),
+              (s, i) => F.struct((-s).as("neg"), i.as("idx")))),
+          x => x.getField("idx")),
+        1, nprobe)))
+      .select(F.col("query_id") +: F.col("cell") +: (0 until m).map { sIdx =>
+        def qs = F.slice(F.col("qv"), sIdx * dsub + 1, dsub)
+        F.array(samples.indices.map { j =>
+          val c = samples(j).slice(sIdx * dsub, (sIdx + 1) * dsub)
+          val c2 = c.map(v => v * v).sum
+          VectorFunctions.dotL(qs, qs) + F.lit(c2) -
+            F.lit(2L) * VectorFunctions.dotL(qs, F.typedlit(c))
+        }: _*).as(s"lut_$sIdx")
+      }: _*)
+    val qSmall = querySizeHint.getOrElse(queries.count()) <= maxBroadcastQueries
+    val dist = (0 until m)
+      .map(s => F.element_at(F.col(s"lut_$s"), F.col(s"code_$s") + 1))
+      .reduce(_ + _)
+    val scored = corpusCodes
+      .join(broadcastIf(withLuts, qSmall), Seq("cell"))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         (-dist).cast("double").as("score"))
     explodeTopK(scored, k)

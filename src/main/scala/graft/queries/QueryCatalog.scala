@@ -505,6 +505,39 @@ object QueryCatalog {
       |FROM b GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** RANGE-frame window — the value-based frame beside [[qWindowRunning]]'s
+    * row-based one: per user, the sum of floor-cent values over the
+    * PRECEDING 10 MINUTES of event time (rangeBetween on exact epoch
+    * seconds). Two events at the same timestamp share a frame — exactly
+    * the semantics ROWS frames cannot express — and the cent sums keep
+    * the aggregation integer-exact. One shuffle on user_id.
+    */
+  private def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s")
+      .rangeBetween(-600L, Window.currentRow)
+    events(s, dir)
+      .filter(F.col("user_id") < 30)
+      .select(F.col("user_id"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("ts_us"),
+        F.floor(F.col("value") * 100).cast(LongType).as("cents"))
+      // integer `div`, not `/` (double division would round at 2^53)
+      .withColumn("ts_s", F.expr("ts_us div 1000000"))
+      .withColumn("sum_10m", F.sum("cents").over(w))
+      .select("user_id", "event_id", "ts_us", "sum_10m")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  private val qWindowRangeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |    epoch_ns(ts) // 1000000000 AS ts_s,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 30)
+      |SELECT user_id, event_id, ts_us,
+      |  SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_s
+      |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS sum_10m
+      |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin
+
   /** Tumbling-window aggregation over event time — the BATCH twin of
     * [[graft.streaming.Streams.windowedEventCounts]]: same `window()`
     * assignment, graded exactly (the oracle rebuilds each 5-minute
@@ -3139,6 +3172,64 @@ object QueryCatalog {
       |SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** The full IVF-PQ stack graded end to end: coarse cells prune the
+    * scan, PQ codes compress it, ADC LUTs score it — centroid pool,
+    * cell assignment, probe choice, codebook (the md5-order prefix of
+    * the same pool), code assignment, and lookup sums are ALL exact
+    * integers the oracle replays.
+    */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(F.col("vec_id") < 10), k = 5)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("adc_dist"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnIvfPqSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT 16)),
+      |cellvals AS (
+      |  SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+      |  FROM quant q CROSS JOIN cents c),
+      |cellscore AS (
+      |  SELECT vec_id, cidx, CAST(SUM(x * y) AS BIGINT) AS s FROM cellvals GROUP BY vec_id, cidx),
+      |assign AS (
+      |  SELECT vec_id, cidx AS cell FROM (
+      |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+      |    FROM cellscore) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cidx AS cell FROM (
+      |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+      |    FROM cellscore WHERE vec_id < 10) WHERE rn <= 4),
+      |sub AS (SELECT vec_id, s, list_slice(qv, s*16+1, (s+1)*16) AS xs
+      |  FROM quant CROSS JOIN (SELECT unnest([0,1,2,3]) AS s)),
+      |csub AS (SELECT cidx, s, list_slice(cv, s*16+1, (s+1)*16) AS cs
+      |  FROM cents CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) WHERE cidx < 8),
+      |vals AS (SELECT vec_id, a.s AS s, cidx, unnest(a.xs) AS x, unnest(c.cs) AS c
+      |  FROM sub a JOIN csub c ON a.s = c.s),
+      |score AS (SELECT vec_id, s, cidx,
+      |  CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d FROM vals GROUP BY vec_id, s, cidx),
+      |best AS (SELECT vec_id, s, cidx, d,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cidx ASC) AS rn FROM score),
+      |codes AS (SELECT vec_id, s, cidx AS code FROM best WHERE rn = 1),
+      |adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      |  FROM probes p JOIN assign a ON a.cell = p.cell
+      |  JOIN codes c ON c.vec_id = a.vec_id
+      |  JOIN score l ON l.vec_id = p.query_id AND l.s = c.s AND l.cidx = c.code
+      |  WHERE p.query_id <> a.vec_id
+      |  GROUP BY p.query_id, a.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, adc_dist,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      |  FROM adc)
+      |SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** SemDeDup graded as a total verdict table: md5-deterministic
     * clustering, intra-cell pairwise quantized cosine, smallest-id
     * representative survives — the oracle replays cells, pairs, and the
@@ -3256,6 +3347,7 @@ object QueryCatalog {
     Q("q_editdist_pairs", wrap(qEditDist), Some(qEditDistSql)),
     Q("q_window_ntile", wrap(qWindowNtile), Some(qWindowNtileSql)),
     Q("q_window_lead", wrap(qWindowLead), Some(qWindowLeadSql)),
+    Q("q_window_range", wrap(qWindowRange), Some(qWindowRangeSql)),
     Q("q_cube", wrap(qCube), Some(qCubeSql)),
     Q("q_sliding", wrap(qSliding), Some(qSlidingSql)),
     Q("q_incr_dedup", wrap(qIncrDedup), Some(qIncrDedupSql)),
@@ -3267,6 +3359,7 @@ object QueryCatalog {
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
     Q("q_pq_codes", wrap(qPqCodes), Some(qPqCodesSql)),
     Q("q_ann_pq", wrap(qAnnPq), Some(qAnnPqSql)),
+    Q("q_ann_ivfpq", wrap(qAnnIvfPq), Some(qAnnIvfPqSql)),
     Q("q_semdedup", wrap(qSemDedup), Some(qSemDedupSql)),
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),

@@ -1209,6 +1209,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK with full probe and lossless codebook equals exact L2") {
+    val eight = vecs.filter($"vec_id" < 8)
+    val out = Similarity.ivfPqTopK(eight, eight.filter($"vec_id" < 2), k = 3,
+        nlist = 4, nprobe = 4, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val qv = eight.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(f => math.floor(f * 1000).toLong).toArray
+    }.toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (q <- Seq(0L, 1L)) {
+      val expected = qv.keys.filter(_ != q).toSeq
+        .map(n => (l2(qv(q), qv(n)), n)).sorted.take(3)
+      val got = out.filter(_._1 == q).sortBy(_._4).map(r => (r._3, r._2)).toSeq
+      assert(got === expected)
+    }
+  }
+
   test("semDedup keeps the smallest id of a planted duplicate pair") {
     val planted = vecs.unionByName(
       vecs.filter($"vec_id" === 3L).select(F.lit(777L).as("vec_id"), $"embedding"))
