@@ -180,6 +180,53 @@ object Retrieval {
       docs: DataFrame,
       merges: Int = 5,
       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeCore(docs, merges, textCol)._1.toDF("step", "pair", "cnt")
+      .select(F.col("step").cast("int").as("step"), F.col("pair"), F.col("cnt"))
+  }
+
+  /** Encode the corpus with its own learned BPE merges: train `merges`
+    * steps ([[bpeTrain]]'s loop), then count each document's tokens and
+    * post-merge SUBWORDS — the sequence-length accounting every token-
+    * budgeted pipeline stage (chunking, packing, cost estimation) needs
+    * under a real subword tokenizer instead of whitespace counts.
+    *
+    * Scale shape: the trained vocabulary maps word → subword count
+    * (vocabulary-sized, broadcast); the corpus pass explodes tokens and
+    * partial-aggregates two longs per document — the corpus text is
+    * never re-segmented, only joined against the model. Zero-token
+    * documents survive via the left join (0, 0).
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      merges: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (_, vocab) = bpeCore(docs, merges, textCol)
+    val sep2 = "\u0001\u0001"
+    val wsub = vocab.select(F.col("w"),
+      F.size(F.split(F.expr("substring(enc, 2, length(enc) - 2)"), sep2))
+        .cast("long").as("ns"))
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val perDoc = docs.select(F.col(idCol), F.explode(toks).as("w"))
+      .join(F.broadcast(wsub), Seq("w"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_tokens"), F.sum(F.col("ns")).as("n_subwords"))
+    docs.select(F.col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_tokens"), F.lit(0L)).as("n_tokens"),
+        F.coalesce(F.col("n_subwords"), F.lit(0L)).as("n_subwords"))
+  }
+
+  /** The shared trainer loop: returns (learned merge table, final vocab
+    * (w, n, enc) with the separator-encoded symbol string).
+    */
+  private def bpeCore(
+      docs: DataFrame,
+      merges: Int,
+      textCol: String): (Seq[(Int, String, Long)], DataFrame) = {
     require(merges > 0, "merges must be positive")
     val spark = docs.sparkSession
     graft.GraftFunctions.register(spark)
@@ -222,8 +269,6 @@ object Retrieval {
         step += 1
       }
     }
-    import spark.implicits._
-    learned.toSeq.toDF("step", "pair", "cnt")
-      .select(F.col("step").cast("int").as("step"), F.col("pair"), F.col("cnt"))
+    (learned.toSeq, vocab)
   }
 }

@@ -2658,7 +2658,11 @@ object QueryCatalog {
 
   private val qBpeTrainSql = bpeTrainOracleSql(merges = 5)
 
-  private def bpeTrainOracleSql(merges: Int): String = {
+  /** Shared CTE header + unrolled merge blocks of the BPE oracles:
+    * doc-level tokens, weighted vocab, char-split encoding, and one
+    * (count pairs → pick top → apply replace) block per merge.
+    */
+  private def bpeOracleCtes(merges: Int): String = {
     val blocks = (1 to merges).map { i =>
       val prev = s"v_${i - 1}"
       s"""sy_$i AS (
@@ -2674,21 +2678,50 @@ object QueryCatalog {
          |      chr(1) || sp[1] || sp[2] || chr(1)) AS enc
          |  FROM $prev CROSS JOIN (SELECT string_split(pair, ' ') AS sp FROM b_$i))""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to merges)
-      .map(i => s"SELECT $i AS step, pair, cnt FROM b_$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH toks AS (
-       |  SELECT CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+    s"""dtoks AS (
+       |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
        |  FROM documents),
        |wc AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |  FROM (SELECT unnest(t) AS w FROM dtoks) GROUP BY w),
        |v_0 AS (
        |  SELECT w, n, chr(1) || array_to_string(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), chr(1)||chr(1)) || chr(1) AS enc
        |  FROM wc),
-       |$blocks
+       |$blocks""".stripMargin
+  }
+
+  private def bpeTrainOracleSql(merges: Int): String = {
+    val finals = (1 to merges)
+      .map(i => s"SELECT $i AS step, pair, cnt FROM b_$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeOracleCtes(merges)}
        |SELECT CAST(step AS INTEGER) AS step, pair, cnt FROM ($finals) ORDER BY step""".stripMargin
   }
+
+  /** The learned tokenizer applied back to its corpus: per document,
+    * whitespace-token count and post-merge SUBWORD count under the
+    * 5-merge BPE model — the sequence-length accounting a token-
+    * budgeted pipeline runs on. The corpus is never re-segmented: the
+    * trained vocabulary (word → subword count) broadcasts as a map-side
+    * join. Zero-token docs survive as (0, 0).
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bpeEncode(t(s, dir, "documents"), merges = 5)
+      .orderBy("doc_id")
+
+  private val qBpeEncodeSql =
+    s"""WITH ${bpeOracleCtes(5)},
+       |wsub AS (
+       |  SELECT w, CAST(len(string_split(substr(enc, 2, length(enc) - 2), chr(1)||chr(1))) AS BIGINT) AS ns
+       |  FROM v_5),
+       |agg AS (
+       |  SELECT d.doc_id, COUNT(*) AS n_tokens, CAST(SUM(ns) AS BIGINT) AS n_subwords
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM dtoks) d JOIN wsub USING (w)
+       |  GROUP BY d.doc_id)
+       |SELECT doc.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       |  COALESCE(a.n_subwords, 0) AS n_subwords
+       |FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
 
   /** Attribute-FILTERED ANN grading — "top-k neighbors WHERE label = 1",
     * the first thing every real vector-search user asks for. Ground
@@ -3369,7 +3402,8 @@ object QueryCatalog {
     Q("q_inverted", wrap(qInverted), Some(qInvertedSql)),
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
-    Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)))
+    Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),
+    Q("q_bpe_encode", wrap(qBpeEncode), Some(qBpeEncodeSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

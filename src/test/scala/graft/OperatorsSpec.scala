@@ -1251,6 +1251,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, "a b", 6L), (2, "ab ab", 3L)))
   }
 
+  test("bpeEncode counts post-merge subwords per document") {
+    val docs = Seq((0L, "abab abab abab"), (1L, "")).toDF("doc_id", "text")
+    def counts(merges: Int) =
+      graft.operators.Retrieval.bpeEncode(docs, merges = merges)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // one merge (a b): each "abab" -> [ab, ab] = 2 subwords
+    assert(counts(1) === Seq((0L, 3L, 6L), (1L, 0L, 0L)))
+    // two merges collapse each word to a single symbol
+    assert(counts(2) === Seq((0L, 3L, 3L), (1L, 0L, 0L)))
+  }
+
   test("duplicatedSpans surfaces shared boilerplate with bounded doc samples") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over it"),
