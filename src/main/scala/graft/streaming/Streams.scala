@@ -185,6 +185,28 @@ object Streams {
         F.col("window.start").as("win_start"),
         F.col("event_type"), F.col("n"), F.col("sum_value"))
 
+  /** Sliding-window variant of [[windowedEventCounts]]: overlapping
+    * windows every `slide`, the streaming twin of the batch q_sliding
+    * query. Each event lands in window/slide windows map-side before
+    * the stateful aggregation; the watermark bounds state exactly as in
+    * the tumbling case (a window finalizes once the watermark passes
+    * its end).
+    */
+  def slidingEventCounts(
+      events: DataFrame,
+      window: String = "10 minutes",
+      slide: String = "5 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(F.window(F.col("ts"), window, slide), F.col("event_type"))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(
+        F.col("window.start").as("win_start"),
+        F.col("event_type"), F.col("n"), F.col("sum_value"))
+
   /** Streaming dedup on a key within the watermark horizon. */
   def dedupStream(events: DataFrame, keyCols: Seq[String], lateness: String = "10 minutes"): DataFrame =
     events

@@ -102,6 +102,27 @@ class StreamingSpec extends SparkSpec {
     assert(clicks.getDecimal(3).doubleValue() === 3.75)
   }
 
+  test("sliding windows assign each event to window/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.slidingEventCounts(df, window = "10 minutes", slide = "5 minutes")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("slide_agg")
+      .start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((ts(7), "click", 1.00))
+    q.processAllAvailable()
+    val rows = spark.table("slide_agg").collect()
+    q.stop()
+    // one event at 10:07 belongs to exactly the [10:00,10:10) and
+    // [10:05,10:15) windows
+    val starts = rows.map(_.getTimestamp(0).toString).sorted.toSeq
+    assert(starts === Seq("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+    assert(rows.forall(_.getLong(2) == 1L))
+  }
+
   test("sessionize closes sessions after the event-time gap and expires state") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.SessionEvent]
