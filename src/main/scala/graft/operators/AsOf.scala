@@ -61,6 +61,58 @@ object AsOf {
     * left rows (side 1) at equal ts so a same-instant right row is
     * visible to the left row's running last.
     */
+  /** Nearest-either-direction as-of: for every left row, the right row
+    * minimizing |right.ts − left.ts| on the same key — backward and
+    * forward composed, ties (equal gaps) resolved to the PRIOR row.
+    * Returns key cols + left id + matched right id + `direction`
+    * ('prior'/'next', null when no right row exists on the key) +
+    * `gap_us` (exact micros).
+    *
+    * REQUIRES unique right ids (true of any id column): the gap lookup
+    * re-joins the matched id against the slim (right id, ts)
+    * projection.
+    *
+    * Scale shape: two one-shuffle as-of passes (the shared union +
+    * running-last core) plus id-equi-joins on slim id→ts projections —
+    * still no pair explosion, no range join; every join key is an id,
+    * so AQE broadcast-promotes the small sides at typical
+    * query-vs-state skews.
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      leftIdCol: String,
+      rightIdCol: String): DataFrame = {
+    val keys = keyCols.map(F.col)
+    val back = asofJoin(left, right, keyCols, tsCol, leftIdCol, rightIdCol)
+      .select(keys ++ Seq(F.col(leftIdCol),
+        F.unix_micros(F.col(tsCol)).as("__lts"),
+        F.col(s"matched_$rightIdCol").as("__prior")): _*)
+    val fwd = asofJoinForward(left, right, keyCols, tsCol, leftIdCol, rightIdCol)
+      .select(F.col(leftIdCol), F.col(s"matched_$rightIdCol").as("__next"))
+    val rts = right.select(F.col(rightIdCol).cast("long"),
+      F.unix_micros(F.col(tsCol)))
+    val j = back
+      .join(fwd, Seq(leftIdCol))
+      .join(rts.toDF("__prior", "__pts"), Seq("__prior"), "left")
+      .join(rts.toDF("__next", "__nts"), Seq("__next"), "left")
+    val gapPrior = F.col("__lts") - F.col("__pts")
+    val gapNext = F.col("__nts") - F.col("__lts")
+    val useNext = F.col("__prior").isNull ||
+      (F.col("__next").isNotNull && gapNext < gapPrior)
+    j.select(keys ++ Seq(
+      F.col(leftIdCol),
+      F.when(useNext, F.col("__next")).otherwise(F.col("__prior"))
+        .as(s"matched_$rightIdCol"),
+      F.when(F.col("__prior").isNull && F.col("__next").isNull,
+          F.lit(null).cast("string"))
+        .when(useNext, F.lit("next")).otherwise(F.lit("prior"))
+        .as("direction"),
+      F.when(useNext, gapNext).otherwise(gapPrior).as("gap_us")): _*)
+  }
+
   private def asofImpl(
       left: DataFrame,
       right: DataFrame,

@@ -565,6 +565,46 @@ object QueryCatalog {
       |FROM b GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** Windowed anomaly detection with an INTEGER z-score: flag 5-minute
+    * windows whose event count deviates from the type's mean by more
+    * than two standard deviations — |n − s/m| > 2σ restated as
+    * (m·n − s)² > 4·(m·ss − s²), exact integer cross-multiplication
+    * (the cosine-threshold trick applied to variance), evaluated in
+    * decimal(38,0) so no count scale can overflow it. Two partial-
+    * aggregated shuffles (windows, then per-type stats) and a broadcast
+    * of the tiny stats table back onto the window rows.
+    */
+  private def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val wins = events(s, dir)
+      .groupBy(F.window(F.col("ts"), "5 minutes"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("window.start").cast(LongType).as("win_start"),
+        F.col("event_type"), F.col("n"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val stats = wins.groupBy("event_type").agg(
+      F.count(F.lit(1)).as("m"),
+      F.sum(F.col("n")).as("s"),
+      F.sum(d(F.col("n")) * F.col("n")).as("ss"))
+    val dev = d(F.col("m")) * F.col("n") - F.col("s")
+    wins.join(F.broadcast(stats), Seq("event_type"))
+      .withColumn("flagged",
+        dev * dev > d(F.lit(4)) * (d(F.col("m")) * F.col("ss") - d(F.col("s")) * F.col("s")))
+      .select("win_start", "event_type", "n", "flagged")
+      .orderBy("win_start", "event_type")
+  }
+
+  private val qAnomalySql =
+    """WITH w AS (
+      |  SELECT epoch_ns(ts) // 1000000000
+      |       - (epoch_ns(ts) // 1000000000) % 300 AS win_start,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, COUNT(*) AS m, SUM(n) AS s, SUM(n*n) AS ss FROM w GROUP BY 1)
+      |SELECT w.win_start, w.event_type, w.n,
+      |  (st.m * w.n - st.s) * (st.m * w.n - st.s) > 4 * (st.m * st.ss - st.s * st.s) AS flagged
+      |FROM w JOIN st USING (event_type)
+      |ORDER BY win_start, event_type""".stripMargin
+
   /** Set operation: nations present on both the customer and supplier
     * sides (INTERSECT).
     */
@@ -2113,6 +2153,54 @@ object QueryCatalog {
       |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS matched_event_id
       |FROM purchases p ORDER BY p.event_id""".stripMargin
 
+  /** Nearest as-of: each purchase matched to the user's CLOSEST view in
+    * either time direction (ties to the prior one) — the third member
+    * of the as-of family, composed from both one-shuffle passes plus
+    * slim id→ts gap lookups. Oracle: four correlated subqueries (id and
+    * ts per direction) with the identical tie orders, gaps in exact
+    * micros.
+    */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(F.col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(F.col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    graft.operators.AsOf.asofJoinNearest(
+        purchases, views, Seq("user_id"), "ts", "event_id", "event_id")
+      .select(F.col("event_id"), F.col("user_id"), F.col("matched_event_id"),
+        F.col("direction"), F.col("gap_us"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofNearestSql =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events WHERE event_type = 'purchase'),
+      |views AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events WHERE event_type = 'view'),
+      |m AS (
+      |  SELECT p.event_id, p.user_id, p.ts_us,
+      |    (SELECT v.event_id FROM views v WHERE v.user_id = p.user_id AND v.ts_us <= p.ts_us
+      |     ORDER BY v.ts_us DESC, v.event_id DESC LIMIT 1) AS prior_id,
+      |    (SELECT v.ts_us FROM views v WHERE v.user_id = p.user_id AND v.ts_us <= p.ts_us
+      |     ORDER BY v.ts_us DESC, v.event_id DESC LIMIT 1) AS prior_ts,
+      |    (SELECT v.event_id FROM views v WHERE v.user_id = p.user_id AND v.ts_us >= p.ts_us
+      |     ORDER BY v.ts_us ASC, v.event_id ASC LIMIT 1) AS next_id,
+      |    (SELECT v.ts_us FROM views v WHERE v.user_id = p.user_id AND v.ts_us >= p.ts_us
+      |     ORDER BY v.ts_us ASC, v.event_id ASC LIMIT 1) AS next_ts
+      |  FROM purchases p),
+      |c AS (
+      |  SELECT event_id, user_id,
+      |    prior_id IS NULL OR (next_id IS NOT NULL AND (next_ts - ts_us) < (ts_us - prior_ts)) AS use_next,
+      |    prior_id, next_id, ts_us - prior_ts AS gap_prior, next_ts - ts_us AS gap_next
+      |  FROM m)
+      |SELECT event_id, user_id,
+      |  CASE WHEN use_next THEN next_id ELSE prior_id END AS matched_event_id,
+      |  CASE WHEN prior_id IS NULL AND next_id IS NULL THEN NULL
+      |       WHEN use_next THEN 'next' ELSE 'prior' END AS direction,
+      |  CASE WHEN use_next THEN gap_next ELSE gap_prior END AS gap_us
+      |FROM c ORDER BY event_id""".stripMargin
+
   /** Forward as-of: each purchase matched to the user's NEXT view at or
     * after it — [[graft.operators.AsOf.asofJoinForward]]'s look-ahead
     * twin of q_asof_join, same one-shuffle union + running-last shape
@@ -3347,6 +3435,8 @@ object QueryCatalog {
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),
     Q("q_asof_forward", wrap(qAsofForward), Some(qAsofForwardSql)),
+    Q("q_asof_nearest", wrap(qAsofNearest), Some(qAsofNearestSql)),
+    Q("q_anomaly", wrap(qAnomaly), Some(qAnomalySql)),
     Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
     Q("q_map_funcs", wrap(qMapFuncs), Some(qMapFuncsSql)),
     Q("q_sessionize", wrap(qSessionize), Some(qSessionizeSql)),

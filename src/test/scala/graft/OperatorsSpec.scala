@@ -1145,6 +1145,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("nearest asof picks the min-gap side and resolves equal gaps to prior") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val left = Seq((1L, 1L, ts(100)), (2L, 1L, ts(5)), (3L, 2L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    // user 1: right at 90 (gap 10) and 105 (gap 5) -> next wins for
+    // left 100; for left 5 only later rows exist -> next; rights at 95
+    // and 105 around a left at 100 would tie -> prior (user 3 below)
+    val right = Seq(
+      (10L, 1L, ts(90)), (11L, 1L, ts(105)),
+      (20L, 2L, ts(45)), (21L, 2L, ts(55))
+    ).toDF("event_id", "user_id", "ts")
+    val out = graft.operators.AsOf.asofJoinNearest(
+        left, right, Seq("user_id"), "ts", "event_id", "event_id")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(out(1L) === ((11L, "next", 5000000L)))   // 5s gap beats 10s
+    assert(out(2L) === ((10L, "next", 85000000L)))  // nothing prior
+    assert(out(3L) === ((20L, "prior", 5000000L)))  // equal 5s gaps -> prior
+  }
+
   test("nearDuplicates pipeline: finds planted near-dup, rejects dissimilar") {
     val corpus = Seq(
       (0L, "spark is a unified analytics engine for large scale data processing with apis"),
