@@ -565,6 +565,72 @@ object QueryCatalog {
       |FROM b GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** Ordered conversion funnel: users who viewed, then clicked at or
+    * after their first view, then purchased at or after that click —
+    * the classic product-analytics query, as three chained min
+    * aggregations (each stage joins the previous stage's tiny per-user
+    * frontier, broadcast), never a per-user sort. Timestamps compare in
+    * exact micros.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(F.col("user_id"), F.col("event_type"),
+      F.unix_micros(F.col("ts")).as("t"))
+    def stage(types: String, after: DataFrame, name: String): DataFrame =
+      e.filter(F.col("event_type") === types)
+        .join(F.broadcast(after), Seq("user_id"))
+        .filter(F.col("t") >= F.col("t0"))
+        .groupBy("user_id").agg(F.min(F.col("t")).as(name))
+    val v = e.filter(F.col("event_type") === "view")
+      .groupBy("user_id").agg(F.min(F.col("t")).as("t1"))
+    val c = stage("click", v.select(F.col("user_id"), F.col("t1").as("t0")), "t2")
+    val p = stage("purchase", c.select(F.col("user_id"), F.col("t2").as("t0")), "t3")
+    val counts = Seq(
+      ("1_view", v), ("2_view_click", c), ("3_view_click_purchase", p))
+      .map { case (nm, df) =>
+        df.agg(F.count(F.lit(1)).as("users")).select(F.lit(nm).as("stage"), F.col("users"))
+      }
+    counts.reduce(_ unionByName _).orderBy("stage")
+  }
+
+  private val qFunnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events),
+      |v AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.t >= v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.t >= c.t2 GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, COUNT(*) AS users FROM v
+      |UNION ALL SELECT '2_view_click', COUNT(*) FROM c
+      |UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  /** Cohort retention: users bucketed by first-seen epoch day, activity
+    * counted at each day offset — the (cohort × offset) retention
+    * matrix in long form. Day arithmetic is integer epoch-day division;
+    * the per-user first-seen frontier joins back broadcast-small, and
+    * the distinct (user, day) reduction happens BEFORE the join, so
+    * event volume never reaches the cohort aggregation.
+    */
+  private def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(F.col("user_id"),
+      F.expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    val first = e.groupBy("user_id").agg(F.min(F.col("day")).as("cohort_day"))
+    e.join(F.broadcast(first), Seq("user_id"))
+      .groupBy(F.col("cohort_day"), (F.col("day") - F.col("cohort_day")).as("day_offset"))
+      .agg(F.count(F.lit(1)).as("users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val qCohortSql =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset, COUNT(*) AS users
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY f.cohort_day, e.day - f.cohort_day
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** Windowed anomaly detection with an INTEGER z-score: flag 5-minute
     * windows whose event count deviates from the type's mean by more
     * than two standard deviations — |n − s/m| > 2σ restated as
@@ -3437,6 +3503,8 @@ object QueryCatalog {
     Q("q_asof_forward", wrap(qAsofForward), Some(qAsofForwardSql)),
     Q("q_asof_nearest", wrap(qAsofNearest), Some(qAsofNearestSql)),
     Q("q_anomaly", wrap(qAnomaly), Some(qAnomalySql)),
+    Q("q_funnel", wrap(qFunnel), Some(qFunnelSql)),
+    Q("q_cohort", wrap(qCohort), Some(qCohortSql)),
     Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
     Q("q_map_funcs", wrap(qMapFuncs), Some(qMapFuncsSql)),
     Q("q_sessionize", wrap(qSessionize), Some(qSessionizeSql)),
