@@ -565,20 +565,23 @@ object QueryCatalog {
       |FROM b GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
-  /** Ordered conversion funnel: users who viewed, then clicked at or
-    * after their first view, then purchased at or after that click —
-    * the classic product-analytics query, as three chained min
-    * aggregations (each stage joins the previous stage's tiny per-user
-    * frontier, broadcast), never a per-user sort. Timestamps compare in
-    * exact micros.
+  /** Ordered conversion funnel with a 1-day step horizon: users who
+    * viewed, then clicked within a day of their first view, then
+    * purchased within a day of that click — the classic
+    * product-analytics query, as three chained min aggregations (each
+    * stage joins the previous stage's tiny per-user frontier,
+    * broadcast), never a per-user sort. Timestamps compare in exact
+    * micros; the horizon makes the stages discriminative
+    * (150 → 60 → 25 at sf0.01), not a vacuous all-pass.
     */
   private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val horizonUs = 86400000000L // 1 day
     val e = events(s, dir).select(F.col("user_id"), F.col("event_type"),
       F.unix_micros(F.col("ts")).as("t"))
     def stage(types: String, after: DataFrame, name: String): DataFrame =
       e.filter(F.col("event_type") === types)
         .join(F.broadcast(after), Seq("user_id"))
-        .filter(F.col("t") >= F.col("t0"))
+        .filter(F.col("t") >= F.col("t0") && F.col("t") < F.col("t0") + horizonUs)
         .groupBy("user_id").agg(F.min(F.col("t")).as(name))
     val v = e.filter(F.col("event_type") === "view")
       .groupBy("user_id").agg(F.min(F.col("t")).as("t1"))
@@ -597,9 +600,11 @@ object QueryCatalog {
       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events),
       |v AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
       |c AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN v ON e.user_id = v.user_id
-      |  WHERE e.event_type = 'click' AND e.t >= v.t1 GROUP BY e.user_id),
+      |  WHERE e.event_type = 'click' AND e.t >= v.t1 AND e.t < v.t1 + CAST(86400000000 AS BIGINT)
+      |  GROUP BY e.user_id),
       |p AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN c ON e.user_id = c.user_id
-      |  WHERE e.event_type = 'purchase' AND e.t >= c.t2 GROUP BY e.user_id)
+      |  WHERE e.event_type = 'purchase' AND e.t >= c.t2 AND e.t < c.t2 + CAST(86400000000 AS BIGINT)
+      |  GROUP BY e.user_id)
       |SELECT '1_view' AS stage, COUNT(*) AS users FROM v
       |UNION ALL SELECT '2_view_click', COUNT(*) FROM c
       |UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p
