@@ -565,6 +565,68 @@ object QueryCatalog {
       |FROM b GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** Term co-occurrence mining with rational LIFT ranking: for
+    * df-bounded "content" terms (N/20 <= df <= 0.9·N, RELATIVE bounds
+    * by integer cross-multiplication so the guard scales with the
+    * corpus — the vocabulary filter that bounds the per-doc pair
+    * blowup), the within-doc distinct pairs scored by
+    * lift = N·df(ab)/(df(a)·df(b)).
+    * The ratio is a fixed-shape IEEE division of exact integers
+    * (products < 2^53), so the ranking replays bit-identically — the
+    * keywords trick applied to association mining. Top-30 by lift with
+    * support >= 3; ties break on the pair itself.
+    *
+    * Scale shape: the df filter reduces the vocabulary BEFORE the
+    * per-doc pair join (a doc's qualifying-term list is bounded, so the
+    * quadratic pair expansion is per-doc bounded); pair counting is one
+    * partial-aggregated shuffle; the final cut is TakeOrderedAndProject.
+    */
+  private def qCooccur(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.GraftFunctions.register(s)
+    val terms = docs.select(F.col("doc_id"),
+        F.explode(F.array_distinct(TextFunctions.tokens(F.lower(F.col("text"))))).as("term"))
+    val n = docs.agg(F.count(F.lit(1)).as("n_docs"))
+    val df = terms.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+      .crossJoin(F.broadcast(n))
+      .filter(F.col("df") * 20 >= F.col("n_docs") &&
+        F.col("df") * 10 <= F.col("n_docs") * 9)
+      .select("term", "df")
+    val qual = terms.join(F.broadcast(df), Seq("term"))
+    val pairs = qual.select(F.col("doc_id"), F.col("term").as("a"), F.col("df").as("dfa"))
+      .join(qual.select(F.col("doc_id"), F.col("term").as("b"), F.col("df").as("dfb")),
+        Seq("doc_id"))
+      .filter(F.col("a") < F.col("b"))
+      .groupBy("a", "b", "dfa", "dfb")
+      .agg(F.count(F.lit(1)).as("support"))
+      .filter(F.col("support") >= 3)
+    pairs.crossJoin(F.broadcast(n))
+      .withColumn("lift",
+        (F.col("support") * F.col("n_docs")).cast("double") /
+          (F.col("dfa") * F.col("dfb")).cast("double"))
+      .select("a", "b", "support", "lift")
+      .orderBy(F.col("lift").desc, F.col("a").asc, F.col("b").asc)
+      .limit(30)
+  }
+
+  private val qCooccurSql =
+    """WITH terms AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents WHERE trim(lower(text)) <> ''),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |df AS (SELECT term, df FROM (SELECT term, COUNT(*) AS df FROM terms GROUP BY term) CROSS JOIN n
+      |  WHERE df * 20 >= n_docs AND df * 10 <= n_docs * 9),
+      |qual AS (SELECT t.doc_id, t.term, df.df FROM terms t JOIN df USING (term)),
+      |pairs AS (
+      |  SELECT x.term AS a, y.term AS b, x.df AS dfa, y.df AS dfb, COUNT(*) AS support
+      |  FROM qual x JOIN qual y ON x.doc_id = y.doc_id AND x.term < y.term
+      |  GROUP BY x.term, y.term, x.df, y.df
+      |  HAVING COUNT(*) >= 3)
+      |SELECT a, b, support,
+      |  CAST(support * n_docs AS DOUBLE) / CAST(dfa * dfb AS DOUBLE) AS lift
+      |FROM pairs CROSS JOIN n
+      |ORDER BY lift DESC, a ASC, b ASC LIMIT 30""".stripMargin
+
   /** Ordered conversion funnel with a 1-day step horizon: users who
     * viewed, then clicked within a day of their first view, then
     * purchased within a day of that click — the classic
@@ -3509,6 +3571,7 @@ object QueryCatalog {
     Q("q_asof_nearest", wrap(qAsofNearest), Some(qAsofNearestSql)),
     Q("q_anomaly", wrap(qAnomaly), Some(qAnomalySql)),
     Q("q_funnel", wrap(qFunnel), Some(qFunnelSql)),
+    Q("q_cooccur", wrap(qCooccur), Some(qCooccurSql)),
     Q("q_cohort", wrap(qCohort), Some(qCohortSql)),
     Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
     Q("q_map_funcs", wrap(qMapFuncs), Some(qMapFuncsSql)),
