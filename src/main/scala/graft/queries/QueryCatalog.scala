@@ -672,6 +672,62 @@ object QueryCatalog {
       |UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p
       |ORDER BY stage""".stripMargin
 
+  /** SCD2-style run compression: collapse each user's event stream into
+    * validity intervals — one row per RUN of consecutive identical
+    * event types, with exact-micros `valid_from`/`valid_to` (null open
+    * end) — the change-data-capture / slowly-changing-dimension build
+    * every warehouse pipeline owns. LAG marks run starts, a running
+    * count over the change flags numbers the runs (both over the same
+    * total (ts, event_id) order — ONE shuffle on user_id, window reuse),
+    * and a per-run aggregate emits the interval plus its row count.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(F.col("ts_us").asc, F.col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = events(s, dir)
+      .filter(F.col("user_id") < 30)
+      .select(F.col("user_id"), F.col("event_id"), F.col("event_type"),
+        F.unix_micros(F.col("ts")).as("ts_us"))
+      .withColumn("chg",
+        F.when(F.lag("event_type", 1).over(w).isNull ||
+          F.lag("event_type", 1).over(w) =!= F.col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", F.sum("chg").over(wRun))
+    marked
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(F.min(F.col("ts_us")).as("valid_from"),
+        F.count(F.lit(1)).as("n_events"))
+      .withColumn("valid_to",
+        F.lead("valid_from", 1).over(
+          Window.partitionBy("user_id").orderBy(F.col("run_id").asc)))
+      .select("user_id", "run_id", "event_type", "valid_from", "valid_to", "n_events")
+      .orderBy("user_id", "run_id")
+  }
+
+  private val qScd2Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events WHERE user_id < 30),
+      |m AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |r AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM m),
+      |runs AS (
+      |  SELECT user_id, run_id, event_type,
+      |    MIN(ts_us) AS valid_from, COUNT(*) AS n_events
+      |  FROM r GROUP BY user_id, run_id, event_type)
+      |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type, valid_from,
+      |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+      |  n_events
+      |FROM runs ORDER BY user_id, run_id""".stripMargin
+
   /** Cohort retention: users bucketed by first-seen epoch day, activity
     * counted at each day offset — the (cohort × offset) retention
     * matrix in long form. Day arithmetic is integer epoch-day division;
@@ -3573,6 +3629,7 @@ object QueryCatalog {
     Q("q_funnel", wrap(qFunnel), Some(qFunnelSql)),
     Q("q_cooccur", wrap(qCooccur), Some(qCooccurSql)),
     Q("q_cohort", wrap(qCohort), Some(qCohortSql)),
+    Q("q_scd2", wrap(qScd2), Some(qScd2Sql)),
     Q("q_json_extract", wrap(qJsonExtract), Some(qJsonExtractSql)),
     Q("q_map_funcs", wrap(qMapFuncs), Some(qMapFuncsSql)),
     Q("q_sessionize", wrap(qSessionize), Some(qSessionizeSql)),
