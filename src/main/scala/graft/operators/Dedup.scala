@@ -338,9 +338,18 @@ object Dedup {
 
   /** SimHash completed into a dedup path: banded candidate generation
     * over the 64-bit signatures (four 16-bit bands — two per 32-bit
-    * half; Hamming-close signatures must collide in at least one band
-    * whenever fewer than 4 differing bits spread across bands), then
-    * EXACT Hamming verification `popcount(xor)` on each candidate pair.
+    * half), then EXACT Hamming verification `popcount(xor)` on each
+    * candidate pair.
+    *
+    * RECALL CONTRACT: by pigeonhole, a band collision is GUARANTEED
+    * only for Hamming distance <= 3; pairs at distance 4..maxHamming
+    * whose differing bits spread across all four bands never share a
+    * bucket and are (deliberately) not emitted — the standard LSH
+    * candidate-generation trade, NOT a completeness bound. The default
+    * maxHamming=6 keeps verification permissive for the pairs the
+    * bands do surface; callers needing guaranteed-complete distance-k
+    * output for k > 3 must widen the bands (8 bands of 8 bits
+    * guarantees k <= 7) rather than raise maxHamming.
     *
     * Scale shape: the classic signature-LSH split — the corpus shuffles
     * 4 slim (band, key16, id, sig) rows per doc, the self-join meets

@@ -573,6 +573,25 @@ object Similarity {
       (code, err)
     }
 
+  /** Per-subspace ADC lookup-table columns over a quantized-vector
+    * attribute `qv`: lut_s[j] = |q_s − c_{s,j}|² as exact BIGINTs —
+    * the query-side twin of [[pqCodeCols]], shared by [[pqAdcTopK]]
+    * and [[ivfPqTopK]] so the formula the oracles replay bit-for-bit
+    * lives in exactly one place.
+    */
+  private def pqLutCols(
+      samples: Seq[Seq[Long]], m: Int, dsub: Int): Seq[Column] =
+    (0 until m).map { sIdx =>
+      def qs = F.slice(F.col("qv"), sIdx * dsub + 1, dsub)
+      F.array(samples.indices.map { j =>
+        val c = samples(j).slice(sIdx * dsub, (sIdx + 1) * dsub)
+        val c2 = c.map(v => v * v).sum
+        // |q_s|^2 + |c_j|^2 - 2 q_s.c_j = |q_s - c_j|^2, all BIGINT
+        VectorFunctions.dotL(qs, qs) + F.lit(c2) -
+          F.lit(2L) * VectorFunctions.dotL(qs, F.typedlit(c))
+      }: _*).as(s"lut_$sIdx")
+    }
+
   def pqCodes(
       corpus: DataFrame,
       m: Int = 4,
@@ -620,27 +639,22 @@ object Similarity {
       maxBroadcastQueries: Long = 100000L,
       querySizeHint: Option[Long] = None): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
+    // ONE sampling action serves both the code assignment and the LUTs
+    // (calling pqCodes here would re-run the identical deterministic
+    // sample — a second full corpus scan for bytes-equal centroids)
     val samples = sampleCentroids(corpus, ksub, idCol, vecCol)
     require(samples.nonEmpty, "pqAdcTopK needs a non-empty corpus")
     val dims = samples.head.length
     require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
     val dsub = dims / m
-    val codes = pqCodes(corpus, m, ksub, idCol, vecCol)
-      .withColumnRenamed(idCol, "neighbor_id")
-      .drop("qerr")
+    val codes = corpus
+      .select(F.col(idCol).as("neighbor_id"),
+        VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .select(F.col("neighbor_id") +: pqCodeCols(samples, m, dsub).map(_._1): _*)
     val withLuts = queries
       .select(F.col(idCol).as("query_id"),
         VectorFunctions.quantize(F.col(vecCol)).as("qv"))
-      .select(F.col("query_id") +: (0 until m).map { sIdx =>
-        def qs = F.slice(F.col("qv"), sIdx * dsub + 1, dsub)
-        F.array((0 until samples.length).map { j =>
-          val c = samples(j).slice(sIdx * dsub, (sIdx + 1) * dsub)
-          val c2 = c.map(v => v * v).sum
-          // |q_s|^2 + |c_j|^2 - 2 q_s.c_j = |q_s - c_j|^2, all BIGINT
-          VectorFunctions.dotL(qs, qs) + F.lit(c2) -
-            F.lit(2L) * VectorFunctions.dotL(qs, F.typedlit(c))
-        }: _*).as(s"lut_$sIdx")
-      }: _*)
+      .select(F.col("query_id") +: pqLutCols(samples, m, dsub): _*)
     val qSmall = querySizeHint.getOrElse(queries.count()) <= maxBroadcastQueries
     val dist = (0 until m)
       .map(s => F.element_at(F.col(s"lut_$s"), F.col(s"code_$s") + 1))
@@ -716,15 +730,7 @@ object Similarity {
               (s, i) => F.struct((-s).as("neg"), i.as("idx")))),
           x => x.getField("idx")),
         1, nprobe)))
-      .select(F.col("query_id") +: F.col("cell") +: (0 until m).map { sIdx =>
-        def qs = F.slice(F.col("qv"), sIdx * dsub + 1, dsub)
-        F.array(samples.indices.map { j =>
-          val c = samples(j).slice(sIdx * dsub, (sIdx + 1) * dsub)
-          val c2 = c.map(v => v * v).sum
-          VectorFunctions.dotL(qs, qs) + F.lit(c2) -
-            F.lit(2L) * VectorFunctions.dotL(qs, F.typedlit(c))
-        }: _*).as(s"lut_$sIdx")
-      }: _*)
+      .select(F.col("query_id") +: F.col("cell") +: pqLutCols(samples, m, dsub): _*)
     val qSmall = querySizeHint.getOrElse(queries.count()) <= maxBroadcastQueries
     val dist = (0 until m)
       .map(s => F.element_at(F.col(s"lut_$s"), F.col(s"code_$s") + 1))

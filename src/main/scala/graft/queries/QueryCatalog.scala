@@ -2937,7 +2937,12 @@ object QueryCatalog {
 
   /** Shared CTE header + unrolled merge blocks of the BPE oracles:
     * doc-level tokens, weighted vocab, char-split encoding, and one
-    * (count pairs → pick top → apply replace) block per merge.
+    * (count pairs → pick top → apply replace) block per merge. The
+    * merge application LEFT JOINs the (possibly empty) top-pair row
+    * and falls back to the unchanged encoding — when the corpus
+    * exhausts before the requested merges, the vocabulary survives
+    * untouched, mirroring the Spark loop's early stop (a CROSS JOIN
+    * would silently empty v_i..v_N and grade every doc as zero).
     */
   private def bpeOracleCtes(merges: Int): String = {
     val blocks = (1 to merges).map { i =>
@@ -2950,10 +2955,12 @@ object QueryCatalog {
          |  GROUP BY pair),
          |b_$i AS (SELECT pair, cnt FROM p_$i ORDER BY cnt DESC, pair LIMIT 1),
          |v_$i AS (
-         |  SELECT w, n, replace(enc,
+         |  SELECT w, n,
+         |    CASE WHEN sp IS NULL THEN enc
+         |    ELSE replace(enc,
          |      chr(1) || sp[1] || chr(1) || chr(1) || sp[2] || chr(1),
-         |      chr(1) || sp[1] || sp[2] || chr(1)) AS enc
-         |  FROM $prev CROSS JOIN (SELECT string_split(pair, ' ') AS sp FROM b_$i))""".stripMargin
+         |      chr(1) || sp[1] || sp[2] || chr(1)) END AS enc
+         |  FROM $prev LEFT JOIN (SELECT string_split(pair, ' ') AS sp FROM b_$i) ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""dtoks AS (
        |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t

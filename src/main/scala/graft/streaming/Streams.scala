@@ -175,15 +175,9 @@ object Streams {
       events: DataFrame,
       window: String = "5 minutes",
       lateness: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", lateness)
-      .groupBy(F.window(F.col("ts"), window), F.col("event_type"))
-      .agg(
-        F.count(F.lit(1)).as("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).as("sum_value"))
-      .select(
-        F.col("window.start").as("win_start"),
-        F.col("event_type"), F.col("n"), F.col("sum_value"))
+    // tumbling is the slide == window special case; one body owns the
+    // watermark/agg/projection contract for both streaming twins
+    slidingEventCounts(events, window, window, lateness)
 
   /** Sliding-window variant of [[windowedEventCounts]]: overlapping
     * windows every `slide`, the streaming twin of the batch q_sliding
