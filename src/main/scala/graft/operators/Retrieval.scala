@@ -202,8 +202,53 @@ object Retrieval {
       docs: DataFrame,
       merges: Int = 5,
       textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    subwordCountsFromVocab(docs, bpeCore(docs, merges, textCol)._2, textCol, idCol)
+
+  /** Apply a GIVEN merge table — the production tokenizer shape: train
+    * once ([[bpeTrain]]), persist the merge list, apply it to any
+    * corpus without retraining. Each merge is one map-only string
+    * replace over the (word, count) vocabulary of THIS corpus (no pair
+    * counting, no driver argmax — a pipeline of N narrow
+    * transformations), then the per-doc subword accounting of
+    * [[bpeEncode]].
+    *
+    * Ordering contract: merges apply in the given order, each seeing
+    * the previous merges' output — identical to the trainer's own
+    * application, so `bpeApply(docs, bpeTrain(docs, n) pairs)` equals
+    * `bpeEncode(docs, n)` (pinned in OperatorsSpec).
+    */
+  def bpeApply(
+      docs: DataFrame,
+      mergeTable: Seq[String],
+      textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val (_, vocab) = bpeCore(docs, merges, textCol)
+    graft.GraftFunctions.register(docs.sparkSession)
+    val sep = "\u0001"
+    val sep2 = sep + sep
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val vocab0 = docs.select(F.explode(toks).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("w"), F.col("n"),
+        F.concat(F.lit(sep),
+          F.array_join(F.split(F.col("w"), ""), sep2), F.lit(sep)).as("enc"))
+    val vocab = mergeTable.foldLeft(vocab0) { (v, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      v.withColumn("enc",
+        F.call_function("replace", F.col("enc"),
+          F.lit(sep + a + sep2 + b + sep), F.lit(sep + a + b + sep)))
+    }
+    subwordCountsFromVocab(docs, vocab, textCol, idCol)
+  }
+
+  /** Per-doc (n_tokens, n_subwords) from a separator-encoded vocab —
+    * the shared accounting tail of [[bpeEncode]] and [[bpeApply]].
+    */
+  private def subwordCountsFromVocab(
+      docs: DataFrame,
+      vocab: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
     val sep2 = "\u0001\u0001"
     val wsub = vocab.select(F.col("w"),
       F.size(F.split(F.expr("substring(enc, 2, length(enc) - 2)"), sep2))

@@ -167,6 +167,39 @@ object Streams {
         catalog.append(corpusTable, admitted.select("doc_id", "text"))
       }
 
+  /** Streaming ANN serving: each micro-batch of query vectors is
+    * answered from the PERSISTED LSH bucket index
+    * ([[graft.operators.Similarity.lshBucketTable]]) — the online half
+    * of the offline-index/online-probe split. Results append to a
+    * results table via `sink`; the index is read per batch so an index
+    * refresh between batches is picked up without restarting the
+    * stream.
+    *
+    * Scale shape: the corpus appears only through its bucket index
+    * (slim (id, bucket, qv) rows); each batch is a bounded query set
+    * that broadcasts into the bucket join exactly as in the batch
+    * path — serving shares ALL its semantics with
+    * [[graft.operators.Similarity.lshTopKFromIndex]], so batch-graded
+    * correctness carries over to the stream.
+    */
+  def streamingAnnServe(
+      queries: DataFrame,
+      index: () => DataFrame,
+      checkpoint: String,
+      k: Int = 5,
+      bits: Int = 8,
+      dims: Int = 64)(
+      sink: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.operators.Similarity.lshTopKFromIndex(
+            index(), batch, k, bits, dims = dims))
+        }
+      }
+
   /** Watermarked tumbling-window aggregation over an event stream:
     * count + decimal-exact value sum per (window, event_type). Late data
     * beyond `lateness` is dropped; state is bounded by the watermark.

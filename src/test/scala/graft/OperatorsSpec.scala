@@ -1283,6 +1283,21 @@ class OperatorsSpec extends SparkSpec {
     assert(counts(2) === Seq((0L, 3L, 3L), (1L, 0L, 0L)))
   }
 
+  test("bpeApply with the trained merge table equals bpeEncode") {
+    val docs = Seq((0L, "abab abab cd cd cd"), (1L, "cd abab")).toDF("doc_id", "text")
+    val learned = graft.operators.Retrieval.bpeTrain(docs, merges = 3)
+      .orderBy("step").collect().map(_.getString(1)).toSeq
+    val direct = graft.operators.Retrieval.bpeEncode(docs, merges = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val applied = graft.operators.Retrieval.bpeApply(docs, learned)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(applied === direct)
+    // and on a DIFFERENT corpus the persisted table still applies
+    val other = Seq((9L, "abab cdcd")).toDF("doc_id", "text")
+    val o = graft.operators.Retrieval.bpeApply(other, learned).collect()(0)
+    assert(o.getLong(1) === 2L) // 2 tokens, subwords reflect the merges
+  }
+
   test("duplicatedSpans surfaces shared boilerplate with bounded doc samples") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over it"),

@@ -123,6 +123,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) == 1L))
   }
 
+  test("streaming ANN serving answers each micro-batch from the persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+    graft.operators.Similarity.lshBucketTable(corpus, bits = 2, dims = 16)
+      .write.mode("overwrite").parquet(s"$dir/index")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = graft.streaming.Streams.streamingAnnServe(
+        input.toDF().toDF("vec_id", "embedding"),
+        () => spark.read.parquet(s"$dir/index"),
+        checkpoint = s"$dir/ckpt", k = 3, bits = 2, dims = 16) { out =>
+      served ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    }.start()
+    val queries = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    input.addData(queries(0), queries(1))
+    q.processAllAvailable()
+    val afterBatch1 = served.size
+    input.addData(queries(2))
+    q.processAllAvailable()
+    q.stop()
+    assert(afterBatch1 > 0 && served.size > afterBatch1, "both batches served")
+    // stream results equal the batch path on the same index
+    val batchExpected = graft.operators.Similarity.lshTopKFromIndex(
+        spark.read.parquet(s"$dir/index"),
+        corpus.filter($"vec_id" < 3), k = 3, bits = 2, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(served.toSet === batchExpected)
+  }
+
   test("sessionize closes sessions after the event-time gap and expires state") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.SessionEvent]
