@@ -324,6 +324,59 @@ object Dedup {
       .select(F.col("a"), F.col("b"), F.col("inter"), F.col("uni"))
   }
 
+  /** MinHash estimator-quality report: for every LSH candidate pair,
+    * the SIGNATURE agreement (matching components of the 64-hash
+    * sketch — the unbiased Jaccard estimator LSH actually acts on)
+    * beside the EXACT shingle-set Jaccard, plus the integer-checked
+    * error bound |est/64 − inter/uni| ≤ `boundNum/boundDen` stated as
+    * |est·uni·boundDen − 64·inter·boundDen| ≤ boundNum·64·uni — the
+    * same "approx graded against exact" discipline as the HLL and
+    * quantile-sketch reports, applied to the dedup sketch.
+    *
+    * Scale shape: signatures and shingle sets are built only for
+    * candidate-pair members (semi-join pruned), agreement is a bounded
+    * 64-element fold per pair, and the exact side reuses
+    * [[verifyJaccardPairs]]' machinery with the threshold open.
+    */
+  def minhashEstimatePairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleLen: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      boundNum: Int = 1,
+      boundDen: Int = 4): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val cands = minhashCandidatesMd5(docs, textCol, idCol, shingleLen, numHashes, bands)
+    val exact = verifyJaccardPairs(cands, docs, textCol, idCol, shingleLen,
+      minJaccardNum = 0, minJaccardDen = 1)
+    val norm = F.regexp_replace(F.lower(F.trim(F.col(textCol))), "\\s+", " ")
+    val candIds = cands.select(F.col("a").as("id"))
+      .union(cands.select(F.col("b").as("id"))).distinct()
+    val sigs = docs.select(F.col(idCol).as("id"), F.col(textCol))
+      .join(candIds, Seq("id"), "leftsemi")
+      .select(F.col("id"),
+        graft.functions.Hashing.md5MinhashSig(norm, shingleLen, numHashes).as("sig"))
+    exact
+      .join(sigs.toDF("a", "siga"), Seq("a"))
+      .join(sigs.toDF("b", "sigb"), Seq("b"))
+      // interpreted-HOF audit: the zip_with lambda compares ELEMENTS of
+      // the two sig attributes — 64 equality checks per pair, intended
+      .withColumn("est",
+        F.aggregate(
+          F.zip_with(F.col("siga"), F.col("sigb"),
+            (x, y) => F.when(x === y, 1L).otherwise(0L)),
+          F.lit(0L), (acc, x) => acc + x))
+      .withColumn("ok",
+        F.abs(F.col("est") * F.col("uni") * boundDen -
+          F.lit(numHashes.toLong) * F.col("inter") * boundDen) <=
+          F.lit(boundNum.toLong * numHashes) * F.col("uni"))
+      .select(F.col("a"), F.col("b"), F.col("est"),
+        F.col("inter").cast("long").as("inter"),
+        F.col("uni").cast("long").as("uni"), F.col("ok"))
+  }
+
   /** Engine-reproducible SimHash (md5 per-token hashes, two unsigned
     * 32-bit signature halves) — the graded counterpart of [[simhash]].
     */

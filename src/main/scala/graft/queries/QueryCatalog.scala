@@ -3272,6 +3272,35 @@ object QueryCatalog {
        |SELECT a, b, inter, uni FROM jac WHERE inter * 2 >= uni * 1
        |ORDER BY a, b""".stripMargin
 
+  /** MinHash estimator quality, graded: per LSH candidate pair, the
+    * 64-component signature agreement beside the exact shingle-set
+    * Jaccard, with the ±1/4 error bound checked by integer
+    * cross-multiplication — the approx-beside-exact discipline (HLL,
+    * quantile sketch) applied to the dedup sketch itself.
+    */
+  private def qMinhashEst(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minhashEstimatePairs(t(s, dir, "documents"))
+      .orderBy("a", "b")
+
+  private val qMinhashEstSql =
+    s"""$minhashMd5CandidateCte,
+       |est AS (SELECT c.a, c.b, CAST(COUNT(*) FILTER (ma.v = mb.v) AS BIGINT) AS est
+       |  FROM cand c
+       |  JOIN mh ma ON ma.doc_id = c.a
+       |  JOIN mh mb ON mb.doc_id = c.b AND mb.j = ma.j
+       |  GROUP BY c.a, c.b),
+       |jac AS (SELECT c.a, c.b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+       |    len(sa.shingles) + len(sb.shingles)
+       |      - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b)
+       |SELECT j.a, j.b, e.est, CAST(j.inter AS BIGINT) AS inter, CAST(j.uni AS BIGINT) AS uni,
+       |  abs(e.est * j.uni * 4 - 64 * j.inter * 4) <= 1 * 64 * j.uni AS ok
+       |FROM jac j JOIN est e ON e.a = j.a AND e.b = j.b
+       |ORDER BY j.a, j.b""".stripMargin
+
   /** Edit-distance verification tier over the LSH candidate pairs — the
     * third verify metric beside n-gram Jaccard and quantized cosine:
     * exact Levenshtein distance (both engines implement the standard
@@ -3667,6 +3696,7 @@ object QueryCatalog {
     Q("q_pack_bins", wrap(qPackBins), Some(qPackBinsSql)),
     Q("q_curate", wrap(qCurate), Some(qCurateSql)),
     Q("q_minhash_pairs", wrap(qMinhashPairs), Some(qMinhashPairsSql)),
+    Q("q_minhash_est", wrap(qMinhashEst), Some(qMinhashEstSql)),
     Q("q_editdist_pairs", wrap(qEditDist), Some(qEditDistSql)),
     Q("q_window_ntile", wrap(qWindowNtile), Some(qWindowNtileSql)),
     Q("q_window_lead", wrap(qWindowLead), Some(qWindowLeadSql)),
