@@ -68,15 +68,14 @@ object AsOf {
     * ('prior'/'next', null when no right row exists on the key) +
     * `gap_us` (exact micros).
     *
-    * REQUIRES unique right ids (true of any id column): the gap lookup
-    * re-joins the matched id against the slim (right id, ts)
-    * projection.
-    *
     * Scale shape: two one-shuffle as-of passes (the shared union +
-    * running-last core) plus id-equi-joins on slim id→ts projections —
-    * still no pair explosion, no range join; every join key is an id,
-    * so AQE broadcast-promotes the small sides at typical
-    * query-vs-state skews.
+    * running-last core) joined once on the left id. The matched row's
+    * ts rides the SAME running-last window frame as its id (both are
+    * non-null exactly on right rows, so `last(..., ignoreNulls)` picks
+    * them from the same row) — no re-join against the right table, so
+    * duplicate right ids cannot fan out left rows and the right id's
+    * type never crosses a coercion boundary. Still no pair explosion,
+    * no range join.
     */
   def asofJoinNearest(
       left: DataFrame,
@@ -86,18 +85,17 @@ object AsOf {
       leftIdCol: String,
       rightIdCol: String): DataFrame = {
     val keys = keyCols.map(F.col)
-    val back = asofJoin(left, right, keyCols, tsCol, leftIdCol, rightIdCol)
+    val back = asofImpl(left, right, keyCols, tsCol, leftIdCol, rightIdCol,
+        forward = false, withMatchedTs = true)
       .select(keys ++ Seq(F.col(leftIdCol),
         F.unix_micros(F.col(tsCol)).as("__lts"),
-        F.col(s"matched_$rightIdCol").as("__prior")): _*)
-    val fwd = asofJoinForward(left, right, keyCols, tsCol, leftIdCol, rightIdCol)
-      .select(F.col(leftIdCol), F.col(s"matched_$rightIdCol").as("__next"))
-    val rts = right.select(F.col(rightIdCol).cast("long"),
-      F.unix_micros(F.col(tsCol)))
-    val j = back
-      .join(fwd, Seq(leftIdCol))
-      .join(rts.toDF("__prior", "__pts"), Seq("__prior"), "left")
-      .join(rts.toDF("__next", "__nts"), Seq("__next"), "left")
+        F.col(s"matched_$rightIdCol").as("__prior"),
+        F.col("__matched_ts_us").as("__pts")): _*)
+    val fwd = asofImpl(left, right, keyCols, tsCol, leftIdCol, rightIdCol,
+        forward = true, withMatchedTs = true)
+      .select(F.col(leftIdCol), F.col(s"matched_$rightIdCol").as("__next"),
+        F.col("__matched_ts_us").as("__nts"))
+    val j = back.join(fwd, Seq(leftIdCol))
     val gapPrior = F.col("__lts") - F.col("__pts")
     val gapNext = F.col("__nts") - F.col("__lts")
     val useNext = F.col("__prior").isNull ||
@@ -120,28 +118,35 @@ object AsOf {
       tsCol: String,
       leftIdCol: String,
       rightIdCol: String,
-      forward: Boolean): DataFrame = {
+      forward: Boolean,
+      withMatchedTs: Boolean = false): DataFrame = {
     val keys = keyCols.map(F.col)
     val l = left.select(keys ++ Seq(
       F.col(tsCol).as("__ts"), F.lit(1).as("__side"),
       F.col(leftIdCol).cast("long").as("__lid"),
-      F.lit(null).cast("long").as("__rid")): _*)
+      F.lit(null).cast("long").as("__rid"),
+      F.lit(null).cast("long").as("__rts")): _*)
     val r = right.select(keys ++ Seq(
       F.col(tsCol).as("__ts"), F.lit(0).as("__side"),
       F.lit(null).cast("long").as("__lid"),
-      F.col(rightIdCol).cast("long").as("__rid")): _*)
+      F.col(rightIdCol).cast("long").as("__rid"),
+      F.unix_micros(F.col(tsCol)).as("__rts")): _*)
     val (tsOrd, ridOrd) =
       if (forward) (F.col("__ts").desc, F.col("__rid").desc)
       else (F.col("__ts").asc, F.col("__rid").asc)
     val w = Window.partitionBy(keys: _*)
       .orderBy(tsOrd, F.col("__side").asc, ridOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("__matched", F.last(F.col("__rid"), ignoreNulls = true).over(w))
+      .withColumn("__matched_ts_us",
+        F.last(F.col("__rts"), ignoreNulls = true).over(w))
       .filter(F.col("__side") === 1)
-      .select(keys ++ Seq(
-        F.col("__lid").as(leftIdCol),
-        F.col("__ts").as(tsCol),
-        F.col("__matched").as(s"matched_$rightIdCol")): _*)
+    val base = keys ++ Seq(
+      F.col("__lid").as(leftIdCol),
+      F.col("__ts").as(tsCol),
+      F.col("__matched").as(s"matched_$rightIdCol"))
+    matched.select(
+      (if (withMatchedTs) base :+ F.col("__matched_ts_us") else base): _*)
   }
 }

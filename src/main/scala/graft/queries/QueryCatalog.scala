@@ -534,8 +534,8 @@ object QueryCatalog {
       |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
       |  FROM events WHERE user_id < 30)
       |SELECT user_id, event_id, ts_us,
-      |  SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_s
-      |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS sum_10m
+      |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_s
+      |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_10m
       |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin
 
   /** Tumbling-window aggregation over event time — the BATCH twin of
@@ -730,16 +730,19 @@ object QueryCatalog {
 
   /** Cohort retention: users bucketed by first-seen epoch day, activity
     * counted at each day offset — the (cohort × offset) retention
-    * matrix in long form. Day arithmetic is integer epoch-day division;
-    * the per-user first-seen frontier joins back broadcast-small, and
-    * the distinct (user, day) reduction happens BEFORE the join, so
-    * event volume never reaches the cohort aggregation.
+    * matrix in long form. Day arithmetic is integer epoch-day division
+    * and the distinct (user, day) reduction happens BEFORE the join, so
+    * event volume never reaches the cohort aggregation. The per-user
+    * first-seen frontier is one row per user — NOT broadcast-hinted
+    * (at production user cardinality it exceeds broadcast capacity);
+    * the join shuffles on user_id, the same key `e` was just
+    * aggregated on, and AQE promotes it to broadcast when small.
     */
   private def qCohort(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).select(F.col("user_id"),
       F.expr("unix_micros(ts) div 86400000000").as("day")).distinct()
     val first = e.groupBy("user_id").agg(F.min(F.col("day")).as("cohort_day"))
-    e.join(F.broadcast(first), Seq("user_id"))
+    e.join(first, Seq("user_id"))
       .groupBy(F.col("cohort_day"), (F.col("day") - F.col("cohort_day")).as("day_offset"))
       .agg(F.count(F.lit(1)).as("users"))
       .orderBy("cohort_day", "day_offset")
@@ -1361,6 +1364,10 @@ object QueryCatalog {
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.duplicatedSpans(
       t(s, dir, "documents"), n = 5, minDocs = 2, topK = 20, maxSample = 5)
+      // graded as a CSV string — the driver's pandas row sort cannot
+      // hash array cells; the operator API stays array-typed
+      .withColumn("sample_docs",
+        F.expr("array_join(transform(sample_docs, x -> cast(x as string)), ',')"))
 
   private val qDupSpansSql =
     """WITH toks AS (
@@ -1374,7 +1381,8 @@ object QueryCatalog {
       |  SELECT span, COUNT(*) AS n_docs,
       |    list_slice(list(doc_id ORDER BY doc_id), 1, 5) AS sample_docs
       |  FROM dg GROUP BY span)
-      |SELECT span, n_docs, sample_docs FROM agg WHERE n_docs >= 2
+      |SELECT span, n_docs, array_to_string(sample_docs, ',') AS sample_docs
+      |FROM agg WHERE n_docs >= 2
       |ORDER BY n_docs DESC, span ASC LIMIT 20""".stripMargin
 
   /** Intra-document repetition removal, graded end to end: block dedup
@@ -1609,7 +1617,7 @@ object QueryCatalog {
       |                       chunk_text := array_to_string(t[ss[i]+1:ss[i]+50], ' '))) AS cs
       |  FROM starts),
       |flat AS (SELECT doc_id, unnest(cs) AS u FROM chunks)
-      |SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_text AS chunk_text,
+      |SELECT doc_id, CAST(u.chunk_id AS INTEGER) AS chunk_id, u.chunk_text AS chunk_text,
       |  CAST(CASE WHEN trim(u.chunk_text) = '' THEN 0
       |       ELSE len(regexp_split_to_array(trim(u.chunk_text), '\s+')) END AS BIGINT) AS n_tokens
       |FROM flat ORDER BY doc_id, chunk_id""".stripMargin
@@ -2851,6 +2859,10 @@ object QueryCatalog {
     */
   private def qInverted(s: SparkSession, dir: String): DataFrame =
     Retrieval.invertedIndex(t(s, dir, "documents"), maxPostings = 5)
+      // graded as a CSV string — the driver's pandas row sort cannot
+      // hash array cells; the operator API stays array-typed
+      .withColumn("postings",
+        F.expr("array_join(transform(postings, x -> cast(x as string)), ',')"))
       .orderBy("term")
 
   private val qInvertedSql =
@@ -2860,7 +2872,7 @@ object QueryCatalog {
       |  FROM documents),
       |terms AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
       |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-      |  list_slice(list(doc_id ORDER BY doc_id), 1, 5) AS postings
+      |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',') AS postings
       |FROM terms GROUP BY term ORDER BY term""".stripMargin
 
   /** BM25-family retrieval scoring for a fixed 3-term query, graded to

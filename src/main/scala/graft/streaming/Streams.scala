@@ -171,12 +171,20 @@ object Streams {
     * answered from the PERSISTED LSH bucket index
     * ([[graft.operators.Similarity.lshBucketTable]]) — the online half
     * of the offline-index/online-probe split. Results append to a
-    * results table via `sink`; the index is read per batch so an index
-    * refresh between batches is picked up without restarting the
-    * stream.
+    * results table via `sink`.
+    *
+    * The index is CACHED across micro-batches (persisted on first use)
+    * and re-read only when `indexVersion()` changes — at real index
+    * sizes a per-batch full re-scan is a serving tax, so freshness is
+    * an explicit, bounded contract: publish a new index, bump the
+    * version (a catalog table version, an epoch stamp in a _VERSION
+    * file, ...), and the NEXT batch atomically swaps to it (old cache
+    * unpersisted). The default version is constant = a static index,
+    * cached for the stream's lifetime.
     *
     * Scale shape: the corpus appears only through its bucket index
-    * (slim (id, bucket, qv) rows); each batch is a bounded query set
+    * (slim (id, bucket, qv) rows) and that index is scanned ONCE per
+    * version, not once per batch; each batch is a bounded query set
     * that broadcasts into the bucket join exactly as in the batch
     * path — serving shares ALL its semantics with
     * [[graft.operators.Similarity.lshTopKFromIndex]], so batch-graded
@@ -188,17 +196,30 @@ object Streams {
       checkpoint: String,
       k: Int = 5,
       bits: Int = 8,
-      dims: Int = 64)(
-      sink: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+      dims: Int = 64,
+      indexVersion: () => Long = () => 0L)(
+      sink: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // per-stream cache state, touched only inside foreachBatch (which
+    // Structured Streaming serializes per query — no concurrent batches)
+    var cachedVersion = Option.empty[Long]
+    var cached: DataFrame = null
     queries.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          val v = indexVersion()
+          if (!cachedVersion.contains(v)) {
+            if (cached != null) cached.unpersist()
+            cached = index().persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            cachedVersion = Some(v)
+          }
           sink(graft.operators.Similarity.lshTopKFromIndex(
-            index(), batch, k, bits, dims = dims))
+            cached, batch, k, bits, dims = dims))
         }
       }
+  }
 
   /** Watermarked tumbling-window aggregation over an event stream:
     * count + decimal-exact value sum per (window, event_type). Late data

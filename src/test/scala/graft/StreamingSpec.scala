@@ -134,9 +134,10 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/index")
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
     val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    var reads = 0
     val q = graft.streaming.Streams.streamingAnnServe(
         input.toDF().toDF("vec_id", "embedding"),
-        () => spark.read.parquet(s"$dir/index"),
+        () => { reads += 1; spark.read.parquet(s"$dir/index") },
         checkpoint = s"$dir/ckpt", k = 3, bits = 2, dims = 16) { out =>
       served ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     }.start()
@@ -148,12 +149,51 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(afterBatch1 > 0 && served.size > afterBatch1, "both batches served")
+    assert(reads === 1, "static-version index read once, cached across batches")
     // stream results equal the batch path on the same index
     val batchExpected = graft.operators.Similarity.lshTopKFromIndex(
         spark.read.parquet(s"$dir/index"),
         corpus.filter($"vec_id" < 3), k = 3, bits = 2, dims = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(served.toSet === batchExpected)
+  }
+
+  test("streaming ANN serving swaps to a refreshed index when the version bumps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    def mkCorpus(ids: Range) = ids.map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val c1 = mkCorpus(0 until 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-swap").toString
+    graft.operators.Similarity.lshBucketTable(c1, bits = 2, dims = 16)
+      .write.mode("overwrite").parquet(s"$dir/index")
+    var version = 1L
+    var reads = 0
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val servedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.Streams.streamingAnnServe(
+        input.toDF().toDF("vec_id", "embedding"),
+        () => { reads += 1; spark.read.parquet(s"$dir/index") },
+        checkpoint = s"$dir/ckpt", k = 3, bits = 2, dims = 16,
+        indexVersion = () => version) { out =>
+      servedIds ++= out.collect().map(_.getLong(1))
+    }.start()
+    val probe = c1.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).head
+    input.addData(probe)
+    q.processAllAvailable()
+    assert(reads === 1)
+    assert(servedIds.forall(_ < 10), "v1 index serves only v1 ids")
+    // publish a refreshed index (disjoint ids), bump the version
+    graft.operators.Similarity.lshBucketTable(mkCorpus(100 until 110), bits = 2, dims = 16)
+      .write.mode("overwrite").parquet(s"$dir/index")
+    version = 2L
+    servedIds.clear()
+    input.addData(probe)
+    q.processAllAvailable()
+    q.stop()
+    assert(reads === 2, "version bump triggers exactly one re-read")
+    assert(servedIds.nonEmpty && servedIds.forall(_ >= 100), "batch after bump serves the refreshed index")
   }
 
   test("sessionize closes sessions after the event-time gap and expires state") {

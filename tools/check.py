@@ -57,6 +57,26 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
             failures += 1
             continue
+        # the driver's pandas row sort cannot hash non-scalar cells, and
+        # its formatted-value hash diverges on numeric type mismatches
+        # (e.g. DuckDB HUGEINT vs Spark BIGINT) even when values agree —
+        # enforce both here so red rows of that class never reach the gate
+        got_types = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
+        exp_types = {c: str(t) for c, t in zip(exp_cols, exp_rel.types)}
+        nested = [c for c, t in {**got_types, **exp_types}.items()
+                  if any(k in t for k in ("[]", "STRUCT", "MAP", "LIST"))]
+        if nested:
+            print(f"FAIL {name}: non-scalar output column(s) {nested} "
+                  f"(driver gate cannot hash arrays — grade a stringified column)")
+            failures += 1
+            continue
+        mistyped = [(c, got_types[c], exp_types[c]) for c in sorted(got_cols)
+                    if got_types[c] != exp_types[c]]
+        if mistyped:
+            print(f"FAIL {name}: result-type mismatch {mistyped} "
+                  f"(cast the oracle side to the Spark type)")
+            failures += 1
+            continue
         # reorder got columns to expected order by name
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
         eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
