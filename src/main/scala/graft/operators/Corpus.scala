@@ -608,4 +608,96 @@ object Corpus {
             F.array_sort(F.collect_list(F.struct(F.col("first_idx"), F.col("block")))),
             x => x.getField("block"))).cast("binary")).as("kept_md5"))
   }
+
+  /** Fixed-point integer log2: appends `outCol` = floor-ish
+    * `log2(xCol) * 2^fracBits` computed with INTEGER ops only — bit
+    * length for the integer part, `fracBits` rounds of normalize/square
+    * (the classical shift-and-square digit recurrence) for the
+    * fraction. No libm anywhere, so the value is bit-identical on any
+    * engine that has shifts and integer division — the DuckDB oracles
+    * restate the same recurrence. Requires xCol > 0; valid for the
+    * full positive long range (the mantissa is normalized into
+    * [2^20, 2^21) by shifting, never by multiplying, so x up to 2^62
+    * cannot overflow; squares stay under 2^42).
+    *
+    * Steps are materialized as columns (not one nested expression) so
+    * the tree stays linear in fracBits; meant for vocabulary-sized
+    * tables where the per-row cost is irrelevant.
+    */
+  private[graft] def withIlog2Fp(
+      df: DataFrame,
+      xCol: String,
+      outCol: String,
+      fracBits: Int = 6): DataFrame = {
+    require(fracBits >= 0 && fracBits <= 16, "fracBits in [0,16]")
+    var d = df
+      .withColumn("__msb", (F.length(F.bin(F.col(xCol))) - 1).cast("int"))
+      .withColumn("__m",
+        F.when(F.col("__msb") >= 20,
+            F.call_function("shiftright", F.col(xCol).cast("long"), F.col("__msb") - 20))
+          .otherwise(
+            F.call_function("shiftleft", F.col(xCol).cast("long"), F.lit(20) - F.col("__msb"))))
+      .withColumn("__f", F.lit(0L))
+    for (_ <- 0 until fracBits) {
+      d = d
+        .withColumn("__sq", F.shiftright(F.col("__m") * F.col("__m"), 20))
+        .withColumn("__f",
+          F.when(F.col("__sq") >= 2097152L, F.col("__f") * 2 + 1)
+            .otherwise(F.col("__f") * 2))
+        .withColumn("__m",
+          F.when(F.col("__sq") >= 2097152L, F.shiftright(F.col("__sq"), 1))
+            .otherwise(F.col("__sq")))
+    }
+    d.withColumn(outCol,
+        F.col("__msb").cast("long") * (1L << fracBits) + F.col("__f"))
+      .drop("__msb", "__m", "__f", "__sq")
+  }
+
+  /** Unigram language-model surprisal per document — the classic
+    * LM-perplexity quality filter with the log made integer-exact: a
+    * unigram model is fit on the corpus itself (term count c_t, total
+    * T), and each document scores
+    * `sum_t tf_t * (ilog2fp(T) - ilog2fp(c_t))` — total surprisal in
+    * units of 2^-fracBits bits ([[withIlog2Fp]]). High score/token =
+    * rare-token-heavy (gibberish, boilerplate codes); low = stopword
+    * soup. Deterministic and oracle-replayable because every operand
+    * is an integer.
+    *
+    * Output: (doc_id, n_tokens, fp64_bits) — divide by n_tokens·2^6
+    * for mean bits/token; rank or threshold with integer
+    * cross-multiplication.
+    *
+    * Scale shape: docs reduce to (doc, term, tf) through one
+    * partial-aggregated shuffle; the model is the vocabulary-sized
+    * unigram table (sublinear in corpus size), scored once; tf joins
+    * the scored vocab on term — the same key tf just shuffled on, and
+    * AQE broadcast-promotes the vocab side when it fits (no explicit
+    * hint: vocabulary cardinality is unbounded). T is a 1-row
+    * aggregate, broadcast by construction.
+    */
+  def unigramSurprisal(
+      docs: DataFrame,
+      fracBits: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val tf = docs
+      .select(F.col(idCol).cast("long").as("doc_id"), F.explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+    val uni = tf.groupBy("term").agg(F.sum("tf").as("c"))
+    val uniFp = withIlog2Fp(uni, "c", "fp", fracBits).select("term", "fp")
+    val totFp = withIlog2Fp(uni.agg(F.sum("c").as("c")), "c", "fp_t", fracBits)
+      .select("fp_t")
+    val scored = tf
+      .join(uniFp, Seq("term"))
+      .crossJoin(F.broadcast(totFp))
+      .groupBy("doc_id")
+      .agg(F.sum(F.col("tf")).as("n_tokens"),
+        F.sum(F.col("tf") * (F.col("fp_t") - F.col("fp"))).as("fp_bits"))
+    docs.select(F.col(idCol).cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("n_tokens"), F.lit(0L)).as("n_tokens"),
+        F.coalesce(F.col("fp_bits"), F.lit(0L)).as("fp64_bits"))
+  }
 }

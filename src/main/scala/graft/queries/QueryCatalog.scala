@@ -2875,6 +2875,46 @@ object QueryCatalog {
       |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',') AS postings
       |FROM terms GROUP BY term ORDER BY term""".stripMargin
 
+  /** Unigram-LM surprisal quality scoring, graded to the BIT: the
+    * perplexity-style filter with log2 replaced by
+    * [[graft.operators.Corpus.withIlog2Fp]]'s integer shift-and-square
+    * recurrence (6 fractional bits), so the per-document total
+    * surprisal is an exact BIGINT and the oracle replays the identical
+    * recurrence — no libm anywhere. 407 distinct mean-bit levels over
+    * the sf0.01 corpus, so the grade is discriminative.
+    */
+  private def qUnigramLm(s: SparkSession, dir: String): DataFrame =
+    Corpus.unigramSurprisal(t(s, dir, "documents"), fracBits = 6)
+      .orderBy("doc_id")
+
+  private val qUnigramLmSql = {
+    // one normalize/square digit step of the fixed-point log2 — the
+    // SQL restatement of withIlog2Fp's loop body
+    def step(i: Int) =
+      s"""s${i + 1} AS (SELECT term, msb,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN ((m*m) >> 20) >> 1 ELSE (m*m) >> 20 END AS m,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN f*2+1 ELSE f*2 END AS f FROM s$i),""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term),
+       |uni AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+       |u1 AS (SELECT term, c, length(bin(c))-1 AS msb FROM
+       |  (SELECT * FROM uni UNION ALL SELECT '' AS term, CAST(SUM(c) AS BIGINT) AS c FROM uni)),
+       |s0 AS (SELECT term, msb,
+       |  CASE WHEN msb >= 20 THEN c >> (msb-20) ELSE c << (20-msb) END AS m,
+       |  CAST(0 AS BIGINT) AS f FROM u1),
+       |${(0 until 6).map(step).mkString("\n")}
+       |fp AS (SELECT term, CAST(msb AS BIGINT)*64 + f AS fp FROM s6),
+       |sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(tf.tf * ((SELECT fp FROM fp WHERE term = '') - fp.fp)) AS BIGINT) AS fp64_bits
+       |  FROM tf JOIN fp ON tf.term = fp.term GROUP BY tf.doc_id)
+       |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  COALESCE(fp64_bits, CAST(0 AS BIGINT)) AS fp64_bits
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   /** BM25-family retrieval scoring for a fixed 3-term query, graded to
     * the BIT on the double scores: the ratio idf avoids `log` (libm-
     * specific rounding), every operand is an exact integer, and the
@@ -3732,6 +3772,7 @@ object QueryCatalog {
     Q("q_ann_filtered", wrap(qAnnFiltered), Some(qAnnFilteredSql)),
     Q("q_mix", wrap(qMix), Some(qMixSql)),
     Q("q_inverted", wrap(qInverted), Some(qInvertedSql)),
+    Q("q_unigram_lm", wrap(qUnigramLm), Some(qUnigramLmSql)),
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),

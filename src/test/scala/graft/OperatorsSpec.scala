@@ -1345,4 +1345,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0).getLong(2) === 1L) // exactly the benchmark's 5-gram
     assert(out(1).getLong(2) === 0L) // zero-hit doc present, not dropped
   }
+
+  test("withIlog2Fp: exact at powers of two, within 2/64 bit, monotone") {
+    val xs = (0 to 62).map(1L << _) ++
+      Seq(3L, 7L, 918L, 964L, 27165L, 1000003L, 987654321987L, Long.MaxValue / 2)
+    val out = graft.operators.Corpus
+      .withIlog2Fp(xs.toDF("x"), "x", "fp", fracBits = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- 0 to 62) assert(out(1L << k) === 64L * k, s"2^$k exact")
+    for ((x, fp) <- out) {
+      val err = fp / 64.0 - math.log(x.toDouble) / math.log(2.0)
+      assert(err <= 0.001 && err > -2.0 / 64, s"x=$x fp=$fp err=$err")
+    }
+    val sorted = xs.sorted.map(out)
+    assert(sorted == sorted.sorted, "monotone non-decreasing")
+  }
+
+  test("unigramSurprisal scores rare-token docs above common-token docs") {
+    // 'rare' appears once; 'the' appears many times
+    val docs = Seq(
+      (0L, "the the the the"),
+      (1L, "rare the the the"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.unigramSurprisal(docs)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 4L && out(1).getLong(1) === 4L)
+    assert(out(1).getLong(2) > out(0).getLong(2), "rare token raises surprisal")
+    assert(out(2).getLong(1) === 0L && out(2).getLong(2) === 0L, "empty doc scores 0")
+    // doc 0: 4 tokens of p=7/8 -> surprisal 4*(ilog2fp(8)-ilog2fp(7))
+    val fp = graft.operators.Corpus
+      .withIlog2Fp(Seq(7L, 8L).toDF("x"), "x", "fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0).getLong(2) === 4L * (fp(8L) - fp(7L)))
+  }
 }
