@@ -698,9 +698,121 @@ object Similarity {
       vecCol: String = "embedding",
       maxBroadcastQueries: Long = 100000L,
       querySizeHint: Option[Long] = None): DataFrame = {
-    graft.GraftFunctions.register(corpus.sparkSession)
     val pool = sampleCentroids(corpus, math.max(nlist, ksub), idCol, vecCol)
     require(pool.nonEmpty, "ivfPqTopK needs a non-empty corpus")
+    ivfPqServe(pool, ivfPqCodeTable(corpus, pool, nlist, m, ksub, idCol, vecCol),
+      queries, k, nlist, nprobe, m, ksub, idCol, vecCol,
+      maxBroadcastQueries, querySizeHint)
+  }
+
+  /** Offline half of the PERSISTED IVF-PQ split: one corpus scan
+    * produces the two index tables a serving layer writes to storage —
+    * `model` (cid, centroid): the md5-order centroid pool, max(nlist,
+    *   ksub) quantized rows; prefix nlist = coarse cells, prefix ksub =
+    *   PQ codebook (the same shared-pool rule as [[ivfPqTopK]]).
+    * `codes` (neighbor_id, cell, code_0..code_{m-1}): the serving
+    *   table — m small ints per corpus vector, raw vectors nowhere.
+    * Parquet-persist both; [[ivfPqTopKFromIndex]] serves from them
+    * without touching the original corpus, and because model + codes
+    * fully determine the scores, index-served results equal
+    * [[ivfPqTopK]] on the same corpus bit for bit.
+    */
+  def ivfPqIndex(
+      corpus: DataFrame,
+      nlist: Int = 16,
+      m: Int = 4,
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val pool = sampleCentroids(corpus, math.max(nlist, ksub), idCol, vecCol)
+    require(pool.nonEmpty, "ivfPqIndex needs a non-empty corpus")
+    val session = corpus.sparkSession
+    import session.implicits._
+    val model = pool.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "centroid")
+    (model, ivfPqCodeTable(corpus, pool, nlist, m, ksub, idCol, vecCol))
+  }
+
+  /** Online half of the persisted IVF-PQ split: answer `queries` from
+    * the two index tables of [[ivfPqIndex]] — the ANN serving shape
+    * where the corpus appears ONLY through its code table. The model is
+    * collected to the driver (max(nlist, ksub) rows — model-sized by
+    * construction, never corpus-sized) to rebuild the literal centroid
+    * expressions, then serving is identical to [[ivfPqTopK]]'s query
+    * side: broadcast queries carry integer LUTs into probed cells,
+    * scoring is m array lookups per candidate, one bounded top-k
+    * shuffle.
+    */
+  def ivfPqTopKFromIndex(
+      model: DataFrame,
+      codes: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBroadcastQueries: Long = 100000L,
+      querySizeHint: Option[Long] = None): DataFrame = {
+    val pool: Seq[Seq[Long]] = model.orderBy("cid").collect()
+      .map(_.getSeq[Long](1).toSeq).toSeq
+    require(pool.nonEmpty, "ivfPqTopKFromIndex needs a non-empty model")
+    ivfPqServe(pool, codes, queries, k, nlist, nprobe, m, ksub,
+      idCol, vecCol, maxBroadcastQueries, querySizeHint)
+  }
+
+  /** Corpus → (neighbor_id, cell, code_0..code_{m-1}) against a given
+    * centroid pool — the single corpus scan shared by [[ivfPqTopK]]
+    * (inline) and [[ivfPqIndex]] (persisted).
+    */
+  private def ivfPqCodeTable(
+      corpus: DataFrame,
+      pool: Seq[Seq[Long]],
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val centRows = pool.take(nlist)
+    val samples = pool.take(ksub)
+    val dims = samples.head.length
+    require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val dsub = dims / m
+    val cents: Column = F.typedlit(centRows)
+    // interpreted-HOF audit: lambdas read the qv ATTRIBUTE + centroid
+    // literals — one dotL per centroid, the intended count
+    def cellScores = F.transform(cents, c => VectorFunctions.dotL(F.col("qv"), c))
+    val perSub = pqCodeCols(samples, m, dsub)
+    corpus
+      .select(F.col(idCol).as("neighbor_id"),
+        VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .withColumn("cs", cellScores)
+      .withColumn("cell",
+        (F.array_position(F.col("cs"), F.array_max(F.col("cs"))) - 1).cast("int"))
+      .select(F.col("neighbor_id") +: F.col("cell") +: perSub.map(_._1): _*)
+  }
+
+  /** Query side shared by [[ivfPqTopK]] and [[ivfPqTopKFromIndex]]:
+    * probe-cell explosion, LUT construction, code-lookup ADC scoring,
+    * bounded top-k.
+    */
+  private def ivfPqServe(
+      pool: Seq[Seq[Long]],
+      corpusCodes: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      ksub: Int,
+      idCol: String,
+      vecCol: String,
+      maxBroadcastQueries: Long,
+      querySizeHint: Option[Long]): DataFrame = {
+    graft.GraftFunctions.register(queries.sparkSession)
     val centRows = pool.take(nlist)
     val samples = pool.take(ksub)
     val dims = samples.head.length
@@ -708,17 +820,7 @@ object Similarity {
     val dsub = dims / m
     val nc = centRows.length
     val cents: Column = F.typedlit(centRows)
-    // interpreted-HOF audit: lambdas read the qv ATTRIBUTE + centroid
-    // literals — one dotL per centroid, the intended count
     def cellScores = F.transform(cents, c => VectorFunctions.dotL(F.col("qv"), c))
-    val perSub = pqCodeCols(samples, m, dsub)
-    val corpusCodes = corpus
-      .select(F.col(idCol).as("neighbor_id"),
-        VectorFunctions.quantize(F.col(vecCol)).as("qv"))
-      .withColumn("cs", cellScores)
-      .withColumn("cell",
-        (F.array_position(F.col("cs"), F.array_max(F.col("cs"))) - 1).cast("int"))
-      .select(F.col("neighbor_id") +: F.col("cell") +: perSub.map(_._1): _*)
     val withLuts = queries
       .select(F.col(idCol).as("query_id"),
         VectorFunctions.quantize(F.col(vecCol)).as("qv"))

@@ -3584,6 +3584,27 @@ object QueryCatalog {
       .orderBy("query_id", "rank")
   }
 
+  /** The PERSISTED IVF-PQ path graded end to end: build the (model,
+    * codes) index tables, round-trip them through parquet, and serve
+    * from the files — the offline-index/online-probe deployment shape.
+    * Model + codes fully determine the ADC scores, so the oracle is
+    * [[qAnnIvfPqSql]] verbatim: index-served answers must equal the
+    * inline [[qAnnIvfPq]] bit for bit.
+    */
+  private def qAnnIvfPqIdx(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (model, codes) = Similarity.ivfPqIndex(emb)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    model.write.mode("overwrite").parquet(s"$tmp/model")
+    codes.write.mode("overwrite").parquet(s"$tmp/codes")
+    Similarity.ivfPqTopKFromIndex(
+        s.read.parquet(s"$tmp/model"), s.read.parquet(s"$tmp/codes"),
+        emb.filter(F.col("vec_id") < 10), k = 5)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("adc_dist"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private val qAnnIvfPqSql =
     """WITH quant AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
@@ -3765,6 +3786,7 @@ object QueryCatalog {
     Q("q_pq_codes", wrap(qPqCodes), Some(qPqCodesSql)),
     Q("q_ann_pq", wrap(qAnnPq), Some(qAnnPqSql)),
     Q("q_ann_ivfpq", wrap(qAnnIvfPq), Some(qAnnIvfPqSql)),
+    Q("q_ann_ivfpq_idx", wrap(qAnnIvfPqIdx), Some(qAnnIvfPqSql)),
     Q("q_semdedup", wrap(qSemDedup), Some(qSemDedupSql)),
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),

@@ -1346,6 +1346,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(2) === 0L) // zero-hit doc present, not dropped
   }
 
+  test("ivfPqTopKFromIndex equals inline ivfPqTopK after a parquet round-trip") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    val inline = graft.operators.Similarity
+      .ivfPqTopK(corpus, queries, k = 4, nlist = 8, nprobe = 3, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val (model, codes) = graft.operators.Similarity
+      .ivfPqIndex(corpus, nlist = 8, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-test").toString
+    model.write.parquet(s"$dir/model")
+    codes.write.parquet(s"$dir/codes")
+    val served = graft.operators.Similarity
+      .ivfPqTopKFromIndex(
+        spark.read.parquet(s"$dir/model"), spark.read.parquet(s"$dir/codes"),
+        queries, k = 4, nlist = 8, nprobe = 3, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(inline.nonEmpty && served === inline)
+  }
+
   test("withIlog2Fp: exact at powers of two, within 2/64 bit, monotone") {
     val xs = (0 to 62).map(1L << _) ++
       Seq(3L, 7L, 918L, 964L, 27165L, 1000003L, 987654321987L, Long.MaxValue / 2)
