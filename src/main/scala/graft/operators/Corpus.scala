@@ -700,4 +700,41 @@ object Corpus {
         F.coalesce(F.col("n_tokens"), F.lit(0L)).as("n_tokens"),
         F.coalesce(F.col("fp_bits"), F.lit(0L)).as("fp64_bits"))
   }
+
+  /** Deterministic STRATIFIED train/val/test split with EXACT
+    * proportions: within each stratum rows rank by md5(id) (the
+    * [[mixByWeights]] shuffle-order convention) and the rank range is
+    * cut at the cumulative weight boundaries — a stratum of n rows
+    * sends floor-exact n·w_j/W rows to split j (±1 at each integer
+    * boundary), reproducibly on any engine (no RNG, no float).
+    *
+    * Scale shape: one per-stratum window sort (rank and count ride the
+    * same shuffle). Exact per-stratum proportions REQUIRE that
+    * ranking; when a stratum is a scale hot-spot, [[hashSample]]'s
+    * rank-free per-row hash threshold yields the same split in
+    * expectation with no window at all — this operator is the
+    * exact-count tier, hashSample the unbounded-stratum tier.
+    */
+  def splitAssign(
+      df: DataFrame,
+      weights: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
+      stratumCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    val total = weights.map(_._2).sum
+    val wr = Window.partitionBy(stratumCol)
+      .orderBy(F.md5(F.col(idCol).cast("string").cast("binary")), F.col(idCol))
+    val wn = Window.partitionBy(stratumCol)
+    val cums = weights.scanLeft(0)((a, p) => a + p._2).tail.zip(weights.map(_._1))
+    val ranked = df.select(F.col(idCol), F.col(stratumCol))
+      .withColumn("__rank", F.row_number().over(wr).cast("long"))
+      .withColumn("__n", F.count(F.lit(1)).over(wn))
+    // first boundary whose cumulative share covers the rank wins
+    val assign = cums.dropRight(1).reverse.foldLeft(F.lit(cums.last._2): Column) {
+      case (acc, (cum, name)) =>
+        F.when(F.col("__rank") * total <= F.col("__n") * cum, F.lit(name))
+          .otherwise(acc)
+    }
+    ranked.select(F.col(idCol), F.col(stratumCol), assign.as("split"))
+  }
 }

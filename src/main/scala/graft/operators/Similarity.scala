@@ -847,4 +847,43 @@ object Similarity {
         (-F.col("score")).cast("long").as("adc_dist"),
         F.col("rank"))
   }
+
+  /** kNN label prediction — the standard embedding-quality eval: each
+    * query's label is predicted by the MAJORITY label of its k nearest
+    * neighbors under the exact quantized-dot metric
+    * ([[bruteForceTopKQuant]]); vote ties break to the smallest label,
+    * so prediction is deterministic and the oracle replays it exactly.
+    * Output: (query_id, true_label, pred_label, votes) — aggregate for
+    * accuracy, inspect rows for the confusion structure.
+    *
+    * Scale shape: the neighbor search dominates and inherits its tier's
+    * shape (swap in an LSH/IVF top-k for the brute-force call to serve
+    * at corpus scale); after it, everything is bounded — k rows per
+    * query through a slim label join on neighbor id, one per-query
+    * argmax window over at most k vote rows.
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    val topk = bruteForceTopKQuant(corpus, queries, k, idCol, vecCol,
+      excludeSelf = true, maxBroadcastQueries = maxBroadcastQueries)
+    val labels = corpus.select(F.col(idCol).as("neighbor_id"),
+      F.col(labelCol).as("neighbor_label"))
+    val votes = topk.join(labels, Seq("neighbor_id"))
+      .groupBy("query_id", "neighbor_label")
+      .agg(F.count(F.lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("votes").desc, F.col("neighbor_label").asc)
+    votes.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .join(queries.select(F.col(idCol).as("query_id"),
+        F.col(labelCol).as("true_label")), Seq("query_id"))
+      .select(F.col("query_id"), F.col("true_label"),
+        F.col("neighbor_label").as("pred_label"), F.col("votes"))
+  }
 }

@@ -2598,6 +2598,89 @@ object QueryCatalog {
        |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The PERSISTED LSH path graded end to end: bucket index built,
+    * round-tripped through parquet, served via
+    * [[graft.operators.Similarity.lshTopKFromIndex]] — the batch twin
+    * of [[graft.streaming.Streams.streamingAnnServe]]'s per-batch body,
+    * so the streaming serving semantics carry a full oracle grade.
+    * Index rows fully determine the candidates and the exact-dot
+    * ranking, so the oracle is [[qAnnLshSql]] verbatim.
+    */
+  private def qAnnLshIdx(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    Similarity.lshBucketTable(emb, bits = 4)
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    Similarity.lshTopKFromIndex(
+        s.read.parquet(s"$tmp/index"), emb.filter(F.col("vec_id") < 10),
+        k = 5, bits = 4)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("score").cast(LongType).as("score"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** kNN label-prediction eval graded end to end: exact quantized-dot
+    * neighbors, majority vote with smallest-label tie-break — the
+    * embedding-quality measurement a labeled eval set buys. The oracle
+    * replays the vote and the tie-break exactly.
+    */
+  private def qKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnClassify(emb, emb.filter(F.col("vec_id") < 20), k = 5)
+      .orderBy("query_id")
+  }
+
+  private val qKnnLabelSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, qe AS qv FROM quant WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, qe AS cv FROM quant),
+      |pairs AS (
+      |  SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+      |  FROM pairs GROUP BY query_id, neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      |  FROM scored),
+      |knn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+      |votes AS (
+      |  SELECT knn.query_id, e.label AS pred_label, CAST(COUNT(*) AS BIGINT) AS votes
+      |  FROM knn JOIN embeddings e ON e.vec_id = knn.neighbor_id
+      |  GROUP BY knn.query_id, e.label),
+      |best AS (
+      |  SELECT query_id, pred_label, votes,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, pred_label ASC) AS rn
+      |  FROM votes)
+      |SELECT b.query_id, e.label AS true_label, b.pred_label, b.votes
+      |FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+      |WHERE b.rn = 1 ORDER BY b.query_id""".stripMargin
+
+  /** Stratified exact-proportion train/val/test split (8/1/1 by lang),
+    * hash-graded per document: md5 rank within stratum, cumulative
+    * weight boundaries by integer cross-multiplication.
+    */
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    Corpus.splitAssign(t(s, dir, "documents"),
+      Seq("train" -> 8, "val" -> 1, "test" -> 1), "lang")
+      .orderBy("doc_id")
+
+  private val qSplitSql =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN rank * 10 <= n * 8 THEN 'train'
+      |       WHEN rank * 10 <= n * 9 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   /** IVF-style ANN: 16 md5-order-sampled centroids, probe 4 cells, exact
     * quantized-dot ranking — centroid choice, assignment, probing and
     * ranking all integer-reproducible in the oracle.
@@ -3787,6 +3870,9 @@ object QueryCatalog {
     Q("q_ann_pq", wrap(qAnnPq), Some(qAnnPqSql)),
     Q("q_ann_ivfpq", wrap(qAnnIvfPq), Some(qAnnIvfPqSql)),
     Q("q_ann_ivfpq_idx", wrap(qAnnIvfPqIdx), Some(qAnnIvfPqSql)),
+    Q("q_ann_lsh_idx", wrap(qAnnLshIdx), Some(qAnnLshSql)),
+    Q("q_knn_label", wrap(qKnnLabel), Some(qKnnLabelSql)),
+    Q("q_split", wrap(qSplit), Some(qSplitSql)),
     Q("q_semdedup", wrap(qSemDedup), Some(qSemDedupSql)),
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),

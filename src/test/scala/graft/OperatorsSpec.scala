@@ -1346,6 +1346,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(2) === 0L) // zero-hit doc present, not dropped
   }
 
+  test("splitAssign cuts exact per-stratum proportions deterministically") {
+    val rows = (0L until 100L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = graft.operators.Corpus
+      .splitAssign(rows, Seq("train" -> 8, "val" -> 1, "test" -> 1), "lang")
+    val counts = out.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // en: 34 rows -> floor boundaries at 27 / 30; de: 66 -> 52 / 59
+    assert(counts(("en", "train")) === 27L && counts(("en", "val")) === 3L &&
+      counts(("en", "test")) === 4L)
+    assert(counts(("de", "train")) === 52L && counts(("de", "val")) === 7L &&
+      counts(("de", "test")) === 7L)
+    // deterministic: same input, same assignment
+    val again = graft.operators.Corpus
+      .splitAssign(rows, Seq("train" -> 8, "val" -> 1, "test" -> 1), "lang")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out.collect().map(r => (r.getLong(0), r.getString(2))).toMap === again)
+  }
+
+  test("knnClassify predicts the planted majority label with smallest-label ties") {
+    // cluster A near (1,0): ids 0-4 label 1; cluster B near (0,1): ids 5-9 label 2
+    val rows = (0 until 10).map { i =>
+      val base = if (i < 5) Array(1f, 0f) else Array(0f, 1f)
+      val eps = 0.001f * i
+      (i.toLong, Array(base(0) + eps, base(1) + eps), if (i < 5) 1 else 2)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity
+      .knnClassify(rows, rows, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    for (i <- 0L until 10L) {
+      val (t, p, v) = out(i)
+      assert(p === t, s"id $i predicted $p, true $t")
+      assert(v === 3L, "all 3 votes from the home cluster")
+    }
+  }
+
   test("ivfPqTopKFromIndex equals inline ivfPqTopK after a parquet round-trip") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
