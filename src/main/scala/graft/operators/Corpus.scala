@@ -737,4 +737,58 @@ object Corpus {
     }
     ranked.select(F.col(idCol), F.col(stratumCol), assign.as("split"))
   }
+
+  /** TextRank keyword authority: PageRank over the term co-occurrence
+    * graph (terms are nodes; an edge's weight is the number of
+    * documents where both terms appear), run ENTIRELY in fixed-point
+    * integers — rank scale 2^20, damping 17/20, floor division at
+    * every step — so all `iters` iterations replay bit-for-bit in the
+    * oracle. Dangling terms (no co-occurrences) receive only the
+    * teleport share each round (the standard ignore-dangling-mass
+    * variant). Output (term, pr): rank DESC is the corpus's keyword
+    * authority order.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (doc, term)
+    * incidence in one shuffle; the pair self-join is bounded by
+    * per-doc distinct-term counts (compose with the co-occurrence
+    * query's df vocabulary filter for long documents); everything
+    * after lives on the vocabulary-sized edge/node tables and never
+    * sees the corpus again — identical iteration subtrees reuse their
+    * shuffle via ReuseExchange. The only driver value is N, the node
+    * count.
+    */
+  def textRank(
+      docs: DataFrame,
+      iters: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val scale = 1048576L
+    val dt = docs.select(F.col(idCol).as("doc_id"),
+      F.explode(F.array_distinct(
+        TextFunctions.tokens(F.lower(F.col(textCol))))).as("term"))
+    val pairs = dt.as("a").join(dt.as("b"),
+        F.col("a.doc_id") === F.col("b.doc_id") && F.col("a.term") < F.col("b.term"))
+      .groupBy(F.col("a.term").as("a"), F.col("b.term").as("b"))
+      .agg(F.count(F.lit(1)).as("w"))
+    val edges = pairs.select(F.col("a").as("u"), F.col("b").as("v"), F.col("w"))
+      .unionByName(pairs.select(F.col("b").as("u"), F.col("a").as("v"), F.col("w")))
+    val edgesW = edges.join(edges.groupBy("u").agg(F.sum("w").as("totw")), Seq("u"))
+    val nodes = dt.select("term").distinct()
+    val n = nodes.count()
+    require(n > 0, "textRank needs a non-empty corpus")
+    val base = scale * 3 / (20 * n)
+    var pr = nodes.withColumn("pr", F.lit(scale / n))
+    for (_ <- 1 to iters) {
+      val infl = edgesW.join(pr.withColumnRenamed("term", "u"), Seq("u"))
+        .groupBy(F.col("v"))
+        .agg(F.sum(F.expr("(pr * w) div totw")).as("infl"))
+        .withColumnRenamed("v", "term")
+      pr = nodes.join(infl, Seq("term"), "left")
+        .select(F.col("term"),
+          (F.lit(base) +
+            F.expr("(17 * coalesce(infl, CAST(0 AS BIGINT))) div 20")).as("pr"))
+    }
+    pr
+  }
 }

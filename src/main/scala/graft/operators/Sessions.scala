@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 
 /** BATCH sessionization — the backfill/reprocessing counterpart of the
@@ -44,5 +44,51 @@ object Sessions {
         F.min(F.col("__us")).as("start_us"),
         F.max(F.col("__us")).as("end_us"))
       .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+  }
+
+  /** Per-key exponentially-weighted moving average over the event-time
+    * order, in EXACT integers: smoothing factor num/2^shift (default
+    * 1/2), recurrence `s' = (num·x + (2^shift − num)·s) >> shift` with
+    * s seeded from the first value — arithmetic shift IS floor
+    * division by 2^shift for any sign, so the fold replays exactly in
+    * any engine with a list fold (the oracle uses `reduce`). The
+    * recency-weighted per-user value signal (spend momentum, engagement
+    * decay) that a plain mean hides.
+    *
+    * Scale shape: ONE partial-free shuffle keyed by `keyCol`; per-key
+    * state is the collected (ts, id, value) list, so memory is bounded
+    * by the heaviest key's event count — for keys beyond that bound,
+    * pre-aggregate to coarser ticks first (the EWMA of tick means with
+    * the same recurrence). No window function, no second shuffle.
+    */
+  def ewmaByKey(
+      events: DataFrame,
+      num: Long = 1L,
+      shift: Int = 1,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      valCol: String = "value"): DataFrame = {
+    val den = 1L << shift
+    require(shift >= 1 && shift <= 32 && num >= 1 && num < den,
+      "need 1 <= num < 2^shift")
+    val cents = F.floor(F.col(valCol) * 100).cast("long")
+    val sorted = F.array_sort(F.collect_list(F.struct(
+      F.unix_micros(F.col(tsCol)).as("us"),
+      F.col(tieCol).as("tie"),
+      cents.as("cents"))))
+    val step = (acc: Column, x: Column) =>
+      F.shiftright(F.lit(num) * x + F.lit(den - num) * acc, shift)
+    events
+      .groupBy(F.col(keyCol))
+      .agg(F.count(F.lit(1)).as("n_events"), sorted.as("__s"))
+      .withColumn("__vs", F.transform(F.col("__s"), s => s.getField("cents")))
+      .withColumn("ewma_cents",
+        F.aggregate(
+          // Column-typed slice: 2 + Int.MaxValue overflows the int overload
+          F.slice(F.col("__vs"), F.lit(2), F.size(F.col("__vs")) - 1),
+          F.element_at(F.col("__vs"), 1),
+          step))
+      .select(F.col(keyCol), F.col("n_events"), F.col("ewma_cents"))
   }
 }

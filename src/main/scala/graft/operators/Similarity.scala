@@ -886,4 +886,44 @@ object Similarity {
       .select(F.col("query_id"), F.col("true_label"),
         F.col("neighbor_label").as("pred_label"), F.col("votes"))
   }
+
+  /** Hard-negative mining — contrastive-training data generation: for
+    * each query, the k NEAREST corpus vectors carrying a DIFFERENT
+    * label (the confusable impostors a contrastive loss needs), ranked
+    * by the exact quantized-dot metric with ascending-id tie-break.
+    * Output: (query_id, neighbor_id, neighbor_label, score, rank).
+    *
+    * Scale shape: identical to [[bruteForceTopKQuant]] — the label
+    * inequality is one more predicate on the broadcast-join scan, and
+    * the bounded top-k aggregate shuffles k-element sketches per
+    * query; the neighbor-label lookup joins only the k-per-query
+    * survivors. Swap the scan side for an LSH/IVF candidate tier to
+    * serve at corpus scale.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(F.col(idCol).as("query_id"),
+      F.col(labelCol).as("query_label"),
+      VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"),
+      F.col(labelCol).as("neighbor_label"),
+      VectorFunctions.quantize(F.col(vecCol)).as("cv"))
+    val scored = c.join(broadcastIfSmall(q, maxBroadcastQueries))
+      .filter(F.col("query_id") =!= F.col("neighbor_id") &&
+        F.col("query_label") =!= F.col("neighbor_label"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
+    explodeTopK(scored, k)
+      .join(corpus.select(F.col(idCol).as("neighbor_id"),
+        F.col(labelCol).as("neighbor_label")), Seq("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("neighbor_label"), F.col("score"), F.col("rank"))
+  }
 }

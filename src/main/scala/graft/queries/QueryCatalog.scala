@@ -2681,6 +2681,96 @@ object QueryCatalog {
       |       ELSE 'test' END AS split
       |FROM ranked ORDER BY doc_id""".stripMargin
 
+  /** Per-user integer EWMA over event time (smoothing 1/2), graded to
+    * the bit: the fold seeds from the first cent value and each step is
+    * `(x + s) >> 1` — arithmetic shift = floor division, replayed by
+    * the oracle's `reduce`. 148 distinct values over 150 users at
+    * sf0.01.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.ewmaByKey(events(s, dir))
+      .orderBy("user_id")
+
+  private val qEwmaSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
+      |    CAST(FLOOR(value*100) AS BIGINT) AS cents FROM events),
+      |l AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    list(cents ORDER BY ts_us, event_id) AS vs
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  CAST(reduce(vs, (a, b) -> (b + a) // 2) AS BIGINT) AS ewma_cents
+      |FROM l ORDER BY user_id""".stripMargin
+
+  /** Hard-negative mining graded end to end: for queries vec_id < 10,
+    * the 5 nearest WRONG-label neighbors under the exact quantized-dot
+    * metric — the contrastive-pair generator, tie-breaks and all.
+    */
+  private def qHardNeg(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(F.col("vec_id") < 10), k = 5)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("neighbor_label"),
+        F.col("score").cast(LongType).as("score"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qHardNegSql =
+    """WITH quant AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS ql, qe AS qv FROM quant WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, label AS nl, qe AS cv FROM quant),
+      |pairs AS (
+      |  SELECT query_id, neighbor_id, nl, unnest(qv) AS x, unnest(cv) AS y
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id AND ql <> nl),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, ANY_VALUE(nl) AS neighbor_label,
+      |    CAST(SUM(x * y) AS BIGINT) AS score
+      |  FROM pairs GROUP BY query_id, neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, neighbor_label, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, neighbor_label, score, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** TextRank keyword authority graded to the BIT: 3 fixed-point
+    * PageRank iterations over the term co-occurrence graph
+    * ([[graft.operators.Corpus.textRank]]) — every rank is a BIGINT in
+    * 2^-20 units and the oracle unrolls the identical floor-division
+    * recurrence, so convergence behavior itself is graded.
+    */
+  private def qTextRank(s: SparkSession, dir: String): DataFrame =
+    Corpus.textRank(t(s, dir, "documents"), iters = 3)
+      .orderBy(F.col("pr").desc, F.col("term"))
+
+  private val qTextRankSql = {
+    // one damped PageRank iteration — the SQL restatement of
+    // textRank's loop body (floor division everywhere)
+    def it(i: Int) =
+      s"""i$i AS (SELECT e.v AS term, CAST(SUM((p.pr * e.w) // t.totw) AS BIGINT) AS infl
+         |  FROM edges e JOIN p${i - 1} p ON p.term = e.u JOIN tw t ON t.u = e.u GROUP BY e.v),
+         |p$i AS (SELECT nodes.term,
+         |  (SELECT (1048576 * 3) // (20 * n) FROM nn) + (17 * COALESCE(infl, CAST(0 AS BIGINT))) // 20 AS pr
+         |  FROM nodes LEFT JOIN i$i ON nodes.term = i$i.term),""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |dt AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+       |pr_pairs AS (SELECT a.term AS a, b.term AS b, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY a.term, b.term),
+       |edges AS (SELECT a AS u, b AS v, w FROM pr_pairs UNION ALL SELECT b AS u, a AS v, w FROM pr_pairs),
+       |tw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS totw FROM edges GROUP BY u),
+       |nodes AS (SELECT DISTINCT term FROM dt),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |p0 AS (SELECT term, (SELECT 1048576 // n FROM nn) AS pr FROM nodes),
+       |${(1 to 3).map(it).mkString("\n")}
+       |fin AS (SELECT term, pr FROM p3)
+       |SELECT term, pr FROM fin ORDER BY pr DESC, term""".stripMargin
+  }
+
   /** IVF-style ANN: 16 md5-order-sampled centroids, probe 4 cells, exact
     * quantized-dot ranking — centroid choice, assignment, probing and
     * ranking all integer-reproducible in the oracle.
@@ -3873,6 +3963,9 @@ object QueryCatalog {
     Q("q_ann_lsh_idx", wrap(qAnnLshIdx), Some(qAnnLshSql)),
     Q("q_knn_label", wrap(qKnnLabel), Some(qKnnLabelSql)),
     Q("q_split", wrap(qSplit), Some(qSplitSql)),
+    Q("q_textrank", wrap(qTextRank), Some(qTextRankSql)),
+    Q("q_ewma", wrap(qEwma), Some(qEwmaSql)),
+    Q("q_hard_neg", wrap(qHardNeg), Some(qHardNegSql)),
     Q("q_semdedup", wrap(qSemDedup), Some(qSemDedupSql)),
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),

@@ -1382,6 +1382,53 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ewmaByKey folds (x + s) >> 1 in event-time order") {
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d")
+    val ev = Seq(
+      (1L, ts(3), 9L, 1.00),  // out of insertion order on purpose
+      (1L, ts(1), 7L, 0.40),
+      (1L, ts(2), 8L, 0.20),
+      (2L, ts(1), 10L, 5.00)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = graft.operators.Sessions.ewmaByKey(ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // user 1 cents ordered by ts: 40, 20, 100 -> s=40; (20+40)>>1=30; (100+30)>>1=65
+    assert(out(1L) === ((3L, 65L)))
+    assert(out(2L) === ((1L, 500L)), "single event seeds the fold")
+  }
+
+  test("hardNegatives returns only wrong-label neighbors, nearest first") {
+    val rows = Seq(
+      (0L, Array(1.0f, 0f), 1), (1L, Array(0.99f, 0f), 1), // same label as query
+      (2L, Array(0.9f, 0f), 2), (3L, Array(0.5f, 0f), 2),  // negatives
+      (4L, Array(0f, 1f), 3)                               // far negative
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity
+      .hardNegatives(rows, rows.filter($"vec_id" === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 3L), "nearest wrong-label first")
+    assert(out.forall(_.getInt(2) != 1), "no same-label rows")
+  }
+
+  test("textRank ranks the hub term highest; leaves tie exactly") {
+    // star graph: 'a' co-occurs with each of b, c, d; leaves only with a
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "a d")).toDF("doc_id", "text")
+    val pr = graft.operators.Corpus.textRank(docs, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("a") > pr("b"), "hub outranks leaves")
+    assert(pr("b") === pr("c") && pr("c") === pr("d"), "symmetric leaves tie")
+    // hand-rolled recurrence: N=4, S=2^20, base=S*3/80, damp 17/20
+    val S = 1048576L; val base = S * 3 / 80
+    var (pa, pl) = (S / 4, S / 4)
+    for (_ <- 1 to 3) {
+      val ia = 3L * (pl * 1 / 1)        // each leaf sends all its rank to a
+      val il = pa * 1 / 3               // a splits evenly across 3 leaves
+      pa = base + 17 * ia / 20
+      pl = base + 17 * il / 20
+    }
+    assert(pr("a") === pa && pr("b") === pl, "matches the integer recurrence")
+  }
+
   test("ivfPqTopKFromIndex equals inline ivfPqTopK after a parquet round-trip") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
