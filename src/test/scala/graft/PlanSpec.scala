@@ -303,4 +303,32 @@ class PlanSpec extends SparkSpec {
     // projection is itself codegen'd)
     assert(df.queryExecution.analyzed.toString.contains("week_of_month"))
   }
+
+  test("unigram LM: model joins are equi-joins, the 1-row total broadcasts") {
+    val p = plan("q_unigram_lm")
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    // the scalar T cross-join must be a broadcast nested loop, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+  }
+
+  test("split assignment: rank and stratum count share one hash exchange") {
+    val p = plan("q_split")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n${p.take(1500)}")
+  }
+
+  test("hard negatives: broadcast scoring join, bounded top-k, no shuffled pairs") {
+    val p = plan("q_hard_neg")
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1000))
+    // the k-per-query sketch aggregate, not a global sort of all pairs
+    assert(p.contains("topk_pairs"), p.take(1500))
+  }
+
+  test("ewma: one shuffle keyed by user, no window exchange") {
+    val p = plan("q_ewma")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n${p.take(1500)}")
+  }
 }
