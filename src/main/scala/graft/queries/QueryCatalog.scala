@@ -2736,6 +2736,45 @@ object QueryCatalog {
       |SELECT query_id, neighbor_id, neighbor_label, score, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Greedy k-center coreset graded end to end: the full 8-step
+    * selection trace — seed, every max-min argmax, every selection
+    * radius — replayed by an unrolled oracle in exact integers. The
+    * radii are the k-center coverage guarantee, so grading the trace
+    * grades the approximation itself.
+    */
+  private def qKCenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterGreedy(t(s, dir, "embeddings"), k = 8)
+      .orderBy("rank")
+
+  private val qKCenterSql = {
+    // step i: min distance to the first i centers, argmax (ties to
+    // smallest id), zero-distance rows (already chosen or exact dups)
+    // excluded — the SQL restatement of kCenterGreedy's loop body
+    def step(i: Int) = {
+      val prev = (0 until i).map(j => s"SELECT * FROM cent$j").mkString(" UNION ALL ")
+      s"""pv$i AS (
+         |  SELECT q.vec_id AS vid, c.vec_id AS cid, unnest(q.qe) AS x, unnest(c.qe) AS y
+         |  FROM quant q CROSS JOIN ($prev) c),
+         |pd$i AS (
+         |  SELECT vid, cid, CAST(SUM((x - y) * (x - y)) AS BIGINT) AS d FROM pv$i GROUP BY vid, cid),
+         |md$i AS (SELECT vid, MIN(d) AS d FROM pd$i GROUP BY vid),
+         |pick$i AS (
+         |  SELECT vid, d FROM md$i WHERE d > 0 ORDER BY d DESC, vid ASC LIMIT 1),
+         |cent$i AS (SELECT q.vec_id, q.qe FROM quant q JOIN pick$i p ON q.vec_id = p.vid),
+         |sel$i AS (SELECT CAST($i AS BIGINT) AS rank, vid AS vec_id, d AS sel_dist FROM pick$i),""".stripMargin
+    }
+    val k = 8
+    val allSel = (0 until k).map(j => s"SELECT * FROM sel$j").mkString(" UNION ALL ")
+    s"""WITH quant AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |cent0 AS (SELECT vec_id, qe FROM quant ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |sel0 AS (SELECT CAST(0 AS BIGINT) AS rank, vec_id, CAST(0 AS BIGINT) AS sel_dist FROM cent0),
+       |${(1 until k).map(step).mkString("\n")}
+       |fin AS ($allSel)
+       |SELECT rank, vec_id, sel_dist FROM fin ORDER BY rank""".stripMargin
+  }
+
   /** TextRank keyword authority graded to the BIT: 3 fixed-point
     * PageRank iterations over the term co-occurrence graph
     * ([[graft.operators.Corpus.textRank]]) — every rank is a BIGINT in
@@ -3966,6 +4005,7 @@ object QueryCatalog {
     Q("q_textrank", wrap(qTextRank), Some(qTextRankSql)),
     Q("q_ewma", wrap(qEwma), Some(qEwmaSql)),
     Q("q_hard_neg", wrap(qHardNeg), Some(qHardNegSql)),
+    Q("q_kcenter", wrap(qKCenter), Some(qKCenterSql)),
     Q("q_semdedup", wrap(qSemDedup), Some(qSemDedupSql)),
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),

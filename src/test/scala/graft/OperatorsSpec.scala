@@ -1410,6 +1410,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getInt(2) != 1), "no same-label rows")
   }
 
+  test("kCenterGreedy selects farthest-first with non-increasing radii") {
+    // three tight clusters far apart; k=3 must pick one point per cluster
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0.1f, 0f)),
+      (10L, Array(100f, 0f)), (11L, Array(100.1f, 0f)),
+      (20L, Array(0f, 100f)), (21L, Array(0f, 100.1f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.kCenterGreedy(pts, k = 3)
+      .orderBy("rank").collect()
+    assert(out.length === 3)
+    val clusters = out.map(_.getLong(1) / 10).toSet
+    assert(clusters === Set(0L, 1L, 2L), s"one center per cluster, got ${out.map(_.getLong(1)).toSeq}")
+    val dists = out.map(_.getLong(2))
+    assert(dists(0) === 0L && dists(1) >= dists(2), "radii non-increasing")
+    // duplicate-free: exact dup of a center is never selected
+    val dup = pts.unionByName(Seq((99L, Array(0f, 0f))).toDF("vec_id", "embedding"))
+    val ids = graft.operators.Similarity.kCenterGreedy(dup, k = 7)
+      .collect().map(_.getLong(1)).toSet
+    assert(!(ids.contains(0L) && ids.contains(99L)), "never both exact duplicates")
+  }
+
   test("textRank ranks the hub term highest; leaves tie exactly") {
     // star graph: 'a' co-occurs with each of b, c, d; leaves only with a
     val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "a d")).toDF("doc_id", "text")
