@@ -857,4 +857,38 @@ object Dedup {
       .orderBy(F.col("n_docs").desc, F.col("span").asc)
       .limit(topK)
   }
+
+  /** QUOTA dedup — the keep-list policy between "drop all but one" and
+    * "keep everything": every near-dup cluster ([[connectedComponents]]
+    * over the candidate pairs) retains its `maxReps` smallest-id
+    * members; documents in no pair are their own singleton cluster and
+    * always survive. Keeping 2-3 representatives instead of 1 preserves
+    * intra-cluster variation (formatting, minor edits) that exact-one
+    * dedup throws away — a real corpus-curation dial. Output: (id,
+    * cluster_id, rep_rank) for KEPT documents only; cluster_id is the
+    * min-reachable-id label, a singleton's own id for singletons.
+    *
+    * Scale shape: the label table is pair-member-sized (dups are
+    * sparse), joined LEFT onto the slim id projection — AQE
+    * broadcast-promotes it when small; the rep window sorts within
+    * clusters only, and cluster sizes are bounded by the dedup
+    * phenomenon itself.
+    */
+  def clusterRepresentatives(
+      ids: DataFrame,
+      pairs: DataFrame,
+      maxReps: Int = 1,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxReps >= 1, "maxReps >= 1")
+    val cl = connectedComponents(pairs)
+      .select(F.col("v").as(idCol), F.col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(F.col(idCol))
+    ids.select(F.col(idCol).cast("long").as(idCol))
+      .join(cl, Seq(idCol), "left")
+      .withColumn("cluster_id", F.coalesce(F.col("label"), F.col(idCol)))
+      .withColumn("rep_rank", F.row_number().over(w))
+      .filter(F.col("rep_rank") <= maxReps)
+      .select(idCol, "cluster_id", "rep_rank")
+  }
 }

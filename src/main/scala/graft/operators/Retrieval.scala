@@ -316,4 +316,70 @@ object Retrieval {
     }
     (learned.toSeq, vocab)
   }
+
+  /** Lexical candidate ranking by DISTINCT-token overlap: for each
+    * query document, corpus documents ranked by the number of shared
+    * distinct tokens (ties to the smaller id) — the sparse half of a
+    * hybrid retrieval stack, generated through the inverted-index join
+    * (a candidate appears only if it shares a term).
+    *
+    * Scale shape: the term join is the posting-list intersection; with
+    * a web-scale vocabulary, bound it by composing a df filter on the
+    * term table first (the co-occurrence query's vocabulary rule —
+    * stopwords are what explode this join, and they carry no signal).
+    */
+  def lexicalOverlapTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def dt(df: DataFrame, out: String) = df.select(
+      F.col(idCol).cast("long").as(out),
+      F.explode(F.array_distinct(
+        TextFunctions.tokens(F.lower(F.col(textCol))))).as("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(F.col("ov").desc, F.col("doc_id").asc)
+    dt(queries, "query_id").join(dt(corpus, "doc_id"), Seq("term"))
+      .filter(F.col("query_id") =!= F.col("doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(F.count(F.lit(1)).as("ov"))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "doc_id", "ov", "rank")
+  }
+
+  /** Reciprocal-rank fusion — the fusion layer of a hybrid (dense +
+    * sparse) retrieval stack: two per-query rankings merge by
+    * `sum(floor(scale / (c + rank)))`, the RRF formula made
+    * integer-exact (scale 2^20, c = 60, the standard constant). A
+    * document missing from one list simply contributes nothing —
+    * exactly RRF's semantics. Output: (query_id, doc_id, rrf, n_lists,
+    * rank) with deterministic id tie-breaks; n_lists tells you whether
+    * dense and sparse AGREED, the signal hybrid search exists for.
+    *
+    * Scale shape: inputs are already bounded top-k lists (k rows per
+    * query), so the union, the fused aggregate, and the final per-query
+    * window all run on k-bounded groups — nothing here ever touches a
+    * corpus-sized table.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int,
+      c: Long = 60L,
+      scale: Long = 1L << 20): DataFrame = {
+    def pts(df: DataFrame) = df.select(F.col("query_id"), F.col("doc_id"),
+      F.expr(s"CAST($scale AS BIGINT) div (CAST($c AS BIGINT) + CAST(rank AS BIGINT))").as("pts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(F.col("rrf").desc, F.col("doc_id").asc)
+    pts(a).unionByName(pts(b))
+      .groupBy("query_id", "doc_id")
+      .agg(F.sum("pts").as("rrf"), F.count(F.lit(1)).as("n_lists"))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "doc_id", "rrf", "n_lists", "rank")
+  }
 }

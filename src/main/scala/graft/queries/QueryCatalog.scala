@@ -1880,6 +1880,53 @@ object QueryCatalog {
       |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
       |ORDER BY doc_id""".stripMargin
 
+  /** Quota dedup graded end to end: every near-dup cluster (the
+    * q_dedup_clusters pair graph) keeps its 2 smallest-id members,
+    * singletons always survive — the keep-list between exact-one dedup
+    * and no dedup. The oracle replays the component labels AND the
+    * per-cluster quota cut.
+    */
+  private def qClusterReps(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(F.col("doc_id") < 1000)
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, lengthPruneRatio = Some((1, 5)))
+      .filter(F.col("inter") * 5 >= F.col("uni"))
+      .select("a", "b")
+    Dedup.clusterRepresentatives(docs, pairs, maxReps = 2)
+      .select(F.col("doc_id"), F.col("cluster_id"),
+        F.col("rep_rank").cast(LongType).as("rep_rank"))
+      .orderBy("doc_id")
+  }
+
+  private val qClusterRepsSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents WHERE doc_id < 1000),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+      |  END AS shingles FROM toks),
+      |dsh AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
+      |ex AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS sgl FROM dsh),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      |  HAVING COUNT(*) * 5 >= a.m + b.m - COUNT(*)),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      |, labels AS (SELECT v AS doc_id, MIN(r) AS label FROM reach GROUP BY v),
+      |withcl AS (
+      |  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
+      |  FROM toks d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+      |ranked AS (
+      |  SELECT doc_id, cluster_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rep_rank
+      |  FROM withcl)
+      |SELECT doc_id, cluster_id, rep_rank FROM ranked WHERE rep_rank <= 2
+      |ORDER BY doc_id""".stripMargin
+
   /** REAL audio decode through javax.sound.sampled: WAV fixtures are
     * encoded in the executors with id-derived header fields, then
     * header-decoded back — the same encode -> binary column -> decode
@@ -2735,6 +2782,62 @@ object QueryCatalog {
       |  FROM scored)
       |SELECT query_id, neighbor_id, neighbor_label, score, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid dense+sparse retrieval with reciprocal-rank fusion, graded
+    * end to end: the exact-dot ANN top-10 and the distinct-token
+    * overlap top-10 fuse by integer RRF
+    * ([[graft.operators.Retrieval.rrfFuse]]); the documents and
+    * embeddings tables share ids 1:1, so each query doc has both a
+    * dense and a sparse ranking. n_lists grades the agreement signal.
+    */
+  private def qHybrid(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents")
+    val ann = Similarity
+      .bruteForceTopKQuant(emb, emb.filter(F.col("vec_id") < 5), k = 10)
+      .select(F.col("query_id"), F.col("neighbor_id").as("doc_id"), F.col("rank"))
+    val lex = graft.operators.Retrieval
+      .lexicalOverlapTopK(docs, docs.filter(F.col("doc_id") < 5), k = 10)
+      .select("query_id", "doc_id", "rank")
+    graft.operators.Retrieval.rrfFuse(ann, lex, k = 5)
+      .select(F.col("query_id"), F.col("doc_id"), F.col("rrf"), F.col("n_lists"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qHybridSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, qe AS qv FROM quant WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, qe AS cv FROM quant),
+      |pairs AS (
+      |  SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |ann_s AS (SELECT query_id, neighbor_id, CAST(SUM(x*y) AS BIGINT) AS s
+      |  FROM pairs GROUP BY query_id, neighbor_id),
+      |ann AS (SELECT query_id, neighbor_id AS doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+      |  FROM ann_s),
+      |toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t FROM documents),
+      |dt AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+      |lex_s AS (SELECT a.doc_id AS query_id, b.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+      |  FROM dt a JOIN dt b ON a.term = b.term AND a.doc_id <> b.doc_id
+      |  WHERE a.doc_id < 5 GROUP BY a.doc_id, b.doc_id),
+      |lex AS (SELECT query_id, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ov DESC, doc_id ASC) AS rank
+      |  FROM lex_s),
+      |uni AS (
+      |  SELECT query_id, doc_id, 1048576 // (60 + rank) AS pts FROM ann WHERE rank <= 10
+      |  UNION ALL
+      |  SELECT query_id, doc_id, 1048576 // (60 + rank) AS pts FROM lex WHERE rank <= 10),
+      |fused AS (SELECT query_id, doc_id, CAST(SUM(pts) AS BIGINT) AS rrf, CAST(COUNT(*) AS BIGINT) AS n_lists
+      |  FROM uni GROUP BY query_id, doc_id),
+      |outq AS (SELECT query_id, doc_id, rrf, n_lists,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+      |  FROM fused)
+      |SELECT query_id, doc_id, rrf, n_lists, rank FROM outq WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Greedy k-center coreset graded end to end: the full 8-step
     * selection trace — seed, every max-min argmax, every selection
@@ -4006,6 +4109,8 @@ object QueryCatalog {
     Q("q_ewma", wrap(qEwma), Some(qEwmaSql)),
     Q("q_hard_neg", wrap(qHardNeg), Some(qHardNegSql)),
     Q("q_kcenter", wrap(qKCenter), Some(qKCenterSql)),
+    Q("q_hybrid", wrap(qHybrid), Some(qHybridSql)),
+    Q("q_cluster_reps", wrap(qClusterReps), Some(qClusterRepsSql)),
     Q("q_semdedup", wrap(qSemDedup), Some(qSemDedupSql)),
     Q("q_kmeans_step", wrap(qKmeansStep), Some(qKmeansStepSql)),
     Q("q_kmeans_train", wrap(qKmeansTrain), Some(qKmeansTrainSql)),

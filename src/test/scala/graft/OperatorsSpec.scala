@@ -1410,6 +1410,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getInt(2) != 1), "no same-label rows")
   }
 
+  test("clusterRepresentatives keeps maxReps per cluster and all singletons") {
+    val ids = (0L until 8L).toDF("doc_id")
+    // cluster {0,1,2,3} via chain; {5,6} pair; 4 and 7 singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = graft.operators.Dedup.clusterRepresentatives(ids, pairs, maxReps = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 4L, 5L, 6L, 7L),
+      "2 reps from the big cluster, both of the pair, both singletons")
+    assert(out.filter(_._1 < 4).forall(_._2 === 0L), "big cluster labeled by min id")
+    assert(out.find(_._1 === 4L).get._2 === 4L, "singleton is its own cluster")
+  }
+
+  test("rrfFuse rewards documents both rankings agree on") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = graft.operators.Retrieval.rrfFuse(a, b, k = 3)
+      .orderBy("rank").collect()
+    // doc 11 is in both lists (ranks 2 and 1) and must fuse on top
+    assert(out(0).getLong(1) === 11L && out(0).getLong(3) === 2L)
+    val s = 1048576L
+    assert(out(0).getLong(2) === s / 62 + s / 61, "integer RRF formula")
+    assert(out.map(_.getLong(1)).toSeq === Seq(11L, 10L, 12L),
+      "singles rank by their own reciprocal: rank-1 doc 10 above rank-2 doc 12")
+  }
+
   test("kCenterGreedy selects farthest-first with non-increasing radii") {
     // three tight clusters far apart; k=3 must pick one point per cluster
     val pts = Seq(
