@@ -265,6 +265,50 @@ object Streams {
   final case class SessionState(count: Long, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, duration_ms: Long)
 
+  final case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, cents: Long)
+  final case class EwmaState(n_events: Long, ewma_cents: Long)
+
+  /** Streaming twin of [[graft.operators.Sessions.ewmaByKey]]: the
+    * per-key integer EWMA maintained INCREMENTALLY across micro-batches
+    * with `mapGroupsWithState` — state is two longs per key, each batch
+    * folds its events in (ts, event_id) order through the identical
+    * `(num·x + (2^shift−num)·s) >> shift` recurrence, and the running
+    * (key, n_events, ewma_cents) row is emitted every batch (Update
+    * mode). Equals the batch operator whenever batches arrive in
+    * event-time order (the recurrence is order-sensitive BY DESIGN —
+    * that is what "moving" means); late cross-batch stragglers fold at
+    * arrival, the standard online-EWMA behavior.
+    *
+    * Scale shape: state is O(2 longs × active keys) with no event
+    * retention — the streaming-aggregation ideal; per batch each key
+    * touches only its own events.
+    */
+  def streamingEwma(
+      events: Dataset[EwmaEvent],
+      num: Long = 1L,
+      shift: Int = 1): Dataset[(Long, Long, Long)] = {
+    val den = 1L << shift
+    require(shift >= 1 && shift <= 32 && num >= 1 && num < den,
+      "need 1 <= num < 2^shift")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          var s = state.getOption.getOrElse(EwmaState(0L, 0L))
+          rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            s =
+              if (s.n_events == 0L) EwmaState(1L, e.cents)
+              else EwmaState(s.n_events + 1,
+                (num * e.cents + (den - num) * s.ewma_cents) >> shift)
+          }
+          state.update(s)
+          (uid, s.n_events, s.ewma_cents)
+      }
+  }
+
   /** Custom stateful operator: session windows via flatMapGroupsWithState
     * with an EVENT-TIME timeout — a session emits once `gapMs` of
     * event-time inactivity has passed (measured against the watermark),

@@ -196,6 +196,27 @@ class StreamingSpec extends SparkSpec {
     assert(servedIds.nonEmpty && servedIds.forall(_ >= 100), "batch after bump serves the refreshed index")
   }
 
+  test("streaming EWMA equals the batch fold when batches respect event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.EwmaEvent]
+    val out = graft.streaming.Streams.streamingEwma(input.toDS())
+    val q = out.toDF().toDF("user_id", "n_events", "ewma_cents").writeStream
+      .outputMode("update").format("memory").queryName("ewma_stream").start()
+    // batch 1: user 1 sees 40 then 20; batch 2: 100 arrives later
+    input.addData(
+      graft.streaming.Streams.EwmaEvent(1L, ts(1), 7L, 40L),
+      graft.streaming.Streams.EwmaEvent(1L, ts(2), 8L, 20L))
+    q.processAllAvailable()
+    input.addData(graft.streaming.Streams.EwmaEvent(1L, ts(3), 9L, 100L))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("ewma_stream").orderBy($"n_events".desc).collect().head
+    // batch twin: s=40; (20+40)>>1=30; (100+30)>>1=65
+    assert(last.getLong(0) === 1L && last.getLong(1) === 3L && last.getLong(2) === 65L)
+  }
+
   test("sessionize closes sessions after the event-time gap and expires state") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.SessionEvent]
