@@ -684,7 +684,9 @@ object Corpus {
     val tf = docs
       .select(F.col(idCol).cast("long").as("doc_id"), F.explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
-    val uni = tf.groupBy("term").agg(F.sum("tf").as("c"))
+    // vocabulary-sized: materialize once so the model and the total
+    // don't each re-derive it from the corpus
+    val uni = tf.groupBy("term").agg(F.sum("tf").as("c")).localCheckpoint()
     val uniFp = withIlog2Fp(uni, "c", "fp", fracBits).select("term", "fp")
     val totFp = withIlog2Fp(uni.agg(F.sum("c").as("c")), "c", "fp_t", fracBits)
       .select("fp_t")
@@ -773,8 +775,13 @@ object Corpus {
       .agg(F.count(F.lit(1)).as("w"))
     val edges = pairs.select(F.col("a").as("u"), F.col("b").as("v"), F.col("w"))
       .unionByName(pairs.select(F.col("b").as("u"), F.col("a").as("v"), F.col("w")))
+    // materialize the vocabulary-sized graph ONCE: every iteration
+    // references edges and nodes, and without truncating the lineage
+    // each reference re-derives them from the corpus — the plan grows
+    // one full corpus scan per iteration (observed: 32 scans at k=3)
     val edgesW = edges.join(edges.groupBy("u").agg(F.sum("w").as("totw")), Seq("u"))
-    val nodes = dt.select("term").distinct()
+      .localCheckpoint()
+    val nodes = dt.select("term").distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "textRank needs a non-empty corpus")
     val base = scale * 3 / (20 * n)

@@ -331,4 +331,13 @@ class PlanSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n${p.take(1500)}")
   }
+
+  test("textrank iterations run on the materialized graph, zero corpus scans") {
+    // without the edge/node checkpoint the plan grew one full corpus
+    // scan per reference (32 scans at 3 iterations) — the graph must be
+    // vocabulary-sized and materialized before the iteration joins
+    val p = finalPlan("q_textrank")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0, s"expected 0 parquet scans in the iteration plan, got $scans")
+  }
 }
