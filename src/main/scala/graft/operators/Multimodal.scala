@@ -534,6 +534,60 @@ object Multimodal {
       }
   }
 
+  final case class AudioEnergy(media_id: Long, n_samples: Long, energy: Long)
+
+  /** REAL PCM sample decode: parse each WAV payload with
+    * javax.sound.sampled, stream its 16-bit little-endian PCM frames,
+    * and aggregate total sample count + energy (sum of squared
+    * samples) — the audio twin of the image pixel-stats grade: not the
+    * header this time but every BYTE of the sample data must round-trip
+    * bit-exactly through encode → binary column → decode for the
+    * arithmetic oracle to match. Rows that fail to parse surface as
+    * (-1, -1) rather than vanishing.
+    *
+    * Scale shape: map-only over the binary column (mapPartitions, one
+    * decoder per row, streaming reads — no full-file buffering beyond
+    * the payload already in the row); composes with any upstream
+    * predicate pushdown on metadata columns.
+    */
+  def decodeAudioEnergy(media: DataFrame): Dataset[AudioEnergy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          var n = -1L; var energy = -1L
+          if (payload != null && payload.nonEmpty) {
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val buf = new Array[Byte](4096)
+              var carry = -1 // low byte awaiting its high byte across reads
+              n = 0L; energy = 0L
+              var read = ais.read(buf)
+              while (read > 0) {
+                var i = 0
+                while (i < read) {
+                  if (carry < 0) carry = buf(i) & 0xff
+                  else {
+                    val s = (carry | (buf(i) << 8)).toShort.toLong
+                    energy += s * s
+                    n += 1L
+                    carry = -1
+                  }
+                  i += 1
+                }
+                read = ais.read(buf)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => n = -1L; energy = -1L
+            }
+          }
+          AudioEnergy(id, n, energy)
+        }
+      }
+  }
+
   /** Deterministic WAV fixtures with id-derived header fields (sample
     * rate, channels, frame count) and an id-seeded 16-bit PCM payload —
     * real WAVE encoding in the executors, arithmetic-oracle-checkable

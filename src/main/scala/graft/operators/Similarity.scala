@@ -848,6 +848,61 @@ object Similarity {
         F.col("rank"))
   }
 
+  /** Write an LSH bucket index PARTITIONED by the bucket's high bits —
+    * the storage layout that makes serving reads partition-pruned: a
+    * query batch touches only the directories whose `bk_hi` matches
+    * one of its own buckets, so probe I/O scales with the batch's
+    * bucket footprint (≤ min(2^hiBits, |batch|) partitions), not the
+    * index size. hiBits bounds the directory fan-out (2^hiBits
+    * partitions); the low bits stay in the row for the exact bucket
+    * equi-join.
+    */
+  def writePartitionedIndex(
+      index: DataFrame,
+      path: String,
+      bits: Int = 8,
+      hiBits: Int = 4): Unit = {
+    require(hiBits >= 1 && hiBits <= bits, "1 <= hiBits <= bits")
+    index.withColumn("bk_hi", F.shiftright(F.col("bk"), bits - hiBits))
+      .write.partitionBy("bk_hi").mode("overwrite").parquet(path)
+  }
+
+  /** Serve ANN from a [[writePartitionedIndex]] layout: the query
+    * batch's distinct high-bit buckets are collected (bounded by
+    * 2^hiBits — driver-safe by construction) and pushed as a PARTITION
+    * filter, so the scan reads only matching directories (pinned in
+    * PlanSpec); candidates then join on the exact bucket as in
+    * [[lshTopKFromIndex]]. Bucket pruning cannot drop candidates: an
+    * exact-bk match implies an equal bk_hi. Results are identical to
+    * the unpartitioned path.
+    */
+  def lshTopKFromPartitionedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      bits: Int = 8,
+      hiBits: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val q = queries.select(F.col(idCol).as("query_id"),
+      VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .withColumn("bk", planeBucket(F.col("qv"), bits, 0, dims))
+      .withColumn("bk_hi", F.shiftright(F.col("bk"), bits - hiBits))
+    val hits = q.select("bk_hi").distinct().collect().map(_.getLong(0))
+    val cands = spark.read.parquet(path)
+      .filter(F.col("bk_hi").isin(hits.toIndexedSeq: _*))
+    val scored = cands
+      .join(broadcastIfSmall(q.drop("bk_hi"), maxBroadcastQueries), Seq("bk"))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
+    explodeTopK(scored, k)
+  }
+
   /** kNN label prediction — the standard embedding-quality eval: each
     * query's label is predicted by the MAJORITY label of its k nearest
     * neighbors under the exact quantized-dot metric

@@ -1950,6 +1950,29 @@ object QueryCatalog {
       |  200 + doc_id % 100 AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** REAL PCM decode graded to the sample: WAV fixtures encode an
+    * id-seeded 16-bit PCM payload; the decoder streams every sample
+    * back and the oracle recomputes total energy from the generator
+    * arithmetic — any byte corrupted anywhere in the encode → binary
+    * column → decode path breaks the sum.
+    */
+  private def qAudioEnergy(s: SparkSession, dir: String): DataFrame = {
+    val wavs = Multimodal.syntheticAudio(t(s, dir, "documents"), "doc_id")
+    Multimodal.decodeAudioEnergy(wavs).toDF()
+      .orderBy("media_id")
+  }
+
+  private val qAudioEnergySql =
+    """WITH base AS (
+      |  SELECT doc_id, CAST((200 + doc_id % 100) * (1 + doc_id % 2) AS BIGINT) AS n FROM documents),
+      |sm AS (
+      |  SELECT b.doc_id, b.n,
+      |    (b.doc_id*31 + (2*j.j)*7) % 256 + ((b.doc_id*31 + (2*j.j+1)*7) % 256) * 256 AS u
+      |  FROM base b, unnest(generate_series(0, b.n - 1)) AS j(j)),
+      |sg AS (SELECT doc_id, n, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s FROM sm)
+      |SELECT doc_id AS media_id, ANY_VALUE(n) AS n_samples, CAST(SUM(s*s) AS BIGINT) AS energy
+      |FROM sg GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** Benchmark decontamination: per-document count of distinct word
     * 5-grams shared with the "benchmark" (docs 0-19 standing in for an
     * eval set) — the test-set-leakage guard of training pipelines. The
@@ -2661,6 +2684,26 @@ object QueryCatalog {
     Similarity.lshTopKFromIndex(
         s.read.parquet(s"$tmp/index"), emb.filter(F.col("vec_id") < 10),
         k = 5, bits = 4)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("score").cast(LongType).as("score"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The PARTITION-PRUNED LSH serving layout graded end to end: index
+    * written partitionBy(bk_hi), the query batch's bucket footprint
+    * pushed as a partition filter, exact-bucket join on the pruned
+    * scan. Pruning cannot drop candidates (equal bk ⇒ equal bk_hi), so
+    * the oracle is [[qAnnLshSql]] verbatim.
+    */
+  private def qAnnLshPart(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-part").toString
+    Similarity.writePartitionedIndex(
+      Similarity.lshBucketTable(emb, bits = 4), s"$tmp/index", bits = 4, hiBits = 2)
+    Similarity.lshTopKFromPartitionedIndex(
+        s, s"$tmp/index", emb.filter(F.col("vec_id") < 10),
+        k = 5, bits = 4, hiBits = 2)
       .select(F.col("query_id"), F.col("neighbor_id"),
         F.col("score").cast(LongType).as("score"),
         F.col("rank").cast(LongType).as("rank"))
@@ -4074,6 +4117,7 @@ object QueryCatalog {
     Q("q_image_pixels", wrap(qImagePixels), Some(qImagePixelsSql)),
     Q("q_image_features", wrap(qImageFeatures), Some(qImageFeaturesSql)),
     Q("q_audio_meta", wrap(qAudioMeta), Some(qAudioMetaSql)),
+    Q("q_audio_energy", wrap(qAudioEnergy), Some(qAudioEnergySql)),
     Q("q_frame_meta", wrap(qFrameMeta), Some(qFrameMetaSql)),
     Q("q_decontam", wrap(qDecontam), Some(qDecontamSql)),
     Q("q_bloom_decontam", wrap(qBloomDecontam), Some(qDecontamSql)),
@@ -4103,6 +4147,7 @@ object QueryCatalog {
     Q("q_ann_ivfpq", wrap(qAnnIvfPq), Some(qAnnIvfPqSql)),
     Q("q_ann_ivfpq_idx", wrap(qAnnIvfPqIdx), Some(qAnnIvfPqSql)),
     Q("q_ann_lsh_idx", wrap(qAnnLshIdx), Some(qAnnLshSql)),
+    Q("q_ann_lsh_part", wrap(qAnnLshPart), Some(qAnnLshSql)),
     Q("q_knn_label", wrap(qKnnLabel), Some(qKnnLabelSql)),
     Q("q_split", wrap(qSplit), Some(qSplitSql)),
     Q("q_textrank", wrap(qTextRank), Some(qTextRankSql)),

@@ -332,6 +332,16 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n${p.take(1500)}")
   }
 
+  test("partitioned LSH serving pushes the bucket footprint as a partition filter") {
+    val df = SparkEntry.queries("q_ann_lsh_part")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bk_hi"),
+      p.take(2000))
+    assert(p.contains("bk_hi#") && p.contains(" IN ") || p.contains("isin") ||
+      p.contains("In(bk_hi"), "bucket-footprint IN filter must reach the scan\n" + p.take(2000))
+  }
+
   test("textrank iterations run on the materialized graph, zero corpus scans") {
     // without the edge/node checkpoint the plan grew one full corpus
     // scan per reference (32 scans at 3 iterations) — the graph must be
