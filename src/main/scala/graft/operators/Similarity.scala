@@ -257,6 +257,61 @@ object Similarity {
     explodeTopK(scored, k)
   }
 
+  /** MULTI-PROBE sign-bit LSH ANN — the recall lever that costs extra
+    * probes instead of extra index copies: beside its own bucket, each
+    * query probes the buckets reached by flipping its `probes`
+    * LOWEST-CONFIDENCE planes (smallest |projection| — the signs most
+    * likely to disagree for a true near neighbor; ties to the lower
+    * seed). One index table serves any probe budget, vs
+    * [[lshTopKMulti]]'s `tables` independent copies — the classic
+    * index-size/query-cost trade (Lv et al.'s multi-probe idea on the
+    * sign-bit family). All arithmetic integer-exact; probe buckets are
+    * distinct by construction, so no candidate dedup is needed.
+    *
+    * Scale shape: identical to [[lshTopK]] with a (probes+1)-way
+    * per-query bucket explosion on the broadcast side — the index is
+    * still scanned once, the bucket id is still the join key.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      bits: Int = 8,
+      probes: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    require(probes >= 0 && probes <= bits, "0 <= probes <= bits")
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val index = lshBucketTable(corpus, bits, idCol, vecCol, dims)
+    val qv = F.col("qv")
+    val projs = F.array((0 until bits).map(s =>
+      VectorFunctions.dotL(qv, F.typedlit(plane(dims, s)))): _*)
+    // seeds ordered by (|projection|, seed): the flip candidates
+    val flipSeeds = F.slice(
+      F.transform(
+        F.array_sort(F.zip_with(
+          projs, F.sequence(F.lit(0), F.lit(bits - 1)),
+          (p, s) => F.struct(F.abs(p).as("a"), s.as("s")))),
+        x => x.getField("s")),
+      1, probes)
+    val probeBks = F.concat(
+      F.array(F.col("bk")),
+      F.transform(flipSeeds, s => F.col("bk").bitwiseXOR(
+        F.call_function("shiftleft", F.lit(1L), s.cast("int")))))
+    val q = queries
+      .select(F.col(idCol).as("query_id"),
+        VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .withColumn("bk", planeBucket(qv, bits, 0, dims))
+      .select(F.col("query_id"), F.col("qv"), F.explode(probeBks).as("bk"))
+    val scored = index.join(broadcastIfSmall(q, maxBroadcastQueries), Seq("bk"))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        VectorFunctions.dotL(F.col("qv"), F.col("cv")).cast("double").as("score"))
+    explodeTopK(scored, k)
+  }
+
   /** Multi-table (OR-amplified) sign-bit LSH ANN — the recall lever a
     * single table lacks: `tables` independent tables of `bits` planes
     * each (table t uses plane seeds [t*bits, (t+1)*bits)); a corpus

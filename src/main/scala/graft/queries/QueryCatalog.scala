@@ -2668,6 +2668,52 @@ object QueryCatalog {
        |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Multi-probe LSH graded end to end: each query probes its own
+    * bucket plus the 2 buckets reached by flipping its
+    * lowest-|projection| planes — probe selection, bucket XOR
+    * arithmetic, and the exact-dot ranking all replayed by the oracle.
+    */
+  private def qAnnMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopKMultiProbe(emb, emb.filter(F.col("vec_id") < 10),
+        k = 5, bits = 4, probes = 2)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("score").cast(LongType).as("score"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnMultiProbeSql =
+    s"""WITH ${lshOracleCtes(4)},
+       |buckets AS (
+       |  SELECT vec_id, SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << seed ELSE 0 END) AS bk
+       |  FROM proj GROUP BY vec_id),
+       |qsel AS (SELECT vec_id FROM quant WHERE vec_id < 10),
+       |flip AS (
+       |  SELECT p.vec_id, p.seed,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY abs(p.proj), p.seed) AS rn
+       |  FROM proj p JOIN qsel USING (vec_id)),
+       |probes AS (
+       |  SELECT b.vec_id, b.bk FROM buckets b JOIN qsel USING (vec_id)
+       |  UNION
+       |  SELECT f.vec_id, xor(b.bk, CAST(1 AS BIGINT) << f.seed) AS bk
+       |  FROM flip f JOIN buckets b ON b.vec_id = f.vec_id WHERE f.rn <= 2),
+       |pairvals AS (
+       |  SELECT qp.vec_id AS query_id, bc.vec_id AS neighbor_id, unnest(qq.qv) AS x, unnest(qc.qv) AS y
+       |  FROM probes qp JOIN buckets bc ON qp.bk = bc.bk
+       |  JOIN quant qq ON qq.vec_id = qp.vec_id
+       |  JOIN quant qc ON qc.vec_id = bc.vec_id
+       |  WHERE qp.vec_id <> bc.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+       |  FROM pairvals GROUP BY query_id, neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** The PERSISTED LSH path graded end to end: bucket index built,
     * round-tripped through parquet, served via
     * [[graft.operators.Similarity.lshTopKFromIndex]] — the batch twin
@@ -4148,6 +4194,7 @@ object QueryCatalog {
     Q("q_ann_ivfpq_idx", wrap(qAnnIvfPqIdx), Some(qAnnIvfPqSql)),
     Q("q_ann_lsh_idx", wrap(qAnnLshIdx), Some(qAnnLshSql)),
     Q("q_ann_lsh_part", wrap(qAnnLshPart), Some(qAnnLshSql)),
+    Q("q_ann_multiprobe", wrap(qAnnMultiProbe), Some(qAnnMultiProbeSql)),
     Q("q_knn_label", wrap(qKnnLabel), Some(qKnnLabelSql)),
     Q("q_split", wrap(qSplit), Some(qSplitSql)),
     Q("q_textrank", wrap(qTextRank), Some(qTextRankSql)),

@@ -1410,6 +1410,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getInt(2) != 1), "no same-label rows")
   }
 
+  test("multi-probe LSH candidates dominate the single-bucket tier") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 80L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 8)
+    def best(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"rank" === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val single = best(graft.operators.Similarity
+      .lshTopK(vecs, qs, k = 3, bits = 4, dims = 16))
+    val multi = best(graft.operators.Similarity
+      .lshTopKMultiProbe(vecs, qs, k = 3, bits = 4, probes = 2, dims = 16))
+    // probing supersets the candidate pool: the best hit can only improve,
+    // and no query served by the single tier goes unserved
+    for ((q, s) <- single) assert(multi.getOrElse(q, Double.MinValue) >= s,
+      s"query $q: multi-probe best ${multi.get(q)} < single-bucket best $s")
+    assert(multi.keySet.size >= single.keySet.size)
+  }
+
   test("clusterRepresentatives keeps maxReps per cluster and all singletons") {
     val ids = (0L until 8L).toDF("doc_id")
     // cluster {0,1,2,3} via chain; {5,6} pair; 4 and 7 singletons
