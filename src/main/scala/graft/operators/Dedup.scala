@@ -858,6 +858,65 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Substring-level dedup's REMOVAL pass — the completion of
+    * [[duplicatedSpans]]' discovery: every token covered by a word
+    * n-gram that appears in >= `minDocs` DISTINCT documents is stripped
+    * from every document carrying it (the C4-style corpus-frequent
+    * boilerplate cut, at span rather than line granularity). Coverage
+    * semantics are deterministic and order-free: token position i is
+    * removed iff ANY duplicated gram starting in [i-n+1, i] covers it —
+    * no greedy scan, so the result is independent of match order.
+    * Output: (doc_id, n_tokens, n_kept, kept_md5) with the digest of
+    * the retained text grading the rebuild exactly.
+    *
+    * Scale shape: grams explode map-side with positions; the df filter
+    * is one partial-aggregated shuffle on the gram; covered positions
+    * come back through a semi-join on the gram (dup grams only — the
+    * corpus-frequent TAIL, sparse by definition); the rebuild is a
+    * per-doc bounded aggregate. The raw text never shuffles.
+    */
+  def removeDuplicatedSpans(
+      docs: DataFrame,
+      n: Int = 5,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
+    val withT = docs.select(F.col(idCol).cast("long").as("doc_id"),
+      TextFunctions.tokens(F.lower(F.col(textCol))).as("__t"))
+    val toks = F.col("__t")
+    val grams = F.when(F.size(toks) >= n,
+      F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+        p => F.struct(p.as("p"),
+          F.concat_ws(" ", F.slice(toks, p + 1, F.lit(n))).as("gram"))))
+      .otherwise(F.array().cast("array<struct<p:int,gram:string>>"))
+    val ge = withT.select(F.col("doc_id"), F.explode(grams).as("g"))
+      .select(F.col("doc_id"), F.col("g.p").as("p"), F.col("g.gram").as("gram"))
+    val dupGrams = ge.groupBy("gram")
+      .agg(F.countDistinct(F.col("doc_id")).as("df"))
+      .filter(F.col("df") >= minDocs)
+      .select("gram")
+    val cov = ge.join(dupGrams, Seq("gram"), "leftsemi")
+      .select(F.col("doc_id"),
+        F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).as("pos"))
+      .distinct()
+    val tp = withT.select(F.col("doc_id"), F.posexplode(toks).as(Seq("pos", "tok")))
+    val agg = tp.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        F.count(F.lit(1)).as("n_kept"),
+        F.md5(F.concat_ws(" ",
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok")))),
+            x => x.getField("tok"))).cast("binary")).as("kept_md5"))
+    withT.select(F.col("doc_id"), F.size(toks).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(F.col("doc_id"), F.col("n_tokens"),
+        F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"),
+        F.coalesce(F.col("kept_md5"),
+          F.md5(F.lit("").cast("binary"))).as("kept_md5"))
+  }
+
   /** QUOTA dedup — the keep-list policy between "drop all but one" and
     * "keep everything": every near-dup cluster ([[connectedComponents]]
     * over the candidate pairs) retains its `maxReps` smallest-id

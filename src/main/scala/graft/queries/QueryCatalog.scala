@@ -1385,6 +1385,42 @@ object QueryCatalog {
       |FROM agg WHERE n_docs >= 2
       |ORDER BY n_docs DESC, span ASC LIMIT 20""".stripMargin
 
+  /** Corpus-level span REMOVAL graded end to end: tokens covered by any
+    * 5-gram shared across >= 2 documents are stripped, and the digest
+    * of each rebuilt document is hash-graded — the C4-style boilerplate
+    * cut that [[qDupSpans]]' discovery pass feeds. 71/500 docs change
+    * at sf0.01, so the predicate is live.
+    */
+  private def qSpanRemove(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(t(s, dir, "documents"), n = 5, minDocs = 2)
+      .orderBy("doc_id")
+
+  private val qSpanRemoveSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, p - 1 AS p, array_to_string(t[p:p+4], ' ') AS g
+      |  FROM toks, unnest(generate_series(1, len(t) - 4)) AS s(p)
+      |  WHERE len(t) >= 5),
+      |gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+      |dup AS (SELECT doc_id, p FROM grams JOIN gdf USING (g) WHERE df >= 2),
+      |cov AS (SELECT DISTINCT doc_id, p + o AS pos FROM dup, unnest(generate_series(0, 4)) AS oo(o)),
+      |tp AS (SELECT doc_id, u.tok, u.pos FROM (
+      |  SELECT doc_id, unnest(list_transform(t, (x, i) -> struct_pack(tok := x, pos := i - 1))) AS u FROM toks)),
+      |kept AS (
+      |  SELECT tp.doc_id, tp.tok, tp.pos FROM tp
+      |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+      |  WHERE cov.pos IS NULL),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    md5(array_to_string(list(tok ORDER BY pos), ' ')) AS kept_md5
+      |  FROM kept GROUP BY doc_id),
+      |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+      |SELECT b.doc_id, b.n_tokens, COALESCE(a.n_kept, 0) AS n_kept,
+      |  COALESCE(a.kept_md5, md5('')) AS kept_md5
+      |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id ORDER BY b.doc_id""".stripMargin
+
   /** Intra-document repetition removal, graded end to end: block dedup
     * keeps the first occurrence of each distinct 10-token block and the
     * cleaned text travels as an md5 digest — the within-page
@@ -4133,6 +4169,7 @@ object QueryCatalog {
     Q("q_corpus_stats", wrap(qCorpusStats), Some(qCorpusStatsSql)),
     Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
     Q("q_dup_spans", wrap(qDupSpans), Some(qDupSpansSql)),
+    Q("q_span_remove", wrap(qSpanRemove), Some(qSpanRemoveSql)),
     Q("q_seg_dedup", wrap(qSegDedup), Some(qSegDedupSql)),
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),

@@ -1410,6 +1410,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getInt(2) != 1), "no same-label rows")
   }
 
+  test("removeDuplicatedSpans strips shared spans, keeps unique text") {
+    val docs = Seq(
+      (0L, "aa bb cc dd ee unique zero tail words here"),
+      (1L, "aa bb cc dd ee other one ending text body"),
+      (2L, "totally different content with no shared span")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.removeDuplicatedSpans(docs, n = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+    // docs 0 and 1 share the 5-gram "aa bb cc dd ee": those 5 tokens go
+    assert(out(0).getLong(1) === 10L && out(0).getLong(2) === 5L)
+    assert(out(1).getLong(2) === 5L)
+    // doc 2 untouched, digest equals md5 of its own lowered text
+    assert(out(2).getLong(1) === out(2).getLong(2))
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("totally different content with no shared span".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(2).getString(3) === expected)
+  }
+
   test("multi-probe LSH candidates dominate the single-bucket tier") {
     val rnd = new scala.util.Random(31)
     val vecs = (0L until 80L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
