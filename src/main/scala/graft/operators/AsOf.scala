@@ -68,6 +68,11 @@ object AsOf {
     * ('prior'/'next', null when no right row exists on the key) +
     * `gap_us` (exact micros).
     *
+    * REQUIRES unique LEFT ids (true of any id column): the backward and
+    * forward passes meet in an equi-join on the left id, so duplicated
+    * left ids would cross-multiply their prior/next matches into rows
+    * neither input justifies. Right ids carry no such constraint.
+    *
     * Scale shape: two one-shuffle as-of passes (the shared union +
     * running-last core) joined once on the left id. The matched row's
     * ts rides the SAME running-last window frame as its id (both are

@@ -743,7 +743,9 @@ object Corpus {
   /** TextRank keyword authority: PageRank over the term co-occurrence
     * graph (terms are nodes; an edge's weight is the number of
     * documents where both terms appear), run ENTIRELY in fixed-point
-    * integers — rank scale 2^20, damping 17/20, floor division at
+    * integers — rank scale 2^20 by default (raise `scale` to at least
+    * 1024·vocabulary for larger corpora; enforced), damping 17/20,
+    * floor division at
     * every step — so all `iters` iterations replay bit-for-bit in the
     * oracle. Dangling terms (no co-occurrences) receive only the
     * teleport share each round (the standard ignore-dangling-mass
@@ -763,9 +765,9 @@ object Corpus {
       docs: DataFrame,
       iters: Int = 3,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      scale: Long = 1048576L): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val scale = 1048576L
     val dt = docs.select(F.col(idCol).as("doc_id"),
       F.explode(F.array_distinct(
         TextFunctions.tokens(F.lower(F.col(textCol))))).as("term"))
@@ -784,6 +786,15 @@ object Corpus {
     val nodes = dt.select("term").distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "textRank needs a non-empty corpus")
+    // fixed-point headroom: pr0 = scale/n and the teleport share
+    // scale*3/(20n) must stay well above the floor-division noise or
+    // every rank silently underflows to 0 (and the oracle, replaying
+    // the same arithmetic, would grade the garbage green). Fail loud
+    // instead: at 1024 units minimum, 3 damping rounds keep >= 4
+    // fractional bits of signal.
+    require(scale / n >= 1024,
+      s"fixed-point scale $scale too small for vocabulary of $n terms — " +
+        s"pass scale >= ${1024L * n} (power of two recommended)")
     val base = scale * 3 / (20 * n)
     var pr = nodes.withColumn("pr", F.lit(scale / n))
     for (_ <- 1 to iters) {

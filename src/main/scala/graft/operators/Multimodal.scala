@@ -561,6 +561,16 @@ object Multimodal {
             try {
               val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(payload))
+              // byte-pairing below assumes 16-bit little-endian signed
+              // PCM: any other parseable format (8-bit, big-endian,
+              // A-law/mu-law) must fall to the sentinel, not decode to
+              // plausible garbage
+              val fmt = ais.getFormat
+              if (fmt.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+                throw new javax.sound.sampled.UnsupportedAudioFileException(
+                  s"not 16-bit LE signed PCM: $fmt")
               val buf = new Array[Byte](4096)
               var carry = -1 // low byte awaiting its high byte across reads
               n = 0L; energy = 0L

@@ -327,6 +327,9 @@ object Retrieval {
     * a web-scale vocabulary, bound it by composing a df filter on the
     * term table first (the co-occurrence query's vocabulary rule —
     * stopwords are what explode this join, and they carry no signal).
+    * The per-query cut is the bounded top-k sketch aggregate (k-element
+    * partial state per map task), not a window sort of the full
+    * candidate set.
     */
   def lexicalOverlapTopK(
       corpus: DataFrame,
@@ -338,16 +341,17 @@ object Retrieval {
       F.col(idCol).cast("long").as(out),
       F.explode(F.array_distinct(
         TextFunctions.tokens(F.lower(F.col(textCol))))).as("term"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(F.col("ov").desc, F.col("doc_id").asc)
-    dt(queries, "query_id").join(dt(corpus, "doc_id"), Seq("term"))
+    val scored = dt(queries, "query_id").join(dt(corpus, "doc_id"), Seq("term"))
       .filter(F.col("query_id") =!= F.col("doc_id"))
       .groupBy("query_id", "doc_id")
       .agg(F.count(F.lit(1)).as("ov"))
-      .withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select("query_id", "doc_id", "ov", "rank")
+      // topk_pairs ranks score DESC with ids ascending on ties — the
+      // (ov desc, doc asc) order; counts are exact in a double
+      .select(F.col("query_id"), F.col("doc_id").as("neighbor_id"),
+        F.col("ov").cast("double").as("score"))
+    graft.operators.Similarity.explodeTopK(scored, k)
+      .select(F.col("query_id"), F.col("neighbor_id").as("doc_id"),
+        F.col("score").cast("long").as("ov"), F.col("rank"))
   }
 
   /** Reciprocal-rank fusion — the fusion layer of a hybrid (dense +

@@ -2760,7 +2760,7 @@ object QueryCatalog {
     */
   private def qAnnLshIdx(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    val tmp = idxScratch("lsh")
     Similarity.lshBucketTable(emb, bits = 4)
       .write.mode("overwrite").parquet(s"$tmp/index")
     Similarity.lshTopKFromIndex(
@@ -2780,7 +2780,7 @@ object QueryCatalog {
     */
   private def qAnnLshPart(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-part").toString
+    val tmp = idxScratch("lsh-part")
     Similarity.writePartitionedIndex(
       Similarity.lshBucketTable(emb, bits = 4), s"$tmp/index", bits = 4, hiBits = 2)
     Similarity.lshTopKFromPartitionedIndex(
@@ -4031,10 +4031,17 @@ object QueryCatalog {
     * [[qAnnIvfPqSql]] verbatim: index-served answers must equal the
     * inline [[qAnnIvfPq]] bit for bit.
     */
+  /** Fixed per-query scratch path: mode("overwrite") REUSES it across
+    * invocations — a fresh createTempDirectory per call would leave an
+    * index copy behind on every bench/verify/plan run.
+    */
+  private def idxScratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-idx-scratch/$name"
+
   private def qAnnIvfPqIdx(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val (model, codes) = Similarity.ivfPqIndex(emb)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    val tmp = idxScratch("ivfpq")
     model.write.mode("overwrite").parquet(s"$tmp/model")
     codes.write.mode("overwrite").parquet(s"$tmp/codes")
     Similarity.ivfPqTopKFromIndex(

@@ -210,9 +210,13 @@ object Streams {
         if (!batch.isEmpty) {
           val v = indexVersion()
           if (!cachedVersion.contains(v)) {
-            if (cached != null) cached.unpersist()
-            cached = index().persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // localCheckpoint, NOT persist: a lazy persist keeps the
+            // file-listing lineage, so after a publisher OVERWRITES the
+            // index path a lost cached partition would recompute from
+            // deleted/refreshed files — failing the batch or silently
+            // mixing index versions. The eager, lineage-free copy pins
+            // version v; the old copy is dropped on swap via GC.
+            cached = index().localCheckpoint()
             cachedVersion = Some(v)
           }
           sink(graft.operators.Similarity.lshTopKFromIndex(
@@ -298,7 +302,12 @@ object Streams {
         GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
           var s = state.getOption.getOrElse(EwmaState(0L, 0L))
-          rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // microsecond-exact order to match the batch twin's
+          // unix_micros sort: getTime alone truncates to milliseconds
+          // and same-millisecond events would fold in id order instead
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          rows.toArray.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             s =
               if (s.n_events == 0L) EwmaState(1L, e.cents)
               else EwmaState(s.n_events + 1,

@@ -338,8 +338,10 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("bk_hi"),
       p.take(2000))
-    assert(p.contains("bk_hi#") && p.contains(" IN ") || p.contains("isin") ||
-      p.contains("In(bk_hi"), "bucket-footprint IN filter must reach the scan\n" + p.take(2000))
+    // the footprint must appear as an IN/isin filter ON bk_hi
+    assert(p.contains("bk_hi#") &&
+      (p.contains(" IN ") || p.contains("isin") || p.contains("In(bk_hi")),
+      "bucket-footprint IN filter must reach the scan\n" + p.take(2000))
   }
 
   test("textrank iterations run on the materialized graph, zero corpus scans") {
