@@ -740,6 +740,45 @@ object Corpus {
     ranked.select(F.col(idCol), F.col(stratumCol), assign.as("split"))
   }
 
+  /** Zipf-fit corpus diagnostic: the least-squares slope of the
+    * log-log rank/frequency curve, computed ENTIRELY in integers —
+    * both logs via [[withIlog2Fp]], the slope as the exact rational
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) in decimal(38,0) (the q_anomaly
+    * convention for cross products beyond 2^63). Natural-language
+    * corpora fit slope ≈ −1; a slope near 0 means a flat, synthetic,
+    * or truncated vocabulary — the "is this corpus real text?" check a
+    * curation pipeline runs before trusting frequency-based filters.
+    *
+    * Scale shape: the corpus reduces to the vocabulary in one
+    * partial-aggregated shuffle; the rank window and the sums run on
+    * the vocab-sized table (the one materialization), so the
+    * single-partition rank sort is bounded by vocabulary, not corpus.
+    */
+  def zipfFit(
+      docs: DataFrame,
+      fracBits: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val uni = docs
+      .select(F.col(idCol).cast("long").as("doc_id"), F.explode(toks).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint()
+    val rk = uni.withColumn("r",
+      F.row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(F.col("c").desc, F.col("term").asc)).cast("long"))
+    val pts = withIlog2Fp(withIlog2Fp(rk, "r", "x", fracBits), "c", "y", fracBits)
+    val dec = (c: String) => F.col(c).cast("decimal(38,0)")
+    pts.agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum("x").as("sx"), F.sum("y").as("sy"),
+        F.sum(F.col("x") * F.col("y")).as("sxy"),
+        F.sum(F.col("x") * F.col("x")).as("sxx"))
+      .select(F.col("n").as("n_terms"),
+        (dec("n") * dec("sxy") - dec("sx") * dec("sy")).as("slope_num"),
+        (dec("n") * dec("sxx") - dec("sx") * dec("sx")).as("slope_den"))
+  }
+
   /** TextRank keyword authority: PageRank over the term co-occurrence
     * graph (terms are nodes; an edge's weight is the number of
     * documents where both terms appear), run ENTIRELY in fixed-point

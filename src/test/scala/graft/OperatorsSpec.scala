@@ -1410,6 +1410,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getInt(2) != 1), "no same-label rows")
   }
 
+  test("zipfFit recovers slope ≈ −1 on a Zipfian corpus") {
+    // term i appears floor(1024/i) times: a textbook Zipf distribution
+    val words = (1 to 64).flatMap(i => Seq.fill(1024 / i)(s"w$i"))
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = graft.operators.Corpus.zipfFit(docs).collect().head
+    val slope = r.getDecimal(1).doubleValue() / r.getDecimal(2).doubleValue()
+    assert(r.getLong(0) === 64L)
+    assert(slope < -0.85 && slope > -1.15, s"expected ≈ -1, got $slope")
+  }
+
   test("removeDuplicatedSpans strips shared spans, keeps unique text") {
     val docs = Seq(
       (0L, "aa bb cc dd ee unique zero tail words here"),
