@@ -822,7 +822,7 @@ object Similarity {
     * centroid pool — the single corpus scan shared by [[ivfPqTopK]]
     * (inline) and [[ivfPqIndex]] (persisted).
     */
-  private def ivfPqCodeTable(
+  private[graft] def ivfPqCodeTable(
       corpus: DataFrame,
       pool: Seq[Seq[Long]],
       nlist: Int,

@@ -269,6 +269,48 @@ object Streams {
   final case class SessionState(count: Long, start: Long, last: Long)
   final case class SessionOut(user_id: Long, n_events: Long, duration_ms: Long)
 
+  /** Streaming IVF-PQ index MAINTENANCE — the online half of
+    * [[graft.operators.Similarity.ivfPqIndex]]'s offline build: each
+    * micro-batch of new vectors is cell-assigned and PQ-coded against
+    * the FROZEN persisted model (collected once, model-sized) and
+    * appended to the codes table; the model never moves, so codes
+    * written today and codes written next month score identically and
+    * [[graft.operators.Similarity.ivfPqTopKFromIndex]] serves the
+    * growing table without a rebuild. Replay-idempotent: ids already
+    * coded by a crashed attempt are skipped via left-anti on the codes
+    * table.
+    *
+    * Scale shape: per batch, coding is map-only against literal
+    * centroids (the ivfPqCodeTable kernel); the idempotence probe is
+    * one id-projection anti-join — the incremental-dedup pattern
+    * applied to index maintenance.
+    */
+  def streamingIvfPqIndex(
+      vectors: DataFrame,
+      model: DataFrame,
+      catalog: Catalog,
+      codesTable: String,
+      checkpoint: String,
+      nlist: Int = 16,
+      m: Int = 4,
+      ksub: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val pool: Seq[Seq[Long]] = model.orderBy("cid").collect()
+      .map(_.getSeq[Long](1).toSeq).toSeq
+    require(pool.nonEmpty, "streamingIvfPqIndex needs a non-empty model")
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val codes = graft.operators.Similarity.ivfPqCodeTable(
+            batch, pool, nlist, m, ksub, "vec_id", "embedding")
+          val existing = catalog.read(codesTable).select("neighbor_id")
+          catalog.append(codesTable,
+            codes.join(existing, Seq("neighbor_id"), "leftanti"))
+        }
+      }
+  }
+
   final case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, cents: Long)
   final case class EwmaState(n_events: Long, ewma_cents: Long)

@@ -196,6 +196,38 @@ class StreamingSpec extends SparkSpec {
     assert(servedIds.nonEmpty && servedIds.forall(_ >= 100), "batch after bump serves the refreshed index")
   }
 
+  test("streaming IVF-PQ index appends codes from the frozen model, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    def mk(ids: Range) = ids.map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val seedCorpus = mk(0 until 30).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-stream").toString
+    val catalog = new graft.sources.Catalog(spark, s"$dir/wh")
+    val (model, seedCodes) = graft.operators.Similarity
+      .ivfPqIndex(seedCorpus, nlist = 8, m = 4, ksub = 8)
+    catalog.ensureTable("codes", seedCodes.schema)
+    catalog.append("codes", seedCodes)
+    val b1 = mk(100 until 110); val b2 = mk(110 until 120)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streams.streamingIvfPqIndex(
+        input.toDF().toDF("vec_id", "embedding"), model, catalog, "codes",
+        checkpoint = s"$dir/ckpt", nlist = 8, m = 4, ksub = 8).start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData(b1: _*); q.processAllAvailable() // replay: must not duplicate
+    q.stop()
+    val got = catalog.read("codes")
+    assert(got.count() === 50L, "30 seed + 20 streamed, replay deduped")
+    // incremental codes equal a batch rebuild against the same frozen pool
+    val pool = model.orderBy("cid").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val all = seedCorpus.unionByName((b1 ++ b2).toDF("vec_id", "embedding"))
+    val expected = graft.operators.Similarity
+      .ivfPqCodeTable(all, pool, 8, 4, 8, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet === expected)
+  }
+
   test("streaming EWMA equals the batch fold when batches respect event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
