@@ -3315,6 +3315,59 @@ object QueryCatalog {
       |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',') AS postings
       |FROM terms GROUP BY term ORDER BY term""".stripMargin
 
+  /** The release-pipeline TAIL composed end to end and graded as one
+    * query: stratified split → train shard only → greedy token-budget
+    * packing → per-bin manifest (counts, token totals, id range). Each
+    * stage is individually graded elsewhere (q_split, q_pack); this row
+    * grades their COMPOSITION — the manifest a shard writer would
+    * publish for the training run.
+    */
+  private def qRelease(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = Corpus.splitAssign(docs,
+        Seq("train" -> 8, "val" -> 1, "test" -> 1), "lang")
+      .filter(F.col("split") === "train").select("doc_id")
+    val items = docs.join(train, Seq("doc_id"))
+      .select(F.col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(F.col("text")).as("n_tokens"))
+      .localCheckpoint() // referenced by the packer AND the manifest join
+    val assigns = Corpus.packAssignments(items, budgetTokens = 400L)
+    assigns.join(items, Seq("doc_id"))
+      .groupBy("bin_id")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("n_tokens").as("total_tokens"),
+        F.min("doc_id").as("lo"), F.max("doc_id").as("hi"))
+      .orderBy("bin_id")
+  }
+
+  private val qReleaseSql =
+    """WITH RECURSIVE ranked AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |train AS (SELECT doc_id FROM ranked WHERE rank * 10 <= n * 8),
+      |items AS (
+      |  SELECT d.doc_id,
+      |    CAST(CASE WHEN trim(d.text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS BIGINT) AS n_tokens,
+      |    ROW_NUMBER() OVER (ORDER BY d.doc_id) AS rn
+      |  FROM documents d JOIN train USING (doc_id)),
+      |walk AS (
+      |  SELECT rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin_id, n_tokens AS total
+      |  FROM items WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.doc_id, i.n_tokens,
+      |    CASE WHEN w.total >= 400 OR w.total + i.n_tokens > 400
+      |         THEN w.bin_id + 1 ELSE w.bin_id END,
+      |    CASE WHEN w.total >= 400 OR w.total + i.n_tokens > 400
+      |         THEN i.n_tokens ELSE w.total + i.n_tokens END
+      |  FROM walk w JOIN items i ON i.rn = w.rn + 1)
+      |SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  MIN(doc_id) AS lo, MAX(doc_id) AS hi
+      |FROM walk GROUP BY bin_id ORDER BY bin_id""".stripMargin
+
   /** Zipf-fit diagnostic graded exactly: rank and frequency logs via
     * the shift-and-square recurrence, slope as an exact rational in
     * decimal(38,0). The synthetic corpus grades ≈ −0.18 — correctly
@@ -4294,6 +4347,7 @@ object QueryCatalog {
     Q("q_inverted", wrap(qInverted), Some(qInvertedSql)),
     Q("q_unigram_lm", wrap(qUnigramLm), Some(qUnigramLmSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
+    Q("q_release", wrap(qRelease), Some(qReleaseSql)),
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),
