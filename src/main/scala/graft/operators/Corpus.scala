@@ -764,8 +764,12 @@ object Corpus {
       .select(F.col(idCol).cast("long").as("doc_id"), F.explode(toks).as("term"))
       .groupBy("term").agg(F.count(F.lit(1)).as("c"))
       .localCheckpoint()
+    // a 1-term (or empty) vocabulary degenerates the regression to 0/0 —
+    // the pathological corpus this diagnostic exists to flag; fail loud
+    require(uni.count() >= 2,
+      "zipfFit needs >= 2 distinct terms (degenerate corpus)")
     val rk = uni.withColumn("r",
-      F.row_number().over(org.apache.spark.sql.expressions.Window
+      F.row_number().over(Window
         .orderBy(F.col("c").desc, F.col("term").asc)).cast("long"))
     val pts = withIlog2Fp(withIlog2Fp(rk, "r", "x", fracBits), "c", "y", fracBits)
     val dec = (c: String) => F.col(c).cast("decimal(38,0)")

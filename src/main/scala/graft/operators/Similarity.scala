@@ -798,6 +798,13 @@ object Similarity {
     * scoring is m array lookups per candidate, one bounded top-k
     * shuffle.
     */
+  /** Decode a persisted model table back to the centroid pool — the ONE
+    * place that knows the (cid-ordered, centroid-at-ordinal-1) layout;
+    * shared by from-index serving and streaming index maintenance.
+    */
+  private[graft] def collectPool(model: DataFrame): Seq[Seq[Long]] =
+    model.orderBy("cid").collect().map(_.getSeq[Long](1).toSeq).toSeq
+
   def ivfPqTopKFromIndex(
       model: DataFrame,
       codes: DataFrame,
@@ -811,8 +818,7 @@ object Similarity {
       vecCol: String = "embedding",
       maxBroadcastQueries: Long = 100000L,
       querySizeHint: Option[Long] = None): DataFrame = {
-    val pool: Seq[Seq[Long]] = model.orderBy("cid").collect()
-      .map(_.getSeq[Long](1).toSeq).toSeq
+    val pool = collectPool(model)
     require(pool.nonEmpty, "ivfPqTopKFromIndex needs a non-empty model")
     ivfPqServe(pool, codes, queries, k, nlist, nprobe, m, ksub,
       idCol, vecCol, maxBroadcastQueries, querySizeHint)

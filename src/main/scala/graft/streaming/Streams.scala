@@ -282,8 +282,13 @@ object Streams {
     *
     * Scale shape: per batch, coding is map-only against literal
     * centroids (the ivfPqCodeTable kernel); the idempotence probe is
-    * one id-projection anti-join — the incremental-dedup pattern
+    * the shared [[graft.operators.Upsert.newRows]] (in-batch
+    * dropDuplicates + anti-join) — the incremental-dedup pattern
     * applied to index maintenance.
+    *
+    * Caller must `catalog.ensureTable(codesTable, schema)` (and seed
+    * it with the offline build's codes) BEFORE starting the stream —
+    * the first batch reads the table for the idempotence probe.
     */
   def streamingIvfPqIndex(
       vectors: DataFrame,
@@ -293,9 +298,10 @@ object Streams {
       checkpoint: String,
       nlist: Int = 16,
       m: Int = 4,
-      ksub: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val pool: Seq[Seq[Long]] = model.orderBy("cid").collect()
-      .map(_.getSeq[Long](1).toSeq).toSeq
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val pool = graft.operators.Similarity.collectPool(model)
     require(pool.nonEmpty, "streamingIvfPqIndex needs a non-empty model")
     vectors.writeStream
       .outputMode(OutputMode.Append)
@@ -303,10 +309,9 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val codes = graft.operators.Similarity.ivfPqCodeTable(
-            batch, pool, nlist, m, ksub, "vec_id", "embedding")
-          val existing = catalog.read(codesTable).select("neighbor_id")
+            batch, pool, nlist, m, ksub, idCol, vecCol)
           catalog.append(codesTable,
-            codes.join(existing, Seq("neighbor_id"), "leftanti"))
+            Upsert.newRows(codes, catalog.read(codesTable), "neighbor_id"))
         }
       }
   }

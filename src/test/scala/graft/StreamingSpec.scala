@@ -216,12 +216,15 @@ class StreamingSpec extends SparkSpec {
     input.addData(b1: _*); q.processAllAvailable()
     input.addData(b2: _*); q.processAllAvailable()
     input.addData(b1: _*); q.processAllAvailable() // replay: must not duplicate
+    val dup = mk(120 until 121)
+    input.addData(dup ++ dup: _*) // same id twice WITHIN one trigger
+    q.processAllAvailable()
     q.stop()
     val got = catalog.read("codes")
-    assert(got.count() === 50L, "30 seed + 20 streamed, replay deduped")
+    assert(got.count() === 51L, "30 seed + 21 streamed; replay AND in-batch dup deduped")
     // incremental codes equal a batch rebuild against the same frozen pool
-    val pool = model.orderBy("cid").collect().map(_.getSeq[Long](1).toSeq).toSeq
-    val all = seedCorpus.unionByName((b1 ++ b2).toDF("vec_id", "embedding"))
+    val pool = graft.operators.Similarity.collectPool(model)
+    val all = seedCorpus.unionByName((b1 ++ b2 ++ dup).toDF("vec_id", "embedding"))
     val expected = graft.operators.Similarity
       .ivfPqCodeTable(all, pool, 8, 4, 8, "vec_id", "embedding")
       .collect().map(_.toSeq).toSet
