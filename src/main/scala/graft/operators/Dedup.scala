@@ -882,8 +882,13 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
+    // tokenize ONCE: the gram pass, the position pass, and the length
+    // base all read the token incidence — without materialization each
+    // re-scans the corpus and re-runs the tokenizing regex (8 scans
+    // observed), the chunk lesson at operator granularity
     val withT = docs.select(F.col(idCol).cast("long").as("doc_id"),
       TextFunctions.tokens(F.lower(F.col(textCol))).as("__t"))
+      .localCheckpoint()
     val toks = F.col("__t")
     val grams = F.when(F.size(toks) >= n,
       F.transform(F.sequence(F.lit(0), F.size(toks) - n),
