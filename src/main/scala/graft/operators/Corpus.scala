@@ -811,13 +811,14 @@ object Corpus {
       idCol: String = "doc_id",
       scale: Long = 1048576L): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    // tokenize once: the incidence feeds its own self-join (both sides)
-    // plus the node set — materialized, the corpus is scanned and
-    // tokenized exactly once
+    // the incidence is re-derived per reference (3 pruned corpus
+    // scans) — corpus-sized localCheckpoints tax the whole session's
+    // storage (see removeDuplicatedSpans); only the VOCAB-sized graph
+    // tables below are materialized, which is what caps the plan at
+    // zero corpus scans inside the iterations
     val dt = docs.select(F.col(idCol).as("doc_id"),
       F.explode(F.array_distinct(
         TextFunctions.tokens(F.lower(F.col(textCol))))).as("term"))
-      .localCheckpoint()
     val pairs = dt.as("a").join(dt.as("b"),
         F.col("a.doc_id") === F.col("b.doc_id") && F.col("a.term") < F.col("b.term"))
       .groupBy(F.col("a.term").as("a"), F.col("b.term").as("b"))

@@ -882,13 +882,14 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
-    // tokenize ONCE: the gram pass, the position pass, and the length
-    // base all read the token incidence — without materialization each
-    // re-scans the corpus and re-runs the tokenizing regex (8 scans
-    // observed), the chunk lesson at operator granularity
+    // NOT materialized: the gram/position/length passes re-derive the
+    // token incidence (3 pruned scans), which benches FASTER end to end
+    // than a corpus-sized localCheckpoint — checkpoint blocks linger in
+    // executor storage for the session and tax every later query.
+    // Materialize-once is reserved for VOCAB-sized tables (see
+    // textRank's graph); corpus-sized intermediates stay lineage-only.
     val withT = docs.select(F.col(idCol).cast("long").as("doc_id"),
       TextFunctions.tokens(F.lower(F.col(textCol))).as("__t"))
-      .localCheckpoint()
     val toks = F.col("__t")
     val grams = F.when(F.size(toks) >= n,
       F.transform(F.sequence(F.lit(0), F.size(toks) - n),
