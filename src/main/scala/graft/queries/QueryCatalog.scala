@@ -3315,6 +3315,48 @@ object QueryCatalog {
       |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',') AS postings
       |FROM terms GROUP BY term ORDER BY term""".stripMargin
 
+  /** Split-parity diagnostic: per token-length decade, document counts
+    * in each split — the distribution-shift check run after splitting
+    * (a skewed val set invalidates eval). Counts are exact integers; a
+    * reviewer cross-multiplies adjacent buckets for parity. Composes
+    * [[graft.operators.Corpus.splitAssign]] with the length histogram.
+    */
+  private def qSplitParity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val assigned = Corpus.splitAssign(docs,
+      Seq("train" -> 8, "val" -> 1, "test" -> 1), "lang")
+    docs.join(assigned.select("doc_id", "split"), Seq("doc_id"))
+      .select(F.expr("size(split(trim(lower(text)), '\\\\s+')) div 10").as("bucket"),
+        F.col("split"))
+      .groupBy("bucket")
+      .agg(
+        F.sum(F.when(F.col("split") === "train", 1L).otherwise(0L)).as("train_n"),
+        F.sum(F.when(F.col("split") === "val", 1L).otherwise(0L)).as("val_n"),
+        F.sum(F.when(F.col("split") === "test", 1L).otherwise(0L)).as("test_n"))
+      .orderBy("bucket")
+  }
+
+  private val qSplitParitySql =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, text,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |assigned AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN rank * 10 <= n * 8 THEN 'train'
+      |         WHEN rank * 10 <= n * 9 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM ranked),
+      |b AS (
+      |  SELECT len(regexp_split_to_array(trim(lower(text)), '\s+')) // 10 AS bucket, split
+      |  FROM assigned)
+      |SELECT bucket,
+      |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
+      |  CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS val_n,
+      |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test_n
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** The release-pipeline TAIL composed end to end and graded as one
     * query: stratified split → train shard only → greedy token-budget
     * packing → per-bin manifest (counts, token totals, id range). Each
@@ -4348,6 +4390,7 @@ object QueryCatalog {
     Q("q_unigram_lm", wrap(qUnigramLm), Some(qUnigramLmSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_release", wrap(qRelease), Some(qReleaseSql)),
+    Q("q_split_parity", wrap(qSplitParity), Some(qSplitParitySql)),
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),
