@@ -46,6 +46,45 @@ object Sessions {
       .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
   }
 
+  /** Per-key INTERVAL UNION: each event opens a fixed window
+    * [ts, ts + windowUs); overlapping or touching windows merge, and
+    * the output is each key's merged-interval count plus total covered
+    * microseconds — the "actual active time" measure that per-event
+    * sums overcount (the interval-algebra complement of
+    * [[sessionizeBatch]], which groups by GAPS instead of merging by
+    * OVERLAP). Touching intervals (next start == previous end) merge;
+    * exact integer micros end to end.
+    *
+    * Scale shape: one shuffle — the break-flag running max and the
+    * running group-id sum ride the SAME (key, start, tie) window sort
+    * (window reuse, the SCD2 pattern), and the merge is a bounded
+    * two-level aggregation on top.
+    */
+  def mergeIntervals(
+      events: DataFrame,
+      windowUs: Long = 300000000L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val start = F.unix_micros(F.col(tsCol))
+    val iv = events.select(F.col(keyCol), start.as("__s"),
+      (start + F.lit(windowUs)).as("__e"), F.col(tieCol).as("__tie"))
+    val wPrev = Window.partitionBy(keyCol).orderBy(F.col("__s"), F.col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keyCol).orderBy(F.col("__s"), F.col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val brk = F.when(
+      F.col("__s") > F.coalesce(F.max(F.col("__e")).over(wPrev),
+        F.lit(Long.MinValue)), 1L).otherwise(0L)
+    iv.withColumn("__g", F.sum(brk).over(wRun))
+      .groupBy(F.col(keyCol), F.col("__g"))
+      .agg(F.min("__s").as("__ms"), F.max("__e").as("__me"))
+      .groupBy(F.col(keyCol))
+      .agg(F.count(F.lit(1)).as("n_intervals"),
+        F.sum(F.col("__me") - F.col("__ms")).as("covered_us"))
+  }
+
   /** Per-key exponentially-weighted moving average over the event-time
     * order, in EXACT integers: smoothing factor num/2^shift (default
     * 1/2), recurrence `s' = (num·x + (2^shift − num)·s) >> shift` with

@@ -3315,6 +3315,36 @@ object QueryCatalog {
       |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',') AS postings
       |FROM terms GROUP BY term ORDER BY term""".stripMargin
 
+  /** Interval-union per user graded exactly: 5-minute event windows
+    * merged by overlap ([[graft.operators.Sessions.mergeIntervals]]);
+    * count + exact covered micros per user — the active-time measure
+    * per-event sums overcount. 35 distinct interval counts at sf0.01.
+    */
+  private def qIntervalMerge(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.mergeIntervals(events(s, dir))
+      .orderBy("user_id")
+
+  private val qIntervalMergeSql =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_ns(ts)//1000 AS s,
+      |    epoch_ns(ts)//1000 + 300000000 AS e, event_id
+      |  FROM events),
+      |flg AS (
+      |  SELECT user_id, s, e, event_id,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808) THEN 1 ELSE 0 END AS brk
+      |  FROM iv),
+      |grp AS (
+      |  SELECT user_id, s, e,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      |  FROM flg),
+      |merged AS (
+      |  SELECT user_id, g, MIN(s) AS ms, MAX(e) AS me FROM grp GROUP BY user_id, g)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(me - ms) AS BIGINT) AS covered_us
+      |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Split-parity diagnostic: per token-length decade, document counts
     * in each split — the distribution-shift check run after splitting
     * (a skewed val set invalidates eval). Counts are exact integers; a
@@ -4391,6 +4421,7 @@ object QueryCatalog {
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_release", wrap(qRelease), Some(qReleaseSql)),
     Q("q_split_parity", wrap(qSplitParity), Some(qSplitParitySql)),
+    Q("q_interval_merge", wrap(qIntervalMerge), Some(qIntervalMergeSql)),
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),

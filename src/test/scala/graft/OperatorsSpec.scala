@@ -1410,6 +1410,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getInt(2) != 1), "no same-label rows")
   }
 
+  test("mergeIntervals merges overlapping and touching windows, splits gapped ones") {
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d")
+    val ev = Seq(
+      (1L, ts(0), 1L),    // [0, 60)
+      (1L, ts(30), 2L),   // overlaps -> [0, 90)
+      (1L, ts(90), 3L),   // touches 90 -> merges -> [0, 150)
+      (1L, ts(300), 4L),  // gap -> new interval [300, 360)
+      (2L, ts(0), 5L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = graft.operators.Sessions
+      .mergeIntervals(ev, windowUs = 60000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((2L, 210000000L)), "merged [0,150) + [300,360) = 210 s")
+    assert(out(2L) === ((1L, 60000000L)))
+  }
+
   test("zipfFit recovers slope ≈ −1 on a Zipfian corpus") {
     // term i appears floor(1024/i) times: a textbook Zipf distribution
     val words = (1 to 64).flatMap(i => Seq.fill(1024 / i)(s"w$i"))
