@@ -8,17 +8,41 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through a `noop` sink write — unlike `count()`,
   * which lets Catalyst prune the whole projection away, noop computes
   * every output column while writing nothing.
+  *
+  * Session hygiene (r8 finding): a shared session accumulates cached
+  * blocks and localCheckpoint RDDs across ~125 entries, taxing
+  * late-alphabet entries 3-4× their isolated cost. Between measured
+  * runs (outside the timer) the harness clears the SQL cache and
+  * unpersists every lingering RDD; the three end-to-end composites
+  * (pipeline / streaming / streaming_dedup) each get a fresh
+  * SparkSession on a fresh SparkContext so micro-batch state never
+  * inherits the query sweep's block-manager residue.
   */
 object Bench {
+  /** Release cross-entry session state: cached relations plus any
+    * persistent RDDs (localCheckpoint blocks otherwise linger in
+    * executor storage until driver GC — the r8 tail-contamination
+    * mechanism).
+    */
+  private def scrub(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.builder("graft-bench", cpus)
-      .master(s"local[$cpus]")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftFunctions.register(spark)
+    def freshSession(name: String): SparkSession = {
+      val s = GraftSession.builder(name, cpus)
+        .master(s"local[$cpus]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      GraftFunctions.register(s)
+      s
+    }
+    val spark = freshSession("graft-bench")
     // Warm up the JVM/codegen/parquet paths once so the first measured
     // query doesn't absorb classloading + first-codegen cost.
     spark.read.parquet(s"$sfDir/nation.parquet")
@@ -40,6 +64,7 @@ object Bench {
         try fn(spark, warmDir.getPath).write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () }
       }
+      scrub(spark)
     }
     // Two measured runs per query, report the faster: single-run local
     // timings are ±20% noisy (GC, page cache), which round-over-round
@@ -50,6 +75,10 @@ object Bench {
       // query's benchmark — NaN poisons the min so the failure is
       // visible, and the report carries an explicit failed list
       def once(): Double = {
+        // outside the timer: start every run with a clean block manager
+        // so an entry's cost never includes (or hides behind) another
+        // entry's lingering cached/checkpointed blocks
+        scrub(spark)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -61,6 +90,11 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
+    // The composites below each run in a fresh SparkSession on a fresh
+    // SparkContext (local mode allows one context per JVM, so the query
+    // sweep's session stops first): their micro-batch/pipeline timings
+    // must not inherit the sweep's block-manager and GC residue.
+    spark.stop()
     // The reference's ACTUAL workload, timed end-to-end: three pipeline
     // batches (CSV ingest -> trip_key derivation -> date-pruned dedup
     // upsert -> incremental matview refresh; the middle batch repeats
@@ -79,9 +113,10 @@ object Bench {
         }
         val b1 = csv("b1", 20000, 0)
         val b2 = csv("b2", 20000, 10000)
+        val s = freshSession("graft-bench-pipeline")
         val t0 = System.nanoTime()
         try {
-          val pipe = new Pipeline(spark, s"$dir/warehouse")
+          val pipe = new Pipeline(s, s"$dir/warehouse")
           pipe.runBatch(b1)
           pipe.runBatch(b1) // idempotent re-run: all-duplicate batch
           pipe.runBatch(b2) // 50% fresh keys
@@ -90,7 +125,7 @@ object Bench {
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
           Double.NaN
-        }
+        } finally s.stop()
       })
     // The streaming path, timed: three files dropped up front, consumed
     // as three micro-batches (maxFilesPerTrigger=1) through the
@@ -108,12 +143,13 @@ object Bench {
             graft.tools.TripPipelineDemo.syntheticCsv(20000, i * 10000,
               tsHeader = "date_time"))
         }
+        val s = freshSession("graft-bench-streaming")
         val t0 = System.nanoTime()
         try {
-          val catalog = new graft.sources.Catalog(spark, s"$dir/warehouse")
+          val catalog = new graft.sources.Catalog(s, s"$dir/warehouse")
           catalog.ensureTable("hist_trip_data", graft.model.Trip.schema)
           val q = graft.streaming.Streams.streamingUpsert(
-            graft.streaming.Streams.tripFileStream(spark, drop, maxFilesPerTrigger = 1),
+            graft.streaming.Streams.tripFileStream(s, drop, maxFilesPerTrigger = 1),
             catalog, "hist_trip_data", s"$dir/ckpt").start()
           // stop in finally: a failed micro-batch must not leave the
           // stream's listing/microbatch threads competing with whatever
@@ -124,7 +160,7 @@ object Bench {
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] streaming failed: ${e.getMessage}")
           Double.NaN
-        }
+        } finally s.stop()
       })
     // Streaming incremental dedup, timed end-to-end: three JSONL batches
     // (the third re-drops 30% of the second's texts under new ids) flow
@@ -154,14 +190,15 @@ object Bench {
         batchFile("b1.jsonl", 1000 until 2000, identity)
         batchFile("b2.jsonl", 2000 until 3000,
           i => if (i % 10 < 3) i - 1000 else i) // 30% dups of b1
+        val s = freshSession("graft-bench-sdedup")
         val t0 = System.nanoTime()
         try {
-          val catalog = new graft.sources.Catalog(spark, s"$dir/warehouse")
+          val catalog = new graft.sources.Catalog(s, s"$dir/warehouse")
           val ddl = org.apache.spark.sql.types.StructType.fromDDL _
           catalog.ensureTable("corpus", ddl("doc_id BIGINT, text STRING"))
           catalog.ensureTable("corpus_buckets", ddl("id BIGINT, band INT, bk BIGINT"))
           val q = graft.streaming.Streams.streamingDocDedup(
-            graft.streaming.Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+            graft.streaming.Streams.docFileStream(s, drop, maxFilesPerTrigger = 1),
             catalog, "corpus", "corpus_buckets", s"$dir/ckpt").start()
           try q.processAllAvailable()
           finally q.stop()
@@ -169,7 +206,7 @@ object Bench {
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] streaming_dedup failed: ${e.getMessage}")
           Double.NaN
-        }
+        } finally s.stop()
       })
     val failed = withStreamDedup.collect { case (k, v) if v.isNaN => k }
     val qs = withStreamDedup.map { case (k, v) =>
@@ -178,6 +215,5 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = withStreamDedup.map(_._2).filterNot(_.isNaN).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -744,10 +744,16 @@ object Corpus {
     * log-log rank/frequency curve, computed ENTIRELY in integers —
     * both logs via [[withIlog2Fp]], the slope as the exact rational
     * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) in decimal(38,0) (the q_anomaly
-    * convention for cross products beyond 2^63). Natural-language
-    * corpora fit slope ≈ −1; a slope near 0 means a flat, synthetic,
-    * or truncated vocabulary — the "is this corpus real text?" check a
-    * curation pipeline runs before trusting frequency-based filters.
+    * convention for cross products beyond 2^63), then PROJECTED to a
+    * BIGINT milli-slope `sign · (|num|·1000 div |den|)` — the
+    * abs/sign form makes floor and truncate coincide (non-negative
+    * operands), so any integer-division convention replays it, and
+    * scalar BIGINT output is the cross-engine-stable grading type
+    * (decimal columns format differently under pyarrow vs pandas).
+    * Natural-language corpora fit slope ≈ −1 (milli ≈ −1000); a slope
+    * near 0 means a flat, synthetic, or truncated vocabulary — the
+    * "is this corpus real text?" check a curation pipeline runs
+    * before trusting frequency-based filters.
     *
     * Scale shape: the corpus reduces to the vocabulary in one
     * partial-aggregated shuffle; the rank window and the sums run on
@@ -781,6 +787,11 @@ object Corpus {
       .select(F.col("n").as("n_terms"),
         (dec("n") * dec("sxy") - dec("sx") * dec("sy")).as("slope_num"),
         (dec("n") * dec("sxx") - dec("sx") * dec("sx")).as("slope_den"))
+      .selectExpr(
+        "CAST(n_terms AS BIGINT) AS n_terms",
+        """CAST((CASE WHEN (slope_num < 0) = (slope_den < 0) THEN 1 ELSE -1 END)
+          |  * (abs(slope_num) * 1000 div abs(slope_den)) AS BIGINT)
+          |  AS slope_milli""".stripMargin)
   }
 
   /** TextRank keyword authority: PageRank over the term co-occurrence

@@ -3441,9 +3441,11 @@ object QueryCatalog {
       |FROM walk GROUP BY bin_id ORDER BY bin_id""".stripMargin
 
   /** Zipf-fit diagnostic graded exactly: rank and frequency logs via
-    * the shift-and-square recurrence, slope as an exact rational in
-    * decimal(38,0). The synthetic corpus grades ≈ −0.18 — correctly
-    * flagged as non-Zipfian.
+    * the shift-and-square recurrence, slope computed as an exact
+    * rational internally and graded as a BIGINT milli-slope (scalar
+    * integer output is the cross-engine-stable grading type). The
+    * synthetic corpus grades −183 milli ≈ −0.18 — correctly flagged
+    * as non-Zipfian.
     */
   private def qZipf(s: SparkSession, dir: String): DataFrame =
     Corpus.zipfFit(t(s, dir, "documents"))
@@ -3471,11 +3473,15 @@ object QueryCatalog {
        |j AS (SELECT fx.x, fy.y FROM fx JOIN fy USING (term)),
        |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
        |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
-       |  CAST(SUM(x*x) AS BIGINT) AS sxx FROM j)
-       |SELECT n AS n_terms,
-       |  CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS slope_num,
-       |  CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS slope_den
-       |FROM sums""".stripMargin
+       |  CAST(SUM(x*x) AS BIGINT) AS sxx FROM j),
+       |rat AS (SELECT n,
+       |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS slope_num,
+       |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS slope_den
+       |  FROM sums)
+       |SELECT CAST(n AS BIGINT) AS n_terms,
+       |  CAST((CASE WHEN (slope_num < 0) = (slope_den < 0) THEN 1 ELSE -1 END)
+       |    * (abs(slope_num) * 1000 // abs(slope_den)) AS BIGINT) AS slope_milli
+       |FROM rat""".stripMargin
   }
 
   /** Unigram-LM surprisal quality scoring, graded to the BIT: the
@@ -4194,12 +4200,18 @@ object QueryCatalog {
     * [[qAnnIvfPqSql]] verbatim: index-served answers must equal the
     * inline [[qAnnIvfPq]] bit for bit.
     */
-  /** Fixed per-query scratch path: mode("overwrite") REUSES it across
-    * invocations — a fresh createTempDirectory per call would leave an
-    * index copy behind on every bench/verify/plan run.
+  /** Per-JVM scratch root for persisted-index queries, created once per
+    * process: mode("overwrite") REUSES the per-query subdir across
+    * invocations (a fresh createTempDirectory per call would leave an
+    * index copy behind on every bench/verify/plan run), while the
+    * once-per-JVM random root keeps concurrent runs on one host from
+    * overwriting each other's files mid-read — a fixed world-shared
+    * /tmp path raced and was writable by any local user.
     */
-  private def idxScratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-idx-scratch/$name"
+  private lazy val idxScratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-idx-scratch-").toString
+
+  private def idxScratch(name: String): String = s"$idxScratchRoot/$name"
 
   private def qAnnIvfPqIdx(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")

@@ -215,9 +215,14 @@ object Streams {
             // index path a lost cached partition would recompute from
             // deleted/refreshed files — failing the batch or silently
             // mixing index versions. The eager, lineage-free copy pins
-            // version v; the old copy is dropped on swap via GC.
+            // version v.
+            val old = Option(cached)
             cached = index().localCheckpoint()
             cachedVersion = Some(v)
+            // release the superseded copy's executor blocks NOW: a
+            // long-running stream with frequent version bumps would
+            // otherwise hold every old index in storage until driver GC
+            old.foreach(_.rdd.unpersist(blocking = false))
           }
           sink(graft.operators.Similarity.lshTopKFromIndex(
             cached, batch, k, bits, dims = dims))
@@ -351,9 +356,11 @@ object Streams {
           var s = state.getOption.getOrElse(EwmaState(0L, 0L))
           // microsecond-exact order to match the batch twin's
           // unix_micros sort: getTime alone truncates to milliseconds
-          // and same-millisecond events would fold in id order instead
+          // and same-millisecond events would fold in id order instead;
+          // floorDiv (not /) so pre-epoch timestamps floor like
+          // unix_micros rather than truncating toward zero
           def micros(t: java.sql.Timestamp): Long =
-            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
           rows.toArray.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             s =
               if (s.n_events == 0L) EwmaState(1L, e.cents)

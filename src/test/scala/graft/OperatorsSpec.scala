@@ -1397,6 +1397,46 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) === ((1L, 500L)), "single event seeds the fold")
   }
 
+  test("ewmaByKey survives a hot key: O(1) per-key state, exact fold") {
+    // one key with 100k events — the collect_list shape this operator
+    // replaced would hold the whole array per key; the secondary-sort
+    // fold keeps two longs. Values cycle so the fixed point is not
+    // trivially the seed.
+    val n = 100000
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = spark.range(n.toLong).selectExpr(
+      "CAST(7 AS BIGINT) AS user_id",
+      s"timestamp_millis(${base}L + id * 1000) AS ts",
+      "id AS event_id",
+      "CAST(id % 97 AS DOUBLE) / 100.0 + 0.001 AS value")
+    val out = graft.operators.Sessions.ewmaByKey(ev).collect()
+    assert(out.length === 1)
+    // cents = floor(value*100) = i % 97 (the +0.001 keeps fp above it)
+    var s = 0L
+    (0 until n).foreach { i =>
+      val x = (i % 97).toLong
+      s = if (i == 0) x else (x + s) >> 1
+    }
+    assert(out.head.getLong(1) === n.toLong)
+    assert(out.head.getLong(2) === s, "fold must replay the recurrence exactly")
+  }
+
+  test("duplicatedRuns merges overlapping covered grams into maximal runs") {
+    // docs 0 and 1 share a 9-token block: 5-grams at starts 2..6 of doc
+    // 0 all qualify, and their union must come back as ONE run of 9 —
+    // not five overlapping gram hits
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"zero alpha $shared zero omega"),
+      (1L, s"$shared one two three four five"),
+      (2L, "totally different content with no shared span at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicatedRuns(docs, n = 5, minDocs = 2)
+      .orderBy("doc_id", "run_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((0L, 2L, 9L), (1L, 0L, 9L)))
+  }
+
   test("hardNegatives returns only wrong-label neighbors, nearest first") {
     val rows = Seq(
       (0L, Array(1.0f, 0f), 1), (1L, Array(0.99f, 0f), 1), // same label as query
@@ -1431,9 +1471,10 @@ class OperatorsSpec extends SparkSpec {
     val words = (1 to 64).flatMap(i => Seq.fill(1024 / i)(s"w$i"))
     val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
     val r = graft.operators.Corpus.zipfFit(docs).collect().head
-    val slope = r.getDecimal(1).doubleValue() / r.getDecimal(2).doubleValue()
+    val slopeMilli = r.getLong(1)
     assert(r.getLong(0) === 64L)
-    assert(slope < -0.85 && slope > -1.15, s"expected ≈ -1, got $slope")
+    assert(slopeMilli < -850L && slopeMilli > -1150L,
+      s"expected ≈ -1000 milli, got $slopeMilli")
   }
 
   test("removeDuplicatedSpans strips shared spans, keeps unique text") {

@@ -5,11 +5,46 @@ DuckDB over the same testdata tables and compare (schema, row count,
 values). Columns are sorted by name and rows by all columns, mirroring the
 driver's hash compare; values must match exactly (floats to 1e-12 rel).
 
+In addition to the DuckDB-both-sides exact compare, this replays the
+driver's ASYMMETRIC read path — the Spark result parquet via
+pyarrow→pandas, the oracle via duckdb `.df()` (pandas) — and compares
+pandas dtypes plus str-formatted values. The two paths format some types
+differently even when values are identical (pyarrow DECIMAL → `Decimal`
+objects vs pandas float64 — the r8 q_zipf red row), so DuckDB-only
+comparison cannot see that failure class.
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
+import glob as globmod
 import json, math, sys
 
 import duckdb
+
+
+def driver_path_mismatch(out_dir, name, con, sql):
+    """Replay the driver's read paths and return a mismatch description,
+    or None if the formatted frames agree (rows, dtypes, values)."""
+    import pyarrow.parquet as pq
+    files = sorted(globmod.glob(f"{out_dir}/{name}/*.parquet"))
+    got_df = pq.ParquetDataset(files).read().to_pandas()
+    exp_df = con.sql(sql).df()
+    cols = sorted(got_df.columns)
+    if cols != sorted(exp_df.columns):
+        return f"driver-path columns {cols} vs {sorted(exp_df.columns)}"
+    if len(got_df) != len(exp_df):
+        return f"driver-path rows {len(got_df)} vs {len(exp_df)}"
+    dt = [(c, str(got_df[c].dtype), str(exp_df[c].dtype)) for c in cols
+          if str(got_df[c].dtype) != str(exp_df[c].dtype)]
+    if dt:
+        return (f"driver-path pandas dtype mismatch {dt} "
+                f"(pyarrow and pandas will format these differently)")
+    g = sorted(got_df[cols].astype(str).values.tolist())
+    e = sorted(exp_df[cols].astype(str).values.tolist())
+    for i, (gr, er) in enumerate(zip(g, e)):
+        if gr != er:
+            return (f"driver-path formatted-value mismatch row {i}: "
+                    f"got {gr} exp {er}")
+    return None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -70,6 +105,17 @@ def main(sf_dir, out_dir):
                   f"(driver gate cannot hash arrays — grade a stringified column)")
             failures += 1
             continue
+        # DECIMAL output columns hash-diverge at the driver even when the
+        # values are identical: pyarrow reads them as Decimal objects
+        # ("-1054122") while pandas gets float64 ("-1054122.0") — keep
+        # decimals internal, project scalar BIGINT/DOUBLE/VARCHAR outputs
+        dec = [c for c, t in {**got_types, **exp_types}.items()
+               if "DECIMAL" in t]
+        if dec:
+            print(f"FAIL {name}: DECIMAL output column(s) {dec} "
+                  f"(driver pyarrow-vs-pandas formatting diverges — cast to BIGINT)")
+            failures += 1
+            continue
         mistyped = [(c, got_types[c], exp_types[c]) for c in sorted(got_cols)
                     if got_types[c] != exp_types[c]]
         if mistyped:
@@ -93,6 +139,14 @@ def main(sf_dir, out_dir):
                 break
         if bad:
             print(f"FAIL {name}: first mismatch row {bad[0]}\n  got {bad[1]}\n  exp {bad[2]}")
+            failures += 1
+            continue
+        try:
+            mism = driver_path_mismatch(out_dir, name, con, sql)
+        except Exception as e:
+            mism = f"driver-path replay exception {e}"
+        if mism:
+            print(f"FAIL {name}: {mism}")
             failures += 1
         else:
             print(f"PASS {name} ({len(g)} rows)")
