@@ -875,19 +875,26 @@ object Dedup {
     * corpus-frequent TAIL, sparse by definition); the rebuild is a
     * per-doc bounded aggregate. The raw text never shuffles.
     */
-  def removeDuplicatedSpans(
+  /** Shared front half of substring-level dedup: the tokenized docs
+    * (`(doc_id, __t)`) and the DISTINCT covered positions — every token
+    * position covered by a word n-gram appearing in >= `minDocs`
+    * distinct documents. Deterministic and order-free: position i is
+    * covered iff ANY duplicated gram starting in [i-n+1, i] reaches it.
+    *
+    * NOT materialized: the gram/position passes re-derive the token
+    * incidence (pruned scans), which benches FASTER end to end than a
+    * corpus-sized localCheckpoint — checkpoint blocks linger in
+    * executor storage for the session and tax every later query.
+    * Materialize-once is reserved for VOCAB-sized tables (see
+    * textRank's graph); corpus-sized intermediates stay lineage-only.
+    */
+  private def coveredPositions(
       docs: DataFrame,
-      n: Int = 5,
-      minDocs: Int = 2,
-      textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      n: Int,
+      minDocs: Int,
+      textCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
     require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
-    // NOT materialized: the gram/position/length passes re-derive the
-    // token incidence (3 pruned scans), which benches FASTER end to end
-    // than a corpus-sized localCheckpoint — checkpoint blocks linger in
-    // executor storage for the session and tax every later query.
-    // Materialize-once is reserved for VOCAB-sized tables (see
-    // textRank's graph); corpus-sized intermediates stay lineage-only.
     val withT = docs.select(F.col(idCol).cast("long").as("doc_id"),
       TextFunctions.tokens(F.lower(F.col(textCol))).as("__t"))
     val toks = F.col("__t")
@@ -906,6 +913,17 @@ object Dedup {
       .select(F.col("doc_id"),
         F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).as("pos"))
       .distinct()
+    (withT, cov)
+  }
+
+  def removeDuplicatedSpans(
+      docs: DataFrame,
+      n: Int = 5,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (withT, cov) = coveredPositions(docs, n, minDocs, textCol, idCol)
+    val toks = F.col("__t")
     val tp = withT.select(F.col("doc_id"), F.posexplode(toks).as(Seq("pos", "tok")))
     val agg = tp.join(cov, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
@@ -921,6 +939,45 @@ object Dedup {
         F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"),
         F.coalesce(F.col("kept_md5"),
           F.md5(F.lit("").cast("binary"))).as("kept_md5"))
+  }
+
+  /** MAXIMAL duplicated-run mining — the published substring-dedup
+    * shape (deduplicating-training-data style): where
+    * [[removeDuplicatedSpans]] answers "which tokens go", this answers
+    * "what are the maximal duplicated blocks" — adjacent covered
+    * positions merge into runs, so a 400-token boilerplate block shared
+    * by two documents surfaces as ONE (doc_id, run_start, run_len) row,
+    * not 396 overlapping gram hits. The run-length distribution is the
+    * standard diagnostic for how much of a corpus is long-block
+    * boilerplate vs incidental n-gram overlap.
+    *
+    * Positions merge by the gaps-and-islands identity (pos −
+    * row_number is constant exactly within a consecutive run) — the
+    * same interval-union semantics as
+    * [[graft.operators.Sessions.mergeIntervals]] specialized to unit
+    * integer intervals, where a window-sort formulation replaces the
+    * interval endpoint algebra.
+    *
+    * Scale shape: everything downstream of the covered-positions set
+    * (the sparse duplicated tail) — one window sort partitioned by
+    * doc_id over covered positions only, then a bounded two-column
+    * aggregate. Raw text never shuffles.
+    */
+  def duplicatedRuns(
+      docs: DataFrame,
+      n: Int = 5,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (_, cov) = coveredPositions(docs, n, minDocs, textCol, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    cov
+      .withColumn("__grp", F.col("pos") - F.row_number().over(w))
+      .groupBy(F.col("doc_id"), F.col("__grp"))
+      .agg(F.min("pos").cast("long").as("run_start"),
+        F.count(F.lit(1)).as("run_len"))
+      .select("doc_id", "run_start", "run_len")
   }
 
   /** QUOTA dedup — the keep-list policy between "drop all but one" and

@@ -94,11 +94,15 @@ object Sessions {
     * recency-weighted per-user value signal (spend momentum, engagement
     * decay) that a plain mean hides.
     *
-    * Scale shape: ONE partial-free shuffle keyed by `keyCol`; per-key
-    * state is the collected (ts, id, value) list, so memory is bounded
-    * by the heaviest key's event count — for keys beyond that bound,
-    * pre-aggregate to coarser ticks first (the EWMA of tick means with
-    * the same recurrence). No window function, no second shuffle.
+    * Scale shape: ONE shuffle keyed by `keyCol`, then a SECONDARY SORT
+    * within partitions on (key, ts, tie) and a streaming per-partition
+    * fold — per-key state is two longs (count, ewma) regardless of the
+    * key's event count, so a bot key with 10^8 events costs time, not
+    * task memory (the collect_list formulation this replaced held the
+    * heaviest key's full (ts, id, value) array in one aggregation
+    * buffer). The sort spills through Spark's external sorter, which is
+    * exactly the machinery built for this. Same recurrence as the
+    * streaming twin [[graft.streaming.Streams.streamingEwma]].
     */
   def ewmaByKey(
       events: DataFrame,
@@ -111,23 +115,35 @@ object Sessions {
     val den = 1L << shift
     require(shift >= 1 && shift <= 32 && num >= 1 && num < den,
       "need 1 <= num < 2^shift")
-    val cents = F.floor(F.col(valCol) * 100).cast("long")
-    val sorted = F.array_sort(F.collect_list(F.struct(
-      F.unix_micros(F.col(tsCol)).as("us"),
-      F.col(tieCol).as("tie"),
-      cents.as("cents"))))
-    val step = (acc: Column, x: Column) =>
-      F.shiftright(F.lit(num) * x + F.lit(den - num) * acc, shift)
-    events
-      .groupBy(F.col(keyCol))
-      .agg(F.count(F.lit(1)).as("n_events"), sorted.as("__s"))
-      .withColumn("__vs", F.transform(F.col("__s"), s => s.getField("cents")))
-      .withColumn("ewma_cents",
-        F.aggregate(
-          // Column-typed slice: 2 + Int.MaxValue overflows the int overload
-          F.slice(F.col("__vs"), F.lit(2), F.size(F.col("__vs")) - 1),
-          F.element_at(F.col("__vs"), 1),
-          step))
-      .select(F.col(keyCol), F.col("n_events"), F.col("ewma_cents"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .select(F.col(keyCol).cast("long").as("_1"),
+        F.unix_micros(F.col(tsCol)).as("_2"),
+        F.col(tieCol).cast("long").as("_3"),
+        F.floor(F.col(valCol) * 100).cast("long").as("_4"))
+      .as[(Long, Long, Long, Long)]
+      .repartition(F.col("_1"))
+      .sortWithinPartitions("_1", "_2", "_3")
+    val folded = prepared.mapPartitions { it =>
+      // rows arrive grouped by key and event-time-ordered within each
+      // key; one buffered pass folds each key group with O(1) state
+      val buf = it.buffered
+      new Iterator[(Long, Long, Long)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Long, Long) = {
+          val k = buf.head._1
+          var n = 0L
+          var s = 0L
+          while (buf.hasNext && buf.head._1 == k) {
+            val x = buf.next()._4
+            n += 1
+            s = if (n == 1L) x else (num * x + (den - num) * s) >> shift
+          }
+          (k, n, s)
+        }
+      }
+    }
+    folded.toDF(keyCol, "n_events", "ewma_cents")
   }
 }

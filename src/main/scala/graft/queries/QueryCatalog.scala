@@ -1421,6 +1421,35 @@ object QueryCatalog {
       |  COALESCE(a.kept_md5, md5('')) AS kept_md5
       |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id ORDER BY b.doc_id""".stripMargin
 
+  /** Maximal duplicated-run mining graded end to end: adjacent covered
+    * positions merge into maximal runs, so shared boilerplate blocks
+    * surface with their true lengths (sf0.01: 71 runs, lengths 5-93 —
+    * a discriminative distribution, not a constant). The oracle merges
+    * with the gaps-and-islands identity the operator uses.
+    */
+  private def qDupRuns(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedRuns(t(s, dir, "documents"), n = 5, minDocs = 2)
+      .orderBy("doc_id", "run_start")
+
+  private val qDupRunsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, p - 1 AS p, array_to_string(t[p:p+4], ' ') AS g
+      |  FROM toks, unnest(generate_series(1, len(t) - 4)) AS s(p)
+      |  WHERE len(t) >= 5),
+      |gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+      |dup AS (SELECT doc_id, p FROM grams JOIN gdf USING (g) WHERE df >= 2),
+      |cov AS (SELECT DISTINCT doc_id, p + o AS pos FROM dup, unnest(generate_series(0, 4)) AS oo(o)),
+      |runs AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM cov)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS run_start,
+      |  CAST(COUNT(*) AS BIGINT) AS run_len
+      |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, run_start""".stripMargin
+
   /** Intra-document repetition removal, graded end to end: block dedup
     * keeps the first occurrence of each distinct 10-token block and the
     * cleaned text travels as an md5 digest — the within-page
@@ -4352,6 +4381,7 @@ object QueryCatalog {
     Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
     Q("q_dup_spans", wrap(qDupSpans), Some(qDupSpansSql)),
     Q("q_span_remove", wrap(qSpanRemove), Some(qSpanRemoveSql)),
+    Q("q_dup_runs", wrap(qDupRuns), Some(qDupRunsSql)),
     Q("q_seg_dedup", wrap(qSegDedup), Some(qSegDedupSql)),
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),

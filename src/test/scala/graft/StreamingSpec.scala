@@ -367,6 +367,52 @@ class StreamingSpec extends SparkSpec {
     assert(buckets.select("id").collect().map(_.getLong(0)).toSet === corpusIds)
   }
 
+  test("streaming dedup hygiene: contaminated docs rejected across batches, PII redacted") {
+    val dir = Files.createTempDirectory("graft-docstream-hyg").toString
+    val drop = s"$dir/drop"; val wh = s"$dir/wh"; val cp = s"$dir/cp"
+    new java.io.File(drop).mkdirs()
+    val catalog = new graft.sources.Catalog(spark, wh)
+    catalog.ensureTable("corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
+    catalog.ensureTable("corpus_buckets",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, band INT, bk BIGINT"))
+    def drop1(file: String, rows: (Long, String)*): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$drop/$file"),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+    val bench = Seq((900L, "secret eval question about ancient rome empire"))
+      .toDF("doc_id", "text")
+    val clean1 = "regular training document with plenty of ordinary words inside"
+    val dirty1 = "prefix words secret eval question about ancient rome empire suffix"
+    val clean2 = "another independent body of text for the second micro batch"
+    val dirty2 = "different framing yet question about ancient rome empire still leaks"
+    val pii = "contact me at alice@example.com for the full 1234567 report today"
+    val q = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+      catalog, "corpus", "corpus_buckets", cp,
+      benchmark = Some(bench), redactPii = true).start()
+    try {
+      drop1("b1.jsonl", 1L -> clean1, 2L -> dirty1)
+      q.processAllAvailable()
+      // the benchmark gram cache must stay live in later micro-batches
+      drop1("b2.jsonl", 3L -> clean2, 4L -> dirty2, 5L -> pii)
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = catalog.read("corpus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus.keySet === Set(1L, 3L, 5L), s"admitted ${corpus.keySet}")
+    // streaming admission == the batch operator's verdicts on the same docs
+    val all = Seq(1L -> clean1, 2L -> dirty1, 3L -> clean2, 4L -> dirty2,
+      5L -> pii).toDF("doc_id", "text")
+    val batchKept = graft.operators.Hygiene.decontaminate(all, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpus.keySet === batchKept)
+    // admitted PII text lands redacted — and the bucket index was built
+    // from the SAME redacted text (future dups of the redacted form hit)
+    assert(corpus(5L) === "contact me at <EMAIL> for the full <NUM> report today")
+    assert(catalog.read("corpus_buckets").select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
