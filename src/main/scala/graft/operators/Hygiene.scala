@@ -31,11 +31,15 @@ object Hygiene {
     * width, not a shuffle.
     */
   /** The benchmark's DISTINCT word n-gram set — the one definition every
-    * decontamination path (exact join, Bloom build, Bloom verify) must
-    * share: a drift between them would break the "Bloom discards only
-    * true negatives" invariant that lets one oracle grade both paths.
+    * decontamination path (exact join, Bloom build, Bloom verify,
+    * streaming admission) must share: a drift between them would break
+    * the "Bloom discards only true negatives" invariant that lets one
+    * oracle grade both paths. Package-visible so long-lived callers
+    * (the streaming ingest path) can compute it ONCE, materialize it,
+    * and pass it back through [[decontaminateByGrams]] every
+    * micro-batch instead of re-deriving it per batch.
     */
-  private def benchGrams(benchmark: DataFrame, n: Int, textCol: String): DataFrame =
+  private[graft] def benchGrams(benchmark: DataFrame, n: Int, textCol: String): DataFrame =
     benchmark.select(
       F.explode(
         graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
@@ -123,8 +127,32 @@ object Hygiene {
       n: Int = 5,
       maxContaminated: Long = 1,
       textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    decontaminateByGrams(docs, benchGrams(benchmark, n, textCol),
+      n, maxContaminated, textCol, idCol)
+
+  /** [[decontaminate]] against a PRE-BUILT distinct-gram set — the
+    * shape for callers that amortize the benchmark pass: compute
+    * [[benchGrams]] once (and typically `localCheckpoint` it), then
+    * run every batch/micro-batch through this. Verdicts are identical
+    * to [[decontaminate]] by construction (same gram definition, same
+    * broadcast join, same threshold).
+    */
+  def decontaminateByGrams(
+      docs: DataFrame,
+      grams: DataFrame,
+      n: Int = 5,
+      maxContaminated: Long = 1,
+      textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val flagged = contaminationCounts(docs, benchmark, n, textCol, idCol)
+    graft.GraftFunctions.register(docs.sparkSession)
+    val docGrams = docs.select(F.col(idCol),
+      F.explode(
+        graft.functions.Hashing.wordShingles(F.col(textCol), n)).as("gram"))
+    val flagged = docGrams
+      .join(F.broadcast(grams), Seq("gram"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_contaminated"))
       .filter(F.col("n_contaminated") >= maxContaminated)
       .select(idCol)
     docs.join(flagged, Seq(idCol), "left_anti")

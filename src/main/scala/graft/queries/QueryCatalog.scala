@@ -4242,6 +4242,112 @@ object QueryCatalog {
 
   private def idxScratch(name: String): String = s"$idxScratchRoot/$name"
 
+  /** Delete a scratch subtree: the streaming-twin queries must start
+    * each invocation with an empty checkpoint/input dir, or the
+    * replayed stream would see zero new files and emit nothing.
+    */
+  private def clearDir(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Write a tiled DataFrame (`__tile` in 1..parts) as `parts`
+    * single-file parquets named b01..bNN with strictly increasing
+    * mtimes — the deterministic micro-batch schedule for a
+    * maxFilesPerTrigger=1 file stream (FileStreamSource drains files
+    * in (mtime, path) order, so batch i is exactly tile i).
+    */
+  private def writeOrderedStreamFiles(
+      tiled: DataFrame, parts: Int, outDir: String): Unit = {
+    clearDir(outDir)
+    new java.io.File(outDir).mkdirs()
+    val tmp = s"$outDir-tmp"
+    (1 to parts).foreach { i =>
+      tiled.filter(F.col("__tile") === i).drop("__tile")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dst = new java.io.File(outDir, f"b$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    clearDir(tmp)
+  }
+
+  /** The streaming EWMA twin graded by the BATCH oracle: the events
+    * table replays as three event-time-ordered micro-batches (ts-ntile
+    * files through a maxFilesPerTrigger=1 file stream) into
+    * [[graft.streaming.Streams.streamingEwma]]'s mapGroupsWithState
+    * fold, and the final per-key rows must equal [[qEwma]] exactly —
+    * same recurrence, same ordering, two-longs state the whole way.
+    * The per-batch collect into the final frame is the GRADING
+    * harness's sink (update rows are bounded by active keys per
+    * batch); a production stream appends to a keyed table instead.
+    */
+  private def qEwmaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = idxScratch("ewma_stream")
+    val in = s"$root/in"; val cp = s"$root/cp"
+    clearDir(cp)
+    val ev = events(s, dir).select("user_id", "ts", "event_id", "value")
+    val w = Window.orderBy(F.col("ts"), F.col("event_id"))
+    writeOrderedStreamFiles(ev.withColumn("__tile", F.ntile(3).over(w)), 3, in)
+    val typed = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(F.col("user_id"), F.col("ts"), F.col("event_id"),
+        F.floor(F.col("value") * 100).cast("long").as("cents"))
+      .as[graft.streaming.Streams.EwmaEvent]
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val q = graft.streaming.Streams.streamingEwma(typed)
+      .toDF("user_id", "n_events", "ewma_cents")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => acc(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    acc.toSeq.map { case (k, (n, e)) => (k, n, e) }
+      .toDF("user_id", "n_events", "ewma_cents")
+      .orderBy("user_id")
+  }
+
+  /** The streaming IVF-PQ maintenance twin graded by the BATCH oracle:
+    * the embeddings stream in as three micro-batches coded against the
+    * frozen offline model
+    * ([[graft.streaming.Streams.streamingIvfPqIndex]]), and serving
+    * from the accreted codes table must equal the inline [[qAnnIvfPq]]
+    * bit for bit — so [[qAnnIvfPqSql]] grades the whole
+    * build-incrementally/serve-from-index loop.
+    */
+  private def qAnnIvfPqStream(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val root = idxScratch("ivfpq_stream")
+    val in = s"$root/in"; val cp = s"$root/cp"; val wh = s"$root/wh"
+    clearDir(cp); clearDir(wh)
+    val (model, offlineCodes) = Similarity.ivfPqIndex(emb)
+    writeOrderedStreamFiles(
+      emb.withColumn("__tile", (F.pmod(F.col("vec_id"), F.lit(3)) + 1).cast("int")),
+      3, in)
+    val catalog = new graft.sources.Catalog(s, wh)
+    catalog.ensureTable("codes", offlineCodes.schema)
+    val src = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = graft.streaming.Streams.streamingIvfPqIndex(
+      src, model, catalog, "codes", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    Similarity.ivfPqTopKFromIndex(model, catalog.read("codes"),
+        emb.filter(F.col("vec_id") < 10), k = 5)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("adc_dist"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private def qAnnIvfPqIdx(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val (model, codes) = Similarity.ivfPqIndex(emb)
@@ -4441,6 +4547,7 @@ object QueryCatalog {
     Q("q_ann_pq", wrap(qAnnPq), Some(qAnnPqSql)),
     Q("q_ann_ivfpq", wrap(qAnnIvfPq), Some(qAnnIvfPqSql)),
     Q("q_ann_ivfpq_idx", wrap(qAnnIvfPqIdx), Some(qAnnIvfPqSql)),
+    Q("q_ann_ivfpq_stream", wrap(qAnnIvfPqStream), Some(qAnnIvfPqSql)),
     Q("q_ann_lsh_idx", wrap(qAnnLshIdx), Some(qAnnLshSql)),
     Q("q_ann_lsh_part", wrap(qAnnLshPart), Some(qAnnLshSql)),
     Q("q_ann_multiprobe", wrap(qAnnMultiProbe), Some(qAnnMultiProbeSql)),
@@ -4448,6 +4555,7 @@ object QueryCatalog {
     Q("q_split", wrap(qSplit), Some(qSplitSql)),
     Q("q_textrank", wrap(qTextRank), Some(qTextRankSql)),
     Q("q_ewma", wrap(qEwma), Some(qEwmaSql)),
+    Q("q_ewma_stream", wrap(qEwmaStream), Some(qEwmaSql)),
     Q("q_hard_neg", wrap(qHardNeg), Some(qHardNegSql)),
     Q("q_kcenter", wrap(qKCenter), Some(qKCenterSql)),
     Q("q_hybrid", wrap(qHybrid), Some(qHybridSql)),

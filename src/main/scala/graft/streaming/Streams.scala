@@ -75,6 +75,12 @@ object Streams {
     * Admission rules, in order:
     *  - an id already in the corpus is dropped (insert-if-absent, same
     *    as [[streamingUpsert]]);
+    *  - with a `benchmark`, docs holding >= `maxContaminated` distinct
+    *    benchmark n-grams are rejected
+    *    ([[graft.operators.Hygiene.decontaminateByGrams]] against the
+    *    stream-lifetime cached gram set), and with `redactPii` the
+    *    surviving text is masked BEFORE bucketing — index and corpus
+    *    must describe the same string;
     *  - a batch doc that verifies against ANY corpus doc is rejected;
     *  - of a verified batch-batch pair, the greater id is rejected
     *    (transitively: every doc that pairs with a smaller batch id
@@ -107,7 +113,21 @@ object Streams {
       minJaccardDen: Int = 2,
       numHashes: Int = 64,
       bands: Int = 4,
-      maxBucketSize: Int = 200): DataStreamWriter[org.apache.spark.sql.Row] =
+      maxBucketSize: Int = 200,
+      benchmark: Option[DataFrame] = None,
+      contaminationNgram: Int = 5,
+      maxContaminated: Long = 1,
+      redactPii: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the benchmark's distinct-gram set is computed ONCE for the
+    // stream's lifetime and materialized (an eval set is MBs — the
+    // same vocabulary-sized-only checkpoint policy as the ANN index
+    // cache), then every micro-batch broadcasts it into the admission
+    // join; re-deriving it per batch would re-shingle the benchmark
+    // forever. Lazy so a benchmark-free stream never touches it.
+    lazy val cachedBenchGrams: Option[org.apache.spark.sql.DataFrame] =
+      benchmark.map(b =>
+        graft.operators.Hygiene.benchGrams(b, contaminationNgram, "text")
+          .localCheckpoint())
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -116,7 +136,23 @@ object Streams {
         val corpus = catalog.read(corpusTable)
         // pairs are strictly a < b, so a re-dropped id can never pair
         // with itself — id-level admission must happen first
-        val fresh = Upsert.newRows(batch, corpus, "doc_id")
+        val freshIds = Upsert.newRows(batch, corpus, "doc_id")
+        // hygiene gate BEFORE any shingle/bucket work: a contaminated
+        // doc must never reach the corpus, the index, or the dedup
+        // verdicts (its buckets could otherwise reject a clean doc);
+        // redaction runs BEFORE bucketing so the persisted index and
+        // the persisted text describe the SAME string — a later dup of
+        // the redacted form must both probe and verify against it
+        val decontaminated = cachedBenchGrams match {
+          case Some(g) => graft.operators.Hygiene.decontaminateByGrams(
+            freshIds, g, contaminationNgram, maxContaminated)
+          case None => freshIds
+        }
+        val fresh =
+          if (redactPii)
+            decontaminated.withColumn("text",
+              graft.operators.Hygiene.redactPii(F.col("text")))
+          else decontaminated
         val newBuckets = Dedup.bucketTableMd5(
             fresh, "text", "doc_id", shingleLen, numHashes, bands)
           .localCheckpoint(false) // reused: candidate probe + index append
@@ -166,6 +202,7 @@ object Streams {
           .join(alreadyBucketed, Seq("id"), "leftanti"))
         catalog.append(corpusTable, admitted.select("doc_id", "text"))
       }
+  }
 
   /** Streaming ANN serving: each micro-batch of query vectors is
     * answered from the PERSISTED LSH bucket index
