@@ -794,6 +794,110 @@ object Corpus {
           |  AS slope_milli""".stripMargin)
   }
 
+  /** Vocabulary coverage curve: for each k in `ks`, the token mass
+    * covered by the top-k terms — the tokenizer/vocab-sizing diagnostic
+    * ("how big a vocabulary until OOV mass is negligible?") run before
+    * committing a tokenizer to a corpus. Exact integers end to end.
+    *
+    * Scale shape: the corpus reduces to the vocabulary in one
+    * partial-aggregated shuffle; the rank/cumsum window runs on the
+    * vocab-sized table (single-partition by the same documented
+    * convention as [[zipfFit]]'s rank), and the k-expansion is a
+    * broadcast of |ks| literals — never corpus-touching.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      ks: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L),
+      textCol: String = "text"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    import docs.sparkSession.implicits._
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val uni = docs.select(F.explode(toks).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint() // vocab-sized: the one allowed materialization
+    val w = Window.orderBy(F.col("c").desc, F.col("term").asc)
+    val rk = uni.select(
+      F.row_number().over(w).cast("long").as("r"),
+      F.sum("c").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).cast("long").as("cum"))
+    val tot = uni.agg(F.sum("c").cast("long").as("total_tokens"),
+      F.count(F.lit(1)).as("n_terms"))
+    ks.toDF("k")
+      .join(rk, F.col("r") <= F.col("k"), "left")
+      .groupBy("k")
+      .agg(F.coalesce(F.max("cum"), F.lit(0L)).as("covered_tokens"))
+      .crossJoin(tot) // 1-row scalar spine
+      .select("k", "covered_tokens", "total_tokens", "n_terms")
+  }
+
+  /** Length-bucketed padding-waste diagnostic: documents bucket by
+    * floor(log2(token_count)) and each bucket reports how many pad
+    * tokens naive pad-to-bucket-cap batching would burn
+    * (`n_docs · 2^(bucket+1) − Σ tokens`) — the "is length-bucketed
+    * batching worth it here?" measurement a training-data pipeline
+    * makes before choosing a packing strategy (compare against
+    * [[packGreedy]]'s zero-pad packing). Empty documents are excluded
+    * (they join no batch). Exact integers.
+    *
+    * Scale shape: map-only bucket assignment (bit-length of a long),
+    * one partial-aggregated shuffle over at most 63 buckets.
+    */
+  def padWaste(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    docs.select(F.size(toks).cast("long").as("n"))
+      .filter(F.col("n") > 0)
+      .withColumn("bucket", (F.length(F.bin(F.col("n"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(F.count(F.lit(1)).as("n_docs"), F.sum("n").cast("long").as("sum_tokens"))
+      .withColumn("bucket_cap", F.expr("shiftleft(1L, int(bucket) + 1)"))
+      .select(F.col("bucket"), F.col("bucket_cap"), F.col("n_docs"),
+        F.col("sum_tokens"),
+        (F.col("n_docs") * F.col("bucket_cap") - F.col("sum_tokens"))
+          .as("pad_waste"))
+  }
+
+  /** Train/test contamination within a corpus SPLIT — the
+    * generalization-leakage diagnostic: how many of the test split's
+    * distinct word n-grams also appear in the train split
+    * ([[splitAssign]]'s exact md5-rank split, so the verdict is
+    * deterministic and replayable). The intra-corpus complement of
+    * [[graft.operators.Hygiene.contaminationCounts]]' external
+    * benchmark check: even a perfectly decontaminated corpus leaks
+    * evaluation signal if near-identical text lands on both sides of
+    * its own split.
+    *
+    * Scale shape: the split table is (id, split) slim; grams come from
+    * the compiled per-doc-distinct shingle kernel; the overlap is one
+    * distinct + one semi-join on the gram — decontamination-class
+    * cost, no corpus text shuffles.
+    */
+  def splitOverlap(
+      docs: DataFrame,
+      weights: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
+      stratumCol: String = "lang",
+      n: Int = 5,
+      trainSplit: String = "train",
+      testSplit: String = "test",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val sp = splitAssign(docs, weights, stratumCol, idCol)
+      .select(F.col(idCol), F.col("split"))
+    val grams = docs.select(F.col(idCol), F.col(textCol))
+      .join(sp, Seq(idCol))
+      .select(F.col("split"),
+        F.explode(graft.functions.Hashing.wordShingles(F.col(textCol), n))
+          .as("gram"))
+      .distinct()
+    val tr = grams.filter(F.col("split") === trainSplit).select("gram")
+    val te = grams.filter(F.col("split") === testSplit).select("gram")
+    te.agg(F.count(F.lit(1)).as("n_test_grams"))
+      .crossJoin(te.join(tr, Seq("gram"), "leftsemi")
+        .agg(F.count(F.lit(1)).as("n_seen_in_train")))
+  }
+
   /** TextRank keyword authority: PageRank over the term co-occurrence
     * graph (terms are nodes; an edge's weight is the number of
     * documents where both terms appear), run ENTIRELY in fixed-point

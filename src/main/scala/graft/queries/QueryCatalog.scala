@@ -3513,6 +3513,78 @@ object QueryCatalog {
        |FROM rat""".stripMargin
   }
 
+  /** Vocabulary coverage curve graded exactly: top-k token mass at
+    * k = 1,2,4,8,16,32 over the 31-term synthetic vocabulary — six
+    * distinct coverage values, saturating at k=32 (== total), so the
+    * curve shape itself is the grade.
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    Corpus.vocabCoverage(t(s, dir, "documents")).orderBy("k")
+
+  private val qVocabCoverageSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY term),
+      |rk AS (SELECT ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r,
+      |  CAST(SUM(c) OVER (ORDER BY c DESC, term ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM uni),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms FROM uni),
+      |ks AS (SELECT CAST(unnest([1,2,4,8,16,32]) AS BIGINT) AS k)
+      |SELECT k,
+      |  CAST(COALESCE((SELECT MAX(cum) FROM rk WHERE r <= k), 0) AS BIGINT) AS covered_tokens,
+      |  (SELECT total_tokens FROM tot) AS total_tokens,
+      |  (SELECT n_terms FROM tot) AS n_terms
+      |FROM ks ORDER BY k""".stripMargin
+
+  /** Padding-waste diagnostic graded exactly: four populated
+    * power-of-2 length buckets at sf0.01 with distinct doc counts,
+    * token sums, and waste — the batching-strategy measurement.
+    */
+  private def qPadWaste(s: SparkSession, dir: String): DataFrame =
+    Corpus.padWaste(t(s, dir, "documents")).orderBy("bucket")
+
+  private val qPadWasteSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |lens AS (SELECT CAST(len(t) AS BIGINT) AS n FROM toks WHERE len(t) > 0),
+      |b AS (SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket FROM lens)
+      |SELECT bucket, CAST(1 AS BIGINT) << CAST(bucket + 1 AS INT) AS bucket_cap,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens,
+      |  CAST(COUNT(*) AS BIGINT) * (CAST(1 AS BIGINT) << CAST(bucket + 1 AS INT)) - CAST(SUM(n) AS BIGINT) AS pad_waste
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Intra-corpus split leakage graded exactly: of the test split's
+    * 2545 distinct 5-grams at sf0.01, 170 also appear in train — a
+    * live, discriminative overlap signal on the exact md5-rank split.
+    */
+  private def qSplitOverlap(s: SparkSession, dir: String): DataFrame =
+    Corpus.splitOverlap(t(s, dir, "documents"))
+
+  private val qSplitOverlapSql =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, text,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |sp AS (SELECT doc_id, text,
+      |  CASE WHEN rank * 10 <= n * 8 THEN 'train'
+      |       WHEN rank * 10 <= n * 9 THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM ranked),
+      |toks AS (SELECT split, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM sp),
+      |grams AS (
+      |  SELECT DISTINCT split, unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' '))
+      |  END) AS g FROM toks),
+      |tr AS (SELECT g FROM grams WHERE split = 'train'),
+      |te AS (SELECT g FROM grams WHERE split = 'test')
+      |SELECT CAST((SELECT COUNT(*) FROM te) AS BIGINT) AS n_test_grams,
+      |  CAST((SELECT COUNT(*) FROM te WHERE g IN (SELECT g FROM tr)) AS BIGINT) AS n_seen_in_train""".stripMargin
+
   /** Unigram-LM surprisal quality scoring, graded to the BIT: the
     * perplexity-style filter with log2 replaced by
     * [[graft.operators.Corpus.withIlog2Fp]]'s integer shift-and-square
@@ -4569,6 +4641,9 @@ object QueryCatalog {
     Q("q_inverted", wrap(qInverted), Some(qInvertedSql)),
     Q("q_unigram_lm", wrap(qUnigramLm), Some(qUnigramLmSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
+    Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),
+    Q("q_pad_waste", wrap(qPadWaste), Some(qPadWasteSql)),
+    Q("q_split_overlap", wrap(qSplitOverlap), Some(qSplitOverlapSql)),
     Q("q_release", wrap(qRelease), Some(qReleaseSql)),
     Q("q_split_parity", wrap(qSplitParity), Some(qSplitParitySql)),
     Q("q_interval_merge", wrap(qIntervalMerge), Some(qIntervalMergeSql)),

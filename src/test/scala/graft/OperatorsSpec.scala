@@ -1477,6 +1477,42 @@ class OperatorsSpec extends SparkSpec {
       s"expected ≈ -1000 milli, got $slopeMilli")
   }
 
+  test("vocabCoverage accumulates top-k token mass in rank order") {
+    val docs = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.vocabCoverage(docs, ks = Seq(1L, 2L, 8L))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array((1L, 3L, 6L, 3L), (2L, 5L, 6L, 3L), (8L, 6L, 6L, 3L)))
+  }
+
+  test("padWaste buckets by log2 length and charges pad-to-cap overhead") {
+    val docs = Seq(
+      (0L, "x y z"),                     // 3 tokens -> bucket 1, cap 4
+      (1L, "a b c d e"),                 // 5 tokens -> bucket 2, cap 8
+      (2L, "p q r s t u v w"),           // 8 tokens -> bucket 3, cap 16
+      (3L, " ")                          // empty: excluded
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.padWaste(docs).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      (1L, 4L, 1L, 3L, 1L), (2L, 8L, 1L, 5L, 3L), (3L, 16L, 1L, 8L, 8L)))
+  }
+
+  test("splitOverlap sees full leakage on clones, zero on disjoint vocab") {
+    val clone = "the very same sentence repeated in every single document here"
+    val clones = (0L until 10L).map(i => (i, "en", clone))
+      .toDF("doc_id", "lang", "text")
+    val full = graft.operators.Corpus.splitOverlap(clones).collect().head
+    assert(full.getLong(0) > 0L && full.getLong(1) === full.getLong(0),
+      "identical docs: every test gram is in train")
+    val disjoint = (0L until 10L).map(i =>
+      (i, "en", (0 until 8).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val none = graft.operators.Corpus.splitOverlap(disjoint).collect().head
+    assert(none.getLong(0) > 0L && none.getLong(1) === 0L,
+      "disjoint vocab: no test gram can appear in train")
+  }
+
   test("removeDuplicatedSpans strips shared spans, keeps unique text") {
     val docs = Seq(
       (0L, "aa bb cc dd ee unique zero tail words here"),

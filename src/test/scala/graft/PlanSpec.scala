@@ -344,6 +344,19 @@ class PlanSpec extends SparkSpec {
       "bucket-footprint IN filter must reach the scan\n" + p.take(2000))
   }
 
+  test("vocab coverage and split overlap stay bounded: no cartesian, partial aggs") {
+    val pv = plan("q_vocab_coverage")
+    assert(!pv.contains("CartesianProduct"), pv.take(1200))
+    // the k-expansion joins |ks| literals against the vocab-sized rank
+    // table via broadcast, never a shuffled product
+    assert(pv.contains("BroadcastNestedLoopJoin"), pv.take(1200))
+    val ps = plan("q_split_overlap")
+    assert(!ps.contains("CartesianProduct"), ps.take(1200))
+    // the unigram reduction must combine map-side before shuffling
+    assert("HashAggregate".r.findAllIn(plan("q_pad_waste")).length >= 2,
+      "pad waste needs partial+final aggregation")
+  }
+
   test("textrank iterations run on the materialized graph, zero corpus scans") {
     // without the edge/node checkpoint the plan grew one full corpus
     // scan per reference (32 scans at 3 iterations) — the graph must be
