@@ -858,6 +858,33 @@ object Corpus {
           .as("pad_waste"))
   }
 
+  /** Length-filter SURVIVORSHIP curve: for each candidate `minTokens`
+    * floor, how many documents and tokens survive — the measurement
+    * behind choosing a quality length cut (run before [[curate]]'s
+    * `minTokens` is committed: a floor that drops 40% of tokens is a
+    * different decision than one dropping 2%). Exact integers.
+    *
+    * Scale shape: one slim (token-count) projection of the corpus,
+    * expanded against the broadcast threshold literals — |thresholds|
+    * conditional rows per doc, one partial-aggregated shuffle over
+    * |thresholds| groups.
+    */
+  def lengthSurvival(
+      docs: DataFrame,
+      thresholds: Seq[Long] = Seq(10L, 20L, 40L, 80L, 160L),
+      textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 0), "thresholds >= 0")
+    import docs.sparkSession.implicits._
+    val lens = docs.select(
+      F.size(TextFunctions.tokens(F.lower(F.col(textCol)))).cast("long").as("n"))
+    thresholds.toDF("min_tokens")
+      .join(lens, F.col("n") >= F.col("min_tokens"), "left")
+      .groupBy("min_tokens")
+      .agg(F.count(F.col("n")).as("n_docs"),
+        F.coalesce(F.sum("n"), F.lit(0L)).as("n_tokens"))
+      .orderBy("min_tokens")
+  }
+
   /** Train/test contamination within a corpus SPLIT — the
     * generalization-leakage diagnostic: how many of the test split's
     * distinct word n-grams also appear in the train split

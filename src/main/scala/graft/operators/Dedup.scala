@@ -553,6 +553,73 @@ object Dedup {
       .select("a", "b", "inter", "uni", "jaccard")
   }
 
+  /** Jaccard THRESHOLD-SENSITIVITY curve — the "where do I set the
+    * dedup cut?" diagnostic run before committing a near-dup threshold:
+    * for each candidate threshold num/den, how many document pairs
+    * would be flagged. A cliff between two thresholds (29 → 3404 pairs
+    * at sf0.01 between 1/20 and 1/100) separates true near-dups from
+    * incidental vocabulary overlap; thresholds inside the flat regions
+    * are safe, thresholds on the cliff are not.
+    *
+    * Jaccard is computed over the STOP-FILTERED shingle representation:
+    * word n-grams with `df · dfCapDen > n_docs · dfCapNum` (relative,
+    * so the cut survives scale changes) or `df > dfCapAbs` are dropped
+    * before anything pairs — the standard stop-gram removal that
+    * near-dup pipelines apply before MinHash, here applied before the
+    * exact measure too so the curve and the production cut agree on
+    * the representation.
+    *
+    * Scale shape: per-shingle pair fanout is bounded at dfCapAbs² (the
+    * same bucket-cap discipline as banded LSH — common shingles, the
+    * quadratic mass, never pair); pair stats aggregate in the SAME
+    * self-join that discovers the pairs (no per-pair re-fanout to full
+    * shingle sets — an earlier formulation did, and paid Σ_pairs
+    * |shingles| for it); thresholds broadcast as literals. No
+    * all-pairs product anywhere.
+    */
+  def jaccardThresholdCurve(
+      docs: DataFrame,
+      thresholds: Seq[(Long, Long)] =
+        Seq((1L, 1000L), (1L, 100L), (1L, 20L), (1L, 2L)),
+      n: Int = 3,
+      dfCapNum: Int = 1,
+      dfCapDen: Int = 20,
+      dfCapAbs: Long = 100L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(thresholds.nonEmpty &&
+      thresholds.forall { case (u, d) => u >= 0 && d >= 1 },
+      "thresholds must be non-negative rationals")
+    graft.GraftFunctions.register(docs.sparkSession)
+    import docs.sparkSession.implicits._
+    val ex = docs.select(F.col(idCol).cast("long").as("id"),
+        F.explode(graft.functions.Hashing.wordShingles(F.col(textCol), n))
+          .as("sgl"))
+    val nd = docs.agg(F.count(F.lit(1)).as("n_docs"))
+    val rare = ex.groupBy("sgl").agg(F.count(F.lit(1)).as("df"))
+      .crossJoin(nd) // 1-row scalar spine
+      .filter(F.col("df") * dfCapDen <= F.col("n_docs") * dfCapNum &&
+        F.col("df") <= dfCapAbs)
+      .select("sgl")
+    val exRare = ex.join(rare, Seq("sgl"), "leftsemi")
+    val mr = exRare.groupBy("id").agg(F.count(F.lit(1)).as("m"))
+    val pairs = exRare.select(F.col("id").as("a"), F.col("sgl"))
+      .join(exRare.select(F.col("id").as("b"), F.col("sgl")), Seq("sgl"))
+      .filter(F.col("a") < F.col("b"))
+      .groupBy("a", "b")
+      .agg(F.count(F.lit(1)).as("inter"))
+      .join(mr.select(F.col("id").as("a"), F.col("m").as("ma")), Seq("a"))
+      .join(mr.select(F.col("id").as("b"), F.col("m").as("mb")), Seq("b"))
+      .withColumn("uni", F.col("ma") + F.col("mb") - F.col("inter"))
+      .select("a", "b", "inter", "uni")
+    thresholds.toDF("num", "den")
+      .join(pairs,
+        F.col("inter") * F.col("den") >= F.col("uni") * F.col("num"), "left")
+      .groupBy("num", "den")
+      .agg(F.count(F.col("a")).as("n_pairs"))
+      .orderBy(F.expr("num * 1000000 div den"))
+  }
+
   /** Embedding near-dup pairs: quantized cosine >= thresholdNum /
     * thresholdDen, candidates restricted to banded hyperplane-LSH buckets
     * — `tables` independent bucket tables of `bits` sign bits each (see

@@ -3585,6 +3585,59 @@ object QueryCatalog {
       |SELECT CAST((SELECT COUNT(*) FROM te) AS BIGINT) AS n_test_grams,
       |  CAST((SELECT COUNT(*) FROM te WHERE g IN (SELECT g FROM tr)) AS BIGINT) AS n_seen_in_train""".stripMargin
 
+  /** Jaccard threshold-sensitivity curve graded exactly: stop-filtered
+    * 3-gram jaccard (rare = df·20 <= n_docs AND df <= 100), pair counts
+    * at four thresholds — 11533 / 3404 / 29 / 25 at sf0.01, the cliff
+    * between 1/100 and 1/20 separating incidental overlap from true
+    * near-dups.
+    */
+  private def qJaccardCurve(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardThresholdCurve(t(s, dir, "documents"))
+
+  private val qJaccardCurveSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+      |  END AS shingles FROM toks),
+      |dsh AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
+      |ex AS (SELECT doc_id, unnest(shingles) AS sgl FROM dsh),
+      |nd AS (SELECT COUNT(*) AS n FROM documents),
+      |rare AS (SELECT sgl FROM ex GROUP BY sgl
+      |  HAVING COUNT(*) * 20 <= (SELECT n FROM nd) AND COUNT(*) <= 100),
+      |exr AS (SELECT doc_id, sgl FROM ex WHERE sgl IN (SELECT sgl FROM rare)),
+      |mr AS (SELECT doc_id, COUNT(*) AS m FROM exr GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      |  FROM exr a JOIN exr b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |st AS (SELECT p.a, p.b, p.inter, ma.m + mb.m - p.inter AS uni
+      |  FROM pairs p JOIN mr ma ON ma.doc_id = p.a JOIN mr mb ON mb.doc_id = p.b),
+      |th AS (SELECT CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den
+      |  FROM (VALUES (1, 1000), (1, 100), (1, 20), (1, 2)) t(num, den))
+      |SELECT th.num, th.den, CAST(COUNT(st.a) AS BIGINT) AS n_pairs
+      |FROM th LEFT JOIN st ON st.inter * th.den >= st.uni * th.num
+      |GROUP BY th.num, th.den ORDER BY th.num * 1000000 // th.den""".stripMargin
+
+  /** Length-filter survivorship graded exactly: five minTokens floors,
+    * five distinct (n_docs, n_tokens) survival points at sf0.01
+    * (500/457/331/106/0 docs) — the quality-floor decision curve.
+    */
+  private def qLenSurvival(s: SparkSession, dir: String): DataFrame =
+    Corpus.lengthSurvival(t(s, dir, "documents"))
+
+  private val qLenSurvivalSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |lens AS (SELECT CAST(len(t) AS BIGINT) AS n FROM toks),
+      |th AS (SELECT CAST(unnest([10, 20, 40, 80, 160]) AS BIGINT) AS min_tokens)
+      |SELECT min_tokens,
+      |  CAST((SELECT COUNT(*) FROM lens WHERE n >= min_tokens) AS BIGINT) AS n_docs,
+      |  CAST((SELECT COALESCE(SUM(n), 0) FROM lens WHERE n >= min_tokens) AS BIGINT) AS n_tokens
+      |FROM th ORDER BY min_tokens""".stripMargin
+
   /** Unigram-LM surprisal quality scoring, graded to the BIT: the
     * perplexity-style filter with log2 replaced by
     * [[graft.operators.Corpus.withIlog2Fp]]'s integer shift-and-square
@@ -4644,6 +4697,8 @@ object QueryCatalog {
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),
     Q("q_pad_waste", wrap(qPadWaste), Some(qPadWasteSql)),
     Q("q_split_overlap", wrap(qSplitOverlap), Some(qSplitOverlapSql)),
+    Q("q_jaccard_curve", wrap(qJaccardCurve), Some(qJaccardCurveSql)),
+    Q("q_len_survival", wrap(qLenSurvival), Some(qLenSurvivalSql)),
     Q("q_release", wrap(qRelease), Some(qReleaseSql)),
     Q("q_split_parity", wrap(qSplitParity), Some(qSplitParitySql)),
     Q("q_interval_merge", wrap(qIntervalMerge), Some(qIntervalMergeSql)),

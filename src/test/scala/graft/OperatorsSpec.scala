@@ -1477,6 +1477,33 @@ class OperatorsSpec extends SparkSpec {
       s"expected ≈ -1000 milli, got $slopeMilli")
   }
 
+  test("jaccardThresholdCurve counts candidate pairs per threshold") {
+    // docs 0/1 share "a b c" -> 3-gram sets intersect in 1 of 3 distinct
+    // grams each (jaccard 1/5); doc 2 shares nothing
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c x y"),
+      (2L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.jaccardThresholdCurve(
+        docs, thresholds = Seq((1L, 10L), (1L, 4L)), n = 3,
+        dfCapNum = 1, dfCapDen = 1) // tiny corpus: every gram is "rare"
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pair (0,1): inter 1, union 5 -> jaccard 1/5: >= 1/10 yes, >= 1/4 no
+    assert(out === Array((1L, 10L, 1L), (1L, 4L, 0L)))
+  }
+
+  test("lengthSurvival reports docs and tokens above each floor") {
+    val docs = Seq(
+      (0L, "a b c"),
+      (1L, (1 to 10).map("w" + _).mkString(" ")),
+      (2L, (1 to 20).map("v" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.lengthSurvival(docs, Seq(5L, 15L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((5L, 2L, 30L), (15L, 1L, 20L)))
+  }
+
   test("vocabCoverage accumulates top-k token mass in rank order") {
     val docs = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
     val out = graft.operators.Corpus.vocabCoverage(docs, ks = Seq(1L, 2L, 8L))

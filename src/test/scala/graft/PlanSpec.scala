@@ -352,6 +352,8 @@ class PlanSpec extends SparkSpec {
     assert(pv.contains("BroadcastNestedLoopJoin"), pv.take(1200))
     val ps = plan("q_split_overlap")
     assert(!ps.contains("CartesianProduct"), ps.take(1200))
+    val pj = plan("q_jaccard_curve")
+    assert(!pj.contains("CartesianProduct"), pj.take(1200))
     // the unigram reduction must combine map-side before shuffling
     assert("HashAggregate".r.findAllIn(plan("q_pad_waste")).length >= 2,
       "pad waste needs partial+final aggregation")
