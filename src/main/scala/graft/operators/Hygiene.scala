@@ -158,6 +158,35 @@ object Hygiene {
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Contamination N-SWEEP — gram-length sensitivity of the decontam
+    * verdict: for each n in `ns`, how many documents hit the benchmark
+    * at all and how many distinct-gram hits land in total. Overlap
+    * decays sharply with n (379 → 3 → 1 docs across n = 3/5/7 at
+    * sf0.01): the sweep locates the n where incidental phrase reuse
+    * stops triggering and only true eval leakage remains — the
+    * evidence behind choosing `decontaminate`'s default n rather than
+    * inheriting it.
+    *
+    * Scale shape: one [[contaminationCounts]] pass per n (benchmark
+    * grams broadcast, corpus never shuffles), each reduced to a single
+    * row — |ns| bounded passes, output |ns| rows.
+    */
+  def contaminationSweep(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      ns: Seq[Int] = Seq(3, 5, 7),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    ns.map { n =>
+      contaminationCounts(docs, benchmark, n, textCol, idCol)
+        .agg(F.count(F.lit(1)).as("n_docs_hit"),
+          F.sum("n_contaminated").as("total_hits"))
+        .select(F.lit(n.toLong).as("n"), F.col("n_docs_hit"),
+          F.coalesce(F.col("total_hits"), F.lit(0L)).as("total_hits"))
+    }.reduce(_.unionByName(_)).orderBy("n")
+  }
+
   /** Email-address pattern shared by detection and redaction. Kept to a
     * dialect-portable subset (no \b, no lookarounds) so the SQL oracle's
     * RE2 engine matches Java's byte-for-byte.

