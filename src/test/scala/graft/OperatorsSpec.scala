@@ -1421,6 +1421,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head.getLong(2) === s, "fold must replay the recurrence exactly")
   }
 
+  test("duplicatedRuns run lengths account exactly for removed tokens") {
+    // cross-operator invariant on real data: per doc, the sum of
+    // maximal-run lengths must equal the tokens removeDuplicatedSpans
+    // strips (both derive from the same covered-positions set)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val runs = graft.operators.Dedup.duplicatedRuns(docs, n = 5, minDocs = 2)
+      .groupBy("doc_id").agg(F.sum("run_len").as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removed = graft.operators.Dedup
+      .removeDuplicatedSpans(docs, n = 5, minDocs = 2)
+      .select(F.col("doc_id"), (F.col("n_tokens") - F.col("n_kept")).as("gone"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0L)
+    assert(runs.nonEmpty, "sf0.001 must contain duplicated spans")
+    assert(runs === removed,
+      "sum(run_len) per doc must equal n_tokens - n_kept per doc")
+  }
+
   test("duplicatedRuns merges overlapping covered grams into maximal runs") {
     // docs 0 and 1 share a 9-token block: 5-grams at starts 2..6 of doc
     // 0 all qualify, and their union must come back as ONE run of 9 —

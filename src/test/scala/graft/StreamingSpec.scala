@@ -367,6 +367,43 @@ class StreamingSpec extends SparkSpec {
     assert(buckets.select("id").collect().map(_.getLong(0)).toSet === corpusIds)
   }
 
+  test("streaming doc dedup recovers from its checkpoint: corpus and index stay in sync") {
+    val dir = Files.createTempDirectory("graft-docstream-recover").toString
+    val drop = s"$dir/drop"; val wh = s"$dir/wh"; val cp = s"$dir/cp"
+    new java.io.File(drop).mkdirs()
+    val catalog = new graft.sources.Catalog(spark, wh)
+    catalog.ensureTable("corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
+    catalog.ensureTable("corpus_buckets",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, band INT, bk BIGINT"))
+    def drop1(file: String, rows: (Long, String)*): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$drop/$file"),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+    def start() = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+      catalog, "corpus", "corpus_buckets", cp).start()
+    val t1 = "first corpus document about streaming recovery semantics today"
+    val t2 = "second unrelated body of text with fresh vocabulary inside"
+    drop1("b1.jsonl", 1L -> t1, 2L -> t2)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(catalog.read("corpus").count() === 2)
+    // restart from the SAME checkpoint: a near-dup of a PRE-crash doc
+    // must still be caught (the persisted bucket table, not stream
+    // state, is the dedup memory), and a re-dropped id must be skipped
+    drop1("b2.jsonl",
+      10L -> t1.toUpperCase, // normalized dup of doc 1, post-restart
+      11L -> "entirely new admitted content body for this batch",
+      2L -> t2) // re-delivered id
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val ids = catalog.read("corpus").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 11L), s"admitted $ids")
+    assert(graft.operators.Upsert.holdsUniqueness(catalog.read("corpus"), "doc_id"))
+    // index exactly mirrors the corpus across the restart boundary
+    val buckets = catalog.read("corpus_buckets")
+    assert(buckets.select("id").collect().map(_.getLong(0)).toSet === ids)
+    assert(buckets.count() === ids.size * 4L)
+  }
+
   test("streaming dedup hygiene: contaminated docs rejected across batches, PII redacted") {
     val dir = Files.createTempDirectory("graft-docstream-hyg").toString
     val drop = s"$dir/drop"; val wh = s"$dir/wh"; val cp = s"$dir/cp"
