@@ -2831,6 +2831,44 @@ object QueryCatalog {
       .orderBy("query_id", "rank")
   }
 
+  /** The streaming ANN serving path graded by the BATCH oracle — the
+    * third streaming twin beside [[qEwmaStream]] and
+    * [[qAnnIvfPqStream]]: query vectors replay as two micro-batches
+    * through [[graft.streaming.Streams.streamingAnnServe]]'s cached
+    * persisted-index probe, and the union of the per-batch answers must
+    * equal the batch [[qAnnLshIdx]] bit for bit (same index, same
+    * bucket join, same ranking). The per-batch collect is the grading
+    * harness's sink (k·batch rows); production sinks append to a
+    * results table.
+    */
+  private def qAnnLshStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val root = idxScratch("lsh_stream")
+    val in = s"$root/in"; val cp = s"$root/cp"; val idx = s"$root/index"
+    clearDir(cp)
+    Similarity.lshBucketTable(emb, bits = 4)
+      .write.mode("overwrite").parquet(idx)
+    val queries = emb.filter(F.col("vec_id") < 10)
+    writeOrderedStreamFiles(
+      queries.withColumn("__tile",
+        (F.pmod(F.col("vec_id"), F.lit(2)) + 1).cast("int")), 2, in)
+    val src = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.Streams.streamingAnnServe(
+        src, () => s.read.parquet(idx), cp, k = 5, bits = 4) { out =>
+        out.select(F.col("query_id"), F.col("neighbor_id"),
+            F.col("score").cast(LongType), F.col("rank").cast(LongType))
+          .collect()
+          .foreach(r => acc +=
+            ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    acc.toSeq.toDF("query_id", "neighbor_id", "score", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** The PARTITION-PRUNED LSH serving layout graded end to end: index
     * written partitionBy(bk_hi), the query batch's bucket footprint
     * pushed as a partition filter, exact-bucket join on the pruned
@@ -4795,6 +4833,7 @@ object QueryCatalog {
     Q("q_ann_ivfpq_idx", wrap(qAnnIvfPqIdx), Some(qAnnIvfPqSql)),
     Q("q_ann_ivfpq_stream", wrap(qAnnIvfPqStream), Some(qAnnIvfPqSql)),
     Q("q_ann_lsh_idx", wrap(qAnnLshIdx), Some(qAnnLshSql)),
+    Q("q_ann_lsh_stream", wrap(qAnnLshStream), Some(qAnnLshSql)),
     Q("q_ann_lsh_part", wrap(qAnnLshPart), Some(qAnnLshSql)),
     Q("q_ann_multiprobe", wrap(qAnnMultiProbe), Some(qAnnMultiProbeSql)),
     Q("q_knn_label", wrap(qKnnLabel), Some(qKnnLabelSql)),

@@ -1495,6 +1495,39 @@ class OperatorsSpec extends SparkSpec {
       s"expected ≈ -1000 milli, got $slopeMilli")
   }
 
+  test("diagnostic curves hold their invariants on a generated corpus") {
+    // deterministic skewed corpus: 120 docs, zipf-ish vocab, mixed lengths
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 120).map { i =>
+      val len = 1 + rnd.nextInt(60)
+      (i.toLong, (0 until len)
+        .map(_ => s"w${math.min(rnd.nextInt(40), rnd.nextInt(40))}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val vc = graft.operators.Corpus.vocabCoverage(docs,
+        ks = Seq(1L, 3L, 9L, 27L, 81L)).orderBy("k")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // covered mass is monotone in k, capped by total, equal at k >= n_terms
+    assert(vc.sliding(2).forall(p => p(0)._1 <= p(1)._1))
+    assert(vc.forall(x => x._1 <= x._2))
+    assert(vc.last._1 === vc.last._2, "k=81 >= n_terms must cover everything")
+    val ls = graft.operators.Corpus.lengthSurvival(docs, Seq(1L, 10L, 30L, 60L))
+      .orderBy("min_tokens").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ls.sliding(2).forall(p => p(0)._1 >= p(1)._1 && p(0)._2 >= p(1)._2),
+      "survivorship must be non-increasing in the floor")
+    val pw = graft.operators.Corpus.padWaste(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(pw.forall { case (cap, nd, st, w) => w >= 0L && w == nd * cap - st },
+      "waste must be the exact pad-to-cap overhead and never negative")
+    assert(pw.map(_._2).sum === 120L, "every non-empty doc lands in one bucket")
+    val jc = graft.operators.Dedup.jaccardThresholdCurve(docs,
+        thresholds = Seq((1L, 100L), (1L, 10L), (1L, 2L), (9L, 10L)),
+        dfCapNum = 1, dfCapDen = 2)
+      .collect().map(_.getLong(2))
+    assert(jc.sliding(2).forall(p => p(0) >= p(1)),
+      s"pair counts must be non-increasing in the threshold: ${jc.toSeq}")
+  }
+
   test("ivfRecallCurve is monotone and reaches full recall at full probe") {
     val rnd = new scala.util.Random(7)
     val emb = (0 until 60).map(i =>

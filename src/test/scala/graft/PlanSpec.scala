@@ -354,6 +354,17 @@ class PlanSpec extends SparkSpec {
     assert(!ps.contains("CartesianProduct"), ps.take(1200))
     val pj = plan("q_jaccard_curve")
     assert(!pj.contains("CartesianProduct"), pj.take(1200))
+    // recall curve: the brute truth pass broadcasts the bounded query
+    // set; nothing shuffles an all-pairs product
+    val pr = plan("q_ivf_recall")
+    assert(!pr.contains("CartesianProduct"), pr.take(1200))
+    assert(pr.contains("BroadcastNestedLoopJoin") || pr.contains("BroadcastHashJoin"),
+      pr.take(1200))
+    // fertility: the trained vocabulary joins as a broadcast, the corpus
+    // is never re-segmented into a shuffle
+    val pf = plan("q_bpe_fertility")
+    assert(pf.contains("BroadcastHashJoin"), pf.take(1200))
+    assert(!pf.contains("CartesianProduct"), pf.take(1200))
     // the unigram reduction must combine map-side before shuffling
     assert("HashAggregate".r.findAllIn(plan("q_pad_waste")).length >= 2,
       "pad waste needs partial+final aggregation")
