@@ -93,8 +93,17 @@ object Bench {
     // The composites below each run in a fresh SparkSession on a fresh
     // SparkContext (local mode allows one context per JVM, so the query
     // sweep's session stops first): their micro-batch/pipeline timings
-    // must not inherit the sweep's block-manager and GC residue.
+    // must not inherit the sweep's block-manager and GC residue. Each
+    // composite gets the same min-of-2 estimator as the queries — the
+    // first run absorbs cold JIT/codegen (checkpoint-heavy streaming
+    // flows swing 2-3x between cold and warm), every attempt on fresh
+    // scratch dirs and a fresh session.
     spark.stop()
+    def min2(attempt: () => Double): Double = {
+      val a = attempt()
+      val b = attempt()
+      if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b)
+    }
     // The reference's ACTUAL workload, timed end-to-end: three pipeline
     // batches (CSV ingest -> trip_key derivation -> date-pruned dedup
     // upsert -> incremental matview refresh; the middle batch repeats
@@ -102,7 +111,7 @@ object Bench {
     // 50%), then small-file compaction of the accreted partitions.
     val withPipeline =
       if (only.nonEmpty && !only("pipeline")) results
-      else results :+ ("pipeline" -> {
+      else results :+ ("pipeline" -> min2(() => {
         val dir = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
         def csv(name: String, rows: Int, offset: Int): String = {
           val p = s"$dir/$name.csv"
@@ -126,14 +135,14 @@ object Bench {
           System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
           Double.NaN
         } finally s.stop()
-      })
+      }))
     // The streaming path, timed: three files dropped up front, consumed
     // as three micro-batches (maxFilesPerTrigger=1) through the
     // file-drop source -> keyed dedup-upsert flow (S8) — the continuous
     // form of the pipeline entry above, sharing its batch operators.
     val withStreaming =
       if (only.nonEmpty && !only("streaming")) withPipeline
-      else withPipeline :+ ("streaming" -> {
+      else withPipeline :+ ("streaming" -> min2(() => {
         val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
         val drop = s"$dir/drop"
         new java.io.File(drop).mkdirs()
@@ -161,7 +170,7 @@ object Bench {
           System.err.println(s"[bench] streaming failed: ${e.getMessage}")
           Double.NaN
         } finally s.stop()
-      })
+      }))
     // Streaming incremental dedup, timed end-to-end: three JSONL batches
     // (the third re-drops 30% of the second's texts under new ids) flow
     // through the file-drop source -> persisted-bucket-table candidate
@@ -169,7 +178,7 @@ object Bench {
     // admitted in earlier micro-batches is never re-shingled.
     val withStreamDedup =
       if (only.nonEmpty && !only("streaming_dedup")) withStreaming
-      else withStreaming :+ ("streaming_dedup" -> {
+      else withStreaming :+ ("streaming_dedup" -> min2(() => {
         val dir = java.nio.file.Files.createTempDirectory("graft-bench-sdedup").toString
         val drop = s"$dir/drop"
         new java.io.File(drop).mkdirs()
@@ -207,7 +216,7 @@ object Bench {
           System.err.println(s"[bench] streaming_dedup failed: ${e.getMessage}")
           Double.NaN
         } finally s.stop()
-      })
+      }))
     val failed = withStreamDedup.collect { case (k, v) if v.isNaN => k }
     val qs = withStreamDedup.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")
