@@ -565,6 +565,54 @@ object QueryCatalog {
       |FROM b GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** The streaming windowed aggregation graded by the BATCH oracle —
+    * the fourth streaming twin: events replay as three event-time-
+    * ordered micro-batches through the watermarked
+    * [[graft.streaming.Streams.windowedEventCounts]], updates
+    * accumulate last-wins per (window, event_type), and the final
+    * count panel must equal the batch tumbling buckets exactly. The
+    * count projection is graded (the operator's decimal value sum
+    * stays its API contract — double→decimal rounding is not
+    * cross-engine-stable, the same reason decimal outputs are banned
+    * from the gate).
+    */
+  private def qWindowStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = idxScratch("window_stream")
+    val in = s"$root/in"; val cp = s"$root/cp"
+    clearDir(cp)
+    val ev = events(s, dir).select("ts", "event_id", "event_type", "value")
+    val w = Window.orderBy(F.col("ts"), F.col("event_id"))
+    writeOrderedStreamFiles(ev.withColumn("__tile", F.ntile(3).over(w)), 3, in)
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val acc = scala.collection.mutable.Map.empty[(Long, String), Long]
+    val q = graft.streaming.Streams.windowedEventCounts(src)
+      .select(F.col("win_start").cast(LongType).as("win_start"),
+        F.col("event_type"), F.col("n"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          acc((r.getLong(0), r.getString(1))) = r.getLong(2))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    acc.toSeq.map { case ((ws, et), n) => (ws, et, n) }
+      .toDF("win_start", "event_type", "n")
+      .orderBy("win_start", "event_type")
+  }
+
+  private val qWindowStreamSql =
+    """WITH b AS (
+      |  SELECT epoch_ns(ts) // 1000000000
+      |       - (epoch_ns(ts) // 1000000000) % 300 AS win_start,
+      |    event_type
+      |  FROM events)
+      |SELECT win_start, event_type, COUNT(*) AS n
+      |FROM b GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
   /** Term co-occurrence mining with rational LIFT ranking: for
     * df-bounded "content" terms (N/20 <= df <= 0.9·N, RELATIVE bounds
     * by integer cross-multiplication so the guard scales with the
@@ -4763,6 +4811,7 @@ object QueryCatalog {
     Q("q_doc_clean", wrap(qDocClean), Some(qDocCleanSql)),
     Q("q_heavy_hitters", wrap(qHeavyHitters), Some(qHeavyHittersSql)),
     Q("q_tumbling", wrap(qTumbling), Some(qTumblingSql)),
+    Q("q_window_stream", wrap(qWindowStream), Some(qWindowStreamSql)),
     Q("q_length_hist", wrap(qLengthHist), Some(qLengthHistSql)),
     Q("q_doc_quality", wrap(qDocQuality), Some(qDocQualitySql)),
     Q("q_doc_chunks", wrap(qDocChunks), Some(qDocChunksSql)),
