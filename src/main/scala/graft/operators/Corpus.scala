@@ -703,6 +703,70 @@ object Corpus {
         F.coalesce(F.col("fp_bits"), F.lit(0L)).as("fp64_bits"))
   }
 
+  /** Bigram language-model surprisal per document — the conditional
+    * upgrade of [[unigramSurprisal]]: a bigram model is fit on the
+    * corpus itself (bigram count c12, left-context count c1 =
+    * c(w1,·)), and each document scores
+    * `sum_bg tf_bg * (ilog2fp(c1) - ilog2fp(c12))` — total conditional
+    * surprisal -log2 P(w2|w1) in units of 2^-fracBits bits
+    * ([[withIlog2Fp]]). Unsmoothed is exact here because the model is
+    * fit on the corpus being scored, so every scored bigram has
+    * c12 >= 1. Bigrams are keyed as `w1 + " " + w2` (injective:
+    * whitespace tokenization means tokens never contain spaces), which
+    * also makes bigram keys and single-token context keys naturally
+    * disjoint in the shared fp table.
+    *
+    * Output: (doc_id, n_bigrams, fp64_bits); docs with < 2 tokens
+    * emit (0, 0).
+    *
+    * Scale shape: bigram expansion is map-side (an index-sequence
+    * transform over the token array — no self-join, no window over the
+    * corpus); docs reduce to (doc, bigram, tf) through one
+    * partial-aggregated shuffle; the model is the bigram-vocabulary-
+    * sized count table (materialized once — context counts and the fp
+    * chain both derive from it, not from the corpus); scoring joins tf
+    * to the scored vocab on the same key tf just shuffled on, with AQE
+    * free to broadcast-promote the model side.
+    */
+  def bigramSurprisal(
+      docs: DataFrame,
+      fracBits: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    // t[i] || ' ' || t[i+1] for i in [0, size-2]; sequence() DESCENDS
+    // on an empty range, so the size>=2 guard is load-bearing
+    val bgs = F.when(F.size(F.col("__t")) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(F.col("__t")) - 2),
+          i => F.concat(F.element_at(F.col("__t"), i + 1), F.lit(" "),
+            F.element_at(F.col("__t"), i + 2))))
+      .otherwise(F.array().cast("array<string>"))
+    val tf = docs
+      .select(F.col(idCol).cast("long").as("doc_id"), toks.as("__t"))
+      .select(F.col("doc_id"), F.explode(bgs).as("bg"))
+      .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).as("tf"))
+    // bigram-vocabulary-sized: materialize once so context counts and
+    // the fp chain don't each re-derive it from the corpus
+    val big = tf.groupBy("bg").agg(F.sum("tf").as("c")).localCheckpoint()
+    val ctx = big
+      .groupBy(F.substring_index(F.col("bg"), " ", 1).as("term"))
+      .agg(F.sum("c").as("c"))
+    val model = big.select(F.col("bg").as("term"), F.col("c")).unionByName(ctx)
+    val fp = withIlog2Fp(model, "c", "fp", fracBits).select("term", "fp")
+    val scored = tf
+      .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+      .join(fp.select(F.col("term").as("bg"), F.col("fp").as("fp_bg")), Seq("bg"))
+      .join(fp.select(F.col("term").as("w1"), F.col("fp").as("fp_ctx")), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(F.sum(F.col("tf")).as("n_bigrams"),
+        F.sum(F.col("tf") * (F.col("fp_ctx") - F.col("fp_bg"))).as("fp_bits"))
+    docs.select(F.col(idCol).cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0L)).as("n_bigrams"),
+        F.coalesce(F.col("fp_bits"), F.lit(0L)).as("fp64_bits"))
+  }
+
   /** Deterministic STRATIFIED train/val/test split with EXACT
     * proportions: within each stratum rows rank by md5(id) (the
     * [[mixByWeights]] shuffle-order convention) and the rank range is

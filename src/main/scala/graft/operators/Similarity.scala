@@ -146,6 +146,113 @@ object Similarity {
     explodeTopK(scored, k)
   }
 
+  /** Per-dimension (min, max) training statistics of the SQ8 scalar
+    * quantizer over the ×1000-quantized corpus — the "train" half of
+    * faiss-style scalar quantization. dims-sized model rows collected
+    * to the driver (bounded by the embedding width, never by the
+    * corpus); one partial-aggregated posexplode scan.
+    */
+  private def sq8Stats(
+      corpus: DataFrame, vecCol: String): (Seq[Long], Seq[Long]) = {
+    val rows = corpus
+      .select(F.posexplode(VectorFunctions.quantize(F.col(vecCol)))
+        .as(Seq("dim", "x")))
+      .groupBy("dim").agg(F.min("x").as("mn"), F.max("x").as("mx"))
+      .orderBy("dim").collect()
+    (rows.map(_.getLong(1)).toSeq, rows.map(_.getLong(2)).toSeq)
+  }
+
+  /** The SQ8 code transform against literal per-dim stats:
+    * code_i = floor((x_i - mn_i) * 254 / (mx_i - mn_i)) onto the
+    * [0, 254] grid (constant dims code 0). The double division is
+    * EXACT as floor division here — numerator < 2^31 is
+    * double-representable, and a BIGINT ratio can never land within
+    * half-an-ulp of the wrong integer at these magnitudes — so the
+    * oracle replays it bit-for-bit with the same FLOOR(x/y) shape.
+    */
+  private def sq8CodeCol(
+      qv: Column, mns: Seq[Long], mxs: Seq[Long]): Column = {
+    val mnL = F.typedlit(mns)
+    val mxL = F.typedlit(mxs)
+    F.transform(qv, (x, i) => {
+      val mn = F.element_at(mnL, i + 1)
+      val span = F.element_at(mxL, i + 1) - mn
+      F.when(span === 0L, F.lit(0L))
+        .otherwise(F.floor(((x - mn) * F.lit(254L)).cast("double") /
+          span.cast("double")))
+    })
+  }
+
+  /** SQ8 code table: (vec_id, code) with each dimension affinely
+    * mapped onto the 8-bit [0, 254] grid by the corpus-trained
+    * per-dim (min, max) — the faiss ScalarQuantizer layout. The
+    * serving scan reads 1 byte per dim instead of 4 (grading keeps
+    * longs; the information content is the byte grid).
+    */
+  def sq8Codes(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (mns, mxs) = sq8Stats(corpus, vecCol)
+    corpus.select(F.col(idCol).as("vec_id"),
+      sq8CodeCol(VectorFunctions.quantize(F.col(vecCol)), mns, mxs).as("code"))
+  }
+
+  /** Scalar-quantized (SQ8) top-k: both sides code through the SAME
+    * corpus-trained per-dim quantizer, and candidates rank by the
+    * symmetric integer L2² between DECODED codes — each side
+    * reconstructs x̂_i = mn_i + code_i·span_i/254 and the mn_i offsets
+    * cancel in the difference, so the per-dim term is
+    * (⌊qc_i·span_i/254⌋ − ⌊cc_i·span_i/254⌋)², a BIGINT, ascending,
+    * ids ascending on ties. Decoding (rather than ranking raw code
+    * units) keeps wide dims weighted more than narrow ones, exactly as
+    * the faiss ScalarQuantizer's symmetric distance does. The third
+    * compression family beside PQ/ADC ([[pqAdcTopK]]: codebook per
+    * subspace) and the raw quantized dot ([[bruteForceTopKQuant]]):
+    * per-dim affine onto a byte grid, no codebook beyond dim stats.
+    *
+    * Scale shape: train is one posexplode scan reducing to dims rows;
+    * coding + decoding are map-only against literal stats (decode
+    * happens per ROW before the join, never per pair); serving joins
+    * the byte-grid code table against broadcast coded queries with the
+    * bounded topk_pairs aggregate (k-element sketches per query cross
+    * the shuffle, never the scored pairs).
+    */
+  def sq8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val (mns, mxs) = sq8Stats(corpus, vecCol)
+    val spanL = F.typedlit(mns.zip(mxs).map { case (a, b) => b - a })
+    // decoded reconstruction per ROW (the mn offset cancels pairwise);
+    // floor(x/254.0) is exact integer division at these magnitudes
+    def coded(df: DataFrame, id: String) = df.select(F.col(idCol).as(id),
+      F.transform(
+        sq8CodeCol(VectorFunctions.quantize(F.col(vecCol)), mns, mxs),
+        (c, i) => F.floor((c * F.element_at(spanL, i + 1)).cast("double") /
+          F.lit(254.0))).as(s"${id}_c"))
+    val c = coded(corpus, "neighbor_id")
+    val q = coded(queries, "query_id")
+    val dist = F.aggregate(
+      F.zip_with(F.col("query_id_c"), F.col("neighbor_id_c"),
+        (a, b) => (a - b) * (a - b)),
+      F.lit(0L), (acc, v) => acc + v)
+    val scored = c.join(broadcastIfSmall(q, maxBroadcastQueries))
+      .filter(if (excludeSelf) F.col("query_id") =!= F.col("neighbor_id") else F.lit(true))
+      // topk_pairs ranks score DESC with ids ascending on ties, so the
+      // negated distance makes it a nearest-first ranking
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        (-dist).cast("double").as("score"))
+    explodeTopK(scored, k)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        (-F.col("score")).cast("long").as("dist"), F.col("rank"))
+  }
+
   /** IVF recall-vs-nprobe curve — the "choose nprobe" serving
     * diagnostic: for each probe budget, how many of the exact top-k
     * pairs the IVF tier recovers (14/21/29/37 of 50 at nprobe 1/2/4/8

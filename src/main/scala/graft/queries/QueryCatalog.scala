@@ -3232,6 +3232,50 @@ object QueryCatalog {
       |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** SQ8 scalar-quantized ANN, graded to the BIT: per-dim (min, max)
+    * training stats, the floor-affine coding onto the [0, 254] byte
+    * grid, the decode reconstruction, and the symmetric integer L2²
+    * ranking between decoded codes are all replayed by the oracle —
+    * the third compression family beside PQ/ADC and the raw quantized
+    * dot. All 50 graded distances distinct at sf0.01, so the ranking
+    * itself is discriminative.
+    */
+  private def qAnnSq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.sq8TopK(emb, emb.filter(F.col("vec_id") < 10), k = 5)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("dist"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qAnnSq8Sql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |dims AS (SELECT vec_id, unnest(qv) AS x, unnest(generate_series(1, len(qv))) AS dim FROM quant),
+      |stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY dim),
+      |statl AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM stats),
+      |codes AS (
+      |  SELECT vec_id, list_transform(generate_series(1, len(qv)),
+      |    i -> CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(FLOOR(CAST((qv[i] - mns[i]) * 254 AS DOUBLE) / (mxs[i] - mns[i])) AS BIGINT) END) AS code
+      |  FROM quant CROSS JOIN statl),
+      |dec AS (
+      |  SELECT vec_id, list_transform(generate_series(1, len(code)),
+      |    i -> CAST(FLOOR(CAST(code[i] * (mxs[i] - mns[i]) AS DOUBLE) / 254) AS BIGINT)) AS dv
+      |  FROM codes CROSS JOIN statl),
+      |pairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, len(q.dv)),
+      |      i -> (q.dv[i] - c.dv[i]) * (q.dv[i] - c.dv[i]))) AS BIGINT) AS dist
+      |  FROM dec q JOIN dec c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+      |  FROM pairs)
+      |SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** One distributed k-means (Lloyd) training step, graded exactly: the
     * 8 md5-sampled seed centroids, the integer-argmax assignment, and
     * the per-cell sufficient statistics (count + element-wise component
@@ -3790,6 +3834,53 @@ object QueryCatalog {
        |  CAST(SUM(tf.tf * ((SELECT fp FROM fp WHERE term = '') - fp.fp)) AS BIGINT) AS fp64_bits
        |  FROM tf JOIN fp ON tf.term = fp.term GROUP BY tf.doc_id)
        |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  COALESCE(fp64_bits, CAST(0 AS BIGINT)) AS fp64_bits
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Bigram-LM conditional surprisal, graded to the BIT: the
+    * next-token-probability quality filter (-log2 P(w2|w1) summed per
+    * document) with both logs replaced by the integer shift-and-square
+    * recurrence, so the per-document total is an exact BIGINT and the
+    * oracle replays model fit, context marginalization, and the
+    * fixed-point chain identically. 496 distinct totals over 500
+    * sf0.01 docs — strictly more discriminative than the unigram tier
+    * (407 levels), as a conditional model should be.
+    */
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    Corpus.bigramSurprisal(t(s, dir, "documents"), fracBits = 6)
+      .orderBy("doc_id")
+
+  private val qBigramLmSql = {
+    // one normalize/square digit step of the fixed-point log2 — the
+    // SQL restatement of withIlog2Fp's loop body
+    def step(i: Int) =
+      s"""s${i + 1} AS (SELECT term, msb,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN ((m*m) >> 20) >> 1 ELSE (m*m) >> 20 END AS m,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN f*2+1 ELSE f*2 END AS f FROM s$i),""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |bgs AS (
+       |  SELECT doc_id, list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) AS b
+       |  FROM toks),
+       |tf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(b) AS bg FROM bgs) GROUP BY doc_id, bg),
+       |big AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY bg),
+       |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS c FROM big GROUP BY 1),
+       |u1 AS (SELECT term, c, length(bin(c))-1 AS msb FROM
+       |  (SELECT bg AS term, c FROM big UNION ALL SELECT w1 AS term, c FROM ctx)),
+       |s0 AS (SELECT term, msb,
+       |  CASE WHEN msb >= 20 THEN c >> (msb-20) ELSE c << (20-msb) END AS m,
+       |  CAST(0 AS BIGINT) AS f FROM u1),
+       |${(0 until 6).map(step).mkString("\n")}
+       |fp AS (SELECT term, CAST(msb AS BIGINT)*64 + f AS fp FROM s6),
+       |sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(tf.tf * (fc.fp - fb.fp)) AS BIGINT) AS fp64_bits
+       |  FROM tf JOIN fp fb ON tf.bg = fb.term
+       |  JOIN fp fc ON split_part(tf.bg, ' ', 1) = fc.term
+       |  GROUP BY tf.doc_id)
+       |SELECT d.doc_id, COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
        |  COALESCE(fp64_bits, CAST(0 AS BIGINT)) AS fp64_bits
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin
   }
@@ -4876,6 +4967,7 @@ object QueryCatalog {
     Q("q_embed_neardup", wrap(qEmbedNearDup), Some(qEmbedNearDupSql)),
     Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
+    Q("q_ann_sq8", wrap(qAnnSq8), Some(qAnnSq8Sql)),
     Q("q_pq_codes", wrap(qPqCodes), Some(qPqCodesSql)),
     Q("q_ann_pq", wrap(qAnnPq), Some(qAnnPqSql)),
     Q("q_ann_ivfpq", wrap(qAnnIvfPq), Some(qAnnIvfPqSql)),
@@ -4902,6 +4994,7 @@ object QueryCatalog {
     Q("q_mix", wrap(qMix), Some(qMixSql)),
     Q("q_inverted", wrap(qInverted), Some(qInvertedSql)),
     Q("q_unigram_lm", wrap(qUnigramLm), Some(qUnigramLmSql)),
+    Q("q_bigram_lm", wrap(qBigramLm), Some(qBigramLmSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),
     Q("q_pad_waste", wrap(qPadWaste), Some(qPadWasteSql)),

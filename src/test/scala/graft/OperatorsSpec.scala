@@ -1800,4 +1800,50 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(0).getLong(2) === 4L * (fp(8L) - fp(7L)))
   }
+
+  test("bigramSurprisal: shared context splits probability; unique continuations score 0") {
+    // model over both docs: c("a b")=1, c("a c")=1, ctx a=2
+    // -log2 P(b|a) = 1 bit = 64 fixed-point units at fracBits=6
+    val docs = Seq(
+      (0L, "a b"),
+      (1L, "a c"),
+      (2L, "x y z w"), // every bigram AND context count 1 -> 0 bits
+      (3L, "solo"),    // < 2 tokens -> no bigrams
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.bigramSurprisal(docs)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 64L)
+    assert(out(1).getLong(1) === 1L && out(1).getLong(2) === 64L)
+    assert(out(2).getLong(1) === 3L && out(2).getLong(2) === 0L,
+      "bigrams with deterministic continuations carry zero conditional surprisal")
+    assert(out(3).getLong(1) === 0L && out(3).getLong(2) === 0L)
+    assert(out(4).getLong(1) === 0L && out(4).getLong(2) === 0L)
+  }
+
+  test("sq8 codes stay on the [0,254] grid and topk recall vs exact is sane") {
+    val codes = Similarity.sq8Codes(vecs).collect()
+    assert(codes.length === 50)
+    val all = codes.flatMap(_.getSeq[Long](1))
+    assert(all.forall(c => c >= 0L && c <= 254L), "codes on the byte grid")
+    assert(all.min === 0L && all.max === 254L,
+      "trained affine map must hit both grid endpoints")
+    // truth under the SAME metric family (L2 on the x1000-quantized
+    // vectors, no byte grid) — computed locally on the 50x16 fixture
+    val raw = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong)).toMap
+    def l2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val truth = (0L until 5L).flatMap { qid =>
+      raw.keys.filter(_ != qid).toSeq
+        .sortBy(nid => (l2(raw(qid), raw(nid)), nid)).take(3).map(qid -> _)
+    }.toSet
+    val rows = Similarity.sq8TopK(vecs, vecs.filter($"vec_id" < 5), k = 3).collect()
+    assert(rows.length === 15)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)), "self excluded")
+    // 8-bit quantization distorts but must broadly agree with exact L2
+    val recall = (truth & rows.map(r => (r.getLong(0), r.getLong(1))).toSet).size
+      .toDouble / truth.size
+    assert(recall >= 0.6, s"sq8 recall $recall vs exact L2 too low")
+  }
 }
