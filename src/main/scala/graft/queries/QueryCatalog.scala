@@ -4673,6 +4673,69 @@ object QueryCatalog {
       .orderBy("user_id")
   }
 
+  /** The streaming SESSIONIZATION twin graded by the BATCH oracle — the
+    * fifth streaming twin, and the one that grades the event-time
+    * TIMEOUT path: events replay as three event-time-ordered
+    * micro-batches through [[graft.streaming.Streams.sessionize]]'s
+    * flatMapGroupsWithState machine, then two far-future sentinel
+    * batches push the watermark past every real session's gap horizon
+    * so the state-store timers fire and every open session closes and
+    * EMITS (append mode — each session exactly once, in-batch gap
+    * splits and cross-batch timeout closes both exercised). The final
+    * bag of (user_id, n_events, duration_us) rows must equal the batch
+    * [[qSessionize]] sessions exactly, microsecond durations included.
+    * Sentinel users are negative ids and filtered from the grade
+    * (their own sessions never time out — nothing follows them).
+    */
+  private def qSessionizeStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = idxScratch("sess_stream")
+    val in = s"$root/in"; val cp = s"$root/cp"
+    clearDir(cp)
+    val ev = events(s, dir).select(F.col("user_id"), F.col("ts"))
+    val w = Window.orderBy(F.col("ts"), F.col("user_id"))
+    val maxTs = ev.agg(F.max("ts")).head().getTimestamp(0)
+    def sentinel(uid: Long, days: Long, tile: Int) =
+      Seq((uid, new java.sql.Timestamp(maxTs.getTime + days * 86400000L), tile))
+        .toDF("user_id", "ts", "__tile")
+    val tiled = ev.withColumn("__tile", F.ntile(3).over(w))
+      .unionByName(sentinel(-1L, 30, 4))
+      .unionByName(sentinel(-2L, 31, 5))
+    writeOrderedStreamFiles(tiled, 5, in)
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .as[graft.streaming.Streams.SessionEvent]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = graft.streaming.Streams.sessionize(src)
+      .toDF("user_id", "n_events", "duration_us")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => buf += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    buf.toSeq.filter(_._1 >= 0L)
+      .toDF("user_id", "n_events", "duration_us")
+      .orderBy("user_id", "n_events", "duration_us")
+  }
+
+  private val qSessionizeStreamSql =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, us,
+      |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM o),
+      |s AS (SELECT user_id, us,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m)
+      |SELECT user_id, COUNT(*) AS n_events, MAX(us) - MIN(us) AS duration_us
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, n_events, duration_us""".stripMargin
+
   /** The streaming IVF-PQ maintenance twin graded by the BATCH oracle:
     * the embeddings stream in as three micro-batches coded against the
     * frozen offline model
@@ -4982,6 +5045,7 @@ object QueryCatalog {
     Q("q_textrank", wrap(qTextRank), Some(qTextRankSql)),
     Q("q_ewma", wrap(qEwma), Some(qEwmaSql)),
     Q("q_ewma_stream", wrap(qEwmaStream), Some(qEwmaSql)),
+    Q("q_sessionize_stream", wrap(qSessionizeStream), Some(qSessionizeStreamSql)),
     Q("q_hard_neg", wrap(qHardNeg), Some(qHardNegSql)),
     Q("q_kcenter", wrap(qKCenter), Some(qKCenterSql)),
     Q("q_hybrid", wrap(qHybrid), Some(qHybridSql)),

@@ -309,7 +309,7 @@ object Streams {
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(count: Long, start: Long, last: Long)
-  final case class SessionOut(user_id: Long, n_events: Long, duration_ms: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, duration_us: Long)
 
   /** Streaming IVF-PQ index MAINTENANCE — the online half of
     * [[graft.operators.Similarity.ivfPqIndex]]'s offline build: each
@@ -417,18 +417,32 @@ object Streams {
     * keep every key ever seen in the state store forever, which is fatal
     * at 100 TB/day. Gaps inside a batch split sessions too, so one key
     * can emit several sessions.
+    *
+    * Gap tests and durations are MICROSECOND-exact — the same
+    * unix_micros domain [[graft.operators.Sessions.sessionizeBatch]]
+    * sessionizes in, so the two twins agree on sub-millisecond
+    * timestamps (getTime alone floors to ms, which can merge a
+    * gap-exceeding pair the batch twin splits). Only the state-store
+    * timeout registration rounds to the engine's ms clock; as long as
+    * in-order events arrive before the watermark passes their
+    * session's gap horizon (guaranteed for event-time-ordered replay
+    * with any positive delay), the rounding cannot change a split.
     */
   def sessionize(
       events: Dataset[SessionEvent],
       gapMs: Long = 30 * 60 * 1000L,
       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // floorDiv so pre-epoch timestamps floor like unix_micros
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
           if (state.hasTimedOut) {
             // watermark passed last-event + gap: close and expire
             val s = state.get
@@ -437,16 +451,16 @@ object Streams {
           } else {
             var s = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, 0L))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            rows.toArray.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              if (s.count > 0 && t - s.last > gapMs) {
+            rows.toArray.map(e => micros(e.ts)).sorted.foreach { t =>
+              if (s.count > 0 && t - s.last > gapUs) {
                 closed += SessionOut(uid, s.count, s.last - s.start)
                 s = SessionState(0L, Long.MaxValue, 0L)
               }
               s = SessionState(s.count + 1, math.min(s.start, t), math.max(s.last, t))
             }
             state.update(s)
-            state.setTimeoutTimestamp(s.last + gapMs)
+            // the timeout clock is milliseconds; floor the micro last
+            state.setTimeoutTimestamp(Math.floorDiv(s.last, 1000L) + gapMs)
             closed.iterator
           }
       }

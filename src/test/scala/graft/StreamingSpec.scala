@@ -272,7 +272,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val rows = spark.table("sessions").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     q.stop()
-    assert(rows.contains((1L, 2L, 5 * 60 * 1000L)), rows.toString)
+    assert(rows.contains((1L, 2L, 5 * 60 * 1000000L)), rows.toString)
     assert(rows.contains((2L, 1L, 0L)), rows.toString)
     // user 3's first session split on the in-batch 30-min gap too
     assert(rows.contains((3L, 1L, 0L)), rows.toString)
