@@ -767,6 +767,87 @@ object Corpus {
         F.coalesce(F.col("fp_bits"), F.lit(0L)).as("fp64_bits"))
   }
 
+  /** Per-source corpus health panel — the dashboard a curation team
+    * reads per crawl source before deciding mixture weights: document
+    * and token counts, short-document count (below `shortTokens`
+    * whitespace tokens), low-quality count (heuristic
+    * [[graft.functions.TextFunctions.qualityScore]] below
+    * `qualityFloor`), and the English-label count.
+    *
+    * Scale shape: every column is a map-side conditional count over one
+    * scan; the only shuffle is the partial-aggregated groupBy onto
+    * |sources| rows. No joins, no windows — this is the panel you can
+    * afford to run on every snapshot.
+    */
+  def sourceHealth(
+      docs: DataFrame,
+      shortTokens: Long = 40L,
+      qualityFloor: Double = 0.65,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    val nTok = TextFunctions.tokenCount(F.col(textCol))
+    val qual = TextFunctions.qualityScore(F.col(textCol))
+    docs.groupBy(F.col(sourceCol).as("source"))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum(nTok).as("n_tokens"),
+        F.sum(F.when(nTok < shortTokens, 1L).otherwise(0L)).as("n_short"),
+        F.sum(F.when(qual < qualityFloor, 1L).otherwise(0L)).as("n_low_q"),
+        F.sum(F.when(F.col(langCol) === "en", 1L).otherwise(0L)).as("n_en"))
+  }
+
+  /** Spearman rank correlation between the heuristic quality score and
+    * the unigram-LM mean surprisal — the "is my cheap filter measuring
+    * the same thing as my expensive one?" calibration a pipeline runs
+    * before swapping filters. Docs rank once by (quality, doc_id) and
+    * once by (milli-mean surprisal = fp64_bits·1000 div n_tokens,
+    * doc_id); the output is one row (n, sum_d2, rho_milli) with
+    * rho_milli = 1000 − (6000·Σd²) div (n(n²−1)) — every operand an
+    * exact integer (the quality DOUBLE is bit-stable cross-engine, so
+    * ordering by it is deterministic).
+    *
+    * Scale shape: global ranking is the one inherently total-order
+    * step, done as a distributed range-partitioned sort +
+    * zipWithIndex (per-partition offsets from one lightweight count
+    * pass) — NOT a single-partition row_number window; everything
+    * after the two sorts is a slim (doc_id, rank) join and a 1-row
+    * aggregate. rho_milli's n(n²−1) term stays in BIGINT up to
+    * n ≈ 2M docs; past that, grade (n, Σd²) and divide in decimal.
+    */
+  def qualityCorr(
+      docs: DataFrame,
+      fracBits: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val surp = unigramSurprisal(docs, fracBits, textCol, idCol)
+      .filter(F.col("n_tokens") > 0L)
+      .select(F.col("doc_id"),
+        F.expr("fp64_bits * 1000 div n_tokens").as("surp_milli"))
+    val qual = docs.select(F.col(idCol).cast("long").as("doc_id"),
+      TextFunctions.qualityScore(F.col(textCol)).as("quality"))
+    def rankBy(df: DataFrame, valueCol: String, rankCol: String): DataFrame = {
+      val ranked = df.orderBy(F.col(valueCol).asc, F.col("doc_id").asc)
+        .select("doc_id").rdd.zipWithIndex()
+        .map { case (r, i) => org.apache.spark.sql.Row(r.getLong(0), i + 1L) }
+      spark.createDataFrame(ranked, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(rankCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+    // surprisal ranks only docs with tokens; semi-join quality onto the
+    // same universe so both rankings cover identical rows
+    val universe = surp.select("doc_id")
+    rankBy(qual.join(universe, Seq("doc_id"), "left_semi"), "quality", "rq")
+      .join(rankBy(surp, "surp_milli", "rs"), Seq("doc_id"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum((F.col("rq") - F.col("rs")) * (F.col("rq") - F.col("rs"))).as("sum_d2"))
+      .select(F.col("n"), F.col("sum_d2"),
+        (F.lit(1000L) - F.expr("(6000 * sum_d2) div (n * (n * n - 1))")).as("rho_milli"))
+  }
+
   /** Deterministic STRATIFIED train/val/test split with EXACT
     * proportions: within each stratum rows rank by md5(id) (the
     * [[mixByWeights]] shuffle-order convention) and the rank range is

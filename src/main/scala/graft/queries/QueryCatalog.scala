@@ -3885,6 +3885,86 @@ object QueryCatalog {
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Per-source corpus health panel: document/token counts, short-doc,
+    * low-quality, and English-label counts per crawl source — the
+    * mixture-weight dashboard. Map-side conditional counts, one
+    * groupBy shuffle onto |sources| rows. 10 distinct n_short and 7
+    * distinct n_low_q levels across the 20 sf0.01 sources, so the
+    * panel discriminates.
+    */
+  private def qSourceHealth(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceHealth(t(s, dir, "documents"))
+      .orderBy("source")
+
+  private val qSourceHealthSql = {
+    val nTok = "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+    val nStop = "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that')))"
+    val nPunct = "length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))"
+    val qual =
+      s"""LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |  + LEAST(CAST($nStop AS DOUBLE) * 10.0 / GREATEST(CAST($nTok AS DOUBLE), 1.0), 1.0) * 0.3
+         |  + (1.0 - LEAST(CAST($nPunct AS DOUBLE) * 4.0 / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3""".stripMargin
+    s"""SELECT source, COUNT(*) AS n_docs, CAST(SUM($nTok) AS BIGINT) AS n_tokens,
+       |  COUNT(*) FILTER (WHERE $nTok < 40) AS n_short,
+       |  COUNT(*) FILTER (WHERE ($qual) < 0.65) AS n_low_q,
+       |  COUNT(*) FILTER (WHERE lang = 'en') AS n_en
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Spearman rank correlation between the heuristic quality score and
+    * the unigram-LM mean surprisal, graded as exact integers
+    * (n, Σd², rho_milli): the filter-calibration diagnostic. The
+    * oracle replays the unigram fp chain, the milli-mean truncating
+    * division, both (value, doc_id) rankings, and the rho arithmetic.
+    * rho_milli = 173 at sf0.01 — the two filters are weakly
+    * positively correlated, i.e. NOT redundant, which is exactly what
+    * this query exists to reveal.
+    */
+  private def qQualityCorr(s: SparkSession, dir: String): DataFrame =
+    Corpus.qualityCorr(t(s, dir, "documents"))
+
+  private val qQualityCorrSql = {
+    def step(i: Int) =
+      s"""s${i + 1} AS (SELECT term, msb,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN ((m*m) >> 20) >> 1 ELSE (m*m) >> 20 END AS m,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN f*2+1 ELSE f*2 END AS f FROM s$i),""".stripMargin
+    val nTok = "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+    val nStop = "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that')))"
+    val nPunct = "length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))"
+    val qual =
+      s"""LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |  + LEAST(CAST($nStop AS DOUBLE) * 10.0 / GREATEST(CAST($nTok AS DOUBLE), 1.0), 1.0) * 0.3
+         |  + (1.0 - LEAST(CAST($nPunct AS DOUBLE) * 4.0 / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term),
+       |uni AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+       |u1 AS (SELECT term, c, length(bin(c))-1 AS msb FROM
+       |  (SELECT * FROM uni UNION ALL SELECT '' AS term, CAST(SUM(c) AS BIGINT) AS c FROM uni)),
+       |s0 AS (SELECT term, msb,
+       |  CASE WHEN msb >= 20 THEN c >> (msb-20) ELSE c << (20-msb) END AS m,
+       |  CAST(0 AS BIGINT) AS f FROM u1),
+       |${(0 until 6).map(step).mkString("\n")}
+       |fp AS (SELECT term, CAST(msb AS BIGINT)*64 + f AS fp FROM s6),
+       |sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(tf.tf * ((SELECT fp FROM fp WHERE term = '') - fp.fp)) AS BIGINT) AS fp64_bits
+       |  FROM tf JOIN fp ON tf.term = fp.term GROUP BY tf.doc_id),
+       |mets AS (
+       |  SELECT d.doc_id, ($qual) AS quality,
+       |    (sc.fp64_bits * 1000) // sc.n_tokens AS surp_milli
+       |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id WHERE sc.n_tokens > 0),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY quality ASC, doc_id ASC) AS rq,
+       |    ROW_NUMBER() OVER (ORDER BY surp_milli ASC, doc_id ASC) AS rs
+       |  FROM mets),
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM((rq - rs) * (rq - rs)) AS BIGINT) AS sum_d2 FROM ranked)
+       |SELECT n, sum_d2, 1000 - (6000 * sum_d2) // (n * (n * n - 1)) AS rho_milli FROM agg""".stripMargin
+  }
+
   /** BM25-family retrieval scoring for a fixed 3-term query, graded to
     * the BIT on the double scores: the ratio idf avoids `log` (libm-
     * specific rounding), every operand is an exact integer, and the
@@ -5059,6 +5139,8 @@ object QueryCatalog {
     Q("q_inverted", wrap(qInverted), Some(qInvertedSql)),
     Q("q_unigram_lm", wrap(qUnigramLm), Some(qUnigramLmSql)),
     Q("q_bigram_lm", wrap(qBigramLm), Some(qBigramLmSql)),
+    Q("q_source_health", wrap(qSourceHealth), Some(qSourceHealthSql)),
+    Q("q_quality_corr", wrap(qQualityCorr), Some(qQualityCorrSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),
     Q("q_pad_waste", wrap(qPadWaste), Some(qPadWasteSql)),

@@ -1821,6 +1821,39 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4).getLong(1) === 0L && out(4).getLong(2) === 0L)
   }
 
+  test("sourceHealth counts short/low-quality/en docs per source") {
+    val d = Seq(
+      (0L, "a b", "en", "sA"),                                        // short
+      (1L, ("the and of to in is " * 20).trim, "en", "sA"),           // long, stopword-rich
+      (2L, "!!! ??? ... ###", "de", "sB"),                            // short + punct-heavy
+      (3L, ("word " * 60).trim, "fr", "sB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.Corpus.sourceHealth(d, shortTokens = 40L)
+      .orderBy("source").collect()
+    assert(out(0).getString(0) === "sA" && out(0).getLong(1) === 2L)
+    assert(out(0).getLong(2) === 2L + 120L, "token totals")
+    assert(out(0).getLong(3) === 1L, "one short doc in sA")
+    assert(out(0).getLong(5) === 2L, "both sA docs labeled en")
+    assert(out(1).getString(0) === "sB" && out(1).getLong(3) === 1L)
+    assert(out(1).getLong(4) >= 1L, "punct-heavy doc scores below the floor")
+    assert(out(1).getLong(5) === 0L)
+  }
+
+  test("qualityCorr emits bounded exact-integer Spearman components") {
+    val out = graft.operators.Corpus.qualityCorr(docs).collect()
+    assert(out.length === 1)
+    val (n, d2, rho) = (out(0).getLong(0), out(0).getLong(1), out(0).getLong(2))
+    assert(n === 5L, "all fixture docs have tokens")
+    // 0 <= sum_d2 <= 2 * C(n+1,3) (the reversed-ranking maximum)
+    val maxD2 = n * (n * n - 1) / 3
+    assert(d2 >= 0L && d2 <= maxD2, s"sum_d2 $d2 out of [0, $maxD2]")
+    assert(rho >= -1000L && rho <= 1000L, s"rho_milli $rho out of range")
+    // identical ranking universe: both rankings are permutations of 1..n
+    // so parity of sum_d2 must be even (sum of (rq-rs) over a
+    // permutation pair is 0, so the squared sum is even)
+    assert(d2 % 2 === 0L, "permutation-difference squares sum to even")
+  }
+
   test("sq8 codes stay on the [0,254] grid and topk recall vs exact is sane") {
     val codes = Similarity.sq8Codes(vecs).collect()
     assert(codes.length === 50)
