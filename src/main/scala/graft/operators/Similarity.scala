@@ -294,6 +294,46 @@ object Similarity {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  /** Dimension-truncation recall curve — the "how many dims do I
+    * actually need to store" diagnostic (the question Matryoshka-style
+    * embeddings exist to answer): for each prefix width d, rank by the
+    * quantized dot over the FIRST d dimensions only and count how many
+    * exact full-width top-k pairs survive. A steep curve (3/6/15/50 of
+    * 50 at d = 8/16/32/64 on the sf0.01 embeddings) is the honest
+    * verdict that THESE vectors don't truncate — the query exists to
+    * measure that before a storage decision, not to flatter it.
+    *
+    * Scale shape: mirrors [[ivfRecallCurve]] — one brute pass over the
+    * bounded eval set establishes truth (the one materialization),
+    * then one prefix-sliced pass per width, each reducing to a single
+    * (dims, n_truth, n_hits) row via a semi-join on the truth set.
+    */
+  def dimRecallCurve(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      widths: Seq[Int] = Seq(8, 16, 32, 64),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1), "widths >= 1")
+    val truth = bruteForceTopKQuant(corpus, queries, k, idCol, vecCol)
+      .select(F.col("query_id"), F.col("neighbor_id"))
+      .localCheckpoint() // eval-set-sized; probed |widths| times + counted
+    val nt = truth.agg(F.count(F.lit(1)).as("n_truth"))
+    def prefix(df: DataFrame, d: Int) =
+      df.select(F.col(idCol), F.slice(F.col(vecCol), 1, d).as(vecCol))
+    widths.map { d =>
+      bruteForceTopKQuant(prefix(corpus, d), prefix(queries, d), k,
+          idCol, vecCol)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "leftsemi")
+        .agg(F.count(F.lit(1)).as("n_hits"))
+        .select(F.lit(d.toLong).as("dims"), F.col("n_hits"))
+        .crossJoin(nt) // 1-row scalar spine
+        .select("dims", "n_truth", "n_hits")
+    }.reduce(_.unionByName(_)).orderBy("dims")
+  }
+
   /** Integer hyperplane component for (dimension, seed): the first 32
     * bits of md5("dim:seed") mapped to [-1000, 1000]. md5 is the one hash
     * every engine computes identically, so the planes — and therefore the

@@ -3276,6 +3276,44 @@ object QueryCatalog {
       |SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Dimension-truncation recall curve, graded exactly: rank by the
+    * quantized dot over the first d dims for d in 8/16/32/64 and count
+    * surviving exact top-k pairs — 3/6/15/50 of 50 at sf0.01, the
+    * evidence that these embeddings do NOT truncate (which is the
+    * point of measuring before a storage decision).
+    */
+  private def qDimRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.dimRecallCurve(emb, emb.filter(F.col("vec_id") < 10), k = 5)
+  }
+
+  private val qDimRecallSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |ds AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dims),
+      |truth AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i])) AS BIGINT) DESC,
+      |        c.vec_id ASC) AS rn
+      |    FROM quant q JOIN quant c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rn <= 5),
+      |trunc AS (
+      |  SELECT d.dims, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY d.dims, q.vec_id ORDER BY
+      |      CAST(list_sum(list_transform(generate_series(1, CAST(d.dims AS INT)), i -> q.qv[i] * c.qv[i])) AS BIGINT) DESC,
+      |      c.vec_id ASC) AS rn
+      |  FROM ds d CROSS JOIN quant q JOIN quant c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |hits AS (
+      |  SELECT t.dims, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM (SELECT dims, query_id, neighbor_id FROM trunc WHERE rn <= 5) t
+      |  JOIN truth ON t.query_id = truth.query_id AND t.neighbor_id = truth.neighbor_id
+      |  GROUP BY t.dims)
+      |SELECT d.dims, CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+      |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits
+      |FROM ds d LEFT JOIN hits ON d.dims = hits.dims ORDER BY d.dims""".stripMargin
+
   /** One distributed k-means (Lloyd) training step, graded exactly: the
     * 8 md5-sampled seed centroids, the integer-argmax assignment, and
     * the per-cell sufficient statistics (count + element-wise component
@@ -5111,6 +5149,7 @@ object QueryCatalog {
     Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
     Q("q_ann_sq8", wrap(qAnnSq8), Some(qAnnSq8Sql)),
+    Q("q_dim_recall", wrap(qDimRecall), Some(qDimRecallSql)),
     Q("q_pq_codes", wrap(qPqCodes), Some(qPqCodesSql)),
     Q("q_ann_pq", wrap(qAnnPq), Some(qAnnPqSql)),
     Q("q_ann_ivfpq", wrap(qAnnIvfPq), Some(qAnnIvfPqSql)),

@@ -378,4 +378,30 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans === 0, s"expected 0 parquet scans in the iteration plan, got $scans")
   }
+
+  test("bigram LM: map-side bigram expansion, no corpus self-join") {
+    val p = plan("q_bigram_lm")
+    // the bigram list is an array transform inside the scan projection —
+    // a posexplode self-join on (doc, pos)=(doc, pos+1) would shuffle
+    // the corpus twice and join it against itself
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    assert(p.contains("transform"), "bigrams must be an array transform")
+  }
+
+  test("sq8: broadcast coded queries, bounded top-k sketch, no pair shuffle") {
+    val p = plan("q_ann_sq8")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1000))
+    assert(p.contains("topk_pairs"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
+
+  test("source health panel: one partial-aggregated shuffle, no joins") {
+    val p = plan("q_source_health")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n${p.take(1500)}")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "panel must partial-aggregate map-side")
+    assert(!p.contains("Join"), "panel is join-free")
+  }
 }
