@@ -848,6 +848,56 @@ object Corpus {
         (F.lit(1000L) - F.expr("(6000 * sum_d2) div (n * (n * n - 1))")).as("rho_milli"))
   }
 
+  /** Per-source n-gram NOVELTY attribution — the marginal-diversity
+    * valuation behind "is this crawl source worth keeping": every
+    * distinct word n-gram is attributed to its FIRST source (minimum
+    * source id — a fixed, engine-independent order), and each source
+    * reports how many of its grams are novel under that attribution
+    * vs. merely re-observed. A source whose novel_grams ≪ total_grams
+    * is mostly repeating corpus the earlier sources already supply.
+    *
+    * Output: (source, total_grams, novel_grams, attributed_occ) —
+    * attributed_occ counts ALL occurrences (any source) of the grams
+    * this source introduced, so novel-but-popular content scores
+    * above novel-but-ignored.
+    *
+    * Scale shape: gram expansion is the standard map-side
+    * sequence/slice transform (no self-join); one gram-keyed shuffle
+    * with partial aggregation computes (min source, count) per gram;
+    * everything downstream is |sources|-sized. The gram table never
+    * materializes — same lineage-only policy as the dedup family.
+    */
+  def gramNovelty(
+      docs: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val toks = F.col("__t")
+    val grams = F.when(F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+          p => F.concat_ws(" ", F.slice(toks, p + 1, F.lit(n)))))
+      .otherwise(F.array().cast("array<string>"))
+    val base = docs
+      .select(F.col(sourceCol).as("source"),
+        TextFunctions.tokens(F.lower(F.col(textCol))).as("__t"))
+    val ge = base.select(F.col("source"), F.explode(grams).as("g"))
+    val firsts = ge.groupBy("g")
+      .agg(F.min("source").as("first_source"),
+        F.count(F.lit(1)).as("occurrences"))
+    val nov = firsts.groupBy(F.col("first_source").as("source"))
+      .agg(F.count(F.lit(1)).as("novel_grams"),
+        F.sum("occurrences").as("attributed_occ"))
+    // the source universe comes from DOCS so gram-less sources still
+    // report a (0, 0, 0) row instead of vanishing from the panel
+    base.groupBy("source")
+      .agg(F.sum(F.size(grams).cast("long")).as("total_grams"))
+      .join(nov, Seq("source"), "left")
+      .select(F.col("source"), F.col("total_grams"),
+        F.coalesce(F.col("novel_grams"), F.lit(0L)).as("novel_grams"),
+        F.coalesce(F.col("attributed_occ"), F.lit(0L)).as("attributed_occ"))
+  }
+
   /** Deterministic STRATIFIED train/val/test split with EXACT
     * proportions: within each stratum rows rank by md5(id) (the
     * [[mixByWeights]] shuffle-order convention) and the rank range is

@@ -3949,6 +3949,33 @@ object QueryCatalog {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Per-source 5-gram novelty attribution: each distinct gram belongs
+    * to its minimum source, and sources report novel vs. total grams —
+    * the marginal-diversity signal for keep/drop decisions on a crawl
+    * source. 19 distinct novelty levels across the 20 sf0.01 sources,
+    * and src12 contributes only 1118 novel of its 1172 grams (real
+    * cross-source sharing), so the attribution is live.
+    */
+  private def qGramNovelty(s: SparkSession, dir: String): DataFrame =
+    Corpus.gramNovelty(t(s, dir, "documents"), n = 5)
+      .orderBy("source")
+
+  private val qGramNoveltySql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT source, unnest(list_transform(generate_series(1, len(t)-4),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+      |  FROM toks),
+      |firsts AS (SELECT g, MIN(source) AS first_source, CAST(COUNT(*) AS BIGINT) AS occurrences FROM grams GROUP BY g),
+      |nov AS (SELECT first_source AS source, CAST(COUNT(*) AS BIGINT) AS novel_grams,
+      |  CAST(SUM(occurrences) AS BIGINT) AS attributed_occ FROM firsts GROUP BY first_source),
+      |tot AS (SELECT source, CAST(SUM(GREATEST(len(t) - 4, 0)) AS BIGINT) AS total_grams FROM toks GROUP BY source)
+      |SELECT t.source, t.total_grams, COALESCE(n.novel_grams, 0) AS novel_grams,
+      |  COALESCE(n.attributed_occ, 0) AS attributed_occ
+      |FROM tot t LEFT JOIN nov n ON t.source = n.source ORDER BY t.source""".stripMargin
+
   /** Spearman rank correlation between the heuristic quality score and
     * the unigram-LM mean surprisal, graded as exact integers
     * (n, Σd², rho_milli): the filter-calibration diagnostic. The
@@ -5179,6 +5206,7 @@ object QueryCatalog {
     Q("q_unigram_lm", wrap(qUnigramLm), Some(qUnigramLmSql)),
     Q("q_bigram_lm", wrap(qBigramLm), Some(qBigramLmSql)),
     Q("q_source_health", wrap(qSourceHealth), Some(qSourceHealthSql)),
+    Q("q_gram_novelty", wrap(qGramNovelty), Some(qGramNoveltySql)),
     Q("q_quality_corr", wrap(qQualityCorr), Some(qQualityCorrSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),

@@ -1839,6 +1839,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(5) === 0L)
   }
 
+  test("gramNovelty attributes shared grams to the first source") {
+    val d = Seq(
+      (0L, "a b c d e f", "sA"),
+      (1L, "a b c x y z", "sB"),
+      (2L, "xx", "sC") // below gram width -> zero grams
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Corpus.gramNovelty(d, n = 3)
+      .orderBy("source").collect()
+    // sA: 4 grams, all novel; "a b c" occurs again in sB -> 5 attributed
+    assert(out(0).getString(0) === "sA" && out(0).getLong(1) === 4L &&
+      out(0).getLong(2) === 4L && out(0).getLong(3) === 5L)
+    // sB: 4 grams, "a b c" already seen -> 3 novel, 3 attributed
+    assert(out(1).getString(0) === "sB" && out(1).getLong(1) === 4L &&
+      out(1).getLong(2) === 3L && out(1).getLong(3) === 3L)
+    assert(out(2).getString(0) === "sC" && out(2).getLong(1) === 0L &&
+      out(2).getLong(2) === 0L && out(2).getLong(3) === 0L)
+  }
+
   test("qualityCorr emits bounded exact-integer Spearman components") {
     val out = graft.operators.Corpus.qualityCorr(docs).collect()
     assert(out.length === 1)
