@@ -848,6 +848,53 @@ object Corpus {
         (F.lit(1000L) - F.expr("(6000 * sum_d2) div (n * (n * n - 1))")).as("rho_milli"))
   }
 
+  /** Temperature-flattening source cap — the standard mitigation for
+    * over-represented crawl sources: every source keeps documents in
+    * md5(doc_id) rank order (the engine-independent shuffle-order
+    * convention) until its cumulative token count reaches the LOWER
+    * MEDIAN source's total; sources at or below the median keep
+    * everything. The boundary rule is "keep while the tokens BEFORE
+    * this doc are under budget", so the crossing document is included
+    * and every engine agrees on the cut without fractional documents.
+    *
+    * Output: (source, src_tokens, n_docs_kept, n_tokens_kept).
+    *
+    * Scale shape: per-source totals are one partial-agg shuffle onto a
+    * \|sources\|-row panel (collected for the median — model-sized by
+    * construction, the k-means-stats precedent); the keep decision is
+    * ONE window sort per source (running sum rides the same
+    * (source, md5) exchange); no joins against corpus-sized tables.
+    */
+  def sourceCap(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(
+      F.col(idCol).cast("long").as("doc_id"),
+      F.col(sourceCol).as("source"),
+      TextFunctions.tokenCount(F.col(textCol)).as("n_tok"))
+    val tot = toks.groupBy("source").agg(F.sum("n_tok").as("src_tokens"))
+    val totals = tot.orderBy(F.col("src_tokens").asc, F.col("source").asc)
+      .collect() // |sources| rows — the model-sized panel
+    require(totals.nonEmpty, "sourceCap needs a non-empty corpus")
+    val budget = totals((totals.length + 1) / 2 - 1).getLong(1)
+    val w = Window.partitionBy("source")
+      .orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")).asc,
+        F.col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = toks
+      .withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0L)))
+      .filter(F.col("cum_before") < budget)
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_docs_kept"),
+        F.sum("n_tok").as("n_tokens_kept"))
+    tot.join(kept, Seq("source"), "left")
+      .select(F.col("source"), F.col("src_tokens"),
+        F.coalesce(F.col("n_docs_kept"), F.lit(0L)).as("n_docs_kept"),
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0L)).as("n_tokens_kept"))
+  }
+
   /** Per-source n-gram NOVELTY attribution — the marginal-diversity
     * valuation behind "is this crawl source worth keeping": every
     * distinct word n-gram is attributed to its FIRST source (minimum

@@ -3949,6 +3949,40 @@ object QueryCatalog {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Temperature-flattening source cap, graded exactly: keep docs per
+    * source in md5 rank order until the lower-median source's token
+    * total is reached — the over-sampling mitigation. Five sf0.01
+    * sources trim (e.g. src13 1553→1386 tokens), the rest keep
+    * everything, so both branches of the cap are exercised.
+    */
+  private def qSourceCap(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceCap(t(s, dir, "documents"))
+      .orderBy("source")
+
+  private val qSourceCapSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+      |  FROM documents),
+      |tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens FROM toks GROUP BY source),
+      |med AS (
+      |  SELECT src_tokens AS budget FROM (
+      |    SELECT src_tokens, ROW_NUMBER() OVER (ORDER BY src_tokens ASC, source ASC) AS rn,
+      |      COUNT(*) OVER () AS n
+      |    FROM tot) WHERE rn = (n + 1) // 2),
+      |ordered AS (
+      |  SELECT doc_id, source, n_tok,
+      |    COALESCE(SUM(n_tok) OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM toks),
+      |kept AS (
+      |  SELECT o.source, o.n_tok FROM ordered o CROSS JOIN med
+      |  WHERE o.cum_before < med.budget)
+      |SELECT t.source, t.src_tokens, CAST(COUNT(k.n_tok) AS BIGINT) AS n_docs_kept,
+      |  CAST(COALESCE(SUM(k.n_tok), 0) AS BIGINT) AS n_tokens_kept
+      |FROM tot t LEFT JOIN kept k ON t.source = k.source
+      |GROUP BY t.source, t.src_tokens ORDER BY t.source""".stripMargin
+
   /** Per-source 5-gram novelty attribution: each distinct gram belongs
     * to its minimum source, and sources report novel vs. total grams —
     * the marginal-diversity signal for keep/drop decisions on a crawl
@@ -5207,6 +5241,7 @@ object QueryCatalog {
     Q("q_bigram_lm", wrap(qBigramLm), Some(qBigramLmSql)),
     Q("q_source_health", wrap(qSourceHealth), Some(qSourceHealthSql)),
     Q("q_gram_novelty", wrap(qGramNovelty), Some(qGramNoveltySql)),
+    Q("q_source_cap", wrap(qSourceCap), Some(qSourceCapSql)),
     Q("q_quality_corr", wrap(qQualityCorr), Some(qQualityCorrSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),

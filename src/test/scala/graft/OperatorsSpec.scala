@@ -1839,6 +1839,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(5) === 0L)
   }
 
+  test("sourceCap trims over-median sources at the token budget") {
+    val ten = ("tok " * 10).trim
+    val d = Seq(
+      (0L, ten, "sA"),
+      (1L, ten, "sB"), (2L, ten, "sB"),
+      (3L, ten, "sC"), (4L, ten, "sC"), (5L, ten, "sC")
+    ).toDF("doc_id", "text", "source")
+    // totals 10/20/30 -> lower median budget 20
+    val out = graft.operators.Corpus.sourceCap(d).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === (("sA", 10L, 1L, 10L)), "under-budget source keeps all")
+    assert(out(1) === (("sB", 20L, 2L, 20L)), "at-budget source keeps all")
+    assert(out(2) === (("sC", 30L, 2L, 20L)), "over-budget source trims to budget")
+  }
+
   test("gramNovelty attributes shared grams to the first source") {
     val d = Seq(
       (0L, "a b c d e f", "sA"),
