@@ -4915,6 +4915,58 @@ object QueryCatalog {
       |FROM s GROUP BY user_id, session_idx
       |ORDER BY user_id, n_events, duration_us""".stripMargin
 
+  /** The stream-stream INTERVAL JOIN twin graded by the BATCH oracle —
+    * the sixth streaming twin, and the one that grades two-sided join
+    * state: purchases and views replay as separate watermarked file
+    * streams (two readers over the same event-time-ordered tiles) into
+    * [[graft.streaming.Streams.attributedPurchases]], whose
+    * both-sides-bounded join condition lets the engine evict each
+    * side's buffer as the watermark passes the horizon. For in-order
+    * replay eviction can never drop a valid pair (an evicted view is
+    * out of every future purchase's horizon by at least the lateness
+    * margin), so the appended bag of (user_id, purchase_id, view_id,
+    * gap_us) rows must equal the batch interval join exactly — 40
+    * pairs at sf0.01.
+    */
+  private def qAttribStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = idxScratch("attrib_stream")
+    val in = s"$root/in"; val cp = s"$root/cp"
+    clearDir(cp)
+    val ev = events(s, dir)
+      .select("ts", "event_id", "user_id", "event_type")
+      .filter(F.col("event_type").isin("purchase", "view"))
+    val w = Window.orderBy(F.col("ts"), F.col("event_id"))
+    writeOrderedStreamFiles(ev.withColumn("__tile", F.ntile(3).over(w)), 3, in)
+    def src() = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val joined = graft.streaming.Streams.attributedPurchases(
+        src().filter(F.col("event_type") === "purchase"),
+        src().filter(F.col("event_type") === "view"))
+      .select(F.col("user_id"), F.col("purchase_id"), F.col("view_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("vts"))).as("gap_us"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          buf += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    buf.toSeq.toDF("user_id", "purchase_id", "view_id", "gap_us")
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
+  private val qAttribStreamSql =
+    """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM events p JOIN events v
+      |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND p.user_id = v.user_id
+      | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+      |ORDER BY p.user_id, purchase_id, view_id""".stripMargin
+
   /** The streaming IVF-PQ maintenance twin graded by the BATCH oracle:
     * the embeddings stream in as three micro-batches coded against the
     * frozen offline model
@@ -5226,6 +5278,7 @@ object QueryCatalog {
     Q("q_ewma", wrap(qEwma), Some(qEwmaSql)),
     Q("q_ewma_stream", wrap(qEwmaStream), Some(qEwmaSql)),
     Q("q_sessionize_stream", wrap(qSessionizeStream), Some(qSessionizeStreamSql)),
+    Q("q_attrib_stream", wrap(qAttribStream), Some(qAttribStreamSql)),
     Q("q_hard_neg", wrap(qHardNeg), Some(qHardNegSql)),
     Q("q_kcenter", wrap(qKCenter), Some(qKCenterSql)),
     Q("q_hybrid", wrap(qHybrid), Some(qHybridSql)),
