@@ -263,4 +263,32 @@ object Hygiene {
         F.count(F.lit(1)).as("n_grams"),
         F.sum(F.coalesce(F.col("__hit"), F.lit(0L))).as("n_hits"))
   }
+
+  /** k-anonymity release gate for aggregate panels: every
+    * (dims...) cell below the k-document floor publishes ZEROS instead
+    * of its true counts (with `released = false`), so downstream
+    * consumers of the published panel can never reconstruct a small
+    * cohort's statistics — the privacy complement of [[redactPii]],
+    * which protects values while this protects COUNTS. Cells stay in
+    * the output (suppressing the row itself would leak "a small cell
+    * exists here" by absence patterns across releases).
+    *
+    * Scale shape: one partial-aggregated groupBy onto the cell panel;
+    * the gate is a map-side projection over |cells| rows.
+    */
+  def kAnonPanel(
+      docs: DataFrame,
+      k: Long = 5L,
+      dims: Seq[String] = Seq("lang", "source"),
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && dims.nonEmpty, "k >= 1, at least one dimension")
+    val released = F.col("__n") >= k
+    docs.groupBy(dims.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__n"),
+        F.sum(graft.functions.TextFunctions.tokenCount(F.col(textCol))).as("__t"))
+      .select(dims.map(F.col) ++ Seq(
+        released.as("released"),
+        F.when(released, F.col("__n")).otherwise(0L).as("n_docs"),
+        F.when(released, F.col("__t")).otherwise(0L).as("n_tokens")): _*)
+  }
 }

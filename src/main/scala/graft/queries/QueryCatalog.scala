@@ -3949,6 +3949,27 @@ object QueryCatalog {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** k-anonymity release gate: the (lang, source) panel with every
+    * under-5-doc cell publishing zeros (rows retained — absence
+    * patterns leak) — 42 of 97 sf0.01 cells release, 55 suppress, so
+    * both branches are live.
+    */
+  private def qKanon(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Hygiene.kAnonPanel(t(s, dir, "documents"), k = 5L)
+      .orderBy("lang", "source")
+
+  private val qKanonSql = {
+    val nTok = "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+    s"""WITH cells AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM($nTok) AS BIGINT) AS t
+       |  FROM documents GROUP BY lang, source)
+       |SELECT lang, source, n >= 5 AS released,
+       |  CASE WHEN n >= 5 THEN n ELSE 0 END AS n_docs,
+       |  CASE WHEN n >= 5 THEN t ELSE 0 END AS n_tokens
+       |FROM cells ORDER BY lang, source""".stripMargin
+  }
+
   /** Temperature-flattening source cap, graded exactly: keep docs per
     * source in md5 rank order until the lower-median source's token
     * total is reached — the over-sampling mitigation. Five sf0.01
@@ -5295,6 +5316,7 @@ object QueryCatalog {
     Q("q_source_health", wrap(qSourceHealth), Some(qSourceHealthSql)),
     Q("q_gram_novelty", wrap(qGramNovelty), Some(qGramNoveltySql)),
     Q("q_source_cap", wrap(qSourceCap), Some(qSourceCapSql)),
+    Q("q_kanon", wrap(qKanon), Some(qKanonSql)),
     Q("q_quality_corr", wrap(qQualityCorr), Some(qQualityCorrSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),

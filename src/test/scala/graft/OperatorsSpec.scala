@@ -1839,6 +1839,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(5) === 0L)
   }
 
+  test("kAnonPanel zeros under-k cells but keeps their rows") {
+    val d = Seq(
+      (0L, "a b c", "en", "sA"), (1L, "d e", "en", "sA"),
+      (2L, "f", "de", "sB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.Hygiene.kAnonPanel(d, k = 2L)
+      .orderBy("lang", "source").collect()
+    assert(out.length === 2, "suppressed cells must stay as rows")
+    assert(out(0).getString(0) === "de" && !out(0).getBoolean(2) &&
+      out(0).getLong(3) === 0L && out(0).getLong(4) === 0L)
+    assert(out(1).getString(0) === "en" && out(1).getBoolean(2) &&
+      out(1).getLong(3) === 2L && out(1).getLong(4) === 5L)
+  }
+
   test("sourceCap trims over-median sources at the token budget") {
     val ten = ("tok " * 10).trim
     val d = Seq(
