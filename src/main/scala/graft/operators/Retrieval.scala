@@ -412,4 +412,43 @@ object Retrieval {
       .filter(F.col("rank") <= k)
       .select("query_id", "doc_id", "rrf", "n_lists", "rank")
   }
+
+  /** Positional phrase search served from a POSITIONAL inverted index:
+    * postings (doc, pos) are built for the phrase's terms ONLY (the
+    * term filter prunes before anything joins), the first term anchors,
+    * and each subsequent term must appear at anchor + i — one
+    * (doc_id, aligned-pos) equi-join per extra term, the classic
+    * positional-index intersection. Output: (doc_id, n_matches) for
+    * matching documents.
+    *
+    * Scale shape: the per-term postings lists are df(term)-sized, not
+    * corpus-sized (the isin filter reaches the token explode); every
+    * join is an equi-join on (doc, pos−offset) between postings lists;
+    * nothing corpus-sized survives past the first projection. The same
+    * intersect-shortest-first discipline a Lucene positional query
+    * runs, expressed as relational joins.
+    */
+  def phraseSearch(
+      docs: DataFrame,
+      phrase: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two terms")
+    val posts = docs
+      .select(F.col(idCol).cast("long").as("doc_id"),
+        F.posexplode(TextFunctions.tokens(F.lower(F.col(textCol))))
+          .as(Seq("pos", "term")))
+      .filter(F.col("term").isin(phrase: _*))
+    val anchor = posts.filter(F.col("term") === phrase.head)
+      .select(F.col("doc_id"), F.col("pos"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(anchor) { case (acc, (w, i)) =>
+        acc.join(
+          posts.filter(F.col("term") === w)
+            .select(F.col("doc_id"), (F.col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_matches"))
+  }
 }

@@ -4085,6 +4085,25 @@ object QueryCatalog {
        |SELECT n, sum_d2, 1000 - (6000 * sum_d2) // (n * (n * n - 1)) AS rho_milli FROM agg""".stripMargin
   }
 
+  /** Positional phrase search from the positional inverted index,
+    * graded against a direct array-scan oracle: the phrase
+    * "table hash" (the corpus's most frequent bigram, 48 occurrences
+    * over 46 docs) intersected by position-aligned equi-joins on
+    * term-pruned postings.
+    */
+  private def qPhrase(s: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseSearch(t(s, dir, "documents"), Seq("table", "hash"))
+      .orderBy("doc_id")
+
+  private val qPhraseSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(len(list_filter(generate_series(1, len(t)-1),
+      |    i -> t[i] = 'table' AND t[i+1] = 'hash')) AS BIGINT) AS n_matches
+      |  FROM toks)
+      |SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin
+
   /** BM25-family retrieval scoring for a fixed 3-term query, graded to
     * the BIT on the double scores: the ratio idf avoids `log` (libm-
     * specific rounding), every operand is an exact integer, and the
@@ -5317,6 +5336,7 @@ object QueryCatalog {
     Q("q_gram_novelty", wrap(qGramNovelty), Some(qGramNoveltySql)),
     Q("q_source_cap", wrap(qSourceCap), Some(qSourceCapSql)),
     Q("q_kanon", wrap(qKanon), Some(qKanonSql)),
+    Q("q_phrase", wrap(qPhrase), Some(qPhraseSql)),
     Q("q_quality_corr", wrap(qQualityCorr), Some(qQualityCorrSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),

@@ -1839,6 +1839,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(5) === 0L)
   }
 
+  test("phraseSearch counts overlapping positional matches") {
+    val d = Seq(
+      (0L, "a b a b a"),   // "a b a" at pos 0 AND 2 (overlapping)
+      (1L, "a b c a b a"), // one match at pos 3
+      (2L, "a a b b a"),   // no "a b a"
+      (3L, "b a")          // shorter than the phrase
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Retrieval.phraseSearch(d, Seq("a", "b", "a"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0L, 2L), (1L, 1L)),
+      "overlapping matches both count; non-matching docs are absent")
+  }
+
   test("kAnonPanel zeros under-k cells but keeps their rows") {
     val d = Seq(
       (0L, "a b c", "en", "sA"), (1L, "d e", "en", "sA"),
