@@ -451,4 +451,33 @@ object Retrieval {
       .groupBy("doc_id")
       .agg(F.count(F.lit(1)).as("n_matches"))
   }
+
+  /** Proximity (NEAR/slop) search — the unordered companion of
+    * [[phraseSearch]]: count position pairs of two terms within `slop`
+    * tokens of each other in the same document. The join is doc-EQUI
+    * with the |posA − posB| <= slop band as a post-join filter — the
+    * per-doc postings lists are tiny (df-bounded), so the band never
+    * multiplies anything corpus-sized; this is the positional-index
+    * NEAR operator, not a corpus range join.
+    */
+  def proximitySearch(
+      docs: DataFrame,
+      termA: String,
+      termB: String,
+      slop: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(slop >= 1 && termA != termB, "slop >= 1, distinct terms")
+    def posts(term: String) = docs
+      .select(F.col(idCol).cast("long").as("doc_id"),
+        F.posexplode(TextFunctions.tokens(F.lower(F.col(textCol))))
+          .as(Seq("pos", "term")))
+      .filter(F.col("term") === term)
+      .select(F.col("doc_id"), F.col("pos"))
+    posts(termA).as("a")
+      .join(posts(termB).withColumnRenamed("pos", "pos_b"), Seq("doc_id"))
+      .filter(F.abs(F.col("pos") - F.col("pos_b")) <= slop)
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_pairs"))
+  }
 }

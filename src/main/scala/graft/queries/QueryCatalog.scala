@@ -4104,6 +4104,24 @@ object QueryCatalog {
       |  FROM toks)
       |SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin
 
+  /** Proximity (NEAR/3) search for "table" and "hash", graded against
+    * a direct positional-pair oracle — 137 matching docs with 4
+    * distinct pair-count levels at sf0.01.
+    */
+  private def qNear(s: SparkSession, dir: String): DataFrame =
+    Retrieval.proximitySearch(t(s, dir, "documents"), "table", "hash", slop = 3)
+      .orderBy("doc_id")
+
+  private val qNearSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |pa AS (SELECT doc_id, unnest(list_filter(generate_series(1, len(t)), i -> t[i] = 'table')) AS p FROM toks),
+      |pb AS (SELECT doc_id, unnest(list_filter(generate_series(1, len(t)), i -> t[i] = 'hash')) AS p FROM toks)
+      |SELECT pa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3
+      |GROUP BY pa.doc_id ORDER BY pa.doc_id""".stripMargin
+
   /** BM25-family retrieval scoring for a fixed 3-term query, graded to
     * the BIT on the double scores: the ratio idf avoids `log` (libm-
     * specific rounding), every operand is an exact integer, and the
@@ -5337,6 +5355,7 @@ object QueryCatalog {
     Q("q_source_cap", wrap(qSourceCap), Some(qSourceCapSql)),
     Q("q_kanon", wrap(qKanon), Some(qKanonSql)),
     Q("q_phrase", wrap(qPhrase), Some(qPhraseSql)),
+    Q("q_near", wrap(qNear), Some(qNearSql)),
     Q("q_quality_corr", wrap(qQualityCorr), Some(qQualityCorrSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),

@@ -1852,6 +1852,17 @@ class OperatorsSpec extends SparkSpec {
       "overlapping matches both count; non-matching docs are absent")
   }
 
+  test("proximitySearch counts position pairs within slop, either order") {
+    val d = Seq(
+      (0L, "x a y y b x a"), // pairs within 3: (a@1,b@4), (b@4,a@6)
+      (1L, "a x x x x b"),   // distance 5 > slop
+      (2L, "b a")            // adjacent, reversed order still counts
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Retrieval.proximitySearch(d, "a", "b", slop = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0L, 2L), (2L, 1L)))
+  }
+
   test("kAnonPanel zeros under-k cells but keeps their rows") {
     val d = Seq(
       (0L, "a b c", "en", "sA"), (1L, "d e", "en", "sA"),
