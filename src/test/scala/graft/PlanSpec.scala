@@ -396,6 +396,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1000))
   }
 
+  test("phrase and proximity search: equi-joins on postings, no cartesian") {
+    for (q <- Seq("q_phrase", "q_near")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join postings on doc/pos keys: ${p.take(800)}")
+    }
+  }
+
   test("source health panel: one partial-aggregated shuffle, no joins") {
     val p = plan("q_source_health")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
