@@ -1241,4 +1241,222 @@ object Corpus {
     }
     pr
   }
+
+  /** Easy-to-hard curriculum binning: rank every document by unigram
+    * surprisal per token ([[unigramSurprisal]], exact milli-bits via
+    * integer division) and split the global order into `buckets`
+    * equal-depth bins — the panel a curriculum-training run reads to
+    * schedule "clean prose first, tail gibberish last". Bin b of row
+    * rank r (0-based) is `(r·buckets) div n` — flat-ish bin sizes,
+    * replayable by any engine with integer division.
+    *
+    * Output per bin: (decile, n_docs, n_tokens, fp64_bits,
+    * min_milli_bpt, max_milli_bpt) — the min/max bounds double as the
+    * bin's difficulty bracket. Zero-token docs have no defined
+    * difficulty and are excluded.
+    *
+    * Scale shape: the global order is a DISTRIBUTED sort + per-
+    * partition zipWithIndex (one lightweight count pass for offsets —
+    * the [[qualityCorr]] pattern), never a single-partition
+    * row_number window; everything downstream of the sort is a slim
+    * (doc_id, rank) join and a `buckets`-row aggregate.
+    */
+  def curriculumDeciles(
+      docs: DataFrame,
+      buckets: Int = 10,
+      fracBits: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2, "need >= 2 curriculum bins")
+    val spark = docs.sparkSession
+    val surp = unigramSurprisal(docs, fracBits, textCol, idCol)
+      .filter(F.col("n_tokens") > 0L)
+      .withColumn("milli_bpt", F.expr("fp64_bits * 1000 div n_tokens"))
+    val ranked = surp.orderBy(F.col("milli_bpt").asc, F.col("doc_id").asc)
+      .select("doc_id").rdd.zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row(r.getLong(0), i) }
+    val rankDf = spark.createDataFrame(ranked,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank0",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val n = surp.count()
+    surp.join(rankDf, Seq("doc_id"))
+      .withColumn("decile", F.expr(s"(rank0 * $buckets) div ${math.max(n, 1L)}"))
+      .groupBy("decile")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("n_tokens").as("n_tokens"),
+        F.sum("fp64_bits").as("fp64_bits"),
+        F.min("milli_bpt").as("min_milli_bpt"),
+        F.max("milli_bpt").as("max_milli_bpt"))
+  }
+
+  /** Per-stratum winsorize panel — the outlier-clamp preflight: for
+    * each stratum (default language), the exact lower/upper clamp
+    * bounds at ranks `cnt/denom` and `cnt·(denom−1)/denom` of the
+    * per-document token-count order (denom=20 ⇒ p5/p95), plus how many
+    * documents each side would clamp and the token sum before/after.
+    * Bounds are defined on the deterministic (n, doc_id) order: lo =
+    * the largest count among the bottom 1/denom ranks (0 when the
+    * stratum is too small to have any), hi = the smallest count among
+    * the top 1/denom — pure rank arithmetic, no quantile
+    * interpolation, so any engine replays it exactly.
+    *
+    * Scale shape: one scan computes per-doc token counts; the rank
+    * window partitions BY STRATUM (never global), so each sort is
+    * bounded by its stratum; the panel is |strata| rows. A stratum as
+    * big as the corpus degrades to one big sort partition — cap or
+    * sub-salt strata if that happens in practice.
+    */
+  def winsorizePanel(
+      docs: DataFrame,
+      denom: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      stratumCol: String = "lang"): DataFrame = {
+    require(denom >= 2, "denom >= 2")
+    val nTok = F.size(TextFunctions.tokens(F.lower(F.col(textCol)))).cast("long")
+    val base = docs.select(F.col(stratumCol).as("stratum"),
+      F.col(idCol).cast("long").as("doc_id"), nTok.as("n"))
+    val w = Window.partitionBy("stratum").orderBy(F.col("n").asc, F.col("doc_id").asc)
+    val wc = Window.partitionBy("stratum")
+    val rk = base
+      .withColumn("rn", F.row_number().over(w).cast("long"))
+      .withColumn("cnt", F.count(F.lit(1)).over(wc))
+    val bounds = rk.groupBy("stratum").agg(
+      F.coalesce(F.max(F.when(F.col("rn") * denom <= F.col("cnt"), F.col("n"))),
+        F.lit(0L)).as("lo"),
+      F.min(F.when(F.col("rn") * denom >= F.col("cnt") * (denom - 1), F.col("n")))
+        .as("hi"))
+    rk.join(bounds, Seq("stratum"))
+      .groupBy("stratum", "lo", "hi")
+      .agg(
+        F.sum(F.when(F.col("n") < F.col("lo"), 1L).otherwise(0L)).as("n_below"),
+        F.sum(F.when(F.col("n") > F.col("hi"), 1L).otherwise(0L)).as("n_above"),
+        F.sum(F.greatest(F.least(F.col("n"), F.col("hi")), F.col("lo")))
+          .as("sum_clamped"),
+        F.sum(F.col("n")).as("sum_raw"))
+  }
+
+  /** PMI collocation mining — the classic "which word pairs belong
+    * together" statistic over adjacent-token bigrams, with the log made
+    * integer-exact: PMI(w1,w2) = log2(P12 / (P1·P2)) decomposes into
+    * `fp(c12) + 2·fp(Nu) − fp(Nb) − fp(c1) − fp(c2)` where every fp is
+    * [[withIlog2Fp]]'s fixed-point log2, so the score is a
+    * deterministic BIGINT in 2^-fracBits bits and the oracle replays
+    * the identical recurrence. `minCount` floors out noise pairs
+    * (PMI's known small-count pathology); output is the top-`k` pairs
+    * by (pmi, w1, w2) — fully tie-broken, so the cut is deterministic.
+    *
+    * Scale shape: bigram expansion is map-side (index-sequence
+    * transform, no self-join); unigram and bigram models are
+    * vocabulary-sized tables materialized once; the minCount filter
+    * prunes the bigram side BEFORE any join; the two unigram joins key
+    * on the same term the model just aggregated on, with AQE free to
+    * broadcast-promote the vocab sides; the final top-k is a
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      minCount: Long = 5L,
+      k: Int = 50,
+      fracBits: Int = 6,
+      textCol: String = "text"): DataFrame = {
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val tok = docs.select(toks.as("__t"))
+    // t[i] || ' ' || t[i+1]; sequence() DESCENDS on an empty range, so
+    // the size>=2 guard is load-bearing (see bigramSurprisal)
+    val bgs = F.when(F.size(F.col("__t")) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(F.col("__t")) - 2),
+          i => F.concat(F.element_at(F.col("__t"), i + 1), F.lit(" "),
+            F.element_at(F.col("__t"), i + 2))))
+      .otherwise(F.array().cast("array<string>"))
+    val uni = tok.select(F.explode(F.col("__t")).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("c")).localCheckpoint()
+    val big = tok.select(F.explode(bgs).as("bg"))
+      .groupBy("bg").agg(F.count(F.lit(1)).as("c")).localCheckpoint()
+    val uniFp = withIlog2Fp(uni, "c", "fp_u", fracBits).select("term", "fp_u")
+    val bigFp = withIlog2Fp(big.filter(F.col("c") >= minCount), "c", "fp_b", fracBits)
+      .select(F.col("bg"), F.col("c").as("n_pair"), F.col("fp_b"))
+    val totU = withIlog2Fp(uni.agg(F.sum("c").as("c")), "c", "fp_nu", fracBits)
+      .select("fp_nu")
+    val totB = withIlog2Fp(big.agg(F.sum("c").as("c")), "c", "fp_nb", fracBits)
+      .select("fp_nb")
+    bigFp
+      .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+      .withColumn("w2", F.substring_index(F.col("bg"), " ", -1))
+      .join(uniFp.select(F.col("term").as("w1"), F.col("fp_u").as("fp_1")), Seq("w1"))
+      .join(uniFp.select(F.col("term").as("w2"), F.col("fp_u").as("fp_2")), Seq("w2"))
+      .crossJoin(F.broadcast(totU))
+      .crossJoin(F.broadcast(totB))
+      .select(F.col("w1"), F.col("w2"), F.col("n_pair"),
+        (F.col("fp_b") + F.lit(2L) * F.col("fp_nu") - F.col("fp_nb")
+          - F.col("fp_1") - F.col("fp_2")).as("pmi_fp64"))
+      .orderBy(F.col("pmi_fp64").desc, F.col("w1"), F.col("w2"))
+      .limit(k)
+  }
+
+  /** DSIR-style importance score — rank raw documents by how much more
+    * likely a TARGET distribution (e.g. the docs labeled `en`, or a
+    * trusted high-quality subset) makes them than the corpus at large:
+    * `score(d) = Σ_t tf_t · (log2 Pt(t) − log2 Ps(t))`, the
+    * importance-resampling log-weight of Xie et al.'s data-selection
+    * recipe, with both logs via [[withIlog2Fp]] so the per-document
+    * total is an exact BIGINT. The target LM is add-one smoothed over
+    * the CORPUS vocabulary (ct+1, Tt+|V|) so every scored term has
+    * positive target mass; the source LM is the corpus itself
+    * (unsmoothed — every corpus term has cs ≥ 1 by construction).
+    * Positive = target-like; select top-score docs to shift the
+    * mixture toward the target domain.
+    *
+    * Output: (doc_id, n_tokens, dsir_fp64); empty docs emit (0, 0).
+    *
+    * Scale shape: one corpus scan feeds one (doc, term) partial-
+    * aggregated shuffle; source and smoothed-target counts come from
+    * ONE vocabulary-sized groupBy over it (conditional sums, not two
+    * corpus passes), materialized once; scoring joins tf back to the
+    * scored vocab on the key tf just shuffled on (AQE broadcast-
+    * promotes the vocab side); totals are 1-row broadcasts.
+    */
+  def dsirScore(
+      docs: DataFrame,
+      isTarget: Column,
+      fracBits: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val tfd = docs
+      .select(F.col(idCol).cast("long").as("doc_id"), isTarget.as("__tgt"),
+        F.explode(toks).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(F.count(F.lit(1)).as("tf"), F.first("__tgt").as("__tgt"))
+    // vocabulary-sized: source and smoothed-target counts in one pass
+    val counts = tfd.groupBy("term")
+      .agg(F.sum("tf").as("cs"),
+        (F.coalesce(F.sum(F.when(F.col("__tgt"), F.col("tf"))), F.lit(0L))
+          + 1L).as("ct"))
+      .localCheckpoint()
+    val fp = withIlog2Fp(withIlog2Fp(counts, "cs", "fp_s", fracBits),
+        "ct", "fp_t", fracBits)
+      .select("term", "fp_s", "fp_t")
+    val totS = withIlog2Fp(counts.agg(F.sum("cs").as("c")), "c", "fp_ts", fracBits)
+      .select("fp_ts")
+    val totT = withIlog2Fp(counts.agg(F.sum("ct").as("c")), "c", "fp_tt", fracBits)
+      .select("fp_tt")
+    val scored = tfd
+      .join(fp, Seq("term"))
+      .crossJoin(F.broadcast(totS))
+      .crossJoin(F.broadcast(totT))
+      .groupBy("doc_id")
+      .agg(F.sum("tf").as("n_tokens"),
+        F.sum(F.col("tf") *
+          (F.col("fp_t") - F.col("fp_tt") - F.col("fp_s") + F.col("fp_ts")))
+          .as("fp_bits"))
+    docs.select(F.col(idCol).cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("n_tokens"), F.lit(0L)).as("n_tokens"),
+        F.coalesce(F.col("fp_bits"), F.lit(0L)).as("dsir_fp64"))
+  }
 }

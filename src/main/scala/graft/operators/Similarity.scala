@@ -1291,4 +1291,77 @@ object Similarity {
         .toDF("rank", "vec_id", "sel_dist")
     } finally base.unpersist()
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98)
+    * — diversify a retrieval result so the top-k aren't k copies of the
+    * same best match: greedily pick the candidate maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)`. Fixed λ = 1/2, so the
+    * per-pick objective scales to the exact integer
+    * `mmr2 = rel − maxsim` on quantized dot products — deterministic,
+    * tie-broken by id, oracle-replayable with no floats anywhere.
+    *
+    * Two tiers, deliberately split: the DISTRIBUTED tier computes
+    * relevance against the query in one corpus scan (query vector
+    * broadcast as a literal) and takes the top-`poolSize` candidate
+    * pool via TakeOrderedAndProject; the DRIVER tier runs the
+    * inherently sequential greedy loop over that pool — bounded at
+    * `poolSize` rows × dim longs regardless of corpus size (the same
+    * model-sized-only contract as [[kCenterGreedy]]'s per-round
+    * collect). k·poolSize·dim driver multiplies ≈ 32k ops at the
+    * defaults; the corpus never leaves the executors.
+    *
+    * Output: (rank, vec_id, rel, mmr2); rank 0 is the pure-relevance
+    * argmax with mmr2 = rel (empty selected set ⇒ no penalty term).
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      queryId: Long,
+      poolSize: Int = 50,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need poolSize >= k >= 1")
+    val session = corpus.sparkSession
+    graft.GraftFunctions.register(session)
+    val base = corpus.select(F.col(idCol).cast("long").as("vec_id"),
+      VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+    val qRow = base.filter(F.col("vec_id") === queryId).limit(1).collect()
+    require(qRow.nonEmpty, s"mmrRerank: query vector $queryId not found")
+    val qvLit = F.typedlit(qRow.head.getSeq[Long](1).toSeq)
+    val pool = base.filter(F.col("vec_id") =!= queryId)
+      .select(F.col("vec_id"), F.col("qv"),
+        VectorFunctions.dotL(F.col("qv"), qvLit).as("rel"))
+      .orderBy(F.col("rel").desc, F.col("vec_id").asc)
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // greedy with incremental max-sim: after each pick, fold the new
+    // member into every remaining candidate's penalty — O(k·pool·dim)
+    val maxSim = scala.collection.mutable.Map.empty[Long, Long]
+    var remaining = pool.toVector
+    var selected = Vector.empty[(Long, Long, Long, Long)]
+    for (rank <- 0 until math.min(k, pool.length)) {
+      val pick =
+        if (rank == 0) remaining.minBy { case (id, _, rel) => (-rel, id) }
+        else remaining.minBy { case (id, _, rel) => (-(rel - maxSim(id)), id) }
+      val (pid, pqv, prel) = pick
+      val mmr2 = if (rank == 0) prel else prel - maxSim(pid)
+      selected :+= ((rank.toLong, pid, prel, mmr2))
+      remaining = remaining.filterNot(_._1 == pid)
+      remaining.foreach { case (id, cqv, _) =>
+        val s = dot(cqv, pqv)
+        maxSim.get(id) match {
+          case Some(m) if m >= s => ()
+          case _ => maxSim(id) = s
+        }
+      }
+    }
+    import session.implicits._
+    selected.toDF("rank", "vec_id", "rel", "mmr2")
+  }
 }

@@ -5220,6 +5220,270 @@ object QueryCatalog {
       |FROM assign a LEFT JOIN drops dr ON dr.vec_id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  /** PMI collocation mining graded to the BIT: top-50 adjacent-token
+    * pairs by fixed-point-log2 pointwise mutual information
+    * ([[graft.operators.Corpus.pmiCollocations]]), minCount=5,
+    * fully tie-broken by (pmi, w1, w2). 14 distinct PMI levels among
+    * the 50 sf0.01 rows, so the ranking (not just membership) is
+    * graded; the oracle replays counts, the shared fp table ('' / ' '
+    * sentinels for the two totals) and the exact rank cut.
+    */
+  private def qPmi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.pmiCollocations(t(s, dir, "documents"),
+        minCount = 5L, k = 50)
+      .orderBy(F.col("pmi_fp64").desc, F.col("w1"), F.col("w2"))
+
+  private val qPmiSql = {
+    def step(i: Int) =
+      s"""s${i + 1} AS (SELECT term, msb,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN ((m*m) >> 20) >> 1 ELSE (m*m) >> 20 END AS m,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN f*2+1 ELSE f*2 END AS f FROM s$i),""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term),
+       |bgs AS (
+       |  SELECT CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) ELSE [] END AS b
+       |  FROM toks),
+       |big AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM (SELECT unnest(b) AS bg FROM bgs) GROUP BY bg),
+       |u1 AS (SELECT term, c, length(bin(c))-1 AS msb FROM (
+       |  SELECT term, c FROM uni
+       |  UNION ALL SELECT bg AS term, c FROM big
+       |  UNION ALL SELECT '' AS term, CAST(SUM(c) AS BIGINT) AS c FROM uni
+       |  UNION ALL SELECT ' ' AS term, CAST(SUM(c) AS BIGINT) AS c FROM big)),
+       |s0 AS (SELECT term, msb,
+       |  CASE WHEN msb >= 20 THEN c >> (msb-20) ELSE c << (20-msb) END AS m,
+       |  CAST(0 AS BIGINT) AS f FROM u1),
+       |${(0 until 6).map(step).mkString("\n")}
+       |fp AS (SELECT term, CAST(msb AS BIGINT)*64 + f AS fp FROM s6),
+       |sc AS (SELECT split_part(b.bg, ' ', 1) AS w1, split_part(b.bg, ' ', 2) AS w2,
+       |  b.c AS n_pair,
+       |  fb.fp + 2*(SELECT fp FROM fp WHERE term = '') - (SELECT fp FROM fp WHERE term = ' ')
+       |    - f1.fp - f2.fp AS pmi_fp64
+       |  FROM big b
+       |  JOIN fp fb ON fb.term = b.bg
+       |  JOIN fp f1 ON f1.term = split_part(b.bg, ' ', 1)
+       |  JOIN fp f2 ON f2.term = split_part(b.bg, ' ', 2)
+       |  WHERE b.c >= 5)
+       |SELECT w1, w2, n_pair, pmi_fp64 FROM sc
+       |ORDER BY pmi_fp64 DESC, w1, w2 LIMIT 50""".stripMargin
+  }
+
+  /** DSIR importance scoring graded to the BIT: every document's
+    * target-vs-corpus log-likelihood-ratio
+    * ([[graft.operators.Corpus.dsirScore]], target = lang 'en',
+    * add-one-smoothed target LM) as an exact BIGINT in 2^-6 bits.
+    * 146 distinct scores over the 500 sf0.01 docs, signed in both
+    * directions (−114..108), so the selection order is discriminative;
+    * the oracle replays smoothing, both fp chains and the totals.
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.dsirScore(t(s, dir, "documents"),
+        isTarget = F.col("lang") === "en")
+      .orderBy("doc_id")
+
+  private val qDsirSql = {
+    def step(i: Int) =
+      s"""s${i + 1} AS (SELECT term, msb,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN ((m*m) >> 20) >> 1 ELSE (m*m) >> 20 END AS m,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN f*2+1 ELSE f*2 END AS f FROM s$i),""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term),
+       |src AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+       |tgtraw AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(t) AS term FROM toks WHERE lang = 'en') GROUP BY term),
+       |tgt AS (SELECT s.term, s.c AS cs, COALESCE(tr.c, CAST(0 AS BIGINT)) + 1 AS ct
+       |  FROM src s LEFT JOIN tgtraw tr ON s.term = tr.term),
+       |u1 AS (SELECT term, c, length(bin(c))-1 AS msb FROM (
+       |  SELECT 't:' || term AS term, ct AS c FROM tgt
+       |  UNION ALL SELECT 's:' || term AS term, cs AS c FROM tgt
+       |  UNION ALL SELECT 't:' AS term, CAST(SUM(ct) AS BIGINT) AS c FROM tgt
+       |  UNION ALL SELECT 's:' AS term, CAST(SUM(cs) AS BIGINT) AS c FROM tgt)),
+       |s0 AS (SELECT term, msb,
+       |  CASE WHEN msb >= 20 THEN c >> (msb-20) ELSE c << (20-msb) END AS m,
+       |  CAST(0 AS BIGINT) AS f FROM u1),
+       |${(0 until 6).map(step).mkString("\n")}
+       |fp AS (SELECT term, CAST(msb AS BIGINT)*64 + f AS fp FROM s6),
+       |sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(tf.tf * (ft.fp - (SELECT fp FROM fp WHERE term = 't:')
+       |    - fs.fp + (SELECT fp FROM fp WHERE term = 's:'))) AS BIGINT) AS fp_bits
+       |  FROM tf
+       |  JOIN fp ft ON ft.term = 't:' || tf.term
+       |  JOIN fp fs ON fs.term = 's:' || tf.term
+       |  GROUP BY tf.doc_id)
+       |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  COALESCE(fp_bits, CAST(0 AS BIGINT)) AS dsir_fp64
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** MMR diversified re-ranking graded exactly: top-50 relevance pool
+    * for query vector 0, then 10 greedy λ=1/2 picks on quantized dots
+    * ([[graft.operators.Similarity.mmrRerank]]). The picked set
+    * genuinely diverges from the plain relevance top-10 (6/10 overlap,
+    * different order at sf0.01), so the diversity term is live; the
+    * oracle unrolls the 10 greedy steps as MATERIALIZED CTEs (the
+    * recursive selected-set references otherwise inline exponentially).
+    */
+  private def qMmr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.mmrRerank(t(s, dir, "embeddings"),
+        queryId = 0L, poolSize = 50, k = 10)
+      .orderBy("rank")
+
+  private val qMmrSql = {
+    def step(i: Int) = {
+      val prev = (0 until i).map(j => s"SELECT * FROM cent$j").mkString(" UNION ALL ")
+      val sel = (0 until i).map(j => s"SELECT vec_id FROM sel$j").mkString(" UNION ALL ")
+      s"""pv$i AS MATERIALIZED (
+         |  SELECT p.vid, c.vec_id AS cid, unnest(p.qv) AS x, unnest(c.qv) AS y
+         |  FROM poolv p CROSS JOIN ($prev) c
+         |  WHERE p.vid NOT IN ($sel)),
+         |ps$i AS (SELECT vid, cid, CAST(SUM(x*y) AS BIGINT) AS s FROM pv$i GROUP BY vid, cid),
+         |ms$i AS (SELECT vid, MAX(s) AS ms FROM ps$i GROUP BY vid),
+         |pick$i AS MATERIALIZED (
+         |  SELECT m.vid, p.rel, p.rel - m.ms AS mmr2 FROM ms$i m JOIN pool p ON p.vid = m.vid
+         |  ORDER BY p.rel - m.ms DESC, m.vid ASC LIMIT 1),
+         |cent$i AS MATERIALIZED (SELECT q.vec_id, q.qv FROM quant q JOIN pick$i p ON q.vec_id = p.vid),
+         |sel$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS rank, vid AS vec_id, rel, mmr2 FROM pick$i),""".stripMargin
+    }
+    val k = 10
+    val allSel = (0 until k).map(j => s"SELECT * FROM sel$j").mkString(" UNION ALL ")
+    s"""WITH quant AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |qv0 AS (SELECT qv FROM quant WHERE vec_id = 0),
+       |relv AS (SELECT c.vec_id AS vid, unnest(c.qv) AS x, unnest(q.qv) AS y
+       |  FROM quant c CROSS JOIN qv0 q WHERE c.vec_id <> 0),
+       |rels AS (SELECT vid, CAST(SUM(x*y) AS BIGINT) AS rel FROM relv GROUP BY vid),
+       |pool AS MATERIALIZED (SELECT vid, rel FROM rels ORDER BY rel DESC, vid ASC LIMIT 50),
+       |poolv AS MATERIALIZED (SELECT p.vid, p.rel, q.qv FROM pool p JOIN quant q ON q.vec_id = p.vid),
+       |pick0 AS (SELECT vid, rel, rel AS mmr2 FROM pool ORDER BY rel DESC, vid ASC LIMIT 1),
+       |cent0 AS MATERIALIZED (SELECT q.vec_id, q.qv FROM quant q JOIN pick0 p ON q.vec_id = p.vid),
+       |sel0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS rank, vid AS vec_id, rel, mmr2 FROM pick0),
+       |${(1 until k).map(step).mkString("\n")}
+       |fin AS ($allSel)
+       |SELECT rank, vec_id, rel, mmr2 FROM fin ORDER BY rank""".stripMargin
+  }
+
+  /** TPC-H Q3-shaped shipping-priority scan: segment-filtered customers
+    * joined through orders into lineitem, revenue summed exactly in
+    * DECIMAL and graded as BIGINT 1e-4 units (the q1_pricing money
+    * convention, projected to the scalar type the gate hashes stably),
+    * top-10 by (revenue, orderdate, orderkey). The canonical
+    * filter-early / broadcast-the-small-side / partial-agg / TakeOrdered
+    * join pipeline at 100 TB: customer prunes BEFORE the orders join,
+    * both date filters push to the scans, and the top-10 never sorts
+    * the full aggregate.
+    */
+  private def qShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = F.lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+    t(s, dir, "customer").filter(F.col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders").filter(F.col("o_orderdate") < cutoff),
+        F.col("c_custkey") === F.col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(F.col("l_shipdate") > cutoff),
+        F.col("l_orderkey") === F.col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg((F.sum(dec("l_extendedprice") *
+          (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))) * 10000)
+        .cast(LongType).as("revenue_e4"))
+      .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+      .orderBy(F.col("revenue_e4").desc, F.col("o_orderdate"), F.col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val qShipPrioritySql =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4,
+      |  o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  /** Curriculum binning graded exactly: the corpus split into 10
+    * equal-depth difficulty deciles by integer milli-bits-per-token
+    * unigram surprisal ([[graft.operators.Corpus.curriculumDeciles]]).
+    * The per-decile (min,max) difficulty brackets are strictly
+    * monotone at sf0.01 (312000..341583 milli-bits), so bin boundaries,
+    * populations and token budgets are all discriminative; the oracle
+    * replays the fp chain, the global rank and the div-based binning.
+    */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.curriculumDeciles(t(s, dir, "documents"), buckets = 10)
+      .orderBy("decile")
+
+  private val qCurriculumSql = {
+    def step(i: Int) =
+      s"""s${i + 1} AS (SELECT term, msb,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN ((m*m) >> 20) >> 1 ELSE (m*m) >> 20 END AS m,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN f*2+1 ELSE f*2 END AS f FROM s$i),""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term),
+       |uni AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+       |u1 AS (SELECT term, c, length(bin(c))-1 AS msb FROM
+       |  (SELECT * FROM uni UNION ALL SELECT '' AS term, CAST(SUM(c) AS BIGINT) AS c FROM uni)),
+       |s0 AS (SELECT term, msb,
+       |  CASE WHEN msb >= 20 THEN c >> (msb-20) ELSE c << (20-msb) END AS m,
+       |  CAST(0 AS BIGINT) AS f FROM u1),
+       |${(0 until 6).map(step).mkString("\n")}
+       |fp AS (SELECT term, CAST(msb AS BIGINT)*64 + f AS fp FROM s6),
+       |sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(tf.tf * ((SELECT fp FROM fp WHERE term = '') - fp.fp)) AS BIGINT) AS fp_bits
+       |  FROM tf JOIN fp ON tf.term = fp.term GROUP BY tf.doc_id),
+       |milli AS (SELECT doc_id, n_tokens, fp_bits, (fp_bits * 1000) // n_tokens AS milli_bpt
+       |  FROM sc WHERE n_tokens > 0),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY milli_bpt, doc_id) AS rn,
+       |  COUNT(*) OVER () AS n FROM milli)
+       |SELECT ((rn - 1) * 10) // n AS decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(fp_bits) AS BIGINT) AS fp64_bits,
+       |  CAST(MIN(milli_bpt) AS BIGINT) AS min_milli_bpt, CAST(MAX(milli_bpt) AS BIGINT) AS max_milli_bpt
+       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Per-language winsorize preflight graded exactly
+    * ([[graft.operators.Corpus.winsorizePanel]], denom=20 ⇒ p5/p95 on
+    * the deterministic (count, doc_id) rank order): clamp bounds,
+    * would-clamp counts on both sides, and the token sum before/after.
+    * Every language clamps on both sides at sf0.01 (2-9 below, 3-6
+    * above) and the five bound pairs differ, so the panel
+    * discriminates; rank-arithmetic bounds mean no quantile
+    * interpolation to diverge on.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.winsorizePanel(t(s, dir, "documents"), denom = 20)
+      .withColumnRenamed("stratum", "lang")
+      .withColumnRenamed("lo", "p5")
+      .withColumnRenamed("hi", "p95")
+      .orderBy("lang")
+
+  private val qWinsorizeSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, CAST(CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS BIGINT) AS n
+      |  FROM documents),
+      |rk AS (SELECT lang, doc_id, n,
+      |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY lang) AS cnt FROM toks),
+      |bounds AS (SELECT lang,
+      |  COALESCE(MAX(CASE WHEN rn * 20 <= cnt THEN n END), CAST(0 AS BIGINT)) AS p5,
+      |  MIN(CASE WHEN rn * 20 >= cnt * 19 THEN n END) AS p95
+      |  FROM rk GROUP BY lang)
+      |SELECT r.lang, b.p5, b.p95,
+      |  CAST(COUNT(*) FILTER (WHERE r.n < b.p5) AS BIGINT) AS n_below,
+      |  CAST(COUNT(*) FILTER (WHERE r.n > b.p95) AS BIGINT) AS n_above,
+      |  CAST(SUM(GREATEST(LEAST(r.n, b.p95), b.p5)) AS BIGINT) AS sum_clamped,
+      |  CAST(SUM(r.n) AS BIGINT) AS sum_raw
+      |FROM rk r JOIN bounds b ON r.lang = b.lang
+      |GROUP BY r.lang, b.p5, b.p95 ORDER BY r.lang""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5373,7 +5637,13 @@ object QueryCatalog {
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),
     Q("q_bpe_encode", wrap(qBpeEncode), Some(qBpeEncodeSql)),
-    Q("q_bpe_fertility", wrap(qBpeFertility), Some(qBpeFertilitySql)))
+    Q("q_bpe_fertility", wrap(qBpeFertility), Some(qBpeFertilitySql)),
+    Q("q_pmi", wrap(qPmi), Some(qPmiSql)),
+    Q("q_dsir", wrap(qDsir), Some(qDsirSql)),
+    Q("q_mmr", wrap(qMmr), Some(qMmrSql)),
+    Q("q_ship_priority", wrap(qShipPriority), Some(qShipPrioritySql)),
+    Q("q_curriculum", wrap(qCurriculum), Some(qCurriculumSql)),
+    Q("q_winsorize", wrap(qWinsorize), Some(qWinsorizeSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

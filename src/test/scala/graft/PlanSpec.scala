@@ -396,6 +396,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1000))
   }
 
+  test("ship priority: filters push to scans, dims broadcast, top-10 is TakeOrdered") {
+    val p = plan("q_ship_priority")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must reach the scan")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+  }
+
+  test("PMI and DSIR: vocabulary joins only, no cartesian or nested loop") {
+    for (q <- Seq("q_pmi", "q_dsir")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      // the only nested-loop joins are the broadcast 1-row fp totals
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj <= 4, s"$q: $bnlj nested-loop joins — totals only, expected <= 4")
+    }
+  }
+
+  test("winsorize panel: rank window partitions by stratum, never global") {
+    val p = plan("q_winsorize")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"per-stratum window must not collapse to one partition: ${p.take(1200)}")
+  }
+
   test("phrase and proximity search: equi-joins on postings, no cartesian") {
     for (q <- Seq("q_phrase", "q_near")) {
       val p = plan(q)
