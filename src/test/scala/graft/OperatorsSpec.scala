@@ -1950,4 +1950,116 @@ class OperatorsSpec extends SparkSpec {
       .toDouble / truth.size
     assert(recall >= 0.6, s"sq8 recall $recall vs exact L2 too low")
   }
+
+  test("pmiCollocations ranks a planted bigram above independent pairs") {
+    // "alpha beta" always adjacent (high PMI); "gamma"/"delta" frequent
+    // but never adjacent to each other more than chance
+    val corpus = (0L until 40L).map { i =>
+      (i, s"alpha beta gamma x$i delta gamma y$i delta")
+    }.toDF("doc_id", "text")
+    val out = graft.operators.Corpus.pmiCollocations(corpus, minCount = 5L, k = 5)
+      .collect()
+    assert(out.nonEmpty)
+    val top = (out.head.getString(0), out.head.getString(1))
+    assert(top === ("alpha", "beta"),
+      s"always-adjacent pair must win, got $top")
+    // PMI column is the exact fp difference — top score must be positive
+    assert(out.head.getLong(3) > 0L)
+  }
+
+  test("dsirScore favors target-like docs and covers every doc") {
+    val corpus = Seq(
+      (0L, "law court judge ruling appeal", true),
+      (1L, "law court judge verdict appeal", true),
+      (2L, "pizza recipe cheese oven dough", false),
+      (3L, "pizza recipe cheese oven crust", false),
+      (4L, "law court pizza cheese appeal", false),
+      (5L, "", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val out = graft.operators.Corpus.dsirScore(corpus, F.col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 6, "every doc scored, empty included")
+    assert(out(5L) === ((0L, 0L)), "empty doc emits (0,0)")
+    // pure-target-vocab docs must outscore pure-background docs
+    assert(out(0L)._2 > out(2L)._2,
+      s"target doc ${out(0L)} must beat background ${out(2L)}")
+    // the mixed doc sits strictly between
+    assert(out(4L)._2 < out(0L)._2 && out(4L)._2 > out(2L)._2)
+  }
+
+  test("mmrRerank: rank0 is the relevance argmax; diversity penalty binds") {
+    val out = Similarity.mmrRerank(vecs, queryId = 0L, poolSize = 20, k = 6)
+      .collect()
+    assert(out.length === 6)
+    assert(out.map(_.getLong(0)).toSeq === (0L until 6L).toSeq, "ranks 0..5")
+    assert(!out.exists(_.getLong(1) == 0L), "query never returned")
+    // rank0 = argmax rel, and its mmr2 equals rel (no penalty yet)
+    val r0 = out.head
+    assert(r0.getLong(2) === out.map(_.getLong(2)).max,
+      "first pick must be the pool relevance max")
+    assert(r0.getLong(3) === r0.getLong(2))
+    // replay the whole greedy locally on the quantized fixture — rank
+    // order, ids and both score columns must match exactly (the penalty
+    // can be negative for anti-correlated vectors, so mmr2 vs rel has
+    // no fixed inequality; the replay checks the real contract)
+    val raw = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val pool = raw.keys.filter(_ != 0L).toSeq
+      .map(id => (id, dot(raw(id), raw(0L))))
+      .sortBy { case (id, rel) => (-rel, id) }.take(20)
+    var remaining = pool
+    var sel = Vector.empty[(Long, Long, Long, Long)]
+    for (rank <- 0 until 6) {
+      val scored = remaining.map { case (id, rel) =>
+        val pen = if (rank == 0) 0L
+          else sel.map(s => dot(raw(id), raw(s._2))).max
+        (id, rel, if (rank == 0) rel else rel - pen)
+      }
+      val (pid, prel, pmmr) = scored.minBy { case (id, _, m) => (-m, id) }
+      sel :+= ((rank.toLong, pid, prel, pmmr))
+      remaining = remaining.filterNot(_._1 == pid)
+    }
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+    assert(got === sel, s"greedy replay mismatch:\n got $got\n exp $sel")
+  }
+
+  test("curriculumDeciles partitions the corpus into monotone difficulty bins") {
+    val corpus = (0L until 40L).map { i =>
+      // low ids: common-token soup; high ids: increasingly rare tokens
+      val body = if (i < 20) "the the the cat sat" else s"zeta$i omega$i rho$i tau$i nu$i"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val out = graft.operators.Corpus.curriculumDeciles(corpus, buckets = 4)
+      .orderBy("decile").collect()
+    assert(out.map(_.getLong(1)).sum === 40L, "bins partition the corpus")
+    assert(out.map(_.getLong(0)).toSeq === (0L until 4L).toSeq)
+    // brackets must be non-overlapping and increasing across bins
+    val brackets = out.map(r => (r.getLong(4), r.getLong(5)))
+    brackets.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(hiA <= loB, s"bin brackets overlap: $hiA > $loB")
+    }
+    // the rare-token half must land strictly above the soup half
+    assert(brackets.last._1 > brackets.head._2)
+  }
+
+  test("winsorizePanel: bounds bracket the clamp counts and sums") {
+    val corpus = (0L until 40L).map { i =>
+      val n = if (i == 0) 1 else if (i == 39) 400 else 10 + (i % 5)
+      (i, Seq.fill(n.toInt)("w").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val out = graft.operators.Corpus.winsorizePanel(corpus, denom = 20).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (lo, hi) = (r.getLong(1), r.getLong(2))
+    val (below, above) = (r.getLong(3), r.getLong(4))
+    val (clamped, raw) = (r.getLong(5), r.getLong(6))
+    assert(lo <= hi)
+    assert(below >= 1L, "the 1-token outlier must clamp low")
+    assert(above >= 1L, "the 400-token outlier must clamp high")
+    // clamping pulls the outlier-heavy sum toward the bounds
+    assert(clamped >= 40L * lo && clamped <= 40L * hi)
+    assert(raw > clamped, "the 400-token tail dominates the raw sum")
+  }
 }
