@@ -1339,6 +1339,50 @@ object Corpus {
         F.sum(F.col("n")).as("sum_raw"))
   }
 
+  /** Per-source KL-divergence drift panel — how far each crawl source's
+    * unigram distribution sits from the corpus mixture:
+    * `KL(source ‖ corpus) · T_s = Σ_t c_t^s · ((log2 c_t^s − log2 T_s)
+    * − (log2 c_t − log2 T))`, every log via [[withIlog2Fp]] so the
+    * panel is exact BIGINTs in 2^-fracBits bits. The drift dashboard a
+    * curation team reads next to [[sourceHealth]]: a source whose KL
+    * jumps between snapshots changed its content mix, whatever its
+    * volume did. (Scaled by T_s — divide by n_tokens·2^fracBits for
+    * bits/token; rank with integer cross-multiplication. The fp
+    * rounding can push a near-zero divergence slightly negative;
+    * deterministically so.)
+    *
+    * Scale shape: one corpus scan feeds one (source, term) partial-
+    * aggregated shuffle; the per-source count table is the model here
+    * (Σ per-source vocabularies — sublinear in corpus size),
+    * materialized once, and the global vocab, per-source totals and
+    * the scoring all derive from IT, never from the corpus again; the
+    * grand total is a 1-row broadcast. Output is |sources| rows.
+    */
+  def sourceKl(
+      docs: DataFrame,
+      fracBits: Int = 6,
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val st = docs.select(F.col(srcCol).as("source"), F.explode(toks).as("term"))
+      .groupBy("source", "term").agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint()
+    val uni = st.groupBy("term").agg(F.sum("c").as("c"))
+    val stot = st.groupBy("source").agg(F.sum("c").as("ts"))
+    val uniFp = withIlog2Fp(uni, "c", "fp_g", fracBits).select("term", "fp_g")
+    val stotFp = withIlog2Fp(stot, "ts", "fp_t", fracBits).select("source", "fp_t")
+    val totFp = withIlog2Fp(uni.agg(F.sum("c").as("c")), "c", "fp_gt", fracBits)
+      .select("fp_gt")
+    withIlog2Fp(st, "c", "fp_s", fracBits)
+      .join(uniFp, Seq("term"))
+      .join(stotFp, Seq("source"))
+      .crossJoin(F.broadcast(totFp))
+      .groupBy("source")
+      .agg(F.sum("c").as("n_tokens"),
+        F.sum(F.col("c") * ((F.col("fp_s") - F.col("fp_t"))
+          - (F.col("fp_g") - F.col("fp_gt")))).as("kl_fp64"))
+  }
+
   /** PMI collocation mining — the classic "which word pairs belong
     * together" statistic over adjacent-token bigrams, with the log made
     * integer-exact: PMI(w1,w2) = log2(P12 / (P1·P2)) decomposes into

@@ -5484,6 +5484,50 @@ object QueryCatalog {
       |FROM rk r JOIN bounds b ON r.lang = b.lang
       |GROUP BY r.lang, b.p5, b.p95 ORDER BY r.lang""".stripMargin
 
+  /** Per-source KL drift panel graded to the BIT
+    * ([[graft.operators.Corpus.sourceKl]]): each source's
+    * T_s-scaled unigram KL against the corpus mixture as an exact
+    * BIGINT in 2^-6 bits. All 20 sf0.01 sources land on distinct KL
+    * values (541..2025), so the drift ranking is fully discriminative;
+    * the oracle replays the per-source counts and all four fp chains
+    * through one prefixed term table.
+    */
+  private def qSourceKl(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.sourceKl(t(s, dir, "documents"))
+      .orderBy("source")
+
+  private val qSourceKlSql = {
+    def step(i: Int) =
+      s"""s${i + 1} AS (SELECT term, msb,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN ((m*m) >> 20) >> 1 ELSE (m*m) >> 20 END AS m,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN f*2+1 ELSE f*2 END AS f FROM s$i),""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT source, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest(t) AS term FROM toks) GROUP BY source, term),
+       |uni AS (SELECT term, CAST(SUM(c) AS BIGINT) AS c FROM st GROUP BY term),
+       |stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM st GROUP BY source),
+       |u1 AS (SELECT term, c, length(bin(c))-1 AS msb FROM (
+       |  SELECT 'g:' || term AS term, c FROM uni
+       |  UNION ALL SELECT 's:' || source || ':' || term AS term, c FROM st
+       |  UNION ALL SELECT 't:' || source AS term, ts AS c FROM stot
+       |  UNION ALL SELECT 'g:' AS term, CAST(SUM(c) AS BIGINT) AS c FROM uni)),
+       |s0 AS (SELECT term, msb,
+       |  CASE WHEN msb >= 20 THEN c >> (msb-20) ELSE c << (20-msb) END AS m,
+       |  CAST(0 AS BIGINT) AS f FROM u1),
+       |${(0 until 6).map(step).mkString("\n")}
+       |fp AS (SELECT term, CAST(msb AS BIGINT)*64 + f AS fp FROM s6),
+       |sc AS (SELECT st.source, CAST(SUM(st.c) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(st.c * ((fs.fp - ft.fp) - (fg.fp - (SELECT fp FROM fp WHERE term = 'g:')))) AS BIGINT) AS kl_fp64
+       |  FROM st
+       |  JOIN fp fs ON fs.term = 's:' || st.source || ':' || st.term
+       |  JOIN fp ft ON ft.term = 't:' || st.source
+       |  JOIN fp fg ON fg.term = 'g:' || st.term
+       |  GROUP BY st.source)
+       |SELECT source, n_tokens, kl_fp64 FROM sc ORDER BY source""".stripMargin
+  }
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5643,7 +5687,8 @@ object QueryCatalog {
     Q("q_mmr", wrap(qMmr), Some(qMmrSql)),
     Q("q_ship_priority", wrap(qShipPriority), Some(qShipPrioritySql)),
     Q("q_curriculum", wrap(qCurriculum), Some(qCurriculumSql)),
-    Q("q_winsorize", wrap(qWinsorize), Some(qWinsorizeSql)))
+    Q("q_winsorize", wrap(qWinsorize), Some(qWinsorizeSql)),
+    Q("q_source_kl", wrap(qSourceKl), Some(qSourceKlSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

@@ -1951,6 +1951,25 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"sq8 recall $recall vs exact L2 too low")
   }
 
+  test("sourceKl: a drifted source diverges more than mixture-like ones") {
+    // srcA/srcB share the mixture vocabulary; srcC is all rare jargon
+    val corpus = (0L until 30L).map { i =>
+      val (src, body) =
+        if (i < 10) ("srcA", "alpha beta gamma delta epsilon")
+        else if (i < 20) ("srcB", "alpha beta gamma delta zeta")
+        else ("srcC", s"legalese$i whereas heretofore notwithstanding")
+      (i, src, body)
+    }.toDF("doc_id", "source", "text")
+    val out = graft.operators.Corpus.sourceKl(corpus)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 3)
+    // compare per-token drift with integer cross-multiplication
+    def beats(hi: String, lo: String) =
+      out(hi)._2 * out(lo)._1 > out(lo)._2 * out(hi)._1
+    assert(beats("srcC", "srcA") && beats("srcC", "srcB"),
+      s"jargon source must dominate the drift panel: $out")
+  }
+
   test("pmiCollocations ranks a planted bigram above independent pairs") {
     // "alpha beta" always adjacent (high PMI); "gamma"/"delta" frequent
     // but never adjacent to each other more than chance
