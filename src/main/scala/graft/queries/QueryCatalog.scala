@@ -5528,6 +5528,40 @@ object QueryCatalog {
        |SELECT source, n_tokens, kl_fp64 FROM sc ORDER BY source""".stripMargin
   }
 
+  /** TPC-H Q18-shaped large-volume-customer scan: the HAVING-on-
+    * aggregate shape — lineitem reduces to per-order quantity totals
+    * (partial agg before the shuffle), the >300 filter cuts 15k orders
+    * to 46 BEFORE any join, then joins back through orders and the
+    * broadcast customer dim; quantities and prices graded as exact
+    * BIGINT 1e-2 units (the DECIMAL-sum money convention). At 100 TB
+    * the aggregate-then-filter side is tiny, so AQE broadcast-promotes
+    * it into the orders join — no large-side shuffle survives.
+    */
+  private def qBigOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_orderkey")
+      .agg((F.sum(dec("l_quantity")) * 100).cast(LongType).as("sum_qty_e2"))
+      .filter(F.col("sum_qty_e2") > 30000L)
+      .join(t(s, dir, "orders"), F.col("o_orderkey") === F.col("l_orderkey"))
+      .join(F.broadcast(t(s, dir, "customer")),
+        F.col("c_custkey") === F.col("o_custkey"))
+      .select(F.col("c_name"), F.col("o_orderkey"), F.col("o_orderdate"),
+        (dec("o_totalprice") * 100).cast(LongType).as("totalprice_e2"),
+        F.col("sum_qty_e2"))
+      .orderBy(F.col("totalprice_e2").desc, F.col("o_orderkey"))
+      .limit(20)
+
+  private val qBigOrdersSql =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_e2
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) > 30000)
+      |SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_e2,
+      |  b.sum_qty_e2
+      |FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |ORDER BY totalprice_e2 DESC, o_orderkey LIMIT 20""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5688,7 +5722,8 @@ object QueryCatalog {
     Q("q_ship_priority", wrap(qShipPriority), Some(qShipPrioritySql)),
     Q("q_curriculum", wrap(qCurriculum), Some(qCurriculumSql)),
     Q("q_winsorize", wrap(qWinsorize), Some(qWinsorizeSql)),
-    Q("q_source_kl", wrap(qSourceKl), Some(qSourceKlSql)))
+    Q("q_source_kl", wrap(qSourceKl), Some(qSourceKlSql)),
+    Q("q_big_orders", wrap(qBigOrders), Some(qBigOrdersSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

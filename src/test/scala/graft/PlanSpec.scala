@@ -419,6 +419,13 @@ class PlanSpec extends SparkSpec {
       s"per-stratum window must not collapse to one partition: ${p.take(1200)}")
   }
 
+  test("big orders: partial agg before shuffle, customer broadcast, TakeOrdered") {
+    val p = finalPlan("q_big_orders")
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
   test("phrase and proximity search: equi-joins on postings, no cartesian") {
     for (q <- Seq("q_phrase", "q_near")) {
       val p = plan(q)
