@@ -5562,6 +5562,74 @@ object QueryCatalog {
       |JOIN customer c ON c.c_custkey = o.o_custkey
       |ORDER BY totalprice_e2 DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** Retrieval-quality MRR eval: where each of the TRUE top-5 neighbors
+    * (brute quantized-dot) lands in the multi-table LSH top-10, as
+    * reciprocal rank in exact milli units (1000 div rank; 0 = missed
+    * the buckets entirely). The rank-position upgrade of
+    * [[qAnnRecall]]'s hit counts — two services with equal recall@10
+    * can differ badly in where the right answers sit. Live spread at
+    * sf0.01: 12 misses and found-ranks 1..5 over the 50 graded
+    * (query, truth) rows. Both sides and the rank join are
+    * integer-replayed by the oracle.
+    */
+  private def qAnnMrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(F.col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopKQuant(emb, qs, k = 5)
+      .select(F.col("query_id"), F.col("neighbor_id").as("truth_id"),
+        F.col("rank").cast(LongType).as("t_rank"))
+    val lsh = Similarity.lshTopKMulti(emb, qs, k = 10, tables = 8, bits = 4)
+      .select(F.col("query_id"), F.col("neighbor_id").as("truth_id"),
+        F.col("rank").cast(LongType).as("lsh_rank"))
+    truth.join(lsh, Seq("query_id", "truth_id"), "left")
+      .select(F.col("query_id"), F.col("t_rank"), F.col("truth_id"),
+        F.coalesce(F.col("lsh_rank"), F.lit(0L)).as("lsh_rank"),
+        F.when(F.col("lsh_rank").isNull, 0L)
+          .otherwise(F.expr("1000 div lsh_rank")).as("rr_milli"))
+      .orderBy("query_id", "t_rank")
+  }
+
+  private val qAnnMrrSql =
+    s"""WITH ${lshOracleCtes(32)},
+       |tpairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, unnest(q.qv) AS x, unnest(c.qv) AS y
+       |  FROM quant q CROSS JOIN quant c
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |tscored AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+       |  FROM tpairs GROUP BY query_id, neighbor_id),
+       |truth AS (
+       |  SELECT query_id, neighbor_id AS truth_id, rn AS t_rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+       |    FROM tscored) WHERE rn <= 5),
+       |buckets AS (
+       |  SELECT vec_id, seed // 4 AS tbl,
+       |    SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << (seed % 4) ELSE 0 END) AS bk
+       |  FROM proj GROUP BY vec_id, tbl),
+       |l_cand AS (
+       |  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+       |  FROM buckets bq JOIN buckets bc ON bq.tbl = bc.tbl AND bq.bk = bc.bk
+       |  WHERE bq.vec_id < 10 AND bq.vec_id <> bc.vec_id),
+       |lpairs AS (
+       |  SELECT c.query_id, c.neighbor_id, unnest(qq.qv) AS x, unnest(qc.qv) AS y
+       |  FROM l_cand c JOIN quant qq ON qq.vec_id = c.query_id
+       |  JOIN quant qc ON qc.vec_id = c.neighbor_id),
+       |lscored AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(x * y) AS BIGINT) AS score
+       |  FROM lpairs GROUP BY query_id, neighbor_id),
+       |lranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM lscored)
+       |SELECT t.query_id, CAST(t.t_rank AS BIGINT) AS t_rank, t.truth_id,
+       |  CAST(COALESCE(l.rank, 0) AS BIGINT) AS lsh_rank,
+       |  CAST(CASE WHEN l.rank IS NULL THEN 0 ELSE 1000 // l.rank END AS BIGINT) AS rr_milli
+       |FROM truth t
+       |LEFT JOIN (SELECT * FROM lranked WHERE rank <= 10) l
+       |  ON l.query_id = t.query_id AND l.neighbor_id = t.truth_id
+       |ORDER BY t.query_id, t.t_rank""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5723,7 +5791,8 @@ object QueryCatalog {
     Q("q_curriculum", wrap(qCurriculum), Some(qCurriculumSql)),
     Q("q_winsorize", wrap(qWinsorize), Some(qWinsorizeSql)),
     Q("q_source_kl", wrap(qSourceKl), Some(qSourceKlSql)),
-    Q("q_big_orders", wrap(qBigOrders), Some(qBigOrdersSql)))
+    Q("q_big_orders", wrap(qBigOrders), Some(qBigOrdersSql)),
+    Q("q_ann_mrr", wrap(qAnnMrr), Some(qAnnMrrSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
