@@ -5630,6 +5630,43 @@ object QueryCatalog {
        |  ON l.query_id = t.query_id AND l.neighbor_id = t.truth_id
        |ORDER BY t.query_id, t.t_rank""".stripMargin
 
+  /** The streaming source-health twin graded by the BATCH oracle (the
+    * 8th oracle-graded streaming twin): the documents table replays as
+    * three doc-id-ordered micro-batches through a maxFilesPerTrigger=1
+    * file stream into [[graft.operators.Corpus.sourceHealth]]'s
+    * aggregation running in update mode — the live curation dashboard
+    * that re-emits each source's row as new docs arrive. Update-mode
+    * rows accumulate last-wins per source, so after the final batch the
+    * panel must equal the batch panel exactly (same oracle SQL as
+    * q_source_health). State is |sources|-bounded by construction — the
+    * one kind of unwatermarked streaming aggregate that is safe to run
+    * forever.
+    */
+  private def qHealthStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = idxScratch("health_stream")
+    val in = s"$root/in"; val cp = s"$root/cp"
+    clearDir(cp)
+    val docs = t(s, dir, "documents").select("doc_id", "source", "lang", "text")
+    val w = Window.orderBy(F.col("doc_id"))
+    writeOrderedStreamFiles(docs.withColumn("__tile", F.ntile(3).over(w)), 3, in)
+    val src = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long, Long)]
+    val q = graft.operators.Corpus.sourceHealth(src)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => acc(r.getString(0)) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    acc.toSeq.map { case (src0, (d, tk, sh, lq, en)) => (src0, d, tk, sh, lq, en) }
+      .toDF("source", "n_docs", "n_tokens", "n_short", "n_low_q", "n_en")
+      .orderBy("source")
+  }
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5792,7 +5829,8 @@ object QueryCatalog {
     Q("q_winsorize", wrap(qWinsorize), Some(qWinsorizeSql)),
     Q("q_source_kl", wrap(qSourceKl), Some(qSourceKlSql)),
     Q("q_big_orders", wrap(qBigOrders), Some(qBigOrdersSql)),
-    Q("q_ann_mrr", wrap(qAnnMrr), Some(qAnnMrrSql)))
+    Q("q_ann_mrr", wrap(qAnnMrr), Some(qAnnMrrSql)),
+    Q("q_health_stream", wrap(qHealthStream), Some(qSourceHealthSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
