@@ -146,4 +146,40 @@ object Sessions {
     }
     folded.toDF(keyCol, "n_events", "ewma_cents")
   }
+
+  /** Per-key calendar-gap panel — the freshness/completeness check a
+    * pipeline runs before trusting a daily feed: for each key's
+    * activity days (distinct UTC epoch-days of its events), the
+    * first/last day, days present, days missing inside the span, the
+    * number of gap runs, and the longest gap — the gaps-and-islands
+    * lag formulation on the DISTINCT-day table. Day arithmetic is
+    * `unix_micros div 86400e6` (truncate == floor for the post-epoch
+    * timestamps this panel is for), so every column replays exactly.
+    *
+    * Scale shape: the distinct collapses each key to at most
+    * span-many day rows BEFORE the lag window, so the per-key window
+    * partition is bounded by the calendar, not the event volume; one
+    * (key, day) shuffle, one window, one |keys|-row aggregate.
+    */
+  def calendarGaps(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val day = F.expr(s"unix_micros($tsCol) div 86400000000")
+    val d = events
+      .select(F.col(keyCol).cast("long").as("key"), day.as("day"))
+      .distinct()
+    val w = Window.partitionBy("key").orderBy("day")
+    val gap = F.col("prev").isNotNull && (F.col("day") - F.col("prev") > 1)
+    d.withColumn("prev", F.lag("day", 1).over(w))
+      .groupBy("key")
+      .agg(
+        F.min("day").as("first_day"),
+        F.max("day").as("last_day"),
+        F.count(F.lit(1)).as("n_days"),
+        (F.max("day") - F.min("day") + 1 - F.count(F.lit(1))).as("n_missing"),
+        F.sum(F.when(gap, 1L).otherwise(0L)).as("n_gaps"),
+        F.coalesce(F.max(F.when(gap, F.col("day") - F.col("prev") - 1)),
+          F.lit(0L)).as("longest_gap"))
+  }
 }

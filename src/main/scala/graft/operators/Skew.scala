@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Skew-mitigation operators. AQE's skew-join splitting handles join-side
   * skew at runtime; these handle AGGREGATION skew (a handful of keys
@@ -58,5 +59,37 @@ object Skew {
     val saltsDf = right.sparkSession.range(salts).select(F.col("id").as("__salt"))
     val replicatedRight = right.crossJoin(F.broadcast(saltsDf))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Key-skew diagnostic panel — the measurement that decides whether a
+    * join/aggregation needs [[saltedAgg]]/[[saltedJoin]] at all: per
+    * group, the key count, row count, hottest key's rows, the top-k
+    * keys' combined rows, and their exact milli share of the group.
+    * Read it per snapshot; a top10_share_milli drifting toward 1000
+    * means the hot keys are about to own a reducer.
+    *
+    * Scale shape: the per-key counts partial-aggregate BEFORE anything
+    * else, so the rank window runs over the |groups|×|keys| count
+    * table, never the raw rows; ties break on key id so the top-k cut
+    * is deterministic.
+    */
+  def keySkewPanel(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      topK: Int = 10): DataFrame = {
+    val c = df.groupBy(F.col(groupCol).as("grp"), F.col(keyCol).as("key"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val w = Window.partitionBy("grp").orderBy(F.col("n").desc, F.col("key").asc)
+    val tot = c.groupBy("grp")
+      .agg(F.count(F.lit(1)).as("n_keys"), F.sum("n").as("n_rows"))
+    val top = c.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= topK)
+      .groupBy("grp")
+      .agg(F.max("n").as("max_key_rows"), F.sum("n").as("topk_rows"))
+    tot.join(top, Seq("grp"))
+      .select(F.col("grp"), F.col("n_keys"), F.col("n_rows"),
+        F.col("max_key_rows"), F.col("topk_rows"),
+        F.expr("topk_rows * 1000 div n_rows").as("topk_share_milli"))
   }
 }

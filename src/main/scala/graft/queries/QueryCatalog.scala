@@ -5667,6 +5667,59 @@ object QueryCatalog {
       .orderBy("source")
   }
 
+  /** Per-user purchase-day gap panel
+    * ([[graft.operators.Sessions.calendarGaps]]): first/last activity
+    * day, days present/missing, gap runs and the longest gap per user —
+    * the feed-completeness check, graded exactly. Highly discriminative
+    * at sf0.01: 18 distinct n_missing and 15 distinct longest_gap
+    * levels over the 150 users.
+    */
+  private def qDateGaps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.calendarGaps(
+        events(s, dir).filter(F.col("event_type") === "purchase"))
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id")
+
+  private val qDateGapsSql =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (SELECT user_id, day, LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev FROM d)
+      |SELECT user_id, CAST(MIN(day) AS BIGINT) AS first_day, CAST(MAX(day) AS BIGINT) AS last_day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(MAX(day) - MIN(day) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+      |  CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL AND day - prev > 1) AS BIGINT) AS n_gaps,
+      |  CAST(COALESCE(MAX(day - prev - 1) FILTER (WHERE prev IS NOT NULL AND day - prev > 1), 0) AS BIGINT) AS longest_gap
+      |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Key-skew diagnostic per event type
+    * ([[graft.operators.Skew.keySkewPanel]]): key/row counts, hottest
+    * key, and the top-10 keys' exact milli share — the "do I need
+    * salting?" measurement, graded end to end (window over the count
+    * table, never the raw events). All five sf0.01 event types differ
+    * in max_key_rows or share.
+    */
+  private def qKeySkew(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.keySkewPanel(events(s, dir), "user_id", "event_type")
+      .withColumnRenamed("grp", "event_type")
+      .withColumnRenamed("topk_rows", "top10_rows")
+      .withColumnRenamed("topk_share_milli", "top10_share_milli")
+      .orderBy("event_type")
+
+  private val qKeySkewSql =
+    """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, user_id),
+      |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows
+      |  FROM c GROUP BY event_type),
+      |rk AS (SELECT event_type, n,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rn FROM c),
+      |top AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS max_key_rows, CAST(SUM(n) AS BIGINT) AS top10_rows
+      |  FROM rk WHERE rn <= 10 GROUP BY event_type)
+      |SELECT t.event_type, t.n_keys, t.n_rows, p.max_key_rows, p.top10_rows,
+      |  CAST(p.top10_rows * 1000 // t.n_rows AS BIGINT) AS top10_share_milli
+      |FROM tot t JOIN top p ON t.event_type = p.event_type
+      |ORDER BY t.event_type""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5830,7 +5883,9 @@ object QueryCatalog {
     Q("q_source_kl", wrap(qSourceKl), Some(qSourceKlSql)),
     Q("q_big_orders", wrap(qBigOrders), Some(qBigOrdersSql)),
     Q("q_ann_mrr", wrap(qAnnMrr), Some(qAnnMrrSql)),
-    Q("q_health_stream", wrap(qHealthStream), Some(qSourceHealthSql)))
+    Q("q_health_stream", wrap(qHealthStream), Some(qSourceHealthSql)),
+    Q("q_date_gaps", wrap(qDateGaps), Some(qDateGapsSql)),
+    Q("q_key_skew", wrap(qKeySkew), Some(qKeySkewSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
