@@ -1242,6 +1242,53 @@ object Corpus {
     pr
   }
 
+  /** Per-term triangle participation on the strong co-occurrence graph
+    * — the clustering-structure diagnostic over the same term graph
+    * [[textRank]] ranks: keep edges whose document co-occurrence count
+    * clears a RELATIVE floor (w·1000 ≥ n_docs·floorMilli, so the graph
+    * thins identically at any scale factor), then count, per term, the
+    * triangles it closes. High-triangle terms sit in cliquish topical
+    * cores; zero-triangle terms are connectors or periphery — the
+    * signal community-detection preprocessing reads first.
+    *
+    * Scale shape: per-doc pair expansion is bounded by the per-doc
+    * DISTINCT vocabulary (the cooccur/textRank bound); the thresholded
+    * edge list is the one materialization (vocab²-bounded, usually far
+    * smaller); triangle closure is TWO equi-joins on the a<b-oriented
+    * edge list — orientation makes each triangle count exactly once
+    * and keeps the join acyclic, no cartesian anywhere. Per-corner
+    * counts explode three bounded columns. (At extreme skew, orient by
+    * (degree, id) instead of id to flatten the hub fanout.)
+    */
+  def cooccurTriangles(
+      docs: DataFrame,
+      floorMilli: Long = 634L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    val dt = docs.select(F.col(idCol).as("doc_id"),
+      F.explode(F.array_distinct(toks)).as("term"))
+    val nDocs = docs.agg(F.count(F.lit(1)).as("n_docs"))
+    val edges = dt.as("x").join(dt.as("y"),
+        F.col("x.doc_id") === F.col("y.doc_id") && F.col("x.term") < F.col("y.term"))
+      .groupBy(F.col("x.term").as("a"), F.col("y.term").as("b"))
+      .agg(F.count(F.lit(1)).as("w"))
+      .crossJoin(F.broadcast(nDocs))
+      .filter(F.col("w") * 1000 >= F.col("n_docs") * floorMilli)
+      .select("a", "b")
+      .localCheckpoint()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), F.col("e2.a") === F.col("e1.b"))
+      .join(edges.as("e3"),
+        F.col("e3.a") === F.col("e1.a") && F.col("e3.b") === F.col("e2.b"))
+      .select(F.col("e1.a").as("x"), F.col("e1.b").as("y"), F.col("e2.b").as("z"))
+    val corners = tri.select(F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("n_tri"))
+    dt.select("term").distinct()
+      .join(corners, Seq("term"), "left")
+      .select(F.col("term"), F.coalesce(F.col("n_tri"), F.lit(0L)).as("n_tri"))
+  }
+
   /** Easy-to-hard curriculum binning: rank every document by unigram
     * surprisal per token ([[unigramSurprisal]], exact milli-bits via
     * integer division) and split the global order into `buckets`

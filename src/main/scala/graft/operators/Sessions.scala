@@ -147,6 +147,42 @@ object Sessions {
     folded.toDF(keyCol, "n_events", "ewma_cents")
   }
 
+  /** Rolling 7-day EXACT median of daily value totals per group — the
+    * robust trend line a monitoring pipeline plots next to the raw
+    * daily series (a one-day spike moves the mean, not the median).
+    * Values quantize to cents (floor(value·100), floor on both engines
+    * for either sign); the median is defined, replayably, as the
+    * ⌈n/2⌉-th element of the sorted window — no interpolation, no
+    * approx-percentile. `window` counts ROWS of the DAILY series (7 =
+    * a week of present days).
+    *
+    * Scale shape: the raw events partial-aggregate to one row per
+    * (group, day) BEFORE any window, so the sort/collect window runs
+    * over the calendar-bounded daily table; collect_list holds at most
+    * `window` longs per row. This is the window-over-aggregate
+    * pattern — never sort raw events.
+    */
+  def rollingDailyMedian(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      window: Int = 7): DataFrame = {
+    require(window >= 1, "window >= 1")
+    val day = F.expr(s"unix_micros($tsCol) div 86400000000")
+    val cents = F.floor(F.col(valueCol).cast("double") * 100).cast("long")
+    val daily = events
+      .groupBy(F.col(groupCol).as("grp"), day.as("day"))
+      .agg(F.sum(cents).as("cents"))
+    val w = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily
+      .withColumn("__win", F.sort_array(F.collect_list("cents").over(w)))
+      .withColumn("__n", F.count(F.lit(1)).over(w))
+      .select(F.col("grp"), F.col("day"), F.col("cents"),
+        F.expr("element_at(__win, int((__n + 1) div 2))").as("med_cents"))
+  }
+
   /** Per-key calendar-gap panel — the freshness/completeness check a
     * pipeline runs before trusting a daily feed: for each key's
     * activity days (distinct UTC epoch-days of its events), the

@@ -5720,6 +5720,63 @@ object QueryCatalog {
       |FROM tot t JOIN top p ON t.event_type = p.event_type
       |ORDER BY t.event_type""".stripMargin
 
+  /** Per-term triangle participation on the strong co-occurrence graph
+    * ([[graft.operators.Corpus.cooccurTriangles]], relative edge floor
+    * w·1000 ≥ n_docs·634): 237 edges and 1112 oriented triangles at
+    * sf0.01, 24 distinct per-term counts over 31 terms — the clustering
+    * structure is live and fully graded; the oracle replays the
+    * threshold and the two-join closure.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.cooccurTriangles(t(s, dir, "documents"))
+      .orderBy("term")
+
+  private val qTrianglesSql =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
+      |dt AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |pr AS (SELECT a.term AS a, b.term AS b, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY a.term, b.term),
+      |e AS (SELECT a, b FROM pr WHERE w * 1000 >= (SELECT n FROM nd) * 634),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pn AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+      |  SELECT x AS term FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |  GROUP BY term)
+      |SELECT n.term, COALESCE(pn.n_tri, CAST(0 AS BIGINT)) AS n_tri
+      |FROM (SELECT DISTINCT term FROM dt) n LEFT JOIN pn ON pn.term = n.term
+      |ORDER BY n.term""".stripMargin
+
+  /** Rolling 7-day exact median of daily revenue per event type
+    * ([[graft.operators.Sessions.rollingDailyMedian]]): the robust
+    * trend panel, graded to the cent — 66 distinct medians over the
+    * 150 sf0.01 (type, day) rows; the oracle replays quantization,
+    * the sorted-window pick and the ramp-up (n < 7) rows identically.
+    */
+  private def qRollingMedian(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.rollingDailyMedian(events(s, dir))
+      .withColumnRenamed("grp", "event_type")
+      .withColumnRenamed("med_cents", "med7_cents")
+      .orderBy("event_type", "day")
+
+  private val qRollingMedianSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+      |    CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY event_type, day),
+      |r AS (
+      |  SELECT event_type, day, cents,
+      |    list_sort(list(cents) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win,
+      |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n
+      |  FROM daily)
+      |SELECT event_type, day, cents, CAST(win[CAST((n+1)//2 AS INTEGER)] AS BIGINT) AS med7_cents
+      |FROM r ORDER BY event_type, day""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5885,7 +5942,9 @@ object QueryCatalog {
     Q("q_ann_mrr", wrap(qAnnMrr), Some(qAnnMrrSql)),
     Q("q_health_stream", wrap(qHealthStream), Some(qSourceHealthSql)),
     Q("q_date_gaps", wrap(qDateGaps), Some(qDateGapsSql)),
-    Q("q_key_skew", wrap(qKeySkew), Some(qKeySkewSql)))
+    Q("q_key_skew", wrap(qKeySkew), Some(qKeySkewSql)),
+    Q("q_triangles", wrap(qTriangles), Some(qTrianglesSql)),
+    Q("q_rolling_median", wrap(qRollingMedian), Some(qRollingMedianSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
