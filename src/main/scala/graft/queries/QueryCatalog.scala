@@ -5777,6 +5777,38 @@ object QueryCatalog {
       |SELECT event_type, day, cents, CAST(win[CAST((n+1)//2 AS INTEGER)] AS BIGINT) AS med7_cents
       |FROM r ORDER BY event_type, day""".stripMargin
 
+  /** Cross-source duplication matrix: minhash near-dup candidate pairs
+    * rolled up to unordered SOURCE pairs — the "who is syndicating
+    * whom" panel a curation team reads before deciding which feed to
+    * drop. Reuses the md5-reproducible candidate tier (same CTEs as
+    * q_minhash_pairs) and grades the full (source, source) membership
+    * set: 23 pairs at sf0.01, including a within-source cell. The
+    * rollup join is doc_id-keyed against the slim (doc, source)
+    * projection — candidates first, attribution second, never the
+    * reverse.
+    */
+  private def qDupSources(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val src = docs.select(F.col("doc_id"), F.col("source"))
+    Dedup.minhashCandidatesMd5(docs)
+      .join(src.select(F.col("doc_id").as("a"), F.col("source").as("sa")), Seq("a"))
+      .join(src.select(F.col("doc_id").as("b"), F.col("source").as("sb")), Seq("b"))
+      .groupBy(F.least(F.col("sa"), F.col("sb")).as("src_lo"),
+        F.greatest(F.col("sa"), F.col("sb")).as("src_hi"))
+      .agg(F.count(F.lit(1)).as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
+  private val qDupSourcesSql =
+    s"""$minhashMd5CandidateCte,
+       |d AS (SELECT doc_id, source FROM documents)
+       |SELECT least(da.source, db.source) AS src_lo,
+       |  greatest(da.source, db.source) AS src_hi,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM cand JOIN d da ON da.doc_id = cand.a
+       |JOIN d db ON db.doc_id = cand.b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5944,7 +5976,8 @@ object QueryCatalog {
     Q("q_date_gaps", wrap(qDateGaps), Some(qDateGapsSql)),
     Q("q_key_skew", wrap(qKeySkew), Some(qKeySkewSql)),
     Q("q_triangles", wrap(qTriangles), Some(qTrianglesSql)),
-    Q("q_rolling_median", wrap(qRollingMedian), Some(qRollingMedianSql)))
+    Q("q_rolling_median", wrap(qRollingMedian), Some(qRollingMedianSql)),
+    Q("q_dup_sources", wrap(qDupSources), Some(qDupSourcesSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
