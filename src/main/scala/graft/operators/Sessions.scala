@@ -183,6 +183,57 @@ object Sessions {
         F.expr("element_at(__win, int((__n + 1) div 2))").as("med_cents"))
   }
 
+  /** Conversion-latency cohort panel — signup-day cohorts graded on
+    * time-to-first-purchase: signups, conversions within `withinUs`,
+    * and the EXACT median and max first-conversion latency per cohort
+    * (median = the ⌈n/2⌉-th converted row on the deterministic
+    * (latency, user) order — a rank pick, not an interpolation). The
+    * funnel-economics panel behind "is onboarding getting faster".
+    *
+    * Scale shape: both anchor events reduce to one row per user
+    * BEFORE the latency join (argmin aggregations, not windows over
+    * raw events); the rank window runs per cohort over the
+    * user-bounded latency table. First-touch semantics: the earliest
+    * `toType` at-or-after the user's earliest `fromType`.
+    */
+  def conversionLatency(
+      events: DataFrame,
+      fromType: String = "signup",
+      toType: String = "purchase",
+      withinUs: Long = 3L * 86400000000L,
+      typeCol: String = "event_type",
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val us = F.expr(s"unix_micros($tsCol)")
+    val su = events.filter(F.col(typeCol) === fromType)
+      .groupBy(F.col(keyCol).as("user_id"))
+      .agg(F.min(us).as("signup_us"))
+    val pu = events.filter(F.col(typeCol) === toType)
+      .select(F.col(keyCol).as("user_id"), us.as("ev_us"))
+      .join(su, Seq("user_id"))
+      .filter(F.col("ev_us") >= F.col("signup_us"))
+      .groupBy("user_id")
+      .agg(F.min("ev_us").as("purchase_us"))
+    val lat = su.join(pu, Seq("user_id"), "left")
+      .select(F.col("user_id"),
+        F.expr("signup_us div 86400000000").as("cohort_day"),
+        (F.col("purchase_us") - F.col("signup_us")).as("lat_us"))
+    val wr = Window.partitionBy("cohort_day")
+      .orderBy(F.col("lat_us").asc, F.col("user_id").asc)
+    val wn = Window.partitionBy("cohort_day")
+    val med = lat.filter(F.col("lat_us").isNotNull)
+      .withColumn("rn", F.row_number().over(wr))
+      .withColumn("nc", F.count(F.lit(1)).over(wn))
+      .filter(F.expr("rn = (nc + 1) div 2"))
+      .select(F.col("cohort_day"), F.col("lat_us").as("med_lat_us"))
+    lat.groupBy("cohort_day")
+      .agg(F.count(F.lit(1)).as("n_signups"),
+        F.sum(F.when(F.col("lat_us") <= withinUs, 1L).otherwise(0L)).as("n_conv"),
+        F.max("lat_us").as("max_lat_us"))
+      .join(med, Seq("cohort_day"), "left")
+      .select("cohort_day", "n_signups", "n_conv", "med_lat_us", "max_lat_us")
+  }
+
   /** Per-key calendar-gap panel — the freshness/completeness check a
     * pipeline runs before trusting a daily feed: for each key's
     * activity days (distinct UTC epoch-days of its events), the

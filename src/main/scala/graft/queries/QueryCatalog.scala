@@ -5809,6 +5809,37 @@ object QueryCatalog {
        |JOIN d db ON db.doc_id = cand.b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Conversion-latency cohort panel
+    * ([[graft.operators.Sessions.conversionLatency]]): signup-day
+    * cohorts × (signups, 3-day conversions, exact median and max
+    * time-to-first-purchase). 11 sf0.01 cohorts with 10 distinct
+    * conversion counts and 11 distinct medians — the oracle replays
+    * first-touch anchors, the latency join and the rank-pick median.
+    */
+  private def qConvLatency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.conversionLatency(events(s, dir))
+      .withColumnRenamed("n_conv", "n_conv_3d")
+      .orderBy("cohort_day")
+
+  private val qConvLatencySql =
+    """WITH su AS (SELECT user_id, MIN(epoch_ns(ts) // 1000) AS signup_us
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |pu AS (SELECT e.user_id, MIN(epoch_ns(e.ts) // 1000) AS purchase_us
+      |  FROM events e JOIN su ON su.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 >= su.signup_us
+      |  GROUP BY e.user_id),
+      |lat AS (SELECT su.user_id, su.signup_us // 86400000000 AS cohort_day,
+      |  pu.purchase_us - su.signup_us AS lat_us FROM su LEFT JOIN pu ON pu.user_id = su.user_id),
+      |rk AS (SELECT cohort_day, lat_us,
+      |  ROW_NUMBER() OVER (PARTITION BY cohort_day ORDER BY lat_us, user_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY cohort_day) AS nc
+      |  FROM lat WHERE lat_us IS NOT NULL)
+      |SELECT l.cohort_day, CAST(COUNT(*) AS BIGINT) AS n_signups,
+      |  CAST(COUNT(CASE WHEN l.lat_us <= 86400000000 * 3 THEN 1 END) AS BIGINT) AS n_conv_3d,
+      |  CAST((SELECT lat_us FROM rk WHERE rk.cohort_day = l.cohort_day AND rn = (nc+1)//2) AS BIGINT) AS med_lat_us,
+      |  CAST(MAX(l.lat_us) AS BIGINT) AS max_lat_us
+      |FROM lat l GROUP BY l.cohort_day ORDER BY l.cohort_day""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5977,7 +6008,8 @@ object QueryCatalog {
     Q("q_key_skew", wrap(qKeySkew), Some(qKeySkewSql)),
     Q("q_triangles", wrap(qTriangles), Some(qTrianglesSql)),
     Q("q_rolling_median", wrap(qRollingMedian), Some(qRollingMedianSql)),
-    Q("q_dup_sources", wrap(qDupSources), Some(qDupSourcesSql)))
+    Q("q_dup_sources", wrap(qDupSources), Some(qDupSourcesSql)),
+    Q("q_conv_latency", wrap(qConvLatency), Some(qConvLatencySql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
