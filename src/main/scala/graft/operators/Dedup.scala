@@ -1080,4 +1080,46 @@ object Dedup {
       .filter(F.col("rep_rank") <= maxReps)
       .select(idCol, "cluster_id", "rep_rank")
   }
+
+  /** Cross-document sentence (line) dedup — the Falcon-style "remove
+    * repeated lines corpus-wide" pass: every occurrence of a sentence
+    * except the FIRST (smallest (doc_id, idx) across the whole corpus)
+    * is dropped, including repeats inside one document. Output is the
+    * per-document audit panel: sentences before/after and the md5 of
+    * the kept text (kept sentences rejoined in position order) — the
+    * same kept_md5 convention as [[Corpus.segmentDedup]], so the
+    * dropped content is verifiable without shipping it.
+    *
+    * Scale shape: sentences shuffle once on the sentence itself (the
+    * dedup key); the first-occurrence rank is a window over that same
+    * partitioning — a per-sentence-group sort bounded by each
+    * sentence's occurrence count, never a global order; the per-doc
+    * rollup is one more shuffle on doc_id carrying (idx, sentence,
+    * keep) triples. Raw document text never shuffles.
+    */
+  def crossDocSentenceDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sents = Corpus.sentences(docs, textCol, idCol)
+      .select(F.col(idCol).cast("long").as("doc_id"),
+        F.col("sentence_idx").cast("long").as("idx"), F.col("sentence"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sentence").orderBy(F.col("doc_id").asc, F.col("idx").asc)
+    val flagged = sents.withColumn("keep", F.row_number().over(w) === 1)
+    val panel = flagged.groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_sents"),
+        F.sum(F.when(F.col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        F.md5(F.concat_ws(" ",
+          F.transform(
+            F.array_sort(F.collect_list(
+              F.when(F.col("keep"), F.struct(F.col("idx"), F.col("sentence"))))),
+            x => x.getField("sentence"))).cast("binary")).as("kept_md5"))
+    docs.select(F.col(idCol).cast("long").as("doc_id"))
+      .join(panel, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("n_sents"), F.lit(0L)).as("n_sents"),
+        F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"),
+        F.coalesce(F.col("kept_md5"), F.md5(F.lit("").cast("binary"))).as("kept_md5"))
+  }
 }

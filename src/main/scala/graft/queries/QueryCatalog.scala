@@ -5840,6 +5840,67 @@ object QueryCatalog {
       |  CAST(MAX(l.lat_us) AS BIGINT) AS max_lat_us
       |FROM lat l GROUP BY l.cohort_day ORDER BY l.cohort_day""".stripMargin
 
+  /** Corpus-wide sentence (line) dedup graded per document
+    * ([[graft.operators.Dedup.crossDocSentenceDedup]] on the
+    * q_doc_sentences punctuation convention): 1315 sentences, 74
+    * non-first occurrences dropped at sf0.01, kept text pinned by
+    * kept_md5 — the oracle replays splitting, the global
+    * first-occurrence rank, and the rejoined digests.
+    */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.crossDocSentenceDedup(
+        t(s, dir, "documents")
+          .withColumn("text", F.expr("replace(text, ' a ', '. ')")))
+      .orderBy("doc_id")
+
+  private val qLineDedupSql =
+    """WITH m AS (SELECT doc_id, replace(text, ' a ', '. ') AS raw FROM documents),
+      |arrs AS (
+      |  SELECT doc_id, list_filter(list_transform(regexp_split_to_array(raw, '[.!?]+\s+'),
+      |    x -> trim(x)), x -> x <> '') AS arr FROM m),
+      |s AS (SELECT doc_id, i - 1 AS idx, arr[i] AS sent
+      |  FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)),
+      |rk AS (SELECT doc_id, idx, sent,
+      |  ROW_NUMBER() OVER (PARTITION BY sent ORDER BY doc_id, idx) AS rn FROM s),
+      |panel AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents,
+      |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+      |  md5(COALESCE(string_agg(sent, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS kept_md5
+      |  FROM rk GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(p.n_sents, CAST(0 AS BIGINT)) AS n_sents,
+      |  COALESCE(p.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+      |  COALESCE(p.kept_md5, md5('')) AS kept_md5
+      |FROM documents d LEFT JOIN panel p ON p.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Embedding-hygiene panel: per-dimension min/max/sum of the
+    * x1000-quantized values over the whole corpus — the dead-dimension
+    * / clipped-range / bias check an embedding pipeline runs before
+    * trusting ANN recall (a dim with qmin == qmax carries no signal;
+    * a sum far from 0 flags normalization drift). Map-side posexplode
+    * into a 64-row partial-aggregated panel; one scan, no joins.
+    */
+  private def qEmbedStats(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    t(s, dir, "embeddings")
+      .select(F.posexplode(
+        graft.functions.VectorFunctions.quantize(F.col("embedding")))
+        .as(Seq("dim", "q")))
+      .groupBy(F.col("dim").cast(LongType).as("dim"))
+      .agg(F.min("q").as("qmin"), F.max("q").as("qmax"),
+        F.sum("q").as("qsum"))
+      .orderBy("dim")
+  }
+
+  private val qEmbedStatsSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |ex AS (SELECT CAST(i - 1 AS BIGINT) AS dim, qv[i] AS q
+      |  FROM quant, unnest(generate_series(1, len(qv))) AS t(i))
+      |SELECT dim, CAST(MIN(q) AS BIGINT) AS qmin, CAST(MAX(q) AS BIGINT) AS qmax,
+      |  CAST(SUM(q) AS BIGINT) AS qsum
+      |FROM ex GROUP BY dim ORDER BY dim""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6009,7 +6070,9 @@ object QueryCatalog {
     Q("q_triangles", wrap(qTriangles), Some(qTrianglesSql)),
     Q("q_rolling_median", wrap(qRollingMedian), Some(qRollingMedianSql)),
     Q("q_dup_sources", wrap(qDupSources), Some(qDupSourcesSql)),
-    Q("q_conv_latency", wrap(qConvLatency), Some(qConvLatencySql)))
+    Q("q_conv_latency", wrap(qConvLatency), Some(qConvLatencySql)),
+    Q("q_line_dedup", wrap(qLineDedup), Some(qLineDedupSql)),
+    Q("q_embed_stats", wrap(qEmbedStats), Some(qEmbedStatsSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
