@@ -1386,6 +1386,46 @@ object Corpus {
         F.sum(F.col("n")).as("sum_raw"))
   }
 
+  /** Per-document character-entropy score — the self-contained
+    * gibberish/boilerplate detector (no corpus model needed, unlike
+    * [[unigramSurprisal]]): `H·T·2^fracBits ≈ Σ_ch c_ch · (fp(T) −
+    * fp(c_ch))` over the document's own lowercased character counts,
+    * every log via [[withIlog2Fp]], so the score is an exact BIGINT.
+    * Low entropy = repeated-character filler ("aaaa…", ASCII art);
+    * natural text sits near 4 bits/char (divide by n_chars·2^fracBits).
+    * Character identity is the string split's code UNIT — identical to
+    * codepoints for BMP text; route astral-plane corpora through a
+    * codepoint tokenizer first.
+    *
+    * Scale shape: one (doc, char) partial-aggregated shuffle (≤ the
+    * alphabet per doc), the fp chain is MAP-SIDE arithmetic on that
+    * table (no model materialization at all — the model here is each
+    * document itself), one per-doc rollup. Empty docs emit (0, 0).
+    */
+  def charEntropy(
+      docs: DataFrame,
+      fracBits: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val cc = docs.filter(F.length(F.col(textCol)) > 0)
+      .select(F.col(idCol).cast("long").as("doc_id"),
+        F.explode(F.split(F.lower(F.col(textCol)), "")).as("ch"))
+      .filter(F.col("ch") =!= "") // java split(-1) keeps a trailing empty
+      .groupBy("doc_id", "ch").agg(F.count(F.lit(1)).as("c"))
+    val tot = cc.groupBy("doc_id").agg(F.sum("c").as("t"))
+    val sc = withIlog2Fp(cc, "c", "fp_c", fracBits)
+      .join(withIlog2Fp(tot, "t", "fp_t", fracBits).select("doc_id", "fp_t"),
+        Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(F.sum(F.col("c") * (F.col("fp_t") - F.col("fp_c"))).as("ent"))
+    docs.select(F.col(idCol).cast("long").as("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(sc, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("t"), F.lit(0L)).as("n_chars"),
+        F.coalesce(F.col("ent"), F.lit(0L)).as("ent_fp_num"))
+  }
+
   /** Per-source KL-divergence drift panel — how far each crawl source's
     * unigram distribution sits from the corpus mixture:
     * `KL(source ‖ corpus) · T_s = Σ_t c_t^s · ((log2 c_t^s − log2 T_s)

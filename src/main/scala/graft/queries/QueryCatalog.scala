@@ -5901,6 +5901,49 @@ object QueryCatalog {
       |  CAST(SUM(q) AS BIGINT) AS qsum
       |FROM ex GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** Per-document character entropy graded to the BIT
+    * ([[graft.operators.Corpus.charEntropy]]): the model-free gibberish
+    * detector, exact because both logs ride the fixed-point recurrence
+    * — 499 distinct scores over 500 sf0.01 docs (~3.9 bits/char for
+    * natural rows). The oracle replays per-doc counts and a
+    * (doc, char)-keyed fp chain.
+    */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.charEntropy(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  private val qCharEntropySql = {
+    def step(i: Int) =
+      s"""s${i + 1} AS (SELECT doc_id, ch, msb,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN ((m*m) >> 20) >> 1 ELSE (m*m) >> 20 END AS m,
+         |  CASE WHEN ((m*m) >> 20) >= 2097152 THEN f*2+1 ELSE f*2 END AS f FROM s$i),""".stripMargin
+    s"""WITH chx AS (
+       |  SELECT doc_id, unnest(split(lower(text), '')) AS ch
+       |  FROM documents WHERE length(text) > 0),
+       |cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM chx WHERE ch <> '' GROUP BY doc_id, ch),
+       |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM cc GROUP BY doc_id),
+       |u1 AS (SELECT doc_id, ch, c, length(bin(c))-1 AS msb FROM (
+       |  SELECT doc_id, ch, c FROM cc
+       |  UNION ALL SELECT doc_id, '' AS ch, t AS c FROM tot)),
+       |s0 AS (SELECT doc_id, ch, msb,
+       |  CASE WHEN msb >= 20 THEN c >> (msb-20) ELSE c << (20-msb) END AS m,
+       |  CAST(0 AS BIGINT) AS f FROM u1),
+       |${(0 until 6).map(step).mkString("\n")}
+       |fp AS (SELECT doc_id, ch, CAST(msb AS BIGINT)*64 + f AS fp FROM s6),
+       |sc AS (SELECT cc.doc_id, CAST(SUM(cc.c * (ft.fp - fc.fp)) AS BIGINT) AS ent
+       |  FROM cc
+       |  JOIN fp fc ON fc.doc_id = cc.doc_id AND fc.ch = cc.ch
+       |  JOIN fp ft ON ft.doc_id = cc.doc_id AND ft.ch = ''
+       |  GROUP BY cc.doc_id)
+       |SELECT d.doc_id, COALESCE(t.t, CAST(0 AS BIGINT)) AS n_chars,
+       |  COALESCE(sc.ent, CAST(0 AS BIGINT)) AS ent_fp_num
+       |FROM documents d
+       |LEFT JOIN tot t ON t.doc_id = d.doc_id
+       |LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6072,7 +6115,8 @@ object QueryCatalog {
     Q("q_dup_sources", wrap(qDupSources), Some(qDupSourcesSql)),
     Q("q_conv_latency", wrap(qConvLatency), Some(qConvLatencySql)),
     Q("q_line_dedup", wrap(qLineDedup), Some(qLineDedupSql)),
-    Q("q_embed_stats", wrap(qEmbedStats), Some(qEmbedStatsSql)))
+    Q("q_embed_stats", wrap(qEmbedStats), Some(qEmbedStatsSql)),
+    Q("q_char_entropy", wrap(qCharEntropy), Some(qCharEntropySql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {

@@ -1951,6 +1951,109 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"sq8 recall $recall vs exact L2 too low")
   }
 
+  test("calendarGaps: planted missing days are counted and measured") {
+    // user 0: days 0,1,2,...,9 minus {3,4,7} -> 2 gap runs, longest 2
+    val present = Seq(0, 1, 2, 5, 6, 8, 9)
+    val rows = present.map(d =>
+      (1L, new java.sql.Timestamp(d * 86400000L + 1000L), "purchase"))
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Sessions.calendarGaps(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 0L && r.getLong(2) === 9L) // first/last
+    assert(r.getLong(3) === 7L, "days present")
+    assert(r.getLong(4) === 3L, "days missing inside the span")
+    assert(r.getLong(5) === 2L, "gap runs")
+    assert(r.getLong(6) === 2L, "longest gap")
+  }
+
+  test("keySkewPanel: a planted hot key dominates the top-k share") {
+    val rows = (0L until 90L).map(i => ("g", i % 30)) ++ // 30 cold keys x3
+      Seq.fill(110)(("g", 999L)) // one hot key
+    val out = graft.operators.Skew.keySkewPanel(
+      rows.toDF("grp0", "key0"), "key0", "grp0").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 31L && r.getLong(2) === 200L)
+    assert(r.getLong(3) === 110L, "hottest key rows")
+    // hot key + 9 cold keys of 3 = 137 of 200 = 685 milli
+    assert(r.getLong(4) === 137L && r.getLong(5) === 685L)
+  }
+
+  test("rollingDailyMedian shrugs off a one-day spike the mean would follow") {
+    val rows = (0 until 9).map { d =>
+      val v = if (d == 4) 1000.0 else 10.0 + d // spike on day 4
+      (1L, new java.sql.Timestamp(d * 86400000L + 1000L), "view", v)
+    }
+    val out = graft.operators.Sessions.rollingDailyMedian(
+        rows.toDF("user_id", "ts", "event_type", "value"))
+      .orderBy("day").collect()
+    assert(out.length === 9)
+    val meds = out.map(_.getLong(3))
+    assert(!meds.contains(100000L), "median must never equal the spike")
+    // after the window slides past day 4 the median returns to the ramp
+    assert(meds.last < 2000L)
+  }
+
+  test("cooccurTriangles: a planted clique closes, a pendant does not") {
+    // a,b,c pairwise co-occur in every doc (clique); d co-occurs only
+    // with a (pendant edge, no triangle)
+    val corpus = (0L until 10L).map(i => (i, "a b c")) ++ Seq((10L, "a d"), (11L, "a d"), (12L, "a d"), (13L, "a d"), (14L, "a d"), (15L, "a d"), (16L, "a d"))
+    val out = graft.operators.Corpus.cooccurTriangles(
+        corpus.toDF("doc_id", "text"), floorMilli = 500L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") === 1L && out("b") === 1L && out("c") === 1L,
+      s"clique corners each close one triangle: $out")
+    assert(out("d") === 0L, "pendant vertex closes nothing")
+  }
+
+  test("crossDocSentenceDedup keeps only the global first occurrence") {
+    val corpus = Seq(
+      (0L, "shared line one. unique alpha"),
+      (1L, "shared line one. unique beta"),
+      (2L, "unique gamma. shared line one")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.crossDocSentenceDedup(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) === ((2L, 2L)), "first doc keeps everything")
+    assert(out(1L) === ((2L, 1L)), "repeat of the shared line drops")
+    assert(out(2L) === ((2L, 1L)), "repeat drops regardless of position")
+  }
+
+  test("conversionLatency: medians and bounded-window conversions per cohort") {
+    def ts(day: Int, h: Int) = new java.sql.Timestamp((day * 24L + h) * 3600000L)
+    val ev = Seq(
+      (1L, ts(0, 0), "signup"), (1L, ts(0, 5), "purchase"),   // 5h
+      (2L, ts(0, 0), "signup"), (2L, ts(9, 0), "purchase"),   // 9d (not within 3d)
+      (3L, ts(0, 0), "signup"),                                // never converts
+      (4L, ts(1, 0), "signup"), (4L, ts(1, 1), "purchase")     // 1h, own cohort
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Sessions.conversionLatency(ev)
+      .orderBy("cohort_day").collect()
+    assert(out.length === 2)
+    val c0 = out.head
+    assert(c0.getLong(1) === 3L, "cohort 0 signups")
+    assert(c0.getLong(2) === 1L, "only the 5h user converts within 3d")
+    // converted latencies in cohort 0: 5h, 9d -> lower median = 5h
+    assert(c0.getLong(3) === 5L * 3600000000L)
+    assert(out(1).getLong(3) === 3600000000L)
+  }
+
+  test("charEntropy: repeated filler scores below varied text") {
+    val corpus = Seq(
+      (0L, "aaaaaaaaaaaaaaaaaaaa"),
+      (1L, "the quick brown fox jumps over"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.charEntropy(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L)._2 === 0L, "single-symbol text has zero entropy")
+    assert(out(2L) === ((0L, 0L)), "empty doc emits (0,0)")
+    // varied text: strictly positive, sane bits/char (< 6)
+    val (n1, e1) = out(1L)
+    assert(e1 > 0L && e1 < n1 * 64L * 6L, s"entropy out of range: $e1")
+  }
+
   test("sourceKl: a drifted source diverges more than mixture-like ones") {
     // srcA/srcB share the mixture vocabulary; srcC is all rare jargon
     val corpus = (0L until 30L).map { i =>
