@@ -426,6 +426,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
   }
 
+  test("session-9 panels: no cartesian; nested loops only for broadcast scalars") {
+    // (query, max BroadcastNestedLoopJoin occurrences — each allowed one
+    // is a 1-row broadcast total/count, never a data-sized side)
+    val shapes = Seq(
+      "q_source_kl" -> 1, "q_line_dedup" -> 0, "q_triangles" -> 1,
+      "q_rolling_median" -> 0, "q_date_gaps" -> 0, "q_key_skew" -> 0,
+      "q_conv_latency" -> 0, "q_char_entropy" -> 0, "q_dup_sources" -> 0)
+    for ((q, maxBnlj) <- shapes) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj <= maxBnlj, s"$q: $bnlj nested-loop joins, allowed $maxBnlj")
+    }
+    // the grouped panels must never collapse to one partition
+    for (q <- Seq("q_rolling_median", "q_date_gaps", "q_key_skew", "q_winsorize")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+        s"$q grouped window must stay partitioned: ${p.take(1000)}")
+    }
+  }
+
   test("phrase and proximity search: equi-joins on postings, no cartesian") {
     for (q <- Seq("q_phrase", "q_near")) {
       val p = plan(q)
