@@ -60,6 +60,10 @@ object GraftFunctions {
       "md5_simhash",
       exprs => graft.functions.Md5Simhash(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "ilog2_fp",
+      exprs => graft.functions.Ilog2Fp(exprs.head, intLit(exprs(1), "ilog2_fp")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "gram_stats", exprs => graft.functions.GramStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "script_counts",

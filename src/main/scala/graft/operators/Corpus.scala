@@ -620,11 +620,29 @@ object Corpus {
     * [2^20, 2^21) by shifting, never by multiplying, so x up to 2^62
     * cannot overflow; squares stay under 2^42).
     *
-    * Steps are materialized as columns (not one nested expression) so
-    * the tree stays linear in fracBits; meant for vocabulary-sized
-    * tables where the per-row cost is irrelevant.
+    * Delegates to the native codegen expression
+    * [[graft.functions.Ilog2Fp]] (one whole-stage-codegen op instead of
+    * ~5·fracBits projected columns), which matters when the chain runs
+    * per corpus-sized row; [[withIlog2FpColumns]] keeps the column
+    * formulation as the property-tested reference.
     */
   private[graft] def withIlog2Fp(
+      df: DataFrame,
+      xCol: String,
+      outCol: String,
+      fracBits: Int = 6): DataFrame = {
+    require(fracBits >= 0 && fracBits <= 16, "fracBits in [0,16]")
+    graft.GraftFunctions.register(df.sparkSession)
+    df.withColumn(outCol,
+      F.call_function("ilog2_fp", F.col(xCol).cast("long"), F.lit(fracBits)))
+  }
+
+  /** The original column-chain formulation of [[withIlog2Fp]] — kept as
+    * the independent reference implementation the codegen expression is
+    * property-tested against (and the closest Scala mirror of the
+    * oracles' CTE restatement).
+    */
+  private[graft] def withIlog2FpColumns(
       df: DataFrame,
       xCol: String,
       outCol: String,

@@ -1951,6 +1951,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"sq8 recall $recall vs exact L2 too low")
   }
 
+  test("Ilog2Fp expression matches the column-chain reference bit for bit") {
+    val rnd = new scala.util.Random(42)
+    val xs = (Seq(1L, 2L, 3L, 1023L, 1024L, 1025L, (1L << 62) - 1, 1L << 61) ++
+      Seq.fill(500)(math.abs(rnd.nextLong()) % ((1L << 62) - 1) + 1)).distinct
+    val df = xs.toDF("x")
+    for (fb <- Seq(0, 6, 16)) {
+      val expr = graft.operators.Corpus.withIlog2Fp(df, "x", "fp", fb)
+        .orderBy("x").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val cols = graft.operators.Corpus.withIlog2FpColumns(df, "x", "fp", fb)
+        .orderBy("x").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(expr.toSeq === cols.toSeq, s"fracBits=$fb diverged")
+    }
+    // interpreted path must agree with codegen (eval vs doGenCode)
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    val e = graft.functions.Ilog2Fp(Literal(1025L), 6)
+    assert(e.eval(null) === graft.operators.Corpus
+      .withIlog2FpColumns(Seq(1025L).toDF("x"), "x", "fp", 6)
+      .collect().head.getLong(1))
+  }
+
   test("calendarGaps: planted missing days are counted and measured") {
     // user 0: days 0,1,2,...,9 minus {3,4,7} -> 2 gap runs, longest 2
     val present = Seq(0, 1, 2, 5, 6, 8, 9)
