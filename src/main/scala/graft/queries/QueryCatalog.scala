@@ -5944,6 +5944,85 @@ object QueryCatalog {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Semantic composition panel: documents assigned to their
+    * max-dot k-means cell (the q_kmeans_step seed centroids and
+    * tie-break), rolled up per crawl source — "which topics does each
+    * feed contribute", the semantic sibling of q_source_health. The
+    * assignment is one map-only scan against 8 broadcast centroid
+    * literals; the rollup shuffles (source, cell) pairs only.
+    */
+  private def qTopicMix(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val centsLit = F.typedlit(Similarity.sampleCentroids(emb, nlist = 8))
+    val cs = F.transform(centsLit,
+      c => graft.functions.VectorFunctions.dotL(F.col("cv"), c))
+    emb.select(F.col("vec_id"),
+        graft.functions.VectorFunctions.quantize(F.col("embedding")).as("cv"))
+      .withColumn("cs", cs)
+      .select(F.col("vec_id").as("doc_id"),
+        (F.array_position(F.col("cs"), F.array_max(F.col("cs"))) - 1)
+          .cast(LongType).as("cell"))
+      .join(t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source", "cell")
+      .agg(F.count(F.lit(1)).as("n_docs"))
+      .orderBy("source", "cell")
+  }
+
+  private val qTopicMixSql =
+    """WITH quant AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT 8)),
+      |cellvals AS (
+      |  SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+      |  FROM quant q CROSS JOIN cents c),
+      |cellscore AS (
+      |  SELECT vec_id, cidx, CAST(SUM(x * y) AS BIGINT) AS s FROM cellvals GROUP BY vec_id, cidx),
+      |assign AS (
+      |  SELECT vec_id, cidx AS cell FROM (
+      |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+      |    FROM cellscore) WHERE rn = 1)
+      |SELECT d.source, CAST(a.cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+      |GROUP BY d.source, a.cell ORDER BY d.source, cell""".stripMargin
+
+  /** Length × quality 2-D composition histogram: token-count buckets of
+    * 25 crossed with tenth-wide heuristic-quality buckets — the
+    * "where does my corpus actually live" grid read before setting
+    * curation thresholds (are short docs low-quality, or merely
+    * short?). Map-side bucket arithmetic into one partial-aggregated
+    * |cells|-row shuffle; the quality double is bit-stable so its
+    * floor-bucket replays exactly.
+    */
+  private def qLenQuality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = graft.functions.TextFunctions.tokenCount(F.col("text"))
+    val qual = graft.functions.TextFunctions.qualityScore(F.col("text"))
+    t(s, dir, "documents")
+      // floor(n/25.0) == n div 25 for the nonnegative counts here, and
+      // stays a plain builtin (tokenCount's SQL doesn't round-trip expr)
+      .groupBy(F.floor(nTok / 25).cast(LongType).as("len_bucket"),
+        F.floor(qual * 10).cast(LongType).as("q_bucket"))
+      .agg(F.count(F.lit(1)).as("n_docs"))
+      .orderBy("len_bucket", "q_bucket")
+  }
+
+  private val qLenQualitySql = {
+    val nTok = "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+    val nStop = "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that')))"
+    val nPunct = "length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))"
+    val qual =
+      s"""LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |  + LEAST(CAST($nStop AS DOUBLE) * 10.0 / GREATEST(CAST($nTok AS DOUBLE), 1.0), 1.0) * 0.3
+         |  + (1.0 - LEAST(CAST($nPunct AS DOUBLE) * 4.0 / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3""".stripMargin
+    s"""SELECT $nTok // 25 AS len_bucket,
+       |  CAST(FLOOR(($qual) * 10) AS BIGINT) AS q_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM documents GROUP BY 1, 2 ORDER BY len_bucket, q_bucket""".stripMargin
+  }
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6116,7 +6195,9 @@ object QueryCatalog {
     Q("q_conv_latency", wrap(qConvLatency), Some(qConvLatencySql)),
     Q("q_line_dedup", wrap(qLineDedup), Some(qLineDedupSql)),
     Q("q_embed_stats", wrap(qEmbedStats), Some(qEmbedStatsSql)),
-    Q("q_char_entropy", wrap(qCharEntropy), Some(qCharEntropySql)))
+    Q("q_char_entropy", wrap(qCharEntropy), Some(qCharEntropySql)),
+    Q("q_topic_mix", wrap(qTopicMix), Some(qTopicMixSql)),
+    Q("q_len_quality", wrap(qLenQuality), Some(qLenQualitySql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
