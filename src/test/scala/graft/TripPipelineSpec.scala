@@ -252,4 +252,49 @@ class TripPipelineSpec extends SparkSpec {
     val joined = recomputed.join(viaCount, Seq("region", "week_of_month"))
     assert(joined.filter(F.col("weekly_avg") =!= F.col("c")).count() === 0)
   }
+
+  test("csv source tolerates ragged rows: short rows null-pad, long rows truncate") {
+    import org.apache.spark.sql.{functions => F}
+    val dir = Files.createTempDirectory("graft-ragged").toString
+    val csv = s"$dir/ragged.csv"
+    // header + 1 good row + 1 short row (missing trailing cols) + 1 long row
+    Files.writeString(java.nio.file.Paths.get(csv),
+      """region,origin_coord,destination_coord,datetime,datasource
+        |Avalon,POINT (1 2),POINT (3 4),2024-03-01 10:00:00,web
+        |Brighton,POINT (5 6)
+        |Caldera,POINT (7 8),POINT (9 0),2024-03-02 11:00:00,app,EXTRA
+        |""".stripMargin)
+    val df = graft.sources.TripCsvSource.read(spark, csv)
+    val rows = df.collect()
+    assert(rows.length === 3, "no row is silently dropped in permissive mode")
+    val short = rows.find(_.getString(0) == "Brighton").get
+    assert(short.isNullAt(2) && short.isNullAt(3) && short.isNullAt(4),
+      "missing trailing fields land as NULL, not as a rejected row")
+    val long = rows.find(_.getString(0) == "Caldera").get
+    assert(long.getString(4) === "app", "extra field is dropped, bound stays positional")
+    assert(df.columns.length === 5)
+    // quarantine note: with an all-string schema nothing ever fails to
+    // PARSE, so DROPMALFORMED does not fire on ragged rows — a pipeline
+    // wanting to reject them filters on the null-padded tail instead:
+    assert(df.filter(F.col("date_time").isNull).count() === 1,
+      "the null tail is the quarantine signal for ragged rows")
+  }
+
+  test("corpus store tolerates additive schema evolution via mergeSchema") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    // a later snapshot adds a quality column — additive, no rewrite
+    Seq((2L, "gamma", 0.9)).toDF("doc_id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "quality", "text"))
+    assert(merged.count() === 3)
+    assert(merged.filter(F.col("quality").isNull).count() === 2,
+      "pre-evolution rows read as NULL quality, not as a schema error")
+    assert(merged.filter(F.col("doc_id") === 2L).select("quality")
+      .collect().head.getDouble(0) === 0.9)
+  }
 }
