@@ -1292,6 +1292,75 @@ object Similarity {
     } finally base.unpersist()
   }
 
+  /** Johnson-Lindenstrauss random-projection recall curve — how much
+    * nearest-neighbor structure survives projecting the 64-dim
+    * embeddings onto `widths` deterministic integer hyperplanes (the
+    * same md5-derived planes the LSH tier buckets with, used here as a
+    * dense sketch instead of sign bits): for each query, exact-L2
+    * top-`k` truth on the quantized vectors vs L2 top-`k` in each
+    * projected space, hits per width. The evidence panel behind "can I
+    * ship 4× smaller vectors" — the JL cousin of [[dimRecallCurve]]'s
+    * prefix truncation (projection mixes all dims, truncation keeps a
+    * prefix).
+    *
+    * All integer: projections are codegen dot products against plane
+    * literals (|proj| ≤ 64·1000·1000), distances stay under 2^62, so
+    * the oracle replays planes, projections and both rankings exactly.
+    *
+    * Scale shape: projection is map-only against broadcast plane
+    * literals; each ranking is the broadcast-queries × corpus scan with
+    * a per-query bounded top-k — the [[bruteForceTopK]] shape, once per
+    * width, each reduced to a hits row by a semi-join. The eval set is
+    * bounded; the corpus is never joined to itself.
+    */
+  def rpRecallCurve(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      widths: Seq[Int] = Seq(8, 16),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(widths.nonEmpty && widths.forall(w => w >= 1 && w <= 32), "widths in [1,32]")
+    val session = corpus.sparkSession
+    graft.GraftFunctions.register(session)
+    def quant(df: DataFrame, as: String) = df.select(
+      F.col(idCol).cast("long").as(as),
+      VectorFunctions.quantize(F.col(vecCol)).as(s"__v_$as"))
+    val c = quant(corpus, "neighbor_id")
+    val q = broadcastIfSmall(quant(queries, "query_id"), 100000L)
+    // exact-L2 top-k on a (query, candidate) pair stream, ties to id
+    def topkByL2(pairs: DataFrame, dist: Column): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(dist.asc, F.col("neighbor_id").asc)
+      pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    val joined = q.join(c, F.col("query_id") =!= F.col("neighbor_id"))
+    def l2(a: Column, b: Column): Column =
+      VectorFunctions.dotL(a, a) - F.lit(2L) * VectorFunctions.dotL(a, b) +
+        VectorFunctions.dotL(b, b)
+    val truth = topkByL2(joined, l2(F.col("__v_query_id"), F.col("__v_neighbor_id")))
+    val hitCols = widths.map { wd =>
+      val planesLit = (0 until wd).map(sd => F.typedlit(plane(64, sd)))
+      def projArr(v: Column): Column =
+        F.array(planesLit.map(p => VectorFunctions.dotL(v, p)): _*)
+      val projected = joined
+        .withColumn("__pq", projArr(F.col("__v_query_id")))
+        .withColumn("__pc", projArr(F.col("__v_neighbor_id")))
+      val d2 = F.aggregate(
+        F.zip_with(F.col("__pq"), F.col("__pc"), (x, y) => (x - y) * (x - y)),
+        F.lit(0L), (acc, v) => acc + v)
+      val rp = topkByL2(projected, d2)
+      truth.join(rp, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(F.count(F.lit(1)).as(s"hits_p$wd"))
+    }
+    hitCols.foldLeft(q.select(F.col("query_id"))) { (acc, h) =>
+      acc.join(h, Seq("query_id"), "left")
+    }.select(F.col("query_id") +: widths.map(wd =>
+      F.coalesce(F.col(s"hits_p$wd"), F.lit(0L)).as(s"hits_p$wd")): _*)
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98)
     * — diversify a retrieval result so the top-k aren't k copies of the
     * same best match: greedily pick the candidate maximizing

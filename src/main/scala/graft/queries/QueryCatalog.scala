@@ -6023,6 +6023,74 @@ object QueryCatalog {
        |FROM documents GROUP BY 1, 2 ORDER BY len_bucket, q_bucket""".stripMargin
   }
 
+  /** Incremental panel maintenance graded against the FULL recompute:
+    * the source-health panel computed on the standing corpus
+    * (doc_id < 400), then on the arriving batch, then sum-merged —
+    * the additive-matview update a daily pipeline applies instead of
+    * rescanning history. Same oracle SQL as q_source_health, so the
+    * gate proves increment ≡ recompute, column for column. (Counts and
+    * conditional counts are the associative-merge case; non-additive
+    * panels need the state-store pattern, see q_health_stream.)
+    */
+  private def qHealthIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val panel = (d: DataFrame) => graft.operators.Corpus.sourceHealth(d)
+    panel(docs.filter(F.col("doc_id") < 400))
+      .unionByName(panel(docs.filter(F.col("doc_id") >= 400)))
+      .groupBy("source")
+      .agg(F.sum("n_docs").as("n_docs"), F.sum("n_tokens").as("n_tokens"),
+        F.sum("n_short").as("n_short"), F.sum("n_low_q").as("n_low_q"),
+        F.sum("n_en").as("n_en"))
+      .orderBy("source")
+  }
+
+  /** JL random-projection recall curve
+    * ([[graft.operators.Similarity.rpRecallCurve]]): exact-L2 top-5
+    * truth vs L2 in md5-plane-projected 8-dim and 16-dim sketches,
+    * hits per query — the dense-projection sibling of q_dim_recall.
+    * The oracle replays planes, projections and both rankings.
+    */
+  private def qRpRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.rpRecallCurve(emb, emb.filter(F.col("vec_id") < 10))
+      .orderBy("query_id")
+  }
+
+  private val qRpRecallSql =
+    s"""WITH ${lshOracleCtes(16)},
+       |tpairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    unnest(q.qv) AS x, unnest(c.qv) AS y
+       |  FROM quant q CROSS JOIN quant c
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |td AS (SELECT query_id, neighbor_id, CAST(SUM((x-y)*(x-y)) AS BIGINT) AS d2
+       |  FROM tpairs GROUP BY query_id, neighbor_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rn
+       |  FROM td) WHERE rn <= 5),
+       |rpd AS (
+       |  SELECT pq.vec_id AS query_id, pc.vec_id AS neighbor_id, pq.seed,
+       |    (pq.proj - pc.proj) * (pq.proj - pc.proj) AS dd
+       |  FROM proj pq JOIN proj pc ON pq.seed = pc.seed
+       |  WHERE pq.vec_id < 10 AND pc.vec_id <> pq.vec_id),
+       |hits AS (
+       |  SELECT 8 AS wd, query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY SUM(CASE WHEN seed < 8 THEN dd ELSE 0 END) ASC, neighbor_id ASC) AS rn
+       |    FROM rpd GROUP BY query_id, neighbor_id) WHERE rn <= 5
+       |  UNION ALL
+       |  SELECT 16 AS wd, query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY SUM(dd) ASC, neighbor_id ASC) AS rn
+       |    FROM rpd GROUP BY query_id, neighbor_id) WHERE rn <= 5)
+       |SELECT t.query_id,
+       |  CAST(COUNT(CASE WHEN h.wd = 8 THEN 1 END) AS BIGINT) AS hits_p8,
+       |  CAST(COUNT(CASE WHEN h.wd = 16 THEN 1 END) AS BIGINT) AS hits_p16
+       |FROM truth t
+       |LEFT JOIN hits h ON h.query_id = t.query_id AND h.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6197,7 +6265,9 @@ object QueryCatalog {
     Q("q_embed_stats", wrap(qEmbedStats), Some(qEmbedStatsSql)),
     Q("q_char_entropy", wrap(qCharEntropy), Some(qCharEntropySql)),
     Q("q_topic_mix", wrap(qTopicMix), Some(qTopicMixSql)),
-    Q("q_len_quality", wrap(qLenQuality), Some(qLenQualitySql)))
+    Q("q_len_quality", wrap(qLenQuality), Some(qLenQualitySql)),
+    Q("q_health_incr", wrap(qHealthIncr), Some(qSourceHealthSql)),
+    Q("q_rp_recall", wrap(qRpRecall), Some(qRpRecallSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
