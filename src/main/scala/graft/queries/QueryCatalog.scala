@@ -6091,6 +6091,93 @@ object QueryCatalog {
        |LEFT JOIN hits h ON h.query_id = t.query_id AND h.neighbor_id = t.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
+  /** PERCENT_RANK / CUME_DIST window family, graded exactly by
+    * projecting both to milli integers ((rn−1)·1000 div (n−1) and
+    * rn_peak·1000 div n on the deterministic (spend, user) order):
+    * each user's spend percentile within their busiest event type —
+    * the leaderboard-normalization window not yet in the window-suite
+    * (rank/ntile/lead/range/running are). One window stage, one
+    * shuffle, partitioned by event type.
+    */
+  private def qWindowPct(s: SparkSession, dir: String): DataFrame = {
+    val spend = events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(F.sum(F.floor(F.col("value").cast("double") * 100).cast(LongType))
+        .as("cents"))
+    val ord = Window.partitionBy("event_type")
+      .orderBy(F.col("cents").asc, F.col("user_id").asc)
+    val part = Window.partitionBy("event_type")
+    spend
+      .withColumn("rn", F.row_number().over(ord).cast(LongType))
+      .withColumn("n", F.count(F.lit(1)).over(part))
+      // cume_dist ties: peers share the highest row number of the peer
+      // group on the VALUE order (user tie-break only positions rn)
+      .withColumn("rn_peak",
+        F.max("rn").over(Window.partitionBy("event_type", "cents")))
+      .select(F.col("event_type"), F.col("user_id"), F.col("cents"),
+        F.expr("(rn - 1) * 1000 div (n - 1)").as("pct_rank_milli"),
+        F.expr("rn_peak * 1000 div n").as("cume_milli"))
+      .orderBy("event_type", "user_id")
+  }
+
+  private val qWindowPctSql =
+    """WITH spend AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY event_type, user_id),
+      |r AS (
+      |  SELECT event_type, user_id, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, user_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM spend),
+      |p AS (SELECT *, MAX(rn) OVER (PARTITION BY event_type, cents) AS rn_peak FROM r)
+      |SELECT event_type, user_id, cents,
+      |  CAST((rn - 1) * 1000 // (n - 1) AS BIGINT) AS pct_rank_milli,
+      |  CAST(rn_peak * 1000 // n AS BIGINT) AS cume_milli
+      |FROM p ORDER BY event_type, user_id""".stripMargin
+
+  /** Near-dup cluster-size histogram: how big do duplicate clusters
+    * get — the shape that decides keep-one vs quota dedup. Component
+    * labels from the q_dedup_clusters pair graph, rolled to
+    * (size, n_clusters); the oracle replays shingling, the Jaccard
+    * pair cut, the recursive closure and the rollup.
+    */
+  private def qClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(F.col("doc_id") < 1000),
+        n = 3, lengthPruneRatio = Some((1, 5)))
+      .filter(F.col("inter") * 5 >= F.col("uni"))
+      .select("a", "b")
+    Dedup.connectedComponents(pairs)
+      .groupBy("label").agg(F.count(F.lit(1)).as("size"))
+      .groupBy("size").agg(F.count(F.lit(1)).as("n_clusters"))
+      .orderBy("size")
+  }
+
+  private val qClusterSizesSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents WHERE doc_id < 1000),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+      |  END AS shingles FROM toks),
+      |dsh AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
+      |ex AS (SELECT doc_id, len(shingles) AS m, unnest(shingles) AS sgl FROM dsh),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.m, b.m
+      |  HAVING COUNT(*) * 5 >= a.m + b.m - COUNT(*)),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      |lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+      |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM lab GROUP BY cluster_id)
+      |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      |FROM cs GROUP BY size ORDER BY size""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6267,7 +6354,9 @@ object QueryCatalog {
     Q("q_topic_mix", wrap(qTopicMix), Some(qTopicMixSql)),
     Q("q_len_quality", wrap(qLenQuality), Some(qLenQualitySql)),
     Q("q_health_incr", wrap(qHealthIncr), Some(qSourceHealthSql)),
-    Q("q_rp_recall", wrap(qRpRecall), Some(qRpRecallSql)))
+    Q("q_rp_recall", wrap(qRpRecall), Some(qRpRecallSql)),
+    Q("q_window_pct", wrap(qWindowPct), Some(qWindowPctSql)),
+    Q("q_cluster_sizes", wrap(qClusterSizes), Some(qClusterSizesSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
