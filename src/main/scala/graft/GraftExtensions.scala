@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("gram_stats", "gram_stats(arr) - struct(n_distinct, max_freq) of a string array"),
       (exprs: Seq[Expression]) => graft.functions.GramStats(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("ilog2_fp"),
+      info("ilog2_fp", "ilog2_fp(x, fracBits) - fixed-point integer log2(x) * 2^fracBits"),
+      (exprs: Seq[Expression]) => graft.functions.Ilog2Fp(
+        exprs.head, GraftFunctions.intLitOf(exprs(1)))))
+    e.injectFunction((
       FunctionIdentifier("script_counts"),
       info("script_counts", "script_counts(text) - per-Unicode-script codepoint counts struct"),
       (exprs: Seq[Expression]) => graft.functions.ScriptCounts(exprs.head)))

@@ -6178,6 +6178,28 @@ object QueryCatalog {
       |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
       |FROM cs GROUP BY size ORDER BY size""".stripMargin
 
+  /** Day-of-week seasonality panel: event counts and cent totals per
+    * (type, weekday) — the weekly-rhythm baseline an anomaly alert is
+    * judged against (epoch day 0 is a Thursday, hence the +4).
+    * Map-side bucket arithmetic into a 35-cell partial agg; 31 distinct
+    * counts at sf0.01.
+    */
+  private def qDowProfile(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(F.col("event_type"),
+        F.expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.floor(F.col("value").cast("double") * 100).cast(LongType))
+          .as("cents"))
+      .orderBy("event_type", "dow")
+
+  private val qDowProfileSql =
+    """SELECT event_type,
+      |  CAST(((epoch_ns(ts) // 86400000000000) + 4) % 7 AS BIGINT) AS dow,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6356,7 +6378,8 @@ object QueryCatalog {
     Q("q_health_incr", wrap(qHealthIncr), Some(qSourceHealthSql)),
     Q("q_rp_recall", wrap(qRpRecall), Some(qRpRecallSql)),
     Q("q_window_pct", wrap(qWindowPct), Some(qWindowPctSql)),
-    Q("q_cluster_sizes", wrap(qClusterSizes), Some(qClusterSizesSql)))
+    Q("q_cluster_sizes", wrap(qClusterSizes), Some(qClusterSizesSql)),
+    Q("q_dow_profile", wrap(qDowProfile), Some(qDowProfileSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
