@@ -6200,6 +6200,40 @@ object QueryCatalog {
       |  CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Aggregated retention curve: share of users active d days after
+    * their FIRST event (any cohort) in exact milli — the single-line
+    * summary read next to q_cohort's per-cohort matrix. First-touch
+    * anchors reduce per user before the offset join; activity dedups
+    * to (user, offset) before counting; the user total is a 1-row
+    * broadcast. 16 distinct activity levels over 30 offsets at sf0.01.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val day = F.expr("unix_micros(ts) div 86400000000")
+    val first = ev.groupBy("user_id").agg(F.min(day).as("d0"))
+    val nUsers = first.agg(F.count(F.lit(1)).as("nu"))
+    ev.select(F.col("user_id"), day.as("d"))
+      .join(first, Seq("user_id"))
+      .select(F.col("user_id"), (F.col("d") - F.col("d0")).as("day_offset"))
+      .distinct()
+      .groupBy("day_offset")
+      .agg(F.count(F.lit(1)).as("n_users"))
+      .crossJoin(F.broadcast(nUsers))
+      .select(F.col("day_offset"), F.col("n_users"),
+        F.expr("n_users * 1000 div nu").as("share_milli"))
+      .orderBy("day_offset")
+  }
+
+  private val qRetentionSql =
+    """WITH f AS (SELECT user_id, MIN(epoch_ns(ts) // 86400000000000) AS d0
+      |  FROM events GROUP BY user_id),
+      |act AS (SELECT DISTINCT e.user_id, epoch_ns(e.ts) // 86400000000000 - f.d0 AS offs
+      |  FROM events e JOIN f ON f.user_id = e.user_id),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM f)
+      |SELECT CAST(offs AS BIGINT) AS day_offset, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) * 1000 // (SELECT nu FROM n) AS BIGINT) AS share_milli
+      |FROM act GROUP BY offs ORDER BY offs""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6379,7 +6413,8 @@ object QueryCatalog {
     Q("q_rp_recall", wrap(qRpRecall), Some(qRpRecallSql)),
     Q("q_window_pct", wrap(qWindowPct), Some(qWindowPctSql)),
     Q("q_cluster_sizes", wrap(qClusterSizes), Some(qClusterSizesSql)),
-    Q("q_dow_profile", wrap(qDowProfile), Some(qDowProfileSql)))
+    Q("q_dow_profile", wrap(qDowProfile), Some(qDowProfileSql)),
+    Q("q_retention", wrap(qRetention), Some(qRetentionSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
