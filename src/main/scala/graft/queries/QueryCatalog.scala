@@ -6234,6 +6234,76 @@ object QueryCatalog {
       |  CAST(COUNT(*) * 1000 // (SELECT nu FROM n) AS BIGINT) AS share_milli
       |FROM act GROUP BY offs ORDER BY offs""".stripMargin
 
+  /** Event-transition matrix: consecutive-pair counts per user stream
+    * (lead over the deterministic (ts, event_id) order) — the Markov
+    * backbone behind next-action prediction and funnel leak hunting.
+    * One window whose partition is the per-user event stream, one
+    * 25-cell partial agg; 21 distinct counts at sf0.01.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .withColumn("to_type", F.lead("event_type", 1).over(w))
+      .filter(F.col("to_type").isNotNull)
+      .groupBy(F.col("event_type").as("from_type"), F.col("to_type"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val qTransitionsSql =
+    """WITH o AS (SELECT user_id, event_type,
+      |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events)
+      |SELECT event_type AS from_type, nxt AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Robust (median/MAD) outlier panel per event type — the
+    * spike-resistant sibling of q_anomaly's z-scores: exact rank-pick
+    * median of cent values, exact rank-pick MAD of the absolute
+    * deviations, and the |dev| > 3·MAD outlier count, all integers.
+    * Two windows over per-type partitions (never global), one
+    * |types|-row rollup; all five rows distinct at sf0.01.
+    */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(F.col("event_type"), F.col("event_id"),
+      F.floor(F.col("value").cast("double") * 100).cast(LongType).as("cents"))
+    val wn = Window.partitionBy("event_type")
+    def rankPick(df: DataFrame, valCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(F.col(valCol).asc, F.col("event_id").asc)
+      df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("event_type"), F.col(valCol).as(out))
+    }
+    val med = rankPick(ev, "cents", "med")
+    val dev = ev.join(med, Seq("event_type"))
+      .withColumn("ad", F.abs(F.col("cents") - F.col("med")))
+    val mad = rankPick(dev.select("event_type", "event_id", "ad"), "ad", "mad")
+    dev.join(mad, Seq("event_type"))
+      .groupBy("event_type", "med", "mad")
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.when(F.col("ad") > F.lit(3L) * F.col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val qMadOutliersSql =
+    """WITH c AS (SELECT event_type, event_id, CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents FROM events),
+      |r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM c),
+      |med AS (SELECT event_type, cents AS med FROM r1 WHERE rn = (n+1)//2),
+      |dev AS (SELECT c.event_type, c.event_id, c.cents, abs(c.cents - m.med) AS ad, m.med
+      |  FROM c JOIN med m ON m.event_type = c.event_type),
+      |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM dev),
+      |mad AS (SELECT event_type, ad AS mad FROM r2 WHERE rn = (n+1)//2)
+      |SELECT d.event_type, d.med, m.mad,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(CASE WHEN d.ad > 3 * m.mad THEN 1 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m ON m.event_type = d.event_type
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6414,7 +6484,9 @@ object QueryCatalog {
     Q("q_window_pct", wrap(qWindowPct), Some(qWindowPctSql)),
     Q("q_cluster_sizes", wrap(qClusterSizes), Some(qClusterSizesSql)),
     Q("q_dow_profile", wrap(qDowProfile), Some(qDowProfileSql)),
-    Q("q_retention", wrap(qRetention), Some(qRetentionSql)))
+    Q("q_retention", wrap(qRetention), Some(qRetentionSql)),
+    Q("q_transitions", wrap(qTransitions), Some(qTransitionsSql)),
+    Q("q_mad_outliers", wrap(qMadOutliers), Some(qMadOutliersSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
