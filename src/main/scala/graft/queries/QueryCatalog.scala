@@ -6304,6 +6304,42 @@ object QueryCatalog {
       |FROM dev d JOIN mad m ON m.event_type = d.event_type
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  /** DAU/WAU stickiness panel: daily actives, 7-day-window distinct
+    * actives, and their exact milli ratio — the engagement line every
+    * product dashboard opens with. Activity first dedups to
+    * (day, user); the sliding distinct joins the calendar-bounded day
+    * spine (broadcast) to at most 7 activity days per spine row — the
+    * exact formulation; at extreme user counts swap the distinct for
+    * mergeable HLL sketches per day (the q_approx_distinct kernel).
+    */
+  private def qDauWau(s: SparkSession, dir: String): DataFrame = {
+    val du = events(s, dir)
+      .select(F.expr("unix_micros(ts) div 86400000000").as("day"),
+        F.col("user_id"))
+      .distinct()
+    val days = du.select("day").distinct()
+    val dau = du.groupBy("day").agg(F.count(F.lit(1)).as("dau"))
+    val wau = F.broadcast(days.withColumnRenamed("day", "d")).join(du,
+        F.col("day").between(F.col("d") - 6, F.col("d")))
+      .groupBy(F.col("d").as("day"))
+      .agg(F.countDistinct("user_id").as("wau"))
+    days.join(dau, Seq("day")).join(wau, Seq("day"))
+      .select(F.col("day"), F.col("dau"), F.col("wau"),
+        F.expr("dau * 1000 div wau").as("stickiness_milli"))
+      .orderBy("day")
+  }
+
+  private val qDauWauSql =
+    """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+      |wau AS (SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY d.day)
+      |SELECT CAST(d.day AS BIGINT) AS day, a.dau, w.wau,
+      |  CAST(a.dau * 1000 // w.wau AS BIGINT) AS stickiness_milli
+      |FROM days d JOIN dau a ON a.day = d.day JOIN wau w ON w.day = d.day
+      |ORDER BY d.day""".stripMargin
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6486,7 +6522,8 @@ object QueryCatalog {
     Q("q_dow_profile", wrap(qDowProfile), Some(qDowProfileSql)),
     Q("q_retention", wrap(qRetention), Some(qRetentionSql)),
     Q("q_transitions", wrap(qTransitions), Some(qTransitionsSql)),
-    Q("q_mad_outliers", wrap(qMadOutliers), Some(qMadOutliersSql)))
+    Q("q_mad_outliers", wrap(qMadOutliers), Some(qMadOutliersSql)),
+    Q("q_dau_wau", wrap(qDauWau), Some(qDauWauSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
