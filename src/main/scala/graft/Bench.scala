@@ -223,6 +223,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = withStreamDedup.map(_._2).filterNot(_.isNaN).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: the driver captures only the stdout TAIL, which has
+    // truncated the first ~90 per-query timings in past rounds. The
+    // engine persists its own complete report (per-query min-of-2 plus
+    // the config that produced it) so no round's numbers depend on a
+    // scrollback buffer.
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"entries":${withStreamDedup.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val outPath = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.writeString(outPath, full + "\n")
   }
 }

@@ -103,6 +103,11 @@ object Sessions {
     * buffer). The sort spills through Spark's external sorter, which is
     * exactly the machinery built for this. Same recurrence as the
     * streaming twin [[graft.streaming.Streams.streamingEwma]].
+    *
+    * Key-type contract: `keyCol` MUST be an integral column (it is
+    * carried through the per-partition fold as a long). A string or
+    * fractional key would null-cast or collapse groups silently, so the
+    * requirement is enforced with a hard `require` up front instead.
     */
   def ewmaByKey(
       events: DataFrame,
@@ -115,6 +120,15 @@ object Sessions {
     val den = 1L << shift
     require(shift >= 1 && shift <= 32 && num >= 1 && num < den,
       "need 1 <= num < 2^shift")
+    events.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ewmaByKey requires an integral key column; $keyCol is $other " +
+          "(string/fractional keys would null-cast or merge silently)")
+    }
     val spark = events.sparkSession
     import spark.implicits._
     val prepared = events

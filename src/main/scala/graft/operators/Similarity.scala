@@ -217,6 +217,13 @@ object Similarity {
     * the byte-grid code table against broadcast coded queries with the
     * bounded topk_pairs aggregate (k-element sketches per query cross
     * the shuffle, never the scored pairs).
+    *
+    * Magnitude contract: ranking passes the negated BIGINT L2² through
+    * topk_pairs' double score, which is exact only below 2^53. With the
+    * x1000 quantizer a dim contributes ≤(2·|x|·1000)² per term, so
+    * unit-scale embeddings (|x|≤~30, dims≤~4096) stay far under the
+    * bound — enforced by a require on the per-dim span below rather
+    * than assumed.
     */
   def sq8TopK(
       corpus: DataFrame,
@@ -228,6 +235,12 @@ object Similarity {
       maxBroadcastQueries: Long = 100000L): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
     val (mns, mxs) = sq8Stats(corpus, vecCol)
+    // worst-case L2² is Σ span_i²; it must sit below 2^53 so the
+    // negated-distance double ranking stays exact (see Scaladoc)
+    val worstL2 = mns.zip(mxs).map { case (a, b) => BigInt(b - a).pow(2) }.sum
+    require(worstL2 <= (BigInt(1) << 53),
+      s"sq8TopK: worst-case L2^2 $worstL2 exceeds 2^53; double ranking " +
+        "would lose exactness — rescale the embeddings")
     val spanL = F.typedlit(mns.zip(mxs).map { case (a, b) => b - a })
     // decoded reconstruction per ROW (the mn offset cancels pairwise);
     // floor(x/254.0) is exact integer division at these magnitudes

@@ -65,7 +65,7 @@ object Skew {
     * join/aggregation needs [[saltedAgg]]/[[saltedJoin]] at all: per
     * group, the key count, row count, hottest key's rows, the top-k
     * keys' combined rows, and their exact milli share of the group.
-    * Read it per snapshot; a top10_share_milli drifting toward 1000
+    * Read it per snapshot; a topk_share_milli drifting toward 1000
     * means the hot keys are about to own a reducer.
     *
     * Scale shape: the per-key counts partial-aggregate BEFORE anything

@@ -459,8 +459,12 @@ object Streams {
               s = SessionState(s.count + 1, math.min(s.start, t), math.max(s.last, t))
             }
             state.update(s)
-            // the timeout clock is milliseconds; floor the micro last
-            state.setTimeoutTimestamp(Math.floorDiv(s.last, 1000L) + gapMs)
+            // the timeout clock is milliseconds; CEIL the micro last so
+            // the timeout never fires before the exact microsecond gap
+            // horizon (a late timeout is harmless — the per-event gap
+            // check still splits; an early one could close a session an
+            // in-gap event should have extended)
+            state.setTimeoutTimestamp(Math.floorDiv(s.last + 999L, 1000L) + gapMs)
             closed.iterator
           }
       }
