@@ -1037,6 +1037,14 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val (_, cov) = coveredPositions(docs, n, minDocs, textCol, idCol)
+    mergeCoveredRuns(cov)
+  }
+
+  /** Gaps-and-islands merge of a DISTINCT (doc_id, pos) covered set
+    * into maximal (doc_id, run_start, run_len) runs — the shared tail
+    * of [[duplicatedRuns]] and [[duplicatedRunsChar]].
+    */
+  private def mergeCoveredRuns(cov: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     cov
@@ -1045,6 +1053,55 @@ object Dedup {
       .agg(F.min("pos").cast("long").as("run_start"),
         F.count(F.lit(1)).as("run_len"))
       .select("doc_id", "run_start", "run_len")
+  }
+
+  /** CHARACTER-level maximal duplicated runs — [[duplicatedRuns]]'
+    * tokenization-blind tier: documents normalize to a bare character
+    * stream (lowercase, every non-letter/non-digit removed, so
+    * whitespace and punctuation variants of the same copy collapse),
+    * char `n`-grams appearing in >= `minDocs` DISTINCT documents mark
+    * their covered positions, and adjacent covered positions merge into
+    * maximal (doc_id, run_start, run_len) runs over the NORMALIZED
+    * stream. Catches exactly what the word-gram tier provably misses:
+    * cross-document copies that differ only in tokenization
+    * (punctuation/whitespace variants, scripts that don't
+    * whitespace-tokenize) and blocks shorter than `n` words — the
+    * standard next rung (suffix-array-style exact-substring dedup)
+    * after word-gram dedup in training-data pipelines.
+    *
+    * Scale shape: the gram explode is `n`× the normalized text bytes —
+    * the known cost of substring-level dedup (production runs hash the
+    * gram; here the literal gram rides the one partial-aggregated
+    * shuffle so the oracle replays bit-for-bit). Everything after the
+    * df cut touches only the duplicated TAIL (sparse by definition):
+    * a semi-join on the gram, one per-doc window over covered positions,
+    * one bounded aggregate. Raw text never shuffles.
+    */
+  def duplicatedRunsChar(
+      docs: DataFrame,
+      n: Int = 20,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2 && minDocs >= 2, "n >= 2, minDocs >= 2")
+    val norm = F.regexp_replace(F.lower(F.col(textCol)), "[^\\p{L}\\p{N}]", "")
+    val withS = docs.select(F.col(idCol).cast("long").as("doc_id"), norm.as("__s"))
+    val s = F.col("__s")
+    val grams = F.when(F.length(s) >= n,
+      F.transform(F.sequence(F.lit(0), F.length(s) - n),
+        p => F.struct(p.as("p"), s.substr(p + 1, F.lit(n)).as("gram"))))
+      .otherwise(F.array().cast("array<struct<p:int,gram:string>>"))
+    val ge = withS.select(F.col("doc_id"), F.explode(grams).as("g"))
+      .select(F.col("doc_id"), F.col("g.p").as("p"), F.col("g.gram").as("gram"))
+    val dupGrams = ge.groupBy("gram")
+      .agg(F.countDistinct(F.col("doc_id")).as("df"))
+      .filter(F.col("df") >= minDocs)
+      .select("gram")
+    val cov = ge.join(dupGrams, Seq("gram"), "leftsemi")
+      .select(F.col("doc_id"),
+        F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).as("pos"))
+      .distinct()
+    mergeCoveredRuns(cov)
   }
 
   /** QUOTA dedup — the keep-list policy between "drop all but one" and

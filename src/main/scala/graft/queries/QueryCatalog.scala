@@ -1498,6 +1498,38 @@ object QueryCatalog {
       |  CAST(COUNT(*) AS BIGINT) AS run_len
       |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, run_start""".stripMargin
 
+  /** Character-level maximal duplicated runs graded end to end:
+    * documents normalize to a bare lowercase letter/digit stream, char
+    * 20-grams shared by >= 2 documents mark covered positions, and
+    * adjacent positions merge into maximal runs (sf0.01: 376 runs,
+    * lengths 20-434 — discriminative). The tier that catches
+    * punctuation/whitespace-variant copies the word-gram tier
+    * ([[qDupRuns]]) provably misses; the miss itself is pinned in
+    * OperatorsSpec with a planted 200-char variant block.
+    */
+  private def qDupRunsChar(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedRunsChar(t(s, dir, "documents"), n = 20, minDocs = 2)
+      .orderBy("doc_id", "run_start")
+
+  private val qDupRunsCharSql =
+    """WITH norm AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '[^\p{L}\p{N}]', '', 'g') AS s
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, p - 1 AS p, substr(s, p, 20) AS g
+      |  FROM norm, unnest(generate_series(1, length(s) - 19)) AS t(p)
+      |  WHERE length(s) >= 20),
+      |gdf AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+      |dup AS (SELECT doc_id, p FROM grams JOIN gdf USING (g) WHERE df >= 2),
+      |cov AS (SELECT DISTINCT doc_id, p + o AS pos FROM dup, unnest(generate_series(0, 19)) AS oo(o)),
+      |runs AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM cov)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS run_start,
+      |  CAST(COUNT(*) AS BIGINT) AS run_len
+      |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, run_start""".stripMargin
+
   /** Intra-document repetition removal, graded end to end: block dedup
     * keeps the first occurrence of each distinct 10-token block and the
     * cleaned text travels as an md5 digest — the within-page
@@ -6384,6 +6416,7 @@ object QueryCatalog {
     Q("q_dup_spans", wrap(qDupSpans), Some(qDupSpansSql)),
     Q("q_span_remove", wrap(qSpanRemove), Some(qSpanRemoveSql)),
     Q("q_dup_runs", wrap(qDupRuns), Some(qDupRunsSql)),
+    Q("q_dup_runs_char", wrap(qDupRunsChar), Some(qDupRunsCharSql)),
     Q("q_seg_dedup", wrap(qSegDedup), Some(qSegDedupSql)),
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),

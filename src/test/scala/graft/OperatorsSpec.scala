@@ -1455,6 +1455,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Array((0L, 2L, 9L), (1L, 0L, 9L)))
   }
 
+  test("duplicatedRunsChar recovers a punctuation-variant block token dedup misses") {
+    // docs 0 and 1 carry the SAME 200+-char block, but doc 1 attaches a
+    // comma to every word — so no whitespace token matches and the
+    // word-5-gram tier finds NOTHING; the char tier must normalize the
+    // punctuation away and recover the block as ONE maximal run per doc
+    val words = (1 to 40).map(i => f"blockword$i%02d")
+    val blockA = words.mkString(" ")           // plain spaces
+    val blockB = words.mkString(", ") + ","    // comma-variant copy
+    val docs = Seq(
+      (0L, s"prefixzeroalphaqq $blockA qqzerotailomega"),
+      (1L, s"prefixoneuniquezz $blockB zzonetailunique"),
+      (2L, "entirely unrelated filler content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    // the word tier provably misses the variant copy
+    assert(graft.operators.Dedup.duplicatedRuns(docs, n = 5, minDocs = 2)
+      .count() === 0L)
+    val out = graft.operators.Dedup
+      .duplicatedRunsChar(docs, n = 20, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // normalized block is identical for both docs: one run each, full length
+    val normBlock = blockA.toLowerCase.replaceAll("[^\\p{L}\\p{N}]", "")
+    assert(normBlock.length >= 200, s"planted block too short: ${normBlock.length}")
+    val prefixLen = "prefixzeroalphaqq".length
+    assert(out.length === 2, s"expected one run per doc, got ${out.mkString(",")}")
+    assert(out(0) === ((0L, prefixLen.toLong, normBlock.length.toLong)))
+    assert(out(1)._3 === normBlock.length.toLong)
+  }
+
   test("hardNegatives returns only wrong-label neighbors, nearest first") {
     val rows = Seq(
       (0L, Array(1.0f, 0f), 1), (1L, Array(0.99f, 0f), 1), // same label as query
