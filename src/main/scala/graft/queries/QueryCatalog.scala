@@ -5594,6 +5594,46 @@ object QueryCatalog {
       |JOIN customer c ON c.c_custkey = o.o_custkey
       |ORDER BY totalprice_e2 DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** JDBC sink graded end to end (reference S3, the distributed load
+    * path of src/insert_postgres.py:13-22): a deterministic 1000-row
+    * orders slice writes through [[graft.sources.JdbcSink]] into an
+    * embedded Derby database (same Spark JDBC write path as the
+    * reference's Postgres target — no Postgres server ships in this
+    * environment) and the graded rows are the JDBC READ-BACK, so
+    * dialect schema mapping, connection-capped batching, and value
+    * fidelity all sit on the graded path. The oracle grades the same
+    * slice straight from parquet: any sink-side corruption diverges.
+    * Columns stay BIGINT/VARCHAR (money pre-quantized to e2 cents) so
+    * no engine-specific numeric coercion can blur the comparison.
+    */
+  private def qJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    System.setProperty("derby.stream.error.file",
+      System.getProperty("java.io.tmpdir") + "/graft-derby.log")
+    val db = java.nio.file.Files.createTempDirectory("graft-jdbc-rt").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    val slice = t(s, dir, "orders")
+      .filter(F.col("o_orderkey") < 1000)
+      .select(F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
+        (dec("o_totalprice") * 100).cast(LongType).as("totalprice_e2"),
+        F.col("o_orderpriority"))
+    graft.sources.JdbcSink.write(slice, url, "orders_rt", user = "app",
+      password = "app", driver = drv,
+      mode = org.apache.spark.sql.SaveMode.Overwrite,
+      numPartitions = 4, extraOptions = Map.empty)
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", "orders_rt")
+      .option("user", "app").option("password", "app").option("driver", drv)
+      .load()
+      .orderBy("o_orderkey")
+  }
+
+  private val qJdbcRoundtripSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_e2,
+      |  o_orderpriority
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
+
   /** Retrieval-quality MRR eval: where each of the TRUE top-5 neighbors
     * (brute quantized-dot) lands in the multi-table LSH top-10, as
     * reciprocal rank in exact milli units (1000 div rank; 0 = missed
@@ -6535,6 +6575,7 @@ object QueryCatalog {
     Q("q_winsorize", wrap(qWinsorize), Some(qWinsorizeSql)),
     Q("q_source_kl", wrap(qSourceKl), Some(qSourceKlSql)),
     Q("q_big_orders", wrap(qBigOrders), Some(qBigOrdersSql)),
+    Q("q_jdbc_roundtrip", wrap(qJdbcRoundtrip), Some(qJdbcRoundtripSql)),
     Q("q_ann_mrr", wrap(qAnnMrr), Some(qAnnMrrSql)),
     Q("q_health_stream", wrap(qHealthStream), Some(qSourceHealthSql)),
     Q("q_date_gaps", wrap(qDateGaps), Some(qDateGapsSql)),
