@@ -267,6 +267,51 @@ object Retrieval {
     subwordCountsFromVocab(docs, vocab, textCol, idCol)
   }
 
+  /** Word-level BPE codec table — the id-space half of the tokenizer:
+    * train `merges` steps, number the final SYMBOL inventory (id =
+    * rank by symbol — the inventory is genuinely model-sized, base
+    * characters plus at most `merges` merged symbols, so the unpinned
+    * rank window runs over at most |alphabet|+merges rows), encode
+    * every vocabulary word as its subword-id sequence, then DECODE by
+    * joining the ids BACK to symbols and reassembling in position
+    * order. Output per word: (w, n_ids, sum_ids, decoded) where
+    * `decoded` is rebuilt from ids alone — the round-trip law
+    * decode(encode(w)) == w is pinned as a property in PropertySpec
+    * and graded corpus-wide by q_bpe_decode.
+    *
+    * Scale shape: everything here is vocabulary-sized (the corpus
+    * reduced once inside [[bpeCore]]); the symbol inventory broadcasts
+    * both ways and the reassembly aggregate is bounded by each word's
+    * own subword count.
+    */
+  def bpeWordCodec(
+      docs: DataFrame,
+      merges: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val sep2 = "\u0001\u0001"
+    val vocab = bpeCore(docs, merges, textCol)._2
+    val wsy = vocab.select(F.col("w"),
+      F.split(F.expr("substring(enc, 2, length(enc) - 2)"), sep2).as("syms"))
+    val inv = wsy.select(F.explode(F.col("syms")).as("sym")).distinct()
+      .withColumn("sid", F.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("sym")).cast("long"))
+    // encode: (w, pos, sid) — the original symbol is DROPPED here so the
+    // decode below genuinely reconstructs from ids only
+    val encoded = wsy
+      .select(F.col("w"), F.posexplode(F.col("syms")).as(Seq("pos", "sym")))
+      .join(F.broadcast(inv), Seq("sym"))
+      .select("w", "pos", "sid")
+    encoded
+      .join(F.broadcast(inv), Seq("sid"))
+      .groupBy("w")
+      .agg(F.count(F.lit(1)).as("n_ids"),
+        F.sum("sid").as("sum_ids"),
+        F.concat_ws("",
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("sym")))),
+            x => x.getField("sym"))).as("decoded"))
+  }
+
   /** Per-doc (n_tokens, n_subwords) from a separator-encoded vocab —
     * the shared accounting tail of [[bpeEncode]] and [[bpeApply]].
     */

@@ -4298,6 +4298,64 @@ object QueryCatalog {
        |FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
        |ORDER BY doc.doc_id""".stripMargin
 
+  /** BPE DECODE round trip graded from token IDS: the corpus encodes
+    * under its own 5-merge model into subword-id sequences
+    * ([[graft.operators.Retrieval.bpeWordCodec]] numbers the
+    * model-sized symbol inventory), then every document is rebuilt from
+    * the IDS ALONE and compared as an md5 — plus the exact id count and
+    * id SUM per document, which grade the numbering itself. The oracle
+    * replays the trainer (shared CTEs), renumbers the inventory the
+    * same way, and asserts the decoded text equals the original
+    * tokenized text — the law decode(encode(x)) == x, also pinned as a
+    * generated-corpus property in OperatorsSpec.
+    */
+  private def qBpeDecode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val codec = Retrieval.bpeWordCodec(docs, merges = 5)
+    val toks = TextFunctions.tokens(F.lower(F.col("text")))
+    val perDoc = docs
+      .select(F.col("doc_id"), F.posexplode(toks).as(Seq("pos", "w")))
+      .join(F.broadcast(codec), Seq("w"))
+      .groupBy("doc_id")
+      .agg(F.sum("n_ids").as("n_subword_ids"),
+        F.sum("sum_ids").as("sum_ids"),
+        F.md5(F.concat_ws(" ",
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("decoded")))),
+            x => x.getField("decoded"))).cast("binary")).as("decoded_md5"))
+    docs.select(F.col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("n_subword_ids"), F.lit(0L)).as("n_subword_ids"),
+        F.coalesce(F.col("sum_ids"), F.lit(0L)).as("sum_ids"),
+        F.coalesce(F.col("decoded_md5"),
+          F.md5(F.lit("").cast("binary"))).as("decoded_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val qBpeDecodeSql =
+    s"""WITH ${bpeOracleCtes(5)},
+       |wsy AS (
+       |  SELECT w, string_split(substr(enc, 2, length(enc) - 2), chr(1)||chr(1)) AS syms FROM v_5),
+       |inv AS (
+       |  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) AS BIGINT) AS sid
+       |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM wsy)),
+       |wid AS (
+       |  SELECT e.w, CAST(COUNT(*) AS BIGINT) AS n_ids, CAST(SUM(i.sid) AS BIGINT) AS sum_ids
+       |  FROM (SELECT w, unnest(syms) AS sym FROM wsy) e JOIN inv i USING (sym)
+       |  GROUP BY e.w),
+       |agg AS (
+       |  SELECT d.doc_id, CAST(SUM(n_ids) AS BIGINT) AS n_subword_ids,
+       |    CAST(SUM(sum_ids) AS BIGINT) AS sum_ids
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM dtoks) d JOIN wid USING (w)
+       |  GROUP BY d.doc_id),
+       |md AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS decoded_md5 FROM dtoks)
+       |SELECT doc.doc_id, COALESCE(a.n_subword_ids, 0) AS n_subword_ids,
+       |  COALESCE(a.sum_ids, 0) AS sum_ids, m.decoded_md5
+       |FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+       |JOIN md m ON m.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
   /** Tokenizer fertility by language graded exactly: per-lang document,
     * token, and subword totals under the 5-merge corpus-trained BPE —
     * the per-language tokenizer-cost comparison (5 langs at sf0.01,
@@ -6566,6 +6624,7 @@ object QueryCatalog {
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),
     Q("q_bpe_encode", wrap(qBpeEncode), Some(qBpeEncodeSql)),
+    Q("q_bpe_decode", wrap(qBpeDecode), Some(qBpeDecodeSql)),
     Q("q_bpe_fertility", wrap(qBpeFertility), Some(qBpeFertilitySql)),
     Q("q_pmi", wrap(qPmi), Some(qPmiSql)),
     Q("q_dsir", wrap(qDsir), Some(qDsirSql)),

@@ -1283,6 +1283,36 @@ class OperatorsSpec extends SparkSpec {
     assert(counts(2) === Seq((0L, 3L, 3L), (1L, 0L, 0L)))
   }
 
+  test("bpeWordCodec law: decode(encode(w)) == w over generated corpora") {
+    // property over GENERATED corpora (fixed seeds, deterministic): for
+    // every vocabulary word, rebuilding from the subword-id sequence
+    // alone must reproduce the word exactly, at several merge depths
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val corpus = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word))
+    (0 until 12).foreach { i =>
+      val words = corpus.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val docs = words.grouped(4).zipWithIndex
+        .map { case (ws, d) => (d.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val merges = 1 + i % 4
+      val rows = graft.operators.Retrieval.bpeWordCodec(docs, merges = merges)
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[String]("decoded") === r.getAs[String]("w"),
+          s"seed $i merges $merges: id round-trip broke for '${r.getAs[String]("w")}'")
+      }
+    }
+    // and the merges are real: a repeated bigram compresses below chars
+    val dd = Seq((0L, "abab abab abab")).toDF("doc_id", "text")
+    val c = graft.operators.Retrieval.bpeWordCodec(dd, merges = 1).collect()(0)
+    assert(c.getAs[Long]("n_ids") === 2L) // [ab, ab], not 4 chars
+    assert(c.getAs[String]("decoded") === "abab")
+  }
+
   test("bpeApply with the trained merge table equals bpeEncode") {
     val docs = Seq((0L, "abab abab cd cd cd"), (1L, "cd abab")).toDF("doc_id", "text")
     val learned = graft.operators.Retrieval.bpeTrain(docs, merges = 3)
