@@ -90,18 +90,26 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
-    // The composites below each run in a fresh SparkSession on a fresh
+    // The composites below share ONE fresh SparkSession on a fresh
     // SparkContext (local mode allows one context per JVM, so the query
     // sweep's session stops first): their micro-batch/pipeline timings
-    // must not inherit the sweep's block-manager and GC residue. Each
-    // composite gets the same min-of-2 estimator as the queries — the
-    // first run absorbs cold JIT/codegen (checkpoint-heavy streaming
-    // flows swing 2-3x between cold and warm), every attempt on fresh
-    // scratch dirs and a fresh session.
+    // must not inherit the sweep's block-manager and GC residue, but
+    // they may — and should — share each other's warmed codegen and
+    // classloading (the r9 finding: six cold session bootstraps taxed
+    // the composite block more than the measured work itself). Each
+    // composite keeps the min-of-2 estimator — the first run absorbs
+    // cold JIT/codegen (checkpoint-heavy streaming flows swing 2-3x
+    // between cold and warm), every attempt on fresh scratch dirs; the
+    // sweep-style scrub between attempts keeps attempts independent.
     spark.stop()
-    def min2(attempt: () => Double): Double = {
-      val a = attempt()
-      val b = attempt()
+    val compositeSession = freshSession("graft-bench-composites")
+    def min2(attempt: SparkSession => Double): Double = {
+      def once(): Double = {
+        scrub(compositeSession)
+        attempt(compositeSession)
+      }
+      val a = once()
+      val b = once()
       if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b)
     }
     // The reference's ACTUAL workload, timed end-to-end: three pipeline
@@ -111,7 +119,7 @@ object Bench {
     // 50%), then small-file compaction of the accreted partitions.
     val withPipeline =
       if (only.nonEmpty && !only("pipeline")) results
-      else results :+ ("pipeline" -> min2(() => {
+      else results :+ ("pipeline" -> min2(s => {
         val dir = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
         def csv(name: String, rows: Int, offset: Int): String = {
           val p = s"$dir/$name.csv"
@@ -122,7 +130,6 @@ object Bench {
         }
         val b1 = csv("b1", 20000, 0)
         val b2 = csv("b2", 20000, 10000)
-        val s = freshSession("graft-bench-pipeline")
         val t0 = System.nanoTime()
         try {
           val pipe = new Pipeline(s, s"$dir/warehouse")
@@ -134,7 +141,7 @@ object Bench {
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
           Double.NaN
-        } finally s.stop()
+        }
       }))
     // The streaming path, timed: three files dropped up front, consumed
     // as three micro-batches (maxFilesPerTrigger=1) through the
@@ -142,7 +149,7 @@ object Bench {
     // form of the pipeline entry above, sharing its batch operators.
     val withStreaming =
       if (only.nonEmpty && !only("streaming")) withPipeline
-      else withPipeline :+ ("streaming" -> min2(() => {
+      else withPipeline :+ ("streaming" -> min2(s => {
         val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
         val drop = s"$dir/drop"
         new java.io.File(drop).mkdirs()
@@ -152,7 +159,6 @@ object Bench {
             graft.tools.TripPipelineDemo.syntheticCsv(20000, i * 10000,
               tsHeader = "date_time"))
         }
-        val s = freshSession("graft-bench-streaming")
         val t0 = System.nanoTime()
         try {
           val catalog = new graft.sources.Catalog(s, s"$dir/warehouse")
@@ -169,7 +175,7 @@ object Bench {
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] streaming failed: ${e.getMessage}")
           Double.NaN
-        } finally s.stop()
+        }
       }))
     // Streaming incremental dedup, timed end-to-end: three JSONL batches
     // (the third re-drops 30% of the second's texts under new ids) flow
@@ -178,7 +184,7 @@ object Bench {
     // admitted in earlier micro-batches is never re-shingled.
     val withStreamDedup =
       if (only.nonEmpty && !only("streaming_dedup")) withStreaming
-      else withStreaming :+ ("streaming_dedup" -> min2(() => {
+      else withStreaming :+ ("streaming_dedup" -> min2(s => {
         val dir = java.nio.file.Files.createTempDirectory("graft-bench-sdedup").toString
         val drop = s"$dir/drop"
         new java.io.File(drop).mkdirs()
@@ -199,7 +205,6 @@ object Bench {
         batchFile("b1.jsonl", 1000 until 2000, identity)
         batchFile("b2.jsonl", 2000 until 3000,
           i => if (i % 10 < 3) i - 1000 else i) // 30% dups of b1
-        val s = freshSession("graft-bench-sdedup")
         val t0 = System.nanoTime()
         try {
           val catalog = new graft.sources.Catalog(s, s"$dir/warehouse")
@@ -215,8 +220,9 @@ object Bench {
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] streaming_dedup failed: ${e.getMessage}")
           Double.NaN
-        } finally s.stop()
+        }
       }))
+    compositeSession.stop()
     val failed = withStreamDedup.collect { case (k, v) if v.isNaN => k }
     val qs = withStreamDedup.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")

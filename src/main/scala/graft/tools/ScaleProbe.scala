@@ -1,0 +1,132 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicReference
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import graft.{GraftFunctions, GraftSession, SparkEntry}
+
+/** Scale-proof probe: run the headline query of each operator family at
+  * two scale factors (the driver's sf0.1 and the locally generated
+  * sf1-equivalent from [[ScaleUp]]), record min-of-2 wall-times and the
+  * post-AQE physical plan at each scale, and emit
+  * `target/scale_probe.json` plus per-query plan dumps under
+  * `target/scale_plans/` — the raw material for `SCALE.md`.
+  *
+  * The interesting outputs are (a) the scaling exponent
+  * `log(t_big/t_small) / log(rows_big/rows_small)` — ~1.0 means linear,
+  * sub-linear means fixed costs still dominate, anything >1.3 flags a
+  * super-linear operator — and (b) plan-shape diffs between scales
+  * (a broadcast join silently flipping to sort-merge, a bucket cap
+  * saturating, a partial agg disappearing).
+  *
+  * Run: `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 localdata/sf1 10"`.
+  */
+object ScaleProbe {
+
+  private val headline = Seq(
+    "q_weekly_avg",     // relational core: two-level agg over lineitem
+    "q_skew_join",      // AQE skew-join handling
+    "q_sessionize",     // event-time state machine over events
+    "q_bm25",           // text retrieval: inverted scoring over documents
+    "q_minhash_pairs",  // MinHash+LSH near-dup candidates
+    "q_dedup_clusters", // label-propagation connected components
+    "q_embed_neardup",  // hyperplane-LSH embedding near-dup
+    "q_ann_ivfpq_idx")  // IVF-PQ index build + serve
+
+  private def scrub(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val bigDir = if (args.length > 1) args(1) else "localdata/sf1"
+    val factor = if (args.length > 2) args(2).toDouble else 10.0
+    val only = args.drop(3).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local("graft-scale-probe", cpus)
+
+    // post-AQE plan capture: the listener sees every query execution the
+    // entry triggers (index builds, scratch writes, the final noop sink);
+    // the LAST event to arrive after the timed write returns is the
+    // entry's final plan
+    val lastPlan = new AtomicReference[String]("")
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        lastPlan.set(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    })
+    def awaitPlan(): String = {
+      val deadline = System.nanoTime() + 3_000_000_000L
+      while (lastPlan.get.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      lastPlan.get
+    }
+
+    val plansDir = Paths.get("target/scale_plans")
+    Files.createDirectories(plansDir)
+
+    def timeQuery(name: String, dir: String, tag: String): Double = {
+      def once(capture: Boolean): Double = {
+        scrub(spark)
+        lastPlan.set("")
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (capture) Files.writeString(
+          plansDir.resolve(s"${name}_$tag.txt"), awaitPlan().take(8000))
+        sec
+      }
+      val t = math.min(once(capture = false), once(capture = true))
+      println(f"[probe] $name%-20s $tag%-6s $t%8.2f s")
+      t
+    }
+
+    // the reference's end-to-end batch DAG, scaled by synthetic CSV rows
+    // (the composite has no sfDir input): 3 batches + compaction, same
+    // shape as Bench's `pipeline` entry
+    def timePipeline(rows: Int, tag: String): Double = {
+      def once(): Double = {
+        scrub(spark)
+        val dir = Files.createTempDirectory("graft-probe-pipe").toString
+        def csv(name: String, n: Int, offset: Int): String = {
+          val p = s"$dir/$name.csv"
+          Files.writeString(Paths.get(p),
+            TripPipelineDemo.syntheticCsv(n, offset, tsHeader = "date_time"))
+          p
+        }
+        val b1 = csv("b1", rows, 0)
+        val b2 = csv("b2", rows, rows / 2)
+        val t0 = System.nanoTime()
+        val pipe = new graft.Pipeline(spark, s"$dir/warehouse")
+        pipe.runBatch(b1)
+        pipe.runBatch(b1)
+        pipe.runBatch(b2)
+        pipe.compactHist(maxFilesPerPartition = 1)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(once(), once())
+      println(f"[probe] ${"pipeline"}%-20s $tag%-6s $t%8.2f s")
+      t
+    }
+
+    val selected = if (only.isEmpty) headline else headline.filter(only)
+    val rows = selected.map { name =>
+      val ts = timeQuery(name, smallDir, "small")
+      val tb = timeQuery(name, bigDir, "big")
+      (name, ts, tb)
+    } ++ (if (only.isEmpty || only("pipeline"))
+      Seq(("pipeline", timePipeline(20000, "small"), timePipeline(200000, "big")))
+    else Nil)
+
+    val json = rows.map { case (name, ts, tb) =>
+      val exp = math.log(tb / ts) / math.log(factor)
+      f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f}"""
+    }.mkString("{\n", ",\n", "\n}")
+    Files.writeString(Paths.get("target/scale_probe.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
