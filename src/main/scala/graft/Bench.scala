@@ -235,12 +235,16 @@ object Bench {
     // Durable copy: the driver captures only the stdout TAIL, which has
     // truncated the first ~90 per-query timings in past rounds. The
     // engine persists its own complete report (per-query min-of-2 plus
-    // the config that produced it) so no round's numbers depend on a
-    // scrollback buffer.
-    val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"entries":${withStreamDedup.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    val outPath = java.nio.file.Paths.get("target/bench_full.json")
-    java.nio.file.Files.createDirectories(outPath.getParent)
-    java.nio.file.Files.writeString(outPath, full + "\n")
+    // the config that produced it) at the REPO ROOT — a tracked path, so
+    // each round's complete numbers land in history instead of a
+    // gitignored target/ dir or a scrollback buffer.
+    // (filtered spot-runs skip the durable write — a partial report must
+    // never shadow the round's full one)
+    if (only.isEmpty) {
+      val full =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"entries":${withStreamDedup.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"), full + "\n")
+    }
   }
 }

@@ -58,16 +58,21 @@ object ScaleProbe {
         lastPlan.set(qe.executedPlan.toString)
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
     })
+    // the entry may trigger internal sub-executions (index builds,
+    // scratch writes) whose events race the final sink's; the plan we
+    // want is the one rooted at the noop sink, so wait for that
+    // specifically and fall back to whatever arrived last
     def awaitPlan(): String = {
-      val deadline = System.nanoTime() + 3_000_000_000L
-      while (lastPlan.get.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (!lastPlan.get.contains("NoopWrite") && System.nanoTime() < deadline)
+        Thread.sleep(20)
       lastPlan.get
     }
 
     val plansDir = Paths.get("target/scale_plans")
     Files.createDirectories(plansDir)
 
-    def timeQuery(name: String, dir: String, tag: String): Double = {
+    def timeQuery(name: String, dir: String, tag: String): (Double, Long) = {
       def once(capture: Boolean): Double = {
         scrub(spark)
         lastPlan.set("")
@@ -80,8 +85,12 @@ object ScaleProbe {
         sec
       }
       val t = math.min(once(capture = false), once(capture = true))
-      println(f"[probe] $name%-20s $tag%-6s $t%8.2f s")
-      t
+      // result cardinality (outside the timer): the structural check that
+      // the scaled input produced a sanely scaled OUTPUT — candidate-pair
+      // and cluster counts growing ~factor×, not factor²×
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"[probe] $name%-20s $tag%-6s $t%8.2f s  $n%9d rows")
+      (t, n)
     }
 
     // the reference's end-to-end batch DAG, scaled by synthetic CSV rows
@@ -114,16 +123,16 @@ object ScaleProbe {
 
     val selected = if (only.isEmpty) headline else headline.filter(only)
     val rows = selected.map { name =>
-      val ts = timeQuery(name, smallDir, "small")
-      val tb = timeQuery(name, bigDir, "big")
-      (name, ts, tb)
+      val (ts, ns) = timeQuery(name, smallDir, "small")
+      val (tb, nb) = timeQuery(name, bigDir, "big")
+      (name, ts, tb, ns, nb)
     } ++ (if (only.isEmpty || only("pipeline"))
-      Seq(("pipeline", timePipeline(20000, "small"), timePipeline(200000, "big")))
+      Seq(("pipeline", timePipeline(20000, "small"), timePipeline(200000, "big"), -1L, -1L))
     else Nil)
 
-    val json = rows.map { case (name, ts, tb) =>
+    val json = rows.map { case (name, ts, tb, ns, nb) =>
       val exp = math.log(tb / ts) / math.log(factor)
-      f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f}"""
+      f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f, "rows_small": $ns%d, "rows_big": $nb%d}"""
     }.mkString("{\n", ",\n", "\n}")
     Files.writeString(Paths.get("target/scale_probe.json"), json + "\n")
     println(json)

@@ -13,16 +13,24 @@ import graft.GraftSession
   *     by `replica * (max_key + 1)` — replica r's facts reference
   *     replica r's dims, so join fan-outs are unchanged and total join
   *     output is exactly `factor`× the source;
-  *   - document words get a per-replica suffix (`batch` -> `batchq3`),
-  *     making replica vocabularies disjoint: within-replica shingle/
-  *     near-dup structure is IDENTICAL to the source, cross-replica
-  *     similarity is zero, so candidate-pair counts scale `factor`×
-  *     (naive replication would instead grow pairs quadratically in
-  *     `factor` and masquerade as an operator scaling failure);
-  *   - embedding vectors get per-replica deterministic noise
-  *     (xxhash64-derived, then re-normalized to unit L2) so replica
-  *     clouds occupy distinct regions: ANN near-dup pair counts stay
-  *     linear while IVF/PQ training sees a `factor`×-larger corpus;
+  *   - document text goes through a per-replica SUBSTITUTION CIPHER
+  *     (letter rotation via `translate`): a bijection on the alphabet
+  *     maps every replica's CHARACTER-shingle set 1:1, so within-replica
+  *     Jaccard structure is exactly the source's, while any cross-replica
+  *     shingle containing a letter differs — near-dup pair counts scale
+  *     `factor`×, matching the driver generator's own linear trend
+  *     (25→254 pairs for 500→5000 docs). A word-level tag would NOT
+  *     work: character 5-grams inside untouched words keep sibling
+  *     Jaccard high enough to flood the LSH bands with cross-replica
+  *     pairs (measured: 214× pair growth instead of 10×);
+  *   - embedding vectors get a per-replica SIGNED PERMUTATION of
+  *     dimensions — an orthogonal map, so every within-replica dot
+  *     product (and unit norm) is preserved bit-for-bit and ANN
+  *     recall/balance metrics keep their meaning — while cross-replica
+  *     cosines drop to the ~N(0, 1/√d) background. Above-threshold
+  *     cross-pairs then follow the distribution's own density law
+  *     (the driver's series is itself quadratic-in-density here:
+  *     32→486 pairs for 500→2000 vectors at cos ≥ 0.4 in d=64);
   *   - `nation`/`region` stay fixed (TPC-H semantics: they never scale).
   *
   * Everything is a pure column transform — no collects, no shuffles
@@ -46,30 +54,37 @@ object ScaleUp {
       d.withColumn(c, (F.col(c).cast("long") + F.lit(r * s)).cast(t))
     }
 
-  /** Per-replica word suffix: every whitespace token in `col` gets a
-    * replica tag (replica 0 is the untouched source). Empty tokens from
-    * trailing separators stay empty so the token count is unchanged.
-    */
-  private def suffixWords(df: DataFrame, col: String, r: Int): DataFrame =
-    if (r == 0) df
-    else df.withColumn(col, F.expr(
-      s"concat_ws(' ', transform(split($col, ' '), w -> CASE WHEN w = '' THEN w ELSE concat(w, 'q$r') END))"))
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
-  /** Per-replica deterministic vector jitter, re-normalized to unit L2
-    * (the source cloud is unit-norm; ANN ops equate cosine with dot).
-    * Noise is uniform-ish in ±0.3 per dim from xxhash64(id, dim, r) —
-    * far past any near-dup threshold, so replica clouds never pair.
+  /** Per-replica substitution cipher (letter rotation by `r`): length,
+    * whitespace, token boundaries, and all equality/Jaccard structure
+    * within the replica are preserved exactly; every letter-bearing
+    * character shingle differs across replicas (replica 0 is the
+    * untouched source).
     */
-  private def jitterVectors(df: DataFrame, idCol: String, vecCol: String, r: Int): DataFrame =
+  private def cipherText(df: DataFrame, col: String, r: Int): DataFrame =
     if (r == 0) df
-    else df
-      .withColumn("__nv", F.expr(
-        s"transform($vecCol, (x, i) -> cast(x as double) + cast(pmod(xxhash64($idCol, i, $r), 2001) - 1000 as double) / 1000.0 * 0.3)"))
-      .withColumn("__norm", F.expr(
-        "sqrt(aggregate(__nv, cast(0 as double), (a, x) -> a + x * x))"))
-      .withColumn(vecCol, F.expr(
-        "transform(__nv, x -> cast(x / __norm as float))"))
-      .drop("__nv", "__norm")
+    else {
+      val rot = alpha.drop(r % 26) + alpha.take(r % 26)
+      df.withColumn(col, F.translate(F.col(col),
+        alpha + alpha.toUpperCase, rot + rot.toUpperCase))
+    }
+
+  /** Per-replica signed permutation of vector dimensions — orthogonal,
+    * so within-replica dot products and unit norms are preserved
+    * bit-for-bit while replica clouds decorrelate to the random
+    * background (replica 0 is the untouched source). Deterministic from
+    * the replica index.
+    */
+  private def rotateVectors(df: DataFrame, vecCol: String, r: Int, dims: Int = 64): DataFrame =
+    if (r == 0) df
+    else {
+      val rnd = new scala.util.Random(0x5eed0000L + r)
+      val perm = rnd.shuffle((0 until dims).toVector)
+      val sign = Vector.fill(dims)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+      df.withColumn(vecCol, F.array((0 until dims).map(i =>
+        (F.col(vecCol)(perm(i)) * F.lit(sign(i))).cast("float")): _*))
+    }
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -118,12 +133,10 @@ object ScaleUp {
       shiftKeys(d, r, Map("event_id" -> sEvent, "user_id" -> sUser))
     }
     replicate("documents", factor) { (d, r) =>
-      val shifted = shiftKeys(d, r, Map("doc_id" -> sDoc))
-      suffixWords(shifted, "text", r)
-        .withColumn("n_chars", F.length(F.col("text")).cast("long"))
+      cipherText(shiftKeys(d, r, Map("doc_id" -> sDoc)), "text", r)
     }
     replicate("embeddings", factor) { (d, r) =>
-      jitterVectors(shiftKeys(d, r, Map("vec_id" -> sVec)), "vec_id", "embedding", r)
+      rotateVectors(shiftKeys(d, r, Map("vec_id" -> sVec)), "embedding", r)
     }
     // nation/region never scale: copy as-is so the dir is self-contained
     Seq("nation", "region").foreach { name =>
