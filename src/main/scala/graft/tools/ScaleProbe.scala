@@ -26,14 +26,22 @@ import graft.{GraftFunctions, GraftSession, SparkEntry}
 object ScaleProbe {
 
   private val headline = Seq(
-    "q_weekly_avg",     // relational core: two-level agg over lineitem
-    "q_skew_join",      // AQE skew-join handling
-    "q_sessionize",     // event-time state machine over events
-    "q_bm25",           // text retrieval: inverted scoring over documents
-    "q_minhash_pairs",  // MinHash+LSH near-dup candidates
-    "q_dedup_clusters", // label-propagation connected components
-    "q_embed_neardup",  // hyperplane-LSH embedding near-dup
-    "q_ann_ivfpq_idx")  // IVF-PQ index build + serve
+    "q_weekly_avg",      // relational core: two-level agg over lineitem
+    "q_skew_join",       // AQE skew-join handling
+    "q_sessionize",      // event-time state machine over events
+    "q_bm25",            // text retrieval: inverted scoring over documents
+    "q_minhash_pairs",   // MinHash+LSH near-dup candidates
+    "q_dedup_clusters",  // label-propagation connected components
+    "q_embed_neardup",   // hyperplane-LSH embedding near-dup
+    "q_ann_ivfpq_idx",   // IVF-PQ index build + serve
+    "q_doc_dedup_exact", // exact dedup: digest groupBy
+    "q_simhash_pairs",   // SimHash hamming-ball candidates
+    "q_ngram_pairs",     // n-gram Jaccard verify tier
+    "q_topk_group",      // bounded-sketch per-group top-k
+    "q_pack_text",       // sequence packing (first-fit bins)
+    "q_bpe_train",       // BPE vocabulary training loop
+    "q_decontam",        // eval-contamination screen
+    "q_ewma_stream")     // streaming keyed state (mapGroupsWithState replay)
 
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
