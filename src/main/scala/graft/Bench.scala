@@ -28,6 +28,12 @@ object Bench {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // ContextCleaner only reclaims shuffle files / broadcast blocks when
+    // their owners are GARBAGE-COLLECTED; between measurements (outside
+    // every timer) force the collection so an entry never pays for its
+    // predecessors' accumulated shuffle state — the residue that taxes
+    // whichever composite happens to run last in the shared session
+    System.gc()
   }
 
   def main(args: Array[String]): Unit = {
