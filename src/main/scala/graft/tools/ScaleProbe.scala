@@ -129,10 +129,11 @@ object ScaleProbe {
       t
     }
 
+    def tagOf(dir: String) = new java.io.File(dir).getName
     val selected = if (only.isEmpty) headline else headline.filter(only)
     val rows = selected.map { name =>
-      val (ts, ns) = timeQuery(name, smallDir, "small")
-      val (tb, nb) = timeQuery(name, bigDir, "big")
+      val (ts, ns) = timeQuery(name, smallDir, tagOf(smallDir))
+      val (tb, nb) = timeQuery(name, bigDir, tagOf(bigDir))
       (name, ts, tb, ns, nb)
     } ++ (if (only.isEmpty || only("pipeline"))
       Seq(("pipeline", timePipeline(20000, "small"), timePipeline(200000, "big"), -1L, -1L))

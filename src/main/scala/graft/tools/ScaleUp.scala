@@ -56,18 +56,23 @@ object ScaleUp {
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
-  /** Per-replica substitution cipher (letter rotation by `r`): length,
-    * whitespace, token boundaries, and all equality/Jaccard structure
-    * within the replica are preserved exactly; every letter-bearing
-    * character shingle differs across replicas (replica 0 is the
-    * untouched source).
+  /** Per-replica substitution cipher: length, whitespace, token
+    * boundaries, and all equality/Jaccard structure within the replica
+    * are preserved exactly (any bijection on the alphabet maps shingle
+    * sets 1:1); every letter-bearing character shingle differs across
+    * replicas (replica 0 is the untouched source). Replicas 1-25 use
+    * plain rotation (keeps previously generated 10× sets byte-stable);
+    * beyond that the 26-key rotation space is exhausted, so higher
+    * replicas draw a seeded full permutation of the alphabet.
     */
   private def cipherText(df: DataFrame, col: String, r: Int): DataFrame =
     if (r == 0) df
     else {
-      val rot = alpha.drop(r % 26) + alpha.take(r % 26)
+      val mapped =
+        if (r < 26) alpha.drop(r) + alpha.take(r)
+        else new scala.util.Random(0xa1fab37L * r).shuffle(alpha.toList).mkString
       df.withColumn(col, F.translate(F.col(col),
-        alpha + alpha.toUpperCase, rot + rot.toUpperCase))
+        alpha + alpha.toUpperCase, mapped + mapped.toUpperCase))
     }
 
   /** Per-replica signed permutation of vector dimensions — orthogonal,
