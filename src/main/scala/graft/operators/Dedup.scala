@@ -601,7 +601,12 @@ object Dedup {
       .filter(F.col("df") * dfCapDen <= F.col("n_docs") * dfCapNum &&
         F.col("df") <= dfCapAbs)
       .select("sgl")
-    val exRare = ex.join(rare, Seq("sgl"), "leftsemi")
+    // three readers (the per-doc rare-mass agg and BOTH sides of the
+    // pair self-join) consume the rare-shingle rows: materialize them
+    // once — they are sparse by the df cap, so this pins pair-member
+    // rows only, never the full shingle explode (the embeddingNearDups
+    // pattern)
+    val exRare = ex.join(rare, Seq("sgl"), "leftsemi").localCheckpoint()
     val mr = exRare.groupBy("id").agg(F.count(F.lit(1)).as("m"))
     val pairs = exRare.select(F.col("id").as("a"), F.col("sgl"))
       .join(exRare.select(F.col("id").as("b"), F.col("sgl")), Seq("sgl"))
