@@ -566,7 +566,7 @@ object QueryCatalog {
       |ORDER BY win_start, event_type""".stripMargin
 
   /** The streaming windowed aggregation graded by the BATCH oracle —
-    * the fourth streaming twin: events replay as three event-time-
+    * the fourth streaming twin: events replay as two event-time-
     * ordered micro-batches through the watermarked
     * [[graft.streaming.Streams.windowedEventCounts]], updates
     * accumulate last-wins per (window, event_type), and the final
@@ -583,7 +583,9 @@ object QueryCatalog {
     clearDir(cp)
     val ev = events(s, dir).select("ts", "event_id", "event_type", "value")
     val w = Window.orderBy(F.col("ts"), F.col("event_id"))
-    writeOrderedStreamFiles(ev.withColumn("__tile", F.ntile(3).over(w)), 3, in, dir)
+    // two tiles: update-mode last-wins across a batch boundary is the
+    // graded property; each extra tile costs a trigger of state commits
+    writeOrderedStreamFiles(ev.withColumn("__tile", F.ntile(2).over(w)), 2, in, dir)
     val src = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val acc = scala.collection.mutable.Map.empty[(Long, String), Long]
@@ -5034,7 +5036,7 @@ object QueryCatalog {
 
   /** The streaming SESSIONIZATION twin graded by the BATCH oracle — the
     * fifth streaming twin, and the one that grades the event-time
-    * TIMEOUT path: events replay as three event-time-ordered
+    * TIMEOUT path: events replay as event-time-ordered
     * micro-batches through [[graft.streaming.Streams.sessionize]]'s
     * flatMapGroupsWithState machine, then two far-future sentinel
     * batches push the watermark past every real session's gap horizon
@@ -5053,16 +5055,21 @@ object QueryCatalog {
     clearDir(cp)
     val ev = events(s, dir).select(F.col("user_id"), F.col("ts"))
     val w = Window.orderBy(F.col("ts"), F.col("user_id"))
+    // two data tiles (in-batch gap splits + cross-batch session
+    // continuation both need only a batch boundary, not a count) and
+    // the two far-future sentinel batches the event-time TIMEOUT path
+    // requires: the first advances max event time, the second's trigger
+    // sees the advanced watermark and fires the state-store timers
     def tiled = {
       val maxTs = ev.agg(F.max("ts")).head().getTimestamp(0)
       def sentinel(uid: Long, days: Long, tile: Int) =
         Seq((uid, new java.sql.Timestamp(maxTs.getTime + days * 86400000L), tile))
           .toDF("user_id", "ts", "__tile")
-      ev.withColumn("__tile", F.ntile(3).over(w))
-        .unionByName(sentinel(-1L, 30, 4))
-        .unionByName(sentinel(-2L, 31, 5))
+      ev.withColumn("__tile", F.ntile(2).over(w))
+        .unionByName(sentinel(-1L, 30, 3))
+        .unionByName(sentinel(-2L, 31, 4))
     }
-    writeOrderedStreamFiles(tiled, 5, in, dir)
+    writeOrderedStreamFiles(tiled, 4, in, dir)
     val src = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
       .as[graft.streaming.Streams.SessionEvent]
