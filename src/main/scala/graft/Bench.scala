@@ -19,6 +19,55 @@ import org.apache.spark.sql.SparkSession
   * inherits the query sweep's block-manager residue.
   */
 object Bench {
+
+  /** Bump when the measurement methodology or composite workload shape
+    * changes (r10 lesson: harness deltas — micro-batch counts, replay
+    * tile counts, session sharing — were indistinguishable from engine
+    * deltas in the round-over-round numbers). Stamped into
+    * bench_full.json so cross-round comparisons are gated on equal
+    * versions.
+    *   r11: per-entry repeats with min/med/max spread; workload
+    *   fingerprint of the measured testdata (the driver regenerated
+    *   /root/testdata this round — events.ts nanos→micros, documents
+    *   much heavier in duplicated grams — so r11 numbers are NOT
+    *   comparable to r10 regardless of harness).
+    */
+  private val HarnessVersion = "r11-spread-1"
+
+  /** Fingerprint of the measured dataset: name:size for every parquet in
+    * the sf dir, hashed. Two rounds' numbers are comparable only when
+    * both the harness version and this fingerprint agree.
+    */
+  private def workloadFingerprint(sfDir: String): String = {
+    val files = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}").mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(files.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** One entry's measured spread. `point` (the reported per-query
+    * number) stays min-of-N — the repeatable cost of a deterministic
+    * computation — while med/max expose the session noise that made
+    * r10's round-over-round deltas unadjudicable.
+    */
+  private final case class Spread(runs: Seq[Double]) {
+    // a single failed attempt marks the entry failed (r10 semantics:
+    // min-of-2 propagated NaN) — a flaky query must not report its
+    // surviving attempt as a clean number
+    val ok: Seq[Double] = runs.filterNot(_.isNaN).sorted
+    def failed: Boolean = ok.size != runs.size || ok.isEmpty
+    def point: Double = if (failed) Double.NaN else ok.head
+    def med: Double =
+      if (failed) Double.NaN else ok(ok.size / 2)
+    def max: Double = if (failed) Double.NaN else ok.last
+    def json: String =
+      if (failed) """{"n":0}"""
+      else f"""{"n":${ok.size},"min":${ok.head}%.3f,"med":$med%.3f,"max":$max%.3f}"""
+  }
+
   /** Release cross-entry session state: cached relations plus any
     * persistent RDDs (localCheckpoint blocks otherwise linger in
     * executor storage until driver GC — the r8 tail-contamination
@@ -72,14 +121,19 @@ object Bench {
       }
       scrub(spark)
     }
-    // Two measured runs per query, report the faster: single-run local
-    // timings are ±20% noisy (GC, page cache), which round-over-round
-    // reads as phantom regressions; min-of-N is the standard estimator
-    // for the repeatable cost of a deterministic computation.
+    // N measured runs per query (default 3), report the min as the point
+    // estimate: single-run local timings are ±20% noisy (GC, page
+    // cache), which round-over-round reads as phantom regressions;
+    // min-of-N is the standard estimator for the repeatable cost of a
+    // deterministic computation. The full spread (min/med/max) lands in
+    // bench_full.json so a round-over-round delta can be checked against
+    // the measured noise floor instead of re-running (r10's apparent
+    // +11% was entirely within the within-round spread).
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val results = selected.map { case (name, fn) =>
       // a failed run must NOT report its (fast) elapsed time as the
-      // query's benchmark — NaN poisons the min so the failure is
-      // visible, and the report carries an explicit failed list
+      // query's benchmark — NaN marks the entry failed and the report
+      // carries an explicit failed list
       def once(): Double = {
         // outside the timer: start every run with a clean block manager
         // so an entry's cost never includes (or hides behind) another
@@ -94,7 +148,7 @@ object Bench {
           Double.NaN
         }
       }
-      name -> math.min(once(), once())
+      name -> Spread(Seq.fill(repeats)(once()))
     }
     // The composites below share ONE fresh SparkSession on a fresh
     // SparkContext (local mode allows one context per JVM, so the query
@@ -109,14 +163,12 @@ object Bench {
     // sweep-style scrub between attempts keeps attempts independent.
     spark.stop()
     val compositeSession = freshSession("graft-bench-composites")
-    def min2(attempt: SparkSession => Double): Double = {
+    def min2(attempt: SparkSession => Double): Spread = {
       def once(): Double = {
         scrub(compositeSession)
         attempt(compositeSession)
       }
-      val a = once()
-      val b = once()
-      if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b)
+      Spread(Seq(once(), once()))
     }
     // The reference's ACTUAL workload, timed end-to-end: three pipeline
     // batches (CSV ingest -> trip_key derivation -> date-pruned dedup
@@ -231,28 +283,50 @@ object Bench {
         }
       }))
     compositeSession.stop()
-    val failed = withStreamDedup.collect { case (k, v) if v.isNaN => k }
+    val failed = withStreamDedup.collect { case (k, v) if v.failed => k }
     val qs = withStreamDedup.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")
+      "\"" + k + "\":" + (if (v.failed) "-1" else f"${v.point}%.3f")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = withStreamDedup.map(_._2).filterNot(_.isNaN).sum
+    val total = withStreamDedup.map(_._2).filterNot(_.failed).map(_.point).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Durable copy: the driver captures only the stdout TAIL, which has
     // truncated the first ~90 per-query timings in past rounds. The
-    // engine persists its own complete report (per-query min-of-2 plus
-    // the config that produced it) at the REPO ROOT — a tracked path, so
-    // each round's complete numbers land in history instead of a
-    // gitignored target/ dir or a scrollback buffer.
-    // (filtered spot-runs skip the durable write — a partial report must
-    // never shadow the round's full one)
+    // engine persists its own complete report — per-query point (min)
+    // AND spread (n/min/med/max), the harness version, a workload
+    // fingerprint of the measured data, and the host's load average —
+    // so a later round can adjudicate a delta without re-running:
+    // unequal harness/workload stamps mean the numbers are not
+    // comparable at all; a delta inside [min,max] of either round is
+    // noise, not regression.
+    val spreads = withStreamDedup.map { case (k, v) =>
+      "\"" + k + "\":" + v.json
+    }.mkString("{", ",", "}")
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"entries":${withStreamDedup.size},"queries":$qs,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Resolve output against the repo root (the dir holding build.sbt,
+    // walking up from CWD) — a bench launched from a subdir or an sbt
+    // fork must not scatter reports into unrelated CWDs.
+    val repoRoot: java.nio.file.Path = {
+      var d = java.nio.file.Paths.get("").toAbsolutePath
+      while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+        d = d.getParent
+      if (d == null) java.nio.file.Paths.get("").toAbsolutePath else d
+    }
     if (only.isEmpty) {
-      val full =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"entries":${withStreamDedup.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_full.json"), full + "\n")
+        repoRoot.resolve("bench_full.json"), full + "\n")
+    } else {
+      // filtered spot-runs still leave durable evidence, in target/ so a
+      // partial report never shadows the round's full one
+      val tdir = repoRoot.resolve("target")
+      java.nio.file.Files.createDirectories(tdir)
+      java.nio.file.Files.writeString(
+        tdir.resolve("bench_full_partial.json"), full + "\n")
     }
   }
 }

@@ -30,6 +30,29 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Explode-stage parallelism guard. A small input (one parquet file at
+    * test scale factors) scans as a single partition, which serializes
+    * the n× gram explode — the dominant CPU of substring dedup — behind
+    * ONE task. When the scan has fewer partitions than the session's
+    * parallelism, spread the slim projection across cores first. Two
+    * properties make this the right call at every scale:
+    *
+    *  - at real scale the scan already has >= cores partitions and this
+    *    is a NO-OP — no shuffle is ever added to the 100 TB path;
+    *  - when it does fire, the added exchange becomes a shared stage:
+    *    both downstream consumers of the projection (the gram df-count
+    *    and the position probe) reuse ONE scan+normalize via Spark's
+    *    exchange reuse, so lineage-only re-derivation stops re-running
+    *    the normalize pass — shuffle files are transient and
+    *    ContextCleaner-owned, unlike the session-pinned blocks a
+    *    cache/localCheckpoint would park (the discipline at
+    *    [[coveredPositions]]).
+    */
+  private[operators] def parallelizeSmallScan(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
     * Single hash-aggregate shuffle on the digest.
     */
@@ -967,8 +990,9 @@ object Dedup {
       textCol: String,
       idCol: String): (DataFrame, DataFrame) = {
     require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
-    val withT = docs.select(F.col(idCol).cast("long").as("doc_id"),
-      TextFunctions.tokens(F.lower(F.col(textCol))).as("__t"))
+    val withT = parallelizeSmallScan(
+      docs.select(F.col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(F.lower(F.col(textCol))).as("__t")))
     val toks = F.col("__t")
     val grams = F.when(F.size(toks) >= n,
       F.transform(F.sequence(F.lit(0), F.size(toks) - n),
@@ -1080,7 +1104,15 @@ object Dedup {
     * shuffle so the oracle replays bit-for-bit). Everything after the
     * df cut touches only the duplicated TAIL (sparse by definition):
     * a semi-join on the gram, one per-doc window over covered positions,
-    * one bounded aggregate. Raw text never shuffles.
+    * one bounded aggregate. Raw text never shuffles, and NOTHING
+    * corpus-sized is ever materialized: both the df-count pass and the
+    * start-position probe re-derive the explode from lineage (pruned
+    * scan + normalize, the [[coveredPositions]] discipline — a second
+    * map-side pass benches cheaper than parking an n×-corpus gram table
+    * in executor storage for the session), and the df-cut side of the
+    * semi join is the sparse duplicated gram set, which AQE
+    * broadcast-promotes off its shuffle stats so the re-derived gram
+    * stream is filtered map-side without shuffling.
     */
   def duplicatedRunsChar(
       docs: DataFrame,
@@ -1090,20 +1122,23 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 2 && minDocs >= 2, "n >= 2, minDocs >= 2")
     val norm = F.regexp_replace(F.lower(F.col(textCol)), "[^\\p{L}\\p{N}]", "")
-    val withS = docs.select(F.col(idCol).cast("long").as("doc_id"), norm.as("__s"))
+    val withS = parallelizeSmallScan(
+      docs.select(F.col(idCol).cast("long").as("doc_id"), norm.as("__s")))
     val s = F.col("__s")
     val grams = F.when(F.length(s) >= n,
       F.transform(F.sequence(F.lit(0), F.length(s) - n),
         p => F.struct(p.as("p"), s.substr(p + 1, F.lit(n)).as("gram"))))
       .otherwise(F.array().cast("array<struct<p:int,gram:string>>"))
-    // both the df-count and the start-position probe read the exploded
-    // gram table: materialize it once (the embeddingNearDups pattern) so
-    // the normalize+explode pass — the regex over every document — does
-    // not execute twice; AQE then broadcast-promotes the sparse dup-gram
-    // side of the semi join against the materialized frame
+    // lineage-only by design: the exploded gram table is ~n× the
+    // normalized corpus, so materializing it (even localCheckpoint)
+    // parks a corpus-sized block set in executor storage for the whole
+    // session — the exact anti-pattern coveredPositions documents.
+    // Re-deriving the explode for each consumer costs one extra
+    // pruned-scan+regex map pass and nothing else: the df-count pass is
+    // the only full-gram shuffle, and the probe pass filters map-side
+    // against the AQE-broadcast dup-gram set below
     val ge = withS.select(F.col("doc_id"), F.explode(grams).as("g"))
       .select(F.col("doc_id"), F.col("g.p").as("p"), F.col("g.gram").as("gram"))
-      .localCheckpoint()
     val dupGrams = ge.groupBy("gram")
       .agg(F.countDistinct(F.col("doc_id")).as("df"))
       .filter(F.col("df") >= minDocs)

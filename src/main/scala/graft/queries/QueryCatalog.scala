@@ -33,15 +33,25 @@ object QueryCatalog {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's reader rejects; we read them as raw nano longs
-    * (legacy.parquet.nanosAsLong, set in [[wrap]]) and truncate to
-    * microsecond TimestampType with integer `div` — no double rounding,
-    * exact for the full int64 range.
+  /** Schema-adaptive events read. Driver testdata generations have
+    * carried `ts` two ways: TIMESTAMP(NANOS) parquet timestamps (which
+    * Spark's reader only accepts as raw nano longs via
+    * legacy.parquet.nanosAsLong, set in [[wrap]]) and plain micros
+    * timestamps (read natively as TIMESTAMP_NTZ). Both normalize to
+    * microsecond TimestampType: nanos truncate with integer `div` (no
+    * double rounding, exact for the full int64 range); NTZ casts
+    * value-preservingly under the session's pinned UTC zone
+    * ([[graft.GraftSession.builder]]).
     */
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", F.col("ts").cast(TimestampType))
+    }
+  }
 
   /** Exact decimal view of a 2-dp money column. */
   private def dec(c: String) = F.col(c).cast("decimal(18,2)")
@@ -4948,17 +4958,35 @@ object QueryCatalog {
     * maxFilesPerTrigger=1 file stream (FileStreamSource drains files
     * in (mtime, path) order, so batch i is exactly tile i).
     *
-    * MEMOIZED per (source dir, parts): the tiling is a deterministic
-    * function of the at-rest input, so repeat invocations (min-of-2
-    * bench runs, warmup sweeps) skip the global-sort ntile + per-tile
-    * writes and only the streaming replay itself is re-run — the
-    * checkpoint dir is still cleared by every caller, so the stream
-    * always re-consumes every file. A `__source` marker records what
-    * the tiles were built from; any mismatch rebuilds.
+    * MEMOIZED per (source CONTENT, tiling version, parts): the tiling
+    * is a deterministic function of the at-rest input, so repeat
+    * invocations (min-of-N bench runs, warmup sweeps) skip the
+    * global-sort ntile + per-tile writes and only the streaming replay
+    * itself is re-run — the checkpoint dir is still cleared by every
+    * caller, so the stream always re-consumes every file. A `__source`
+    * marker records what the tiles were built from; any mismatch
+    * rebuilds. The tag folds in (a) a name:size:mtime fingerprint of
+    * the source dir's parquet files — regenerating the dataset in
+    * place (the driver did exactly this between rounds 10 and 11)
+    * invalidates the tiles instead of silently replaying stale data —
+    * and (b) [[tilingVersion]], bumped whenever any caller's tile
+    * expression changes shape.
     */
+  private val tilingVersion = "t2"
+
+  private def sourceFingerprint(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(files.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   private def writeOrderedStreamFiles(
       tiled: => DataFrame, parts: Int, outDir: String, sourceTag: String): Unit = {
-    val tag = s"$sourceTag|parts=$parts"
+    val tag =
+      s"$sourceTag|${sourceFingerprint(sourceTag)}|$tilingVersion|parts=$parts"
     val marker = java.nio.file.Paths.get(outDir, "__source")
     if (java.nio.file.Files.exists(marker) &&
         java.nio.file.Files.readString(marker) == tag) return

@@ -11,8 +11,13 @@ import graft.{GraftFunctions, GraftSession, SparkEntry}
   * two scale factors (the driver's sf0.1 and the locally generated
   * sf1-equivalent from [[ScaleUp]]), record min-of-2 wall-times and the
   * post-AQE physical plan at each scale, and emit
-  * `target/scale_probe.json` plus per-query plan dumps under
-  * `target/scale_plans/` — the raw material for `SCALE.md`.
+  * `scale/scale_probe_<bigTag>.json` plus per-query plan dumps under
+  * `scale/plans/` — COMMITTED paths (r10 lesson: the evidence behind
+  * SCALE.md's exponent table lived in gitignored target/ and survived
+  * only as prose). Streaming twins additionally record their maximum
+  * state-store footprint (rows + bytes, from StreamingQueryProgress) at
+  * each scale, so "state scales with keys, not events" is a measured
+  * claim.
   *
   * The interesting outputs are (a) the scaling exponent
   * `log(t_big/t_small) / log(rows_big/rows_small)` — ~1.0 means linear,
@@ -41,7 +46,12 @@ object ScaleProbe {
     "q_pack_text",       // sequence packing (first-fit bins)
     "q_bpe_train",       // BPE vocabulary training loop
     "q_decontam",        // eval-contamination screen
-    "q_ewma_stream")     // streaming keyed state (mapGroupsWithState replay)
+    "q_ewma_stream",     // streaming keyed state (mapGroupsWithState replay)
+    "q_frame_meta",      // multimodal: byte-budget repartition + frame sampling
+    "q_image_features",  // multimodal: real decoder over opaque payloads
+    "q_ann_lsh_idx",     // LSH index build + parquet round-trip + serve
+    "q_sessionize_stream", // streaming session windows: keyed timeout state
+    "q_attrib_stream")   // streaming two-sided interval join state
 
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
@@ -77,10 +87,32 @@ object ScaleProbe {
       lastPlan.get
     }
 
-    val plansDir = Paths.get("target/scale_plans")
+    // streaming state-store footprint: the twins run their micro-batch
+    // replay inside the entry, so a session-level listener sees every
+    // progress event; per timed run we keep the MAX total state rows and
+    // bytes across batches — the number that must scale with distinct
+    // keys, not with replayed events
+    val maxStateRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxStateBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) {
+          val rows = ops.map(_.numRowsTotal).sum
+          val bytes = ops.map(_.memoryUsedBytes).sum
+          maxStateRows.getAndUpdate(v => math.max(v, rows))
+          maxStateBytes.getAndUpdate(v => math.max(v, bytes))
+        }
+      }
+    })
+
+    val plansDir = Paths.get("scale/plans")
     Files.createDirectories(plansDir)
 
-    def timeQuery(name: String, dir: String, tag: String): (Double, Long) = {
+    def timeQuery(name: String, dir: String, tag: String): (Double, Long, Long, Long) = {
       def once(capture: Boolean): Double = {
         scrub(spark)
         lastPlan.set("")
@@ -92,13 +124,17 @@ object ScaleProbe {
           plansDir.resolve(s"${name}_$tag.txt"), awaitPlan().take(8000))
         sec
       }
-      val t = math.min(once(capture = false), once(capture = true))
+      val warm = once(capture = false)
+      maxStateRows.set(0); maxStateBytes.set(0)
+      val t = math.min(warm, once(capture = true))
       // result cardinality (outside the timer): the structural check that
       // the scaled input produced a sanely scaled OUTPUT — candidate-pair
       // and cluster counts growing ~factor×, not factor²×
       val n = SparkEntry.queries(name)(spark, dir).count()
-      println(f"[probe] $name%-20s $tag%-6s $t%8.2f s  $n%9d rows")
-      (t, n)
+      val sr = maxStateRows.get; val sb = maxStateBytes.get
+      val stateNote = if (sr > 0) f"  state: $sr%d rows ${sb / 1024}%d KiB" else ""
+      println(f"[probe] $name%-20s $tag%-6s $t%8.2f s  $n%9d rows$stateNote")
+      (t, n, sr, sb)
     }
 
     // the reference's end-to-end batch DAG, scaled by synthetic CSV rows
@@ -132,18 +168,24 @@ object ScaleProbe {
     def tagOf(dir: String) = new java.io.File(dir).getName
     val selected = if (only.isEmpty) headline else headline.filter(only)
     val rows = selected.map { name =>
-      val (ts, ns) = timeQuery(name, smallDir, tagOf(smallDir))
-      val (tb, nb) = timeQuery(name, bigDir, tagOf(bigDir))
-      (name, ts, tb, ns, nb)
+      val (ts, ns, srs, sbs) = timeQuery(name, smallDir, tagOf(smallDir))
+      val (tb, nb, srb, sbb) = timeQuery(name, bigDir, tagOf(bigDir))
+      (name, ts, tb, ns, nb, (srs, sbs, srb, sbb))
     } ++ (if (only.isEmpty || only("pipeline"))
-      Seq(("pipeline", timePipeline(20000, "small"), timePipeline(200000, "big"), -1L, -1L))
+      Seq(("pipeline", timePipeline(20000, "small"), timePipeline(200000, "big"),
+        -1L, -1L, (0L, 0L, 0L, 0L)))
     else Nil)
 
-    val json = rows.map { case (name, ts, tb, ns, nb) =>
+    val json = rows.map { case (name, ts, tb, ns, nb, (srs, sbs, srb, sbb)) =>
       val exp = math.log(tb / ts) / math.log(factor)
-      f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f, "rows_small": $ns%d, "rows_big": $nb%d}"""
+      val state =
+        if (srs > 0 || srb > 0)
+          f""", "state_rows_small": $srs%d, "state_bytes_small": $sbs%d, "state_rows_big": $srb%d, "state_bytes_big": $sbb%d"""
+        else ""
+      f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f, "rows_small": $ns%d, "rows_big": $nb%d$state}"""
     }.mkString("{\n", ",\n", "\n}")
-    Files.writeString(Paths.get("target/scale_probe.json"), json + "\n")
+    Files.writeString(
+      Paths.get(s"scale/scale_probe_${tagOf(bigDir)}.json"), json + "\n")
     println(json)
     spark.stop()
   }

@@ -1501,10 +1501,18 @@ class OperatorsSpec extends SparkSpec {
     // the word tier provably misses the variant copy
     assert(graft.operators.Dedup.duplicatedRuns(docs, n = 5, minDocs = 2)
       .count() === 0L)
+    // scale discipline: the char tier must stay lineage-only — no
+    // corpus-sized cache/checkpoint blocks may survive the query
+    // (r10's localCheckpoint of the full gram table was a ~30x storage
+    // amplification; this pin keeps it out)
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
     val out = graft.operators.Dedup
       .duplicatedRunsChar(docs, n = 20, minDocs = 2)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val blocksAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((blocksAfter -- blocksBefore).isEmpty,
+      s"duplicatedRunsChar left persisted RDDs behind: ${blocksAfter -- blocksBefore}")
     // normalized block is identical for both docs: one run each, full length
     val normBlock = blockA.toLowerCase.replaceAll("[^\\p{L}\\p{N}]", "")
     assert(normBlock.length >= 200, s"planted block too short: ${normBlock.length}")
