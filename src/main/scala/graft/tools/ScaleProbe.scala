@@ -56,6 +56,12 @@ object ScaleProbe {
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // ContextCleaner reclaims shuffle files/broadcasts only when their
+    // owners are GC'd (the r8/Bench lesson); without this, a 21-query
+    // probe session accumulates state that taxed late entries up to 10x
+    // their isolated cost (q_sessionize measured 15.7 s in-sweep vs
+    // 1.5 s isolated before this line existed)
+    System.gc()
   }
 
   def main(args: Array[String]): Unit = {
