@@ -271,6 +271,13 @@ object Bench {
         batchFile("b1.jsonl", 1500 until 3000,
           i => if (i % 10 < 3) i - 1500 else i) // 30% dups of b0
         val t0 = System.nanoTime()
+        // right-size shuffle width to the micro-batch (the twins'
+        // withFewShufflePartitions rationale): a 1500-doc batch through
+        // a ~7-job foreachBatch chain pays task-launch overhead per
+        // shuffle partition per job; 32-wide shuffles are the 100 TB
+        // posture, not the micro-batch one. Restored after the stream.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           val catalog = new graft.sources.Catalog(s, s"$dir/warehouse")
           val ddl = org.apache.spark.sql.types.StructType.fromDDL _
@@ -289,7 +296,7 @@ object Bench {
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] streaming_dedup failed: ${e.getMessage}")
           Double.NaN
-        }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }))
     compositeSession.stop()
     val failed = withStreamDedup.collect { case (k, v) if v.failed => k }
