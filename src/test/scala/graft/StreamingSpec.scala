@@ -252,6 +252,37 @@ class StreamingSpec extends SparkSpec {
     assert(last.getLong(0) === 1L && last.getLong(1) === 3L && last.getLong(2) === 65L)
   }
 
+  test("keyed-fold state scales with KEYS, not events") {
+    // the 100 TB state contract, asserted (SCALE.md measures it at
+    // sf1/sf10): mapGroupsWithState holds ONE row per distinct key, so
+    // pushing 50x more events over the same key set must leave state
+    // rows unchanged — a regression to per-event state (collect_list
+    // buffering, unexpired timers) fails here, not at the next scale-up
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1704100000000L + s * 1000L)
+    def run(keys: Int, eventsPerKey: Int, name: String): Long = {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.EwmaEvent]
+      val q = graft.streaming.Streams.streamingEwma(input.toDS())
+        .toDF("user_id", "n_events", "ewma_cents").writeStream
+        .outputMode("update").format("memory").queryName(name).start()
+      (0 until eventsPerKey).foreach { b =>
+        input.addData((0 until keys).map(k =>
+          graft.streaming.Streams.EwmaEvent(k.toLong, ts(b), (b * keys + k).toLong, 10L)): _*)
+        if (b % 10 == 0) q.processAllAvailable()
+      }
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      stateRows
+    }
+    val fewEvents = run(keys = 100, eventsPerKey = 2, "state_few")
+    val manyEvents = run(keys = 100, eventsPerKey = 100, "state_many")
+    assert(fewEvents === 100L, s"state must be one row per key, got $fewEvents")
+    assert(manyEvents === 100L,
+      s"50x events over the same keys must not grow state, got $manyEvents")
+  }
+
   test("sessionize closes sessions after the event-time gap and expires state") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.SessionEvent]
