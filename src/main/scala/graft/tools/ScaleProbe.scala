@@ -51,7 +51,9 @@ object ScaleProbe {
     "q_image_features",  // multimodal: real decoder over opaque payloads
     "q_ann_lsh_idx",     // LSH index build + parquet round-trip + serve
     "q_sessionize_stream", // streaming session windows: keyed timeout state
-    "q_attrib_stream")   // streaming two-sided interval join state
+    "q_attrib_stream",   // streaming two-sided interval join state
+    "q_span_remove",     // substring dedup: lineage-only covered positions
+    "q_dup_runs_char")   // char-gram maximal runs (r11 lineage-only rework)
 
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
@@ -190,8 +192,11 @@ object ScaleProbe {
         else ""
       f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f, "rows_small": $ns%d, "rows_big": $nb%d$state}"""
     }.mkString("{\n", ",\n", "\n}")
+    // filtered spot-runs land in a _partial file so they never clobber
+    // the round's full probe evidence
+    val suffix = if (only.isEmpty) "" else "_partial"
     Files.writeString(
-      Paths.get(s"scale/scale_probe_${tagOf(bigDir)}.json"), json + "\n")
+      Paths.get(s"scale/scale_probe_${tagOf(bigDir)}$suffix.json"), json + "\n")
     println(json)
     spark.stop()
   }
