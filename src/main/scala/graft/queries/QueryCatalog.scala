@@ -2824,6 +2824,45 @@ object QueryCatalog {
        |  AND CAST(d.dot AS HUGEINT) * d.dot * 25 >= CAST(na.n2 AS HUGEINT) * nb.n2 * 4
        |ORDER BY a, b""".stripMargin
 
+  /** A TIGHTENED near-dup operating point — cos >= 9/20 through 6-bit ×
+    * 4 banded buckets — graded with the same full-reproducibility
+    * oracle as [[qEmbedNearDup]]. The sf10 operating curve (SCALE.md,
+    * scale/neardup_sweep_sf10.json) shows exactly this knob direction —
+    * higher threshold + wider bands — restoring output-bound cost when
+    * cloud density grows 100×; grading a tightened setting pins that
+    * the knobs, not just the probe default, are oracle-exact (buckets,
+    * candidates, and threshold all replay bit-for-bit at any
+    * bits/tables/threshold combination).
+    */
+  private def qEmbedNearDupTight(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"),
+      thresholdNum = 9, thresholdDen = 20, bits = 6, tables = 4)
+      .orderBy("a", "b")
+
+  private val qEmbedNearDupTightSql =
+    s"""WITH ${lshOracleCtes(24)},
+       |buckets AS (
+       |  SELECT vec_id, seed // 6 AS tbl,
+       |    SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << (seed % 6) ELSE 0 END) AS bk
+       |  FROM proj GROUP BY vec_id, tbl),
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2
+       |  FROM (SELECT vec_id, unnest(qv) AS x FROM quant) GROUP BY vec_id),
+       |cand AS (
+       |  SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
+       |  FROM buckets la JOIN buckets lb ON la.tbl = lb.tbl AND la.bk = lb.bk
+       |  WHERE la.vec_id < lb.vec_id),
+       |pairvals AS (
+       |  SELECT c.a, c.b, unnest(qa.qv) AS x, unnest(qb.qv) AS y
+       |  FROM cand c JOIN quant qa ON qa.vec_id = c.a JOIN quant qb ON qb.vec_id = c.b),
+       |dots AS (
+       |  SELECT a, b, CAST(SUM(x * y) AS BIGINT) AS dot FROM pairvals GROUP BY a, b)
+       |SELECT d.a, d.b, d.dot AS score
+       |FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+       |WHERE d.dot > 0
+       |  AND CAST(d.dot AS HUGEINT) * d.dot * 400 >= CAST(na.n2 AS HUGEINT) * nb.n2 * 81
+       |ORDER BY a, b""".stripMargin
+
   /** LSH-bucketed ANN: 4 sign-bit planes, candidates from the query's
     * bucket only, ranked by exact quantized dot.
     */
@@ -6648,6 +6687,7 @@ object QueryCatalog {
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),
     Q("q_simhash_pairs", wrap(qSimhashPairs), Some(qSimhashPairsSql)),
     Q("q_embed_neardup", wrap(qEmbedNearDup), Some(qEmbedNearDupSql)),
+    Q("q_embed_neardup_tight", wrap(qEmbedNearDupTight), Some(qEmbedNearDupTightSql)),
     Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
     Q("q_ann_sq8", wrap(qAnnSq8), Some(qAnnSq8Sql)),
