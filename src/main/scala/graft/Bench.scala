@@ -31,41 +31,71 @@ object Bench {
     *   /root/testdata this round — events.ts nanos→micros, documents
     *   much heavier in duplicated grams — so r11 numbers are NOT
     *   comparable to r10 regardless of harness).
+    *   r12: MEDIAN-first reporting (the r11 verdict's measurement-
+    *   honesty nit: headlines cited min while committed spreads showed
+    *   medians up to 2.4× higher) — `queries`/`value` now carry the
+    *   median; min/max stay in `spreads`. Entries whose in-sweep
+    *   max/min exceeds 2× additionally get ONE isolated re-run in a
+    *   fresh session, recorded as `isolated` next to the spread, so
+    *   sweep-interference outliers are adjudicated mechanically, not ad
+    *   hoc. Fingerprint now walks directory datasets (dir File.length
+    *   was the constant inode size, so a regenerated dir-based sf dir
+    *   kept its stamp).
     */
-  private val HarnessVersion = "r11-spread-1"
+  private val HarnessVersion = "r12-median-1"
 
-  /** Fingerprint of the measured dataset: name:size for every parquet in
-    * the sf dir, hashed. Two rounds' numbers are comparable only when
-    * both the harness version and this fingerprint agree.
+  /** Fingerprint of the measured dataset: name:size for every regular
+    * file under every *.parquet entry (Spark-written datasets are
+    * DIRECTORIES named *.parquet — their File.length() is the inode
+    * size, constant under regeneration, so the walk must reach the
+    * part files). Two rounds' numbers are comparable only when both
+    * the harness version and this fingerprint agree.
     */
   private def workloadFingerprint(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toSeq
+          .flatMap(walk)
+      else if (f.getName.startsWith(".") || f.getName.startsWith("_")) Seq.empty
+      else Seq(s"${f.getName}:${f.length}")
     val files = Option(new java.io.File(sfDir).listFiles())
       .getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}").mkString(",")
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      .flatMap(walk).mkString(",")
     java.security.MessageDigest.getInstance("MD5")
       .digest(files.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
   }
 
-  /** One entry's measured spread. `point` (the reported per-query
-    * number) stays min-of-N — the repeatable cost of a deterministic
-    * computation — while med/max expose the session noise that made
-    * r10's round-over-round deltas unadjudicable.
+  /** One entry's measured spread. `point` — the reported per-query
+    * number — is the MEDIAN (r12): the min systematically understated
+    * entries whose later runs inherit sweep noise, and round-over-round
+    * comparisons led with it. The min stays in the spread as the
+    * floor-of-the-computation estimate. For even n the median averages
+    * the two middle runs (the r11 upper-median made med == max for the
+    * composites' n=2).
     */
-  private final case class Spread(runs: Seq[Double]) {
+  private final case class Spread(runs: Seq[Double], isolated: Double = Double.NaN) {
     // a single failed attempt marks the entry failed (r10 semantics:
     // min-of-2 propagated NaN) — a flaky query must not report its
     // surviving attempt as a clean number
     val ok: Seq[Double] = runs.filterNot(_.isNaN).sorted
     def failed: Boolean = ok.size != runs.size || ok.isEmpty
-    def point: Double = if (failed) Double.NaN else ok.head
     def med: Double =
-      if (failed) Double.NaN else ok(ok.size / 2)
+      if (failed) Double.NaN
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    def point: Double = med
+    def min: Double = if (failed) Double.NaN else ok.head
     def max: Double = if (failed) Double.NaN else ok.last
+    def highVariance: Boolean = !failed && ok.head > 0 && ok.last / ok.head > 2.0
+    def withIsolated(v: Double): Spread = copy(isolated = v)
     def json: String =
       if (failed) """{"n":0}"""
-      else f"""{"n":${ok.size},"min":${ok.head}%.3f,"med":$med%.3f,"max":$max%.3f}"""
+      else {
+        val iso = if (isolated.isNaN) "" else f""","isolated":$isolated%.3f"""
+        f"""{"n":${ok.size},"min":$min%.3f,"med":$med%.3f,"max":$max%.3f$iso}"""
+      }
   }
 
   /** Release cross-entry session state: cached relations plus any
@@ -121,14 +151,13 @@ object Bench {
       }
       scrub(spark)
     }
-    // N measured runs per query (default 3), report the min as the point
-    // estimate: single-run local timings are ±20% noisy (GC, page
-    // cache), which round-over-round reads as phantom regressions;
-    // min-of-N is the standard estimator for the repeatable cost of a
-    // deterministic computation. The full spread (min/med/max) lands in
-    // bench_full.json so a round-over-round delta can be checked against
-    // the measured noise floor instead of re-running (r10's apparent
-    // +11% was entirely within the within-round spread).
+    // N measured runs per query (default 3), report the MEDIAN as the
+    // point estimate (r12): single-run local timings are ±20% noisy
+    // (GC, page cache), and the r11 min-first headline systematically
+    // understated entries whose spread the same file showed at up to
+    // 2.4×. The full spread (min/med/max) lands in bench_full.json so
+    // a round-over-round delta can be checked against the measured
+    // noise floor instead of re-running.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val results = selected.map { case (name, fn) =>
       // a failed run must NOT report its (fast) elapsed time as the
@@ -150,6 +179,37 @@ object Bench {
       }
       name -> Spread(Seq.fill(repeats)(once()))
     }
+    // Mechanical outlier isolation (r12, the r11 verdict's ask): any
+    // entry whose in-sweep max/min exceeded 2x gets ONE re-run in a
+    // FRESH session after the sweep — the previously ad-hoc "isolated
+    // adjudication run" (q_attrib_stream in r11) made automatic. The
+    // isolated number rides bench_full.json next to the spread; the
+    // reported median stays the sweep's (the isolated run adjudicates
+    // whether the spread was sweep interference, it does not replace
+    // the measurement).
+    spark.stop()
+    val highVar = results.filter(_._2.highVariance).map(_._1)
+    val resultsIso = if (highVar.isEmpty) results else {
+      val iso = freshSession("graft-bench-isolated")
+      iso.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+      val isoMap = highVar.map { name =>
+        scrub(iso)
+        val t0 = System.nanoTime()
+        val v = try {
+          SparkEntry.queries(name)(iso, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(_) => Double.NaN }
+        System.err.println(f"[bench] isolated re-run $name: $v%.3f s")
+        name -> v
+      }.toMap
+      iso.stop()
+      results.map { case (k, s) =>
+        k -> isoMap.get(k).map(s.withIsolated).getOrElse(s)
+      }
+    }
     // The composites below share ONE fresh SparkSession on a fresh
     // SparkContext (local mode allows one context per JVM, so the query
     // sweep's session stops first): their micro-batch/pipeline timings
@@ -157,11 +217,11 @@ object Bench {
     // they may — and should — share each other's warmed codegen and
     // classloading (the r9 finding: six cold session bootstraps taxed
     // the composite block more than the measured work itself). Each
-    // composite keeps the min-of-2 estimator — the first run absorbs
+    // composite keeps the min-of-2 estimator's REPEATS (n=2, reported
+    // as their mean via the even-n median) — the first run absorbs
     // cold JIT/codegen (checkpoint-heavy streaming flows swing 2-3x
     // between cold and warm), every attempt on fresh scratch dirs; the
     // sweep-style scrub between attempts keeps attempts independent.
-    spark.stop()
     val compositeSession = freshSession("graft-bench-composites")
     def min2(attempt: SparkSession => Double): Spread = {
       def once(): Double = {
@@ -176,8 +236,8 @@ object Bench {
     // the first, so its upsert is pure dedup work; the third overlaps
     // 50%), then small-file compaction of the accreted partitions.
     val withPipeline =
-      if (only.nonEmpty && !only("pipeline")) results
-      else results :+ ("pipeline" -> min2(s => {
+      if (only.nonEmpty && !only("pipeline")) resultsIso
+      else resultsIso :+ ("pipeline" -> min2(s => {
         val dir = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
         def csv(name: String, rows: Int, offset: Int): String = {
           val p = s"$dir/$name.csv"
@@ -310,8 +370,9 @@ object Bench {
     println(line)
     // Durable copy: the driver captures only the stdout TAIL, which has
     // truncated the first ~90 per-query timings in past rounds. The
-    // engine persists its own complete report — per-query point (min)
-    // AND spread (n/min/med/max), the harness version, a workload
+    // engine persists its own complete report — per-query point (median)
+    // AND spread (n/min/med/max, plus `isolated` re-runs for entries
+    // whose in-sweep spread exceeded 2×), the harness version, a workload
     // fingerprint of the measured data, and the host's load average —
     // so a later round can adjudicate a delta without re-running:
     // unequal harness/workload stamps mean the numbers are not

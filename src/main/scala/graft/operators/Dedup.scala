@@ -705,6 +705,110 @@ object Dedup {
       .distinct()
   }
 
+  /** DENSITY-ADAPTIVE band width for [[embeddingNearDups]]: derive the
+    * per-table bit count from a MEASURED bucket-occupancy estimate
+    * instead of a caller constant — the knob the sf10 operating sweep
+    * (`scale/neardup_sweep_sf10.json`) showed a human reading a curve to
+    * set; at 100 TB the engine must read its own density.
+    *
+    * Estimator — a TWO-RESOLUTION occupancy probe. A deterministic md5
+    * sample (md5-32(id) % `sampleMod` = 0 — the [[Corpus.hashSample]]
+    * rule, so any SQL engine replays the exact sample) is bucketed once
+    * at `probeBitsHi` sign bits; the `probeBitsLo`-bit bucket is its low
+    * bit slice (bit b ↔ plane seed b), so ONE bucketing pass yields the
+    * collision-pair mass C(r) = Σ occ·(occ−1)/2 at both resolutions.
+    * Collision mass decomposes as C(b) = C_dup + C_bg·2^(hi−b): true
+    * near-dups agree on almost every plane — extra bits can never split
+    * them, and they are the operator's OUTPUT, paid at any setting —
+    * while background (incidental) collisions halve per added bit.
+    * A single-resolution probe conflates the two and over-picks on
+    * dup-heavy clouds (measured here: the naive model picked 12 bits at
+    * sf10 where the swept cost curve bottoms at 8 — the dup mass it was
+    * trying to split away is irreducible). Two resolutions separate
+    * them without ever estimating C_dup:
+    * C_bg = (C(lo) − C(hi)) / (2^(hi−lo) − 1).
+    *
+    * The pick is the smallest `bits` in [minBits, maxBits] whose
+    * modeled background mass fits the budget `bgPairsPerVec`·n,
+    * compared as integers with the division cleared —
+    * (C(lo) − C(hi)) · sampleMod² · 2^(hi−bits) ≤ (2^(hi−lo) − 1) ·
+    * target — so an independent engine reproduces the identical pick
+    * bit-for-bit. The budget default (450 background candidates per
+    * vector per table — each candidate costs ~one 64-dim integer dot,
+    * the same unit as a plane evaluation) is CALIBRATED against the
+    * measured sf10 cost curve (`scale/neardup_sweep_sf10.json`): on the
+    * 200k-vector cloud it picks 8 bits, where the swept curve bottoms,
+    * and the picks tighten monotonically with density (4 bits at
+    * sf0.01/sf0.1, 5 at sf1, 8 at sf10 — measured in
+    * `scale/neardup_auto_pick.json`).
+    *
+    * Scale shape: one count, one sampled bucket aggregate (sample rows
+    * ≈ n/sampleMod), two sketch-sized mass aggregates, one driver-side
+    * integer compare per candidate bits value — the picker reads
+    * model-sized stats only; nothing corpus-sized moves.
+    */
+  def autoBandBits(
+      embs: DataFrame,
+      probeBitsHi: Int = 12,
+      probeBitsLo: Int = 8,
+      sampleMod: Int = 16,
+      bgPairsPerVec: Int = 450,
+      minBits: Int = 4,
+      maxBits: Int = 12,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64): Int = {
+    require(probeBitsHi >= maxBits && probeBitsLo < probeBitsHi &&
+      minBits >= 1 && minBits <= maxBits,
+      "need minBits <= maxBits <= probeBitsHi and probeBitsLo < probeBitsHi")
+    import graft.functions.VectorFunctions
+    graft.GraftFunctions.register(embs.sparkSession)
+    val n = embs.count()
+    val u = F.conv(F.substring(
+      F.md5(F.col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    // per-hi-bucket occupancy of the sample; the lo-bucket mass derives
+    // from the same counts (lo bucket = hi bucket's low bit slice), so
+    // the quantize+bucket pipeline runs once per mass aggregate over a
+    // sample-sized slim frame — re-derived, not materialized
+    def occ = embs.filter(u % sampleMod === 0)
+      .select(VectorFunctions.quantize(F.col(vecCol)).as("qv"))
+      .select(Similarity.planeBucket(F.col("qv"), probeBitsHi, 0, dims).as("bk"))
+      .groupBy("bk").agg(F.count(F.lit(1)).as("c"))
+    def mass(df: DataFrame): Long = df
+      .agg(F.coalesce(F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0L)))
+      .head().getLong(0)
+    val cHi = mass(occ)
+    val cLo = mass(occ.groupBy(F.col("bk") % (1L << probeBitsLo))
+      .agg(F.sum("c").as("c")))
+    val bg = BigInt((cLo - cHi).max(0L)) * sampleMod * sampleMod
+    val rhs = ((BigInt(1) << (probeBitsHi - probeBitsLo)) - 1) *
+      BigInt(bgPairsPerVec) * n
+    (minBits to maxBits)
+      .find(b => (bg << (probeBitsHi - b)) <= rhs)
+      .getOrElse(maxBits)
+  }
+
+  /** [[embeddingNearDups]] at the AUTO-PICKED operating point: band bits
+    * from [[autoBandBits]]' measured-density estimate, threshold still
+    * the caller's semantic choice. The picked width is emitted as a
+    * `bits` column so the choice itself is part of the graded result —
+    * the oracle must reproduce the pick, not just the pairs.
+    */
+  def embeddingNearDupsAuto(
+      embs: DataFrame,
+      thresholdNum: Int = 2,
+      thresholdDen: Int = 5,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
+    val bits = autoBandBits(embs, idCol = idCol, vecCol = vecCol, dims = dims)
+    embeddingNearDups(embs, thresholdNum, thresholdDen, idCol, vecCol,
+        bits, tables, dims)
+      .withColumn("bits", F.lit(bits.toLong))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the embedding space
     * (deterministic md5-order centroids, argmax-dot assignment — the
     * identical cell rule as [[Similarity.ivfTopK]]/kmeansStep), then
@@ -988,7 +1092,8 @@ object Dedup {
       n: Int,
       minDocs: Int,
       textCol: String,
-      idCol: String): (DataFrame, DataFrame) = {
+      idCol: String,
+      hashGram: Boolean = false): (DataFrame, DataFrame) = {
     require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
     val withT = parallelizeSmallScan(
       docs.select(F.col(idCol).cast("long").as("doc_id"),
@@ -999,8 +1104,14 @@ object Dedup {
         p => F.struct(p.as("p"),
           F.concat_ws(" ", F.slice(toks, p + 1, F.lit(n))).as("gram"))))
       .otherwise(F.array().cast("array<struct<p:int,gram:string>>"))
+    // hashGram: the df-count shuffle and the dup-gram semi-join key on
+    // xxhash64(gram) — 8 bytes instead of the literal n-word string —
+    // cutting the dominant shuffle's bytes; see [[duplicatedRunsChar]]
+    // for the collision analysis. Literal mode is the oracle-replay path.
+    val keyed = F.col("g.gram")
     val ge = withT.select(F.col("doc_id"), F.explode(grams).as("g"))
-      .select(F.col("doc_id"), F.col("g.p").as("p"), F.col("g.gram").as("gram"))
+      .select(F.col("doc_id"), F.col("g.p").as("p"),
+        (if (hashGram) F.xxhash64(keyed) else keyed).as("gram"))
     val dupGrams = ge.groupBy("gram")
       .agg(F.countDistinct(F.col("doc_id")).as("df"))
       .filter(F.col("df") >= minDocs)
@@ -1017,8 +1128,9 @@ object Dedup {
       n: Int = 5,
       minDocs: Int = 2,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val (withT, cov) = coveredPositions(docs, n, minDocs, textCol, idCol)
+      idCol: String = "doc_id",
+      hashGram: Boolean = false): DataFrame = {
+    val (withT, cov) = coveredPositions(docs, n, minDocs, textCol, idCol, hashGram)
     val toks = F.col("__t")
     val tp = withT.select(F.col("doc_id"), F.posexplode(toks).as(Seq("pos", "tok")))
     val agg = tp.join(cov, Seq("doc_id", "pos"), "left_anti")
@@ -1064,8 +1176,9 @@ object Dedup {
       n: Int = 5,
       minDocs: Int = 2,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val (_, cov) = coveredPositions(docs, n, minDocs, textCol, idCol)
+      idCol: String = "doc_id",
+      hashGram: Boolean = false): DataFrame = {
+    val (_, cov) = coveredPositions(docs, n, minDocs, textCol, idCol, hashGram)
     mergeCoveredRuns(cov)
   }
 
@@ -1099,9 +1212,18 @@ object Dedup {
     * after word-gram dedup in training-data pipelines.
     *
     * Scale shape: the gram explode is `n`× the normalized text bytes —
-    * the known cost of substring-level dedup (production runs hash the
-    * gram; here the literal gram rides the one partial-aggregated
-    * shuffle so the oracle replays bit-for-bit). Everything after the
+    * the known cost of substring-level dedup. `hashGram = true` is the
+    * production posture: the df-count shuffle and the dup-gram semi-join
+    * key on xxhash64(gram) — 8 bytes instead of the ~(n+8)-byte literal
+    * string — cutting the engine's costliest shuffle ~4× in bytes. A
+    * cross-document 64-bit collision would mark a non-duplicated
+    * position covered; with G distinct grams that happens with
+    * P ≈ G²/2^65 (~3e-6 even at G = 10^7), and the graded
+    * q_dup_runs_char_hashed entry audits exactly this: the hashed path
+    * is compared against the literal-replay DuckDB oracle, so any
+    * collision surfaces as a hash mismatch. `hashGram = false` keeps
+    * the literal gram in the shuffle so the oracle replays bit-for-bit
+    * by construction. Everything after the
     * df cut touches only the duplicated TAIL (sparse by definition):
     * a semi-join on the gram, one per-doc window over covered positions,
     * one bounded aggregate. Raw text never shuffles, and NOTHING
@@ -1119,7 +1241,8 @@ object Dedup {
       n: Int = 20,
       minDocs: Int = 2,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      hashGram: Boolean = false): DataFrame = {
     require(n >= 2 && minDocs >= 2, "n >= 2, minDocs >= 2")
     val norm = F.regexp_replace(F.lower(F.col(textCol)), "[^\\p{L}\\p{N}]", "")
     val withS = parallelizeSmallScan(
@@ -1137,8 +1260,10 @@ object Dedup {
     // pruned-scan+regex map pass and nothing else: the df-count pass is
     // the only full-gram shuffle, and the probe pass filters map-side
     // against the AQE-broadcast dup-gram set below
+    val gramKey = F.col("g.gram")
     val ge = withS.select(F.col("doc_id"), F.explode(grams).as("g"))
-      .select(F.col("doc_id"), F.col("g.p").as("p"), F.col("g.gram").as("gram"))
+      .select(F.col("doc_id"), F.col("g.p").as("p"),
+        (if (hashGram) F.xxhash64(gramKey) else gramKey).as("gram"))
     val dupGrams = ge.groupBy("gram")
       .agg(F.countDistinct(F.col("doc_id")).as("df"))
       .filter(F.col("df") >= minDocs)

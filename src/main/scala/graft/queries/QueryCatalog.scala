@@ -1457,6 +1457,16 @@ object QueryCatalog {
     Dedup.removeDuplicatedSpans(t(s, dir, "documents"), n = 5, minDocs = 2)
       .orderBy("doc_id")
 
+  /** Word-gram tier of the hashed-gram collision audit (see
+    * [[qDupRunsCharHashed]]): the span-removal pass keyed on
+    * xxhash64(gram), graded against the literal-gram replay oracle of
+    * [[qSpanRemove]].
+    */
+  private def qSpanRemoveHashed(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(t(s, dir, "documents"), n = 5, minDocs = 2,
+        hashGram = true)
+      .orderBy("doc_id")
+
   private val qSpanRemoveSql =
     """WITH toks AS (
       |  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
@@ -1523,6 +1533,21 @@ object QueryCatalog {
     */
   private def qDupRunsChar(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedRunsChar(t(s, dir, "documents"), n = 20, minDocs = 2)
+      .orderBy("doc_id", "run_start")
+
+  /** COLLISION AUDIT of the production hashed-gram substring-dedup path:
+    * the df-count shuffle and dup-gram semi-join key on xxhash64(gram)
+    * (8 bytes) instead of the literal 20-char gram (~28 bytes) — the
+    * byte cut Dedup's scaladoc prescribes for 100 TB runs — while the
+    * ORACLE stays the literal-gram DuckDB replay of [[qDupRunsChar]].
+    * The two results are identical unless a cross-document 64-bit gram
+    * collision fired (P ≈ G²/2^65), so a green hash-match here IS the
+    * measured collision audit; any collision would surface as a
+    * row/hash mismatch in the correctness gate.
+    */
+  private def qDupRunsCharHashed(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedRunsChar(t(s, dir, "documents"), n = 20, minDocs = 2,
+        hashGram = true)
       .orderBy("doc_id", "run_start")
 
   private val qDupRunsCharSql =
@@ -2861,6 +2886,67 @@ object QueryCatalog {
        |FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
        |WHERE d.dot > 0
        |  AND CAST(d.dot AS HUGEINT) * d.dot * 400 >= CAST(na.n2 AS HUGEINT) * nb.n2 * 81
+       |ORDER BY a, b""".stripMargin
+
+  /** The DENSITY-ADAPTIVE near-dup operating point, graded end to end
+    * INCLUDING the pick: [[Dedup.autoBandBits]] derives the band width
+    * from a two-resolution sampled bucket-occupancy probe (md5 sample →
+    * 12-bit buckets, whose low-8-bit slice gives the 8-bit occupancy;
+    * background collision mass = (C(8) − C(12))/15, budgeted at 450
+    * background candidates per vector per table), and the picked width
+    * is emitted as a `bits` column — so the oracle must reproduce the
+    * sample, both occupancy masses, the integer pick rule, AND the
+    * resulting pair set. At sf0.01 the pick is 4 (sparse cloud → widest
+    * band); the same rule lands 8 bits on the sf10 cloud where the
+    * measured cost curve bottoms (`scale/neardup_auto_pick.json`).
+    */
+  private def qEmbedNearDupAuto(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsAuto(t(s, dir, "embeddings"),
+        thresholdNum = 2, thresholdDen = 5, tables = 4)
+      .orderBy("a", "b")
+
+  private val qEmbedNearDupAutoSql =
+    s"""WITH ${lshOracleCtes(48)},
+       |samp AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0),
+       |pbuck AS (
+       |  SELECT p.vec_id,
+       |    SUM(CASE WHEN p.proj >= 0 THEN CAST(1 AS BIGINT) << p.seed ELSE 0 END) AS bk
+       |  FROM proj p JOIN samp sm ON sm.vec_id = p.vec_id
+       |  WHERE p.seed < 12 GROUP BY p.vec_id),
+       |occ AS (SELECT bk, COUNT(*) AS c FROM pbuck GROUP BY bk),
+       |chi AS (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS v FROM occ),
+       |clo AS (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS v FROM
+       |  (SELECT bk % 256 AS bl, SUM(c) AS c FROM occ GROUP BY bl)),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |pick AS (SELECT CAST(COALESCE(MIN(g.b), 12) AS BIGINT) AS bits
+       |  FROM generate_series(4, 12) g(b), chi, clo, nn
+       |  WHERE GREATEST(clo.v - chi.v, 0) * 256 * (CAST(1 AS BIGINT) << (12 - g.b))
+       |        <= 15 * 450 * nn.n),
+       |buckets AS (
+       |  SELECT pr.vec_id, pr.seed // pk.bits AS tbl,
+       |    SUM(CASE WHEN pr.proj >= 0 THEN CAST(1 AS BIGINT) << (pr.seed % pk.bits) ELSE 0 END) AS bk
+       |  FROM proj pr, pick pk
+       |  WHERE pr.seed < 4 * pk.bits
+       |  GROUP BY pr.vec_id, pr.seed // pk.bits),
+       |norms AS (
+       |  SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2
+       |  FROM (SELECT vec_id, unnest(qv) AS x FROM quant) GROUP BY vec_id),
+       |cand AS (
+       |  SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
+       |  FROM buckets la JOIN buckets lb ON la.tbl = lb.tbl AND la.bk = lb.bk
+       |  WHERE la.vec_id < lb.vec_id),
+       |pairvals AS (
+       |  SELECT c.a, c.b, unnest(qa.qv) AS x, unnest(qb.qv) AS y
+       |  FROM cand c JOIN quant qa ON qa.vec_id = c.a JOIN quant qb ON qb.vec_id = c.b),
+       |dots AS (
+       |  SELECT a, b, CAST(SUM(x * y) AS BIGINT) AS dot FROM pairvals GROUP BY a, b)
+       |SELECT d.a, d.b, d.dot AS score, pk.bits AS bits
+       |FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+       |CROSS JOIN pick pk
+       |WHERE d.dot > 0
+       |  AND CAST(d.dot AS HUGEINT) * d.dot * 25 >= CAST(na.n2 AS HUGEINT) * nb.n2 * 4
        |ORDER BY a, b""".stripMargin
 
   /** LSH-bucketed ANN: 4 sign-bit planes, candidates from the query's
@@ -6632,8 +6718,10 @@ object QueryCatalog {
     Q("q_ngram_pairs", wrap(qNgramPairs), Some(qNgramPairsSql)),
     Q("q_dup_spans", wrap(qDupSpans), Some(qDupSpansSql)),
     Q("q_span_remove", wrap(qSpanRemove), Some(qSpanRemoveSql)),
+    Q("q_span_remove_hashed", wrap(qSpanRemoveHashed), Some(qSpanRemoveSql)),
     Q("q_dup_runs", wrap(qDupRuns), Some(qDupRunsSql)),
     Q("q_dup_runs_char", wrap(qDupRunsChar), Some(qDupRunsCharSql)),
+    Q("q_dup_runs_char_hashed", wrap(qDupRunsCharHashed), Some(qDupRunsCharSql)),
     Q("q_seg_dedup", wrap(qSegDedup), Some(qSegDedupSql)),
     Q("q_dedup_clusters", wrap(qDedupClusters), Some(qDedupClustersSql)),
     Q("q_asof_join", wrap(qAsofJoin), Some(qAsofJoinSql)),
@@ -6688,6 +6776,7 @@ object QueryCatalog {
     Q("q_simhash_pairs", wrap(qSimhashPairs), Some(qSimhashPairsSql)),
     Q("q_embed_neardup", wrap(qEmbedNearDup), Some(qEmbedNearDupSql)),
     Q("q_embed_neardup_tight", wrap(qEmbedNearDupTight), Some(qEmbedNearDupTightSql)),
+    Q("q_embed_neardup_auto", wrap(qEmbedNearDupAuto), Some(qEmbedNearDupAutoSql)),
     Q("q_ann_lsh", wrap(qAnnLsh), Some(qAnnLshSql)),
     Q("q_ann_ivf", wrap(qAnnIvf), Some(qAnnIvfSql)),
     Q("q_ann_sq8", wrap(qAnnSq8), Some(qAnnSq8Sql)),

@@ -16,8 +16,12 @@ import org.apache.spark.sql.types.StructType
   * Scale note: every write goes through Spark's commit protocol, so a
   * 1000-executor append is atomic per job; `refreshByPath` after overwrite
   * keeps any cached file listings coherent.
+  *
+  * Open (not final) so fault-injection tests can override [[append]] to
+  * kill a pipeline inside a multi-write crash window (the streaming
+  * dedup index-first protocol's kill test).
   */
-final class Catalog(spark: SparkSession, warehouse: String) {
+class Catalog(spark: SparkSession, warehouse: String) {
 
   def path(table: String): String = s"$warehouse/$table"
 

@@ -119,6 +119,10 @@ object ScaleProbe {
 
     val plansDir = Paths.get("scale/plans")
     Files.createDirectories(plansDir)
+    // filtered spot-runs (possibly under different confs/data) must not
+    // clobber the round's committed plan evidence — mirror the _partial
+    // JSON convention on the plan dumps too
+    val dumpSuffix = if (only.isEmpty) "" else "_partial"
 
     def timeQuery(name: String, dir: String, tag: String): (Double, Long, Long, Long) = {
       def once(capture: Boolean): Double = {
@@ -129,7 +133,7 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         if (capture) Files.writeString(
-          plansDir.resolve(s"${name}_$tag.txt"), awaitPlan().take(8000))
+          plansDir.resolve(s"${name}_$tag$dumpSuffix.txt"), awaitPlan().take(8000))
         sec
       }
       val warm = once(capture = false)

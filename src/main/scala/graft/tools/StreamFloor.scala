@@ -43,7 +43,10 @@ object StreamFloor {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
     }
-    // warm both paths once, then min-of-2 each (Bench's estimator)
+    // min-of-2 COLD runs: each attempt gets a fresh temp dir, so
+    // first-run listing/codegen cost is present in both samples — the
+    // floor measured here is the cold-replay floor the composite itself
+    // pays (its attempts also run against fresh scratch dirs)
     def min2(label: String)(body: DataFrame => Unit): Double = {
       scrub(); val a = measure(body)
       scrub(); val b = measure(body)

@@ -1522,6 +1522,62 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1)._3 === normBlock.length.toLong)
   }
 
+  test("hashed-gram substring dedup reproduces the literal-gram result") {
+    // the production posture keys the df-count shuffle and dup-gram
+    // semi-join on xxhash64(gram) (8-byte shuffle key) instead of the
+    // literal gram string; absent a 64-bit collision the covered-position
+    // set — and everything derived from it — is identical. Pin the
+    // equality on real data for both the char tier and the word tier.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val litChar = graft.operators.Dedup
+      .duplicatedRunsChar(docs, n = 20, minDocs = 2)
+      .orderBy("doc_id", "run_start").collect().toSeq
+    val hashChar = graft.operators.Dedup
+      .duplicatedRunsChar(docs, n = 20, minDocs = 2, hashGram = true)
+      .orderBy("doc_id", "run_start").collect().toSeq
+    assert(litChar.nonEmpty, "sf0.001 must contain char-level dup runs")
+    assert(hashChar === litChar, "hashed char-gram path must match literal")
+    val litSpan = graft.operators.Dedup
+      .removeDuplicatedSpans(docs, n = 5, minDocs = 2)
+      .orderBy("doc_id").collect().toSeq
+    val hashSpan = graft.operators.Dedup
+      .removeDuplicatedSpans(docs, n = 5, minDocs = 2, hashGram = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(hashSpan === litSpan, "hashed word-gram path must match literal")
+  }
+
+  test("autoBandBits: deterministic pick, tightens with measured density") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // sparse cloud -> widest band; the pick is a pure function of the
+    // data (md5 sample + integer rule), so it must be stable run-to-run
+    assert(graft.operators.Dedup.autoBandBits(embs) === 4)
+    assert(graft.operators.Dedup.autoBandBits(embs) === 4)
+    // the auto wrapper must equal the manual operator at the picked
+    // width, plus the bits column carrying the pick
+    val auto = graft.operators.Dedup.embeddingNearDupsAuto(embs)
+      .orderBy("a", "b").collect()
+    val manual = graft.operators.Dedup.embeddingNearDups(embs, bits = 4)
+      .orderBy("a", "b").collect()
+    assert(auto.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      manual.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(auto.forall(_.getLong(3) === 4L))
+    // densify the cloud ×20 by verbatim replication under fresh ids:
+    // same-position replicas collide at BOTH probe resolutions, so
+    // their (irreducible) dup mass cancels out of the background
+    // estimate (C8 − C12) — but cross-position background pairs grow
+    // QUADRATICALLY (each colliding position pair now collides
+    // replicas × replicas times) while the budget grows only linearly
+    // with n, so the rule must tighten the band — by ~log2(400/20)/2
+    // bits here, not to the max — exactly the density response the
+    // sf10 sweep calibrated
+    val dense = (0 until 20).map(k =>
+        embs.select((F.col("vec_id") + F.lit(k * 1000000L)).as("vec_id"),
+          F.col("embedding")))
+      .reduce(_.unionAll(_))
+    assert(graft.operators.Dedup.autoBandBits(dense) === 5,
+      "quadratic background densification must tighten the pick modestly")
+  }
+
   test("hardNegatives returns only wrong-label neighbors, nearest first") {
     val rows = Seq(
       (0L, Array(1.0f, 0f), 1), (1L, Array(0.99f, 0f), 1), // same label as query

@@ -435,6 +435,72 @@ class StreamingSpec extends SparkSpec {
     assert(buckets.count() === ids.size * 4L)
   }
 
+  test("streaming dedup killed between index and corpus append: replay converges") {
+    // the crash window the index-first protocol argues about
+    // (Streams.scala crash-window note): buckets are written FIRST, so
+    // dying before the corpus append leaves the index LEADING the
+    // corpus. This was asserted only by design until now — here the
+    // crash actually happens (injected append failure), and replay must
+    // converge with no lost docs, no duplicate docs, and no duplicate
+    // index rows.
+    val dir = Files.createTempDirectory("graft-docstream-kill").toString
+    val drop = s"$dir/drop"; val wh = s"$dir/wh"; val cp = s"$dir/cp"
+    new java.io.File(drop).mkdirs()
+    val catalog = new graft.sources.Catalog(spark, wh)
+    catalog.ensureTable("corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
+    catalog.ensureTable("corpus_buckets",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, band INT, bk BIGINT"))
+    val crashing = new graft.sources.Catalog(spark, wh) {
+      override def append(table: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        if (table == "corpus")
+          throw new RuntimeException("injected kill between index and corpus append")
+        super.append(table, df)
+      }
+    }
+    def drop1(file: String, rows: (Long, String)*): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$drop/$file"),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+    val t1 = "first corpus document body written before the injected crash"
+    val t2 = "second unrelated text that must also survive the replay path"
+    val t3 = "twin texts landing together inside the crashing micro batch"
+    drop1("b1.jsonl", 1L -> t1, 2L -> t2, 3L -> t3, 4L -> t3) // intra-batch twins
+    val q1 = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+      crashing, "corpus", "corpus_buckets", cp).start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    q1.stop()
+    assert(died.getMessage.contains("injected kill"), died.getMessage)
+    // mid-window state: index leads (admitted docs bucketed), corpus
+    // has nothing, the batch is NOT committed in the checkpoint
+    assert(catalog.read("corpus").count() === 0L, "corpus must trail the crash")
+    assert(catalog.read("corpus_buckets").count() === 3L * 4L,
+      "index must lead: 3 admitted docs x 4 bands")
+    // replay with a healthy catalog from the SAME checkpoint: the batch
+    // re-admits (corpus is the admission authority), stale bucket rows
+    // produce only filtered self-pairs, and the bucket re-append
+    // anti-joins already-bucketed ids
+    val q2 = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+      catalog, "corpus", "corpus_buckets", cp).start()
+    q2.processAllAvailable()
+    // cross-batch probe still works after the recovery: a dup of a
+    // pre-crash doc must be caught by the recovered index
+    drop1("b2.jsonl", 10L -> t1.toUpperCase, 11L -> "genuinely fresh post recovery content")
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = catalog.read("corpus").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 3L, 11L), s"admitted $ids")
+    assert(graft.operators.Upsert.holdsUniqueness(catalog.read("corpus"), "doc_id"))
+    val buckets = catalog.read("corpus_buckets")
+    assert(buckets.select("id").collect().map(_.getLong(0)).toSet === ids,
+      "index must exactly mirror the corpus after replay")
+    assert(buckets.count() === ids.size * 4L, "no duplicate index rows")
+  }
+
   test("streaming dedup hygiene: contaminated docs rejected across batches, PII redacted") {
     val dir = Files.createTempDirectory("graft-docstream-hyg").toString
     val drop = s"$dir/drop"; val wh = s"$dir/wh"; val cp = s"$dir/cp"
