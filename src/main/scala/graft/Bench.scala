@@ -223,141 +223,164 @@ object Bench {
     // between cold and warm), every attempt on fresh scratch dirs; the
     // sweep-style scrub between attempts keeps attempts independent.
     val compositeSession = freshSession("graft-bench-composites")
+    // composite repeats default to 2 (they are the slowest entries);
+    // adjudication runs raise this to get a real distribution
+    val compositeRepeats =
+      sys.env.getOrElse("SPARK_GRAFT_COMPOSITE_REPEATS", "2").toInt
     def min2(attempt: SparkSession => Double): Spread = {
       def once(): Double = {
         scrub(compositeSession)
         attempt(compositeSession)
       }
-      Spread(Seq(once(), once()))
+      Spread(Seq.fill(compositeRepeats)(once()))
     }
-    // The reference's ACTUAL workload, timed end-to-end: three pipeline
-    // batches (CSV ingest -> trip_key derivation -> date-pruned dedup
-    // upsert -> incremental matview refresh; the middle batch repeats
-    // the first, so its upsert is pure dedup work; the third overlaps
-    // 50%), then small-file compaction of the accreted partitions.
+    // The reference's ACTUAL workload: three pipeline batches (CSV
+    // ingest -> trip_key derivation -> date-pruned dedup upsert ->
+    // incremental matview refresh; the middle batch repeats the first,
+    // so its upsert is pure dedup work; the third overlaps 50%), then
+    // small-file compaction of the accreted partitions. Parameterized
+    // by batch rows so the same body serves the tiny-volume warm-up.
+    def pipelineAttempt(s: SparkSession, rows: Int): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
+      def csv(name: String, n: Int, offset: Int): String = {
+        val p = s"$dir/$name.csv"
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          graft.tools.TripPipelineDemo.syntheticCsv(n, offset,
+            tsHeader = "date_time"))
+        p
+      }
+      val b1 = csv("b1", rows, 0)
+      val b2 = csv("b2", rows, rows / 2)
+      val t0 = System.nanoTime()
+      try {
+        val pipe = new Pipeline(s, s"$dir/warehouse")
+        pipe.runBatch(b1)
+        pipe.runBatch(b1) // idempotent re-run: all-duplicate batch
+        pipe.runBatch(b2) // 50% fresh keys
+        pipe.compactHist(maxFilesPerPartition = 1)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+        Double.NaN
+      }
+    }
+    // The streaming path: three files dropped up front, consumed as
+    // three micro-batches (maxFilesPerTrigger=1) through the file-drop
+    // source -> keyed dedup-upsert flow (S8) — the continuous form of
+    // the pipeline entry above, sharing its batch operators.
+    def streamingAttempt(s: SparkSession, rows: Int): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+      val drop = s"$dir/drop"
+      new java.io.File(drop).mkdirs()
+      (0 until 3).foreach { i =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$drop/b$i.csv"),
+          graft.tools.TripPipelineDemo.syntheticCsv(rows, i * (rows / 2),
+            tsHeader = "date_time"))
+      }
+      val t0 = System.nanoTime()
+      try {
+        val catalog = new graft.sources.Catalog(s, s"$dir/warehouse")
+        catalog.ensureTable("hist_trip_data", graft.model.Trip.schema)
+        // AvailableNow: same per-file batch boundaries as the default
+        // trigger (admission control honors maxFilesPerTrigger), but
+        // the query drains and self-terminates instead of paying the
+        // idle trigger-scheduling gaps processAllAvailable polls over
+        val q = graft.streaming.Streams.streamingUpsert(
+          graft.streaming.Streams.tripFileStream(s, drop, maxFilesPerTrigger = 1),
+          catalog, "hist_trip_data", s"$dir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        // stop in finally: a failed micro-batch must not leave the
+        // stream's listing/microbatch threads competing with whatever
+        // the bench measures next
+        try q.awaitTermination()
+        finally q.stop()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+        Double.NaN
+      }
+    }
+    // Streaming incremental dedup: two JSONL batches (the second
+    // re-drops 30% of the first's texts under new ids) flow through the
+    // file-drop source -> persisted-bucket-table candidate probe ->
+    // exact-Jaccard verify -> corpus+bucket append. The corpus admitted
+    // in earlier micro-batches is never re-shingled; the cross-batch
+    // property (a later batch's dups resolving against the PERSISTED
+    // index, not a re-derivation) needs one batch boundary, and each
+    // extra micro-batch only re-times the trigger machinery.
+    def sdedupAttempt(s: SparkSession, docs: Int): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-sdedup").toString
+      val drop = s"$dir/drop"
+      new java.io.File(drop).mkdirs()
+      // deterministic word-salad texts over a 99991-word vocabulary;
+      // the word sequence is an arithmetic progression determined by
+      // seed mod 99991, and all seeds (< 2*docs <= 3000) are distinct
+      // residues — so the ONLY duplicates are the intended dupFrom
+      // re-drops
+      def text(seed: Long): String =
+        (0 until 30).map(j => s"w${(seed * 1009 + j * 7919) % 99991}").mkString(" ")
+      def batchFile(name: String, ids: Range, dupFrom: Long => Long): Unit = {
+        val lines = ids.map { i =>
+          s"""{"doc_id":$i,"text":"${text(dupFrom(i.toLong))}"}"""
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$drop/$name"), lines.mkString("\n"))
+      }
+      batchFile("b0.jsonl", 0 until docs, identity)
+      batchFile("b1.jsonl", docs until 2 * docs,
+        i => if (i % 10 < 3) i - docs else i) // 30% dups of b0
+      val t0 = System.nanoTime()
+      // right-size shuffle width to the micro-batch (the twins'
+      // withFewShufflePartitions rationale): a 1500-doc batch through
+      // a ~7-job foreachBatch chain pays task-launch overhead per
+      // shuffle partition per job; 32-wide shuffles are the 100 TB
+      // posture, not the micro-batch one. Restored after the stream.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val catalog = new graft.sources.Catalog(s, s"$dir/warehouse")
+        val ddl = org.apache.spark.sql.types.StructType.fromDDL _
+        catalog.ensureTable("corpus", ddl("doc_id BIGINT, text STRING"))
+        catalog.ensureTable("corpus_buckets", ddl("id BIGINT, band INT, bk BIGINT"))
+        // AvailableNow (see the streaming entry): identical two-batch
+        // schedule — the cross-batch dedup property still exercises the
+        // persisted index — minus the idle trigger-poll gaps
+        val q = graft.streaming.Streams.streamingDocDedup(
+          graft.streaming.Streams.docFileStream(s, drop, maxFilesPerTrigger = 1),
+          catalog, "corpus", "corpus_buckets", s"$dir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally q.stop()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] streaming_dedup failed: ${e.getMessage}")
+        Double.NaN
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // Tiny-volume warm-up of every selected composite path (r12): the
+    // composites session is a fresh JVM-context whose FIRST measured
+    // attempt used to absorb cold JIT/codegen/commit-protocol
+    // initialization — measured swings of 2x between the two attempts
+    // on identical input (the r11 pipeline +41% "regression" was this
+    // noise amplified by a min-of-2 with a cold first attempt). The
+    // query sweep already warms via sf0.001; this is the same
+    // discipline for the composites: identical code paths, negligible
+    // data, outside every timer.
+    def wantComposite(name: String): Boolean = only.isEmpty || only(name)
+    if (wantComposite("pipeline")) { pipelineAttempt(compositeSession, 50); () }
+    if (wantComposite("streaming")) { streamingAttempt(compositeSession, 50); () }
+    if (wantComposite("streaming_dedup")) { sdedupAttempt(compositeSession, 40); () }
+    scrub(compositeSession)
     val withPipeline =
-      if (only.nonEmpty && !only("pipeline")) resultsIso
-      else resultsIso :+ ("pipeline" -> min2(s => {
-        val dir = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
-        def csv(name: String, rows: Int, offset: Int): String = {
-          val p = s"$dir/$name.csv"
-          java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-            graft.tools.TripPipelineDemo.syntheticCsv(rows, offset,
-              tsHeader = "date_time"))
-          p
-        }
-        val b1 = csv("b1", 20000, 0)
-        val b2 = csv("b2", 20000, 10000)
-        val t0 = System.nanoTime()
-        try {
-          val pipe = new Pipeline(s, s"$dir/warehouse")
-          pipe.runBatch(b1)
-          pipe.runBatch(b1) // idempotent re-run: all-duplicate batch
-          pipe.runBatch(b2) // 50% fresh keys
-          pipe.compactHist(maxFilesPerPartition = 1)
-          (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
-          Double.NaN
-        }
-      }))
-    // The streaming path, timed: three files dropped up front, consumed
-    // as three micro-batches (maxFilesPerTrigger=1) through the
-    // file-drop source -> keyed dedup-upsert flow (S8) — the continuous
-    // form of the pipeline entry above, sharing its batch operators.
+      if (!wantComposite("pipeline")) resultsIso
+      else resultsIso :+ ("pipeline" -> min2(pipelineAttempt(_, 20000)))
     val withStreaming =
-      if (only.nonEmpty && !only("streaming")) withPipeline
-      else withPipeline :+ ("streaming" -> min2(s => {
-        val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
-        val drop = s"$dir/drop"
-        new java.io.File(drop).mkdirs()
-        (0 until 3).foreach { i =>
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$drop/b$i.csv"),
-            graft.tools.TripPipelineDemo.syntheticCsv(20000, i * 10000,
-              tsHeader = "date_time"))
-        }
-        val t0 = System.nanoTime()
-        try {
-          val catalog = new graft.sources.Catalog(s, s"$dir/warehouse")
-          catalog.ensureTable("hist_trip_data", graft.model.Trip.schema)
-          // AvailableNow: same per-file batch boundaries as the default
-          // trigger (admission control honors maxFilesPerTrigger), but
-          // the query drains and self-terminates instead of paying the
-          // idle trigger-scheduling gaps processAllAvailable polls over
-          val q = graft.streaming.Streams.streamingUpsert(
-            graft.streaming.Streams.tripFileStream(s, drop, maxFilesPerTrigger = 1),
-            catalog, "hist_trip_data", s"$dir/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-          // stop in finally: a failed micro-batch must not leave the
-          // stream's listing/microbatch threads competing with whatever
-          // the bench measures next
-          try q.awaitTermination()
-          finally q.stop()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] streaming failed: ${e.getMessage}")
-          Double.NaN
-        }
-      }))
-    // Streaming incremental dedup, timed end-to-end: two JSONL batches
-    // (the second re-drops 30% of the first's texts under new ids) flow
-    // through the file-drop source -> persisted-bucket-table candidate
-    // probe -> exact-Jaccard verify -> corpus+bucket append. The corpus
-    // admitted in earlier micro-batches is never re-shingled; the
-    // cross-batch property (a later batch's dups resolving against the
-    // PERSISTED index, not a re-derivation) needs one batch boundary,
-    // and each extra micro-batch only re-times the trigger machinery.
+      if (!wantComposite("streaming")) withPipeline
+      else withPipeline :+ ("streaming" -> min2(streamingAttempt(_, 20000)))
     val withStreamDedup =
-      if (only.nonEmpty && !only("streaming_dedup")) withStreaming
-      else withStreaming :+ ("streaming_dedup" -> min2(s => {
-        val dir = java.nio.file.Files.createTempDirectory("graft-bench-sdedup").toString
-        val drop = s"$dir/drop"
-        new java.io.File(drop).mkdirs()
-        // deterministic word-salad texts over a 99991-word vocabulary;
-        // the word sequence is an arithmetic progression determined by
-        // seed mod 99991, and all seeds (< 3000) are distinct residues —
-        // so the ONLY duplicates are the intended dupFrom re-drops
-        def text(seed: Long): String =
-          (0 until 30).map(j => s"w${(seed * 1009 + j * 7919) % 99991}").mkString(" ")
-        def batchFile(name: String, ids: Range, dupFrom: Long => Long): Unit = {
-          val lines = ids.map { i =>
-            s"""{"doc_id":$i,"text":"${text(dupFrom(i.toLong))}"}"""
-          }
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$drop/$name"), lines.mkString("\n"))
-        }
-        batchFile("b0.jsonl", 0 until 1500, identity)
-        batchFile("b1.jsonl", 1500 until 3000,
-          i => if (i % 10 < 3) i - 1500 else i) // 30% dups of b0
-        val t0 = System.nanoTime()
-        // right-size shuffle width to the micro-batch (the twins'
-        // withFewShufflePartitions rationale): a 1500-doc batch through
-        // a ~7-job foreachBatch chain pays task-launch overhead per
-        // shuffle partition per job; 32-wide shuffles are the 100 TB
-        // posture, not the micro-batch one. Restored after the stream.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val catalog = new graft.sources.Catalog(s, s"$dir/warehouse")
-          val ddl = org.apache.spark.sql.types.StructType.fromDDL _
-          catalog.ensureTable("corpus", ddl("doc_id BIGINT, text STRING"))
-          catalog.ensureTable("corpus_buckets", ddl("id BIGINT, band INT, bk BIGINT"))
-          // AvailableNow (see the streaming entry): identical two-batch
-          // schedule — the cross-batch dedup property still exercises the
-          // persisted index — minus the idle trigger-poll gaps
-          val q = graft.streaming.Streams.streamingDocDedup(
-            graft.streaming.Streams.docFileStream(s, drop, maxFilesPerTrigger = 1),
-            catalog, "corpus", "corpus_buckets", s"$dir/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-          try q.awaitTermination()
-          finally q.stop()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] streaming_dedup failed: ${e.getMessage}")
-          Double.NaN
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }))
+      if (!wantComposite("streaming_dedup")) withStreaming
+      else withStreaming :+ ("streaming_dedup" -> min2(sdedupAttempt(_, 1500)))
     compositeSession.stop()
     val failed = withStreamDedup.collect { case (k, v) if v.failed => k }
     val qs = withStreamDedup.map { case (k, v) =>

@@ -435,6 +435,24 @@ class StreamingSpec extends SparkSpec {
     assert(buckets.count() === ids.size * 4L)
   }
 
+  test("attrib join state plateaus at a fixed watermark while volume grows") {
+    // the (rate x delay)-bounded-state claim, MEASURED (previously only
+    // argued): with event rate, horizon, lateness, and micro-batch size
+    // all fixed, tripling the stream's volume (= duration) must grow
+    // the OUTPUT ~linearly while max join state stays flat — eviction
+    // at the watermark is what makes a 100 TB/day stream survivable
+    val small = graft.tools.AttribPlateau.measure(spark, 30000,
+      rate = 100, tileRows = 10000, users = 97,
+      horizon = "60 seconds", lateness = "10 seconds")
+    val big = graft.tools.AttribPlateau.measure(spark, 90000,
+      rate = 100, tileRows = 10000, users = 97,
+      horizon = "60 seconds", lateness = "10 seconds")
+    assert(big.outRows > 2L * small.outRows,
+      s"throughput must rise with volume: ${small.outRows} -> ${big.outRows}")
+    assert(big.maxStateRows <= (small.maxStateRows * 1.3).toLong,
+      s"state must plateau: ${small.maxStateRows} -> ${big.maxStateRows}")
+  }
+
   test("streaming dedup killed between index and corpus append: replay converges") {
     // the crash window the index-first protocol argues about
     // (Streams.scala crash-window note): buckets are written FIRST, so
