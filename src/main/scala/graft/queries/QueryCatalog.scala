@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
 import graft.GraftFunctions
 import graft.functions.{TextFunctions, WeekOfMonth}
-import graft.operators.{Corpus, Dedup, Multimodal, Retrieval, Similarity, Upsert}
+import graft.operators.{Corpus, Dedup, Layout, Multimodal, Retrieval, Similarity, Upsert}
 
 /** The driver-graded query surface: every operator family from SURVEY.md
   * §2 plus the training-data extensions, each expressed over the
@@ -6675,6 +6675,47 @@ object QueryCatalog {
       |FROM days d JOIN dau a ON a.day = d.day JOIN wau w ON w.day = d.day
       |ORDER BY d.day""".stripMargin
 
+  /** Z-order clustering audit: interleave (l_orderkey, l_partkey) into
+    * Morton codes ([[Layout.morton2]] — the key [[Layout.clusterByZ]]
+    * range-partitions and sorts on), bucket by the code's top 8 bits
+    * (= the first 4 bits of each dimension), and emit each bucket's
+    * (a, b) bounding box. The graded output IS the clustering property:
+    * every bucket's box spans ≤ 1/16 of each dimension's domain, which
+    * is exactly why parquet row-group min/max stats prune scans on
+    * EITHER column once the data is laid out in z order (the physical
+    * skipping effect itself is measured in LayoutSpec — graded result
+    * sets can't see row groups). Dimensions are folded mod 2^16 per the
+    * clusterByZ contract; the fold, the interleave, and the bucketing
+    * are pure integer arithmetic, replayed bit-for-bit by the oracle
+    * via [[Layout.morton2Sql]]. Scales as one partial-agg groupBy over
+    * ≤ 256 buckets.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        Layout.morton2(
+          F.pmod(F.col("l_orderkey"), F.lit(65536L)),
+          F.pmod(F.col("l_partkey"), F.lit(65536L))).as("z"),
+        F.pmod(F.col("l_orderkey"), F.lit(65536L)).as("am"),
+        F.pmod(F.col("l_partkey"), F.lit(65536L)).as("bm"))
+      .withColumn("zbucket", F.shiftrightunsigned(F.col("z"), 24))
+      .groupBy("zbucket")
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.min("am").as("a_min"), F.max("am").as("a_max"),
+        F.min("bm").as("b_min"), F.max("bm").as("b_max"))
+      .orderBy("zbucket")
+
+  private val qZorderSql = {
+    val z = Layout.morton2Sql("(l_orderkey % 65536)", "(l_partkey % 65536)")
+    s"""WITH zd AS (SELECT $z AS z,
+       |  l_orderkey % 65536 AS am, l_partkey % 65536 AS bm FROM lineitem)
+       |SELECT z >> 24 AS zbucket, COUNT(*) AS n,
+       |  MIN(am) AS a_min, MAX(am) AS a_max,
+       |  MIN(bm) AS b_min, MAX(bm) AS b_max
+       |FROM zd GROUP BY 1 ORDER BY zbucket""".stripMargin
+  }
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6865,7 +6906,8 @@ object QueryCatalog {
     Q("q_retention", wrap(qRetention), Some(qRetentionSql)),
     Q("q_transitions", wrap(qTransitions), Some(qTransitionsSql)),
     Q("q_mad_outliers", wrap(qMadOutliers), Some(qMadOutliersSql)),
-    Q("q_dau_wau", wrap(qDauWau), Some(qDauWauSql)))
+    Q("q_dau_wau", wrap(qDauWau), Some(qDauWauSql)),
+    Q("q_zorder", wrap(qZorder), Some(qZorderSql)))
 
   private def wrap(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
