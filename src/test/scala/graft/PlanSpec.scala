@@ -447,6 +447,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter injects on the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.{functions => F}
+    // At 100 TB the fact-side scan of a selective dim join is the cost
+    // center, and Spark's runtime bloom filter (InjectRuntimeFilter) is
+    // the scan-shrinker: the dim side's join keys are bloom-aggregated
+    // and the fact scan pre-filters through might_contain before the
+    // shuffle. In production the 10 GiB application-side threshold is
+    // met by any real fact table; here we lower it to make the same
+    // rewrite fire at test scale and pin that the posture keeps it on.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val part = spark.read.parquet(s"$dir/part.parquet")
+        .filter(F.col("p_partkey") % 97 === 0)
+      val j = li.join(part, F.col("l_partkey") === F.col("p_partkey"))
+        .select("l_orderkey", "l_partkey", "p_partkey")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString.toLowerCase
+      assert(p.contains("bloom"),
+        "runtime bloom filter must inject on the fact scan: " + p.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("phrase and proximity search: equi-joins on postings, no cartesian") {
     for (q <- Seq("q_phrase", "q_near")) {
       val p = plan(q)
