@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
+import org.apache.spark.sql.types._
+
+/** Distributed least-squares fitting via normal equations — the
+  * "calibrate a cheap pre-filter" op of a training-data pipeline: fit a
+  * linear model from inexpensive integer document features (token,
+  * punctuation, stopword counts) so the fitted weights can screen
+  * documents BEFORE expensive model scoring.
+  *
+  * Scale shape: the classic single-sketch fit. One map-side-combined
+  * aggregate reduces the whole corpus to a per-group k(k+1)/2 + k
+  * moment sketch (here k = 3: two features + intercept → 9 BIGINTs per
+  * group); the driver solves the 3×3 system EXACTLY in BigInt by
+  * Cramer's rule (no floating point, no iteration, model-sized math
+  * only — the kCenter/kmeans collect contract); a second map-side pass
+  * scores the residual against the milli-truncated weights. Nothing
+  * corpus-sized moves: the sketch is |groups|×9, the weight frame
+  * broadcasts back at |groups|×4.
+  *
+  * Determinism: every intermediate is an exact integer — the sums are
+  * BIGINT, the Cramer determinants are BigInt, and the emitted weights
+  * are milli-scaled truncating divisions (toward zero, matching DuckDB
+  * `//` on HUGEINT) — so an independent engine reproduces the fit
+  * bit-for-bit, degenerate (det = 0) groups emitting NULL weights.
+  */
+object Regression {
+
+  /** Ordinary least squares of `y ≈ b1·x1 + b2·x2 + b0` per group (the
+    * group column must be string-typed; feature/target columns must be
+    * integer-valued). Output per group: n, the three milli-scaled
+    * weights, and the L1 residual of the milli-truncated fit
+    * (Σ|1000·y − (b1ₘ·x1 + b2ₘ·x2 + b0ₘ)|) — the fit AND the proof it
+    * fits, in one frame.
+    */
+  def olsFit2(
+      df: DataFrame,
+      groupCol: String,
+      x1: Column,
+      x2: Column,
+      y: Column): DataFrame = {
+    val s = df.sparkSession
+    val f = df.select(F.col(groupCol).as("g"),
+      x1.cast(LongType).as("x1"), x2.cast(LongType).as("x2"),
+      y.cast(LongType).as("y"))
+    // the per-group moment sketch: |groups| rows × 9 BIGINTs — the only
+    // thing the fit ever collects
+    val sk = f.groupBy("g").agg(
+      F.sum(F.col("x1") * F.col("x1")).as("s11"),
+      F.sum(F.col("x1") * F.col("x2")).as("s12"),
+      F.sum(F.col("x1")).as("s1"),
+      F.sum(F.col("x2") * F.col("x2")).as("s22"),
+      F.sum(F.col("x2")).as("s2"),
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.col("x1") * F.col("y")).as("s1y"),
+      F.sum(F.col("x2") * F.col("y")).as("s2y"),
+      F.sum(F.col("y")).as("sy")).collect()
+    val rows = sk.toSeq.map { r =>
+      val v = (1 to 9).map(i => BigInt(r.getLong(i)))
+      val Seq(s11, s12, s1, s22, s2, n, s1y, s2y, sy) = v
+      // Cramer over A = [[s11,s12,s1],[s12,s22,s2],[s1,s2,n]], rhs =
+      // [s1y,s2y,sy]; detJ replaces column J with the rhs
+      val det = s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1) +
+        s1 * (s12 * s2 - s22 * s1)
+      val d1 = s1y * (s22 * n - s2 * s2) - s12 * (s2y * n - s2 * sy) +
+        s1 * (s2y * s2 - s22 * sy)
+      val d2 = s11 * (s2y * n - s2 * sy) - s1y * (s12 * n - s2 * s1) +
+        s1 * (s12 * sy - s2y * s1)
+      val d0 = s11 * (s22 * sy - s2y * s2) - s12 * (s12 * sy - s2y * s1) +
+        s1y * (s12 * s2 - s22 * s1)
+      def milli(dj: BigInt): Any =
+        if (det == 0) null else ((dj * 1000) / det).toLong
+      Row(r.getString(0), n.toLong, milli(d1), milli(d2), milli(d0))
+    }
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("n", LongType),
+      StructField("b1_milli", LongType), StructField("b2_milli", LongType),
+      StructField("b0_milli", LongType)))
+    val bdf = s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1), schema)
+    // residual pass: milli-truncated prediction against 1000·y, map-side
+    // partial-agged; the weights ride as a broadcast |groups|×4 frame
+    val err = f.join(F.broadcast(bdf), Seq("g"))
+      .groupBy("g")
+      .agg(F.sum(F.abs(F.col("y") * 1000L -
+        (F.col("b1_milli") * F.col("x1") + F.col("b2_milli") * F.col("x2") +
+          F.col("b0_milli")))).as("abs_err_milli"))
+    bdf.join(err, Seq("g"))
+      .select(F.col("g"), F.col("n"), F.col("b1_milli"),
+        F.col("b2_milli"), F.col("b0_milli"), F.col("abs_err_milli"))
+  }
+}

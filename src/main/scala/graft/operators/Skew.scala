@@ -61,6 +61,69 @@ object Skew {
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** DENSITY-ADAPTIVE salt pick — the engine derives the salt factor
+    * from measured key skew instead of a caller's constant (the same
+    * contract as [[Dedup.autoBandBits]]: integer-only arithmetic over a
+    * deterministic md5 sample, so an independent engine reproduces the
+    * identical pick bit-for-bit).
+    *
+    * Rule: on a row-deterministic 1/`sampleMod` sample (md5 of the row
+    * id — ROW-level, so every key is sampled at the same rate and the
+    * hot key's sample share estimates its true share), take per-key
+    * counts, then `ratio = ceil(max_key_rows · parallelism / n_rows)` —
+    * how many balanced reducers' worth of rows the hottest key carries.
+    * The pick is the smallest power of two ≥ ratio, clamped to
+    * [1, maxSalts]: a key within one reducer's share picks 1 (salting
+    * off — don't pay the second shuffle when the data doesn't need it);
+    * a key owning a third of the input at parallelism 32 picks 16.
+    *
+    * Scale shape: the sampled count table partial-aggregates map-side
+    * (the hot key collapses to one row per map partition), the pick
+    * reads a single (max, sum) row — model-sized stats only, nothing
+    * corpus-sized moves, and the sample never materializes.
+    */
+  def autoSalts(
+      df: DataFrame,
+      key: String,
+      idCol: String,
+      parallelism: Int = 32,
+      maxSalts: Int = 64,
+      sampleMod: Int = 16): Int = {
+    val u = F.conv(F.substring(
+      F.md5(F.col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val row = df.filter(u % sampleMod === 0)
+      .groupBy(F.col(key)).agg(F.count(F.lit(1)).as("c"))
+      .agg(F.coalesce(F.max("c"), F.lit(0L)).as("mx"),
+        F.coalesce(F.sum("c"), F.lit(0L)).as("tot"))
+      .head()
+    val (mx, tot) = (row.getLong(0), row.getLong(1))
+    if (tot == 0L) 1
+    else {
+      val ratio = (mx * parallelism + tot - 1) / tot
+      Iterator.iterate(1L)(_ * 2).find(_ >= ratio).map(_ min maxSalts.toLong)
+        .get.toInt
+    }
+  }
+
+  /** [[saltedAggregate]] at the AUTO-PICKED salt factor, the picked
+    * value emitted as a `salts` column so the choice itself is part of
+    * the graded result — the oracle must reproduce the pick, not just
+    * the (salt-invariant) aggregate.
+    */
+  def autoSaltedAggregate(
+      df: DataFrame,
+      key: Seq[String],
+      idCol: String,
+      partialAggs: Seq[Column],
+      finalAggs: Seq[Column],
+      parallelism: Int = 32,
+      maxSalts: Int = 64): DataFrame = {
+    val k = autoSalts(df, key.head, idCol, parallelism, maxSalts)
+    saltedAggregate(df, key, k, partialAggs, finalAggs)
+      .withColumn("salts", F.lit(k.toLong))
+  }
+
   /** Key-skew diagnostic panel — the measurement that decides whether a
     * join/aggregation needs [[saltedAgg]]/[[saltedJoin]] at all: per
     * group, the key count, row count, hottest key's rows, the top-k

@@ -2499,6 +2499,53 @@ object QueryCatalog {
     """SELECT user_id, COUNT(*) AS n FROM events
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** The DENSITY-ADAPTIVE salt factor, graded end to end INCLUDING the
+    * pick ([[graft.operators.Skew.autoSalts]]): a third of all events
+    * are remapped onto ONE hot user (the planted skew of
+    * [[qSkewJoin]]), and the engine derives the salt factor from a
+    * row-deterministic md5 sample — per-key sample counts, `ratio =
+    * ceil(max·32/total)`, smallest power of two ≥ ratio. The hot user
+    * carries ~⅓ of the input, so ratio ≈ ⌈32/3⌉ = 11 → pick 16; the
+    * picked value rides every row as a `salts` column, so the oracle
+    * must reproduce the sample, both stats, the integer pick rule, AND
+    * the (salt-invariant) per-user count/cents aggregate.
+    */
+  private def qSkewAuto(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(F.col("event_id"),
+        F.when(F.col("event_id") % 3 === 0, F.lit(7L))
+          .otherwise(F.col("user_id")).as("user_id"),
+        F.floor(F.col("value") * 100).cast(LongType).as("cents"))
+    graft.operators.Skew.autoSaltedAggregate(
+        ev, Seq("user_id"), idCol = "event_id",
+        partialAggs = Seq(F.count(F.lit(1)).as("c"),
+          F.sum("cents").as("s")),
+        finalAggs = Seq(F.sum("c").as("n"),
+          F.sum("s").as("sum_cents")))
+      .select("user_id", "n", "sum_cents", "salts")
+      .orderBy("user_id")
+  }
+
+  private val qSkewAutoSql =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 3 = 0 THEN 7 ELSE user_id END AS user_id,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |sc AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM ev
+      |  WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0
+      |  GROUP BY user_id),
+      |st AS (SELECT MAX(c) AS mx, SUM(c) AS tot FROM sc),
+      |pick AS (
+      |  SELECT CAST(COALESCE(MIN(CAST(1 AS BIGINT) << g.k), 64) AS BIGINT) AS salts
+      |  FROM generate_series(0, 6) g(k), st
+      |  WHERE (CAST(1 AS BIGINT) << g.k) >= (st.mx * 32 + st.tot - 1) // st.tot)
+      |SELECT ev.user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(ev.cents) AS BIGINT) AS sum_cents, pk.salts
+      |FROM ev CROSS JOIN pick pk
+      |GROUP BY ev.user_id, pk.salts ORDER BY ev.user_id""".stripMargin
+
   /** Skew-mitigated join: a third of all events are remapped onto ONE
     * hot user (the planted skew), then salted-joined against the
     * customer dimension — the left side fans each key across 8 salt
@@ -4255,6 +4302,56 @@ object QueryCatalog {
        |  CAST(SUM((rq - rs) * (rq - rs)) AS BIGINT) AS sum_d2 FROM ranked)
        |SELECT n, sum_d2, 1000 - (6000 * sum_d2) // (n * (n * n - 1)) AS rho_milli FROM agg""".stripMargin
   }
+
+  /** Distributed least-squares calibration of a cheap quality
+    * pre-filter ([[graft.operators.Regression.olsFit2]]): fit
+    * stopword count ≈ b1·tokens + b2·chars + b0 per source from ONE
+    * map-side-combined 9-BIGINT moment sketch per group, solve the 3×3
+    * normal equations EXACTLY in BigInt driver-side (Cramer, milli-
+    * truncated weights), then score the L1 residual in a second
+    * map-side pass. The oracle reproduces the sums, all four integer
+    * determinants, the truncating divisions AND the residual — the fit
+    * is graded end to end, nothing float anywhere.
+    */
+  private def qOlsFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.olsFit2(
+        t(s, dir, "documents"), "source",
+        x1 = TextFunctions.tokenCount(F.col("text")),
+        // chars, not punct: the synthetic corpus is punctuation-free,
+        // which would make the second column constant → singular system
+        x2 = F.length(F.col("text")),
+        y = TextFunctions.stopwordCount(F.col("text")))
+      .withColumnRenamed("g", "source")
+      .orderBy("source")
+
+  private val qOlsFitSql =
+    """WITH f AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS x1,
+      |    CAST(length(text) AS BIGINT) AS x2,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS BIGINT) AS y
+      |  FROM documents),
+      |sk AS (SELECT source,
+      |  CAST(SUM(x1*x1) AS HUGEINT) AS s11, CAST(SUM(x1*x2) AS HUGEINT) AS s12, CAST(SUM(x1) AS HUGEINT) AS s1,
+      |  CAST(SUM(x2*x2) AS HUGEINT) AS s22, CAST(SUM(x2) AS HUGEINT) AS s2, CAST(COUNT(*) AS HUGEINT) AS n,
+      |  CAST(SUM(x1*y) AS HUGEINT) AS s1y, CAST(SUM(x2*y) AS HUGEINT) AS s2y, CAST(SUM(y) AS HUGEINT) AS sy
+      |  FROM f GROUP BY source),
+      |dets AS (SELECT source, n,
+      |  s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - s22*s1) AS det,
+      |  s1y*(s22*n - s2*s2) - s12*(s2y*n - s2*sy) + s1*(s2y*s2 - s22*sy) AS d1,
+      |  s11*(s2y*n - s2*sy) - s1y*(s12*n - s2*s1) + s1*(s12*sy - s2y*s1) AS d2,
+      |  s11*(s22*sy - s2y*s2) - s12*(s12*sy - s2y*s1) + s1y*(s12*s2 - s22*s1) AS d0
+      |  FROM sk),
+      |beta AS (SELECT source, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN det = 0 THEN NULL ELSE CAST((d1*1000) // det AS BIGINT) END AS b1_milli,
+      |  CASE WHEN det = 0 THEN NULL ELSE CAST((d2*1000) // det AS BIGINT) END AS b2_milli,
+      |  CASE WHEN det = 0 THEN NULL ELSE CAST((d0*1000) // det AS BIGINT) END AS b0_milli
+      |  FROM dets),
+      |err AS (SELECT f.source,
+      |  CAST(SUM(ABS(f.y*1000 - (b.b1_milli*f.x1 + b.b2_milli*f.x2 + b.b0_milli))) AS BIGINT) AS abs_err_milli
+      |  FROM f JOIN beta b ON b.source = f.source GROUP BY f.source)
+      |SELECT b.source, b.n, b.b1_milli, b.b2_milli, b.b0_milli, e.abs_err_milli
+      |FROM beta b JOIN err e ON e.source = b.source ORDER BY b.source""".stripMargin
 
   /** Positional phrase search from the positional inverted index,
     * graded against a direct array-scan oracle: the phrase
@@ -6779,6 +6876,7 @@ object QueryCatalog {
     Q("q_distinct_agg", wrap(qDistinctAgg), Some(qDistinctAggSql)),
     Q("q_pivot", wrap(qPivot), Some(qPivotSql)),
     Q("q_skew_agg", wrap(qSkewAgg), Some(qSkewAggSql)),
+    Q("q_skew_auto", wrap(qSkewAuto), Some(qSkewAutoSql)),
     Q("q_skew_join", wrap(qSkewJoin), Some(qSkewJoinSql)),
     Q("q_resample", wrap(qResample), Some(qResampleSql)),
     Q("q_doc_len_median", wrap(qDocLenMedian), Some(qDocLenMedianSql)),
@@ -6858,6 +6956,7 @@ object QueryCatalog {
     Q("q_phrase", wrap(qPhrase), Some(qPhraseSql)),
     Q("q_near", wrap(qNear), Some(qNearSql)),
     Q("q_quality_corr", wrap(qQualityCorr), Some(qQualityCorrSql)),
+    Q("q_ols_fit", wrap(qOlsFit), Some(qOlsFitSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),
     Q("q_pad_waste", wrap(qPadWaste), Some(qPadWasteSql)),

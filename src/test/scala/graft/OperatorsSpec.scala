@@ -416,6 +416,56 @@ class OperatorsSpec extends SparkSpec {
     assert(salted("hot") === 9000L)
   }
 
+  test("autoSalts: skew-adaptive pick — off for uniform keys, wide for a hot key") {
+    import graft.operators.Skew
+    // uniform: 100 keys × 100 rows — the hottest key's sampled share is
+    // ~1/100 << 1/32 of a reducer, so the engine must NOT pay the
+    // second shuffle (pick 1; ≤2 tolerated for md5-sample granularity)
+    val uniform = (0L until 10000L).map(i => (i, s"k${i % 100}"))
+      .toDF("rid", "key")
+    val u = Skew.autoSalts(uniform, "key", idCol = "rid")
+    assert(u <= 2, s"uniform data must not salt, picked $u")
+    // planted skew: ~2/3 of rows on ONE key → ratio ≈ ceil(2/3·32) ≈ 22
+    // → smallest power of two ≥ ratio = 32
+    val skewed = (0L until 10000L).map(i =>
+        (i, if (i % 3 != 0) "hot" else s"k${i % 100}"))
+      .toDF("rid", "key")
+    val k = Skew.autoSalts(skewed, "key", idCol = "rid")
+    assert(k === 32, s"hot key carrying 2/3 of rows must pick 32, got $k")
+    // the auto-salted aggregate stays semantically invisible and carries
+    // the pick on every row
+    val out = Skew.autoSaltedAggregate(
+        skewed, Seq("key"), idCol = "rid",
+        partialAggs = Seq(F.count(F.lit(1)).as("c")),
+        finalAggs = Seq(F.sum("c").as("n")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val plain = skewed.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(t => t._1 -> t._2).toMap === plain)
+    assert(out.forall(_._3 == k.toLong))
+  }
+
+  test("olsFit2: exact recovery on planted linear data, NULLs on a singular system") {
+    import graft.operators.Regression
+    // y = 3·x1 + 2·x2 + 5 over a non-degenerate grid: the exact-integer
+    // Cramer solve must recover the weights bit-for-bit and the
+    // milli-truncated prediction must leave zero L1 residual
+    val grid = for (a <- 0L until 20L; b <- 0L until 5L)
+      yield ("g1", a, a * 7 % 13, 3 * a + 2 * (a * 7 % 13) + 5 + b * 0)
+    val df = grid.toDF("src", "x1", "x2", "y")
+    val fit = Regression.olsFit2(df, "src", F.col("x1"), F.col("x2"), F.col("y"))
+      .collect().head
+    assert((fit.getLong(2), fit.getLong(3), fit.getLong(4)) === ((3000L, 2000L, 5000L)))
+    assert(fit.getLong(5) === 0L, "perfect fit must have zero residual")
+    // constant second feature → singular normal matrix → NULL weights,
+    // never a division crash
+    val sing = (0L until 10L).map(i => ("g2", i, 4L, i * 2))
+      .toDF("src", "x1", "x2", "y")
+    val s2 = Regression.olsFit2(sing, "src", F.col("x1"), F.col("x2"), F.col("y"))
+      .collect().head
+    assert(s2.isNullAt(2) && s2.isNullAt(3) && s2.isNullAt(4))
+  }
+
   test("salted join equals plain join on a skewed key") {
     import graft.operators.Skew
     val left = (0L until 1000L).map(i => (if (i % 5 != 0) "hot" else s"k$i", i))
