@@ -53,7 +53,9 @@ object ScaleProbe {
     "q_sessionize_stream", // streaming session windows: keyed timeout state
     "q_attrib_stream",   // streaming two-sided interval join state
     "q_span_remove",     // substring dedup: lineage-only covered positions
-    "q_dup_runs_char")   // char-gram maximal runs (r11 lineage-only rework)
+    "q_dup_runs_char",   // char-gram maximal runs (r11 lineage-only rework)
+    "q_skew_auto",       // skew-adaptive salt pick (sampled auto-knob)
+    "q_ols_fit")         // normal-equation OLS (moment-sketch fit)
 
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
