@@ -447,6 +447,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("auto-salt and OLS-sketch: broadcast weights, no cartesian, no single-partition collapse") {
+    for (q <- Seq("q_skew_auto", "q_ols_fit")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+        s"$q must stay partitioned: ${p.take(1000)}")
+    }
+    // the residual pass must join the corpus to the |groups|×4 weight
+    // frame by BROADCAST — a shuffled join here would move the corpus
+    // for a 20-row dimension
+    assert(plan("q_ols_fit").contains("BroadcastHashJoin"),
+      "OLS residual join must broadcast the weight frame")
+  }
+
   test("runtime bloom filter injects on the fact side of a selective shuffle join") {
     import org.apache.spark.sql.{functions => F}
     // At 100 TB the fact-side scan of a selective dim join is the cost
