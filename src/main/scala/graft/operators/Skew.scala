@@ -76,6 +76,12 @@ object Skew {
     * [1, maxSalts]: a key within one reducer's share picks 1 (salting
     * off — don't pay the second shuffle when the data doesn't need it);
     * a key owning a third of the input at parallelism 32 picks 16.
+    * For composite groupings pass the HIGHEST-skew component as `key`:
+    * the pick is conservative in the marginal (a hot combination is at
+    * most as frequent as its hottest component's marginal — pigeonhole
+    * on the projection — so the marginal ratio upper-bounds the
+    * combination ratio and the pick errs toward more salting, never
+    * less).
     *
     * Scale shape: the sampled count table partial-aggregates map-side
     * (the hot key collapses to one row per map partition), the pick
