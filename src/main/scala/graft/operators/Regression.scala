@@ -34,6 +34,43 @@ object Regression {
     * (Σ|1000·y − (b1ₘ·x1 + b2ₘ·x2 + b0ₘ)|) — the fit AND the proof it
     * fits, in one frame.
     */
+  /** The pure exact-integer Cramer solve of the 3×3 normal system,
+    * factored out for property-level checks. Input is the 9-element
+    * moment sketch `(s11, s12, s1, s22, s2, n, s1y, s2y, sy)`; output
+    * is the milli-truncated `(b1, b2, b0)` (division toward zero,
+    * matching DuckDB HUGEINT `//`), or None when the system is
+    * singular.
+    */
+  def solve3(v: Seq[BigInt]): Option[Seq[BigInt]] = {
+    val Seq(s11, s12, s1, s22, s2, n, s1y, s2y, sy) = v
+    // Cramer over A = [[s11,s12,s1],[s12,s22,s2],[s1,s2,n]], rhs =
+    // [s1y,s2y,sy]; detJ replaces column J with the rhs
+    val det = s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1) +
+      s1 * (s12 * s2 - s22 * s1)
+    val d1 = s1y * (s22 * n - s2 * s2) - s12 * (s2y * n - s2 * sy) +
+      s1 * (s2y * s2 - s22 * sy)
+    val d2 = s11 * (s2y * n - s2 * sy) - s1y * (s12 * n - s2 * s1) +
+      s1 * (s12 * sy - s2y * s1)
+    val d0 = s11 * (s22 * sy - s2y * s2) - s12 * (s12 * sy - s2y * s1) +
+      s1y * (s12 * s2 - s22 * s1)
+    if (det == 0) None
+    else Some(Seq(d1, d2, d0).map(dj => (dj * 1000) / det))
+  }
+
+  /** Build the 9-element moment sketch of [[solve3]] from raw
+    * (x1, x2, y) triples — the driver-side twin of the distributed
+    * aggregate, for tests and property checks.
+    */
+  def sketch(rows: Seq[(Long, Long, Long)]): Seq[BigInt] = {
+    def s(f: ((Long, Long, Long)) => BigInt) = rows.map(f).sum
+    Seq(
+      s(r => BigInt(r._1) * r._1), s(r => BigInt(r._1) * r._2),
+      s(r => BigInt(r._1)), s(r => BigInt(r._2) * r._2),
+      s(r => BigInt(r._2)), BigInt(rows.size),
+      s(r => BigInt(r._1) * r._3), s(r => BigInt(r._2) * r._3),
+      s(r => BigInt(r._3)))
+  }
+
   def olsFit2(
       df: DataFrame,
       groupCol: String,
@@ -58,20 +95,9 @@ object Regression {
       F.sum(F.col("y")).as("sy")).collect()
     val rows = sk.toSeq.map { r =>
       val v = (1 to 9).map(i => BigInt(r.getLong(i)))
-      val Seq(s11, s12, s1, s22, s2, n, s1y, s2y, sy) = v
-      // Cramer over A = [[s11,s12,s1],[s12,s22,s2],[s1,s2,n]], rhs =
-      // [s1y,s2y,sy]; detJ replaces column J with the rhs
-      val det = s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1) +
-        s1 * (s12 * s2 - s22 * s1)
-      val d1 = s1y * (s22 * n - s2 * s2) - s12 * (s2y * n - s2 * sy) +
-        s1 * (s2y * s2 - s22 * sy)
-      val d2 = s11 * (s2y * n - s2 * sy) - s1y * (s12 * n - s2 * s1) +
-        s1 * (s12 * sy - s2y * s1)
-      val d0 = s11 * (s22 * sy - s2y * s2) - s12 * (s12 * sy - s2y * s1) +
-        s1y * (s12 * s2 - s22 * s1)
-      def milli(dj: BigInt): Any =
-        if (det == 0) null else ((dj * 1000) / det).toLong
-      Row(r.getString(0), n.toLong, milli(d1), milli(d2), milli(d0))
+      val beta = solve3(v)
+      def cell(i: Int): Any = beta.map(_(i).toLong).orNull
+      Row(r.getString(0), v(5).toLong, cell(0), cell(1), cell(2))
     }
     val schema = StructType(Seq(
       StructField("g", StringType), StructField("n", LongType),

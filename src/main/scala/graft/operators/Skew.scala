@@ -103,10 +103,23 @@ object Skew {
       .agg(F.coalesce(F.max("c"), F.lit(0L)).as("mx"),
         F.coalesce(F.sum("c"), F.lit(0L)).as("tot"))
       .head()
-    val (mx, tot) = (row.getLong(0), row.getLong(1))
-    if (tot == 0L) 1
+    pickSalts(row.getLong(0), row.getLong(1), parallelism, maxSalts)
+  }
+
+  /** The pure pick rule of [[autoSalts]], factored out for
+    * property-level checks: smallest power of two ≥
+    * ceil(maxKeyRows · parallelism / totalRows), clamped to
+    * [1, maxSalts]; 1 (salting off) when the sample is empty or the
+    * hottest key fits a balanced reducer's share.
+    */
+  def pickSalts(
+      maxKeyRows: Long,
+      totalRows: Long,
+      parallelism: Int,
+      maxSalts: Int): Int = {
+    if (totalRows == 0L) 1
     else {
-      val ratio = (mx * parallelism + tot - 1) / tot
+      val ratio = (maxKeyRows * parallelism + totalRows - 1) / totalRows
       Iterator.iterate(1L)(_ * 2).find(_ >= ratio).map(_ min maxSalts.toLong)
         .get.toInt
     }

@@ -214,6 +214,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pickSalts: power of two, clamped, off for balanced keys, monotone in skew") {
+    import graft.operators.Skew.pickSalts
+    val gen = for {
+      tot <- Gen.choose(1L, 1000000L)
+      mx <- Gen.choose(1L, tot)
+    } yield (mx, tot)
+    samples(gen, 300).foreach { case (mx, tot) =>
+      val k = pickSalts(mx, tot, parallelism = 32, maxSalts = 64)
+      assert(k >= 1 && k <= 64 && Integer.bitCount(k) == 1, s"($mx,$tot)->$k")
+      // a key within one balanced reducer's share must not pay salting
+      if (mx * 32 <= tot) assert(k === 1, s"($mx,$tot)")
+      // monotone: more skew never picks fewer salts
+      assert(pickSalts(tot, tot, 32, 64) >= k)
+    }
+    assert(pickSalts(0, 0, 32, 64) === 1) // empty sample: salting off
+  }
+
+  test("solve3 recovers planted integer planes exactly, or reports singular") {
+    import graft.operators.Regression
+    val gen = for {
+      a <- Gen.choose(-50L, 50L); b <- Gen.choose(-50L, 50L)
+      c <- Gen.choose(-1000L, 1000L)
+      m1 <- Gen.choose(2L, 13L); m2 <- Gen.choose(3L, 17L)
+      n <- Gen.choose(8, 40)
+    } yield (a, b, c, m1, m2, n)
+    var solved = 0
+    samples(gen, 200).foreach { case (a, b, c, m1, m2, n) =>
+      // (i mod m1, i·7 mod m2) gives two decorrelated integer features
+      val pts = (0 until n).map { i =>
+        val x1 = i % m1; val x2 = (i * 7) % m2
+        (x1, x2, a * x1 + b * x2 + c)
+      }
+      Regression.solve3(Regression.sketch(pts)).foreach { beta =>
+        assert(beta === Seq(BigInt(a * 1000), BigInt(b * 1000), BigInt(c * 1000)),
+          s"plane ($a,$b,$c) n=$n m=($m1,$m2)")
+        solved += 1
+      }
+    }
+    assert(solved > 150, s"only $solved non-singular draws — generator degenerate")
+    // a constant feature makes the system singular: must be None, not a crash
+    val sing = (0L until 10L).map(i => (i, 4L, 2 * i))
+    assert(Regression.solve3(Regression.sketch(sing)).isEmpty)
+  }
+
   test("upsert key invariant: concat_ws with separator is injective on field tuples") {
     // the reference's separator-free CONCAT collides ("ab","c") with
     // ("a","bc"); the hashed key must not (SURVEY.md §7.4)
