@@ -71,19 +71,25 @@ object Regression {
       s(r => BigInt(r._3)))
   }
 
-  def olsFit2(
+  /** The (g, x1, x2, y) feature frame both passes consume — map-only,
+    * so it composes with batch AND streaming inputs unchanged. */
+  def features(
       df: DataFrame,
       groupCol: String,
       x1: Column,
       x2: Column,
-      y: Column): DataFrame = {
-    val s = df.sparkSession
-    val f = df.select(F.col(groupCol).as("g"),
+      y: Column): DataFrame =
+    df.select(F.col(groupCol).as("g"),
       x1.cast(LongType).as("x1"), x2.cast(LongType).as("x2"),
       y.cast(LongType).as("y"))
-    // the per-group moment sketch: |groups| rows × 9 BIGINTs — the only
-    // thing the fit ever collects
-    val sk = f.groupBy("g").agg(
+
+  /** The per-group moment-sketch aggregation — the ONLY corpus-touching
+    * reduction of the fit, and (being plain sums) additively mergeable:
+    * it runs identically as a batch aggregate or as an update-mode
+    * streaming aggregate whose state is |groups| × 9 BIGINTs.
+    */
+  def sketchAgg(f: DataFrame): DataFrame =
+    f.groupBy("g").agg(
       F.sum(F.col("x1") * F.col("x1")).as("s11"),
       F.sum(F.col("x1") * F.col("x2")).as("s12"),
       F.sum(F.col("x1")).as("s1"),
@@ -92,12 +98,20 @@ object Regression {
       F.count(F.lit(1)).as("n"),
       F.sum(F.col("x1") * F.col("y")).as("s1y"),
       F.sum(F.col("x2") * F.col("y")).as("s2y"),
-      F.sum(F.col("y")).as("sy")).collect()
-    val rows = sk.toSeq.map { r =>
-      val v = (1 to 9).map(i => BigInt(r.getLong(i)))
+      F.sum(F.col("y")).as("sy"))
+
+  /** Solve each group's collected sketch and score the residual against
+    * the feature frame `f`: the serve-time tail shared by the batch fit
+    * and the streaming-accumulated fit.
+    */
+  def fitFromSketch(
+      sketches: Seq[(String, Seq[BigInt])],
+      f: DataFrame): DataFrame = {
+    val s = f.sparkSession
+    val rows = sketches.map { case (g, v) =>
       val beta = solve3(v)
       def cell(i: Int): Any = beta.map(_(i).toLong).orNull
-      Row(r.getString(0), v(5).toLong, cell(0), cell(1), cell(2))
+      Row(g, v(5).toLong, cell(0), cell(1), cell(2))
     }
     val schema = StructType(Seq(
       StructField("g", StringType), StructField("n", LongType),
@@ -115,5 +129,19 @@ object Regression {
     bdf.join(err, Seq("g"))
       .select(F.col("g"), F.col("n"), F.col("b1_milli"),
         F.col("b2_milli"), F.col("b0_milli"), F.col("abs_err_milli"))
+  }
+
+  def olsFit2(
+      df: DataFrame,
+      groupCol: String,
+      x1: Column,
+      x2: Column,
+      y: Column): DataFrame = {
+    val f = features(df, groupCol, x1, x2, y)
+    // the per-group moment sketch: |groups| rows × 9 BIGINTs — the only
+    // thing the fit ever collects
+    val sk = sketchAgg(f).collect().toSeq
+      .map(r => r.getString(0) -> (1 to 9).map(i => BigInt(r.getLong(i))))
+    fitFromSketch(sk, f)
   }
 }

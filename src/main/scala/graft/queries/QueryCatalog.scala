@@ -4353,6 +4353,51 @@ object QueryCatalog {
       |SELECT b.source, b.n, b.b1_milli, b.b2_milli, b.b0_milli, e.abs_err_milli
       |FROM beta b JOIN err e ON e.source = b.source ORDER BY b.source""".stripMargin
 
+  /** The streaming OLS twin graded by the BATCH oracle (the 9th
+    * oracle-graded streaming twin): because the fit's only
+    * corpus-touching reduction is a moment sketch of plain sums
+    * ([[graft.operators.Regression.sketchAgg]]), it runs unchanged as
+    * an update-mode streaming aggregate — documents replay as three
+    * doc-id-ordered micro-batches, the per-source 9-BIGINT sketch
+    * accumulates last-wins (state |sources|×9-bounded, safe forever,
+    * the q_health_stream contract), and the serve-time solve + residual
+    * over the accreted sketch must equal the batch fit bit-for-bit
+    * (same oracle SQL as q_ols_fit). Sketch additivity IS the
+    * incremental-maintenance story: a live fit needs no recompute, just
+    * merged sums.
+    */
+  private def qOlsStream(s: SparkSession, dir: String): DataFrame = {
+    val root = idxScratch("ols_stream")
+    val in = s"$root/in"; val cp = s"$root/cp"
+    clearDir(cp)
+    val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+    val w = Window.orderBy(F.col("doc_id"))
+    writeOrderedStreamFiles(docs.withColumn("__tile", F.ntile(3).over(w)), 3, in, dir)
+    val src = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    def feats(df: DataFrame) = graft.operators.Regression.features(
+      df, "source",
+      x1 = TextFunctions.tokenCount(F.col("text")),
+      x2 = F.length(F.col("text")),
+      y = TextFunctions.stopwordCount(F.col("text")))
+    val acc = scala.collection.mutable.Map.empty[String, Seq[BigInt]]
+    withFewShufflePartitions(s, 8) {
+      val q = graft.operators.Regression.sketchAgg(feats(src))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            acc(r.getString(0)) = (1 to 9).map(i => BigInt(r.getLong(i))))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.Regression.fitFromSketch(
+        acc.toSeq.sortBy(_._1), feats(t(s, dir, "documents")))
+      .withColumnRenamed("g", "source")
+      .orderBy("source")
+  }
+
   /** Positional phrase search from the positional inverted index,
     * graded against a direct array-scan oracle: the phrase
     * "table hash" (the corpus's most frequent bigram, 48 occurrences
@@ -6957,6 +7002,7 @@ object QueryCatalog {
     Q("q_near", wrap(qNear), Some(qNearSql)),
     Q("q_quality_corr", wrap(qQualityCorr), Some(qQualityCorrSql)),
     Q("q_ols_fit", wrap(qOlsFit), Some(qOlsFitSql)),
+    Q("q_ols_stream", wrap(qOlsStream), Some(qOlsFitSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),
     Q("q_pad_waste", wrap(qPadWaste), Some(qPadWasteSql)),

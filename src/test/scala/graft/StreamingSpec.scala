@@ -283,6 +283,45 @@ class StreamingSpec extends SparkSpec {
       s"50x events over the same keys must not grow state, got $manyEvents")
   }
 
+  test("streaming OLS sketch: state is one row per group regardless of doc volume") {
+    // the fit's streaming form is safe-forever for the same reason as
+    // the health panel: its update-mode aggregate holds |groups| rows
+    // of 9 sums — pushing 50x more docs over the same sources must not
+    // grow state, and the accreted sums must equal the batch sketch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(docsPerSource: Int, name: String): (Long, Map[String, Seq[BigInt]]) = {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+      val feats = graft.operators.Regression.features(
+        input.toDS().toDF("source", "text"), "source",
+        x1 = F.length(F.col("text")), x2 = F.lit(1L), y = F.length(F.col("text")) * 2)
+      val acc = scala.collection.mutable.Map.empty[String, Seq[BigInt]]
+      val q = graft.operators.Regression.sketchAgg(feats)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      (0 until docsPerSource).foreach { b =>
+        input.addData((0 until 5).map(k => (s"s$k", "x" * (b % 7 + 1))): _*)
+        if (b % 10 == 0) q.processAllAvailable()
+      }
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      spark.table(name).orderBy($"g").collect().foreach(r =>
+        acc(r.getString(0)) = (1 to 9).map(i => BigInt(r.getLong(i))))
+      q.stop()
+      (stateRows, acc.toMap)
+    }
+    val (few, _) = run(2, "ols_few")
+    val (many, sums) = run(100, "ols_many")
+    assert(few === 5L && many === 5L,
+      s"state must be one row per source, got $few/$many")
+    // accreted sums == batch sketch over the identical rows
+    val batch = (0 until 100).flatMap(b => (0 until 5).map(k =>
+      (s"s$k", ("x" * (b % 7 + 1)).length.toLong)))
+    val expect = batch.groupBy(_._1).map { case (g, rs) =>
+      g -> graft.operators.Regression.sketch(rs.map(r => (r._2, 1L, r._2 * 2)))
+    }
+    assert(sums === expect)
+  }
+
   test("sessionize closes sessions after the event-time gap and expires state") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.SessionEvent]
