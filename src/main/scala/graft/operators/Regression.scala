@@ -131,17 +131,30 @@ object Regression {
         F.col("b2_milli"), F.col("b0_milli"), F.col("abs_err_milli"))
   }
 
+  /** `ridge` adds an exact-integer L2 penalty to the two FEATURE
+    * diagonal entries of the normal matrix (the intercept stays
+    * unpenalized, standard ridge practice): `A' = A + diag(λ, λ, 0)`.
+    * With near-collinear features — this corpus's token and char counts
+    * correlate at 0.997 — plain OLS weights are large and
+    * opposite-signed; the penalty shrinks them while every intermediate
+    * stays an exact integer, so the regularized fit is as replayable as
+    * the plain one. λ = 0 is exact OLS.
+    */
   def olsFit2(
       df: DataFrame,
       groupCol: String,
       x1: Column,
       x2: Column,
-      y: Column): DataFrame = {
+      y: Column,
+      ridge: Long = 0L): DataFrame = {
     val f = features(df, groupCol, x1, x2, y)
     // the per-group moment sketch: |groups| rows × 9 BIGINTs — the only
     // thing the fit ever collects
     val sk = sketchAgg(f).collect().toSeq
-      .map(r => r.getString(0) -> (1 to 9).map(i => BigInt(r.getLong(i))))
+      .map { r =>
+        val v = (1 to 9).map(i => BigInt(r.getLong(i)))
+        r.getString(0) -> v.updated(0, v(0) + ridge).updated(3, v(3) + ridge)
+      }
     fitFromSketch(sk, f)
   }
 }

@@ -4324,8 +4324,25 @@ object QueryCatalog {
       .withColumnRenamed("g", "source")
       .orderBy("source")
 
-  private val qOlsFitSql =
-    """WITH f AS (
+  /** Ridge at an exact-integer λ on the two feature diagonals
+    * (intercept unpenalized): on THIS corpus's 0.997-collinear
+    * (tokens, chars) features the plain fit carries large
+    * opposite-signed weights; the penalty shrinks both, and because λ
+    * just adds into two sketch cells the oracle replays it by the same
+    * determinant arithmetic. Graded with its own λ-inlined SQL.
+    */
+  private def qOlsRidge(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.olsFit2(
+        t(s, dir, "documents"), "source",
+        x1 = TextFunctions.tokenCount(F.col("text")),
+        x2 = F.length(F.col("text")),
+        y = TextFunctions.stopwordCount(F.col("text")),
+        ridge = 65536L)
+      .withColumnRenamed("g", "source")
+      .orderBy("source")
+
+  private def olsOracleSql(ridge: Long): String =
+    raw"""WITH f AS (
       |  SELECT source,
       |    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS x1,
       |    CAST(length(text) AS BIGINT) AS x2,
@@ -4336,12 +4353,14 @@ object QueryCatalog {
       |  CAST(SUM(x2*x2) AS HUGEINT) AS s22, CAST(SUM(x2) AS HUGEINT) AS s2, CAST(COUNT(*) AS HUGEINT) AS n,
       |  CAST(SUM(x1*y) AS HUGEINT) AS s1y, CAST(SUM(x2*y) AS HUGEINT) AS s2y, CAST(SUM(y) AS HUGEINT) AS sy
       |  FROM f GROUP BY source),
+      |skr AS (SELECT source, s11 + $ridge AS s11, s12, s1, s22 + $ridge AS s22,
+      |  s2, n, s1y, s2y, sy FROM sk),
       |dets AS (SELECT source, n,
       |  s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - s22*s1) AS det,
       |  s1y*(s22*n - s2*s2) - s12*(s2y*n - s2*sy) + s1*(s2y*s2 - s22*sy) AS d1,
       |  s11*(s2y*n - s2*sy) - s1y*(s12*n - s2*s1) + s1*(s12*sy - s2y*s1) AS d2,
       |  s11*(s22*sy - s2y*s2) - s12*(s12*sy - s2y*s1) + s1y*(s12*s2 - s22*s1) AS d0
-      |  FROM sk),
+      |  FROM skr),
       |beta AS (SELECT source, CAST(n AS BIGINT) AS n,
       |  CASE WHEN det = 0 THEN NULL ELSE CAST((d1*1000) // det AS BIGINT) END AS b1_milli,
       |  CASE WHEN det = 0 THEN NULL ELSE CAST((d2*1000) // det AS BIGINT) END AS b2_milli,
@@ -4352,6 +4371,9 @@ object QueryCatalog {
       |  FROM f JOIN beta b ON b.source = f.source GROUP BY f.source)
       |SELECT b.source, b.n, b.b1_milli, b.b2_milli, b.b0_milli, e.abs_err_milli
       |FROM beta b JOIN err e ON e.source = b.source ORDER BY b.source""".stripMargin
+
+  private val qOlsFitSql = olsOracleSql(0L)
+  private val qOlsRidgeSql = olsOracleSql(65536L)
 
   /** The streaming OLS twin graded by the BATCH oracle (the 9th
     * oracle-graded streaming twin): because the fit's only
@@ -7002,6 +7024,7 @@ object QueryCatalog {
     Q("q_near", wrap(qNear), Some(qNearSql)),
     Q("q_quality_corr", wrap(qQualityCorr), Some(qQualityCorrSql)),
     Q("q_ols_fit", wrap(qOlsFit), Some(qOlsFitSql)),
+    Q("q_ols_ridge", wrap(qOlsRidge), Some(qOlsRidgeSql)),
     Q("q_ols_stream", wrap(qOlsStream), Some(qOlsFitSql)),
     Q("q_zipf", wrap(qZipf), Some(qZipfSql)),
     Q("q_vocab_coverage", wrap(qVocabCoverage), Some(qVocabCoverageSql)),

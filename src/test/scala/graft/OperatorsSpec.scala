@@ -464,6 +464,18 @@ class OperatorsSpec extends SparkSpec {
     val s2 = Regression.olsFit2(sing, "src", F.col("x1"), F.col("x2"), F.col("y"))
       .collect().head
     assert(s2.isNullAt(2) && s2.isNullAt(3) && s2.isNullAt(4))
+    // ridge: the penalty must shrink the planted weights toward zero
+    // (and so trade residual for stability), never grow them
+    val rf = Regression.olsFit2(df, "src", F.col("x1"), F.col("x2"), F.col("y"),
+        ridge = 1000000L)
+      .collect().head
+    assert(math.abs(rf.getLong(2)) < 3000L && math.abs(rf.getLong(3)) < 2000L)
+    assert(rf.getLong(5) > 0L, "shrunk weights must cost residual")
+    // the singular system becomes solvable under the penalty (diagonal
+    // dominance) — ridge is the degenerate-group fallback
+    val rs = Regression.olsFit2(sing, "src", F.col("x1"), F.col("x2"), F.col("y"),
+        ridge = 1000L).collect().head
+    assert(!rs.isNullAt(2))
   }
 
   test("salted join equals plain join on a skewed key") {
