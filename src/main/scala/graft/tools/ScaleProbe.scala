@@ -55,7 +55,8 @@ object ScaleProbe {
     "q_span_remove",     // substring dedup: lineage-only covered positions
     "q_dup_runs_char",   // char-gram maximal runs (r11 lineage-only rework)
     "q_skew_auto",       // skew-adaptive salt pick (sampled auto-knob)
-    "q_ols_fit")         // normal-equation OLS (moment-sketch fit)
+    "q_ols_fit",         // normal-equation OLS (moment-sketch fit)
+    "q_ols_ridge")       // ridge variant: same sketch, λ in the solve only
 
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
