@@ -133,8 +133,25 @@ object Retrieval {
       terms.indices.map(i =>
         F.sum((F.col(s"tf$i") > 0).cast("long")).as(s"df$i"))
     val stats = base.agg(statCols.head, statCols.tail: _*)
+    bm25Score(base, stats, terms.size, k1, b, k)
+  }
+
+  /** The shared BM25 scoring tail: `base` carries one row per document
+    * as (doc_id, dl, tf0..tfN-1); `stats` is the one-row global frame
+    * (n_docs, total_dl, df0..dfN-1). Factored out so the batch scorer
+    * and the index-serving path ([[bm25FromIndex]]) evaluate the SAME
+    * Column expression tree — bit-identical IEEE doubles by
+    * construction, which is what lets one oracle grade both. */
+  def bm25Score(
+      base: DataFrame,
+      stats: DataFrame,
+      nTerms: Int,
+      k1: Double,
+      b: Double,
+      k: Int): DataFrame = {
+    val idx = 0 until nTerms
     val scored = base
-      .filter(terms.indices.map(i => F.col(s"tf$i") > 0).reduce(_ || _))
+      .filter(idx.map(i => F.col(s"tf$i") > 0).reduce(_ || _))
       .crossJoin(F.broadcast(stats))
     val n = F.col("n_docs")
     val avgdl = F.col("total_dl").cast("double") / n
@@ -146,11 +163,81 @@ object Retrieval {
         (tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl)))
     }
     scored
-      .withColumn("score", terms.indices.map(s).reduce(_ + _))
+      .withColumn("score", idx.map(s).reduce(_ + _))
       .select(F.col("doc_id") +: F.col("dl") +:
-        terms.indices.map(i => F.col(s"tf$i")) :+ F.col("score"): _*)
+        idx.map(i => F.col(s"tf$i")) :+ F.col("score"): _*)
       .orderBy(F.col("score").desc, F.col("doc_id"))
       .limit(k)
+  }
+
+  /** Flat postings for an incrementally-maintained inverted index: one
+    * (term, doc_id, tf) row per distinct term per document, plus the
+    * doc-length sidecar (doc_id, dl) needed by any tf-normalizing
+    * scorer. Rows are sorted by term within each output partition so
+    * parquet row-group min/max stats prune term-filtered serves.
+    *
+    * Scale shape: the explode is one shuffle onto (term, doc_id) with
+    * map-side partial counts; nothing is driver-sized. Because a
+    * document contributes all of its postings in the batch that carries
+    * it, postings and dl rows are append-only across micro-batches —
+    * index maintenance IS parquet append, no read-modify-write. */
+  def postings(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    docs
+      .select(F.col(idCol).cast("long").as("doc_id"), F.explode(toks).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(F.count(F.lit(1)).as("tf"))
+      .sortWithinPartitions("term")
+  }
+
+  /** Doc-length sidecar for [[postings]]: map-side only. */
+  def docLengths(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    docs.select(F.col(idCol).cast("long").as("doc_id"),
+      F.size(toks).cast("long").as("dl"))
+  }
+
+  /** BM25 served purely from the maintained index — no corpus access,
+    * no driver-held state: global stats (n_docs, total_dl) reduce from
+    * the dl sidecar, per-term df reduces from the term-pruned postings
+    * scan (`term IN (...)` reaches the parquet scan as a pushed filter,
+    * so the serve reads posting row-groups for the query terms, not the
+    * vocabulary). Must equal [[bm25TopK]] over the same corpus
+    * bit-for-bit: postings/dl appends are lossless, df/dl/tf are exact
+    * integers, and the scoring tail is the shared [[bm25Score]]. */
+  def bm25FromIndex(
+      post: DataFrame,
+      dls: DataFrame,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25FromIndex needs at least one query term")
+    val hit = post.filter(F.col("term").isin(terms: _*))
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      F.coalesce(F.sum(F.when(F.col("term") === t, F.col("tf"))), F.lit(0L))
+        .as(s"tf$i")
+    }
+    val pivoted = hit.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val base = pivoted.join(dls, Seq("doc_id"))
+      .select(F.col("doc_id") +: F.col("dl") +:
+        terms.indices.map(i => F.col(s"tf$i")): _*)
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      F.sum((F.col("term") === t).cast("long")).as(s"df$i")
+    }
+    val dfs = hit.agg(dfCols.head, dfCols.tail: _*)
+    val stats = dls.agg(
+        F.count(F.lit(1)).as("n_docs"), F.sum(F.col("dl")).as("total_dl"))
+      .crossJoin(dfs) // 1-row × 1-row scalar spine
+    bm25Score(base, stats, terms.size, k1, b, k)
   }
 
   /** Full BPE training loop — [[bpePairCounts]]' one-step primitive

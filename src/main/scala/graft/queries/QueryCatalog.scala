@@ -4495,6 +4495,56 @@ object QueryCatalog {
       |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** The incremental inverted-index twin, graded by the BATCH BM25
+    * oracle (the 10th oracle-graded streaming twin): documents replay
+    * as three doc-id-ordered micro-batches, and each batch APPENDS its
+    * flat postings (term, doc_id, tf — sorted by term for row-group
+    * pruning) and doc-length sidecar rows to a parquet index
+    * ([[graft.operators.Retrieval.postings]] /
+    * [[graft.operators.Retrieval.docLengths]]). Because every document
+    * carries all of its postings in the batch that delivers it, index
+    * maintenance is pure append — no read-modify-write, no streaming
+    * state at all (contrast q_ols_stream's accreted sketch: here even
+    * the global stats live in the index). Serve time
+    * ([[graft.operators.Retrieval.bm25FromIndex]]) touches ONLY the
+    * index: n_docs/total_dl reduce from the dl sidecar, df from the
+    * term-pruned postings scan (`term IN` pushed to parquet), and the
+    * scoring tail is the same Column tree as the batch scorer — so the
+    * served top-20 must equal q_bm25 bit-for-bit, doubles included.
+    * That equality IS the incremental-maintenance claim: append-only
+    * index accretion loses nothing a full rebuild would have.
+    *
+    * Production crash-safety rides the same committed-batch protocol as
+    * the streaming dedup index (Streams.scala) — the twin grades
+    * lossless accretion, not the commit protocol (already spec'd).
+    */
+  private def qBm25Stream(s: SparkSession, dir: String): DataFrame = {
+    val root = idxScratch("bm25_stream")
+    val in = s"$root/in"; val cp = s"$root/cp"
+    val post = s"$root/postings"; val dls = s"$root/dl"
+    clearDir(cp); clearDir(post); clearDir(dls)
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val w = Window.orderBy(F.col("doc_id"))
+    writeOrderedStreamFiles(docs.withColumn("__tile", F.ntile(3).over(w)), 3, in, dir)
+    val src = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    withFewShufflePartitions(s, 8) {
+      val q = src.writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.operators.Retrieval.postings(b)
+            .write.mode("append").parquet(post)
+          graft.operators.Retrieval.docLengths(b)
+            .write.mode("append").parquet(dls)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.Retrieval.bm25FromIndex(
+      s.read.parquet(post), s.read.parquet(dls),
+      Seq("hash", "scan", "merge"), k = 20)
+  }
+
   /** One BPE pair-counting step: weighted adjacent-char-pair counts
     * tallied over the distinct word vocabulary (the tokenizer-training
     * primitive), top-20 merges graded exactly.
@@ -7039,6 +7089,7 @@ object QueryCatalog {
     Q("q_split_parity", wrap(qSplitParity), Some(qSplitParitySql)),
     Q("q_interval_merge", wrap(qIntervalMerge), Some(qIntervalMergeSql)),
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
+    Q("q_bm25_stream", wrap(qBm25Stream), Some(qBm25Sql)),
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),
     Q("q_bpe_encode", wrap(qBpeEncode), Some(qBpeEncodeSql)),

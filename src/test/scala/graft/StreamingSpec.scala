@@ -617,4 +617,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(n === 2)
   }
+
+  test("incremental inverted index: appended postings serve BM25 equal to a rebuild, term-pruned") {
+    // the q_bm25_stream contract, pinned at unit scale: three
+    // independent appends (the micro-batch shape), then a serve that
+    // touches only the index must reproduce the batch scorer
+    // bit-for-bit — and its postings scan must be term-pruned at the
+    // parquet source, not filtered post-scan
+    val dir = Files.createTempDirectory("graft-bm25idx").toString
+    val post = s"$dir/post"; val dls = s"$dir/dl"
+    val docs = Seq(
+      (1L, "alpha hash scan"), (2L, "hash hash merge beta"),
+      (3L, "gamma delta"), (4L, "scan scan scan hash")).toDF("doc_id", "text")
+    Seq(Seq(1L), Seq(2L, 3L), Seq(4L)).foreach { ids =>
+      val b = docs.filter($"doc_id".isin(ids: _*))
+      graft.operators.Retrieval.postings(b).write.mode("append").parquet(post)
+      graft.operators.Retrieval.docLengths(b).write.mode("append").parquet(dls)
+    }
+    val served = graft.operators.Retrieval.bm25FromIndex(
+      spark.read.parquet(post), spark.read.parquet(dls),
+      Seq("hash", "scan", "merge"), k = 10)
+    val batch = graft.operators.Retrieval.bm25TopK(
+      docs, Seq("hash", "scan", "merge"), k = 10)
+    assert(served.collect().toSeq === batch.collect().toSeq)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      "term IN must reach the postings parquet scan: " + p.take(1500))
+  }
 }
