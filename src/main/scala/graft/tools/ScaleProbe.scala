@@ -56,7 +56,8 @@ object ScaleProbe {
     "q_dup_runs_char",   // char-gram maximal runs (r11 lineage-only rework)
     "q_skew_auto",       // skew-adaptive salt pick (sampled auto-knob)
     "q_ols_fit",         // normal-equation OLS (moment-sketch fit)
-    "q_ols_ridge")       // ridge variant: same sketch, λ in the solve only
+    "q_ols_ridge",       // ridge variant: same sketch, λ in the solve only
+    "q_bm25_stream")     // incremental inverted index: append + pruned serve
 
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
@@ -191,19 +192,29 @@ object ScaleProbe {
         -1L, -1L, (0L, 0L, 0L, 0L)))
     else Nil)
 
-    val json = rows.map { case (name, ts, tb, ns, nb, (srs, sbs, srb, sbb)) =>
+    val lines = rows.map { case (name, ts, tb, ns, nb, (srs, sbs, srb, sbb)) =>
       val exp = math.log(tb / ts) / math.log(factor)
       val state =
         if (srs > 0 || srb > 0)
           f""", "state_rows_small": $srs%d, "state_bytes_small": $sbs%d, "state_rows_big": $srb%d, "state_bytes_big": $sbb%d"""
         else ""
       f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f, "rows_small": $ns%d, "rows_big": $nb%d$state}"""
-    }.mkString("{\n", ",\n", "\n}")
+    }
     // filtered spot-runs land in a _partial file so they never clobber
-    // the round's full probe evidence
+    // the round's full probe evidence — and the partial file MERGES
+    // (line-keyed by entry name) so consecutive spot-runs of different
+    // entries accumulate instead of overwriting each other
     val suffix = if (only.isEmpty) "" else "_partial"
-    Files.writeString(
-      Paths.get(s"scale/scale_probe_${tagOf(bigDir)}$suffix.json"), json + "\n")
+    val out = Paths.get(s"scale/scale_probe_${tagOf(bigDir)}$suffix.json")
+    val nameOf = """\s*"(q_[a-z0-9_]+|pipeline)":.*""".r
+    val kept =
+      if (only.nonEmpty && Files.exists(out))
+        Files.readString(out).linesIterator
+          .collect { case l @ nameOf(n) if !only(n) => l.stripSuffix(",") }
+          .toSeq
+      else Seq.empty
+    val json = (kept ++ lines).mkString("{\n", ",\n", "\n}")
+    Files.writeString(out, json + "\n")
     println(json)
     spark.stop()
   }
