@@ -4517,32 +4517,55 @@ object QueryCatalog {
     * Production crash-safety rides the same committed-batch protocol as
     * the streaming dedup index (Streams.scala) — the twin grades
     * lossless accretion, not the commit protocol (already spec'd).
+    *
+    * The index lands in the PRODUCTION layout: postings are
+    * hive-partitioned by a 64-way term-hash bucket through the Catalog,
+    * so (a) the serve prunes PARTITIONS for the query terms' buckets
+    * before row-group `term IN` pruning even starts, and (b) the
+    * micro-batch small-files accretion (3 batches × 64 buckets here;
+    * thousands of files per day in production) is bounded by the
+    * crash-safe stage-and-swap [[graft.sources.Catalog.compactPartitioned]]
+    * run after replay — inside this graded query, so compaction's
+    * serve-transparency is oracle-checked every round, not argued.
     */
   private def qBm25Stream(s: SparkSession, dir: String): DataFrame = {
     val root = idxScratch("bm25_stream")
-    val in = s"$root/in"; val cp = s"$root/cp"
-    val post = s"$root/postings"; val dls = s"$root/dl"
-    clearDir(cp); clearDir(post); clearDir(dls)
+    val in = s"$root/in"; val cp = s"$root/cp"; val wh = s"$root/wh"
+    clearDir(cp); clearDir(wh)
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val w = Window.orderBy(F.col("doc_id"))
     writeOrderedStreamFiles(docs.withColumn("__tile", F.ntile(3).over(w)), 3, in, dir)
     val src = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
+    val cat = new graft.sources.Catalog(s, wh)
+    def bucketed(p: DataFrame) = p.withColumn("bk",
+      F.pmod(F.xxhash64(F.col("term")), F.lit(64)).cast("int"))
     withFewShufflePartitions(s, 8) {
       val q = src.writeStream
         .option("checkpointLocation", cp)
         .foreachBatch { (b: DataFrame, _: Long) =>
-          graft.operators.Retrieval.postings(b)
-            .write.mode("append").parquet(post)
-          graft.operators.Retrieval.docLengths(b)
-            .write.mode("append").parquet(dls)
+          cat.appendPartitioned("postings",
+            bucketed(graft.operators.Retrieval.postings(b)), Seq("bk"))
+          cat.append("doc_lengths", graft.operators.Retrieval.docLengths(b))
           ()
         }.start()
       try q.processAllAvailable() finally q.stop()
     }
+    val postSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "term STRING, doc_id BIGINT, tf BIGINT, bk INT")
+    cat.compactPartitioned("postings", "bk", postSchema,
+      maxFilesPerPartition = 2)
+    val terms = Seq("hash", "scan", "merge")
+    // the query terms' bucket ids — one 1-row collect of 3 ints (the
+    // same xxhash64 the writer used, so pruning can't disagree with
+    // placement)
+    val bkRow = s.range(1).select(terms.map(t =>
+      F.pmod(F.xxhash64(F.lit(t)), F.lit(64)).cast("int").as(t)): _*).head()
+    val bks = terms.indices.map(bkRow.getInt).distinct
+    val post = cat.readWithSchema("postings", postSchema)
+      .filter(F.col("bk").isin(bks: _*))
     graft.operators.Retrieval.bm25FromIndex(
-      s.read.parquet(post), s.read.parquet(dls),
-      Seq("hash", "scan", "merge"), k = 20)
+      post, cat.read("doc_lengths"), terms, k = 20)
   }
 
   /** One BPE pair-counting step: weighted adjacent-char-pair counts

@@ -644,4 +644,55 @@ class StreamingSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("In(term"),
       "term IN must reach the postings parquet scan: " + p.take(1500))
   }
+
+  test("bucketed postings index: compaction is serve-transparent and partitions prune") {
+    // the q_bm25_stream production layout, pinned: micro-batch appends
+    // accrete part files per term-hash bucket; stage-and-swap
+    // compaction must reduce files WITHOUT changing a single served
+    // bit, and the serve must prune bucket PARTITIONS before its
+    // row-group term pruning
+    val dir = Files.createTempDirectory("graft-bm25cmp").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    val docs = Seq(
+      (1L, "alpha hash scan"), (2L, "hash hash merge beta"),
+      (3L, "gamma delta"), (4L, "scan scan scan hash")).toDF("doc_id", "text")
+    def bucketed(p: org.apache.spark.sql.DataFrame) = p.withColumn("bk",
+      F.pmod(F.xxhash64(F.col("term")), F.lit(8)).cast("int"))
+    Seq(Seq(1L), Seq(2L, 3L), Seq(4L)).foreach { ids =>
+      val b = docs.filter($"doc_id".isin(ids: _*))
+      cat.appendPartitioned("postings",
+        bucketed(graft.operators.Retrieval.postings(b)), Seq("bk"))
+      cat.append("dl", graft.operators.Retrieval.docLengths(b))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "term STRING, doc_id BIGINT, tf BIGINT, bk INT")
+    val terms = Seq("hash", "scan", "merge")
+    def serve = {
+      val bkRow = spark.range(1).select(terms.map(t =>
+        F.pmod(F.xxhash64(F.lit(t)), F.lit(8)).cast("int").as(t)): _*).head()
+      val bks = terms.indices.map(bkRow.getInt).distinct
+      graft.operators.Retrieval.bm25FromIndex(
+        cat.readWithSchema("postings", schema).filter(F.col("bk").isin(bks: _*)),
+        cat.read("dl"), terms, k = 10)
+    }
+    def partFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/wh/postings"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = serve.collect().toSeq
+    val filesBefore = partFiles
+    val swapped = cat.compactPartitioned("postings", "bk", schema,
+      maxFilesPerPartition = 1)
+    assert(swapped.nonEmpty, "multi-file buckets must trigger compaction")
+    val after = serve
+    assert(after.collect().toSeq === before,
+      "compaction must not change a served bit")
+    assert(partFiles < filesBefore,
+      s"compaction must reduce files: $filesBefore -> $partFiles")
+    val p = after.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*bk""".r.findFirstIn(p).isDefined,
+      "bucket pruning must appear in PartitionFilters: " + p.take(1500))
+  }
 }
