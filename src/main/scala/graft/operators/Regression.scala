@@ -109,7 +109,13 @@ object Regression {
       f: DataFrame): DataFrame = {
     val s = f.sparkSession
     val rows = sketches.map { case (g, v) =>
-      val beta = solve3(v)
+      // a near-singular (det ≈ 0 but nonzero) group can blow a milli
+      // weight past Long range; BigInt.toLong would silently keep the
+      // low 64 bits and emit a wrong fit, so out-of-range groups emit
+      // NULL weights like singular ones (the oracle's CAST AS BIGINT
+      // would error loudly there — NULL keeps the engine on the
+      // fail-visible side of that divergence)
+      val beta = solve3(v).filter(_.forall(_.isValidLong))
       def cell(i: Int): Any = beta.map(_(i).toLong).orNull
       Row(g, v(5).toLong, cell(0), cell(1), cell(2))
     }

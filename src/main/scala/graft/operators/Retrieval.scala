@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import graft.functions.TextFunctions
 
 /** Retrieval primitives over a tokenized corpus: an inverted index
@@ -194,6 +194,32 @@ object Retrieval {
       .sortWithinPartitions("term")
   }
 
+  /** [[postings]] with the document length riding INLINE on every row
+    * (term, doc_id, tf, dl) — the impact-ordered-index trick: a
+    * tf-normalizing scorer served from these postings never has to join
+    * a corpus-sized doc-length sidecar, so the serve's data access is
+    * term-pruned postings plus model-sized stats and nothing else. Costs
+    * 8 bytes per posting row; buys a serve with zero corpus-sized scans.
+    */
+  def postingsWithDl(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
+    docs
+      .select(F.col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .select(F.col("doc_id"),
+        F.size(F.col("toks")).cast("long").as("dl"),
+        F.explode(F.col("toks")).as("term"))
+      // dl is constant per doc_id; max() is the associative way to carry
+      // it through the (term, doc_id) partial aggregation
+      .groupBy("term", "doc_id")
+      .agg(F.count(F.lit(1)).as("tf"), F.max("dl").as("dl"))
+      .select("term", "doc_id", "tf", "dl")
+      .sortWithinPartitions("term")
+  }
+
   /** Doc-length sidecar for [[postings]]: map-side only. */
   def docLengths(
       docs: DataFrame,
@@ -206,20 +232,27 @@ object Retrieval {
   }
 
   /** BM25 served purely from the maintained index — no corpus access,
-    * no driver-held state: global stats (n_docs, total_dl) reduce from
-    * the dl sidecar, per-term df reduces from the term-pruned postings
-    * scan (`term IN (...)` reaches the parquet scan as a pushed filter,
-    * so the serve reads posting row-groups for the query terms, not the
-    * vocabulary). Must equal [[bm25TopK]] over the same corpus
+    * no driver-held state: per-term df reduces from the term-pruned
+    * postings scan (`term IN (...)` reaches the parquet scan as a pushed
+    * filter, so the serve reads posting row-groups for the query terms,
+    * not the vocabulary). Must equal [[bm25TopK]] over the same corpus
     * bit-for-bit: postings/dl appends are lossless, df/dl/tf are exact
-    * integers, and the scoring tail is the shared [[bm25Score]]. */
+    * integers, and the scoring tail is the shared [[bm25Score]].
+    *
+    * `globalStats`: pass the maintained additive (n_docs, total_dl)
+    * one-row reduce (see [[graft.streaming.Bm25Index]] — its stats table
+    * is |ops|-row) to keep the serve free of corpus-sized scans; the
+    * `None` default derives the stats by aggregating the dl sidecar,
+    * which is an O(corpus) scan per serve — fine ad hoc, wrong at 10B
+    * docs. */
   def bm25FromIndex(
       post: DataFrame,
       dls: DataFrame,
       terms: Seq[String],
       k: Int = 20,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      globalStats: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "bm25FromIndex needs at least one query term")
     val hit = post.filter(F.col("term").isin(terms: _*))
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
@@ -230,15 +263,21 @@ object Retrieval {
     val base = pivoted.join(dls, Seq("doc_id"))
       .select(F.col("doc_id") +: F.col("dl") +:
         terms.indices.map(i => F.col(s"tf$i")): _*)
-    val dfCols = terms.zipWithIndex.map { case (t, i) =>
-      F.sum((F.col("term") === t).cast("long")).as(s"df$i")
-    }
-    val dfs = hit.agg(dfCols.head, dfCols.tail: _*)
-    val stats = dls.agg(
-        F.count(F.lit(1)).as("n_docs"), F.sum(F.col("dl")).as("total_dl"))
+    val dfs = hit.agg(termDfAggs(terms).head, termDfAggs(terms).tail: _*)
+    val stats = globalStats.getOrElse(
+        dls.agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("dl")).as("total_dl")))
       .crossJoin(dfs) // 1-row × 1-row scalar spine
     bm25Score(base, stats, terms.size, k1, b, k)
   }
+
+  /** Per-term document-frequency aggregate columns over a flat postings
+    * frame (one row per live (term, doc_id)) — shared by
+    * [[bm25FromIndex]] and [[graft.streaming.Bm25Index]]'s serve. */
+  def termDfAggs(terms: Seq[String]): Seq[Column] =
+    terms.zipWithIndex.map { case (t, i) =>
+      F.sum((F.col("term") === t).cast("long")).as(s"df$i")
+    }
 
   /** Full BPE training loop — [[bpePairCounts]]' one-step primitive
     * iterated into an actual tokenizer trainer: each round counts

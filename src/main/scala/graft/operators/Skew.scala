@@ -129,6 +129,12 @@ object Skew {
     * value emitted as a `salts` column so the choice itself is part of
     * the graded result — the oracle must reproduce the pick, not just
     * the (salt-invariant) aggregate.
+    *
+    * For composite keys EVERY component is probed and the widest pick
+    * wins: each component's marginal ratio upper-bounds the composite
+    * ratio (pigeonhole on the projection), so max over components errs
+    * toward more salting, never less — and a caller can no longer
+    * under-salt by passing the low-skew component first.
     */
   def autoSaltedAggregate(
       df: DataFrame,
@@ -138,7 +144,7 @@ object Skew {
       finalAggs: Seq[Column],
       parallelism: Int = 32,
       maxSalts: Int = 64): DataFrame = {
-    val k = autoSalts(df, key.head, idCol, parallelism, maxSalts)
+    val k = key.map(autoSalts(df, _, idCol, parallelism, maxSalts)).max
     saltedAggregate(df, key, k, partialAggs, finalAggs)
       .withColumn("salts", F.lit(k.toLong))
   }

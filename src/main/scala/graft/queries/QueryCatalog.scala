@@ -2538,7 +2538,12 @@ object QueryCatalog {
       |  GROUP BY user_id),
       |st AS (SELECT MAX(c) AS mx, SUM(c) AS tot FROM sc),
       |pick AS (
-      |  SELECT CAST(COALESCE(MIN(CAST(1 AS BIGINT) << g.k), 64) AS BIGINT) AS salts
+      |  -- empty-sample guard mirrors pickSalts' totalRows == 0 branch
+      |  -- (salting off → 1): without it a NULL mx/tot nulls the WHERE,
+      |  -- MIN returns NULL, and COALESCE would diverge to 64
+      |  SELECT CASE WHEN (SELECT COALESCE(tot, 0) FROM st) = 0
+      |    THEN CAST(1 AS BIGINT)
+      |    ELSE CAST(COALESCE(MIN(CAST(1 AS BIGINT) << g.k), 64) AS BIGINT) END AS salts
       |  FROM generate_series(0, 6) g(k), st
       |  WHERE (CAST(1 AS BIGINT) << g.k) >= (st.mx * 32 + st.tot - 1) // st.tot)
       |SELECT ev.user_id, CAST(COUNT(*) AS BIGINT) AS n,
@@ -4468,12 +4473,17 @@ object QueryCatalog {
     Retrieval.bm25TopK(t(s, dir, "documents"),
       Seq("hash", "scan", "merge"), k = 20)
 
-  private val qBm25Sql =
-    """WITH toks AS (
+  /** The exact BM25 oracle parameterized by its corpus source — shared
+    * by the batch scorer, the append-only index twin (both grade
+    * against the full `documents` table) and the delete/replace twin
+    * (which grades against the SURVIVING corpus). */
+  private def bm25OracleSql(corpusSql: String): String =
+    s"""WITH corp AS ($corpusSql),
+      |toks AS (
       |  SELECT doc_id,
-      |    CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
-      |  FROM documents),
-      |base AS (
+      |    CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+      |  FROM corp),""".stripMargin + "\n" +
+    """base AS (
       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
       |    CAST(len(list_filter(t, x -> x = 'hash')) AS BIGINT) AS tf0,
       |    CAST(len(list_filter(t, x -> x = 'scan')) AS BIGINT) AS tf1,
@@ -4495,28 +4505,24 @@ object QueryCatalog {
       |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  private val qBm25Sql = bm25OracleSql("SELECT doc_id, text FROM documents")
+
   /** The incremental inverted-index twin, graded by the BATCH BM25
     * oracle (the 10th oracle-graded streaming twin): documents replay
-    * as three doc-id-ordered micro-batches, and each batch APPENDS its
-    * flat postings (term, doc_id, tf — sorted by term for row-group
-    * pruning) and doc-length sidecar rows to a parquet index
-    * ([[graft.operators.Retrieval.postings]] /
-    * [[graft.operators.Retrieval.docLengths]]). Because every document
-    * carries all of its postings in the batch that delivers it, index
-    * maintenance is pure append — no read-modify-write, no streaming
-    * state at all (contrast q_ols_stream's accreted sketch: here even
-    * the global stats live in the index). Serve time
-    * ([[graft.operators.Retrieval.bm25FromIndex]]) touches ONLY the
-    * index: n_docs/total_dl reduce from the dl sidecar, df from the
-    * term-pruned postings scan (`term IN` pushed to parquet), and the
-    * scoring tail is the same Column tree as the batch scorer — so the
-    * served top-20 must equal q_bm25 bit-for-bit, doubles included.
-    * That equality IS the incremental-maintenance claim: append-only
-    * index accretion loses nothing a full rebuild would have.
-    *
-    * Production crash-safety rides the same committed-batch protocol as
-    * the streaming dedup index (Streams.scala) — the twin grades
-    * lossless accretion, not the commit protocol (already spec'd).
+    * as three doc-id-ordered micro-batches through
+    * [[graft.streaming.Bm25Index]] — each micro-batch is one
+    * exactly-once op (per-table seq probes + a committed marker, so a
+    * replayed batch never duplicates a posting) appending bucketed
+    * postings WITH dl inline, the registry rows, and one additive
+    * (n_docs, total_dl) stats row. Serve time touches ONLY the index:
+    * global stats reduce from the |ops|-row stats table (NOT an
+    * O(corpus) registry scan — the r12 wart), df from the term-pruned
+    * postings scan (`term IN` pushed to parquet), dl from the postings
+    * rows themselves, and the scoring tail is the same Column tree as
+    * the batch scorer — so the served top-20 must equal q_bm25
+    * bit-for-bit, doubles included. That equality IS the
+    * incremental-maintenance claim: index accretion loses nothing a
+    * full rebuild would have.
     *
     * The index lands in the PRODUCTION layout: postings are
     * hive-partitioned by a 64-way term-hash bucket through the Catalog,
@@ -4537,36 +4543,68 @@ object QueryCatalog {
     writeOrderedStreamFiles(docs.withColumn("__tile", F.ntile(3).over(w)), 3, in, dir)
     val src = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
-    val cat = new graft.sources.Catalog(s, wh)
-    def bucketed(p: DataFrame) = p.withColumn("bk",
-      F.pmod(F.xxhash64(F.col("term")), F.lit(64)).cast("int"))
+    val idx = new graft.streaming.Bm25Index(s, new graft.sources.Catalog(s, wh))
+    idx.ensure()
     withFewShufflePartitions(s, 8) {
-      val q = src.writeStream
-        .option("checkpointLocation", cp)
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          cat.appendPartitioned("postings",
-            bucketed(graft.operators.Retrieval.postings(b)), Seq("bk"))
-          cat.append("doc_lengths", graft.operators.Retrieval.docLengths(b))
-          ()
-        }.start()
+      val q = idx.writer(src, cp, baseSeq = 0L).start()
       try q.processAllAvailable() finally q.stop()
     }
-    val postSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "term STRING, doc_id BIGINT, tf BIGINT, bk INT")
-    cat.compactPartitioned("postings", "bk", postSchema,
-      maxFilesPerPartition = 2)
-    val terms = Seq("hash", "scan", "merge")
-    // the query terms' bucket ids — one 1-row collect of 3 ints (the
-    // same xxhash64 the writer used, so pruning can't disagree with
-    // placement)
-    val bkRow = s.range(1).select(terms.map(t =>
-      F.pmod(F.xxhash64(F.lit(t)), F.lit(64)).cast("int").as(t)): _*).head()
-    val bks = terms.indices.map(bkRow.getInt).distinct
-    val post = cat.readWithSchema("postings", postSchema)
-      .filter(F.col("bk").isin(bks: _*))
-    graft.operators.Retrieval.bm25FromIndex(
-      post, cat.read("doc_lengths"), terms, k = 20)
+    idx.compact(maxFilesPerPartition = 2)
+    idx.serve(Seq("hash", "scan", "merge"), k = 20)
   }
+
+  /** DELETE/REPLACE for the incremental index — the production
+    * lifecycle the append-only twin cannot express, graded end to end:
+    * the full corpus streams in (3 exactly-once micro-batch ops), every
+    * doc with `doc_id % 7 = 3` is DELETED (tombstones + a negative
+    * additive stats row — no index rewrite), the even half of the
+    * deleted set (`doc_id % 14 = 3`) re-ingests MODIFIED (text +
+    * " hash scan" — a new generation under the insert-if-absent rule,
+    * exercising the replace arm of the reference's ON CONFLICT
+    * semantics) through a restarted stream at a higher base seq, and
+    * compaction PHYSICALLY applies the tombstones (rewriting exactly
+    * the bucket partitions holding dead generations) before the serve.
+    * The served top-20 must hash-equal the batch BM25 oracle over the
+    * SURVIVING corpus — delete-then-serve ≡ full rebuild, bit-for-bit,
+    * which is the whole tombstone-correctness claim: no ghost postings
+    * score, no re-ingested doc double-counts, and the additive global
+    * stats track the live corpus exactly. StreamingSpec additionally
+    * pins that the dead generations are physically GONE after compact.
+    */
+  private def qBm25StreamDel(s: SparkSession, dir: String): DataFrame = {
+    val root = idxScratch("bm25_stream_del")
+    val in = s"$root/in"; val in2 = s"$root/in2"
+    val cp = s"$root/cp"; val cp2 = s"$root/cp2"; val wh = s"$root/wh"
+    clearDir(cp); clearDir(cp2); clearDir(wh)
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val w = Window.orderBy(F.col("doc_id"))
+    writeOrderedStreamFiles(docs.withColumn("__tile", F.ntile(3).over(w)), 3, in, dir)
+    val modified = docs.filter(F.col("doc_id") % 14 === 3)
+      .select(F.col("doc_id"),
+        F.concat(F.col("text"), F.lit(" hash scan")).as("text"))
+    writeOrderedStreamFiles(
+      modified.withColumn("__tile", F.ntile(2).over(w)), 2, in2, dir)
+    val idx = new graft.streaming.Bm25Index(s, new graft.sources.Catalog(s, wh))
+    idx.ensure()
+    withFewShufflePartitions(s, 8) {
+      val q = idx.writer(s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in), cp, baseSeq = 0L).start()
+      try q.processAllAvailable() finally q.stop()
+      idx.delete(docs.filter(F.col("doc_id") % 7 === 3).select("doc_id"),
+        seq = 10L)
+      val q2 = idx.writer(s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in2), cp2, baseSeq = 20L).start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    idx.compact(maxFilesPerPartition = 2)
+    idx.serve(Seq("hash", "scan", "merge"), k = 20)
+  }
+
+  private val qBm25StreamDelSql = bm25OracleSql(
+    """SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT doc_id, text || ' hash scan' AS text FROM documents
+      |  WHERE doc_id % 14 = 3""".stripMargin)
 
   /** One BPE pair-counting step: weighted adjacent-char-pair counts
     * tallied over the distinct word vocabulary (the tokenizer-training
@@ -7113,6 +7151,7 @@ object QueryCatalog {
     Q("q_interval_merge", wrap(qIntervalMerge), Some(qIntervalMergeSql)),
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
     Q("q_bm25_stream", wrap(qBm25Stream), Some(qBm25Sql)),
+    Q("q_bm25_stream_del", wrap(qBm25StreamDel), Some(qBm25StreamDelSql)),
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),
     Q("q_bpe_encode", wrap(qBpeEncode), Some(qBpeEncodeSql)),

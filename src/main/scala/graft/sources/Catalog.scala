@@ -109,6 +109,63 @@ class Catalog(spark: SparkSession, warehouse: String) {
     spark.catalog.refreshByPath(path(table))
   }
 
+  /** Crash-safe whole-table REPLACE for a flat (unpartitioned) table —
+    * the table-level analogue of [[compactPartitioned]]'s per-partition
+    * stage-and-swap, for maintenance rewrites of the small sidecar
+    * tables (tombstone application to a doc registry, folding an
+    * additive stats table). NOT for data-sized tables: those should be
+    * partitioned so rewrites stay partition-local.
+    *
+    * Protocol: stage the new content to `<table>__replacing` (a normal
+    * Spark job, `_SUCCESS`-marked on completion — and materialized
+    * BEFORE any rename, so `df` may read from the live table), move the
+    * live dir aside to `<table>__replaced`, move the stage in, drop the
+    * aside. [[recoverReplace]] (run on entry) heals every crash window:
+    * a stage without `_SUCCESS` is discarded; a missing live dir rolls
+    * FORWARD to a complete stage or BACK to the aside — at least one
+    * complete copy is addressable at every instant.
+    */
+  def replaceTable(table: String, df: DataFrame): Unit = {
+    recoverReplace(table)
+    val live = new org.apache.hadoop.fs.Path(path(table))
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(path(table) + "__replacing")
+    val aside = new org.apache.hadoop.fs.Path(path(table) + "__replaced")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(live) && !fs.rename(live, aside))
+      throw new java.io.IOException(
+        s"replaceTable move-aside failed for $table — table untouched")
+    if (!fs.rename(staging, live))
+      throw new java.io.IOException(
+        s"replaceTable swap failed for $table — staged data left at $staging")
+    fs.delete(aside, true)
+    spark.catalog.refreshByPath(path(table))
+  }
+
+  /** Heal any [[replaceTable]] crash window (idempotent; also safe when
+    * no replace was ever attempted). */
+  def recoverReplace(table: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path(table))
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(path(table) + "__replacing")
+    val aside = new org.apache.hadoop.fs.Path(path(table) + "__replaced")
+    val stagedComplete =
+      fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+    if (!fs.exists(live)) {
+      if (stagedComplete) {
+        if (!fs.rename(staging, live)) throw new java.io.IOException(
+          s"replaceTable recovery roll-forward failed for $table")
+      } else if (fs.exists(aside)) {
+        if (!fs.rename(aside, live)) throw new java.io.IOException(
+          s"replaceTable recovery roll-back failed for $table")
+      }
+    }
+    if (fs.exists(live)) {
+      fs.delete(aside, true)
+      fs.delete(staging, true)
+    }
+  }
+
   /** Small-file compaction for a hive-partitioned table. Repeated
     * incremental appends / dynamic-partition overwrites accrete one file
     * per task per batch; over months a hot date partition holds
@@ -124,6 +181,15 @@ class Catalog(spark: SparkSession, warehouse: String) {
     * overwrite. Untouched partitions are never read or rewritten, so
     * compaction cost tracks the accreted partitions, not table size.
     *
+    * `transform` is applied to the rows of every REWRITTEN partition —
+    * the hook tombstone application rides on (drop dead generations
+    * while the partition is being rewritten anyway). It must be
+    * row-filtering only (same schema out). `forceValues` names
+    * partitions rewritten regardless of file count — the partitions
+    * known to hold rows `transform` would drop. A selected partition
+    * whose rows ALL vanish under `transform` has its directory removed
+    * (the staged write produces no output for it).
+    *
     * @return the partition values that were compacted
     */
   def compactPartitioned(
@@ -131,7 +197,9 @@ class Catalog(spark: SparkSession, warehouse: String) {
       partitionCol: String,
       schema: StructType,
       maxFilesPerPartition: Int = 8,
-      targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      transform: DataFrame => DataFrame = identity,
+      forceValues: Seq[String] = Nil): Seq[String] = {
     import org.apache.spark.sql.{functions => F}
     val root = new org.apache.hadoop.fs.Path(path(table))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -147,7 +215,8 @@ class Catalog(spark: SparkSession, warehouse: String) {
       // the null partition would filter zero rows yet swap the live
       // directory, so they are skipped rather than risked
       val roundTrips = !value.contains("%") && value != "__HIVE_DEFAULT_PARTITION__"
-      if (files.length > maxFilesPerPartition && roundTrips) {
+      if ((files.length > maxFilesPerPartition || forceValues.contains(value))
+          && roundTrips && files.nonEmpty) {
         val n = math.max(1L, (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes)
         Some((value, n.toInt))
       } else None
@@ -178,8 +247,8 @@ class Catalog(spark: SparkSession, warehouse: String) {
         }
     }
     fs.delete(staging, true)
-    readWithSchema(table, schema)
-      .filter(F.col(partitionCol).cast("string").isin(values: _*))
+    transform(readWithSchema(table, schema)
+        .filter(F.col(partitionCol).cast("string").isin(values: _*)))
       .withColumn("__slot",
         F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), fileTarget.cast("long")))
       .repartition(F.col(partitionCol), F.col("__slot"))
@@ -196,7 +265,19 @@ class Catalog(spark: SparkSession, warehouse: String) {
       // aside lives INSIDE staging under a prefix that does not parse
       // as a partition dir, so readers never see two copies and the
       // recovery scan never mistakes it for a staged replacement.
-      if (!fs.exists(src)) None
+      if (!fs.exists(src)) {
+        // the staged job completed but wrote nothing for this selected
+        // partition: transform dropped every row — remove the live dir
+        // via the same aside dance (never a bare delete of live data)
+        if (fs.exists(dst)) {
+          val aside = new org.apache.hadoop.fs.Path(staging, s"__old__$dir")
+          if (!fs.rename(dst, aside))
+            throw new java.io.IOException(
+              s"compaction move-aside failed for emptied $dir — table untouched")
+          fs.delete(aside, true)
+          Some(value)
+        } else None
+      }
       else {
         val aside = new org.apache.hadoop.fs.Path(staging, s"__old__$dir")
         if (fs.exists(dst) && !fs.rename(dst, aside))

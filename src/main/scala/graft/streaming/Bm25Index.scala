@@ -1,0 +1,256 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.types.StructType
+import graft.operators.{Retrieval, Tombstones}
+import graft.sources.Catalog
+
+/** Incrementally-maintained BM25 inverted index with full
+  * DELETE/REPLACE semantics — the production-truthful form of the
+  * append-only q_bm25_stream twin. The reference's own write path is
+  * replace-semantics (`ON CONFLICT` upsert, populate_postgres.sql:14-28);
+  * a corpus index must mirror it: documents get re-crawled, taken down,
+  * and replaced constantly, and an index that can only append keeps
+  * scoring ghosts forever.
+  *
+  * Tables (all under one [[graft.sources.Catalog]] warehouse):
+  *  - `postings(term, doc_id, tf, dl, seq)` hive-partitioned by `bk`
+  *    (term-hash bucket): the index in production layout. `dl` rides
+  *    INLINE on every posting ([[Retrieval.postingsWithDl]]) so serving
+  *    never joins a corpus-sized sidecar; `seq` is the generation stamp
+  *    tombstones cut against.
+  *  - `doc_lengths(doc_id, dl, seq)`: the document REGISTRY — admission
+  *    authority for insert-if-absent and the delete path's dl lookup.
+  *    Never read at serve time.
+  *  - `index_stats(seq, n_docs, total_dl)`: one ADDITIVE row per op —
+  *    ingests append (+n, +Σdl), deletes append (−n, −Σdl) — so the
+  *    global BM25 stats reduce from an |ops|-row table instead of an
+  *    O(corpus) registry scan per serve (compaction folds it to one
+  *    row per committed history).
+  *  - `tombstones(doc_id, seq)`: logical deletes
+  *    ([[graft.operators.Tombstones]]); anti-joined at serve, applied
+  *    physically and cleared at [[compact]].
+  *  - `committed(seq)`: op markers. Every op is (data appends …,
+  *    marker append) with a per-table `seq` probe before each append,
+  *    so a micro-batch replay after a crash anywhere in the chain
+  *    converges without duplicating a row — each append job is atomic
+  *    under Spark's commit protocol, and a table either already holds
+  *    the op's seq (skip) or holds none of it (append). This closes the
+  *    r12 advisory: the sink is exactly-once under foreachBatch retry.
+  *
+  * Op sequencing contract: `seq` is strictly monotone across ops
+  * (streams stamp `baseSeq + batchId`; a RESTARTED stream gets a fresh
+  * `baseSeq` above everything committed) and ops execute in seq order —
+  * exactly Structured Streaming's replay discipline. Serves read only
+  * COMMITTED generations, so a crashed half-written op is invisible
+  * until its replay completes.
+  *
+  * Scale shape of a serve: bucket-partition pruning (the query terms'
+  * `bk` values) → parquet row-group `term IN` pruning → a df-bounded
+  * pivot, with global stats from the |ops|-row stats table and the
+  * tombstone anti-join broadcast (bounded by deletes since last
+  * compaction). Nothing corpus-sized is scanned — the fix for r12's
+  * bm25FromIndex dl-sidecar wart.
+  */
+final class Bm25Index(
+    spark: SparkSession,
+    cat: Catalog,
+    buckets: Int = 64,
+    k1: Double = 1.2,
+    b: Double = 0.75) {
+  import Bm25Index._
+
+  def ensure(): Unit = {
+    cat.ensurePartitionedTable("postings", postSchema, Seq("bk"))
+    cat.ensureTable("doc_lengths", dlSchema)
+    cat.ensureTable("index_stats", statsSchema)
+    cat.ensureTable("tombstones", tombSchema)
+    cat.ensureTable("committed", commitSchema)
+  }
+
+  private def postings: DataFrame = cat.readWithSchema("postings", postSchema)
+  private def registry: DataFrame = cat.readWithSchema("doc_lengths", dlSchema)
+  private def stats: DataFrame = cat.readWithSchema("index_stats", statsSchema)
+  private def tombs: DataFrame = cat.readWithSchema("tombstones", tombSchema)
+  private def committed: DataFrame = cat.readWithSchema("committed", commitSchema)
+
+  private def isCommitted(seq: Long): Boolean =
+    !committed.filter(F.col("seq") === seq).isEmpty
+
+  private def markCommitted(seq: Long): Unit =
+    cat.append("committed", oneRow(Row(seq), commitSchema))
+
+  /** Does `df`'s `seq` column already contain this op's stamp? The
+    * replay-idempotence probe: each append job is atomic, so a table
+    * either holds ALL of an op's rows or none. Column-pruned and (seq
+    * being monotone with file order) row-group-pruned; it runs only for
+    * ops not yet marker-committed — i.e. first attempts and crash
+    * replays. */
+  private def hasSeq(df: DataFrame, seq: Long): Boolean =
+    !df.filter(F.col("seq") === seq).isEmpty
+
+  private def oneRow(row: Row, schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.List.of(row), schema)
+
+  private def bucketOf = F.pmod(F.xxhash64(F.col("term")), F.lit(buckets.toLong))
+    .cast("int")
+
+  /** The state as of BEFORE op `seq` — rows of this very op excluded, so
+    * a crash replay recomputes the identical admitted/victim set no
+    * matter which appends already landed. */
+  private def preOp(df: DataFrame, seq: Long): DataFrame =
+    df.filter(F.col("seq") < seq)
+
+  /** Ingest one batch of (doc_id, text) as op `seq` — the foreachBatch
+    * body. Insert-if-absent against the LIVE registry: an id currently
+    * live is dropped (the reference's DO NOTHING arm); a deleted id
+    * re-ingests as a fresh generation (the replace arm). Exactly-once
+    * under replay (see class doc).
+    */
+  def ingest(batch: DataFrame, seq: Long): Unit = {
+    if (isCommitted(seq)) return
+    val liveReg = Tombstones.live(preOp(registry, seq), preOp(tombs, seq))
+    val admitted = batch
+      .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
+      .dropDuplicates("doc_id")
+      .join(liveReg.select("doc_id"), Seq("doc_id"), "leftanti")
+      .localCheckpoint() // referenced by three appends below
+    val dls = Retrieval.docLengths(admitted).withColumn("seq", F.lit(seq))
+    if (!hasSeq(postings, seq))
+      cat.appendPartitioned("postings",
+        Retrieval.postingsWithDl(admitted)
+          .withColumn("seq", F.lit(seq)).withColumn("bk", bucketOf),
+        Seq("bk"))
+    if (!hasSeq(registry, seq))
+      cat.append("doc_lengths", dls)
+    if (!hasSeq(stats, seq))
+      cat.append("index_stats", dls.agg(
+          F.count(F.lit(1)).as("n_docs"),
+          F.coalesce(F.sum("dl"), F.lit(0L)).as("total_dl"))
+        .select(F.lit(seq).as("seq"), F.col("n_docs"), F.col("total_dl")))
+    markCommitted(seq)
+  }
+
+  /** Delete documents by id as op `seq`: tombstone the LIVE generations
+    * and count them out of the additive stats. Ids not currently live
+    * are ignored (deleting twice, or deleting a never-ingested id, is a
+    * no-op). Exactly-once under replay.
+    */
+  def delete(ids: DataFrame, seq: Long): Unit = {
+    if (isCommitted(seq)) return
+    val victims = Tombstones.live(preOp(registry, seq), preOp(tombs, seq))
+      .join(ids.select(F.col("doc_id").cast("long").as("doc_id"))
+        .dropDuplicates("doc_id"), Seq("doc_id"), "leftsemi")
+      .localCheckpoint() // referenced by both appends below
+    if (!hasSeq(tombs, seq))
+      cat.append("tombstones",
+        victims.select(F.col("doc_id"), F.lit(seq).as("seq")))
+    if (!hasSeq(stats, seq))
+      cat.append("index_stats", victims.agg(
+          F.count(F.lit(1)).as("n"),
+          F.coalesce(F.sum("dl"), F.lit(0L)).as("sdl"))
+        .select(F.lit(seq).as("seq"), (-F.col("n")).as("n_docs"),
+          (-F.col("sdl")).as("total_dl")))
+    markCommitted(seq)
+  }
+
+  /** A continuous ingestion stream: each micro-batch runs [[ingest]] at
+    * `baseSeq + batchId`. A restarted stream (fresh checkpoint) must be
+    * given a `baseSeq` above every committed seq. */
+  def writer(
+      docs: DataFrame,
+      checkpoint: String,
+      baseSeq: Long): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingest(batch, baseSeq + id)
+      }
+
+  /** Top-k BM25 over the CURRENT live corpus, served purely from the
+    * index — bit-equal to [[Retrieval.bm25TopK]] over the equivalent
+    * batch corpus (same exact-integer inputs, same
+    * [[Retrieval.bm25Score]] Column tree). Reads committed generations
+    * only. */
+  def serve(terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "serve needs at least one query term")
+    // the query terms' bucket ids — same hash the writer used, so
+    // pruning can never disagree with placement; one 1-row collect
+    val bkRow = spark.range(1).select(terms.map(t =>
+      F.pmod(F.xxhash64(F.lit(t)), F.lit(buckets.toLong)).cast("int").as(t)): _*)
+      .head()
+    val bks = terms.indices.map(bkRow.getInt).distinct
+    // the op-marker table is |ops|-row — every join against it is a
+    // broadcast semi, never a shuffle
+    val committedTombs = tombs.join(F.broadcast(committed), Seq("seq"), "leftsemi")
+    val hits = Tombstones.live(
+      postings
+        .filter(F.col("bk").isin(bks: _*) && F.col("term").isin(terms: _*))
+        .join(F.broadcast(committed), Seq("seq"), "leftsemi"),
+      committedTombs)
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      F.coalesce(F.sum(F.when(F.col("term") === t, F.col("tf"))), F.lit(0L))
+        .as(s"tf$i")
+    }
+    val base = hits.groupBy("doc_id")
+      .agg(tfAggs.head, (tfAggs.tail :+ F.max("dl").as("dl")): _*)
+      .select(F.col("doc_id") +: F.col("dl") +:
+        terms.indices.map(i => F.col(s"tf$i")): _*)
+    val dfAggs = Retrieval.termDfAggs(terms)
+    val dfs = hits.agg(dfAggs.head, dfAggs.tail: _*)
+    val global = stats.join(F.broadcast(committed), Seq("seq"), "leftsemi")
+      .agg(F.coalesce(F.sum("n_docs"), F.lit(0L)).as("n_docs"),
+        F.coalesce(F.sum("total_dl"), F.lit(0L)).as("total_dl"))
+      .crossJoin(dfs) // 1-row × 1-row scalar spine
+    Retrieval.bm25Score(base, global, terms.size, k1, b, k)
+  }
+
+  /** Maintenance: physically apply the COMMITTED tombstones (rewrite
+    * exactly the bucket partitions holding dead generations, plus any
+    * partition over the small-file threshold), rewrite the registry
+    * minus dead rows, fold the committed stats history to one row, and
+    * clear the applied tombstones. Serve-transparent by construction:
+    * the logical live-filter over the pre-compaction layout and the
+    * physical layout afterwards describe the same rows. Tombstones and
+    * stats rows of UNCOMMITTED ops (a crashed op awaiting replay) are
+    * left untouched so the replay still sees its pre-op state.
+    */
+  def compact(maxFilesPerPartition: Int = 2): Unit = {
+    val committedTombs = tombs.join(committed, Seq("seq"), "leftsemi")
+      .localCheckpoint() // small; referenced by probe + transform + clear
+    // partitions holding dead rows: a bounded probe (≤ `buckets` values)
+    val deadBks = postings
+      .join(F.broadcast(Tombstones.lastSeq(committedTombs)), Seq("doc_id"))
+      .filter(F.col("seq") <= F.col("__tomb_seq"))
+      .select("bk").distinct().collect().map(_.getInt(0).toString).toSeq
+    cat.compactPartitioned("postings", "bk", postSchema,
+      maxFilesPerPartition = maxFilesPerPartition,
+      transform = df => Tombstones.live(df, committedTombs),
+      forceValues = deadBks)
+    cat.replaceTable("doc_lengths",
+      Tombstones.live(registry, committedTombs))
+    val committedStats = stats.join(committed, Seq("seq"), "leftsemi")
+    cat.replaceTable("index_stats",
+      committedStats.agg(
+          F.coalesce(F.max("seq"), F.lit(0L)).as("seq"),
+          F.coalesce(F.sum("n_docs"), F.lit(0L)).as("n_docs"),
+          F.coalesce(F.sum("total_dl"), F.lit(0L)).as("total_dl"))
+        .unionByName(stats.join(committed, Seq("seq"), "leftanti")))
+    cat.replaceTable("tombstones",
+      tombs.join(committed, Seq("seq"), "leftanti"))
+  }
+}
+
+object Bm25Index {
+  val postSchema: StructType = StructType.fromDDL(
+    "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, seq BIGINT, bk INT")
+  val dlSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, dl BIGINT, seq BIGINT")
+  val statsSchema: StructType = StructType.fromDDL(
+    "seq BIGINT, n_docs BIGINT, total_dl BIGINT")
+  val tombSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, seq BIGINT")
+  val commitSchema: StructType = StructType.fromDDL("seq BIGINT")
+}

@@ -695,4 +695,115 @@ class StreamingSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*bk""".r.findFirstIn(p).isDefined,
       "bucket pruning must appear in PartitionFilters: " + p.take(1500))
   }
+
+  test("bm25 index delete/replace: tombstoned serve equals a rebuild; compaction kills ghosts physically") {
+    // the q_bm25_stream_del contract at unit scale, plus the physical
+    // pins the oracle can't see: after compact() the dead generations
+    // are GONE from the postings files, the applied tombstones are
+    // cleared, and the serve never touches a corpus-sized sidecar
+    val dir = Files.createTempDirectory("graft-bm25del").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    val idx = new graft.streaming.Bm25Index(spark, cat, buckets = 8)
+    idx.ensure()
+    val docs = Seq(
+      (1L, "alpha hash scan"), (2L, "hash hash merge beta"),
+      (3L, "gamma delta"), (4L, "scan scan scan hash")).toDF("doc_id", "text")
+    idx.ingest(docs.filter($"doc_id" <= 2), seq = 0L)
+    idx.ingest(docs.filter($"doc_id" > 2), seq = 1L)
+    idx.delete(Seq(2L, 3L).toDF("doc_id"), seq = 2L)
+    // replace arm: doc 2 re-ingests MODIFIED — a new generation
+    idx.ingest(Seq((2L, "merge merge hash")).toDF("doc_id", "text"), seq = 3L)
+    val terms = Seq("hash", "scan", "merge")
+    val liveCorpus = Seq(
+      (1L, "alpha hash scan"), (2L, "merge merge hash"),
+      (4L, "scan scan scan hash")).toDF("doc_id", "text")
+    val expected = graft.operators.Retrieval.bm25TopK(liveCorpus, terms, k = 10)
+      .collect().toSeq
+    val before = idx.serve(terms, k = 10)
+    assert(before.collect().toSeq === expected,
+      "tombstoned serve must equal a rebuild on the surviving corpus, bit-for-bit")
+    // serve reads NO corpus-sized table: postings (bucket+term pruned)
+    // and the |ops|-row stats/marker/tombstone sidecars only
+    val planBefore = before.queryExecution.executedPlan.toString
+    assert(!planBefore.contains("doc_lengths"),
+      "serve must not scan the doc registry: " + planBefore.take(1500))
+    assert(planBefore.contains("In(term"),
+      "term IN must reach the postings scan: " + planBefore.take(1500))
+    idx.compact(maxFilesPerPartition = 1)
+    val after = idx.serve(terms, k = 10)
+    assert(after.collect().toSeq === expected,
+      "compaction must not change a served bit")
+    // ghost pins: doc 3 is physically gone, doc 2 has ONLY the new
+    // generation, the applied tombstones are cleared, stats fold to one
+    // committed row describing exactly the live corpus
+    val post = cat.readWithSchema("postings", graft.streaming.Bm25Index.postSchema)
+    assert(post.filter($"doc_id" === 3L).isEmpty, "ghost postings must be gone")
+    assert(post.filter($"doc_id" === 2L).select("seq").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(3L),
+      "only the re-ingested generation of doc 2 may survive")
+    assert(cat.readWithSchema("tombstones", graft.streaming.Bm25Index.tombSchema).isEmpty,
+      "applied tombstones must be cleared")
+    val st = cat.readWithSchema("index_stats", graft.streaming.Bm25Index.statsSchema)
+      .collect()
+    assert(st.length === 1 && st(0).getLong(1) === 3L && st(0).getLong(2) === 10L,
+      s"stats must fold to (n_docs=3, total_dl=10), got ${st.toSeq}")
+    val reg = cat.readWithSchema("doc_lengths", graft.streaming.Bm25Index.dlSchema)
+    assert(reg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 3L, 2L -> 3L, 4L -> 4L), "registry must hold live docs only")
+  }
+
+  test("bm25 index ops are exactly-once: replayed ops and a crash between appends converge") {
+    val dir = Files.createTempDirectory("graft-bm25once").toString
+    val wh = s"$dir/wh"
+    val cat = new graft.sources.Catalog(spark, wh)
+    // injected crash: the registry append dies, leaving postings written
+    // but dl/stats/marker missing — the widest replay window
+    val crashing = new graft.sources.Catalog(spark, wh) {
+      override def append(table: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        if (table == "doc_lengths")
+          throw new RuntimeException("injected kill between postings and registry append")
+        super.append(table, df)
+      }
+    }
+    val idx = new graft.streaming.Bm25Index(spark, cat, buckets = 8)
+    val crashingIdx = new graft.streaming.Bm25Index(spark, crashing, buckets = 8)
+    idx.ensure()
+    val docs = Seq(
+      (1L, "alpha hash scan"), (2L, "hash hash merge beta")).toDF("doc_id", "text")
+    idx.ingest(docs, seq = 0L)
+    val postCount = cat.readWithSchema(
+      "postings", graft.streaming.Bm25Index.postSchema).count()
+    // replay of a COMMITTED op: marker short-circuits, nothing appended
+    idx.ingest(docs, seq = 0L)
+    assert(cat.readWithSchema("postings", graft.streaming.Bm25Index.postSchema)
+      .count() === postCount, "replaying a committed op must append nothing")
+    // crash mid-op, then replay with a healthy catalog
+    val b2 = Seq((3L, "scan merge")).toDF("doc_id", "text")
+    val died = intercept[RuntimeException] { crashingIdx.ingest(b2, seq = 1L) }
+    assert(died.getMessage.contains("injected kill"))
+    val post = cat.readWithSchema("postings", graft.streaming.Bm25Index.postSchema)
+    assert(post.filter($"seq" === 1L).count() === 2L,
+      "postings must lead the crash")
+    assert(cat.readWithSchema("doc_lengths", graft.streaming.Bm25Index.dlSchema)
+      .filter($"seq" === 1L).isEmpty, "registry must trail the crash")
+    idx.ingest(b2, seq = 1L)
+    assert(cat.readWithSchema("postings", graft.streaming.Bm25Index.postSchema)
+      .filter($"seq" === 1L).count() === 2L, "replay must not duplicate postings")
+    assert(cat.readWithSchema("index_stats", graft.streaming.Bm25Index.statsSchema)
+      .filter($"seq" === 1L).count() === 1L, "replay must write stats exactly once")
+    // the converged index serves the full 3-doc corpus exactly
+    val terms = Seq("hash", "scan", "merge")
+    val all = Seq(
+      (1L, "alpha hash scan"), (2L, "hash hash merge beta"),
+      (3L, "scan merge")).toDF("doc_id", "text")
+    assert(idx.serve(terms, k = 10).collect().toSeq ===
+      graft.operators.Retrieval.bm25TopK(all, terms, k = 10).collect().toSeq)
+    // delete replay: a committed delete re-applied must subtract once
+    idx.delete(Seq(1L).toDF("doc_id"), seq = 2L)
+    idx.delete(Seq(1L).toDF("doc_id"), seq = 2L)
+    val st = cat.readWithSchema("index_stats", graft.streaming.Bm25Index.statsSchema)
+      .agg(F.sum("n_docs"), F.sum("total_dl")).head()
+    assert((st.getLong(0), st.getLong(1)) === ((2L, 6L)),
+      "replayed delete must not double-subtract")
+  }
 }

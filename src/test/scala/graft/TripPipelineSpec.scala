@@ -251,6 +251,39 @@ class TripPipelineSpec extends SparkSpec {
     assert(!staging.exists())
   }
 
+  test("replaceTable swaps atomically and recovers every crash window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-replace").toString
+    val cat = new graft.sources.Catalog(spark, dir)
+    cat.overwrite("t", Seq(1L, 2L, 3L).toDF("id"))
+    // the replacement may READ the live table it replaces
+    cat.replaceTable("t", cat.read("t").filter($"id" =!= 2L))
+    assert(cat.read("t").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    val live = new java.io.File(cat.path("t"))
+    val staging = new java.io.File(cat.path("t") + "__replacing")
+    val aside = new java.io.File(cat.path("t") + "__replaced")
+    // window 1: crash mid-stage (no _SUCCESS) — live wins, stage discarded
+    staging.mkdirs()
+    Files.writeString(staging.toPath.resolve("part-junk.parquet"), "junk")
+    cat.recoverReplace("t")
+    assert(cat.read("t").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(!staging.exists())
+    // window 2: crash between move-aside and swap-in — roll FORWARD to
+    // the complete (_SUCCESS-marked) stage
+    Seq(7L, 8L).toDF("id").write.parquet(staging.toString)
+    assert(live.renameTo(aside))
+    cat.recoverReplace("t")
+    assert(cat.read("t").collect().map(_.getLong(0)).toSet === Set(7L, 8L))
+    assert(!staging.exists() && !aside.exists())
+    // window 3: live missing, stage incomplete — roll BACK to the aside
+    assert(live.renameTo(aside))
+    staging.mkdirs()
+    Files.writeString(staging.toPath.resolve("part-junk.parquet"), "junk")
+    cat.recoverReplace("t")
+    assert(cat.read("t").collect().map(_.getLong(0)).toSet === Set(7L, 8L))
+    assert(!staging.exists() && !aside.exists())
+  }
+
   test("summarized view has YYYY-MM-0W buckets and positive averages") {
     val (pipe, _) = env
     val rows = pipe.summarized.collect()
