@@ -5624,6 +5624,75 @@ object QueryCatalog {
       .orderBy("query_id", "rank")
   }
 
+  /** DELETE/REPLACE for the streaming IVF-PQ index, graded end to end:
+    * the full corpus streams into the tombstone-aware codes table (3
+    * generation-stamped micro-batches), every vector with
+    * `vec_id % 5 = 2` is DELETED ([[graft.streaming.Streams.deleteVectors]]
+    * — tombstones only, no file rewrite), the even half
+    * (`vec_id % 10 = 2`) re-ingests UNCHANGED through a restarted
+    * stream at a higher base seq (takedown-then-recrawl: a fresh
+    * generation admitted because the id is no longer live), and
+    * [[graft.streaming.Streams.compactVectorIndex]] physically applies
+    * the tombstones before serving. The served top-5 must hash-equal
+    * the full IVF-PQ oracle restricted to surviving neighbors
+    * (`vec_id % 10 <> 7` — deleted and not re-ingested): no ghost
+    * neighbor may score, and the re-ingested generation must code
+    * identically against the frozen model. The model itself stays
+    * frozen under deletes — drift-triggered retraining is the separate
+    * q_ivf_rebalance contract.
+    */
+  private def qAnnIvfPqStreamDel(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val root = idxScratch("ivfpq_stream_del")
+    val in = s"$root/in"; val in2 = s"$root/in2"
+    val cp = s"$root/cp"; val cp2 = s"$root/cp2"; val wh = s"$root/wh"
+    clearDir(cp); clearDir(cp2); clearDir(wh)
+    val (model, offlineCodes) = Similarity.ivfPqIndex(emb)
+    val codesSchema = org.apache.spark.sql.types.StructType(
+      offlineCodes.schema.fields :+
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType))
+    writeOrderedStreamFiles(
+      emb.withColumn("__tile", (F.pmod(F.col("vec_id"), F.lit(3)) + 1).cast("int")),
+      3, in, dir)
+    writeOrderedStreamFiles(
+      emb.filter(F.col("vec_id") % 10 === 2)
+        .withColumn("__tile", (F.pmod(F.col("vec_id"), F.lit(2)) + 1).cast("int")),
+      2, in2, dir)
+    val catalog = new graft.sources.Catalog(s, wh)
+    catalog.ensureTable("codes", codesSchema)
+    catalog.ensureTable("codes_tomb",
+      org.apache.spark.sql.types.StructType.fromDDL("neighbor_id BIGINT, seq BIGINT"))
+    def src(path: String) = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val q = graft.streaming.Streams.streamingIvfPqIndex(
+      src(in), model, catalog, "codes", cp,
+      tombTable = Some("codes_tomb"), baseSeq = 0L).start()
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.deleteVectors(catalog, "codes", codesSchema,
+      "codes_tomb",
+      emb.filter(F.col("vec_id") % 5 === 2)
+        .select(F.col("vec_id").as("neighbor_id")), seq = 10L)
+    val q2 = graft.streaming.Streams.streamingIvfPqIndex(
+      src(in2), model, catalog, "codes", cp2,
+      tombTable = Some("codes_tomb"), baseSeq = 20L).start()
+    try q2.processAllAvailable() finally q2.stop()
+    graft.streaming.Streams.compactVectorIndex(
+      catalog, "codes", codesSchema, "codes_tomb")
+    Similarity.ivfPqTopKFromIndex(model,
+        catalog.readWithSchema("codes", codesSchema).drop("seq"),
+        emb.filter(F.col("vec_id") < 10), k = 5)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("adc_dist"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // the full IVF-PQ serve oracle with the dead neighbors excluded:
+  // vec_id % 10 = 7 is deleted-and-not-reingested (see the twin's doc)
+  private def qAnnIvfPqStreamDelSql = qAnnIvfPqSql.replace(
+    "WHERE p.query_id <> a.vec_id",
+    "WHERE p.query_id <> a.vec_id AND a.vec_id % 10 <> 7")
+
   private def qAnnIvfPqIdx(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val (model, codes) = Similarity.ivfPqIndex(emb)
@@ -7103,6 +7172,7 @@ object QueryCatalog {
     Q("q_ann_ivfpq", wrap(qAnnIvfPq), Some(qAnnIvfPqSql)),
     Q("q_ann_ivfpq_idx", wrap(qAnnIvfPqIdx), Some(qAnnIvfPqSql)),
     Q("q_ann_ivfpq_stream", wrap(qAnnIvfPqStream), Some(qAnnIvfPqSql)),
+    Q("q_ann_ivfpq_stream_del", wrap(qAnnIvfPqStreamDel), Some(qAnnIvfPqStreamDelSql)),
     Q("q_ann_lsh_idx", wrap(qAnnLshIdx), Some(qAnnLshSql)),
     Q("q_ann_lsh_stream", wrap(qAnnLshStream), Some(qAnnLshSql)),
     Q("q_ann_lsh_part", wrap(qAnnLshPart), Some(qAnnLshSql)),

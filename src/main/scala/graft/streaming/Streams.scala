@@ -117,7 +117,9 @@ object Streams {
       benchmark: Option[DataFrame] = None,
       contaminationNgram: Int = 5,
       maxContaminated: Long = 1,
-      redactPii: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+      redactPii: Boolean = false,
+      tombTable: Option[String] = None,
+      baseSeq: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] = {
     // the benchmark's distinct-gram set is computed ONCE for the
     // stream's lifetime and materialized (an eval set is MBs — the
     // same vocabulary-sized-only checkpoint policy as the ANN index
@@ -131,9 +133,27 @@ object Streams {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.Dedup
-        val corpus = catalog.read(corpusTable)
+        // tombstone-aware mode (`tombTable`): corpus and bucket rows are
+        // generation-stamped (seq = baseSeq + batchId), every read below
+        // sees only LIVE generations, and appends carry the stamp — so a
+        // deleted doc stops rejecting near-dups, frees its id for
+        // re-ingest, and its dead bucket rows wait for
+        // [[compactDocDedup]] to scrub them physically
+        val tombDf = tombTable.map(tt => catalog.read(tt))
+        def liveC(df: DataFrame) = tombDf
+          .map(td => graft.operators.Tombstones.live(df, td, "doc_id"))
+          .getOrElse(df)
+        def liveB(df: DataFrame) = tombDf
+          .map(td => graft.operators.Tombstones.live(
+            df, td.withColumnRenamed("doc_id", "id"), "id"))
+          .getOrElse(df)
+        def stamp(df: DataFrame) = tombTable match {
+          case Some(_) => df.withColumn("seq", F.lit(baseSeq + batchId))
+          case None => df
+        }
+        val corpus = liveC(catalog.read(corpusTable))
         // pairs are strictly a < b, so a re-dropped id can never pair
         // with itself — id-level admission must happen first
         val freshIds = Upsert.newRows(batch, corpus, "doc_id")
@@ -157,7 +177,7 @@ object Streams {
             fresh, "text", "doc_id", shingleLen, numHashes, bands)
           .localCheckpoint(false) // reused: candidate probe + index append
         val cands = Dedup.incrementalCandidatesFromBuckets(
-            newBuckets, catalog.read(bucketTable), maxBucketSize)
+            newBuckets, liveB(catalog.read(bucketTable)), maxBucketSize)
           // EAGER: the hub frame — five downstream references; a
           // materialized (tiny) pair set cuts every later plan's lineage
           // to an ExistingRDD, keeping per-batch Catalyst work flat
@@ -195,13 +215,64 @@ object Streams {
           .localCheckpoint(false) // reused: bucket filter + corpus append
         // index first (see crash-window note above); idempotent under
         // replay: ids already bucketed by a crashed attempt are skipped
-        val alreadyBucketed = catalog.read(bucketTable).select("id")
+        val alreadyBucketed = liveB(catalog.read(bucketTable)).select("id")
           .join(newBuckets.select("id").distinct(), Seq("id"), "leftsemi")
-        catalog.append(bucketTable, newBuckets
+        catalog.append(bucketTable, stamp(newBuckets
           .join(admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi")
-          .join(alreadyBucketed, Seq("id"), "leftanti"))
-        catalog.append(corpusTable, admitted.select("doc_id", "text"))
+          .join(alreadyBucketed, Seq("id"), "leftanti")))
+        catalog.append(corpusTable, stamp(admitted.select("doc_id", "text")))
       }
+  }
+
+  /** Delete documents from a tombstone-aware dedup corpus
+    * ([[streamingDocDedup]] with `tombTable`): tombstone the LIVE
+    * generations of `ids`. One tombstone row kills the doc's generation
+    * in BOTH the corpus and the bucket index (they were written by the
+    * same op, so they share the seq) — the deleted doc immediately
+    * stops rejecting near-duplicates, and its id is free for a fresh
+    * generation. Ids not live are ignored; replays are idempotent
+    * (duplicate tombstones are no-ops under the max-reduce).
+    */
+  def deleteDocsFromDedup(
+      catalog: Catalog,
+      corpusTable: String,
+      corpusSchema: StructType,
+      tombTable: String,
+      ids: DataFrame,
+      seq: Long): Unit = {
+    val victims = graft.operators.Tombstones.live(
+        catalog.readWithSchema(corpusTable, corpusSchema),
+        catalog.read(tombTable), "doc_id")
+      .join(ids.select(F.col("doc_id").cast("long").as("doc_id"))
+        .dropDuplicates("doc_id"), Seq("doc_id"), "leftsemi")
+      .select(F.col("doc_id"), F.lit(seq).as("seq"))
+    catalog.append(tombTable, victims)
+  }
+
+  /** Physically scrub the dead generations from both dedup tables and
+    * clear the applied tombstones. Flat-layout form (crash-safe
+    * whole-table swaps); a partitioned production corpus applies the
+    * identical live-filter per partition through
+    * [[graft.sources.Catalog.compactPartitioned]]'s transform hook —
+    * the mechanism the postings index already rides. Apply-then-clear
+    * converges under a crash between steps (an applied tombstone is a
+    * no-op). */
+  def compactDocDedup(
+      catalog: Catalog,
+      corpusTable: String,
+      corpusSchema: StructType,
+      bucketTable: String,
+      bucketSchema: StructType,
+      tombTable: String): Unit = {
+    catalog.replaceTable(corpusTable,
+      graft.operators.Tombstones.live(
+        catalog.readWithSchema(corpusTable, corpusSchema),
+        catalog.read(tombTable), "doc_id"))
+    catalog.replaceTable(bucketTable,
+      graft.operators.Tombstones.live(
+        catalog.readWithSchema(bucketTable, bucketSchema),
+        catalog.read(tombTable).withColumnRenamed("doc_id", "id"), "id"))
+    catalog.replaceTable(tombTable, catalog.read(tombTable).limit(0))
   }
 
   /** Streaming ANN serving: each micro-batch of query vectors is
@@ -342,20 +413,81 @@ object Streams {
       m: Int = 4,
       ksub: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] = {
+      vecCol: String = "embedding",
+      tombTable: Option[String] = None,
+      baseSeq: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] = {
     val pool = graft.operators.Similarity.collectPool(model)
     require(pool.nonEmpty, "streamingIvfPqIndex needs a non-empty model")
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val codes = graft.operators.Similarity.ivfPqCodeTable(
             batch, pool, nlist, m, ksub, idCol, vecCol)
-          catalog.append(codesTable,
-            Upsert.newRows(codes, catalog.read(codesTable), "neighbor_id"))
+          tombTable match {
+            case None =>
+              catalog.append(codesTable,
+                Upsert.newRows(codes, catalog.read(codesTable), "neighbor_id"))
+            case Some(tt) =>
+              // tombstone-aware maintenance: rows are generation-stamped
+              // (seq = baseSeq + batchId, monotone per the Bm25Index
+              // sequencing contract) and admission anti-joins the LIVE
+              // code set — so a deleted vector re-ingests as a fresh
+              // generation (the replace arm) while a live one is dropped
+              // (insert-if-absent), and [[deleteVectors]]' tombstones
+              // cut old generations without touching the appended files
+              val live = graft.operators.Tombstones.live(
+                catalog.read(codesTable), catalog.read(tt), "neighbor_id")
+              catalog.append(codesTable,
+                Upsert.newRows(codes.withColumn("seq", F.lit(baseSeq + id)),
+                  live, "neighbor_id"))
+          }
         }
       }
+  }
+
+  /** Delete vectors from a tombstone-aware codes table
+    * ([[streamingIvfPqIndex]] with `tombTable`): tombstone the LIVE
+    * generations of `ids` (a frame carrying `neighbor_id`). Ids not
+    * currently live are ignored; re-appending an identical tombstone is
+    * a no-op under [[graft.operators.Tombstones.lastSeq]]'s max-reduce,
+    * so the op is replay-idempotent. Serving anti-joins the tombstones
+    * ([[graft.operators.Tombstones.live]]) until
+    * [[compactVectorIndex]] applies them physically.
+    */
+  def deleteVectors(
+      catalog: Catalog,
+      codesTable: String,
+      codesSchema: StructType,
+      tombTable: String,
+      ids: DataFrame,
+      seq: Long): Unit = {
+    val victims = graft.operators.Tombstones.live(
+        catalog.readWithSchema(codesTable, codesSchema),
+        catalog.read(tombTable), "neighbor_id")
+      .join(ids.select(F.col("neighbor_id").cast("long").as("neighbor_id"))
+        .dropDuplicates("neighbor_id"), Seq("neighbor_id"), "leftsemi")
+      .select(F.col("neighbor_id"), F.lit(seq).as("seq"))
+    catalog.append(tombTable, victims)
+  }
+
+  /** Physically apply the tombstones to the codes table (crash-safe
+    * whole-table swap — the codes table is m small ints per vector, so
+    * a maintenance rewrite is cheap relative to the corpus) and clear
+    * them. Apply-then-clear ordering converges under a crash between
+    * the two: an applied-but-uncleared tombstone is a no-op at both
+    * serve and re-run. */
+  def compactVectorIndex(
+      catalog: Catalog,
+      codesTable: String,
+      codesSchema: StructType,
+      tombTable: String): Unit = {
+    catalog.replaceTable(codesTable,
+      graft.operators.Tombstones.live(
+        catalog.readWithSchema(codesTable, codesSchema),
+        catalog.read(tombTable), "neighbor_id"))
+    catalog.replaceTable(tombTable, catalog.read(tombTable).limit(0))
   }
 
   final case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp,

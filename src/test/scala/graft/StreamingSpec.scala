@@ -696,6 +696,73 @@ class StreamingSpec extends SparkSpec {
       "bucket pruning must appear in PartitionFilters: " + p.take(1500))
   }
 
+  test("streaming dedup deletes: tombstoned docs stop rejecting, ids re-ingest, compaction scrubs") {
+    val dir = Files.createTempDirectory("graft-deduptomb").toString
+    val drop = s"$dir/drop"; val drop2 = s"$dir/drop2"
+    val wh = s"$dir/wh"; val cp = s"$dir/cp"; val cp2 = s"$dir/cp2"
+    new java.io.File(drop).mkdirs(); new java.io.File(drop2).mkdirs()
+    val catalog = new graft.sources.Catalog(spark, wh)
+    val corpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, seq BIGINT")
+    val bucketSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, band INT, bk BIGINT, seq BIGINT")
+    catalog.ensureTable("corpus", corpusSchema)
+    catalog.ensureTable("corpus_buckets", bucketSchema)
+    catalog.ensureTable("corpus_tomb",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, seq BIGINT"))
+    def drop1(d: String, file: String, rows: (Long, String)*): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$d/$file"),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+    val t1 = "first corpus document body that will be taken down later on"
+    val t2 = "second document body that stays live through the whole test"
+    drop1(drop, "b1.jsonl", 1L -> t1, 2L -> t2)
+    val q1 = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+      catalog, "corpus", "corpus_buckets", cp,
+      tombTable = Some("corpus_tomb"), baseSeq = 0L).start()
+    q1.processAllAvailable(); q1.stop()
+    assert(catalog.read("corpus").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // takedown doc 1; its id frees and its buckets stop rejecting
+    Streams.deleteDocsFromDedup(catalog, "corpus", corpusSchema,
+      "corpus_tomb", Seq(1L).toDF("doc_id"), seq = 10L)
+    // b2: doc 1 re-ingests REPLACED (fresh text — the id must be free),
+    // doc 10 is a near-copy of the DELETED text (must be admitted: no
+    // ghost rejection), doc 11 is a near-copy of live doc 2 (must be
+    // rejected by the still-live buckets)
+    drop1(drop2, "b2.jsonl",
+      1L -> "completely new replacement content for the re crawled page",
+      10L -> t1.toUpperCase,
+      11L -> t2.toUpperCase)
+    val q2 = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop2, maxFilesPerTrigger = 1),
+      catalog, "corpus", "corpus_buckets", cp2,
+      tombTable = Some("corpus_tomb"), baseSeq = 20L).start()
+    q2.processAllAvailable(); q2.stop()
+    val live = graft.operators.Tombstones.live(
+      catalog.readWithSchema("corpus", corpusSchema),
+      catalog.read("corpus_tomb"), "doc_id")
+    assert(live.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 10L), "dead text must not reject; live text must")
+    assert(live.filter($"doc_id" === 1L).head().getString(1)
+      .startsWith("completely new"), "id 1 must carry the new generation")
+    // physical scrub: dead generations gone from BOTH tables, tombstones
+    // cleared, live view unchanged
+    val before = live.select("doc_id", "text").collect().toSet
+    Streams.compactDocDedup(catalog, "corpus", corpusSchema,
+      "corpus_buckets", bucketSchema, "corpus_tomb")
+    val corpusRaw = catalog.readWithSchema("corpus", corpusSchema)
+    assert(corpusRaw.select("doc_id", "text").collect().toSet === before,
+      "compaction must not change the live view")
+    assert(corpusRaw.filter($"doc_id" === 1L).count() === 1L,
+      "doc 1's dead generation must be scrubbed")
+    val liveIds = corpusRaw.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(catalog.readWithSchema("corpus_buckets", bucketSchema)
+      .select("id").collect().map(_.getLong(0)).toSet === liveIds,
+      "bucket index must exactly mirror the live corpus after scrub")
+    assert(catalog.read("corpus_tomb").isEmpty, "applied tombstones must clear")
+  }
+
   test("bm25 index delete/replace: tombstoned serve equals a rebuild; compaction kills ghosts physically") {
     // the q_bm25_stream_del contract at unit scale, plus the physical
     // pins the oracle can't see: after compact() the dead generations
