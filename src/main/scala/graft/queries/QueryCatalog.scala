@@ -5776,6 +5776,75 @@ object QueryCatalog {
        |SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_codes
        |FROM assign GROUP BY cell ORDER BY cell""".stripMargin
 
+  /** Drift-triggered IVF re-balance graded end to end INCLUDING the
+    * trigger ([[graft.operators.Similarity.ivfRebalanceIfSkewed]]): the
+    * second half of the corpus is PLANTED as drift (each coordinate
+    * collapses toward 2.0 + 0.01·x, double-exact on both engines), the
+    * model trains on the first half only (the frozen-model streaming
+    * situation after the distribution moved), and coding the full
+    * corpus piles ~268 of 500 vectors into one coarse cell — the
+    * measured skew (268·16·1000 > 4000·500, milli-exact integers)
+    * fires the retrain, which rebuilds pool + codes on the current
+    * corpus exactly as a fresh build would. The graded row set is the
+    * REBALANCED cell occupancy with the decision riding every row, so
+    * the oracle must reproduce the drift, the skewed assignment, the
+    * integer trigger, AND the post-rebuild assignment — both arms of
+    * the policy (OperatorsSpec pins the no-fire arm passes through
+    * untouched and the fire arm equals a fresh build bit-for-bit).
+    */
+  private def qIvfRebalance(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val drifted = emb.select(F.col("vec_id"),
+      F.when(F.col("vec_id") >= 250,
+        F.transform(F.col("embedding"),
+          x => F.lit(2.0) + x.cast(DoubleType) * F.lit(0.01)))
+        .otherwise(F.transform(F.col("embedding"), x => x.cast(DoubleType)))
+        .as("embedding"))
+    val (model0, _) = Similarity.ivfPqIndex(drifted.filter(F.col("vec_id") < 250))
+    val codes0 = Similarity.ivfPqCodeTable(drifted,
+      Similarity.collectPool(model0), 16, 4, 8, "vec_id", "embedding")
+    val (_, codes1, fired) =
+      Similarity.ivfRebalanceIfSkewed(drifted, model0, codes0)
+    codes1.groupBy(F.col("cell").cast(LongType).as("cell"))
+      .agg(F.count(F.lit(1)).as("n_codes"))
+      .withColumn("rebalanced", F.lit(if (fired) 1L else 0L))
+      .orderBy("cell")
+  }
+
+  private val qIvfRebalanceSql =
+    """WITH dr AS (
+      |  SELECT vec_id, CASE WHEN vec_id >= 250
+      |    THEN list_transform(embedding, x -> CAST(2.0 AS DOUBLE) + CAST(x AS DOUBLE) * CAST(0.01 AS DOUBLE))
+      |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS emb
+      |  FROM embeddings),
+      |quant AS (SELECT vec_id, list_transform(emb, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv FROM dr),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant WHERE vec_id < 250 ORDER BY h, vec_id LIMIT 16)),
+      |cellvals AS (SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+      |  FROM quant q CROSS JOIN cents c),
+      |cellscore AS (SELECT vec_id, cidx, CAST(SUM(x * y) AS BIGINT) AS s FROM cellvals GROUP BY vec_id, cidx),
+      |assign AS (SELECT vec_id, cidx AS cell FROM (
+      |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+      |    FROM cellscore) WHERE rn = 1),
+      |occ0 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_codes FROM assign GROUP BY cell),
+      |dec AS (SELECT CASE WHEN mx * 16 * 1000 > 4000 * tot THEN 1 ELSE 0 END AS r
+      |  FROM (SELECT MAX(n_codes) AS mx, SUM(n_codes) AS tot FROM occ0)),
+      |cents2 AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM quant ORDER BY h, vec_id LIMIT 16)),
+      |cellvals2 AS (SELECT q.vec_id, c.cidx, unnest(q.qv) AS x, unnest(c.cv) AS y
+      |  FROM quant q CROSS JOIN cents2 c),
+      |cellscore2 AS (SELECT vec_id, cidx, CAST(SUM(x * y) AS BIGINT) AS s FROM cellvals2 GROUP BY vec_id, cidx),
+      |assign2 AS (SELECT vec_id, cidx AS cell FROM (
+      |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+      |    FROM cellscore2) WHERE rn = 1),
+      |occ2 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_codes FROM assign2 GROUP BY cell)
+      |SELECT CAST(cell AS BIGINT) AS cell, n_codes, CAST(r AS BIGINT) AS rebalanced
+      |FROM (SELECT o.cell, o.n_codes, d.r FROM occ2 o CROSS JOIN dec d WHERE d.r = 1
+      |      UNION ALL SELECT o.cell, o.n_codes, d.r FROM occ0 o CROSS JOIN dec d WHERE d.r = 0)
+      |ORDER BY cell""".stripMargin
+
   /** IVF recall-vs-nprobe curve graded exactly: truth is the brute
     * quantized-dot top-5, and each probe budget's hit count is replayed
     * — 14/21/29/37 of 50 at nprobe 1/2/4/8 over sf0.01, a monotone,
@@ -7215,6 +7284,7 @@ object QueryCatalog {
     Q("q_len_survival", wrap(qLenSurvival), Some(qLenSurvivalSql)),
     Q("q_decontam_sweep", wrap(qDecontamSweep), Some(qDecontamSweepSql)),
     Q("q_ivf_balance", wrap(qIvfBalance), Some(qIvfBalanceSql)),
+    Q("q_ivf_rebalance", wrap(qIvfRebalance), Some(qIvfRebalanceSql)),
     Q("q_ivf_recall", wrap(qIvfRecall), Some(qIvfRecallSql)),
     Q("q_release", wrap(qRelease), Some(qReleaseSql)),
     Q("q_split_parity", wrap(qSplitParity), Some(qSplitParitySql)),

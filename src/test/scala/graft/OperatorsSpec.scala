@@ -1952,6 +1952,52 @@ class OperatorsSpec extends SparkSpec {
     assert(inline.nonEmpty && served === inline)
   }
 
+  test("ivfRebalanceIfSkewed: planted drift fires and equals a fresh build; balanced data passes through") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val spread = (0L until 20L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    // drift: the second half collapses onto one far point — coded
+    // against a model trained on the spread half, they pile into one cell
+    val collapsed = (20L until 40L).map(i =>
+      (i, Array.fill(8)(2.0f + i.toFloat / 10000f)))
+    val drifted = (spread ++ collapsed).toDF("vec_id", "embedding")
+    val (model0, _) = Similarity.ivfPqIndex(
+      drifted.filter($"vec_id" < 20), nlist = 8, m = 4, ksub = 8)
+    val codes0 = Similarity.ivfPqCodeTable(drifted,
+      Similarity.collectPool(model0), 8, 4, 8, "vec_id", "embedding")
+    val (model1, codes1, fired) = Similarity.ivfRebalanceIfSkewed(
+      drifted, model0, codes0, nlist = 8, m = 4, ksub = 8)
+    assert(fired, "half the corpus in one cell must fire the retrain")
+    // rebalanced index is INDISTINGUISHABLE from a fresh build
+    val (freshModel, freshCodes) = Similarity.ivfPqIndex(
+      drifted, nlist = 8, m = 4, ksub = 8)
+    assert(model1.collect().map(_.toSeq).toSet ===
+      freshModel.collect().map(_.toSeq).toSet)
+    assert(codes1.collect().map(_.toSeq).toSet ===
+      freshCodes.collect().map(_.toSeq).toSet)
+    // the frozen pool had NO centroid in the drifted region; the
+    // rebalanced pool does — the model now represents the current
+    // distribution (which is what a stale pool silently loses: ADC
+    // distances for drifted queries are measured against centroids
+    // from the wrong region). Cell FLATNESS is deliberately not
+    // asserted: under the quantized-dot cell metric one genuinely
+    // dense cluster occupies one cell no matter the pool.
+    def inDriftedRegion(m: org.apache.spark.sql.DataFrame) =
+      m.filter(F.array_max(F.col("centroid")) >= 1500L).count()
+    assert(inDriftedRegion(model0) === 0L)
+    assert(inDriftedRegion(model1) > 0L)
+    // no-drift arm: a balanced code table passes through UNTOUCHED
+    val balanced = drifted.filter($"vec_id" < 20)
+    val (modelB, _) = Similarity.ivfPqIndex(balanced, nlist = 8, m = 4, ksub = 8)
+    val codesB = Similarity.ivfPqCodeTable(balanced,
+      Similarity.collectPool(modelB), 8, 4, 8, "vec_id", "embedding")
+    val (mOut, cOut, firedB) = Similarity.ivfRebalanceIfSkewed(
+      balanced, modelB, codesB, nlist = 8, m = 4, ksub = 8)
+    assert(!firedB, "balanced occupancy must not trigger a rebuild")
+    assert((mOut eq modelB) && (cOut eq codesB),
+      "the pass-through arm must not re-plan anything")
+  }
+
   test("withIlog2Fp: exact at powers of two, within 2/64 bit, monotone") {
     val xs = (0 to 62).map(1L << _) ++
       Seq(3L, 7L, 918L, 964L, 27165L, 1000003L, 987654321987L, Long.MaxValue / 2)
