@@ -41,6 +41,14 @@ object Bench {
     *   hoc. Fingerprint now walks directory datasets (dir File.length
     *   was the constant inode size, so a regenerated dir-based sf dir
     *   kept its stamp).
+    *   r13 (version string UNCHANGED — the per-entry estimator and
+    *   workloads are identical, so r12/r13 numbers stay comparable):
+    *   adds the `calib` host-load entry (fixed synthetic workload at
+    *   sweep start/end) and extends the isolated-re-run trigger to
+    *   ROUND-OVER-ROUND movers — any entry whose median shifts >1.5×
+    *   vs the committed prior report (same harness + workload stamps)
+    *   gets the same fresh-session adjudication run as in-sweep
+    *   high-variance entries.
     */
   private val HarnessVersion = "r12-median-1"
 
@@ -115,6 +123,32 @@ object Bench {
     System.gc()
   }
 
+  /** Host-load calibration entry (r13, the r12 verdict's ask): a FIXED
+    * synthetic workload — pure compute, no table I/O, shape independent
+    * of the measured scale factor and of SPARK_GRAFT_CPUS — benched at
+    * sweep start and sweep end and recorded as `calib` in
+    * bench_full.json. Two sweeps of identical code on the same data
+    * then carry their own load divisor: r12's driver sweep read 1.41×
+    * the committed sweep purely from loadavg 4.53 vs 3.34, and nothing
+    * in the artifacts let a reader subtract the host; now the calib
+    * ratio reproduces that inflation (or doesn't), converting loadavg
+    * from an anecdote into a measurement.
+    */
+  private def calibOnce(s: SparkSession): Double = {
+    scrub(s)
+    import org.apache.spark.sql.{functions => F}
+    val t0 = System.nanoTime()
+    s.range(0L, 20000000L, 1L, 8) // fixed 8-way parallelism, always
+      .select(F.xxhash64(F.col("id")).as("h"))
+      .groupBy(F.pmod(F.col("h"), F.lit(1024L)))
+      .agg(F.sum("h"), F.count(F.lit(1)))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def calibMedian(s: SparkSession): Double =
+    Spread(Seq.fill(3)(calibOnce(s))).med
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -159,6 +193,8 @@ object Bench {
     // a round-over-round delta can be checked against the measured
     // noise floor instead of re-running.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    // calibration point 1: after warmup, before the first measured entry
+    val calibStart = calibMedian(spark)
     val results = selected.map { case (name, fn) =>
       // a failed run must NOT report its (fast) elapsed time as the
       // query's benchmark — NaN marks the entry failed and the report
@@ -188,7 +224,39 @@ object Bench {
     // whether the spread was sweep interference, it does not replace
     // the measurement).
     spark.stop()
-    val highVar = results.filter(_._2.highVariance).map(_._1)
+    // Resolve the repo root once (the dir holding build.sbt, walking up
+    // from CWD): the prior round's committed bench_full.json lives
+    // there, and the report below writes back to it.
+    val repoRoot: java.nio.file.Path = {
+      var d = java.nio.file.Paths.get("").toAbsolutePath
+      while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+        d = d.getParent
+      if (d == null) java.nio.file.Paths.get("").toAbsolutePath else d
+    }
+    // Round-over-round movers (r13, the r12 verdict's ask): the prior
+    // committed report's medians, readable ONLY when both the harness
+    // version and the workload fingerprint agree (unequal stamps mean
+    // the numbers are not comparable and no trigger fires). Any entry
+    // whose median moved >1.5× in either direction joins the isolated
+    // re-run set — r12's q_skew_agg 2.03× move went unadjudicated
+    // because the trigger only watched IN-sweep spread.
+    val priorMeds: Map[String, Double] = try {
+      val txt = java.nio.file.Files.readString(repoRoot.resolve("bench_full.json"))
+      val h = """"harness":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      val w = """"workload":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!h.contains(HarnessVersion) || !w.contains(workloadFingerprint(sfDir)))
+        Map.empty
+      else
+        """"([^"]+)":\{"n":\d+,"min":[0-9.eE+-]+,"med":([0-9.eE+-]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val movers = results.collect {
+      case (k, s) if !s.failed && priorMeds.get(k).exists(p =>
+        p > 0 && (s.med / p > 1.5 || p / s.med > 1.5)) => k
+    }
+    if (movers.nonEmpty)
+      System.err.println(s"[bench] round-over-round movers (>1.5x vs committed): ${movers.mkString(", ")}")
+    val highVar = (results.filter(_._2.highVariance).map(_._1) ++ movers).distinct
     val resultsIso = if (highVar.isEmpty) results else {
       val iso = freshSession("graft-bench-isolated")
       iso.read.parquet(s"$sfDir/nation.parquet")
@@ -381,6 +449,10 @@ object Bench {
     val withStreamDedup =
       if (!wantComposite("streaming_dedup")) withStreaming
       else withStreaming :+ ("streaming_dedup" -> min2(sdedupAttempt(_, 1500)))
+    // calibration point 2: after the last measured entry (same fixed
+    // workload; the session differs from calibStart's but the entry is
+    // pure compute, so the delta tracks the HOST, not the session)
+    val calibEnd = calibMedian(compositeSession)
     compositeSession.stop()
     val failed = withStreamDedup.collect { case (k, v) if v.failed => k }
     val qs = withStreamDedup.map { case (k, v) =>
@@ -407,16 +479,7 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"entries":${withStreamDedup.size},"queries":$qs,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
-    // Resolve output against the repo root (the dir holding build.sbt,
-    // walking up from CWD) — a bench launched from a subdir or an sbt
-    // fork must not scatter reports into unrelated CWDs.
-    val repoRoot: java.nio.file.Path = {
-      var d = java.nio.file.Paths.get("").toAbsolutePath
-      while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
-        d = d.getParent
-      if (d == null) java.nio.file.Paths.get("").toAbsolutePath else d
-    }
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"calib":{"start":$calibStart%.3f,"end":$calibEnd%.3f},"entries":${withStreamDedup.size},"queries":$qs,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
     if (only.isEmpty) {
       java.nio.file.Files.writeString(
         repoRoot.resolve("bench_full.json"), full + "\n")
