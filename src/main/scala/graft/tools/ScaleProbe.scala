@@ -57,7 +57,10 @@ object ScaleProbe {
     "q_skew_auto",       // skew-adaptive salt pick (sampled auto-knob)
     "q_ols_fit",         // normal-equation OLS (moment-sketch fit)
     "q_ols_ridge",       // ridge variant: same sketch, λ in the solve only
-    "q_bm25_stream")     // incremental inverted index: append + pruned serve
+    "q_bm25_stream",     // incremental inverted index: append + pruned serve
+    "q_span_remove_hashed",   // substring dedup, hashed-gram production shuffle
+    "q_dup_runs_char_hashed", // char-gram runs over the hashed shuffle
+    "q_bm25_stream_del") // index delete/replace: tombstones + compaction + serve
 
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
