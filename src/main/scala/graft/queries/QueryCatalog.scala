@@ -5154,6 +5154,38 @@ object QueryCatalog {
        |JOIN cappedNew y ON x.band = y.band AND x.bk = y.bk AND x.doc_id <> y.doc_id
        |ORDER BY a, b""".stripMargin
 
+  /** Incremental dedup screening AFTER a takedown, graded end to end
+    * through the TOMBSTONE path: the persisted corpus bucket table is
+    * generation-stamped, every corpus doc with `doc_id % 5 = 1` is
+    * tombstoned ([[graft.operators.Tombstones.live]] — the exact filter
+    * the tombstone-aware streaming dedup serves through), and the new
+    * batch's candidates are generated against the LIVE buckets only. A
+    * candidate pair touching a deleted doc must vanish (a taken-down
+    * document must not reject its future near-duplicates — the ghost-
+    * rejection failure mode), and the per-bucket caps re-rank over the
+    * live set, so the oracle must replay the deletion INSIDE the
+    * candidate machinery, not as an output filter.
+    */
+  private def qIncrDedupDel(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    val corpusBuckets = Dedup.bucketTableMd5(all.filter(F.col("doc_id") < 400))
+      .withColumn("seq", F.lit(0L))
+    val tomb = all.filter(F.col("doc_id") < 400 && F.col("doc_id") % 5 === 1)
+      .select(F.col("doc_id").as("id"), F.lit(1L).as("seq"))
+    val live = graft.operators.Tombstones.live(corpusBuckets, tomb, "id")
+    Dedup.incrementalCandidatesFromBuckets(
+        Dedup.bucketTableMd5(all.filter(F.col("doc_id") >= 400)),
+        live.drop("seq"))
+      .orderBy("a", "b")
+  }
+
+  // the incremental-dedup oracle with the takedown applied INSIDE the
+  // corpus-side capping (deleted docs must free their bucket slots, not
+  // just disappear from the output)
+  private def qIncrDedupDelSql = qIncrDedupSql.replace(
+    "FROM bandkeys WHERE doc_id < 400",
+    "FROM bandkeys WHERE doc_id < 400 AND doc_id % 5 <> 1")
+
   /** SimHash signatures, md5-reproducible (two unsigned 32-bit halves). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashMd5(t(s, dir, "documents")).orderBy("doc_id")
@@ -7226,6 +7258,7 @@ object QueryCatalog {
     Q("q_cube", wrap(qCube), Some(qCubeSql)),
     Q("q_sliding", wrap(qSliding), Some(qSlidingSql)),
     Q("q_incr_dedup", wrap(qIncrDedup), Some(qIncrDedupSql)),
+    Q("q_incr_dedup_del", wrap(qIncrDedupDel), Some(qIncrDedupDelSql)),
     Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),
     Q("q_simhash_pairs", wrap(qSimhashPairs), Some(qSimhashPairsSql)),
