@@ -4545,12 +4545,15 @@ object QueryCatalog {
       .option("maxFilesPerTrigger", "1").parquet(in)
     val idx = new graft.streaming.Bm25Index(s, new graft.sources.Catalog(s, wh))
     idx.ensure()
+    // maintenance + serve stay inside the narrow-shuffle scope too: at
+    // replay volume every stage is overhead-bound, and serve results
+    // are partition-count-invariant
     withFewShufflePartitions(s, 8) {
       val q = idx.writer(src, cp, baseSeq = 0L).start()
       try q.processAllAvailable() finally q.stop()
+      idx.compact(maxFilesPerPartition = 2)
+      idx.serve(Seq("hash", "scan", "merge"), k = 20)
     }
-    idx.compact(maxFilesPerPartition = 2)
-    idx.serve(Seq("hash", "scan", "merge"), k = 20)
   }
 
   /** DELETE/REPLACE for the incremental index — the production
@@ -4595,9 +4598,9 @@ object QueryCatalog {
       val q2 = idx.writer(s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(in2), cp2, baseSeq = 20L).start()
       try q2.processAllAvailable() finally q2.stop()
+      idx.compact(maxFilesPerPartition = 2)
+      idx.serve(Seq("hash", "scan", "merge"), k = 20)
     }
-    idx.compact(maxFilesPerPartition = 2)
-    idx.serve(Seq("hash", "scan", "merge"), k = 20)
   }
 
   private val qBm25StreamDelSql = bm25OracleSql(

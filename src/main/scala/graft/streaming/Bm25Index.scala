@@ -23,21 +23,25 @@ import graft.sources.Catalog
   *  - `doc_lengths(doc_id, dl, seq)`: the document REGISTRY — admission
   *    authority for insert-if-absent and the delete path's dl lookup.
   *    Never read at serve time.
-  *  - `index_stats(seq, n_docs, total_dl)`: one ADDITIVE row per op —
-  *    ingests append (+n, +Σdl), deletes append (−n, −Σdl) — so the
-  *    global BM25 stats reduce from an |ops|-row table instead of an
-  *    O(corpus) registry scan per serve (compaction folds it to one
-  *    row per committed history).
   *  - `tombstones(doc_id, seq)`: logical deletes
   *    ([[graft.operators.Tombstones]]); anti-joined at serve, applied
   *    physically and cleared at [[compact]].
-  *  - `committed(seq)`: op markers. Every op is (data appends …,
-  *    marker append) with a per-table `seq` probe before each append,
-  *    so a micro-batch replay after a crash anywhere in the chain
-  *    converges without duplicating a row — each append job is atomic
-  *    under Spark's commit protocol, and a table either already holds
-  *    the op's seq (skip) or holds none of it (append). This closes the
-  *    r12 advisory: the sink is exactly-once under foreachBatch retry.
+  *  - `ops(seq, n_docs, total_dl)`: the op LOG, carrying three duties in
+  *    one |ops|-row table. An ATTEMPT row `(seq, null, null)` lands
+  *    before an op's first data append; the COMMIT row carries the op's
+  *    ADDITIVE global-stats contribution (ingests +n/+Σdl, deletes
+  *    −n/−Σdl), so committing the op and recording its stats is ONE
+  *    atomic append — there is no window where stats and marker
+  *    disagree — and the serve's global (n_docs, total_dl) is a sum
+  *    over this table instead of an O(corpus) registry scan.
+  *
+  * Exactly-once under micro-batch replay: a clean op sees no attempt
+  * row and appends directly (no probe jobs on the happy path); a replay
+  * of a CRASHED attempt sees the attempt row and probes each data table
+  * for its `seq` before appending (each append job is atomic under
+  * Spark's commit protocol, so a table holds all of an op's rows or
+  * none). A committed seq short-circuits entirely. This closes the r12
+  * advisory: the sink is exactly-once under foreachBatch retry.
   *
   * Op sequencing contract: `seq` is strictly monotone across ops
   * (streams stamp `baseSeq + batchId`; a RESTARTED stream gets a fresh
@@ -48,10 +52,10 @@ import graft.sources.Catalog
   *
   * Scale shape of a serve: bucket-partition pruning (the query terms'
   * `bk` values) → parquet row-group `term IN` pruning → a df-bounded
-  * pivot, with global stats from the |ops|-row stats table and the
-  * tombstone anti-join broadcast (bounded by deletes since last
-  * compaction). Nothing corpus-sized is scanned — the fix for r12's
-  * bm25FromIndex dl-sidecar wart.
+  * pivot, with global stats from the |ops|-row log and the tombstone
+  * anti-join broadcast (bounded by deletes since last compaction).
+  * Nothing corpus-sized is scanned — the fix for r12's bm25FromIndex
+  * dl-sidecar wart.
   */
 final class Bm25Index(
     spark: SparkSession,
@@ -64,29 +68,48 @@ final class Bm25Index(
   def ensure(): Unit = {
     cat.ensurePartitionedTable("postings", postSchema, Seq("bk"))
     cat.ensureTable("doc_lengths", dlSchema)
-    cat.ensureTable("index_stats", statsSchema)
     cat.ensureTable("tombstones", tombSchema)
-    cat.ensureTable("committed", commitSchema)
+    cat.ensureTable("ops", opsSchema)
   }
 
   private def postings: DataFrame = cat.readWithSchema("postings", postSchema)
   private def registry: DataFrame = cat.readWithSchema("doc_lengths", dlSchema)
-  private def stats: DataFrame = cat.readWithSchema("index_stats", statsSchema)
   private def tombs: DataFrame = cat.readWithSchema("tombstones", tombSchema)
-  private def committed: DataFrame = cat.readWithSchema("committed", commitSchema)
+  private def ops: DataFrame = cat.readWithSchema("ops", opsSchema)
 
-  private def isCommitted(seq: Long): Boolean =
-    !committed.filter(F.col("seq") === seq).isEmpty
+  /** Commit rows only (attempt rows carry null stats). */
+  private def committed: DataFrame =
+    ops.filter(F.col("n_docs").isNotNull)
 
-  private def markCommitted(seq: Long): Unit =
-    cat.append("committed", oneRow(Row(seq), commitSchema))
+  /** One probe for both replay flags: ≤ |attempts-for-this-seq|+1 tiny
+    * rows answer "already committed?" and "did a prior attempt crash?"
+    * in a single job. */
+  private def opState(seq: Long): (Boolean, Boolean) = {
+    val rows = ops.filter(F.col("seq") === seq).select("n_docs").collect()
+    (rows.exists(!_.isNullAt(0)), rows.nonEmpty)
+  }
+
+  /** Attempt marker, written BEFORE an op's first data append: on the
+    * happy path (no marker) no prior attempt can have written anything,
+    * so the per-table [[hasSeq]] probes are skipped entirely. Duplicate
+    * attempt rows from replays are harmless (existence-only, null
+    * stats). */
+  private def beginAttempt(seq: Long): Unit =
+    cat.append("ops", oneRow(Row(seq, null, null), opsSchema))
+
+  /** Commit = the op's additive stats row, one atomic append. `stats`
+    * must be a 1-row (n_docs, total_dl) frame. */
+  private def commitOp(seq: Long, stats: DataFrame): Unit =
+    cat.append("ops",
+      stats.select(F.lit(seq).as("seq"),
+        F.col("n_docs").cast("long").as("n_docs"),
+        F.col("total_dl").cast("long").as("total_dl")))
 
   /** Does `df`'s `seq` column already contain this op's stamp? The
-    * replay-idempotence probe: each append job is atomic, so a table
-    * either holds ALL of an op's rows or none. Column-pruned and (seq
-    * being monotone with file order) row-group-pruned; it runs only for
-    * ops not yet marker-committed — i.e. first attempts and crash
-    * replays. */
+    * crashed-replay idempotence probe: each append job is atomic, so a
+    * table either holds ALL of an op's rows or none. Column-pruned and
+    * (seq being monotone with file order) row-group-pruned; runs ONLY
+    * when an attempt marker says a prior attempt may have written. */
   private def hasSeq(df: DataFrame, seq: Long): Boolean =
     !df.filter(F.col("seq") === seq).isEmpty
 
@@ -109,50 +132,49 @@ final class Bm25Index(
     * under replay (see class doc).
     */
   def ingest(batch: DataFrame, seq: Long): Unit = {
-    if (isCommitted(seq)) return
+    val (done, crashed) = opState(seq)
+    if (done) return
+    beginAttempt(seq)
     val liveReg = Tombstones.live(preOp(registry, seq), preOp(tombs, seq))
     val admitted = batch
       .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
       .dropDuplicates("doc_id")
       .join(liveReg.select("doc_id"), Seq("doc_id"), "leftanti")
-      .localCheckpoint() // referenced by three appends below
+      .localCheckpoint() // referenced by all three appends below
     val dls = Retrieval.docLengths(admitted).withColumn("seq", F.lit(seq))
-    if (!hasSeq(postings, seq))
+    if (!crashed || !hasSeq(postings, seq))
       cat.appendPartitioned("postings",
         Retrieval.postingsWithDl(admitted)
           .withColumn("seq", F.lit(seq)).withColumn("bk", bucketOf),
         Seq("bk"))
-    if (!hasSeq(registry, seq))
+    if (!crashed || !hasSeq(registry, seq))
       cat.append("doc_lengths", dls)
-    if (!hasSeq(stats, seq))
-      cat.append("index_stats", dls.agg(
-          F.count(F.lit(1)).as("n_docs"),
-          F.coalesce(F.sum("dl"), F.lit(0L)).as("total_dl"))
-        .select(F.lit(seq).as("seq"), F.col("n_docs"), F.col("total_dl")))
-    markCommitted(seq)
+    commitOp(seq, dls.agg(
+      F.count(F.lit(1)).as("n_docs"),
+      F.coalesce(F.sum("dl"), F.lit(0L)).as("total_dl")))
   }
 
   /** Delete documents by id as op `seq`: tombstone the LIVE generations
-    * and count them out of the additive stats. Ids not currently live
-    * are ignored (deleting twice, or deleting a never-ingested id, is a
-    * no-op). Exactly-once under replay.
+    * and count them out of the additive stats (the commit row carries
+    * the NEGATIVE contribution). Ids not currently live are ignored
+    * (deleting twice, or deleting a never-ingested id, is a no-op).
+    * Exactly-once under replay.
     */
   def delete(ids: DataFrame, seq: Long): Unit = {
-    if (isCommitted(seq)) return
+    val (done, crashed) = opState(seq)
+    if (done) return
+    beginAttempt(seq)
     val victims = Tombstones.live(preOp(registry, seq), preOp(tombs, seq))
       .join(ids.select(F.col("doc_id").cast("long").as("doc_id"))
         .dropDuplicates("doc_id"), Seq("doc_id"), "leftsemi")
       .localCheckpoint() // referenced by both appends below
-    if (!hasSeq(tombs, seq))
+    if (!crashed || !hasSeq(tombs, seq))
       cat.append("tombstones",
         victims.select(F.col("doc_id"), F.lit(seq).as("seq")))
-    if (!hasSeq(stats, seq))
-      cat.append("index_stats", victims.agg(
-          F.count(F.lit(1)).as("n"),
-          F.coalesce(F.sum("dl"), F.lit(0L)).as("sdl"))
-        .select(F.lit(seq).as("seq"), (-F.col("n")).as("n_docs"),
-          (-F.col("sdl")).as("total_dl")))
-    markCommitted(seq)
+    commitOp(seq, victims.agg(
+        F.count(F.lit(1)).as("n"),
+        F.coalesce(F.sum("dl"), F.lit(0L)).as("sdl"))
+      .select((-F.col("n")).as("n_docs"), (-F.col("sdl")).as("total_dl")))
   }
 
   /** A continuous ingestion stream: each micro-batch runs [[ingest]] at
@@ -182,13 +204,15 @@ final class Bm25Index(
       F.pmod(F.xxhash64(F.lit(t)), F.lit(buckets.toLong)).cast("int").as(t)): _*)
       .head()
     val bks = terms.indices.map(bkRow.getInt).distinct
-    // the op-marker table is |ops|-row — every join against it is a
-    // broadcast semi, never a shuffle
-    val committedTombs = tombs.join(F.broadcast(committed), Seq("seq"), "leftsemi")
+    // the op log is |ops|-row — every join against it is a broadcast
+    // semi, never a shuffle
+    val commitSeqs = committed.select("seq")
+    val committedTombs =
+      tombs.join(F.broadcast(commitSeqs), Seq("seq"), "leftsemi")
     val hits = Tombstones.live(
       postings
         .filter(F.col("bk").isin(bks: _*) && F.col("term").isin(terms: _*))
-        .join(F.broadcast(committed), Seq("seq"), "leftsemi"),
+        .join(F.broadcast(commitSeqs), Seq("seq"), "leftsemi"),
       committedTombs)
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       F.coalesce(F.sum(F.when(F.col("term") === t, F.col("tf"))), F.lit(0L))
@@ -200,7 +224,9 @@ final class Bm25Index(
         terms.indices.map(i => F.col(s"tf$i")): _*)
     val dfAggs = Retrieval.termDfAggs(terms)
     val dfs = hits.agg(dfAggs.head, dfAggs.tail: _*)
-    val global = stats.join(F.broadcast(committed), Seq("seq"), "leftsemi")
+    // global stats = the additive op-log sum; attempt rows are null and
+    // contribute nothing
+    val global = ops
       .agg(F.coalesce(F.sum("n_docs"), F.lit(0L)).as("n_docs"),
         F.coalesce(F.sum("total_dl"), F.lit(0L)).as("total_dl"))
       .crossJoin(dfs) // 1-row × 1-row scalar spine
@@ -210,36 +236,38 @@ final class Bm25Index(
   /** Maintenance: physically apply the COMMITTED tombstones (rewrite
     * exactly the bucket partitions holding dead generations, plus any
     * partition over the small-file threshold), rewrite the registry
-    * minus dead rows, fold the committed stats history to one row, and
-    * clear the applied tombstones. Serve-transparent by construction:
-    * the logical live-filter over the pre-compaction layout and the
-    * physical layout afterwards describe the same rows. Tombstones and
-    * stats rows of UNCOMMITTED ops (a crashed op awaiting replay) are
-    * left untouched so the replay still sees its pre-op state.
+    * minus dead rows, and clear the applied tombstones. On a
+    * tombstone-free index all of that degenerates to pure small-file
+    * compaction — no no-op table rewrites. Serve-transparent by
+    * construction: the logical live-filter over the pre-compaction
+    * layout and the physical layout afterwards describe the same rows.
+    * Tombstones of UNCOMMITTED ops (a crashed delete awaiting replay)
+    * are left untouched so the replay still sees its pre-op state.
     */
   def compact(maxFilesPerPartition: Int = 2): Unit = {
-    val committedTombs = tombs.join(committed, Seq("seq"), "leftsemi")
+    val committedTombs = tombs
+      .join(F.broadcast(committed.select("seq")), Seq("seq"), "leftsemi")
       .localCheckpoint() // small; referenced by probe + transform + clear
+    val haveTombs = !committedTombs.isEmpty
     // partitions holding dead rows: a bounded probe (≤ `buckets` values)
-    val deadBks = postings
-      .join(F.broadcast(Tombstones.lastSeq(committedTombs)), Seq("doc_id"))
-      .filter(F.col("seq") <= F.col("__tomb_seq"))
-      .select("bk").distinct().collect().map(_.getInt(0).toString).toSeq
+    val deadBks =
+      if (!haveTombs) Nil
+      else postings
+        .join(F.broadcast(Tombstones.lastSeq(committedTombs)), Seq("doc_id"))
+        .filter(F.col("seq") <= F.col("__tomb_seq"))
+        .select("bk").distinct().collect().map(_.getInt(0).toString).toSeq
     cat.compactPartitioned("postings", "bk", postSchema,
       maxFilesPerPartition = maxFilesPerPartition,
-      transform = df => Tombstones.live(df, committedTombs),
+      transform =
+        if (haveTombs) df => Tombstones.live(df, committedTombs)
+        else identity,
       forceValues = deadBks)
-    cat.replaceTable("doc_lengths",
-      Tombstones.live(registry, committedTombs))
-    val committedStats = stats.join(committed, Seq("seq"), "leftsemi")
-    cat.replaceTable("index_stats",
-      committedStats.agg(
-          F.coalesce(F.max("seq"), F.lit(0L)).as("seq"),
-          F.coalesce(F.sum("n_docs"), F.lit(0L)).as("n_docs"),
-          F.coalesce(F.sum("total_dl"), F.lit(0L)).as("total_dl"))
-        .unionByName(stats.join(committed, Seq("seq"), "leftanti")))
-    cat.replaceTable("tombstones",
-      tombs.join(committed, Seq("seq"), "leftanti"))
+    if (haveTombs) {
+      cat.replaceTable("doc_lengths",
+        Tombstones.live(registry, committedTombs))
+      cat.replaceTable("tombstones",
+        tombs.join(committed.select("seq"), Seq("seq"), "leftanti"))
+    }
   }
 }
 
@@ -248,9 +276,8 @@ object Bm25Index {
     "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, seq BIGINT, bk INT")
   val dlSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, dl BIGINT, seq BIGINT")
-  val statsSchema: StructType = StructType.fromDDL(
-    "seq BIGINT, n_docs BIGINT, total_dl BIGINT")
   val tombSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, seq BIGINT")
-  val commitSchema: StructType = StructType.fromDDL("seq BIGINT")
+  val opsSchema: StructType = StructType.fromDDL(
+    "seq BIGINT, n_docs BIGINT, total_dl BIGINT")
 }

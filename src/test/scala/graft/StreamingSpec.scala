@@ -810,10 +810,10 @@ class StreamingSpec extends SparkSpec {
       "only the re-ingested generation of doc 2 may survive")
     assert(cat.readWithSchema("tombstones", graft.streaming.Bm25Index.tombSchema).isEmpty,
       "applied tombstones must be cleared")
-    val st = cat.readWithSchema("index_stats", graft.streaming.Bm25Index.statsSchema)
-      .collect()
-    assert(st.length === 1 && st(0).getLong(1) === 3L && st(0).getLong(2) === 10L,
-      s"stats must fold to (n_docs=3, total_dl=10), got ${st.toSeq}")
+    val st = cat.readWithSchema("ops", graft.streaming.Bm25Index.opsSchema)
+      .agg(F.sum("n_docs"), F.sum("total_dl")).head()
+    assert((st.getLong(0), st.getLong(1)) === ((3L, 10L)),
+      "the additive op log must sum to the live corpus (n_docs=3, total_dl=10)")
     val reg = cat.readWithSchema("doc_lengths", graft.streaming.Bm25Index.dlSchema)
     assert(reg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
       Map(1L -> 3L, 2L -> 3L, 4L -> 4L), "registry must hold live docs only")
@@ -856,8 +856,9 @@ class StreamingSpec extends SparkSpec {
     idx.ingest(b2, seq = 1L)
     assert(cat.readWithSchema("postings", graft.streaming.Bm25Index.postSchema)
       .filter($"seq" === 1L).count() === 2L, "replay must not duplicate postings")
-    assert(cat.readWithSchema("index_stats", graft.streaming.Bm25Index.statsSchema)
-      .filter($"seq" === 1L).count() === 1L, "replay must write stats exactly once")
+    assert(cat.readWithSchema("ops", graft.streaming.Bm25Index.opsSchema)
+      .filter($"seq" === 1L && $"n_docs".isNotNull).count() === 1L,
+      "replay must commit the op's stats exactly once")
     // the converged index serves the full 3-doc corpus exactly
     val terms = Seq("hash", "scan", "merge")
     val all = Seq(
@@ -868,7 +869,7 @@ class StreamingSpec extends SparkSpec {
     // delete replay: a committed delete re-applied must subtract once
     idx.delete(Seq(1L).toDF("doc_id"), seq = 2L)
     idx.delete(Seq(1L).toDF("doc_id"), seq = 2L)
-    val st = cat.readWithSchema("index_stats", graft.streaming.Bm25Index.statsSchema)
+    val st = cat.readWithSchema("ops", graft.streaming.Bm25Index.opsSchema)
       .agg(F.sum("n_docs"), F.sum("total_dl")).head()
     assert((st.getLong(0), st.getLong(1)) === ((2L, 6L)),
       "replayed delete must not double-subtract")
