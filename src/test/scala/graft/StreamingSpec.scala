@@ -696,6 +696,68 @@ class StreamingSpec extends SparkSpec {
       "bucket pruning must appear in PartitionFilters: " + p.take(1500))
   }
 
+  test("vector index deletes: tombstoned codes stop serving, ids re-ingest, compaction scrubs") {
+    val dir = Files.createTempDirectory("graft-vectomb").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val (model, offline) = graft.operators.Similarity.ivfPqIndex(
+      vecs, nlist = 8, m = 4, ksub = 8)
+    val codesSchema = org.apache.spark.sql.types.StructType(
+      offline.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "seq", org.apache.spark.sql.types.LongType))
+    val tombSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "neighbor_id BIGINT, seq BIGINT")
+    cat.ensureTable("codes", codesSchema)
+    cat.ensureTable("codes_tomb", tombSchema)
+    val pool = graft.operators.Similarity.collectPool(model)
+    def code(df: org.apache.spark.sql.DataFrame, seq: Long) =
+      graft.operators.Similarity
+        .ivfPqCodeTable(df, pool, 8, 4, 8, "vec_id", "embedding")
+        .withColumn("seq", F.lit(seq))
+    cat.append("codes", code(vecs, 0L))
+    graft.streaming.Streams.deleteVectors(cat, "codes", codesSchema,
+      "codes_tomb", Seq(3L, 7L).toDF("neighbor_id"), seq = 1L)
+    def liveCodes = graft.operators.Tombstones.live(
+      cat.readWithSchema("codes", codesSchema),
+      cat.read("codes_tomb"), "neighbor_id")
+    assert(liveCodes.filter($"neighbor_id".isin(3L, 7L)).isEmpty,
+      "tombstoned vectors must leave the live view")
+    // deleting twice is a no-op; re-ingest lands a fresh generation
+    graft.streaming.Streams.deleteVectors(cat, "codes", codesSchema,
+      "codes_tomb", Seq(3L).toDF("neighbor_id"), seq = 2L)
+    cat.append("codes", code(vecs.filter($"vec_id" === 3L), 5L))
+    assert(liveCodes.filter($"neighbor_id" === 3L).count() === 1L,
+      "the re-ingested generation must be live again")
+    // serve from live codes equals a fresh build on the surviving set
+    val surviving = vecs.filter($"vec_id" =!= 7L)
+    val queries = vecs.filter($"vec_id" < 3L)
+    val served = graft.operators.Similarity.ivfPqTopKFromIndex(
+        model, liveCodes.drop("seq"), queries, k = 3,
+        nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = graft.operators.Similarity.ivfPqTopKFromIndex(
+        model, graft.operators.Similarity.ivfPqCodeTable(
+          surviving, pool, 8, 4, 8, "vec_id", "embedding"),
+        queries, k = 3, nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .collect().map(_.toSeq).toSet
+    assert(served === rebuilt,
+      "tombstoned serve must equal a rebuild on the surviving vectors")
+    // physical scrub: dead generations gone, tombstones cleared, live
+    // view unchanged
+    val before = liveCodes.collect().map(_.toSeq).toSet
+    graft.streaming.Streams.compactVectorIndex(
+      cat, "codes", codesSchema, "codes_tomb")
+    val raw = cat.readWithSchema("codes", codesSchema)
+    assert(raw.collect().map(_.toSeq).toSet === before,
+      "compaction must not change the live view")
+    assert(raw.filter($"neighbor_id" === 7L).isEmpty, "ghost codes must be gone")
+    assert(raw.filter($"neighbor_id" === 3L).select("seq").head().getLong(0) === 5L,
+      "only the fresh generation of a re-ingested id may survive")
+    assert(cat.read("codes_tomb").isEmpty, "applied tombstones must clear")
+  }
+
   test("streaming dedup deletes: tombstoned docs stop rejecting, ids re-ingest, compaction scrubs") {
     val dir = Files.createTempDirectory("graft-deduptomb").toString
     val drop = s"$dir/drop"; val drop2 = s"$dir/drop2"
