@@ -449,17 +449,39 @@ object Bench {
     val withStreamDedup =
       if (!wantComposite("streaming_dedup")) withStreaming
       else withStreaming :+ ("streaming_dedup" -> min2(sdedupAttempt(_, 1500)))
+    // round-over-round adjudication for the COMPOSITES too: the catalog
+    // sweep's mover check above cannot see them (they are appended
+    // here); a composite whose median moved >1.5× vs the committed
+    // report gets one extra attempt on fresh scratch dirs, recorded as
+    // `isolated` beside its spread like any other adjudicated entry
+    val compositeAttempt: Map[String, SparkSession => Double] = Map(
+      "pipeline" -> (pipelineAttempt(_, 20000)),
+      "streaming" -> (streamingAttempt(_, 20000)),
+      "streaming_dedup" -> (sdedupAttempt(_, 1500)))
+    val withCompIso = withStreamDedup.map { case (k, sp) =>
+      val moved = !sp.failed && priorMeds.get(k).exists(p =>
+        p > 0 && (sp.med / p > 1.5 || p / sp.med > 1.5))
+      compositeAttempt.get(k).filter(_ => moved) match {
+        case Some(attempt) =>
+          System.err.println(s"[bench] round-over-round mover (composite): $k")
+          scrub(compositeSession)
+          val v = attempt(compositeSession)
+          System.err.println(f"[bench] isolated re-run $k: $v%.3f s")
+          k -> sp.withIsolated(v)
+        case None => k -> sp
+      }
+    }
     // calibration point 2: after the last measured entry (same fixed
     // workload; the session differs from calibStart's but the entry is
     // pure compute, so the delta tracks the HOST, not the session)
     val calibEnd = calibMedian(compositeSession)
     compositeSession.stop()
-    val failed = withStreamDedup.collect { case (k, v) if v.failed => k }
-    val qs = withStreamDedup.map { case (k, v) =>
+    val failed = withCompIso.collect { case (k, v) if v.failed => k }
+    val qs = withCompIso.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.failed) "-1" else f"${v.point}%.3f")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = withStreamDedup.map(_._2).filterNot(_.failed).map(_.point).sum
+    val total = withCompIso.map(_._2).filterNot(_.failed).map(_.point).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
@@ -473,13 +495,13 @@ object Bench {
     // unequal harness/workload stamps mean the numbers are not
     // comparable at all; a delta inside [min,max] of either round is
     // noise, not regression.
-    val spreads = withStreamDedup.map { case (k, v) =>
+    val spreads = withCompIso.map { case (k, v) =>
       "\"" + k + "\":" + v.json
     }.mkString("{", ",", "}")
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"calib":{"start":$calibStart%.3f,"end":$calibEnd%.3f},"entries":${withStreamDedup.size},"queries":$qs,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"calib":{"start":$calibStart%.3f,"end":$calibEnd%.3f},"entries":${withCompIso.size},"queries":$qs,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
     if (only.isEmpty) {
       java.nio.file.Files.writeString(
         repoRoot.resolve("bench_full.json"), full + "\n")

@@ -263,7 +263,8 @@ object Retrieval {
     val base = pivoted.join(dls, Seq("doc_id"))
       .select(F.col("doc_id") +: F.col("dl") +:
         terms.indices.map(i => F.col(s"tf$i")): _*)
-    val dfs = hit.agg(termDfAggs(terms).head, termDfAggs(terms).tail: _*)
+    val dfAggs = termDfAggs(terms)
+    val dfs = hit.agg(dfAggs.head, dfAggs.tail: _*)
     val stats = globalStats.getOrElse(
         dls.agg(F.count(F.lit(1)).as("n_docs"),
           F.sum(F.col("dl")).as("total_dl")))

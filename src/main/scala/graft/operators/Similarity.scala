@@ -1046,13 +1046,18 @@ object Similarity {
       maxCellMilli: Long = 4000L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): (DataFrame, DataFrame, Boolean) = {
-    val row = codes.groupBy("cell").agg(F.count(F.lit(1)).as("c"))
+    // materialize the codes ONCE (they are the serving table itself —
+    // m small ints per vector): the decision aggregate and whatever the
+    // caller does next both read the copy, instead of each re-running
+    // the coding pipeline the `codes` plan may carry
+    val c = codes.localCheckpoint()
+    val row = c.groupBy("cell").agg(F.count(F.lit(1)).as("c"))
       .agg(F.coalesce(F.max("c"), F.lit(0L)).as("mx"),
         F.coalesce(F.sum("c"), F.lit(0L)).as("tot"))
       .head()
     val (mx, tot) = (row.getLong(0), row.getLong(1))
     if (tot == 0L || mx * nlist * 1000L <= maxCellMilli * tot)
-      (model, codes, false)
+      (model, c, false)
     else {
       val (m2, c2) = ivfPqIndex(corpus, nlist, m, ksub, idCol, vecCol)
       (m2, c2, true)

@@ -36,12 +36,16 @@ import graft.sources.Catalog
   *    over this table instead of an O(corpus) registry scan.
   *
   * Exactly-once under micro-batch replay: a clean op sees no attempt
-  * row and appends directly (no probe jobs on the happy path); a replay
-  * of a CRASHED attempt sees the attempt row and probes each data table
-  * for its `seq` before appending (each append job is atomic under
-  * Spark's commit protocol, so a table holds all of an op's rows or
-  * none). A committed seq short-circuits entirely. This closes the r12
-  * advisory: the sink is exactly-once under foreachBatch retry.
+  * row and appends directly (no probe or scrub jobs on the happy
+  * path); a replay of a CRASHED attempt sees the attempt row and
+  * SCRUBS every row carrying the op's `seq` before redoing the
+  * appends. Scrub-then-redo rather than probe-and-skip because a
+  * multi-file append job is not atomic under a crash during job commit
+  * (a subset of task files can land) — presence of some of an op's
+  * rows does not prove presence of all. A committed seq
+  * short-circuits entirely. This closes the r12 advisory: the sink is
+  * exactly-once under foreachBatch retry, including commit-window
+  * partial appends.
   *
   * Op sequencing contract: `seq` is strictly monotone across ops
   * (streams stamp `baseSeq + batchId`; a RESTARTED stream gets a fresh
@@ -105,13 +109,34 @@ final class Bm25Index(
         F.col("n_docs").cast("long").as("n_docs"),
         F.col("total_dl").cast("long").as("total_dl")))
 
-  /** Does `df`'s `seq` column already contain this op's stamp? The
-    * crashed-replay idempotence probe: each append job is atomic, so a
-    * table either holds ALL of an op's rows or none. Column-pruned and
-    * (seq being monotone with file order) row-group-pruned; runs ONLY
-    * when an attempt marker says a prior attempt may have written. */
-  private def hasSeq(df: DataFrame, seq: Long): Boolean =
-    !df.filter(F.col("seq") === seq).isEmpty
+  /** Crashed-replay rollback: remove EVERY row the crashed attempt may
+    * have written (its `seq` stamp) from the data tables, so the redo
+    * appends against a clean slate. This is deliberately NOT a
+    * probe-and-skip (`does the table already hold this seq?`): a
+    * multi-file append job is not atomic under a crash DURING job
+    * commit — the committer can have moved a subset of task files into
+    * the table — so presence of some rows does not prove presence of
+    * all, and skipping on a partial append would silently lose the
+    * rest. Scrub-then-redo is idempotent under repeated crashes (a
+    * partial scrub just leaves fewer rows for the next scrub) and runs
+    * ONLY on replays whose attempt marker says a prior attempt may have
+    * written. Postings scrub rewrites exactly the bucket partitions
+    * holding the seq (bounded probe, partition-local rewrite); the
+    * sidecars are |corpus-registry|- and |tombstone|-sized flat tables
+    * behind the crash-safe [[graft.sources.Catalog.replaceTable]]. */
+  private def scrubOp(seq: Long): Unit = {
+    val bks = postings.filter(F.col("seq") === seq)
+      .select("bk").distinct().collect().map(_.getInt(0).toString).toSeq
+    if (bks.nonEmpty)
+      cat.compactPartitioned("postings", "bk", postSchema,
+        maxFilesPerPartition = Int.MaxValue,
+        transform = df => df.filter(F.col("seq") =!= seq),
+        forceValues = bks)
+    if (!registry.filter(F.col("seq") === seq).isEmpty)
+      cat.replaceTable("doc_lengths", registry.filter(F.col("seq") =!= seq))
+    if (!tombs.filter(F.col("seq") === seq).isEmpty)
+      cat.replaceTable("tombstones", tombs.filter(F.col("seq") =!= seq))
+  }
 
   private def oneRow(row: Row, schema: StructType): DataFrame =
     spark.createDataFrame(java.util.List.of(row), schema)
@@ -135,20 +160,23 @@ final class Bm25Index(
     val (done, crashed) = opState(seq)
     if (done) return
     beginAttempt(seq)
+    if (crashed) scrubOp(seq)
     val liveReg = Tombstones.live(preOp(registry, seq), preOp(tombs, seq))
     val admitted = batch
       .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
-      .dropDuplicates("doc_id")
+      // duplicate ids within one batch resolve to the lexicographically
+      // greatest text — an arbitrary but DETERMINISTIC winner
+      // (dropDuplicates keeps whichever row a partition scan meets
+      // first, which need not repeat across a crash replay)
+      .groupBy("doc_id").agg(F.max("text").as("text"))
       .join(liveReg.select("doc_id"), Seq("doc_id"), "leftanti")
       .localCheckpoint() // referenced by all three appends below
     val dls = Retrieval.docLengths(admitted).withColumn("seq", F.lit(seq))
-    if (!crashed || !hasSeq(postings, seq))
-      cat.appendPartitioned("postings",
-        Retrieval.postingsWithDl(admitted)
-          .withColumn("seq", F.lit(seq)).withColumn("bk", bucketOf),
-        Seq("bk"))
-    if (!crashed || !hasSeq(registry, seq))
-      cat.append("doc_lengths", dls)
+    cat.appendPartitioned("postings",
+      Retrieval.postingsWithDl(admitted)
+        .withColumn("seq", F.lit(seq)).withColumn("bk", bucketOf),
+      Seq("bk"))
+    cat.append("doc_lengths", dls)
     commitOp(seq, dls.agg(
       F.count(F.lit(1)).as("n_docs"),
       F.coalesce(F.sum("dl"), F.lit(0L)).as("total_dl")))
@@ -164,13 +192,13 @@ final class Bm25Index(
     val (done, crashed) = opState(seq)
     if (done) return
     beginAttempt(seq)
+    if (crashed) scrubOp(seq)
     val victims = Tombstones.live(preOp(registry, seq), preOp(tombs, seq))
       .join(ids.select(F.col("doc_id").cast("long").as("doc_id"))
         .dropDuplicates("doc_id"), Seq("doc_id"), "leftsemi")
       .localCheckpoint() // referenced by both appends below
-    if (!crashed || !hasSeq(tombs, seq))
-      cat.append("tombstones",
-        victims.select(F.col("doc_id"), F.lit(seq).as("seq")))
+    cat.append("tombstones",
+      victims.select(F.col("doc_id"), F.lit(seq).as("seq")))
     commitOp(seq, victims.agg(
         F.count(F.lit(1)).as("n"),
         F.coalesce(F.sum("dl"), F.lit(0L)).as("sdl"))
