@@ -166,6 +166,42 @@ class Catalog(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Heal any [[compactPartitioned]] crash window, then discard the
+    * staging directory. The swap phase only starts after the staged
+    * write completes, so any partition dir still in staging whose LIVE
+    * counterpart is missing is a complete compacted copy orphaned
+    * between move-aside and move-in — restore it before anything reads
+    * or re-appends the table. (A crash mid-write leaves every live dir
+    * intact, so the restore condition never matches partial data; the
+    * remaining staging content is then a discardable dead stage.)
+    *
+    * MUST run before a table that may hold a crashed compaction is
+    * read, probed, or appended — a probe that runs first would miss the
+    * orphaned partition's rows entirely, and an append could recreate
+    * the partition dir, making the orphan look mid-write forever.
+    * [[compactPartitioned]] calls it at entry; op-protocol replay paths
+    * (Bm25Index.scrubOp and kin) call it BEFORE their per-seq probes.
+    * Idempotent; safe when no compaction was ever attempted. Assumes
+    * the documented single-writer maintenance discipline (a concurrent
+    * live compaction's staging would be discarded as a dead stage).
+    */
+  def recoverCompaction(table: String, partitionCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path(table))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(path(table) + "__compacting")
+    if (fs.exists(staging)) {
+      fs.listStatus(staging)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
+        .foreach { st =>
+          val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+          if (!fs.exists(live) && !fs.rename(st.getPath, live))
+            throw new java.io.IOException(
+              s"compaction recovery failed restoring ${st.getPath} to $live")
+        }
+      fs.delete(staging, true)
+    }
+  }
+
   /** Small-file compaction for a hive-partitioned table. Repeated
     * incremental appends / dynamic-partition overwrites accrete one file
     * per task per batch; over months a hot date partition holds
@@ -230,23 +266,7 @@ class Catalog(spark: SparkSession, warehouse: String) {
       F.when(F.col(partitionCol).cast("string") === v, F.lit(n)).otherwise(acc)
     }
     val staging = new org.apache.hadoop.fs.Path(path(table) + "__compacting")
-    // Crash recovery before discarding leftovers: the swap below only
-    // starts after the staged write completes, so any partition dir
-    // still in staging whose LIVE counterpart is missing is a complete
-    // compacted copy orphaned between move-aside and move-in — restore
-    // it first. (A crash mid-write leaves every live dir intact, so the
-    // condition never matches partial data.)
-    if (fs.exists(staging)) {
-      fs.listStatus(staging)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
-        .foreach { st =>
-          val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
-          if (!fs.exists(live) && !fs.rename(st.getPath, live))
-            throw new java.io.IOException(
-              s"compaction recovery failed restoring ${st.getPath} to $live")
-        }
-    }
-    fs.delete(staging, true)
+    recoverCompaction(table, partitionCol)
     transform(readWithSchema(table, schema)
         .filter(F.col(partitionCol).cast("string").isin(values: _*)))
       .withColumn("__slot",

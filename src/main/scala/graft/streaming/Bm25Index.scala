@@ -81,6 +81,28 @@ final class Bm25Index(
   private def tombs: DataFrame = cat.readWithSchema("tombstones", tombSchema)
   private def ops: DataFrame = cat.readWithSchema("ops", opsSchema)
 
+  /** Unconditional crash-window healing, run at EVERY op/serve entry
+    * before any table is probed or read. Two windows it closes, both
+    * fatal if a probe ran first:
+    *  - a crash inside a postings compaction's swap (between move-aside
+    *    and move-in) leaves a bucket partition's only copy in the
+    *    staging dir; scrubOp's per-seq bk probe would then see no rows
+    *    for the crashed seq, skip the scrub, and the redo's append
+    *    would recreate the partition dir — after which the next
+    *    compaction's staging delete destroys the orphaned committed
+    *    rows of OTHER ops permanently;
+    *  - a crash inside a registry/tombstone replaceTable (between
+    *    move-aside and swap-in) leaves the live dir missing, and every
+    *    subsequent read throws path-not-found before any code path
+    *    would reach recovery — wedging the pipeline.
+    * Both recoveries are idempotent fs-metadata probes (no jobs), so
+    * running them per op is noise next to the op's own work. */
+  private def heal(): Unit = {
+    cat.recoverCompaction("postings", "bk")
+    cat.recoverReplace("doc_lengths")
+    cat.recoverReplace("tombstones")
+  }
+
   /** Commit rows only (attempt rows carry null stats). */
   private def committed: DataFrame =
     ops.filter(F.col("n_docs").isNotNull)
@@ -157,6 +179,7 @@ final class Bm25Index(
     * under replay (see class doc).
     */
   def ingest(batch: DataFrame, seq: Long): Unit = {
+    heal()
     val (done, crashed) = opState(seq)
     if (done) return
     beginAttempt(seq)
@@ -189,6 +212,7 @@ final class Bm25Index(
     * Exactly-once under replay.
     */
   def delete(ids: DataFrame, seq: Long): Unit = {
+    heal()
     val (done, crashed) = opState(seq)
     if (done) return
     beginAttempt(seq)
@@ -226,6 +250,7 @@ final class Bm25Index(
     * only. */
   def serve(terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "serve needs at least one query term")
+    heal()
     // the query terms' bucket ids — same hash the writer used, so
     // pruning can never disagree with placement; one 1-row collect
     val bkRow = spark.range(1).select(terms.map(t =>
@@ -273,6 +298,7 @@ final class Bm25Index(
     * are left untouched so the replay still sees its pre-op state.
     */
   def compact(maxFilesPerPartition: Int = 2): Unit = {
+    heal()
     val committedTombs = tombs
       .join(F.broadcast(committed.select("seq")), Seq("seq"), "leftsemi")
       .localCheckpoint() // small; referenced by probe + transform + clear

@@ -135,6 +135,14 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.Dedup
+        // heal any replaceTable crash window BEFORE the first read: a
+        // maintenance compaction that died between move-aside and
+        // swap-in leaves a table's live dir missing, and every read
+        // below would throw path-not-found until someone ran recovery
+        // by hand (idempotent fs-metadata probes, no jobs)
+        catalog.recoverReplace(corpusTable)
+        catalog.recoverReplace(bucketTable)
+        tombTable.foreach(catalog.recoverReplace)
         // tombstone-aware mode (`tombTable`): corpus and bucket rows are
         // generation-stamped (seq = baseSeq + batchId), every read below
         // sees only LIVE generations, and appends carry the stamp — so a
@@ -240,6 +248,8 @@ object Streams {
       tombTable: String,
       ids: DataFrame,
       seq: Long): Unit = {
+    catalog.recoverReplace(corpusTable)
+    catalog.recoverReplace(tombTable)
     val victims = graft.operators.Tombstones.live(
         catalog.readWithSchema(corpusTable, corpusSchema),
         catalog.read(tombTable), "doc_id")
@@ -264,6 +274,7 @@ object Streams {
       bucketTable: String,
       bucketSchema: StructType,
       tombTable: String): Unit = {
+    Seq(corpusTable, bucketTable, tombTable).foreach(catalog.recoverReplace)
     catalog.replaceTable(corpusTable,
       graft.operators.Tombstones.live(
         catalog.readWithSchema(corpusTable, corpusSchema),
@@ -423,6 +434,10 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
+          // heal any crashed maintenance swap before the first read
+          // (see streamingDocDedup's note)
+          catalog.recoverReplace(codesTable)
+          tombTable.foreach(catalog.recoverReplace)
           val codes = graft.operators.Similarity.ivfPqCodeTable(
             batch, pool, nlist, m, ksub, idCol, vecCol)
           tombTable match {
@@ -463,6 +478,8 @@ object Streams {
       tombTable: String,
       ids: DataFrame,
       seq: Long): Unit = {
+    catalog.recoverReplace(codesTable)
+    catalog.recoverReplace(tombTable)
     val victims = graft.operators.Tombstones.live(
         catalog.readWithSchema(codesTable, codesSchema),
         catalog.read(tombTable), "neighbor_id")
@@ -483,6 +500,7 @@ object Streams {
       codesTable: String,
       codesSchema: StructType,
       tombTable: String): Unit = {
+    Seq(codesTable, tombTable).foreach(catalog.recoverReplace)
     catalog.replaceTable(codesTable,
       graft.operators.Tombstones.live(
         catalog.readWithSchema(codesTable, codesSchema),

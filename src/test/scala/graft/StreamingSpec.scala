@@ -936,4 +936,61 @@ class StreamingSpec extends SparkSpec {
     assert((st.getLong(0), st.getLong(1)) === ((2L, 6L)),
       "replayed delete must not double-subtract")
   }
+
+  test("bm25 index heals compaction and replace crash windows before any probe") {
+    // the two orphan windows: (a) a compaction that died between
+    // move-aside and move-in leaves a bucket partition's ONLY copy in
+    // postings__compacting — a replayed op's per-seq probe must not run
+    // against the amputated table (it would skip the scrub, re-append,
+    // and the next compaction's staging delete would destroy the
+    // orphaned committed rows of OTHER ops); (b) a registry
+    // replaceTable that died between move-aside and swap-in leaves the
+    // live dir missing — the next op must roll it back instead of
+    // throwing path-not-found forever
+    val dir = Files.createTempDirectory("graft-bm25heal").toString
+    val wh = s"$dir/wh"
+    val cat = new graft.sources.Catalog(spark, wh)
+    val idx = new graft.streaming.Bm25Index(spark, cat, buckets = 8)
+    idx.ensure()
+    val docs = Seq(
+      (1L, "alpha hash scan"), (2L, "hash hash merge beta"),
+      (3L, "gamma delta"), (4L, "scan scan scan hash")).toDF("doc_id", "text")
+    idx.ingest(docs, seq = 0L)
+    val terms = Seq("hash", "scan", "merge")
+    val expected = idx.serve(terms, k = 10).collect().toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$wh/$s")
+    // (a) amputate one live bucket partition into the staging dir —
+    // exactly the state a crash between move-aside and move-in leaves
+    val bk = fs.listStatus(p("postings"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bk="))
+      .head.getPath.getName
+    fs.mkdirs(p("postings__compacting"))
+    assert(fs.rename(p(s"postings/$bk"), p(s"postings__compacting/$bk")))
+    // a crashed attempt for seq=7 exists (marker, no commit) — the
+    // replay path MUST restore the orphan before its scrub probe
+    cat.append("ops", spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(7L, null, null)),
+      graft.streaming.Bm25Index.opsSchema))
+    idx.ingest(Seq((9L, "merge gamma")).toDF("doc_id", "text"), seq = 7L)
+    assert(!fs.exists(p("postings__compacting")),
+      "the dead stage must be restored and discarded")
+    val healedCorpus = Seq(
+      (1L, "alpha hash scan"), (2L, "hash hash merge beta"),
+      (3L, "gamma delta"), (4L, "scan scan scan hash"),
+      (9L, "merge gamma")).toDF("doc_id", "text")
+    assert(idx.serve(terms, k = 10).collect().toSeq ===
+      graft.operators.Retrieval.bm25TopK(healedCorpus, terms, k = 10)
+        .collect().toSeq,
+      "no committed row may be lost to the compaction crash window")
+    // (b) replace window on the registry: live dir missing, aside holds
+    // the only copy — the next ingest must roll back, then proceed
+    assert(fs.rename(p("doc_lengths"), p("doc_lengths__replaced")))
+    idx.ingest(Seq((10L, "delta hash")).toDF("doc_id", "text"), seq = 8L)
+    assert(fs.exists(p("doc_lengths")) && !fs.exists(p("doc_lengths__replaced")),
+      "registry must heal from the aside copy")
+    assert(cat.readWithSchema("doc_lengths", graft.streaming.Bm25Index.dlSchema)
+      .count() === 6L, "all six live docs must be registered after healing")
+  }
 }
