@@ -49,6 +49,16 @@ object Bench {
     *   vs the committed prior report (same harness + workload stamps)
     *   gets the same fresh-session adjudication run as in-sweep
     *   high-variance entries.
+    *   r14 (version string still unchanged — estimator identical):
+    *   the calib becomes a SERIES (one probe every ~25 sweep entries,
+    *   recorded with its position) so a host-speed shift can be
+    *   LOCALIZED to the entries it inflated instead of inferred from
+    *   two endpoints (r13's q_ann_mrr 1.94× move was adjudicated only
+    *   by alphabet-position inference); and reports are ROUND-STAMPED
+    *   (`round` field + an archived copy under bench_rounds/), with
+    *   the mover trigger comparing against the PRIOR ROUND's archived
+    *   medians — an intra-round sweep can no longer mask a
+    *   round-over-round move by overwriting bench_full.json.
     */
   private val HarnessVersion = "r12-median-1"
 
@@ -193,9 +203,18 @@ object Bench {
     // a round-over-round delta can be checked against the measured
     // noise floor instead of re-running.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    // calibration point 1: after warmup, before the first measured entry
+    // calibration SERIES (r14): a median-of-3 anchor after warmup, one
+    // single probe every ~25 sweep entries (each ~0.3-1.5 s, outside
+    // every timer), and a closing anchor after the composites — so a
+    // host-speed shift mid-sweep is localized to the entries it
+    // actually inflated, instead of inferred from two endpoints
+    val calibSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val calibStart = calibMedian(spark)
-    val results = selected.map { case (name, fn) =>
+    calibSeries += 0 -> calibStart
+    val calibEvery = 25
+    val results = selected.zipWithIndex.map { case ((name, fn), entryIdx) =>
+      if (entryIdx > 0 && entryIdx % calibEvery == 0)
+        calibSeries += entryIdx -> calibOnce(spark)
       // a failed run must NOT report its (fast) elapsed time as the
       // query's benchmark — NaN marks the entry failed and the report
       // carries an explicit failed list
@@ -233,22 +252,50 @@ object Bench {
         d = d.getParent
       if (d == null) java.nio.file.Paths.get("").toAbsolutePath else d
     }
-    // Round-over-round movers (r13, the r12 verdict's ask): the prior
-    // committed report's medians, readable ONLY when both the harness
-    // version and the workload fingerprint agree (unequal stamps mean
-    // the numbers are not comparable and no trigger fires). Any entry
-    // whose median moved >1.5× in either direction joins the isolated
-    // re-run set — r12's q_skew_agg 2.03× move went unadjudicated
-    // because the trigger only watched IN-sweep spread.
+    // The ROUND number (r14): inferred from the driver's committed
+    // BENCH_r{N}.json files — the highest N is the last completed
+    // round, so this sweep belongs to N+1. Stamped into the report and
+    // used to archive a per-round copy under bench_rounds/.
+    val currentRound: Int = {
+      val rx = """BENCH_r(\d+)\.json""".r
+      val ns = Option(repoRoot.toFile.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (ns.isEmpty) 1 else ns.max + 1
+    }
+    // Round-over-round movers (r13, the r12 verdict's ask; r14 fix):
+    // the PRIOR ROUND's archived medians — bench_rounds/round{M}.json
+    // for the highest M < currentRound — readable ONLY when both the
+    // harness version and the workload fingerprint agree (unequal
+    // stamps mean the numbers are not comparable and no trigger
+    // fires). r13 compared against bench_full.json, which an
+    // intermediate INTRA-round sweep overwrites, masking genuine
+    // round-over-round moves (q_ann_mrr's 1.94× went unadjudicated
+    // exactly this way). Any entry whose median moved >1.5× in either
+    // direction joins the isolated re-run set.
     val priorMeds: Map[String, Double] = try {
-      val txt = java.nio.file.Files.readString(repoRoot.resolve("bench_full.json"))
-      val h = """"harness":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      val w = """"workload":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      if (!h.contains(HarnessVersion) || !w.contains(workloadFingerprint(sfDir)))
-        Map.empty
-      else
-        """"([^"]+)":\{"n":\d+,"min":[0-9.eE+-]+,"med":([0-9.eE+-]+)""".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val roundsDir = repoRoot.resolve("bench_rounds")
+      val rx = """round(\d+)\.json""".r
+      val prior = Option(roundsDir.toFile.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt -> f))
+        .filter(_._1 < currentRound)
+        .sortBy(-_._1).headOption
+        // first r14 run: no archive yet — fall back to the committed
+        // bench_full.json (pre-archive rounds wrote only that)
+        .map(_._2.toPath).orElse {
+          val bf = repoRoot.resolve("bench_full.json")
+          if (java.nio.file.Files.exists(bf)) Some(bf) else None
+        }
+      prior.map(java.nio.file.Files.readString) match {
+        case None => Map.empty[String, Double]
+        case Some(txt) =>
+          val h = """"harness":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+          val w = """"workload":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+          if (!h.contains(HarnessVersion) || !w.contains(workloadFingerprint(sfDir)))
+            Map.empty
+          else
+            """"([^"]+)":\{"n":\d+,"min":[0-9.eE+-]+,"med":([0-9.eE+-]+)""".r
+              .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val movers = results.collect {
       case (k, s) if !s.failed && priorMeds.get(k).exists(p =>
@@ -475,6 +522,7 @@ object Bench {
     // workload; the session differs from calibStart's but the entry is
     // pure compute, so the delta tracks the HOST, not the session)
     val calibEnd = calibMedian(compositeSession)
+    calibSeries += selected.size -> calibEnd
     compositeSession.stop()
     val failed = withCompIso.collect { case (k, v) if v.failed => k }
     val qs = withCompIso.map { case (k, v) =>
@@ -500,11 +548,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // the series: [[entryIndex, seconds], ...] — a reader divides an
+    // entry's timing by the nearest probe to get a host-local estimate
+    val calibSeriesJson = calibSeries
+      .map { case (at, v) => f"[$at,$v%.3f]" }.mkString("[", ",", "]")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"calib":{"start":$calibStart%.3f,"end":$calibEnd%.3f},"entries":${withCompIso.size},"queries":$qs,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$currentRound,"cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"calib":{"start":$calibStart%.3f,"end":$calibEnd%.3f,"series":$calibSeriesJson},"entries":${withCompIso.size},"queries":$qs,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
     if (only.isEmpty) {
       java.nio.file.Files.writeString(
         repoRoot.resolve("bench_full.json"), full + "\n")
+      // round-stamped archive: intra-round re-runs overwrite THIS
+      // round's file only, so the next round's mover trigger always
+      // sees the last COMPLETED round's medians
+      val roundsDir = repoRoot.resolve("bench_rounds")
+      java.nio.file.Files.createDirectories(roundsDir)
+      java.nio.file.Files.writeString(
+        roundsDir.resolve(s"round$currentRound.json"), full + "\n")
     } else {
       // filtered spot-runs still leave durable evidence, in target/ so a
       // partial report never shadows the round's full one

@@ -9,9 +9,13 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   *
   * Model: every index row carries the monotone operation sequence `seq`
   * that wrote it; a tombstone `(id, seq)` kills every generation of `id`
-  * written at-or-before `seq`. A later re-ingest writes a NEW generation
-  * with a larger seq, which survives — so delete-then-reinsert needs no
-  * index rewrite at all. Physical application happens at compaction
+  * written strictly BEFORE `seq`. A later re-ingest writes a NEW
+  * generation with a larger seq, which survives — so delete-then-
+  * reinsert needs no index rewrite at all — and a generation written AT
+  * the tombstone's own seq survives too, which is what lets a single
+  * exactly-once op REPLACE a document (tombstone the old generations
+  * and write the new one under one seq, one attempt marker, one commit:
+  * [[graft.streaming.Bm25Index.replace]]). Physical application happens at compaction
   * (rewrite the affected partitions dropping dead rows, then clear the
   * applied tombstones); until then [[live]] filters logically at serve.
   * Applying a tombstone twice is a no-op (the dead rows are already
@@ -28,16 +32,36 @@ object Tombstones {
     tomb.groupBy(F.col(idCol)).agg(F.max("seq").as("__tomb_seq"))
 
   /** Rows that survive the tombstones: a row is live iff its generation
-    * is strictly NEWER than its id's last tombstone (or the id was never
-    * tombstoned). Under the insert-if-absent ingest discipline at most
-    * one generation per id is live.
+    * is at-or-after its id's last tombstone (or the id was never
+    * tombstoned) — deletes always stamp a seq above every existing
+    * generation (monotone ops), and the at-seq survival is the replace
+    * arm. Under the insert-if-absent ingest discipline at most one
+    * generation per id is live.
+    *
+    * The tombstone side broadcasts only while its planner size estimate
+    * fits `maxBroadcastBytes` — the "deletes since last compaction stay
+    * broadcast-sized" assumption is a convention, and a delete-heavy
+    * tenant that never compacts would otherwise eventually blow the
+    * broadcast (driver OOM). Past the threshold the join degrades to a
+    * shuffle join — slower, never wrong. The estimate comes from
+    * `optimizedPlan.stats` (file sizes for parquet-backed tombstones,
+    * carried-over stats for checkpointed ones): a metadata lookup, not
+    * a job, so the guard costs nothing per call; an UNKNOWN estimate
+    * (defaultSizeInBytes) conservatively falls back to the shuffle.
     */
   def live(
       rows: DataFrame,
       tomb: DataFrame,
       idCol: String = "doc_id",
-      seqCol: String = "seq"): DataFrame =
-    rows.join(F.broadcast(lastSeq(tomb, idCol)), Seq(idCol), "left")
-      .filter(F.col("__tomb_seq").isNull || F.col(seqCol) > F.col("__tomb_seq"))
+      seqCol: String = "seq",
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val last = lastSeq(tomb, idCol)
+    val build =
+      if (last.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= BigInt(maxBroadcastBytes)) F.broadcast(last)
+      else last
+    rows.join(build, Seq(idCol), "left")
+      .filter(F.col("__tomb_seq").isNull || F.col(seqCol) >= F.col("__tomb_seq"))
       .drop("__tomb_seq")
+  }
 }

@@ -41,6 +41,55 @@ object Upsert {
       .dropDuplicates(key)
       .join(existing.select(key), Seq(key), "left_anti")
 
+  /** Probe-side upsert for micro-batches against a corpus-sized key
+    * set: the anti-join runs as two BROADCASTS of batch-bounded key
+    * sets instead of a full-table key shuffle.
+    *
+    * [[newRows]] plans as a shuffle join when `existing` is big — at
+    * 10B registered ids that is an O(corpus) key shuffle per
+    * MICRO-BATCH, the one corpus-sized cost left in the incremental
+    * index path. But a micro-batch is bounded by construction
+    * (`maxFilesPerTrigger`), so flip the lookup around:
+    *   1. broadcast the batch's (deduped) keys and semi-join the
+    *      existing side against them — the state side is ONLY SCANNED
+    *      (key column, parquet-pruned), never shuffled; the hits are a
+    *      subset of the batch's keys, so they are broadcast-sized too;
+    *   2. broadcast the hits back and anti-join the batch against
+    *      them.
+    * Zero Exchange touches the state side (pinned in PlanSpec); the
+    * two broadcasts move O(|batch|) bytes. With the state table
+    * hive-partitioned by a key-hash bucket, callers additionally prune
+    * the scan to the batch's bucket values before passing it in.
+    *
+    * `batch` must be cheap to evaluate twice (micro-batch sources are;
+    * callers with expensive upstreams should localCheckpoint first).
+    * Batches larger than `maxBroadcastRows` keys fall back to the
+    * shuffle plan of [[newRows]] — a backfill-sized batch genuinely
+    * wants the shuffle.
+    */
+  def newRowsProbed(
+      batch: DataFrame,
+      existing: DataFrame,
+      key: String,
+      maxBroadcastRows: Long = 4L * 1024 * 1024): DataFrame = {
+    val deduped = batch.dropDuplicates(key)
+    if (deduped.select(key).limit((maxBroadcastRows + 1).toInt).count() > maxBroadcastRows)
+      newRows(batch, existing, key)
+    else newRowsViaProbe(deduped, existing, key)
+  }
+
+  /** The probe plan itself, for callers that already deduped the batch
+    * and established its boundedness (e.g. with a combined
+    * count/partition-value probe): no extra count job. */
+  def newRowsViaProbe(
+      dedupedBatch: DataFrame,
+      existing: DataFrame,
+      key: String): DataFrame = {
+    val keys = dedupedBatch.select(key)
+    val hits = existing.select(key).join(F.broadcast(keys), Seq(key), "leftsemi")
+    dedupedBatch.join(F.broadcast(hits), Seq(key), "leftanti")
+  }
+
   /** Partition-pruned upsert for time-bounded batches: when batches are
     * known to only ever collide with a bounded window of history (trips
     * arrive within hours, events within days), scanning ALL historical

@@ -4549,7 +4549,7 @@ object QueryCatalog {
     // replay volume every stage is overhead-bound, and serve results
     // are partition-count-invariant
     withFewShufflePartitions(s, 8) {
-      val q = idx.writer(src, cp, baseSeq = 0L).start()
+      val q = idx.writer(src, cp).start()
       try q.processAllAvailable() finally q.stop()
       idx.compact(maxFilesPerPartition = 2)
       idx.serve(Seq("hash", "scan", "merge"), k = 20)
@@ -4591,12 +4591,12 @@ object QueryCatalog {
     idx.ensure()
     withFewShufflePartitions(s, 8) {
       val q = idx.writer(s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(in), cp, baseSeq = 0L).start()
+        .option("maxFilesPerTrigger", "1").parquet(in), cp).start()
       try q.processAllAvailable() finally q.stop()
       idx.delete(docs.filter(F.col("doc_id") % 7 === 3).select("doc_id"),
         seq = 10L)
       val q2 = idx.writer(s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(in2), cp2, baseSeq = 20L).start()
+        .option("maxFilesPerTrigger", "1").parquet(in2), cp2).start()
       try q2.processAllAvailable() finally q2.stop()
       idx.compact(maxFilesPerPartition = 2)
       idx.serve(Seq("hash", "scan", "merge"), k = 20)
@@ -4608,6 +4608,132 @@ object QueryCatalog {
       |  UNION ALL
       |  SELECT doc_id, text || ' hash scan' AS text FROM documents
       |  WHERE doc_id % 14 = 3""".stripMargin)
+
+  /** Single-op REPLACE for the incremental index — the reference's `ON
+    * CONFLICT DO UPDATE` arm as ONE exactly-once op, graded end to end:
+    * the corpus streams in (3 micro-batch ops), then every doc with
+    * `doc_id % 9 = 4` is REPLACED with modified text (+" merge merge")
+    * by a single [[graft.streaming.Bm25Index.replace]] call — one
+    * attempt marker, one commit row carrying the net stats delta, the
+    * old generations tombstoned AT the op's own seq (tombstones kill
+    * strictly older generations, so the op's rows survive their own
+    * tombstone). The del twin runs the same semantic change as TWO ops
+    * (delete, then re-ingest at a higher seq); this twin pins that the
+    * collapsed form is equivalent: after compaction the served top-20
+    * must hash-equal the batch BM25 oracle over the replaced corpus.
+    */
+  private def qBm25StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = idxScratch("bm25_stream_upsert")
+    val in = s"$root/in"; val cp = s"$root/cp"; val wh = s"$root/wh"
+    clearDir(cp); clearDir(wh)
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val w = Window.orderBy(F.col("doc_id"))
+    writeOrderedStreamFiles(docs.withColumn("__tile", F.ntile(3).over(w)), 3, in, dir)
+    val idx = new graft.streaming.Bm25Index(s, new graft.sources.Catalog(s, wh))
+    idx.ensure()
+    withFewShufflePartitions(s, 8) {
+      val q = idx.writer(s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in), cp).start()
+      try q.processAllAvailable() finally q.stop()
+      idx.replace(
+        docs.filter(F.col("doc_id") % 9 === 4)
+          .select(F.col("doc_id"),
+            F.concat(F.col("text"), F.lit(" merge merge")).as("text")),
+        seq = idx.nextSeq)
+      idx.compact(maxFilesPerPartition = 2)
+      idx.serve(Seq("hash", "scan", "merge"), k = 20)
+    }
+  }
+
+  private val qBm25StreamUpsertSql = bm25OracleSql(
+    """SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 4
+      |  UNION ALL
+      |  SELECT doc_id, text || ' merge merge' AS text FROM documents
+      |  WHERE doc_id % 9 = 4""".stripMargin)
+
+  /** Batched multi-query BM25 serving from the incremental index: four
+    * queries with different term sets answered in ONE pass — the
+    * pruned postings are scanned once for all queries
+    * ([[graft.streaming.Bm25Index.serveBatch]]), per-term df and the
+    * |ops|-row global stats broadcast, each doc's score folds its term
+    * contributions in ascending term order (a deterministic fold — no
+    * cross-partition float reassociation), and rank is a per-query
+    * window. The oracle replays every query as an independent pivot
+    * block whose score sums the same contributions in the same
+    * ascending term order, so the doubles must hash-match bit for bit.
+    */
+  private def qBm25ServeBatch(s: SparkSession, dir: String): DataFrame = {
+    val root = idxScratch("bm25_serve_batch")
+    val wh = s"$root/wh"
+    clearDir(wh)
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val idx = new graft.streaming.Bm25Index(s, new graft.sources.Catalog(s, wh))
+    idx.ensure()
+    withFewShufflePartitions(s, 8) {
+      import s.implicits._
+      idx.ingest(docs, seq = 0L)
+      val queries = serveBatchQueries.zipWithIndex.flatMap { case (ts, qi) =>
+        ts.map(t => (qi.toLong, t))
+      }.toDF("query_id", "term")
+      idx.serveBatch(queries, k = 10)
+    }
+  }
+
+  /** The graded query batch: term lists kept in ASCENDING order — the
+    * deterministic fold order both sides sum in. */
+  private val serveBatchQueries: Seq[Seq[String]] = Seq(
+    Seq("hash", "merge", "scan"),
+    Seq("hash", "table"),
+    Seq("scan"),
+    Seq("merge", "table"))
+
+  /** One pivot block per query (the [[bm25OracleSql]] shape generalized
+    * to arbitrary terms), UNION ALL'd with per-query row_number ranks. */
+  private val qBm25ServeBatchSql: String = {
+    def block(qi: Int, terms: Seq[String]): String = {
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"    CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n")
+      val dfs = terms.indices.map(i =>
+        s"    CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(",\n")
+      val contribs = terms.indices.map(i =>
+        s"(n_docs - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)) * (tf$i * (CAST(1.2 AS DOUBLE) + 1)) / (tf$i + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * (b.dl / (CAST(total_dl AS DOUBLE) / n_docs))))")
+        .mkString("\n  + ")
+      val anyTf = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      s"""base_$qi AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |$tfs
+         |  FROM toks),
+         |stats_$qi AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS total_dl,
+         |$dfs
+         |  FROM base_$qi),
+         |scored_$qi AS (
+         |  SELECT CAST($qi AS BIGINT) AS query_id, b.doc_id,
+         |  $contribs
+         |  AS score
+         |  FROM base_$qi b CROSS JOIN stats_$qi
+         |  WHERE $anyTf),
+         |ranked_$qi AS (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM scored_$qi)""".stripMargin
+    }
+    val blocks = serveBatchQueries.zipWithIndex
+      .map { case (ts, qi) => block(qi, ts) }.mkString(",\n")
+    val unions = serveBatchQueries.indices
+      .map(qi => s"SELECT query_id, doc_id, score, rank FROM ranked_$qi WHERE rank <= 10")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN trim(lower(text)) = '' THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |$blocks
+       |$unions
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** One BPE pair-counting step: weighted adjacent-char-pair counts
     * tallied over the distinct word vocabulary (the tokenizer-training
@@ -5683,10 +5809,9 @@ object QueryCatalog {
     val cp = s"$root/cp"; val cp2 = s"$root/cp2"; val wh = s"$root/wh"
     clearDir(cp); clearDir(cp2); clearDir(wh)
     val (model, offlineCodes) = Similarity.ivfPqIndex(emb)
-    val codesSchema = org.apache.spark.sql.types.StructType(
-      offlineCodes.schema.fields :+
-        org.apache.spark.sql.types.StructField("seq",
-          org.apache.spark.sql.types.LongType))
+    // production layout: generation-stamped, id-hash-partitioned codes
+    val codesSchema =
+      graft.streaming.Streams.vectorCodesSchema(offlineCodes.schema)
     writeOrderedStreamFiles(
       emb.withColumn("__tile", (F.pmod(F.col("vec_id"), F.lit(3)) + 1).cast("int")),
       3, in, dir)
@@ -5695,27 +5820,26 @@ object QueryCatalog {
         .withColumn("__tile", (F.pmod(F.col("vec_id"), F.lit(2)) + 1).cast("int")),
       2, in2, dir)
     val catalog = new graft.sources.Catalog(s, wh)
-    catalog.ensureTable("codes", codesSchema)
-    catalog.ensureTable("codes_tomb",
-      org.apache.spark.sql.types.StructType.fromDDL("neighbor_id BIGINT, seq BIGINT"))
+    graft.streaming.Streams.ensureVectorIndexTables(
+      catalog, "codes", "codes_tomb", codesSchema)
     def src(path: String) = s.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
     val q = graft.streaming.Streams.streamingIvfPqIndex(
       src(in), model, catalog, "codes", cp,
-      tombTable = Some("codes_tomb"), baseSeq = 0L).start()
+      tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema)).start()
     try q.processAllAvailable() finally q.stop()
     graft.streaming.Streams.deleteVectors(catalog, "codes", codesSchema,
       "codes_tomb",
       emb.filter(F.col("vec_id") % 5 === 2)
-        .select(F.col("vec_id").as("neighbor_id")), seq = 10L)
+        .select(F.col("vec_id").as("neighbor_id")), seq = Some(10L))
     val q2 = graft.streaming.Streams.streamingIvfPqIndex(
       src(in2), model, catalog, "codes", cp2,
-      tombTable = Some("codes_tomb"), baseSeq = 20L).start()
+      tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema)).start()
     try q2.processAllAvailable() finally q2.stop()
     graft.streaming.Streams.compactVectorIndex(
       catalog, "codes", codesSchema, "codes_tomb")
     Similarity.ivfPqTopKFromIndex(model,
-        catalog.readWithSchema("codes", codesSchema).drop("seq"),
+        catalog.readWithSchema("codes", codesSchema).drop("seq", "pbk"),
         emb.filter(F.col("vec_id") < 10), k = 5)
       .select(F.col("query_id"), F.col("neighbor_id"), F.col("adc_dist"),
         F.col("rank").cast(LongType).as("rank"))
@@ -7328,6 +7452,8 @@ object QueryCatalog {
     Q("q_bm25", wrap(qBm25), Some(qBm25Sql)),
     Q("q_bm25_stream", wrap(qBm25Stream), Some(qBm25Sql)),
     Q("q_bm25_stream_del", wrap(qBm25StreamDel), Some(qBm25StreamDelSql)),
+    Q("q_bm25_stream_upsert", wrap(qBm25StreamUpsert), Some(qBm25StreamUpsertSql)),
+    Q("q_bm25_serve_batch", wrap(qBm25ServeBatch), Some(qBm25ServeBatchSql)),
     Q("q_bpe_pairs", wrap(qBpePairs), Some(qBpePairsSql)),
     Q("q_bpe_train", wrap(qBpeTrain), Some(qBpeTrainSql)),
     Q("q_bpe_encode", wrap(qBpeEncode), Some(qBpeEncodeSql)),

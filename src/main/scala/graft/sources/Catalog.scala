@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.StructType
   * kill a pipeline inside a multi-write crash window (the streaming
   * dedup index-first protocol's kill test).
   */
-class Catalog(spark: SparkSession, warehouse: String) {
+class Catalog(val spark: SparkSession, warehouse: String) {
 
   def path(table: String): String = s"$warehouse/$table"
 
@@ -313,6 +313,33 @@ class Catalog(spark: SparkSession, warehouse: String) {
     fs.delete(staging, true)
     spark.catalog.refreshByPath(path(table))
     swapped
+  }
+
+  /** Remove every row stamped with one of `seqs` from a
+    * hive-partitioned, generation-stamped table: probe which partitions
+    * hold them (bounded by the partition count) and rewrite exactly
+    * those through [[compactPartitioned]]'s stage-and-swap. The
+    * op-protocol rollback primitive shared by every incremental index
+    * (see [[graft.streaming.OpLog]]): a crashed attempt's partial rows
+    * are scrubbed partition-locally before the redo, and abandoned
+    * attempts' garbage is scrubbed at maintenance. Callers must run
+    * [[recoverCompaction]] BEFORE any probe of the table (the index
+    * heal()s do). */
+  def scrubSeqs(
+      table: String,
+      partitionCol: String,
+      schema: StructType,
+      seqs: Seq[Long]): Unit = {
+    import org.apache.spark.sql.{functions => F}
+    if (seqs.isEmpty) return
+    val vals = readWithSchema(table, schema)
+      .filter(F.col("seq").isin(seqs: _*))
+      .select(partitionCol).distinct().collect().map(_.get(0).toString).toSeq
+    if (vals.nonEmpty)
+      compactPartitioned(table, partitionCol, schema,
+        maxFilesPerPartition = Int.MaxValue,
+        transform = df => df.filter(!F.col("seq").isin(seqs: _*)),
+        forceValues = vals)
   }
 
   /** Write a BUCKETED table: rows are hash-distributed into `buckets`

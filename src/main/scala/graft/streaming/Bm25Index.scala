@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 import org.apache.spark.sql.types.StructType
-import graft.operators.{Retrieval, Tombstones}
+import graft.operators.{Retrieval, Tombstones, Upsert}
 import graft.sources.Catalog
 
 /** Incrementally-maintained BM25 inverted index with full
@@ -20,78 +21,82 @@ import graft.sources.Catalog
   *    INLINE on every posting ([[Retrieval.postingsWithDl]]) so serving
   *    never joins a corpus-sized sidecar; `seq` is the generation stamp
   *    tombstones cut against.
-  *  - `doc_lengths(doc_id, dl, seq)`: the document REGISTRY — admission
-  *    authority for insert-if-absent and the delete path's dl lookup.
-  *    Never read at serve time.
+  *  - `doc_lengths(doc_id, dl, seq)` hive-partitioned by `rk` (id-hash
+  *    bucket): the document REGISTRY — admission authority for
+  *    insert-if-absent and the delete path's dl lookup. Never read at
+  *    serve time. The partitioning keeps maintenance rewrites (scrub,
+  *    tombstone application) local to the partitions actually holding
+  *    affected rows, the same discipline as the postings table.
   *  - `tombstones(doc_id, seq)`: logical deletes
   *    ([[graft.operators.Tombstones]]); anti-joined at serve, applied
-  *    physically and cleared at [[compact]].
-  *  - `ops(seq, n_docs, total_dl)`: the op LOG, carrying three duties in
-  *    one |ops|-row table. An ATTEMPT row `(seq, null, null)` lands
-  *    before an op's first data append; the COMMIT row carries the op's
-  *    ADDITIVE global-stats contribution (ingests +n/+Σdl, deletes
-  *    −n/−Σdl), so committing the op and recording its stats is ONE
-  *    atomic append — there is no window where stats and marker
-  *    disagree — and the serve's global (n_docs, total_dl) is a sum
-  *    over this table instead of an O(corpus) registry scan.
+  *    physically and cleared at [[compact]]. Flat — bounded by deletes
+  *    since the last compaction.
+  *  - `ops(seq, n_docs, total_dl)`: the [[OpLog]]. The commit row
+  *    carries the op's ADDITIVE global-stats contribution (ingests
+  *    +n/+Σdl, deletes −n/−Σdl), so the serve's global (n_docs,
+  *    total_dl) is a sum over this |ops|-row table instead of an
+  *    O(corpus) registry scan.
   *
-  * Exactly-once under micro-batch replay: a clean op sees no attempt
-  * row and appends directly (no probe or scrub jobs on the happy
-  * path); a replay of a CRASHED attempt sees the attempt row and
-  * SCRUBS every row carrying the op's `seq` before redoing the
-  * appends. Scrub-then-redo rather than probe-and-skip because a
-  * multi-file append job is not atomic under a crash during job commit
-  * (a subset of task files can land) — presence of some of an op's
-  * rows does not prove presence of all. A committed seq
-  * short-circuits entirely. This closes the r12 advisory: the sink is
-  * exactly-once under foreachBatch retry, including commit-window
-  * partial appends.
+  * Exactly-once and replay: the [[OpLog]] protocol (attempt marker →
+  * scrub-then-redo → atomic commit-with-stats; see its scaladoc for why
+  * probe-and-skip is unsound under partial multi-file append commits).
+  * All reads — admission, victim selection, serving — are COMMITTED
+  * generations only, so a crashed half-written op is invisible
+  * everywhere until its replay commits. That also makes seq assignment
+  * self-managing: [[writer]] derives its base from the op log's
+  * high-water mark (one |ops|-row probe), so a restarted stream — from
+  * its checkpoint or from scratch — can never collide with a committed
+  * op (which would silently drop the batch) nor be confused by an
+  * abandoned attempt's partial rows. Abandoned-attempt garbage is
+  * scrubbed at [[compact]].
   *
-  * Op sequencing contract: `seq` is strictly monotone across ops
-  * (streams stamp `baseSeq + batchId`; a RESTARTED stream gets a fresh
-  * `baseSeq` above everything committed) and ops execute in seq order —
-  * exactly Structured Streaming's replay discipline. Serves read only
-  * COMMITTED generations, so a crashed half-written op is invisible
-  * until its replay completes.
-  *
-  * Scale shape of a serve: bucket-partition pruning (the query terms'
-  * `bk` values) → parquet row-group `term IN` pruning → a df-bounded
-  * pivot, with global stats from the |ops|-row log and the tombstone
-  * anti-join broadcast (bounded by deletes since last compaction).
-  * Nothing corpus-sized is scanned — the fix for r12's bm25FromIndex
-  * dl-sidecar wart.
+  * Scale shape of an ingest: admission is the broadcast-probe upsert
+  * ([[graft.operators.Upsert.newRowsProbed]]) against the registry
+  * PRUNED to the batch's id-hash partitions — the state side is
+  * scanned (one pruned key column), never shuffled; the op's appends
+  * are batch-sized. A serve: bucket-partition pruning (the query
+  * terms' `bk` values) → parquet row-group `term IN` pruning → a
+  * df-bounded pivot, with global stats from the |ops|-row log and the
+  * tombstone anti-join broadcast (bounded by deletes since last
+  * compaction). Nothing corpus-sized is scanned or shuffled on either
+  * path.
   */
 final class Bm25Index(
     spark: SparkSession,
     cat: Catalog,
     buckets: Int = 64,
     k1: Double = 1.2,
-    b: Double = 0.75) {
+    b: Double = 0.75,
+    // admission batches above this many keys fall back from the
+    // broadcast probe to the shuffle anti-join (backfill-sized batches
+    // genuinely want the shuffle)
+    maxProbeIds: Long = 4L * 1024 * 1024) {
   import Bm25Index._
+
+  private val log = new OpLog(spark, cat, "ops", statsPayload)
 
   def ensure(): Unit = {
     cat.ensurePartitionedTable("postings", postSchema, Seq("bk"))
-    cat.ensureTable("doc_lengths", dlSchema)
+    cat.ensurePartitionedTable("doc_lengths", dlSchema, Seq("rk"))
     cat.ensureTable("tombstones", tombSchema)
-    cat.ensureTable("ops", opsSchema)
+    log.ensure()
   }
 
   private def postings: DataFrame = cat.readWithSchema("postings", postSchema)
   private def registry: DataFrame = cat.readWithSchema("doc_lengths", dlSchema)
   private def tombs: DataFrame = cat.readWithSchema("tombstones", tombSchema)
-  private def ops: DataFrame = cat.readWithSchema("ops", opsSchema)
 
   /** Unconditional crash-window healing, run at EVERY op/serve entry
     * before any table is probed or read. Two windows it closes, both
     * fatal if a probe ran first:
-    *  - a crash inside a postings compaction's swap (between move-aside
-    *    and move-in) leaves a bucket partition's only copy in the
-    *    staging dir; scrubOp's per-seq bk probe would then see no rows
+    *  - a crash inside a partitioned compaction's swap (between
+    *    move-aside and move-in) leaves a partition's only copy in the
+    *    staging dir; scrubOp's per-seq probe would then see no rows
     *    for the crashed seq, skip the scrub, and the redo's append
     *    would recreate the partition dir — after which the next
     *    compaction's staging delete destroys the orphaned committed
     *    rows of OTHER ops permanently;
-    *  - a crash inside a registry/tombstone replaceTable (between
+    *  - a crash inside the tombstone table's replaceTable (between
     *    move-aside and swap-in) leaves the live dir missing, and every
     *    subsequent read throws path-not-found before any code path
     *    would reach recovery — wedging the pipeline.
@@ -99,78 +104,36 @@ final class Bm25Index(
     * running them per op is noise next to the op's own work. */
   private def heal(): Unit = {
     cat.recoverCompaction("postings", "bk")
-    cat.recoverReplace("doc_lengths")
+    cat.recoverCompaction("doc_lengths", "rk")
     cat.recoverReplace("tombstones")
   }
 
-  /** Commit rows only (attempt rows carry null stats). */
-  private def committed: DataFrame =
-    ops.filter(F.col("n_docs").isNotNull)
-
-  /** One probe for both replay flags: ≤ |attempts-for-this-seq|+1 tiny
-    * rows answer "already committed?" and "did a prior attempt crash?"
-    * in a single job. */
-  private def opState(seq: Long): (Boolean, Boolean) = {
-    val rows = ops.filter(F.col("seq") === seq).select("n_docs").collect()
-    (rows.exists(!_.isNullAt(0)), rows.nonEmpty)
-  }
-
-  /** Attempt marker, written BEFORE an op's first data append: on the
-    * happy path (no marker) no prior attempt can have written anything,
-    * so the per-table [[hasSeq]] probes are skipped entirely. Duplicate
-    * attempt rows from replays are harmless (existence-only, null
-    * stats). */
-  private def beginAttempt(seq: Long): Unit =
-    cat.append("ops", oneRow(Row(seq, null, null), opsSchema))
-
-  /** Commit = the op's additive stats row, one atomic append. `stats`
-    * must be a 1-row (n_docs, total_dl) frame. */
-  private def commitOp(seq: Long, stats: DataFrame): Unit =
-    cat.append("ops",
-      stats.select(F.lit(seq).as("seq"),
-        F.col("n_docs").cast("long").as("n_docs"),
-        F.col("total_dl").cast("long").as("total_dl")))
-
   /** Crashed-replay rollback: remove EVERY row the crashed attempt may
     * have written (its `seq` stamp) from the data tables, so the redo
-    * appends against a clean slate. This is deliberately NOT a
-    * probe-and-skip (`does the table already hold this seq?`): a
-    * multi-file append job is not atomic under a crash DURING job
-    * commit — the committer can have moved a subset of task files into
-    * the table — so presence of some rows does not prove presence of
-    * all, and skipping on a partial append would silently lose the
-    * rest. Scrub-then-redo is idempotent under repeated crashes (a
-    * partial scrub just leaves fewer rows for the next scrub) and runs
-    * ONLY on replays whose attempt marker says a prior attempt may have
-    * written. Postings scrub rewrites exactly the bucket partitions
-    * holding the seq (bounded probe, partition-local rewrite); the
-    * sidecars are |corpus-registry|- and |tombstone|-sized flat tables
-    * behind the crash-safe [[graft.sources.Catalog.replaceTable]]. */
+    * appends against a clean slate (see [[OpLog]] for why
+    * scrub-then-redo, not probe-and-skip). Each scrub probes which
+    * partitions hold the seq (bounded: ≤ `buckets` values) and
+    * rewrites exactly those; the flat tombstone table goes through the
+    * crash-safe [[graft.sources.Catalog.replaceTable]]. */
   private def scrubOp(seq: Long): Unit = {
-    val bks = postings.filter(F.col("seq") === seq)
-      .select("bk").distinct().collect().map(_.getInt(0).toString).toSeq
-    if (bks.nonEmpty)
-      cat.compactPartitioned("postings", "bk", postSchema,
-        maxFilesPerPartition = Int.MaxValue,
-        transform = df => df.filter(F.col("seq") =!= seq),
-        forceValues = bks)
-    if (!registry.filter(F.col("seq") === seq).isEmpty)
-      cat.replaceTable("doc_lengths", registry.filter(F.col("seq") =!= seq))
+    cat.scrubSeqs("postings", "bk", postSchema, Seq(seq))
+    cat.scrubSeqs("doc_lengths", "rk", dlSchema, Seq(seq))
     if (!tombs.filter(F.col("seq") === seq).isEmpty)
       cat.replaceTable("tombstones", tombs.filter(F.col("seq") =!= seq))
   }
 
-  private def oneRow(row: Row, schema: StructType): DataFrame =
-    spark.createDataFrame(java.util.List.of(row), schema)
-
   private def bucketOf = F.pmod(F.xxhash64(F.col("term")), F.lit(buckets.toLong))
     .cast("int")
 
-  /** The state as of BEFORE op `seq` — rows of this very op excluded, so
-    * a crash replay recomputes the identical admitted/victim set no
-    * matter which appends already landed. */
-  private def preOp(df: DataFrame, seq: Long): DataFrame =
-    df.filter(F.col("seq") < seq)
+  private def rkOf = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(buckets.toLong))
+    .cast("int")
+
+  /** The LIVE registry as of the committed ops: committed generations
+    * minus committed tombstones. Uncommitted (crashed / in-flight)
+    * rows never influence admission or victim selection — the property
+    * that makes replay-under-a-new-seq converge. */
+  private def liveRegistry: DataFrame =
+    Tombstones.live(log.visible(registry), log.visible(tombs))
 
   /** Ingest one batch of (doc_id, text) as op `seq` — the foreachBatch
     * body. Insert-if-absent against the LIVE registry: an id currently
@@ -180,27 +143,36 @@ final class Bm25Index(
     */
   def ingest(batch: DataFrame, seq: Long): Unit = {
     heal()
-    val (done, crashed) = opState(seq)
+    val (done, crashed) = log.state(seq)
     if (done) return
-    beginAttempt(seq)
+    log.beginAttempt(seq)
     if (crashed) scrubOp(seq)
-    val liveReg = Tombstones.live(preOp(registry, seq), preOp(tombs, seq))
-    val admitted = batch
+    val deduped = batch
       .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
       // duplicate ids within one batch resolve to the lexicographically
       // greatest text — an arbitrary but DETERMINISTIC winner
       // (dropDuplicates keeps whichever row a partition scan meets
       // first, which need not repeat across a crash replay)
       .groupBy("doc_id").agg(F.max("text").as("text"))
-      .join(liveReg.select("doc_id"), Seq("doc_id"), "leftanti")
-      .localCheckpoint() // referenced by all three appends below
+      .localCheckpoint() // reused: probe + admission + appends
+    // ONE tiny job answers both admission questions: the batch's
+    // id-hash partition values (≤ `buckets` ints — prunes the registry
+    // scan) and its key count (guards the broadcast probe)
+    val probe = deduped
+      .agg(F.collect_set(rkOf).as("rks"), F.count(F.lit(1)).as("n")).head()
+    val rks = probe.getSeq[Int](0)
+    val pruned = liveRegistry.filter(F.col("rk").isin(rks: _*)).select("doc_id")
+    val admitted = (
+        if (probe.getLong(1) > maxProbeIds) Upsert.newRows(deduped, pruned, "doc_id")
+        else Upsert.newRowsViaProbe(deduped, pruned, "doc_id"))
+      .localCheckpoint() // referenced by both appends below
     val dls = Retrieval.docLengths(admitted).withColumn("seq", F.lit(seq))
     cat.appendPartitioned("postings",
       Retrieval.postingsWithDl(admitted)
         .withColumn("seq", F.lit(seq)).withColumn("bk", bucketOf),
       Seq("bk"))
-    cat.append("doc_lengths", dls)
-    commitOp(seq, dls.agg(
+    cat.appendPartitioned("doc_lengths", dls.withColumn("rk", rkOf), Seq("rk"))
+    log.commit(seq, dls.agg(
       F.count(F.lit(1)).as("n_docs"),
       F.coalesce(F.sum("dl"), F.lit(0L)).as("total_dl")))
   }
@@ -209,39 +181,108 @@ final class Bm25Index(
     * and count them out of the additive stats (the commit row carries
     * the NEGATIVE contribution). Ids not currently live are ignored
     * (deleting twice, or deleting a never-ingested id, is a no-op).
-    * Exactly-once under replay.
+    * Exactly-once under replay; pass [[nextSeq]] when the caller does
+    * not manage its own sequence.
     */
   def delete(ids: DataFrame, seq: Long): Unit = {
     heal()
-    val (done, crashed) = opState(seq)
+    val (done, crashed) = log.state(seq)
     if (done) return
-    beginAttempt(seq)
+    log.beginAttempt(seq)
     if (crashed) scrubOp(seq)
-    val victims = Tombstones.live(preOp(registry, seq), preOp(tombs, seq))
-      .join(ids.select(F.col("doc_id").cast("long").as("doc_id"))
-        .dropDuplicates("doc_id"), Seq("doc_id"), "leftsemi")
+    val idsD = ids.select(F.col("doc_id").cast("long").as("doc_id"))
+      .dropDuplicates("doc_id")
+      .localCheckpoint() // reused: rk probe + victim join
+    // prune the registry scan to the delete set's id-hash partitions
+    // (≤ `buckets` values); join strategy is left to AQE — a takedown
+    // batch is usually broadcast-sized but need not be
+    val rks = idsD.select(rkOf.as("rk")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val victims = liveRegistry.filter(F.col("rk").isin(rks: _*))
+      .join(idsD, Seq("doc_id"), "leftsemi")
       .localCheckpoint() // referenced by both appends below
     cat.append("tombstones",
       victims.select(F.col("doc_id"), F.lit(seq).as("seq")))
-    commitOp(seq, victims.agg(
+    log.commit(seq, victims.agg(
         F.count(F.lit(1)).as("n"),
         F.coalesce(F.sum("dl"), F.lit(0L)).as("sdl"))
       .select((-F.col("n")).as("n_docs"), (-F.col("sdl")).as("total_dl")))
   }
 
+  /** The next free op seq — one |ops|-row probe. */
+  def nextSeq: Long = { heal(); log.nextBaseSeq }
+
+  /** REPLACE one batch of (doc_id, text) as ONE exactly-once op — the
+    * reference's `ON CONFLICT DO UPDATE` arm in a single statement.
+    * Every batch doc lands as generation `seq`; any batch id currently
+    * live is simultaneously tombstoned AT `seq`, which kills its older
+    * generations but not the op's own rows (tombstones kill strictly
+    * OLDER generations — [[graft.operators.Tombstones]]). One attempt
+    * marker, one commit row carrying the NET additive stats delta
+    * (+new docs +new dl −killed docs −killed dl), so the
+    * delete+re-ingest choreography the del twin runs as TWO ops
+    * collapses to one: half the op-log traffic, no window where the
+    * old generation is gone and the new one not yet committed — a
+    * crashed replace is invisible in FULL, not per-half. Replays
+    * converge by the standard scrub-then-redo.
+    */
+  def replace(batch: DataFrame, seq: Long): Unit = {
+    heal()
+    val (done, crashed) = log.state(seq)
+    if (done) return
+    log.beginAttempt(seq)
+    if (crashed) scrubOp(seq)
+    val deduped = batch
+      .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
+      .groupBy("doc_id").agg(F.max("text").as("text"))
+      .localCheckpoint() // reused: probe + victims + appends
+    val rks = deduped.select(rkOf.as("rk")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // the batch ids' currently-live generations: these die at `seq`
+    // (their dl leaves the global stats); the probe shape is the same
+    // zero-state-shuffle admission plan, semi instead of anti
+    val victims = liveRegistry.filter(F.col("rk").isin(rks: _*))
+      .join(F.broadcast(deduped.select("doc_id")), Seq("doc_id"), "leftsemi")
+      .localCheckpoint() // referenced by tombstone append + stats
+    val dls = Retrieval.docLengths(deduped).withColumn("seq", F.lit(seq))
+    cat.appendPartitioned("postings",
+      Retrieval.postingsWithDl(deduped)
+        .withColumn("seq", F.lit(seq)).withColumn("bk", bucketOf),
+      Seq("bk"))
+    cat.appendPartitioned("doc_lengths", dls.withColumn("rk", rkOf), Seq("rk"))
+    cat.append("tombstones",
+      victims.select(F.col("doc_id"), F.lit(seq).as("seq")))
+    // ONE commit row carries the net delta: adds minus kills
+    val added = dls.agg(
+      F.count(F.lit(1)).as("an"), F.coalesce(F.sum("dl"), F.lit(0L)).as("adl"))
+    val killed = victims.agg(
+      F.count(F.lit(1)).as("kn"), F.coalesce(F.sum("dl"), F.lit(0L)).as("kdl"))
+    log.commit(seq, added.crossJoin(killed) // 1-row × 1-row
+      .select((F.col("an") - F.col("kn")).as("n_docs"),
+        (F.col("adl") - F.col("kdl")).as("total_dl")))
+  }
+
   /** A continuous ingestion stream: each micro-batch runs [[ingest]] at
-    * `baseSeq + batchId`. A restarted stream (fresh checkpoint) must be
-    * given a `baseSeq` above every committed seq. */
+    * `base + batchId`, where `base` is DERIVED from the op log's
+    * high-water mark at writer construction — so a restarted stream
+    * (from its checkpoint or from scratch) can never collide with a
+    * committed op. A caller-supplied `baseSeq` is validated loudly
+    * against the same mark instead of silently no-opping every batch.
+    * Replayed in-flight batches run under the new base's seq and
+    * converge via committed-only reads (class doc). */
   def writer(
       docs: DataFrame,
       checkpoint: String,
-      baseSeq: Long): DataStreamWriter[Row] =
+      baseSeq: Option[Long] = None): DataStreamWriter[Row] = {
+    heal()
+    val base = baseSeq.map(log.requireFreshBase).getOrElse(log.nextBaseSeq)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingest(batch, baseSeq + id)
+        ingest(batch, base + id)
       }
+  }
 
   /** Top-k BM25 over the CURRENT live corpus, served purely from the
     * index — bit-equal to [[Retrieval.bm25TopK]] over the equivalent
@@ -257,16 +298,10 @@ final class Bm25Index(
       F.pmod(F.xxhash64(F.lit(t)), F.lit(buckets.toLong)).cast("int").as(t)): _*)
       .head()
     val bks = terms.indices.map(bkRow.getInt).distinct
-    // the op log is |ops|-row — every join against it is a broadcast
-    // semi, never a shuffle
-    val commitSeqs = committed.select("seq")
-    val committedTombs =
-      tombs.join(F.broadcast(commitSeqs), Seq("seq"), "leftsemi")
     val hits = Tombstones.live(
-      postings
-        .filter(F.col("bk").isin(bks: _*) && F.col("term").isin(terms: _*))
-        .join(F.broadcast(commitSeqs), Seq("seq"), "leftsemi"),
-      committedTombs)
+      log.visible(postings
+        .filter(F.col("bk").isin(bks: _*) && F.col("term").isin(terms: _*))),
+      log.visible(tombs))
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       F.coalesce(F.sum(F.when(F.col("term") === t, F.col("tf"))), F.lit(0L))
         .as(s"tf$i")
@@ -279,49 +314,93 @@ final class Bm25Index(
     val dfs = hits.agg(dfAggs.head, dfAggs.tail: _*)
     // global stats = the additive op-log sum; attempt rows are null and
     // contribute nothing
-    val global = ops
+    val global = log.rows
       .agg(F.coalesce(F.sum("n_docs"), F.lit(0L)).as("n_docs"),
         F.coalesce(F.sum("total_dl"), F.lit(0L)).as("total_dl"))
       .crossJoin(dfs) // 1-row × 1-row scalar spine
     Retrieval.bm25Score(base, global, terms.size, k1, b, k)
   }
 
-  /** Maintenance: physically apply the COMMITTED tombstones (rewrite
-    * exactly the bucket partitions holding dead generations, plus any
-    * partition over the small-file threshold), rewrite the registry
-    * minus dead rows, and clear the applied tombstones. On a
-    * tombstone-free index all of that degenerates to pure small-file
+  /** Top-k BM25 for a BATCH of queries — production retrieval serves
+    * query batches, not one literal term set. `queries` is a bounded
+    * (query_id, term) frame; the pruned postings are scanned ONCE for
+    * all queries and every query-sized set broadcasts:
+    *  1. partition-prune the postings scan to the batch's term-hash
+    *     buckets (one tiny collect, ≤ `buckets` values) and semi-join
+    *     it against the broadcast term set — the index side is never
+    *     shuffled;
+    *  2. per-term df is a |terms|-row aggregate of those live rows,
+    *     broadcast back; global (n_docs, total_dl) is the |ops|-row
+    *     log sum;
+    *  3. each (query term × live posting) hit carries its BM25
+    *     contribution — the identical IEEE expression tree as
+    *     [[Retrieval.bm25Score]] — and a doc's score folds the
+    *     contributions in ASCENDING TERM ORDER (array_sort + aggregate,
+    *     a deterministic left fold), so the sum never reassociates
+    *     across partitions and stays bit-reproducible;
+    *  4. rank is a per-query window (score desc, doc_id), top-k each.
+    * Returns (query_id, doc_id, score, rank).
+    */
+  def serveBatch(queries: DataFrame, k: Int = 20): DataFrame = {
+    heal()
+    val q = queries
+      .select(F.col("query_id").cast("long").as("query_id"), F.col("term"))
+      .dropDuplicates("query_id", "term")
+      .localCheckpoint() // reused: bk probe + term set + hit join
+    val bks = q.select(F.pmod(F.xxhash64(F.col("term")), F.lit(buckets.toLong))
+        .cast("int").as("bk")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val qterms = q.select("term").distinct()
+    val live = Tombstones.live(
+      log.visible(postings.filter(F.col("bk").isin(bks: _*))
+        .join(F.broadcast(qterms), Seq("term"), "leftsemi")),
+      log.visible(tombs))
+    // one live row per (term, doc): df = per-term row count
+    val dfs = live.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val global = log.rows
+      .agg(F.coalesce(F.sum("n_docs"), F.lit(0L)).as("n_docs"),
+        F.coalesce(F.sum("total_dl"), F.lit(0L)).as("total_dl"))
+    val hits = live.join(F.broadcast(q), Seq("term"))
+      .join(F.broadcast(dfs), Seq("term"))
+      .crossJoin(F.broadcast(global))
+    val n = F.col("n_docs")
+    val avgdl = F.col("total_dl").cast("double") / n
+    val idf = (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    val contrib = idf * (F.col("tf") * F.lit(k1 + 1)) /
+      (F.col("tf") + F.lit(k1) *
+        (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+    val scored = hits
+      .select(F.col("query_id"), F.col("doc_id"), F.col("term"),
+        contrib.as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("c")))),
+        F.lit(0.0), (acc, x) => acc + x("c")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("score").desc, F.col("doc_id"))
+    scored
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Maintenance: physically apply the COMMITTED tombstones and scrub
+    * abandoned-attempt garbage (rewriting exactly the partitions
+    * holding affected rows, plus any partition over the small-file
+    * threshold), then clear exactly the tombstones that were applied.
+    * On a clean index all of that degenerates to pure small-file
     * compaction — no no-op table rewrites. Serve-transparent by
     * construction: the logical live-filter over the pre-compaction
     * layout and the physical layout afterwards describe the same rows.
-    * Tombstones of UNCOMMITTED ops (a crashed delete awaiting replay)
-    * are left untouched so the replay still sees its pre-op state.
+    * Tombstones of UNCOMMITTED ops that may still replay (at the op
+    * log's high-water mark) are left untouched.
     */
   def compact(maxFilesPerPartition: Int = 2): Unit = {
     heal()
-    val committedTombs = tombs
-      .join(F.broadcast(committed.select("seq")), Seq("seq"), "leftsemi")
-      .localCheckpoint() // small; referenced by probe + transform + clear
-    val haveTombs = !committedTombs.isEmpty
-    // partitions holding dead rows: a bounded probe (≤ `buckets` values)
-    val deadBks =
-      if (!haveTombs) Nil
-      else postings
-        .join(F.broadcast(Tombstones.lastSeq(committedTombs)), Seq("doc_id"))
-        .filter(F.col("seq") <= F.col("__tomb_seq"))
-        .select("bk").distinct().collect().map(_.getInt(0).toString).toSeq
-    cat.compactPartitioned("postings", "bk", postSchema,
-      maxFilesPerPartition = maxFilesPerPartition,
-      transform =
-        if (haveTombs) df => Tombstones.live(df, committedTombs)
-        else identity,
-      forceValues = deadBks)
-    if (haveTombs) {
-      cat.replaceTable("doc_lengths",
-        Tombstones.live(registry, committedTombs))
-      cat.replaceTable("tombstones",
-        tombs.join(committed.select("seq"), Seq("seq"), "leftanti"))
-    }
+    Generations.compact(cat, log, "tombstones", tombSchema, "doc_id",
+      Seq(Generations.Stamped("postings", "bk", postSchema, "doc_id"),
+        Generations.Stamped("doc_lengths", "rk", dlSchema, "doc_id")),
+      maxFilesPerPartition)
   }
 }
 
@@ -329,9 +408,11 @@ object Bm25Index {
   val postSchema: StructType = StructType.fromDDL(
     "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, seq BIGINT, bk INT")
   val dlSchema: StructType = StructType.fromDDL(
-    "doc_id BIGINT, dl BIGINT, seq BIGINT")
+    "doc_id BIGINT, dl BIGINT, seq BIGINT, rk INT")
   val tombSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, seq BIGINT")
+  val statsPayload: StructType = StructType.fromDDL(
+    "n_docs BIGINT, total_dl BIGINT")
   val opsSchema: StructType = StructType.fromDDL(
     "seq BIGINT, n_docs BIGINT, total_dl BIGINT")
 }

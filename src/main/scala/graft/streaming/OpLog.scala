@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, functions => F}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.sources.Catalog
+
+/** The exactly-once operation log shared by every incrementally
+  * maintained index (BM25 postings, the dedup corpus/bucket pair, the
+  * IVF-PQ codes table) — the generalized form of the protocol the BM25
+  * index introduced, factored out so all three families replay
+  * identically instead of each hand-rolling a weaker probe-and-skip.
+  *
+  * One |ops|-row table `(seq, <payload...>)` carries three duties:
+  *  - an ATTEMPT row `(seq, null, ...)` lands BEFORE an op's first data
+  *    append, so a replay can tell "nothing was ever written" (no row —
+  *    skip all scrub probes) from "a prior attempt may have written"
+  *    (row present — scrub every data row carrying `seq`, then redo);
+  *  - the COMMIT row carries the op's payload (additive stats for BM25,
+  *    an admitted-row count for the others) with a NON-NULL first
+  *    payload column — committing the op and recording its contribution
+  *    is ONE atomic append, so there is no window where marker and
+  *    stats disagree;
+  *  - the committed `seq` set is the READ authority: admission, victim
+  *    selection, and serving join data tables semi against
+  *    [[committedSeqs]] (|ops|-row, always broadcast), so a crashed
+  *    half-written op is INVISIBLE everywhere until its replay commits
+  *    it. That committed-only discipline is what makes seq assignment
+  *    free: a replayed batch may run under a brand-new seq (a restarted
+  *    stream with a derived base) and still converge, because the
+  *    crashed attempt's partial rows never influenced any decision.
+  *
+  * Scrub-then-redo rather than probe-and-skip: a multi-file append job
+  * is not atomic under a crash during job commit (a subset of task
+  * files can land), so presence of SOME of an op's rows proves nothing
+  * about the rest — skipping on a partial append silently loses the
+  * missing rows forever. Scrubbing is idempotent under repeated
+  * crashes.
+  *
+  * Abandoned attempts (a stream that crashed mid-op and was restarted
+  * with a fresh derived base, so the old seq never replays) leave
+  * invisible garbage rows in the data tables; [[garbageSeqs]] names
+  * them — every attempt with no commit below the committed high-water
+  * mark, safe to scrub at compaction under the single-writer
+  * maintenance discipline (ops execute in seq order, so a LIVE op's
+  * seq is always above every committed seq).
+  */
+final class OpLog(
+    spark: SparkSession,
+    cat: Catalog,
+    table: String,
+    payload: StructType) {
+
+  val schema: StructType = StructType(
+    StructField("seq", LongType, nullable = false) +:
+      payload.fields.map(_.copy(nullable = true)))
+
+  private val marker = payload.fields.head.name
+
+  def ensure(): Unit = cat.ensureTable(table, schema)
+
+  def rows: DataFrame = cat.readWithSchema(table, schema)
+
+  /** Commit rows only (attempt rows carry a null first payload col). */
+  def committed: DataFrame = rows.filter(F.col(marker).isNotNull)
+
+  /** The committed seq set — |ops|-row; always broadcast into joins. */
+  def committedSeqs: DataFrame = committed.select("seq")
+
+  /** Seqs currently OPEN: attempted, never committed — a crashed
+    * attempt awaiting replay, or an abandoned one awaiting GC. Tiny
+    * (bounded by crash count since last compaction). */
+  def openSeqs: DataFrame =
+    rows.groupBy("seq").agg(F.max(F.col(marker).isNotNull).as("done"))
+      .filter(!F.col("done")).select("seq")
+
+  /** Restrict `df` to rows of generations NOT currently open — the read
+    * discipline for admission, victim selection, and serving. A crashed
+    * half-written op's rows are invisible until its replay commits;
+    * rows of generations the log has never seen (an offline-built seed
+    * appended directly to the table) count as committed, because the
+    * attempt marker lands BEFORE any data append, so stream-written
+    * rows always have a log row. Seeders SHOULD still register their
+    * generation (one [[commit]]/[[commitCount]] row) so [[maxSeq]]
+    * derives bases above it and no future op can collide with — and
+    * scrub — the seeded generation. */
+  def visible(df: DataFrame, seqCol: String = "seq"): DataFrame =
+    df.join(F.broadcast(openSeqs.withColumnRenamed("seq", seqCol)),
+      Seq(seqCol), "leftanti")
+
+  /** One probe for both replay flags: ≤ |rows-for-this-seq| tiny rows
+    * answer "already committed?" and "did a prior attempt write?" in a
+    * single job. */
+  def state(seq: Long): (Boolean, Boolean) = {
+    val r = rows.filter(F.col("seq") === seq).select(marker).collect()
+    (r.exists(!_.isNullAt(0)), r.nonEmpty)
+  }
+
+  /** Attempt marker, written BEFORE the op's first data append.
+    * Duplicate attempt rows from replays are harmless (existence-only,
+    * null payload). */
+  def beginAttempt(seq: Long): Unit =
+    cat.append(table, spark.createDataFrame(
+      java.util.List.of(Row.fromSeq(seq +: payload.fields.map(_ => null).toSeq)),
+      schema))
+
+  /** Commit = the op's payload row, one atomic append. `stats` must be
+    * a 1-row frame whose columns match the payload (first column
+    * non-null). */
+  def commit(seq: Long, stats: DataFrame): Unit =
+    cat.append(table, stats.select(
+      F.lit(seq).as("seq") +: payload.fields.map(f =>
+        F.col(f.name).cast(f.dataType).as(f.name)): _*))
+
+  /** Commit with a bare count payload (single-long-payload logs). */
+  def commitCount(seq: Long, n: Long): Unit = {
+    require(payload.fields.length == 1, "commitCount needs a 1-col payload")
+    cat.append(table, spark.createDataFrame(
+      java.util.List.of(Row(seq, n)), schema))
+  }
+
+  /** Highest seq EVER ATTEMPTED (committed or not) — the derived-base
+    * authority: a new stream's base above this can never collide with
+    * a committed op (silent no-op) nor an abandoned attempt. */
+  def maxSeq: Option[Long] =
+    Option(rows.agg(F.max("seq")).head().get(0)).map(_.asInstanceOf[Long])
+
+  /** Base seq for a new stream: one |ops|-row probe instead of trusting
+    * the caller to remember what was committed. */
+  def nextBaseSeq: Long = maxSeq.map(_ + 1L).getOrElse(0L)
+
+  /** Validate a caller-supplied base loudly instead of letting a stale
+    * one silently no-op every batch against the committed short-circuit. */
+  def requireFreshBase(base: Long): Long = {
+    val mx = maxSeq
+    require(mx.forall(base > _),
+      s"base seq $base is not above the op log's high-water mark ${mx.getOrElse(-1L)}: " +
+        "a fresh stream reusing an attempted seq would silently drop its batches " +
+        "(omit the base to derive one)")
+    base
+  }
+
+  /** Seqs of ABANDONED attempts: attempted, never committed, below the
+    * committed high-water mark — their data rows are invisible
+    * everywhere (committed-only reads) and safe to scrub at
+    * compaction. An in-flight op is never below the mark because ops
+    * execute in seq order (single-writer discipline). */
+  def garbageSeqs: Seq[Long] = {
+    val r = rows.groupBy("seq")
+      .agg(F.max(F.col(marker).isNotNull).as("done"))
+      .collect()
+    val hwm = r.filter(_.getBoolean(1)).map(_.getLong(0))
+    if (hwm.isEmpty) Nil
+    else {
+      val mark = hwm.max
+      r.filter(x => !x.getBoolean(1) && x.getLong(0) < mark)
+        .map(_.getLong(0)).toSeq
+    }
+  }
+}
+
+object OpLog {
+  /** Payload for logs that only need an admitted-row count. */
+  val countPayload: StructType = StructType.fromDDL("n_rows BIGINT")
+}

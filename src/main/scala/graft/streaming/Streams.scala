@@ -119,7 +119,9 @@ object Streams {
       maxContaminated: Long = 1,
       redactPii: Boolean = false,
       tombTable: Option[String] = None,
-      baseSeq: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] = {
+      baseSeq: Option[Long] = None,
+      stateBuckets: Int = 16,
+      maxProbeIds: Long = 4L * 1024 * 1024): DataStreamWriter[org.apache.spark.sql.Row] = {
     // the benchmark's distinct-gram set is computed ONCE for the
     // stream's lifetime and materialized (an eval set is MBs — the
     // same vocabulary-sized-only checkpoint policy as the ANN index
@@ -130,161 +132,278 @@ object Streams {
       benchmark.map(b =>
         graft.operators.Hygiene.benchGrams(b, contaminationNgram, "text")
           .localCheckpoint())
-    docs.writeStream
+    // hygiene gate BEFORE any shingle/bucket work: a contaminated doc
+    // must never reach the corpus, the index, or the dedup verdicts
+    // (its buckets could otherwise reject a clean doc); redaction runs
+    // BEFORE bucketing so the persisted index and the persisted text
+    // describe the SAME string — a later dup of the redacted form must
+    // both probe and verify against it
+    def hygiene(freshIds: DataFrame): DataFrame = {
+      val decontaminated = cachedBenchGrams match {
+        case Some(g) => graft.operators.Hygiene.decontaminateByGrams(
+          freshIds, g, contaminationNgram, maxContaminated)
+        case None => freshIds
+      }
+      if (redactPii)
+        decontaminated.withColumn("text",
+          graft.operators.Hygiene.redactPii(F.col("text")))
+      else decontaminated
+    }
+    // the screening core shared by both modes: LSH-probe the persisted
+    // bucket index, verify by exact shingle Jaccard, resolve who loses
+    // (corpus always beats batch; of a batch-batch pair the greater id
+    // loses — the same min-id-wins rule as batch dedup). Returns the
+    // batch's bucket rows and the admitted docs.
+    def screen(
+        fresh: DataFrame,
+        corpus: DataFrame,
+        liveBuckets: DataFrame): (DataFrame, DataFrame) = {
+      import graft.operators.Dedup
+      val newBuckets = Dedup.bucketTableMd5(
+          fresh, "text", "doc_id", shingleLen, numHashes, bands)
+        .localCheckpoint(false) // reused: candidate probe + index append
+      val cands = Dedup.incrementalCandidatesFromBuckets(
+          newBuckets, liveBuckets, maxBucketSize)
+        // EAGER: the hub frame — five downstream references; a
+        // materialized (tiny) pair set cuts every later plan's lineage
+        // to an ExistingRDD, keeping per-batch Catalyst work flat
+        .localCheckpoint()
+      val pairIds = cands.select(F.col("a").as("doc_id"))
+        .union(cands.select(F.col("b").as("doc_id"))).distinct()
+      // verify texts: the batch plus ONLY corpus docs in some pair
+      val texts = fresh.select("doc_id", "text").union(
+        corpus.select("doc_id", "text")
+          .join(pairIds, Seq("doc_id"), "leftsemi"))
+      val verified = Dedup.verifyJaccardPairs(cands, texts,
+          "text", "doc_id", shingleLen, minJaccardNum, minJaccardDen)
+        .select("a", "b")
+      // which pair members are corpus docs decides who gets rejected
+      // tiny (bounded by the pair id set); referenced twice below but
+      // deliberately NOT checkpointed: with cands materialized its
+      // subtree is one pruned id-column scan — recomputing it costs
+      // less than another per-batch planning pass + job
+      val inCorpus = corpus.select("doc_id")
+        .join(pairIds, Seq("doc_id"), "leftsemi")
+      val rejected = verified
+        .join(inCorpus.select(F.col("doc_id").as("a"),
+          F.lit(true).as("ac")), Seq("a"), "left")
+        .join(inCorpus.select(F.col("doc_id").as("b"),
+          F.lit(true).as("bc")), Seq("b"), "left")
+        .select(
+          F.when(F.coalesce(F.col("ac"), F.lit(false)),
+              F.col("b")) // corpus a rejects batch b
+            .when(F.coalesce(F.col("bc"), F.lit(false)),
+              F.col("a")) // corpus b rejects batch a
+            .otherwise(F.greatest(F.col("a"), F.col("b"))) // batch pair
+            .as("doc_id"))
+        .distinct()
+      val admitted = fresh.join(rejected, Seq("doc_id"), "leftanti")
+        .localCheckpoint(false) // reused: bucket filter + corpus append
+      (newBuckets, admitted)
+    }
+    val writer = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.operators.Dedup
-        // heal any replaceTable crash window BEFORE the first read: a
-        // maintenance compaction that died between move-aside and
-        // swap-in leaves a table's live dir missing, and every read
-        // below would throw path-not-found until someone ran recovery
-        // by hand (idempotent fs-metadata probes, no jobs)
-        catalog.recoverReplace(corpusTable)
-        catalog.recoverReplace(bucketTable)
-        tombTable.foreach(catalog.recoverReplace)
-        // tombstone-aware mode (`tombTable`): corpus and bucket rows are
-        // generation-stamped (seq = baseSeq + batchId), every read below
-        // sees only LIVE generations, and appends carry the stamp — so a
-        // deleted doc stops rejecting near-dups, frees its id for
-        // re-ingest, and its dead bucket rows wait for
-        // [[compactDocDedup]] to scrub them physically
-        val tombDf = tombTable.map(tt => catalog.read(tt))
-        def liveC(df: DataFrame) = tombDf
-          .map(td => graft.operators.Tombstones.live(df, td, "doc_id"))
-          .getOrElse(df)
-        def liveB(df: DataFrame) = tombDf
-          .map(td => graft.operators.Tombstones.live(
-            df, td.withColumnRenamed("doc_id", "id"), "id"))
-          .getOrElse(df)
-        def stamp(df: DataFrame) = tombTable match {
-          case Some(_) => df.withColumn("seq", F.lit(baseSeq + batchId))
-          case None => df
+    tombTable match {
+      case None =>
+        // append-only mode on flat tables: probe-and-skip replay
+        // idempotence (the bucket re-append anti-joins already-bucketed
+        // ids). ASSUMES ATOMIC APPEND JOBS: without generation stamps
+        // there is nothing to scrub, so a crash DURING a multi-file
+        // append commit (a subset of task files landed) can strand a
+        // doc with partial bucket rows. The tombstone-aware mode below
+        // runs the full OpLog scrub-then-redo protocol and does not
+        // carry this assumption; prefer it in production.
+        //
+        // Crash-window consistency (the two appends are not one atomic
+        // commit): ADMISSION AUTHORITY IS THE CORPUS (the id
+        // anti-join), the bucket table is a probe index. Buckets are
+        // written FIRST, so a crash between the writes leaves the index
+        // LEADING the corpus, never trailing it: on replay the batch
+        // re-admits (ids absent from the corpus), its stale bucket rows
+        // produce only self-pairs (filtered) or pairs the batch-batch
+        // rule resolves identically, and the bucket re-append
+        // anti-joins already-bucketed ids so replays never duplicate
+        // index rows. The reverse order would silently strand admitted
+        // docs without buckets — invisible to every future probe.
+        writer.foreachBatch { (batch: DataFrame, _: Long) =>
+          catalog.recoverReplace(corpusTable)
+          catalog.recoverReplace(bucketTable)
+          val corpus = catalog.read(corpusTable)
+          // pairs are strictly a < b, so a re-dropped id can never pair
+          // with itself — id-level admission must happen first
+          val fresh = hygiene(Upsert.newRows(batch, corpus, "doc_id"))
+          val liveBuckets = catalog.read(bucketTable)
+          val (newBuckets, admitted) = screen(fresh, corpus, liveBuckets)
+          val alreadyBucketed = liveBuckets.select("id")
+            .join(newBuckets.select("id").distinct(), Seq("id"), "leftsemi")
+          catalog.append(bucketTable, newBuckets
+            .join(admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi")
+            .join(alreadyBucketed, Seq("id"), "leftanti"))
+          catalog.append(corpusTable, admitted.select("doc_id", "text"))
         }
-        val corpus = liveC(catalog.read(corpusTable))
-        // pairs are strictly a < b, so a re-dropped id can never pair
-        // with itself — id-level admission must happen first
-        val freshIds = Upsert.newRows(batch, corpus, "doc_id")
-        // hygiene gate BEFORE any shingle/bucket work: a contaminated
-        // doc must never reach the corpus, the index, or the dedup
-        // verdicts (its buckets could otherwise reject a clean doc);
-        // redaction runs BEFORE bucketing so the persisted index and
-        // the persisted text describe the SAME string — a later dup of
-        // the redacted form must both probe and verify against it
-        val decontaminated = cachedBenchGrams match {
-          case Some(g) => graft.operators.Hygiene.decontaminateByGrams(
-            freshIds, g, contaminationNgram, maxContaminated)
-          case None => freshIds
+      case Some(tt) =>
+        // tombstone-aware mode: the production lifecycle. Corpus and
+        // bucket rows are generation-stamped and id-hash-partitioned
+        // (`pbk`), every read sees only COMMITTED live generations, and
+        // each micro-batch is one exactly-once [[OpLog]] op
+        // (attempt marker → scrub-then-redo → commit) — so a deleted
+        // doc stops rejecting near-dups, frees its id for re-ingest,
+        // replays never lose partial appends, and
+        // [[compactDocDedup]] scrubs dead generations physically,
+        // partition-locally.
+        val s = docs.sparkSession
+        ensureDedupIndexTables(catalog, corpusTable, bucketTable, tt)
+        val log = new OpLog(s, catalog, corpusTable + "_ops", OpLog.countPayload)
+        val base = baseSeq.map(log.requireFreshBase).getOrElse(log.nextBaseSeq)
+        def pbkOf(c: org.apache.spark.sql.Column) =
+          F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
+        writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // heal any crashed maintenance/scrub swap BEFORE the first
+          // probe or read (idempotent fs-metadata checks, no jobs)
+          catalog.recoverCompaction(corpusTable, "pbk")
+          catalog.recoverCompaction(bucketTable, "pbk")
+          catalog.recoverReplace(tt)
+          val seq = base + batchId
+          val (done, crashed) = log.state(seq)
+          if (!done) {
+            log.beginAttempt(seq)
+            if (crashed) {
+              catalog.scrubSeqs(corpusTable, "pbk", dedupCorpusSchema, Seq(seq))
+              catalog.scrubSeqs(bucketTable, "pbk", dedupBucketSchema, Seq(seq))
+            }
+            val tomb = log.visible(catalog.read(tt))
+            val corpus = graft.operators.Tombstones.live(
+              log.visible(
+                catalog.readWithSchema(corpusTable, dedupCorpusSchema)),
+              tomb, "doc_id")
+            val liveBuckets = graft.operators.Tombstones.live(
+              log.visible(
+                catalog.readWithSchema(bucketTable, dedupBucketSchema)),
+              tomb.withColumnRenamed("doc_id", "id"), "id")
+            // duplicate ids within one batch resolve deterministically
+            // (see Bm25Index.ingest)
+            val deduped = batch
+              .groupBy("doc_id").agg(F.max("text").as("text"))
+              .localCheckpoint() // reused: probe + admission + screen
+            // ONE tiny job: the batch's id-hash partition values (prunes
+            // the corpus-side admission scan) and its key count (guards
+            // the broadcast probe)
+            val probe = deduped.agg(
+              F.collect_set(pbkOf(F.col("doc_id"))).as("pbks"),
+              F.count(F.lit(1)).as("n")).head()
+            val pbks = probe.getSeq[Int](0)
+            val prunedIds = corpus
+              .filter(F.col("pbk").isin(pbks: _*)).select("doc_id")
+            val fresh = hygiene(
+              if (probe.getLong(1) > maxProbeIds)
+                Upsert.newRows(deduped, prunedIds, "doc_id")
+              else Upsert.newRowsViaProbe(deduped, prunedIds, "doc_id"))
+            val (newBuckets, admitted) = screen(fresh, corpus, liveBuckets)
+            catalog.appendPartitioned(bucketTable, newBuckets
+                .join(admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi")
+                .withColumn("seq", F.lit(seq))
+                .withColumn("pbk", pbkOf(F.col("id"))),
+              Seq("pbk"))
+            catalog.appendPartitioned(corpusTable, admitted
+                .select("doc_id", "text")
+                .withColumn("seq", F.lit(seq))
+                .withColumn("pbk", pbkOf(F.col("doc_id"))),
+              Seq("pbk"))
+            log.commitCount(seq, admitted.count())
+          }
         }
-        val fresh =
-          if (redactPii)
-            decontaminated.withColumn("text",
-              graft.operators.Hygiene.redactPii(F.col("text")))
-          else decontaminated
-        val newBuckets = Dedup.bucketTableMd5(
-            fresh, "text", "doc_id", shingleLen, numHashes, bands)
-          .localCheckpoint(false) // reused: candidate probe + index append
-        val cands = Dedup.incrementalCandidatesFromBuckets(
-            newBuckets, liveB(catalog.read(bucketTable)), maxBucketSize)
-          // EAGER: the hub frame — five downstream references; a
-          // materialized (tiny) pair set cuts every later plan's lineage
-          // to an ExistingRDD, keeping per-batch Catalyst work flat
-          .localCheckpoint()
-        val pairIds = cands.select(F.col("a").as("doc_id"))
-          .union(cands.select(F.col("b").as("doc_id"))).distinct()
-        // verify texts: the batch plus ONLY corpus docs in some pair
-        val texts = fresh.select("doc_id", "text").union(
-          corpus.select("doc_id", "text")
-            .join(pairIds, Seq("doc_id"), "leftsemi"))
-        val verified = Dedup.verifyJaccardPairs(cands, texts,
-            "text", "doc_id", shingleLen, minJaccardNum, minJaccardDen)
-          .select("a", "b")
-        // which pair members are corpus docs decides who gets rejected
-        // tiny (bounded by the pair id set); referenced twice below but
-        // deliberately NOT checkpointed: with cands materialized its
-        // subtree is one pruned id-column scan — recomputing it costs
-        // less than another per-batch planning pass + job
-        val inCorpus = corpus.select("doc_id")
-          .join(pairIds, Seq("doc_id"), "leftsemi")
-        val rejected = verified
-          .join(inCorpus.select(F.col("doc_id").as("a"),
-            F.lit(true).as("ac")), Seq("a"), "left")
-          .join(inCorpus.select(F.col("doc_id").as("b"),
-            F.lit(true).as("bc")), Seq("b"), "left")
-          .select(
-            F.when(F.coalesce(F.col("ac"), F.lit(false)),
-                F.col("b")) // corpus a rejects batch b
-              .when(F.coalesce(F.col("bc"), F.lit(false)),
-                F.col("a")) // corpus b rejects batch a
-              .otherwise(F.greatest(F.col("a"), F.col("b"))) // batch pair
-              .as("doc_id"))
-          .distinct()
-        val admitted = fresh.join(rejected, Seq("doc_id"), "leftanti")
-          .localCheckpoint(false) // reused: bucket filter + corpus append
-        // index first (see crash-window note above); idempotent under
-        // replay: ids already bucketed by a crashed attempt are skipped
-        val alreadyBucketed = liveB(catalog.read(bucketTable)).select("id")
-          .join(newBuckets.select("id").distinct(), Seq("id"), "leftsemi")
-        catalog.append(bucketTable, stamp(newBuckets
-          .join(admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi")
-          .join(alreadyBucketed, Seq("id"), "leftanti")))
-        catalog.append(corpusTable, stamp(admitted.select("doc_id", "text")))
-      }
+    }
+  }
+
+  /** Canonical layouts of the tombstone-aware dedup index family:
+    * corpus and bucket tables are generation-stamped (`seq`) and
+    * hive-partitioned by an id-hash bucket (`pbk`) so op scrubs and
+    * tombstone application rewrite only the partitions holding affected
+    * rows, and the per-batch admission scan prunes to the batch's
+    * buckets. */
+  val dedupCorpusSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, text STRING, seq BIGINT, pbk INT")
+  val dedupBucketSchema: StructType = StructType.fromDDL(
+    "id BIGINT, band INT, bk BIGINT, seq BIGINT, pbk INT")
+  val dedupTombSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, seq BIGINT")
+
+  def ensureDedupIndexTables(
+      catalog: Catalog,
+      corpusTable: String,
+      bucketTable: String,
+      tombTable: String): Unit = {
+    catalog.ensurePartitionedTable(corpusTable, dedupCorpusSchema, Seq("pbk"))
+    catalog.ensurePartitionedTable(bucketTable, dedupBucketSchema, Seq("pbk"))
+    catalog.ensureTable(tombTable, dedupTombSchema)
+    new OpLog(catalog.spark, catalog, corpusTable + "_ops",
+      OpLog.countPayload).ensure()
   }
 
   /** Delete documents from a tombstone-aware dedup corpus
-    * ([[streamingDocDedup]] with `tombTable`): tombstone the LIVE
-    * generations of `ids`. One tombstone row kills the doc's generation
-    * in BOTH the corpus and the bucket index (they were written by the
-    * same op, so they share the seq) — the deleted doc immediately
-    * stops rejecting near-duplicates, and its id is free for a fresh
-    * generation. Ids not live are ignored; replays are idempotent
-    * (duplicate tombstones are no-ops under the max-reduce).
+    * ([[streamingDocDedup]] with `tombTable`): one exactly-once
+    * [[OpLog]] op that tombstones the COMMITTED LIVE generations of
+    * `ids`. One tombstone row kills the doc's generation in BOTH the
+    * corpus and the bucket index (they were written by the same op, so
+    * they share the seq) — the deleted doc immediately stops rejecting
+    * near-duplicates, and its id is free for a fresh generation. Ids
+    * not currently live are ignored. Omit `seq` to derive the next one
+    * from the op log; pass the same seq to replay a crashed delete.
     */
   def deleteDocsFromDedup(
       catalog: Catalog,
       corpusTable: String,
-      corpusSchema: StructType,
       tombTable: String,
       ids: DataFrame,
-      seq: Long): Unit = {
-    catalog.recoverReplace(corpusTable)
+      seq: Option[Long] = None): Unit = {
+    catalog.recoverCompaction(corpusTable, "pbk")
     catalog.recoverReplace(tombTable)
+    val log = new OpLog(catalog.spark, catalog, corpusTable + "_ops",
+      OpLog.countPayload)
+    log.ensure()
+    val sv = seq.getOrElse(log.nextBaseSeq)
+    val (done, crashed) = log.state(sv)
+    if (done) return
+    log.beginAttempt(sv)
+    if (crashed) {
+      val tombs = catalog.readWithSchema(tombTable, dedupTombSchema)
+      if (!tombs.filter(F.col("seq") === sv).isEmpty)
+        catalog.replaceTable(tombTable, tombs.filter(F.col("seq") =!= sv))
+    }
     val victims = graft.operators.Tombstones.live(
-        catalog.readWithSchema(corpusTable, corpusSchema),
-        catalog.read(tombTable), "doc_id")
+        log.visible(
+          catalog.readWithSchema(corpusTable, dedupCorpusSchema)),
+        log.visible(catalog.readWithSchema(tombTable, dedupTombSchema)),
+        "doc_id")
       .join(ids.select(F.col("doc_id").cast("long").as("doc_id"))
         .dropDuplicates("doc_id"), Seq("doc_id"), "leftsemi")
-      .select(F.col("doc_id"), F.lit(seq).as("seq"))
+      .select(F.col("doc_id"), F.lit(sv).as("seq"))
+      .localCheckpoint() // referenced by append + commit count
     catalog.append(tombTable, victims)
+    log.commitCount(sv, victims.count())
   }
 
-  /** Physically scrub the dead generations from both dedup tables and
-    * clear the applied tombstones. Flat-layout form (crash-safe
-    * whole-table swaps); a partitioned production corpus applies the
-    * identical live-filter per partition through
-    * [[graft.sources.Catalog.compactPartitioned]]'s transform hook —
-    * the mechanism the postings index already rides. Apply-then-clear
-    * converges under a crash between steps (an applied tombstone is a
-    * no-op). */
+  /** Physically scrub the dead generations and abandoned-attempt
+    * garbage from both dedup tables, partition-locally
+    * ([[Generations.compact]]: only `pbk` partitions holding affected
+    * rows are rewritten; the tombstone clear anti-joins the applied
+    * snapshot, so a concurrent delete's tombstone survives
+    * un-applied). */
   def compactDocDedup(
       catalog: Catalog,
       corpusTable: String,
-      corpusSchema: StructType,
       bucketTable: String,
-      bucketSchema: StructType,
-      tombTable: String): Unit = {
-    Seq(corpusTable, bucketTable, tombTable).foreach(catalog.recoverReplace)
-    catalog.replaceTable(corpusTable,
-      graft.operators.Tombstones.live(
-        catalog.readWithSchema(corpusTable, corpusSchema),
-        catalog.read(tombTable), "doc_id"))
-    catalog.replaceTable(bucketTable,
-      graft.operators.Tombstones.live(
-        catalog.readWithSchema(bucketTable, bucketSchema),
-        catalog.read(tombTable).withColumnRenamed("doc_id", "id"), "id"))
-    catalog.replaceTable(tombTable, catalog.read(tombTable).limit(0))
-  }
+      tombTable: String,
+      maxFilesPerPartition: Int = 2): Unit =
+    Generations.compact(catalog,
+      new OpLog(catalog.spark, catalog, corpusTable + "_ops",
+        OpLog.countPayload),
+      tombTable, dedupTombSchema, "doc_id",
+      Seq(
+        Generations.Stamped(corpusTable, "pbk", dedupCorpusSchema, "doc_id"),
+        Generations.Stamped(bucketTable, "pbk", dedupBucketSchema, "id")),
+      maxFilesPerPartition)
 
   /** Streaming ANN serving: each micro-batch of query vectors is
     * answered from the PERSISTED LSH bucket index
@@ -426,49 +545,119 @@ object Streams {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       tombTable: Option[String] = None,
-      baseSeq: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] = {
+      baseSeq: Option[Long] = None,
+      codesSchema: Option[StructType] = None,
+      stateBuckets: Int = 16,
+      maxProbeIds: Long = 4L * 1024 * 1024): DataStreamWriter[org.apache.spark.sql.Row] = {
     val pool = graft.operators.Similarity.collectPool(model)
     require(pool.nonEmpty, "streamingIvfPqIndex needs a non-empty model")
-    vectors.writeStream
+    val writer = vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          // heal any crashed maintenance swap before the first read
-          // (see streamingDocDedup's note)
-          catalog.recoverReplace(codesTable)
-          tombTable.foreach(catalog.recoverReplace)
-          val codes = graft.operators.Similarity.ivfPqCodeTable(
-            batch, pool, nlist, m, ksub, idCol, vecCol)
-          tombTable match {
-            case None =>
-              catalog.append(codesTable,
-                Upsert.newRows(codes, catalog.read(codesTable), "neighbor_id"))
-            case Some(tt) =>
-              // tombstone-aware maintenance: rows are generation-stamped
-              // (seq = baseSeq + batchId, monotone per the Bm25Index
-              // sequencing contract) and admission anti-joins the LIVE
-              // code set — so a deleted vector re-ingests as a fresh
-              // generation (the replace arm) while a live one is dropped
-              // (insert-if-absent), and [[deleteVectors]]' tombstones
-              // cut old generations without touching the appended files
-              val live = graft.operators.Tombstones.live(
-                catalog.read(codesTable), catalog.read(tt), "neighbor_id")
-              catalog.append(codesTable,
-                Upsert.newRows(codes.withColumn("seq", F.lit(baseSeq + id)),
-                  live, "neighbor_id"))
+    tombTable match {
+      case None =>
+        // append-only mode on a flat table: probe-and-skip replay
+        // idempotence. ASSUMES ATOMIC APPEND JOBS (nothing to scrub
+        // without generation stamps); the tombstone-aware mode below
+        // runs the full OpLog scrub-then-redo protocol — prefer it in
+        // production.
+        writer.foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            catalog.recoverReplace(codesTable)
+            val codes = graft.operators.Similarity.ivfPqCodeTable(
+              batch, pool, nlist, m, ksub, idCol, vecCol)
+            catalog.append(codesTable,
+              Upsert.newRows(codes, catalog.read(codesTable), "neighbor_id"))
           }
         }
-      }
+      case Some(tt) =>
+        // tombstone-aware maintenance: codes are generation-stamped and
+        // id-hash-partitioned (`pbk`), each micro-batch is one
+        // exactly-once [[OpLog]] op, and admission is the broadcast
+        // probe against the COMMITTED live code set — so a deleted
+        // vector re-ingests as a fresh generation (the replace arm)
+        // while a live one is dropped (insert-if-absent), replays never
+        // lose partial appends, and [[deleteVectors]]' tombstones cut
+        // old generations without touching the appended files until
+        // [[compactVectorIndex]] scrubs them partition-locally.
+        val schema = codesSchema.getOrElse(throw new IllegalArgumentException(
+          "tombstone-aware streamingIvfPqIndex needs codesSchema " +
+            "(the ivfPqCodeTable schema + seq BIGINT + pbk INT)"))
+        val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
+          OpLog.countPayload)
+        log.ensure()
+        val base = baseSeq.map(log.requireFreshBase).getOrElse(log.nextBaseSeq)
+        def pbkOf(c: org.apache.spark.sql.Column) =
+          F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
+        writer.foreachBatch { (batch: DataFrame, id: Long) =>
+          catalog.recoverCompaction(codesTable, "pbk")
+          catalog.recoverReplace(tt)
+          val seq = base + id
+          val (done, crashed) = log.state(seq)
+          if (!done) {
+            log.beginAttempt(seq)
+            if (crashed)
+              catalog.scrubSeqs(codesTable, "pbk", schema, Seq(seq))
+            val live = graft.operators.Tombstones.live(
+              log.visible(catalog.readWithSchema(codesTable, schema)),
+              log.visible(catalog.readWithSchema(tt, vectorTombSchema)),
+              "neighbor_id")
+            // coding is map-only against the frozen literal centroids;
+            // in-batch id dups resolve by dropDuplicates (a vector's
+            // code is a pure function of the embedding, so any winner
+            // codes identically)
+            val deduped = graft.operators.Similarity.ivfPqCodeTable(
+                batch, pool, nlist, m, ksub, idCol, vecCol)
+              .dropDuplicates("neighbor_id")
+              .localCheckpoint() // reused: probe + admission + append
+            val probe = deduped.agg(
+              F.collect_set(pbkOf(F.col("neighbor_id"))).as("pbks"),
+              F.count(F.lit(1)).as("n")).head()
+            val pbks = probe.getSeq[Int](0)
+            val prunedIds = live
+              .filter(F.col("pbk").isin(pbks: _*)).select("neighbor_id")
+            val admitted = (
+                if (probe.getLong(1) > maxProbeIds)
+                  Upsert.newRows(deduped, prunedIds, "neighbor_id")
+                else Upsert.newRowsViaProbe(deduped, prunedIds, "neighbor_id"))
+              .localCheckpoint() // referenced by append + commit count
+            catalog.appendPartitioned(codesTable, admitted
+                .withColumn("seq", F.lit(seq))
+                .withColumn("pbk", pbkOf(F.col("neighbor_id"))),
+              Seq("pbk"))
+            log.commitCount(seq, admitted.count())
+          }
+        }
+    }
+  }
+
+  val vectorTombSchema: StructType = StructType.fromDDL(
+    "neighbor_id BIGINT, seq BIGINT")
+
+  /** The tombstone-aware codes-table layout for a given
+    * [[graft.operators.Similarity.ivfPqCodeTable]] schema. */
+  def vectorCodesSchema(codeTableSchema: StructType): StructType =
+    StructType(codeTableSchema.fields ++ StructType.fromDDL(
+      "seq BIGINT, pbk INT").fields)
+
+  def ensureVectorIndexTables(
+      catalog: Catalog,
+      codesTable: String,
+      tombTable: String,
+      codesSchema: StructType): Unit = {
+    catalog.ensurePartitionedTable(codesTable, codesSchema, Seq("pbk"))
+    catalog.ensureTable(tombTable, vectorTombSchema)
+    new OpLog(catalog.spark, catalog, codesTable + "_ops",
+      OpLog.countPayload).ensure()
   }
 
   /** Delete vectors from a tombstone-aware codes table
-    * ([[streamingIvfPqIndex]] with `tombTable`): tombstone the LIVE
-    * generations of `ids` (a frame carrying `neighbor_id`). Ids not
-    * currently live are ignored; re-appending an identical tombstone is
-    * a no-op under [[graft.operators.Tombstones.lastSeq]]'s max-reduce,
-    * so the op is replay-idempotent. Serving anti-joins the tombstones
-    * ([[graft.operators.Tombstones.live]]) until
+    * ([[streamingIvfPqIndex]] with `tombTable`): one exactly-once
+    * [[OpLog]] op tombstoning the COMMITTED LIVE generations of `ids`
+    * (a frame carrying `neighbor_id`). Ids not currently live are
+    * ignored. Omit `seq` to derive the next one from the op log; pass
+    * the same seq to replay a crashed delete. Serving anti-joins the
+    * tombstones ([[graft.operators.Tombstones.live]]) until
     * [[compactVectorIndex]] applies them physically.
     */
   def deleteVectors(
@@ -477,36 +666,51 @@ object Streams {
       codesSchema: StructType,
       tombTable: String,
       ids: DataFrame,
-      seq: Long): Unit = {
-    catalog.recoverReplace(codesTable)
+      seq: Option[Long] = None): Unit = {
+    catalog.recoverCompaction(codesTable, "pbk")
     catalog.recoverReplace(tombTable)
+    val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
+      OpLog.countPayload)
+    log.ensure()
+    val sv = seq.getOrElse(log.nextBaseSeq)
+    val (done, crashed) = log.state(sv)
+    if (done) return
+    log.beginAttempt(sv)
+    if (crashed) {
+      val tombs = catalog.readWithSchema(tombTable, vectorTombSchema)
+      if (!tombs.filter(F.col("seq") === sv).isEmpty)
+        catalog.replaceTable(tombTable, tombs.filter(F.col("seq") =!= sv))
+    }
     val victims = graft.operators.Tombstones.live(
-        catalog.readWithSchema(codesTable, codesSchema),
-        catalog.read(tombTable), "neighbor_id")
+        log.visible(catalog.readWithSchema(codesTable, codesSchema)),
+        log.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
+        "neighbor_id")
       .join(ids.select(F.col("neighbor_id").cast("long").as("neighbor_id"))
         .dropDuplicates("neighbor_id"), Seq("neighbor_id"), "leftsemi")
-      .select(F.col("neighbor_id"), F.lit(seq).as("seq"))
+      .select(F.col("neighbor_id"), F.lit(sv).as("seq"))
+      .localCheckpoint() // referenced by append + commit count
     catalog.append(tombTable, victims)
+    log.commitCount(sv, victims.count())
   }
 
-  /** Physically apply the tombstones to the codes table (crash-safe
-    * whole-table swap — the codes table is m small ints per vector, so
-    * a maintenance rewrite is cheap relative to the corpus) and clear
-    * them. Apply-then-clear ordering converges under a crash between
-    * the two: an applied-but-uncleared tombstone is a no-op at both
-    * serve and re-run. */
+  /** Physically apply the tombstones to the codes table and scrub
+    * abandoned-attempt garbage, partition-locally
+    * ([[Generations.compact]]): only `pbk` partitions holding affected
+    * codes are rewritten, and the tombstone clear anti-joins the
+    * applied snapshot so a concurrent delete's tombstone survives
+    * un-applied. */
   def compactVectorIndex(
       catalog: Catalog,
       codesTable: String,
       codesSchema: StructType,
-      tombTable: String): Unit = {
-    Seq(codesTable, tombTable).foreach(catalog.recoverReplace)
-    catalog.replaceTable(codesTable,
-      graft.operators.Tombstones.live(
-        catalog.readWithSchema(codesTable, codesSchema),
-        catalog.read(tombTable), "neighbor_id"))
-    catalog.replaceTable(tombTable, catalog.read(tombTable).limit(0))
-  }
+      tombTable: String,
+      maxFilesPerPartition: Int = 2): Unit =
+    Generations.compact(catalog,
+      new OpLog(catalog.spark, catalog, codesTable + "_ops",
+        OpLog.countPayload),
+      tombTable, vectorTombSchema, "neighbor_id",
+      Seq(Generations.Stamped(codesTable, "pbk", codesSchema, "neighbor_id")),
+      maxFilesPerPartition)
 
   final case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, cents: Long)

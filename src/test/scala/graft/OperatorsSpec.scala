@@ -2437,4 +2437,35 @@ class OperatorsSpec extends SparkSpec {
     assert(clamped >= 40L * lo && clamped <= 40L * hi)
     assert(raw > clamped, "the 400-token tail dominates the raw sum")
   }
+
+  test("tombstone live-filter degrades from broadcast to shuffle join past the size guard") {
+    import org.apache.spark.sql.{functions => F}
+    val rows = spark.range(100).select(
+      F.col("id").as("doc_id"), F.lit(0L).as("seq"))
+    val tomb = spark.range(10).select(
+      F.col("id").as("doc_id"), F.lit(1L).as("seq"))
+    // identical semantics on both sides of the threshold
+    val viaBroadcast = graft.operators.Tombstones.live(rows, tomb)
+    assert(viaBroadcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "a small tombstone set must broadcast")
+    assert(viaBroadcast.select("doc_id").collect().map(_.getLong(0)).sorted
+      === (10L until 100L).toArray)
+    // past the guard the hint is withheld; with the planner's own
+    // auto-broadcast disabled (as it would be for a genuinely huge
+    // side) the join degrades to a shuffle join with identical output
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaShuffle = graft.operators.Tombstones.live(
+        rows, tomb, maxBroadcastBytes = 1L)
+      val shufflePlan = viaShuffle.queryExecution.executedPlan.toString
+      assert(!shufflePlan.contains("BroadcastHashJoin"),
+        "past the guard the tombstone side must NOT broadcast: " +
+          shufflePlan.take(800))
+      assert(viaShuffle.select("doc_id").collect().map(_.getLong(0)).sorted
+        === (10L until 100L).toArray,
+        "the fallback join must produce the identical live set")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -501,6 +501,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental-index admission probes the state table without shuffling it") {
+    // the per-batch insert-if-absent anti-join must never shuffle the
+    // corpus-sized state side: the batch's keys broadcast INTO a
+    // semi-join against the (partition-pruned) state scan, the hits
+    // broadcast back into the anti-join — zero Exchange anywhere, and
+    // the state scan carries a PartitionFilter for the batch's id-hash
+    // buckets. This is the plan every incremental index (BM25 registry,
+    // dedup corpus, IVF codes) admits through.
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-admit").toString
+    val cat = new graft.sources.Catalog(spark, wh)
+    val dlSchema = graft.streaming.Bm25Index.dlSchema
+    def rkOf(c: org.apache.spark.sql.Column) =
+      F.pmod(F.xxhash64(c), F.lit(8L)).cast("int")
+    cat.appendPartitioned("doc_lengths",
+      spark.range(500).select(F.col("id").as("doc_id"), F.lit(3L).as("dl"),
+        F.lit(0L).as("seq"), rkOf(F.col("id")).as("rk")),
+      Seq("rk"))
+    val deduped = spark.range(480, 520)
+      .select(F.col("id").as("doc_id"), F.lit("t").as("text"))
+      .dropDuplicates("doc_id")
+      .localCheckpoint() // the micro-batch hub, as in Bm25Index.ingest
+    val rks = deduped.select(rkOf(F.col("doc_id")).as("rk")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = cat.readWithSchema("doc_lengths", dlSchema)
+      .filter(F.col("rk").isin(rks: _*)).select("doc_id")
+    val admitted = graft.operators.Upsert.newRowsViaProbe(deduped, pruned, "doc_id")
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (500L until 520L).toSeq, "only unregistered ids may be admitted")
+    val p = admitted.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "admission must not shuffle any side: " + p.take(1200))
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined &&
+      "BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      "probe shape must be broadcast semi + broadcast anti: " + p.take(1200))
+    assert("""PartitionFilters: \[[^\]]*rk""".r.findFirstIn(p).isDefined,
+      "the state scan must prune the batch's id-hash partitions: " + p.take(1200))
+  }
+
   test("source health panel: one partial-aggregated shuffle, no joins") {
     val p = plan("q_source_health")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length

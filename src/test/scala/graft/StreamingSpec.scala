@@ -704,21 +704,24 @@ class StreamingSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val (model, offline) = graft.operators.Similarity.ivfPqIndex(
       vecs, nlist = 8, m = 4, ksub = 8)
-    val codesSchema = org.apache.spark.sql.types.StructType(
-      offline.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "seq", org.apache.spark.sql.types.LongType))
-    val tombSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "neighbor_id BIGINT, seq BIGINT")
-    cat.ensureTable("codes", codesSchema)
-    cat.ensureTable("codes_tomb", tombSchema)
+    val codesSchema = graft.streaming.Streams.vectorCodesSchema(offline.schema)
+    graft.streaming.Streams.ensureVectorIndexTables(
+      cat, "codes", "codes_tomb", codesSchema)
+    val log = new graft.streaming.OpLog(spark, cat, "codes_ops",
+      graft.streaming.OpLog.countPayload)
     val pool = graft.operators.Similarity.collectPool(model)
     def code(df: org.apache.spark.sql.DataFrame, seq: Long) =
       graft.operators.Similarity
         .ivfPqCodeTable(df, pool, 8, 4, 8, "vec_id", "embedding")
         .withColumn("seq", F.lit(seq))
-    cat.append("codes", code(vecs, 0L))
+        .withColumn("pbk",
+          F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(16L)).cast("int"))
+    // seed with the offline build, REGISTERED in the op log (so derived
+    // bases go above it and no future op can collide with the seed)
+    cat.appendPartitioned("codes", code(vecs, 0L), Seq("pbk"))
+    log.commitCount(0L, 30L)
     graft.streaming.Streams.deleteVectors(cat, "codes", codesSchema,
-      "codes_tomb", Seq(3L, 7L).toDF("neighbor_id"), seq = 1L)
+      "codes_tomb", Seq(3L, 7L).toDF("neighbor_id"), seq = Some(1L))
     def liveCodes = graft.operators.Tombstones.live(
       cat.readWithSchema("codes", codesSchema),
       cat.read("codes_tomb"), "neighbor_id")
@@ -726,15 +729,17 @@ class StreamingSpec extends SparkSpec {
       "tombstoned vectors must leave the live view")
     // deleting twice is a no-op; re-ingest lands a fresh generation
     graft.streaming.Streams.deleteVectors(cat, "codes", codesSchema,
-      "codes_tomb", Seq(3L).toDF("neighbor_id"), seq = 2L)
-    cat.append("codes", code(vecs.filter($"vec_id" === 3L), 5L))
+      "codes_tomb", Seq(3L).toDF("neighbor_id"), seq = Some(2L))
+    cat.appendPartitioned("codes",
+      code(vecs.filter($"vec_id" === 3L), 5L), Seq("pbk"))
+    log.commitCount(5L, 1L)
     assert(liveCodes.filter($"neighbor_id" === 3L).count() === 1L,
       "the re-ingested generation must be live again")
     // serve from live codes equals a fresh build on the surviving set
     val surviving = vecs.filter($"vec_id" =!= 7L)
     val queries = vecs.filter($"vec_id" < 3L)
     val served = graft.operators.Similarity.ivfPqTopKFromIndex(
-        model, liveCodes.drop("seq"), queries, k = 3,
+        model, liveCodes.drop("seq", "pbk"), queries, k = 3,
         nlist = 8, nprobe = 8, m = 4, ksub = 8)
       .collect().map(_.toSeq).toSet
     val rebuilt = graft.operators.Similarity.ivfPqTopKFromIndex(
@@ -764,14 +769,10 @@ class StreamingSpec extends SparkSpec {
     val wh = s"$dir/wh"; val cp = s"$dir/cp"; val cp2 = s"$dir/cp2"
     new java.io.File(drop).mkdirs(); new java.io.File(drop2).mkdirs()
     val catalog = new graft.sources.Catalog(spark, wh)
-    val corpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, text STRING, seq BIGINT")
-    val bucketSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "id BIGINT, band INT, bk BIGINT, seq BIGINT")
-    catalog.ensureTable("corpus", corpusSchema)
-    catalog.ensureTable("corpus_buckets", bucketSchema)
-    catalog.ensureTable("corpus_tomb",
-      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, seq BIGINT"))
+    val corpusSchema = Streams.dedupCorpusSchema
+    val bucketSchema = Streams.dedupBucketSchema
+    Streams.ensureDedupIndexTables(
+      catalog, "corpus", "corpus_buckets", "corpus_tomb")
     def drop1(d: String, file: String, rows: (Long, String)*): Unit =
       Files.writeString(java.nio.file.Paths.get(s"$d/$file"),
         rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
@@ -781,13 +782,13 @@ class StreamingSpec extends SparkSpec {
     val q1 = Streams.streamingDocDedup(
       Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
       catalog, "corpus", "corpus_buckets", cp,
-      tombTable = Some("corpus_tomb"), baseSeq = 0L).start()
+      tombTable = Some("corpus_tomb")).start()
     q1.processAllAvailable(); q1.stop()
     assert(catalog.read("corpus").select("doc_id").collect()
       .map(_.getLong(0)).toSet === Set(1L, 2L))
     // takedown doc 1; its id frees and its buckets stop rejecting
-    Streams.deleteDocsFromDedup(catalog, "corpus", corpusSchema,
-      "corpus_tomb", Seq(1L).toDF("doc_id"), seq = 10L)
+    Streams.deleteDocsFromDedup(catalog, "corpus",
+      "corpus_tomb", Seq(1L).toDF("doc_id"), seq = Some(10L))
     // b2: doc 1 re-ingests REPLACED (fresh text — the id must be free),
     // doc 10 is a near-copy of the DELETED text (must be admitted: no
     // ghost rejection), doc 11 is a near-copy of live doc 2 (must be
@@ -799,7 +800,7 @@ class StreamingSpec extends SparkSpec {
     val q2 = Streams.streamingDocDedup(
       Streams.docFileStream(spark, drop2, maxFilesPerTrigger = 1),
       catalog, "corpus", "corpus_buckets", cp2,
-      tombTable = Some("corpus_tomb"), baseSeq = 20L).start()
+      tombTable = Some("corpus_tomb")).start()
     q2.processAllAvailable(); q2.stop()
     val live = graft.operators.Tombstones.live(
       catalog.readWithSchema("corpus", corpusSchema),
@@ -811,8 +812,7 @@ class StreamingSpec extends SparkSpec {
     // physical scrub: dead generations gone from BOTH tables, tombstones
     // cleared, live view unchanged
     val before = live.select("doc_id", "text").collect().toSet
-    Streams.compactDocDedup(catalog, "corpus", corpusSchema,
-      "corpus_buckets", bucketSchema, "corpus_tomb")
+    Streams.compactDocDedup(catalog, "corpus", "corpus_buckets", "corpus_tomb")
     val corpusRaw = catalog.readWithSchema("corpus", corpusSchema)
     assert(corpusRaw.select("doc_id", "text").collect().toSet === before,
       "compaction must not change the live view")
@@ -823,6 +823,129 @@ class StreamingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet === liveIds,
       "bucket index must exactly mirror the live corpus after scrub")
     assert(catalog.read("corpus_tomb").isEmpty, "applied tombstones must clear")
+  }
+
+  test("tomb-mode dedup crash between appends: scrub-then-redo replay converges exactly-once") {
+    // the OpLog protocol on the dedup family: a crash AFTER the bucket
+    // append but BEFORE the corpus append leaves a half-written op;
+    // the replay must scrub the attempt's rows and redo — never
+    // probe-and-skip (a partial multi-file append could have landed a
+    // subset of a doc's band rows, and skipping would lose the rest)
+    val dir = Files.createTempDirectory("graft-deduponce").toString
+    val drop = s"$dir/drop"; val wh = s"$dir/wh"
+    new java.io.File(drop).mkdirs()
+    val catalog = new graft.sources.Catalog(spark, wh)
+    val crashing = new graft.sources.Catalog(spark, wh) {
+      override def appendPartitioned(
+          table: String, df: org.apache.spark.sql.DataFrame,
+          partitionCols: Seq[String]): Unit = {
+        if (table == "corpus")
+          throw new RuntimeException("injected kill between bucket and corpus append")
+        super.appendPartitioned(table, df, partitionCols)
+      }
+    }
+    Streams.ensureDedupIndexTables(catalog, "corpus", "corpus_buckets", "corpus_tomb")
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b1.jsonl"),
+      Seq(1L -> "first document body with enough words to shingle cleanly",
+        2L -> "second document body that is entirely different text")
+        .map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+    val q1 = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+      crashing, "corpus", "corpus_buckets", s"$dir/cp",
+      tombTable = Some("corpus_tomb")).start()
+    val died = intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(died.getMessage.contains("injected kill") ||
+      Option(died.getCause).exists(_.getMessage.contains("injected kill")))
+    // the crash left the index leading the corpus
+    assert(!catalog.readWithSchema("corpus_buckets", Streams.dedupBucketSchema).isEmpty,
+      "bucket rows must lead the crash")
+    assert(catalog.readWithSchema("corpus", Streams.dedupCorpusSchema).isEmpty,
+      "corpus must trail the crash")
+    // replay from the same checkpoint with a healthy catalog
+    val q2 = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+      catalog, "corpus", "corpus_buckets", s"$dir/cp",
+      tombTable = Some("corpus_tomb")).start()
+    q2.processAllAvailable(); q2.stop()
+    // the replay ran under a fresh DERIVED seq (the crashed attempt's
+    // base is burned), so the attempt's partial bucket rows survive as
+    // INVISIBLE garbage until compaction — the visible view must
+    // already be exactly-once
+    val ops = new graft.streaming.OpLog(spark, catalog, "corpus_ops",
+      graft.streaming.OpLog.countPayload)
+    val corpus = ops.visible(
+      catalog.readWithSchema("corpus", Streams.dedupCorpusSchema))
+    val buckets = ops.visible(
+      catalog.readWithSchema("corpus_buckets", Streams.dedupBucketSchema))
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(corpus.select("seq").distinct().count() === 1L,
+      "the visible corpus must hold exactly one generation per doc")
+    assert(buckets.groupBy("id").count().select("count").distinct().count() === 1L,
+      "every visible doc must carry the full band set exactly once")
+    assert(buckets.select("seq").distinct().count() === 1L,
+      "visible bucket rows must all belong to the committed redo generation")
+    assert(ops.committed.count() === 1L, "exactly one committed op")
+    // compaction scrubs the abandoned attempt's garbage physically
+    Streams.compactDocDedup(catalog, "corpus", "corpus_buckets", "corpus_tomb")
+    assert(catalog.readWithSchema("corpus_buckets", Streams.dedupBucketSchema)
+      .select("seq").distinct().count() === 1L,
+      "compaction must scrub the crashed attempt's bucket rows")
+  }
+
+  test("generational compaction is partition-local: untouched partitions stay byte-identical") {
+    // kill ONE doc, compact with the small-file threshold disabled, and
+    // pin that ONLY the partitions holding that doc's rows were
+    // rewritten — every other partition's files are byte-identical.
+    // At 100 TB this is the difference between a bounded maintenance
+    // pass and a full corpus rewrite.
+    val dir = Files.createTempDirectory("graft-partloc").toString
+    val wh = s"$dir/wh"
+    val cat = new graft.sources.Catalog(spark, wh)
+    val idx = new graft.streaming.Bm25Index(spark, cat, buckets = 8)
+    idx.ensure()
+    // one unique term per doc so each doc's postings land in one bucket
+    val docs = (0L until 20L).map(i => (i, s"tok$i tok$i uniq$i"))
+      .toDF("doc_id", "text")
+    idx.ingest(docs, seq = 0L)
+    def md5s(table: String): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$wh/$table"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          f.getPath.stripPrefix(s"$wh/") -> h.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val postBefore = md5s("postings"); val regBefore = md5s("doc_lengths")
+    idx.delete(Seq(7L).toDF("doc_id"), seq = 1L)
+    idx.compact(maxFilesPerPartition = Int.MaxValue)
+    val postAfter = md5s("postings"); val regAfter = md5s("doc_lengths")
+    // doc 7's partitions: its terms' bk values and its rk value
+    val row = spark.range(1).select(
+      F.pmod(F.xxhash64(F.lit("tok7")), F.lit(8L)).cast("int"),
+      F.pmod(F.xxhash64(F.lit("uniq7")), F.lit(8L)).cast("int"),
+      F.pmod(F.xxhash64(F.lit(7L)), F.lit(8L)).cast("int")).head()
+    val deadBks = Set(row.getInt(0), row.getInt(1)).map(v => s"postings/bk=$v/")
+    val deadRk = s"doc_lengths/rk=${row.getInt(2)}/"
+    def untouched(before: Map[String, String], after: Map[String, String],
+        dead: String => Boolean): Unit = {
+      val keepB = before.filter { case (p, _) => !dead(p) }
+      val keepA = after.filter { case (p, _) => !dead(p) }
+      assert(keepA === keepB,
+        "untouched partitions must keep byte-identical files")
+    }
+    untouched(postBefore, postAfter, p => deadBks.exists(p.startsWith))
+    untouched(regBefore, regAfter, _.startsWith(deadRk))
+    assert(deadBks.forall(d => postAfter.keys.forall(p =>
+      !p.startsWith(d) || !postBefore.contains(p))),
+      "affected bucket partitions must have been rewritten")
+    assert(cat.readWithSchema("postings", graft.streaming.Bm25Index.postSchema)
+      .filter($"doc_id" === 7L).isEmpty, "the dead doc's postings must be gone")
+    assert(cat.readWithSchema("doc_lengths", graft.streaming.Bm25Index.dlSchema)
+      .filter($"doc_id" === 7L).isEmpty, "the dead doc's registry row must be gone")
   }
 
   test("bm25 index delete/replace: tombstoned serve equals a rebuild; compaction kills ghosts physically") {
@@ -888,10 +1011,12 @@ class StreamingSpec extends SparkSpec {
     // injected crash: the registry append dies, leaving postings written
     // but dl/stats/marker missing — the widest replay window
     val crashing = new graft.sources.Catalog(spark, wh) {
-      override def append(table: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      override def appendPartitioned(
+          table: String, df: org.apache.spark.sql.DataFrame,
+          partitionCols: Seq[String]): Unit = {
         if (table == "doc_lengths")
           throw new RuntimeException("injected kill between postings and registry append")
-        super.append(table, df)
+        super.appendPartitioned(table, df, partitionCols)
       }
     }
     val idx = new graft.streaming.Bm25Index(spark, cat, buckets = 8)
@@ -935,6 +1060,61 @@ class StreamingSpec extends SparkSpec {
       .agg(F.sum("n_docs"), F.sum("total_dl")).head()
     assert((st.getLong(0), st.getLong(1)) === ((2L, 6L)),
       "replayed delete must not double-subtract")
+  }
+
+  test("bm25 index derives its base seq: stale bases fail loudly, restarts converge, garbage compacts away") {
+    val dir = Files.createTempDirectory("graft-bm25base").toString
+    val wh = s"$dir/wh"
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    val cat = new graft.sources.Catalog(spark, wh)
+    val idx = new graft.streaming.Bm25Index(spark, cat, buckets = 8)
+    idx.ensure()
+    val docs = Seq(
+      (1L, "alpha hash scan"), (2L, "hash hash merge beta")).toDF("doc_id", "text")
+    def dropParquet(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val t = s"$dir/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(t)
+      val f = new java.io.File(t).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    dropParquet(docs.filter($"doc_id" === 1L), "f1")
+    def stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = idx.writer(stream, s"$dir/cp1").start()
+    try q.processAllAvailable() finally q.stop()
+    // a fresh stream reusing an ATTEMPTED base must fail at
+    // construction — the alternative is every batch silently no-opping
+    // against the committed-op short-circuit
+    val stale = intercept[IllegalArgumentException] {
+      idx.writer(stream, s"$dir/cp2", baseSeq = Some(0L))
+    }
+    assert(stale.getMessage.contains("high-water mark"))
+    // an abandoned attempt (marker + partial postings, never committed,
+    // never replayed — its checkpoint is gone): invisible now, GC'd at
+    // compact
+    val garbageSeq = idx.nextSeq
+    cat.append("ops", spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(garbageSeq, null, null)),
+      graft.streaming.Bm25Index.opsSchema))
+    cat.appendPartitioned("postings",
+      Seq(("ghost", 99L, 1L, 1L, garbageSeq, 3)).toDF(
+        "term", "doc_id", "tf", "dl", "seq", "bk"), Seq("bk"))
+    // a NEW stream with a fresh checkpoint derives a base above the
+    // garbage and re-delivers doc 1 (at-least-once source): admission
+    // against the committed-live registry must drop it, not duplicate it
+    dropParquet(docs.filter($"doc_id" === 2L), "f2")
+    val q2 = idx.writer(stream, s"$dir/cp3").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val terms = Seq("hash", "scan", "merge")
+    assert(idx.serve(terms, k = 10).collect().toSeq ===
+      graft.operators.Retrieval.bm25TopK(docs, terms, k = 10).collect().toSeq,
+      "re-delivered docs must not duplicate; the garbage row must not serve")
+    idx.compact(maxFilesPerPartition = 2)
+    assert(cat.readWithSchema("postings", graft.streaming.Bm25Index.postSchema)
+      .filter($"doc_id" === 99L).isEmpty,
+      "abandoned-attempt garbage must be physically scrubbed at compaction")
+    assert(idx.serve(terms, k = 10).collect().toSeq ===
+      graft.operators.Retrieval.bm25TopK(docs, terms, k = 10).collect().toSeq)
   }
 
   test("bm25 index heals compaction and replace crash windows before any probe") {
@@ -984,13 +1164,26 @@ class StreamingSpec extends SparkSpec {
       graft.operators.Retrieval.bm25TopK(healedCorpus, terms, k = 10)
         .collect().toSeq,
       "no committed row may be lost to the compaction crash window")
-    // (b) replace window on the registry: live dir missing, aside holds
-    // the only copy — the next ingest must roll back, then proceed
-    assert(fs.rename(p("doc_lengths"), p("doc_lengths__replaced")))
+    // (b) the registry's compaction window: amputate one rk partition
+    // into its staging dir — the next ingest must restore it before the
+    // admission probe (a missing partition would re-admit its docs as
+    // fresh generations)
+    val rk = fs.listStatus(p("doc_lengths"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("rk="))
+      .head.getPath.getName
+    fs.mkdirs(p("doc_lengths__compacting"))
+    assert(fs.rename(p(s"doc_lengths/$rk"), p(s"doc_lengths__compacting/$rk")))
     idx.ingest(Seq((10L, "delta hash")).toDF("doc_id", "text"), seq = 8L)
-    assert(fs.exists(p("doc_lengths")) && !fs.exists(p("doc_lengths__replaced")),
-      "registry must heal from the aside copy")
+    assert(!fs.exists(p("doc_lengths__compacting")),
+      "the registry's dead stage must be restored and discarded")
     assert(cat.readWithSchema("doc_lengths", graft.streaming.Bm25Index.dlSchema)
       .count() === 6L, "all six live docs must be registered after healing")
+    // (c) replace window on the tombstone table: live dir missing,
+    // aside holds the only copy — the next serve must roll back instead
+    // of throwing path-not-found
+    assert(fs.rename(p("tombstones"), p("tombstones__replaced")))
+    assert(idx.serve(terms, k = 10).collect().nonEmpty)
+    assert(fs.exists(p("tombstones")) && !fs.exists(p("tombstones__replaced")),
+      "tombstones must heal from the aside copy")
   }
 }
