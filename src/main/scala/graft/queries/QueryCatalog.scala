@@ -4511,8 +4511,9 @@ object QueryCatalog {
     * oracle (the 10th oracle-graded streaming twin): documents replay
     * as three doc-id-ordered micro-batches through
     * [[graft.streaming.Bm25Index]] — each micro-batch is one
-    * exactly-once op (per-table seq probes + a committed marker, so a
-    * replayed batch never duplicates a posting) appending bucketed
+    * exactly-once [[graft.streaming.OpLog]] op (attempt marker →
+    * scrub-then-redo → atomic commit, so a replayed batch never
+    * duplicates or half-lands a posting) appending bucketed
     * postings WITH dl inline, the registry rows, and one additive
     * (n_docs, total_dl) stats row. Serve time touches ONLY the index:
     * global stats reduce from the |ops|-row stats table (NOT an
@@ -4564,7 +4565,8 @@ object QueryCatalog {
     * deleted set (`doc_id % 14 = 3`) re-ingests MODIFIED (text +
     * " hash scan" — a new generation under the insert-if-absent rule,
     * exercising the replace arm of the reference's ON CONFLICT
-    * semantics) through a restarted stream at a higher base seq, and
+    * semantics) through a restarted stream whose base seq DERIVES from
+    * the op log's high-water mark (r14 — no caller sequencing), and
     * compaction PHYSICALLY applies the tombstones (rewriting exactly
     * the bucket partitions holding dead generations) before the serve.
     * The served top-20 must hash-equal the batch BM25 oracle over the
