@@ -5317,6 +5317,72 @@ object QueryCatalog {
     "FROM bandkeys WHERE doc_id < 400",
     "FROM bandkeys WHERE doc_id < 400 AND doc_id % 5 <> 1")
 
+  /** Single-op REPLACE for the dedup index family, graded end to end
+    * through the CATALOG-BACKED tables: the corpus (docs < 400) seeds
+    * the generation-stamped, id-hash-partitioned corpus+bucket tables
+    * as a registered generation 0, every corpus doc with
+    * `doc_id % 5 = 1` is REPLACED with edited text by ONE
+    * [[graft.streaming.Streams.replaceDocsInDedup]] op (the reference's
+    * ON CONFLICT DO UPDATE arm: new text re-shingled into fresh bucket
+    * rows at the op's own seq, old generation tombstoned AT that same
+    * seq — one attempt marker, one commit row), compaction physically
+    * applies the tombstones partition-locally, and the new batch's
+    * (docs >= 400) candidates are generated against the raw
+    * post-compact bucket table. An edited doc's OLD shingles must stop
+    * attracting candidates and its NEW shingles must start — so the
+    * oracle replays the text replacement INSIDE the MinHash/bandkeys
+    * machinery, not as an output filter.
+    */
+  private def qIncrDedupUpsert(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    val root = idxScratch("incr_dedup_upsert")
+    val wh = s"$root/wh"
+    clearDir(wh)
+    val catalog = new graft.sources.Catalog(s, wh)
+    graft.streaming.Streams.ensureDedupIndexTables(
+      catalog, "corpus", "buckets", "tomb")
+    def pbkOf(c: Column) =
+      F.pmod(F.xxhash64(c), F.lit(16L)).cast("int")
+    withFewShufflePartitions(s, 8) {
+      // seed generation 0 (registered in the op log so derived seqs
+      // land above it and no replay can scrub the seed)
+      val corpus0 = all.filter(F.col("doc_id") < 400)
+      catalog.appendPartitioned("corpus", corpus0
+          .select("doc_id", "text")
+          .withColumn("seq", F.lit(0L))
+          .withColumn("pbk", pbkOf(F.col("doc_id"))),
+        Seq("pbk"))
+      catalog.appendPartitioned("buckets",
+        Dedup.bucketTableMd5(corpus0)
+          .withColumn("seq", F.lit(0L))
+          .withColumn("pbk", pbkOf(F.col("id"))),
+        Seq("pbk"))
+      new graft.streaming.OpLog(s, catalog, "corpus_ops",
+        graft.streaming.OpLog.countPayload).commitCount(0L, corpus0.count())
+      graft.streaming.Streams.replaceDocsInDedup(catalog,
+        "corpus", "buckets", "tomb",
+        all.filter(F.col("doc_id") < 400 && F.col("doc_id") % 5 === 1)
+          .select(F.col("doc_id"),
+            F.concat(F.col("text"), F.lit(" edited copy")).as("text")))
+      graft.streaming.Streams.compactDocDedup(
+        catalog, "corpus", "buckets", "tomb")
+      Dedup.incrementalCandidatesFromBuckets(
+          Dedup.bucketTableMd5(all.filter(F.col("doc_id") >= 400)),
+          catalog.readWithSchema("buckets",
+              graft.streaming.Streams.dedupBucketSchema)
+            .drop("seq", "pbk"))
+        .orderBy("a", "b")
+    }
+  }
+
+  // the incremental-dedup oracle with the replacement applied INSIDE
+  // the shingling (the edited text changes the corpus docs' bucket
+  // keys, so both the candidate set and the per-bucket caps move)
+  private def qIncrDedupUpsertSql = qIncrDedupSql.replace(
+    "lower(trim(text))",
+    "lower(trim(CASE WHEN doc_id < 400 AND doc_id % 5 = 1 " +
+      "THEN text || ' edited copy' ELSE text END))")
+
   /** SimHash signatures, md5-reproducible (two unsigned 32-bit halves). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashMd5(t(s, dir, "documents")).orderBy("doc_id")
@@ -5853,6 +5919,79 @@ object QueryCatalog {
   private def qAnnIvfPqStreamDelSql = qAnnIvfPqSql.replace(
     "WHERE p.query_id <> a.vec_id",
     "WHERE p.query_id <> a.vec_id AND a.vec_id % 10 <> 7")
+
+  /** Single-op REPLACE for the streaming IVF-PQ index, graded end to
+    * end: the ORIGINAL corpus streams into the tombstone-aware codes
+    * table (3 generation-stamped micro-batch ops), then every vector
+    * with `vec_id % 5 = 3` outside the query set (`vec_id >= 10`) is
+    * REPLACED with its NEGATED embedding by ONE
+    * [[graft.streaming.Streams.replaceVectors]] op — coded against the
+    * frozen model, old generation tombstoned AT the op's own seq, one
+    * attempt marker, one commit row (the del twin's takedown-recrawl
+    * runs the same semantic change as TWO ops). After
+    * [[graft.streaming.Streams.compactVectorIndex]] the served top-5
+    * must hash-equal the full IVF-PQ oracle replayed over the
+    * POST-REPLACE corpus: the replaced vectors must score from their
+    * new codes (negation moves them across cells), no ghost code may
+    * survive, and untouched vectors' codes must be bit-identical. The
+    * model is trained on the post-replace corpus (so the oracle's
+    * single-corpus replay is exact) and stays frozen through the op —
+    * retraining is the separate q_ivf_rebalance contract.
+    */
+  private def qAnnIvfPqStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val root = idxScratch("ivfpq_stream_upsert")
+    val in = s"$root/in"; val cp = s"$root/cp"; val wh = s"$root/wh"
+    clearDir(cp); clearDir(wh)
+    // negation is double-exact on both engines, so FLOOR(-x*1000)
+    // quantizes identically
+    def negated = emb.filter(F.col("vec_id") >= 10 && F.col("vec_id") % 5 === 3)
+      .select(F.col("vec_id"),
+        F.transform(F.col("embedding"), x => -x.cast(DoubleType)).as("embedding"))
+    val replacedCorpus = emb.select(F.col("vec_id"),
+      F.when(F.col("vec_id") >= 10 && F.col("vec_id") % 5 === 3,
+          F.transform(F.col("embedding"), x => -x.cast(DoubleType)))
+        .otherwise(F.transform(F.col("embedding"), x => x.cast(DoubleType)))
+        .as("embedding"))
+    val (model, offlineCodes) = Similarity.ivfPqIndex(replacedCorpus)
+    val codesSchema =
+      graft.streaming.Streams.vectorCodesSchema(offlineCodes.schema)
+    writeOrderedStreamFiles(
+      emb.withColumn("__tile", (F.pmod(F.col("vec_id"), F.lit(3)) + 1).cast("int")),
+      3, in, dir)
+    val catalog = new graft.sources.Catalog(s, wh)
+    graft.streaming.Streams.ensureVectorIndexTables(
+      catalog, "codes", "codes_tomb", codesSchema)
+    val q = graft.streaming.Streams.streamingIvfPqIndex(
+      s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      model, catalog, "codes", cp,
+      tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema)).start()
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.replaceVectors(catalog, "codes", codesSchema,
+      "codes_tomb", negated, model)
+    graft.streaming.Streams.compactVectorIndex(
+      catalog, "codes", codesSchema, "codes_tomb")
+    Similarity.ivfPqTopKFromIndex(model,
+        catalog.readWithSchema("codes", codesSchema).drop("seq", "pbk"),
+        emb.filter(F.col("vec_id") < 10), k = 5)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("adc_dist"),
+        F.col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // the full IVF-PQ oracle replayed over the post-replace corpus: the
+  // replaced vectors' embeddings negate BEFORE quantization (queries,
+  // vec_id < 10, are untouched by construction)
+  private def qAnnIvfPqStreamUpsertSql = qAnnIvfPqSql
+    .replace("FROM embeddings)", "FROM repl)") // quant's source (before the repl CTE lands, so repl's own FROM survives)
+    .replace("WITH quant AS (",
+      """WITH repl AS (
+        |  SELECT vec_id, CASE WHEN vec_id >= 10 AND vec_id % 5 = 3
+        |    THEN list_transform(embedding, x -> -CAST(x AS DOUBLE))
+        |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS embedding
+        |  FROM embeddings),
+        |quant AS (""".stripMargin)
 
   private def qAnnIvfPqIdx(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -7388,6 +7527,7 @@ object QueryCatalog {
     Q("q_sliding", wrap(qSliding), Some(qSlidingSql)),
     Q("q_incr_dedup", wrap(qIncrDedup), Some(qIncrDedupSql)),
     Q("q_incr_dedup_del", wrap(qIncrDedupDel), Some(qIncrDedupDelSql)),
+    Q("q_incr_dedup_upsert", wrap(qIncrDedupUpsert), Some(qIncrDedupUpsertSql)),
     Q("q_neardup_verified", wrap(qNearDupVerified), Some(qNearDupVerifiedSql)),
     Q("q_simhash", wrap(qSimhash), Some(qSimhashSql)),
     Q("q_simhash_pairs", wrap(qSimhashPairs), Some(qSimhashPairsSql)),
@@ -7404,6 +7544,7 @@ object QueryCatalog {
     Q("q_ann_ivfpq_idx", wrap(qAnnIvfPqIdx), Some(qAnnIvfPqSql)),
     Q("q_ann_ivfpq_stream", wrap(qAnnIvfPqStream), Some(qAnnIvfPqSql)),
     Q("q_ann_ivfpq_stream_del", wrap(qAnnIvfPqStreamDel), Some(qAnnIvfPqStreamDelSql)),
+    Q("q_ann_ivfpq_stream_upsert", wrap(qAnnIvfPqStreamUpsert), Some(qAnnIvfPqStreamUpsertSql)),
     Q("q_ann_lsh_idx", wrap(qAnnLshIdx), Some(qAnnLshSql)),
     Q("q_ann_lsh_stream", wrap(qAnnLshStream), Some(qAnnLshSql)),
     Q("q_ann_lsh_part", wrap(qAnnLshPart), Some(qAnnLshSql)),

@@ -50,7 +50,11 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val hist = catalog.read(histTable)
-        catalog.append(histTable, Upsert.newRows(batch, hist, "trip_key"))
+        // micro-batches are bounded by maxFilesPerTrigger, so admission
+        // runs as the broadcast probe (state side scanned, never
+        // shuffled); a backfill-sized batch falls back to the shuffle
+        // anti-join inside newRowsProbed
+        catalog.append(histTable, Upsert.newRowsProbed(batch, hist, "trip_key"))
       }
   }
 
@@ -384,6 +388,87 @@ object Streams {
     log.commitCount(sv, victims.count())
   }
 
+  /** REPLACE documents in a tombstone-aware dedup corpus as ONE
+    * exactly-once [[OpLog]] op — the reference's `ON CONFLICT DO
+    * UPDATE` arm for this family (the counterpart of
+    * [[graft.streaming.Bm25Index.replace]]): every batch doc lands as
+    * generation `seq` in BOTH the corpus and the bucket index (the new
+    * text is re-shingled, so future near-duplicates of the REPLACED
+    * content are what gets rejected), and any batch id currently live
+    * is simultaneously tombstoned AT `seq` — tombstones kill strictly
+    * older generations, so the op's own rows survive. One attempt
+    * marker, one commit row; a crashed replace is invisible in full
+    * (committed-only reads) and replays converge by scrub-then-redo.
+    *
+    * Replace is an editorial override: it does NOT run the near-dup
+    * admission screen (the caller asserts the new content belongs under
+    * this id — `ON CONFLICT DO UPDATE` semantics). Callers that want
+    * hygiene (decontamination / PII masking) should pre-mask the batch;
+    * the corpus and index always describe the same string.
+    *
+    * Scale shape: identical to the ingest arm — the victim lookup is
+    * the broadcast probe against the partition-pruned live corpus
+    * (state side scanned, never shuffled), re-shingling touches only
+    * the batch, and appends land in the batch's `pbk` partitions.
+    */
+  def replaceDocsInDedup(
+      catalog: Catalog,
+      corpusTable: String,
+      bucketTable: String,
+      tombTable: String,
+      batch: DataFrame,
+      stateBuckets: Int = 16,
+      seq: Option[Long] = None): Unit = {
+    catalog.recoverCompaction(corpusTable, "pbk")
+    catalog.recoverCompaction(bucketTable, "pbk")
+    catalog.recoverReplace(tombTable)
+    val log = new OpLog(catalog.spark, catalog, corpusTable + "_ops",
+      OpLog.countPayload)
+    log.ensure()
+    def pbkOf(c: org.apache.spark.sql.Column) =
+      F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
+    val sv = seq.getOrElse(log.nextBaseSeq)
+    val (done, crashed) = log.state(sv)
+    if (done) return
+    log.beginAttempt(sv)
+    if (crashed) {
+      catalog.scrubSeqs(corpusTable, "pbk", dedupCorpusSchema, Seq(sv))
+      catalog.scrubSeqs(bucketTable, "pbk", dedupBucketSchema, Seq(sv))
+      val tombs = catalog.readWithSchema(tombTable, dedupTombSchema)
+      if (!tombs.filter(F.col("seq") === sv).isEmpty)
+        catalog.replaceTable(tombTable, tombs.filter(F.col("seq") =!= sv))
+    }
+    // in-batch id dups resolve deterministically (see Bm25Index.ingest)
+    val deduped = batch
+      .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
+      .groupBy("doc_id").agg(F.max("text").as("text"))
+      .localCheckpoint() // reused: probe + victims + appends
+    val pbks = deduped.select(pbkOf(F.col("doc_id")).as("pbk")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // the batch ids' currently-live generations die at `sv`; same
+    // zero-state-shuffle probe plan as admission, semi instead of anti
+    val victims = graft.operators.Tombstones.live(
+        log.visible(catalog.readWithSchema(corpusTable, dedupCorpusSchema)),
+        log.visible(catalog.readWithSchema(tombTable, dedupTombSchema)),
+        "doc_id")
+      .filter(F.col("pbk").isin(pbks: _*))
+      .join(F.broadcast(deduped.select("doc_id")), Seq("doc_id"), "leftsemi")
+      .select(F.col("doc_id"), F.lit(sv).as("seq"))
+      .localCheckpoint() // referenced by tombstone append
+    catalog.appendPartitioned(bucketTable,
+      graft.operators.Dedup.bucketTableMd5(deduped)
+        .withColumn("seq", F.lit(sv))
+        .withColumn("pbk", pbkOf(F.col("id"))),
+      Seq("pbk"))
+    catalog.appendPartitioned(corpusTable, deduped
+        .select("doc_id", "text")
+        .withColumn("seq", F.lit(sv))
+        .withColumn("pbk", pbkOf(F.col("doc_id"))),
+      Seq("pbk"))
+    catalog.append(tombTable, victims)
+    log.commitCount(sv, deduped.count())
+  }
+
   /** Physically scrub the dead generations and abandoned-attempt
     * garbage from both dedup tables, partition-locally
     * ([[Generations.compact]]: only `pbk` partitions holding affected
@@ -691,6 +776,77 @@ object Streams {
       .localCheckpoint() // referenced by append + commit count
     catalog.append(tombTable, victims)
     log.commitCount(sv, victims.count())
+  }
+
+  /** REPLACE vectors in a tombstone-aware codes table as ONE
+    * exactly-once [[OpLog]] op — the `ON CONFLICT DO UPDATE` arm for
+    * the vector family: every batch vector is coded against the FROZEN
+    * `model` (map-only, like the streaming ingest) and lands as
+    * generation `seq`, and any batch id currently live is
+    * simultaneously tombstoned AT `seq` (tombstones kill strictly
+    * older generations, so the op's own codes survive). One attempt
+    * marker, one commit row — no window where the old code is gone and
+    * the new one not yet committed, unlike the delete-then-reingest
+    * choreography, which takes two ops. Replays converge by
+    * scrub-then-redo; drift-triggered retraining stays the separate
+    * [[graft.operators.Similarity.ivfRebalanceIfSkewed]] contract.
+    */
+  def replaceVectors(
+      catalog: Catalog,
+      codesTable: String,
+      codesSchema: StructType,
+      tombTable: String,
+      batch: DataFrame,
+      model: DataFrame,
+      nlist: Int = 16,
+      m: Int = 4,
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      stateBuckets: Int = 16,
+      seq: Option[Long] = None): Unit = {
+    catalog.recoverCompaction(codesTable, "pbk")
+    catalog.recoverReplace(tombTable)
+    val pool = graft.operators.Similarity.collectPool(model)
+    require(pool.nonEmpty, "replaceVectors needs a non-empty model")
+    val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
+      OpLog.countPayload)
+    log.ensure()
+    def pbkOf(c: org.apache.spark.sql.Column) =
+      F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
+    val sv = seq.getOrElse(log.nextBaseSeq)
+    val (done, crashed) = log.state(sv)
+    if (done) return
+    log.beginAttempt(sv)
+    if (crashed) {
+      catalog.scrubSeqs(codesTable, "pbk", codesSchema, Seq(sv))
+      val tombs = catalog.readWithSchema(tombTable, vectorTombSchema)
+      if (!tombs.filter(F.col("seq") === sv).isEmpty)
+        catalog.replaceTable(tombTable, tombs.filter(F.col("seq") =!= sv))
+    }
+    // a vector's code is a pure function of the embedding, so any
+    // in-batch dup winner codes identically
+    val coded = graft.operators.Similarity.ivfPqCodeTable(
+        batch, pool, nlist, m, ksub, idCol, vecCol)
+      .dropDuplicates("neighbor_id")
+      .localCheckpoint() // reused: probe + victims + append
+    val pbks = coded.select(pbkOf(F.col("neighbor_id")).as("pbk")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val victims = graft.operators.Tombstones.live(
+        log.visible(catalog.readWithSchema(codesTable, codesSchema)),
+        log.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
+        "neighbor_id")
+      .filter(F.col("pbk").isin(pbks: _*))
+      .join(F.broadcast(coded.select("neighbor_id")), Seq("neighbor_id"),
+        "leftsemi")
+      .select(F.col("neighbor_id"), F.lit(sv).as("seq"))
+      .localCheckpoint() // referenced by tombstone append
+    catalog.appendPartitioned(codesTable, coded
+        .withColumn("seq", F.lit(sv))
+        .withColumn("pbk", pbkOf(F.col("neighbor_id"))),
+      Seq("pbk"))
+    catalog.append(tombTable, victims)
+    log.commitCount(sv, coded.count())
   }
 
   /** Physically apply the tombstones to the codes table and scrub

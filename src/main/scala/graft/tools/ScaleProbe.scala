@@ -62,7 +62,9 @@ object ScaleProbe {
     "q_dup_runs_char_hashed", // char-gram runs over the hashed shuffle
     "q_bm25_stream_del", // index delete/replace: tombstones + compaction + serve
     "q_bm25_stream_upsert", // single-op replace lifecycle (r14)
-    "q_bm25_serve_batch") // batched multi-query serve from one pruned scan (r14)
+    "q_bm25_serve_batch", // batched multi-query serve from one pruned scan (r14)
+    "q_incr_dedup_upsert", // dedup-family single-op replace (r14)
+    "q_ann_ivfpq_stream_upsert") // vector-family single-op replace (r14)
 
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()

@@ -763,6 +763,77 @@ class StreamingSpec extends SparkSpec {
     assert(cat.read("codes_tomb").isEmpty, "applied tombstones must clear")
   }
 
+  test("vector single-op replace: new codes and old-generation tombstone land in ONE op; replays converge") {
+    val dir = Files.createTempDirectory("graft-vecreplace").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 20L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val (model, offline) = graft.operators.Similarity.ivfPqIndex(
+      vecs, nlist = 8, m = 4, ksub = 8)
+    val codesSchema = graft.streaming.Streams.vectorCodesSchema(offline.schema)
+    graft.streaming.Streams.ensureVectorIndexTables(
+      cat, "codes", "codes_tomb", codesSchema)
+    val log = new graft.streaming.OpLog(spark, cat, "codes_ops",
+      graft.streaming.OpLog.countPayload)
+    val pool = graft.operators.Similarity.collectPool(model)
+    def code(df: org.apache.spark.sql.DataFrame, seq: Long) =
+      graft.operators.Similarity
+        .ivfPqCodeTable(df, pool, 8, 4, 8, "vec_id", "embedding")
+        .withColumn("seq", F.lit(seq))
+        .withColumn("pbk",
+          F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(16L)).cast("int"))
+    cat.appendPartitioned("codes", code(vecs, 0L), Seq("pbk"))
+    log.commitCount(0L, 20L)
+    // replace vec 3 with its NEGATED embedding — one op
+    val modified = vecs.filter($"vec_id" === 3L)
+      .select($"vec_id",
+        F.transform($"embedding", x => -x.cast("double")).as("embedding"))
+    graft.streaming.Streams.replaceVectors(cat, "codes", codesSchema,
+      "codes_tomb", modified, model, nlist = 8, m = 4, ksub = 8)
+    def liveCodes = graft.operators.Tombstones.live(
+      log.visible(cat.readWithSchema("codes", codesSchema)),
+      log.visible(cat.read("codes_tomb")), "neighbor_id")
+    assert(liveCodes.filter($"neighbor_id" === 3L).count() === 1L,
+      "exactly one live generation for the replaced id")
+    val expected = graft.operators.Similarity
+      .ivfPqCodeTable(modified, pool, 8, 4, 8, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    assert(liveCodes.filter($"neighbor_id" === 3L).drop("seq", "pbk")
+      .collect().map(_.toSeq).toSet === expected,
+      "the live code must be the NEW embedding's code")
+    // replaying the committed op is a no-op (done short-circuit)
+    val seqUsed = log.maxSeq.get
+    val before = liveCodes.collect().map(_.toSeq).toSet
+    graft.streaming.Streams.replaceVectors(cat, "codes", codesSchema,
+      "codes_tomb", modified, model, nlist = 8, m = 4, ksub = 8,
+      seq = Some(seqUsed))
+    assert(liveCodes.collect().map(_.toSeq).toSet === before,
+      "replaying a committed replace must not change the live view")
+    // a crashed attempt (marker + partial codes, no commit) scrubs and
+    // redoes under the SAME seq
+    val crashSeq = log.nextBaseSeq
+    log.beginAttempt(crashSeq)
+    cat.appendPartitioned("codes",
+      code(vecs.filter($"vec_id" === 5L), crashSeq).limit(1), Seq("pbk"))
+    val mod5 = vecs.filter($"vec_id" === 5L)
+      .select($"vec_id",
+        F.transform($"embedding", x => -x.cast("double")).as("embedding"))
+    graft.streaming.Streams.replaceVectors(cat, "codes", codesSchema,
+      "codes_tomb", mod5, model, nlist = 8, m = 4, ksub = 8,
+      seq = Some(crashSeq))
+    assert(liveCodes.filter($"neighbor_id" === 5L).count() === 1L,
+      "the replayed replace must converge to one live generation")
+    // compaction kills the old generations physically
+    graft.streaming.Streams.compactVectorIndex(
+      cat, "codes", codesSchema, "codes_tomb")
+    val raw = cat.readWithSchema("codes", codesSchema)
+    assert(raw.filter($"neighbor_id" === 3L).count() === 1L &&
+      raw.filter($"neighbor_id" === 3L).select("seq").head().getLong(0) === seqUsed,
+      "only the replacing generation survives compaction")
+    assert(cat.read("codes_tomb").isEmpty, "applied tombstones must clear")
+  }
+
   test("streaming dedup deletes: tombstoned docs stop rejecting, ids re-ingest, compaction scrubs") {
     val dir = Files.createTempDirectory("graft-deduptomb").toString
     val drop = s"$dir/drop"; val drop2 = s"$dir/drop2"
@@ -822,6 +893,77 @@ class StreamingSpec extends SparkSpec {
     assert(catalog.readWithSchema("corpus_buckets", bucketSchema)
       .select("id").collect().map(_.getLong(0)).toSet === liveIds,
       "bucket index must exactly mirror the live corpus after scrub")
+    assert(catalog.read("corpus_tomb").isEmpty, "applied tombstones must clear")
+  }
+
+  test("dedup single-op replace: new text re-buckets and old generation dies in ONE op; replays converge") {
+    val dir = Files.createTempDirectory("graft-dedupreplace").toString
+    val catalog = new graft.sources.Catalog(spark, s"$dir/wh")
+    Streams.ensureDedupIndexTables(
+      catalog, "corpus", "corpus_buckets", "corpus_tomb")
+    val log = new graft.streaming.OpLog(spark, catalog, "corpus_ops",
+      graft.streaming.OpLog.countPayload)
+    def pbkOf(c: org.apache.spark.sql.Column) =
+      F.pmod(F.xxhash64(c), F.lit(16L)).cast("int")
+    val t1 = "first corpus document body that will be editorially replaced"
+    val t2 = "second document body that stays untouched through the test"
+    val seed = Seq(1L -> t1, 2L -> t2).toDF("doc_id", "text")
+    catalog.appendPartitioned("corpus", seed
+        .withColumn("seq", F.lit(0L))
+        .withColumn("pbk", pbkOf($"doc_id")), Seq("pbk"))
+    catalog.appendPartitioned("corpus_buckets",
+      graft.operators.Dedup.bucketTableMd5(seed)
+        .withColumn("seq", F.lit(0L))
+        .withColumn("pbk", pbkOf($"id")), Seq("pbk"))
+    log.commitCount(0L, 2L)
+    val newText = "a completely rewritten body with entirely different shingles"
+    Streams.replaceDocsInDedup(catalog, "corpus", "corpus_buckets",
+      "corpus_tomb", Seq(1L -> newText).toDF("doc_id", "text"))
+    def live = graft.operators.Tombstones.live(
+      log.visible(catalog.readWithSchema("corpus", Streams.dedupCorpusSchema)),
+      log.visible(catalog.read("corpus_tomb")), "doc_id")
+    def liveBuckets = graft.operators.Tombstones.live(
+      log.visible(
+        catalog.readWithSchema("corpus_buckets", Streams.dedupBucketSchema)),
+      log.visible(catalog.read("corpus_tomb"))
+        .withColumnRenamed("doc_id", "id"), "id")
+    assert(live.filter($"doc_id" === 1L).count() === 1L &&
+      live.filter($"doc_id" === 1L).select("text").head().getString(0) === newText,
+      "the live corpus must carry exactly the new generation's text")
+    // the live bucket rows for doc 1 must derive from the NEW text
+    val expected = graft.operators.Dedup
+      .bucketTableMd5(Seq(1L -> newText).toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(liveBuckets.filter($"id" === 1L).drop("seq", "pbk")
+      .collect().map(_.toSeq).toSet === expected,
+      "the index must re-shingle the replacement text")
+    // a near-copy of the OLD text must now be ADMITTED (its buckets
+    // died with the generation); a near-copy of the NEW text rejected
+    val probeOld = graft.operators.Dedup.incrementalCandidatesFromBuckets(
+      graft.operators.Dedup.bucketTableMd5(
+        Seq(50L -> t1.toUpperCase).toDF("doc_id", "text")),
+      liveBuckets.drop("seq", "pbk"))
+    assert(probeOld.isEmpty,
+      "the replaced-away text must stop attracting candidates")
+    val probeNew = graft.operators.Dedup.incrementalCandidatesFromBuckets(
+      graft.operators.Dedup.bucketTableMd5(
+        Seq(51L -> newText.toUpperCase).toDF("doc_id", "text")),
+      liveBuckets.drop("seq", "pbk"))
+    assert(!probeNew.isEmpty,
+      "the replacement text's near-copies must hit the new buckets")
+    // replaying the committed op is a no-op; compaction scrubs the dead
+    // generation from BOTH tables
+    val seqUsed = log.maxSeq.get
+    val before = live.select("doc_id", "text").collect().toSet
+    Streams.replaceDocsInDedup(catalog, "corpus", "corpus_buckets",
+      "corpus_tomb", Seq(1L -> newText).toDF("doc_id", "text"),
+      seq = Some(seqUsed))
+    assert(live.select("doc_id", "text").collect().toSet === before)
+    Streams.compactDocDedup(catalog, "corpus", "corpus_buckets", "corpus_tomb")
+    val corpusRaw = catalog.readWithSchema("corpus", Streams.dedupCorpusSchema)
+    assert(corpusRaw.filter($"doc_id" === 1L).count() === 1L &&
+      corpusRaw.filter($"doc_id" === 1L).select("seq").head().getLong(0) === seqUsed,
+      "only the replacing generation survives compaction")
     assert(catalog.read("corpus_tomb").isEmpty, "applied tombstones must clear")
   }
 
