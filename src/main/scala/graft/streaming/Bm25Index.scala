@@ -262,25 +262,30 @@ final class Bm25Index(
         (F.col("adl") - F.col("kdl")).as("total_dl")))
   }
 
-  /** A continuous ingestion stream: each micro-batch runs [[ingest]] at
-    * `base + batchId`, where `base` is DERIVED from the op log's
-    * high-water mark at writer construction — so a restarted stream
-    * (from its checkpoint or from scratch) can never collide with a
-    * committed op. A caller-supplied `baseSeq` is validated loudly
-    * against the same mark instead of silently no-opping every batch.
-    * Replayed in-flight batches run under the new base's seq and
-    * converge via committed-only reads (class doc). */
+  /** A continuous ingestion stream: each micro-batch runs [[ingest]]
+    * (or, with `replaceMode`, [[replace]] — the RECRAWL stream: a
+    * re-fetched page overwrites its live generation instead of being
+    * dropped as already-present) at `base + batchId`, where `base` is
+    * DERIVED from the op log's high-water mark at writer
+    * construction — so a restarted stream (from its checkpoint or from
+    * scratch) can never collide with a committed op. A caller-supplied
+    * `baseSeq` is validated loudly against the same mark instead of
+    * silently no-opping every batch. Replayed in-flight batches run
+    * under the new base's seq and converge via committed-only reads
+    * (class doc). */
   def writer(
       docs: DataFrame,
       checkpoint: String,
-      baseSeq: Option[Long] = None): DataStreamWriter[Row] = {
+      baseSeq: Option[Long] = None,
+      replaceMode: Boolean = false): DataStreamWriter[Row] = {
     heal()
     val base = baseSeq.map(log.requireFreshBase).getOrElse(log.nextBaseSeq)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingest(batch, base + id)
+        if (replaceMode) replace(batch, base + id)
+        else ingest(batch, base + id)
       }
   }
 

@@ -125,7 +125,10 @@ object Streams {
       tombTable: Option[String] = None,
       baseSeq: Option[Long] = None,
       stateBuckets: Int = 16,
-      maxProbeIds: Long = 4L * 1024 * 1024): DataStreamWriter[org.apache.spark.sql.Row] = {
+      maxProbeIds: Long = 4L * 1024 * 1024,
+      replaceMode: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(!replaceMode || tombTable.nonEmpty,
+      "replaceMode needs the tombstone-aware layout (tombTable)")
     // the benchmark's distinct-gram set is computed ONCE for the
     // stream's lifetime and materialized (an eval set is MBs — the
     // same vocabulary-sized-only checkpoint policy as the ANN index
@@ -262,6 +265,16 @@ object Streams {
         val base = baseSeq.map(log.requireFreshBase).getOrElse(log.nextBaseSeq)
         def pbkOf(c: org.apache.spark.sql.Column) =
           F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
+        if (replaceMode)
+          // RECRAWL stream: each micro-batch is ONE editorial replace
+          // op ([[replaceDocsInDedup]]) — re-fetched pages overwrite
+          // their live generations; the near-dup screen and hygiene
+          // gates do NOT run (ON CONFLICT DO UPDATE semantics —
+          // callers wanting masking pre-mask the stream)
+          return writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+            replaceDocsInDedup(catalog, corpusTable, bucketTable, tt,
+              batch, stateBuckets, seq = Some(base + batchId))
+          }
         writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
           // heal any crashed maintenance/scrub swap BEFORE the first
           // probe or read (idempotent fs-metadata checks, no jobs)
@@ -633,9 +646,12 @@ object Streams {
       baseSeq: Option[Long] = None,
       codesSchema: Option[StructType] = None,
       stateBuckets: Int = 16,
-      maxProbeIds: Long = 4L * 1024 * 1024): DataStreamWriter[org.apache.spark.sql.Row] = {
+      maxProbeIds: Long = 4L * 1024 * 1024,
+      replaceMode: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
     val pool = graft.operators.Similarity.collectPool(model)
     require(pool.nonEmpty, "streamingIvfPqIndex needs a non-empty model")
+    require(!replaceMode || tombTable.nonEmpty,
+      "replaceMode needs the tombstone-aware layout (tombTable)")
     val writer = vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -674,6 +690,15 @@ object Streams {
         val base = baseSeq.map(log.requireFreshBase).getOrElse(log.nextBaseSeq)
         def pbkOf(c: org.apache.spark.sql.Column) =
           F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
+        if (replaceMode)
+          // RECRAWL stream: each micro-batch is ONE replace op
+          // ([[replaceVectors]]) — re-embedded ids overwrite their
+          // live codes instead of being dropped as already-present
+          return writer.foreachBatch { (batch: DataFrame, id: Long) =>
+            replaceVectors(catalog, codesTable, schema, tt, batch, model,
+              nlist, m, ksub, idCol, vecCol, stateBuckets,
+              seq = Some(base + id))
+          }
         writer.foreachBatch { (batch: DataFrame, id: Long) =>
           catalog.recoverCompaction(codesTable, "pbk")
           catalog.recoverReplace(tt)

@@ -834,6 +834,64 @@ class StreamingSpec extends SparkSpec {
     assert(cat.read("codes_tomb").isEmpty, "applied tombstones must clear")
   }
 
+  test("vector recrawl stream: replace-mode writer re-codes live ids; admit-mode drops them") {
+    val dir = Files.createTempDirectory("graft-vec-recrawl").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 12L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val (model, offline) = graft.operators.Similarity.ivfPqIndex(
+      vecs, nlist = 8, m = 4, ksub = 8)
+    val codesSchema = graft.streaming.Streams.vectorCodesSchema(offline.schema)
+    graft.streaming.Streams.ensureVectorIndexTables(
+      cat, "codes", "codes_tomb", codesSchema)
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    vecs.coalesce(1).write.parquet(s"$in/b1")
+    def src = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/b1")
+    val q1 = graft.streaming.Streams.streamingIvfPqIndex(
+      src, model, cat, "codes", s"$dir/cp1", nlist = 8, m = 4, ksub = 8,
+      tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema)).start()
+    q1.processAllAvailable(); q1.stop()
+    // the recrawl re-embeds id 4 (negated vector, different code)
+    val in2 = s"$dir/in2"; new java.io.File(in2).mkdirs()
+    val reEmbedded = vecs.filter($"vec_id" === 4L)
+      .select($"vec_id",
+        F.transform($"embedding", x => (-x).cast("float")).as("embedding"))
+    reEmbedded.coalesce(1).write.parquet(s"$in2/b1")
+    def src2 = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in2/b1")
+    val log = new graft.streaming.OpLog(spark, cat, "codes_ops",
+      graft.streaming.OpLog.countPayload)
+    def liveCodes = graft.operators.Tombstones.live(
+      log.visible(cat.readWithSchema("codes", codesSchema)),
+      log.visible(cat.read("codes_tomb")), "neighbor_id")
+    val pool = graft.operators.Similarity.collectPool(model)
+    val oldCode = liveCodes.filter($"neighbor_id" === 4L)
+      .drop("seq", "pbk").collect().map(_.toSeq).toSet
+    // admit-mode drops the already-live id
+    val qAdmit = graft.streaming.Streams.streamingIvfPqIndex(
+      src2, model, cat, "codes", s"$dir/cp2", nlist = 8, m = 4, ksub = 8,
+      tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema)).start()
+    qAdmit.processAllAvailable(); qAdmit.stop()
+    assert(liveCodes.filter($"neighbor_id" === 4L)
+      .drop("seq", "pbk").collect().map(_.toSeq).toSet === oldCode,
+      "admit-mode must keep the original code")
+    // replace-mode re-codes it
+    val qRepl = graft.streaming.Streams.streamingIvfPqIndex(
+      src2, model, cat, "codes", s"$dir/cp3", nlist = 8, m = 4, ksub = 8,
+      tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema),
+      replaceMode = true).start()
+    qRepl.processAllAvailable(); qRepl.stop()
+    val expected = graft.operators.Similarity
+      .ivfPqCodeTable(reEmbedded, pool, 8, 4, 8, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    assert(liveCodes.filter($"neighbor_id" === 4L)
+      .drop("seq", "pbk").collect().map(_.toSeq).toSet === expected,
+      "replace-mode must carry the re-embedded id's NEW code")
+    assert(liveCodes.count() === 12L, "one live code per id")
+  }
+
   test("streaming dedup deletes: tombstoned docs stop rejecting, ids re-ingest, compaction scrubs") {
     val dir = Files.createTempDirectory("graft-deduptomb").toString
     val drop = s"$dir/drop"; val drop2 = s"$dir/drop2"
@@ -965,6 +1023,60 @@ class StreamingSpec extends SparkSpec {
       corpusRaw.filter($"doc_id" === 1L).select("seq").head().getLong(0) === seqUsed,
       "only the replacing generation survives compaction")
     assert(catalog.read("corpus_tomb").isEmpty, "applied tombstones must clear")
+  }
+
+  test("dedup recrawl stream: replace-mode writer overwrites live text; admit-mode drops it") {
+    val dir = Files.createTempDirectory("graft-dedup-recrawl").toString
+    val drop = s"$dir/drop"
+    new java.io.File(drop).mkdirs()
+    val catalog = new graft.sources.Catalog(spark, s"$dir/wh")
+    Streams.ensureDedupIndexTables(
+      catalog, "corpus", "corpus_buckets", "corpus_tomb")
+    val t1 = "original page body before the recrawl found newer content"
+    Files.writeString(java.nio.file.Paths.get(s"$drop/b1.jsonl"),
+      s"""{"doc_id":1,"text":"$t1"}""")
+    val q1 = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop, maxFilesPerTrigger = 1),
+      catalog, "corpus", "corpus_buckets", s"$dir/cp1",
+      tombTable = Some("corpus_tomb")).start()
+    q1.processAllAvailable(); q1.stop()
+    // the recrawl delivers NEW text under the same id: admit-mode
+    // (insert-if-absent) must drop it, replace-mode must overwrite
+    val t2 = "freshly recrawled body with completely different words now"
+    val drop2 = s"$dir/drop2"; new java.io.File(drop2).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$drop2/b2.jsonl"),
+      s"""{"doc_id":1,"text":"$t2"}""")
+    val qAdmit = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop2, maxFilesPerTrigger = 1),
+      catalog, "corpus", "corpus_buckets", s"$dir/cp2",
+      tombTable = Some("corpus_tomb")).start()
+    qAdmit.processAllAvailable(); qAdmit.stop()
+    val log = new graft.streaming.OpLog(spark, catalog, "corpus_ops",
+      graft.streaming.OpLog.countPayload)
+    def live = graft.operators.Tombstones.live(
+      log.visible(catalog.readWithSchema("corpus", Streams.dedupCorpusSchema)),
+      log.visible(catalog.read("corpus_tomb")), "doc_id")
+    assert(live.select("text").head().getString(0) === t1,
+      "admit-mode must drop the already-live id")
+    val qRepl = Streams.streamingDocDedup(
+      Streams.docFileStream(spark, drop2, maxFilesPerTrigger = 1),
+      catalog, "corpus", "corpus_buckets", s"$dir/cp3",
+      tombTable = Some("corpus_tomb"), replaceMode = true).start()
+    qRepl.processAllAvailable(); qRepl.stop()
+    assert(live.count() === 1L &&
+      live.select("text").head().getString(0) === t2,
+      "replace-mode must overwrite the live generation")
+    // the index mirrors the NEW text's shingles
+    val liveBuckets = graft.operators.Tombstones.live(
+      log.visible(
+        catalog.readWithSchema("corpus_buckets", Streams.dedupBucketSchema)),
+      log.visible(catalog.read("corpus_tomb"))
+        .withColumnRenamed("doc_id", "id"), "id")
+    val expected = graft.operators.Dedup
+      .bucketTableMd5(Seq(1L -> t2).toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(liveBuckets.drop("seq", "pbk").collect().map(_.toSeq).toSet
+      === expected, "the bucket index must re-shingle the recrawled text")
   }
 
   test("tomb-mode dedup crash between appends: scrub-then-redo replay converges exactly-once") {
@@ -1144,6 +1256,51 @@ class StreamingSpec extends SparkSpec {
     val reg = cat.readWithSchema("doc_lengths", graft.streaming.Bm25Index.dlSchema)
     assert(reg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
       Map(1L -> 3L, 2L -> 3L, 4L -> 4L), "registry must hold live docs only")
+  }
+
+  test("bm25 recrawl stream: replace-mode writer overwrites live generations; ingest-mode drops them") {
+    // the RECRAWL production shape: a re-fetched page streams in and
+    // must OVERWRITE its live generation (one replace op per
+    // micro-batch) — where the insert-if-absent writer would silently
+    // drop it as already-present
+    val dir = Files.createTempDirectory("graft-bm25recrawl").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    val idx = new graft.streaming.Bm25Index(spark, cat, buckets = 8)
+    idx.ensure()
+    idx.ingest(Seq(
+      (1L, "alpha hash scan"), (2L, "hash hash merge beta"),
+      (3L, "gamma delta")).toDF("doc_id", "text"), seq = 0L)
+    val in = s"$dir/in"
+    new java.io.File(in).mkdirs()
+    Seq((1L, "recrawled alpha now says merge merge"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b1")
+    def src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/b1")
+    // ingest-mode arm: the recrawl is DROPPED (id already live)
+    val qDrop = idx.writer(src, s"$dir/cp_drop").start()
+    qDrop.processAllAvailable(); qDrop.stop()
+    val terms = Seq("hash", "scan", "merge")
+    val unchanged = graft.operators.Retrieval.bm25TopK(Seq(
+        (1L, "alpha hash scan"), (2L, "hash hash merge beta"),
+        (3L, "gamma delta")).toDF("doc_id", "text"), terms, k = 10)
+      .collect().toSeq
+    assert(idx.serve(terms, k = 10).collect().toSeq === unchanged,
+      "insert-if-absent must drop an already-live id")
+    // replace-mode arm: the same batch OVERWRITES doc 1
+    val qRepl = idx.writer(src, s"$dir/cp_repl", replaceMode = true).start()
+    qRepl.processAllAvailable(); qRepl.stop()
+    val replaced = graft.operators.Retrieval.bm25TopK(Seq(
+        (1L, "recrawled alpha now says merge merge"),
+        (2L, "hash hash merge beta"), (3L, "gamma delta"))
+        .toDF("doc_id", "text"), terms, k = 10)
+      .collect().toSeq
+    assert(idx.serve(terms, k = 10).collect().toSeq === replaced,
+      "replace-mode must overwrite the live generation, bit-equal to a rebuild")
+    idx.compact(maxFilesPerPartition = 1)
+    assert(idx.serve(terms, k = 10).collect().toSeq === replaced,
+      "compaction must not change a served bit")
   }
 
   test("bm25 index ops are exactly-once: replayed ops and a crash between appends converge") {
