@@ -6111,6 +6111,63 @@ object QueryCatalog {
       .orderBy("cell")
   }
 
+  /** The PERSISTED-index twin of [[qIvfRebalance]], graded by the SAME
+    * oracle: the drifted corpus streams into the tombstone-aware codes
+    * table against the frozen first-half model (3 generation-stamped
+    * micro-batch ops), then ONE
+    * [[graft.streaming.Streams.rebalanceVectorIndexIfSkewed]]
+    * maintenance op measures the live occupancy (the identical
+    * milli-exact integer trigger), fires, and rebuilds model AND codes
+    * on the current corpus as one exactly-once op-log commit — model
+    * rows and code rows land at the same generation, every pre-drift
+    * code tombstoned at it, so serving can never pair a new model with
+    * old codes. The graded rows are the LIVE post-rebuild cell
+    * occupancy with the fired flag riding every row — identical shape
+    * to the batch twin, so [[qIvfRebalanceSql]] grades the whole
+    * stream → trigger → atomic-rebuild → live-read loop.
+    */
+  private def qIvfRebalanceStream(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val drifted = emb.select(F.col("vec_id"),
+      F.when(F.col("vec_id") >= 250,
+        F.transform(F.col("embedding"),
+          x => F.lit(2.0) + x.cast(DoubleType) * F.lit(0.01)))
+        .otherwise(F.transform(F.col("embedding"), x => x.cast(DoubleType)))
+        .as("embedding"))
+    val root = idxScratch("ivf_rebalance_stream")
+    val in = s"$root/in"; val cp = s"$root/cp"; val wh = s"$root/wh"
+    clearDir(cp); clearDir(wh)
+    // the frozen model: trained on the PRE-drift half only
+    val (model0, offlineCodes) = Similarity.ivfPqIndex(
+      drifted.filter(F.col("vec_id") < 250))
+    val codesSchema =
+      graft.streaming.Streams.vectorCodesSchema(offlineCodes.schema)
+    writeOrderedStreamFiles(
+      drifted.withColumn("__tile",
+        (F.pmod(F.col("vec_id"), F.lit(3)) + 1).cast("int")),
+      3, in, dir)
+    val catalog = new graft.sources.Catalog(s, wh)
+    graft.streaming.Streams.ensureVectorIndexTables(
+      catalog, "codes", "codes_tomb", codesSchema)
+    graft.streaming.Streams.seedVectorIndexModel(
+      catalog, "codes", "model", model0, seq = 0L)
+    val q = graft.streaming.Streams.streamingIvfPqIndex(
+      s.readStream.schema(drifted.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      model0, catalog, "codes", cp,
+      tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema)).start()
+    try q.processAllAvailable() finally q.stop()
+    val fired = graft.streaming.Streams.rebalanceVectorIndexIfSkewed(
+      catalog, "codes", codesSchema, "codes_tomb", "model", drifted)
+    graft.streaming.Streams.compactVectorIndex(
+      catalog, "codes", codesSchema, "codes_tomb")
+    catalog.readWithSchema("codes", codesSchema)
+      .groupBy(F.col("cell").cast(LongType).as("cell"))
+      .agg(F.count(F.lit(1)).as("n_codes"))
+      .withColumn("rebalanced", F.lit(if (fired) 1L else 0L))
+      .orderBy("cell")
+  }
+
   private val qIvfRebalanceSql =
     """WITH dr AS (
       |  SELECT vec_id, CASE WHEN vec_id >= 250
@@ -7588,6 +7645,7 @@ object QueryCatalog {
     Q("q_decontam_sweep", wrap(qDecontamSweep), Some(qDecontamSweepSql)),
     Q("q_ivf_balance", wrap(qIvfBalance), Some(qIvfBalanceSql)),
     Q("q_ivf_rebalance", wrap(qIvfRebalance), Some(qIvfRebalanceSql)),
+    Q("q_ivf_rebalance_stream", wrap(qIvfRebalanceStream), Some(qIvfRebalanceSql)),
     Q("q_ivf_recall", wrap(qIvfRecall), Some(qIvfRecallSql)),
     Q("q_release", wrap(qRelease), Some(qReleaseSql)),
     Q("q_split_parity", wrap(qSplitParity), Some(qSplitParitySql)),

@@ -272,7 +272,15 @@ final class Bm25Index(
     * `baseSeq` is validated loudly against the same mark instead of
     * silently no-opping every batch. Replayed in-flight batches run
     * under the new base's seq and converge via committed-only reads
-    * (class doc). */
+    * (class doc).
+    *
+    * Replace-mode tombstone cadence: every batch tombstones its live
+    * victims, so a recrawl-heavy stream accretes tombstones at the
+    * recrawl rate until [[compact]] applies and clears them —
+    * [[graft.operators.Tombstones.live]] degrades from broadcast to a
+    * shuffle join past its size guard, so an overdue compaction costs
+    * throughput, never correctness. Compact on a cadence proportional
+    * to the replace rate. */
   def writer(
       docs: DataFrame,
       checkpoint: String,

@@ -270,7 +270,11 @@ object Streams {
           // op ([[replaceDocsInDedup]]) — re-fetched pages overwrite
           // their live generations; the near-dup screen and hygiene
           // gates do NOT run (ON CONFLICT DO UPDATE semantics —
-          // callers wanting masking pre-mask the stream)
+          // callers wanting masking pre-mask the stream). Tombstones
+          // accrete at the recrawl rate until [[compactDocDedup]]
+          // applies them — compact on a cadence proportional to it
+          // (the Tombstones.live size guard makes an overdue
+          // compaction a throughput cost, never a correctness one)
           return writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
             replaceDocsInDedup(catalog, corpusTable, bucketTable, tt,
               batch, stateBuckets, seq = Some(base + batchId))
@@ -693,7 +697,10 @@ object Streams {
         if (replaceMode)
           // RECRAWL stream: each micro-batch is ONE replace op
           // ([[replaceVectors]]) — re-embedded ids overwrite their
-          // live codes instead of being dropped as already-present
+          // live codes instead of being dropped as already-present.
+          // Tombstones accrete at the recrawl rate until
+          // [[compactVectorIndex]] applies them — compact on a cadence
+          // proportional to it
           return writer.foreachBatch { (batch: DataFrame, id: Long) =>
             replaceVectors(catalog, codesTable, schema, tt, batch, model,
               nlist, m, ksub, idCol, vecCol, stateBuckets,
@@ -892,6 +899,170 @@ object Streams {
       tombTable, vectorTombSchema, "neighbor_id",
       Seq(Generations.Stamped(codesTable, "pbk", codesSchema, "neighbor_id")),
       maxFilesPerPartition)
+
+  /** Model-table layout for the tombstone-aware vector index: one row
+    * per (cid, centroid) per GENERATION — the model is
+    * generation-stamped so a drift-triggered rebuild swaps model and
+    * codes ATOMICALLY through the op-log commit (two separate
+    * replace-managed tables could crash into a mismatched pair: new
+    * model with old codes scores garbage ADC distances). */
+  val vectorModelSchema: StructType = StructType.fromDDL(
+    "cid INT, centroid ARRAY<BIGINT>, seq BIGINT")
+
+  /** The live model of a tombstone-aware vector index: the rows of the
+    * HIGHEST visible generation (open attempts excluded — a crashed
+    * rebuild's model rows never serve). One |model|-row probe. */
+  def liveVectorModel(
+      catalog: Catalog,
+      codesTable: String,
+      modelTable: String): DataFrame = {
+    val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
+      OpLog.countPayload)
+    val vis = log.visible(
+      catalog.readWithSchema(modelTable, vectorModelSchema))
+    val mx = vis.agg(F.max("seq")).head().get(0)
+    require(mx != null, s"$modelTable holds no visible model generation")
+    vis.filter(F.col("seq") === mx.asInstanceOf[Long]).drop("seq")
+  }
+
+  /** Register a model generation (the offline seed, or any externally
+    * trained pool) at `seq`: model rows land stamped, and the
+    * generation registers in the op log so derived seqs stay above it
+    * and [[liveVectorModel]] can see it. */
+  def seedVectorIndexModel(
+      catalog: Catalog,
+      codesTable: String,
+      modelTable: String,
+      model: DataFrame,
+      seq: Long): Unit = {
+    catalog.ensureTable(modelTable, vectorModelSchema)
+    val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
+      OpLog.countPayload)
+    log.ensure()
+    catalog.append(modelTable, model.withColumn("seq", F.lit(seq)))
+    log.commitCount(seq, model.count())
+  }
+
+  /** Drift-triggered re-balance for the PERSISTED vector index — the
+    * catalog-backed closure of
+    * [[graft.operators.Similarity.ivfRebalanceIfSkewed]]'s loop: a
+    * replace-heavy recrawl stream re-codes drifting content against a
+    * frozen pool, the coarse cells skew, and every probe of the hot
+    * cell scans a growing corpus fraction. This maintenance entry
+    * measures the occupancy of the LIVE code set (a \|cells\|-row
+    * aggregate; same milli-exact integer trigger as the batch op) and,
+    * when it fires, rebuilds model AND codes on `vectors` (the caller's
+    * live raw corpus — the codes table stores only codes, by design) as
+    * ONE exactly-once [[OpLog]] op: new model generation appended, new
+    * codes appended at the same seq, every live id tombstoned at that
+    * seq (killing all older generations), one commit. A crash anywhere
+    * before the commit leaves the WHOLE rebuild invisible — serving
+    * never sees a new model with old codes or vice versa; abandoned
+    * rebuild garbage is GC'd here and at [[compactVectorIndex]].
+    *
+    * Returns whether the rebuild fired. Run under the single-writer
+    * maintenance discipline with ingest/replace streams PAUSED, and
+    * restart them afterwards against [[liveVectorModel]] — a stream
+    * constructed over the old pool would otherwise keep coding new
+    * batches against dead centroids. The rebuild-sized tombstone set is
+    * cleared by the next [[compactVectorIndex]]; `Tombstones.live`'s
+    * size guard keeps an overdue compaction a throughput cost, never a
+    * correctness one.
+    */
+  def rebalanceVectorIndexIfSkewed(
+      catalog: Catalog,
+      codesTable: String,
+      codesSchema: StructType,
+      tombTable: String,
+      modelTable: String,
+      vectors: DataFrame,
+      nlist: Int = 16,
+      m: Int = 4,
+      ksub: Int = 8,
+      maxCellMilli: Long = 4000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      stateBuckets: Int = 16): Boolean = {
+    catalog.recoverCompaction(codesTable, "pbk")
+    catalog.recoverReplace(tombTable)
+    catalog.recoverReplace(modelTable)
+    catalog.ensureTable(modelTable, vectorModelSchema)
+    val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
+      OpLog.countPayload)
+    log.ensure()
+    // GC abandoned-rebuild model rows while here (codes/tombstone
+    // garbage is compactVectorIndex's job; the model table is the one
+    // flat table no other maintenance pass touches)
+    val garbage = log.garbageSeqs
+    if (garbage.nonEmpty) {
+      val mrows = catalog.readWithSchema(modelTable, vectorModelSchema)
+      if (!mrows.filter(F.col("seq").isin(garbage: _*)).isEmpty)
+        catalog.replaceTable(modelTable,
+          mrows.filter(!F.col("seq").isin(garbage: _*)))
+    }
+    val live = graft.operators.Tombstones.live(
+        log.visible(catalog.readWithSchema(codesTable, codesSchema)),
+        log.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
+        "neighbor_id")
+      .localCheckpoint() // reused: trigger aggregate + rebuild tombstones
+    val row = live.groupBy("cell").agg(F.count(F.lit(1)).as("c"))
+      .agg(F.coalesce(F.max("c"), F.lit(0L)).as("mx"),
+        F.coalesce(F.sum("c"), F.lit(0L)).as("tot"))
+      .head()
+    val (mx, tot) = (row.getLong(0), row.getLong(1))
+    if (tot == 0L || mx * nlist * 1000L <= maxCellMilli * tot) return false
+    // fired: rebuild model + codes on the live corpus as ONE op (the
+    // derived seq sits above every attempt, so no scrub arm is needed —
+    // a crashed rebuild's seq is never reused)
+    val sv = log.nextBaseSeq
+    log.beginAttempt(sv)
+    def pbkOf(c: org.apache.spark.sql.Column) =
+      F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
+    val (newModel, newCodes) = graft.operators.Similarity.ivfPqIndex(
+      vectors, nlist, m, ksub, idCol, vecCol)
+    catalog.append(modelTable, newModel.withColumn("seq", F.lit(sv)))
+    catalog.appendPartitioned(codesTable, newCodes
+        .withColumn("seq", F.lit(sv))
+        .withColumn("pbk", pbkOf(F.col("neighbor_id"))),
+      Seq("pbk"))
+    catalog.append(tombTable,
+      live.select(F.col("neighbor_id"), F.lit(sv).as("seq")))
+    log.commitCount(sv, newCodes.count())
+    true
+  }
+
+  /** Serve top-k from the persisted (model, codes) pair — reads the
+    * committed-consistent generation: [[liveVectorModel]] plus the
+    * live code set. The pair can never mismatch (both swap in the same
+    * op-log commit). */
+  def serveVectorIndex(
+      catalog: Catalog,
+      codesTable: String,
+      codesSchema: StructType,
+      tombTable: String,
+      modelTable: String,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    catalog.recoverCompaction(codesTable, "pbk")
+    catalog.recoverReplace(tombTable)
+    catalog.recoverReplace(modelTable)
+    val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
+      OpLog.countPayload)
+    val live = graft.operators.Tombstones.live(
+      log.visible(catalog.readWithSchema(codesTable, codesSchema)),
+      log.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
+      "neighbor_id")
+    graft.operators.Similarity.ivfPqTopKFromIndex(
+      liveVectorModel(catalog, codesTable, modelTable),
+      live.drop("seq", "pbk"), queries, k, nlist, nprobe, m, ksub,
+      idCol, vecCol)
+  }
 
   final case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, cents: Long)

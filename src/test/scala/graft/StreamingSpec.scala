@@ -892,6 +892,88 @@ class StreamingSpec extends SparkSpec {
     assert(liveCodes.count() === 12L, "one live code per id")
   }
 
+  test("persisted-index drift rebalance: atomic model+codes swap; no-fire passthrough; crashed rebuild invisible") {
+    val dir = Files.createTempDirectory("graft-vecrebal").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    val rnd = new scala.util.Random(41)
+    // ids >= 15 drift: every coordinate collapses toward 2.0 + 0.01x —
+    // the planted skew of the batch twin at unit scale
+    val base = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val drifted = base.map { case (i, v) =>
+      (i, if (i >= 15) v.map(x => 2.0f + x * 0.01f) else v)
+    }.toDF("vec_id", "embedding")
+    val (model0, offline) = graft.operators.Similarity.ivfPqIndex(
+      drifted.filter($"vec_id" < 15), nlist = 8, m = 4, ksub = 8)
+    val codesSchema = graft.streaming.Streams.vectorCodesSchema(offline.schema)
+    graft.streaming.Streams.ensureVectorIndexTables(
+      cat, "codes", "codes_tomb", codesSchema)
+    graft.streaming.Streams.seedVectorIndexModel(
+      cat, "codes", "model", model0, seq = 0L)
+    val pool0 = graft.operators.Similarity.collectPool(model0)
+    val log = new graft.streaming.OpLog(spark, cat, "codes_ops",
+      graft.streaming.OpLog.countPayload)
+    cat.appendPartitioned("codes",
+      graft.operators.Similarity
+        .ivfPqCodeTable(drifted, pool0, 8, 4, 8, "vec_id", "embedding")
+        .withColumn("seq", F.lit(1L))
+        .withColumn("pbk",
+          F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(16L)).cast("int")),
+      Seq("pbk"))
+    log.commitCount(1L, 30L)
+    // simulate a CRASHED rebuild: attempt + model/code rows, no commit —
+    // nothing of it may serve
+    val crashSeq = log.nextBaseSeq
+    log.beginAttempt(crashSeq)
+    cat.append("model", model0.withColumn("seq", F.lit(crashSeq)))
+    val modelBefore = graft.streaming.Streams
+      .liveVectorModel(cat, "codes", "model").collect().map(_.toSeq).toSet
+    assert(modelBefore === model0.collect().map(_.toSeq).toSet,
+      "a crashed rebuild's model rows must not become live")
+    // the drift fires the trigger; the rebuild must equal a fresh build
+    val fired = graft.streaming.Streams.rebalanceVectorIndexIfSkewed(
+      cat, "codes", codesSchema, "codes_tomb", "model", drifted,
+      nlist = 8, m = 4, ksub = 8)
+    assert(fired, "planted drift must fire the trigger")
+    val (freshModel, freshCodes) = graft.operators.Similarity.ivfPqIndex(
+      drifted, nlist = 8, m = 4, ksub = 8)
+    assert(graft.streaming.Streams.liveVectorModel(cat, "codes", "model")
+      .collect().map(_.toSeq).toSet ===
+      freshModel.collect().map(_.toSeq).toSet,
+      "the live model must be the fresh pool")
+    val queries = drifted.filter($"vec_id" < 3L)
+    val served = graft.streaming.Streams.serveVectorIndex(
+        cat, "codes", codesSchema, "codes_tomb", "model", queries, k = 3,
+        nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = graft.operators.Similarity.ivfPqTopKFromIndex(
+        freshModel, freshCodes, queries, k = 3,
+        nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .collect().map(_.toSeq).toSet
+    assert(served === rebuilt,
+      "rebalanced serve must equal a fresh build bit-for-bit")
+    // maintenance GC: compaction scrubs the dead/garbage codes; the
+    // next rebalance entry scrubs the abandoned model rows and then
+    // passes through (freshly balanced-enough index fires only on the
+    // genuinely skewed occupancy it measures)
+    graft.streaming.Streams.compactVectorIndex(
+      cat, "codes", codesSchema, "codes_tomb")
+    val codesRaw = cat.readWithSchema("codes", codesSchema)
+    assert(codesRaw.select("seq").distinct().count() === 1L,
+      "only the committed rebuild generation survives compaction")
+    val firedAgain = graft.streaming.Streams.rebalanceVectorIndexIfSkewed(
+      cat, "codes", codesSchema, "codes_tomb", "model", drifted,
+      nlist = 8, m = 4, ksub = 8)
+    assert(cat.readWithSchema("model", graft.streaming.Streams.vectorModelSchema)
+      .filter($"seq" === crashSeq).isEmpty,
+      "the crashed rebuild's model rows must be GC'd at the next entry")
+    if (!firedAgain) {
+      // passthrough arm: live view untouched by a no-fire entry
+      assert(graft.streaming.Streams.liveVectorModel(cat, "codes", "model")
+        .collect().map(_.toSeq).toSet ===
+        freshModel.collect().map(_.toSeq).toSet)
+    }
+  }
+
   test("streaming dedup deletes: tombstoned docs stop rejecting, ids re-ingest, compaction scrubs") {
     val dir = Files.createTempDirectory("graft-deduptomb").toString
     val drop = s"$dir/drop"; val drop2 = s"$dir/drop2"
