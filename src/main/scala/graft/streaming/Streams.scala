@@ -916,6 +916,10 @@ object Streams {
       catalog: Catalog,
       codesTable: String,
       modelTable: String): DataFrame = {
+    // heal a GC replaceTable that crashed between move-aside and
+    // swap-in BEFORE reading — without this the read throws
+    // path-not-found until some maintenance entry happens to run
+    catalog.recoverReplace(modelTable)
     val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
       OpLog.countPayload)
     val vis = log.visible(
@@ -935,6 +939,10 @@ object Streams {
       modelTable: String,
       model: DataFrame,
       seq: Long): Unit = {
+    // heal BEFORE the append: appending onto a mid-replace-crashed
+    // table would recreate the live dir and make the next heal discard
+    // the moved-aside rows as a dead stage
+    catalog.recoverReplace(modelTable)
     catalog.ensureTable(modelTable, vectorModelSchema)
     val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
       OpLog.countPayload)

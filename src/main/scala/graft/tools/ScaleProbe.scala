@@ -64,7 +64,8 @@ object ScaleProbe {
     "q_bm25_stream_upsert", // single-op replace lifecycle (r14)
     "q_bm25_serve_batch", // batched multi-query serve from one pruned scan (r14)
     "q_incr_dedup_upsert", // dedup-family single-op replace (r14)
-    "q_ann_ivfpq_stream_upsert") // vector-family single-op replace (r14)
+    "q_ann_ivfpq_stream_upsert", // vector-family single-op replace (r14)
+    "q_ivf_rebalance_stream") // persisted-index atomic drift rebalance (r14)
 
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
