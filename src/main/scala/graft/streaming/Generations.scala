@@ -96,5 +96,15 @@ object Generations {
         if (garbage.isEmpty) keep
         else keep.filter(!F.col("seq").isin(garbage: _*)))
     }
+    // last: fold the op log itself (two one-row files per op otherwise
+    // accrete forever — the log is read several times per op, so its
+    // FILE count is a per-batch cost). Abandoned-attempt rows are KEPT
+    // (one row each, bounded by crash count): this pass only scrubbed
+    // the Stamped tables, and a family may hold garbage-seq rows in
+    // sidecar tables it owns privately (the vector index's model
+    // table) — dropping the attempt row would flip those rows to
+    // never-seen = committed-by-convention, resurrecting a crashed
+    // rebuild. A crash inside the fold heals at the next log access.
+    log.compact()
   }
 }

@@ -56,9 +56,18 @@ final class OpLog(
 
   private val marker = payload.fields.head.name
 
-  def ensure(): Unit = cat.ensureTable(table, schema)
+  /** The log is replace-managed (see [[compact]]), so EVERY entry —
+    * read, append, even existence-ensure — heals a crashed rewrite
+    * first. The ensure case is load-bearing: `ensureTable` on a
+    * mid-replace table (live dir moved aside, swap not yet in) would
+    * create a fresh EMPTY live dir, after which the heal sees a live
+    * table and discards the moved-aside rows as a dead stage —
+    * silently zeroing the log. Idempotent fs-metadata probes, no jobs. */
+  private def heal(): Unit = cat.recoverReplace(table)
 
-  def rows: DataFrame = cat.readWithSchema(table, schema)
+  def ensure(): Unit = { heal(); cat.ensureTable(table, schema) }
+
+  def rows: DataFrame = { heal(); cat.readWithSchema(table, schema) }
 
   /** Commit rows only (attempt rows carry a null first payload col). */
   def committed: DataFrame = rows.filter(F.col(marker).isNotNull)
@@ -98,22 +107,27 @@ final class OpLog(
   /** Attempt marker, written BEFORE the op's first data append.
     * Duplicate attempt rows from replays are harmless (existence-only,
     * null payload). */
-  def beginAttempt(seq: Long): Unit =
+  def beginAttempt(seq: Long): Unit = {
+    heal()
     cat.append(table, spark.createDataFrame(
       java.util.List.of(Row.fromSeq(seq +: payload.fields.map(_ => null).toSeq)),
       schema))
+  }
 
   /** Commit = the op's payload row, one atomic append. `stats` must be
     * a 1-row frame whose columns match the payload (first column
     * non-null). */
-  def commit(seq: Long, stats: DataFrame): Unit =
+  def commit(seq: Long, stats: DataFrame): Unit = {
+    heal()
     cat.append(table, stats.select(
       F.lit(seq).as("seq") +: payload.fields.map(f =>
         F.col(f.name).cast(f.dataType).as(f.name)): _*))
+  }
 
   /** Commit with a bare count payload (single-long-payload logs). */
   def commitCount(seq: Long, n: Long): Unit = {
     require(payload.fields.length == 1, "commitCount needs a 1-col payload")
+    heal()
     cat.append(table, spark.createDataFrame(
       java.util.List.of(Row(seq, n)), schema))
   }
@@ -155,6 +169,50 @@ final class OpLog(
       r.filter(x => !x.getBoolean(1) && x.getLong(0) < mark)
         .map(_.getLong(0)).toSeq
     }
+  }
+
+  /** Maintenance: rewrite the log to its minimal equivalent, coalesced
+    * to one file. Every op appends two one-row parquet files, so an
+    * uncompacted log's read cost grows with TOTAL OPS EVER (file
+    * listing + a footer per file) — and the log is read several times
+    * per op. After this rewrite it is one file of one row per
+    * committed op: attempt rows of COMMITTED seqs drop (they answer no
+    * question [[state]] can still ask — the commit row already proves
+    * both flags), attempt rows of OPEN seqs are kept one-per-seq (a
+    * crashed attempt must still replay as scrub-then-redo, an
+    * abandoned one must stay visible to [[garbageSeqs]] and
+    * [[visible]]'s anti-join). `scrubbedSeqs` names abandoned attempts
+    * whose data rows the caller has JUST scrubbed from EVERY table of
+    * the family — only then may their log rows drop (returning the seq
+    * to never-seen = committed-by-convention): a seq with surviving
+    * rows in ANY table, including privately owned sidecars the
+    * compaction pass does not manage (the vector index's model table),
+    * must keep its attempt row or those rows resurrect.
+    * Generations.compact therefore passes nothing and keeps abandoned
+    * rows — bounded by crash count, one tiny row each.
+    * Additive payload sums, [[maxSeq]] (the fold keeps every
+    * committed seq and every surviving open seq verbatim), [[state]],
+    * [[openSeqs]] and [[visible]] are all preserved exactly
+    * (spec-pinned). Crash-safe via [[Catalog.replaceTable]]; every
+    * accessor heals at entry, so a crashed rewrite can never wedge a
+    * reader or corrupt a subsequent append. Single-writer maintenance
+    * discipline, like every compaction in this family. */
+  def compact(scrubbedSeqs: Seq[Long] = Nil): Unit = {
+    ensure()
+    val r = rows
+    val open = r.groupBy("seq")
+      .agg(F.max(F.col(marker).isNotNull).as("done"))
+      .filter(!F.col("done")).select("seq")
+    val openRows = r.join(open, Seq("seq"), "leftsemi")
+      .dropDuplicates("seq") // duplicate attempt rows collapse
+    val survivingOpen =
+      if (scrubbedSeqs.isEmpty) openRows
+      else openRows.filter(!F.col("seq").isin(scrubbedSeqs: _*))
+    // replaceTable materializes the staged copy BEFORE any rename, so
+    // reading the live table inside the rewrite plan is safe
+    cat.replaceTable(table,
+      r.filter(F.col(marker).isNotNull).unionByName(survivingOpen)
+        .coalesce(1))
   }
 }
 

@@ -1567,4 +1567,61 @@ class StreamingSpec extends SparkSpec {
     assert(fs.exists(p("tombstones")) && !fs.exists(p("tombstones__replaced")),
       "tombstones must heal from the aside copy")
   }
+
+  test("op log compaction: one file, sums/state/visibility preserved, scrubbed attempts fold away") {
+    val dir = Files.createTempDirectory("graft-oplogcompact").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    val log = new graft.streaming.OpLog(spark, cat, "t_ops",
+      graft.streaming.Bm25Index.statsPayload)
+    log.ensure()
+    def stats(n: Long, dl: Long) = Seq((n, dl)).toDF("n_docs", "total_dl")
+    log.beginAttempt(0L); log.commit(0L, stats(5L, 50L))
+    log.beginAttempt(1L) // abandoned (never commits, below the HWM)
+    log.beginAttempt(2L); log.commit(2L, stats(3L, 30L))
+    log.beginAttempt(3L) // crashed in-flight at the HWM — must survive
+    def opsFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/wh/t_ops"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    def sums: (Long, Long) = {
+      val r = log.rows.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0L)),
+        F.coalesce(F.sum("total_dl"), F.lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val filesBefore = opsFiles
+    assert(filesBefore >= 6, s"six appends should leave >= 6 files: $filesBefore")
+    assert(sums === ((8L, 80L)))
+    assert(log.garbageSeqs === Seq(1L))
+    log.compact(scrubbedSeqs = log.garbageSeqs)
+    assert(opsFiles === 1, "the folded log must be one file")
+    assert(sums === ((8L, 80L)), "the additive payload sum must not move")
+    assert(log.maxSeq === Some(3L), "derived bases must still clear the HWM")
+    assert(log.state(0L) === ((true, true)) && log.state(2L) === ((true, true)),
+      "committed ops stay done (a replay with a stale seq must still no-op)")
+    assert(log.state(3L) === ((false, true)),
+      "the crashed in-flight attempt must still replay as scrub-then-redo")
+    assert(log.state(1L) === ((false, false)),
+      "the scrubbed abandoned attempt returns to never-seen")
+    assert(log.garbageSeqs.isEmpty)
+    val data = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("seq", "v")
+    assert(log.visible(data).select("v").as[String].collect().sorted
+      === Seq("a", "b", "c"),
+      "only the open seq is invisible; committed and never-seen rows serve")
+    // a second compaction of the already-minimal log is a no-op rewrite
+    log.compact()
+    assert(opsFiles === 1 && sums === ((8L, 80L)) && log.state(3L) === ((false, true)))
+    // crash window: live dir moved aside mid-replace — the next accessor
+    // heals instead of throwing path-not-found or, worse, ensure()
+    // creating a fresh empty log over the aside copy
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/wh")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/wh/t_ops"),
+      new org.apache.hadoop.fs.Path(s"$dir/wh/t_ops__replaced")))
+    log.ensure()
+    assert(log.maxSeq === Some(3L),
+      "ensure() on a mid-replace log must heal, not recreate empty")
+  }
 }
