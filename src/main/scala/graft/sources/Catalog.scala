@@ -143,7 +143,20 @@ class Catalog(val spark: SparkSession, warehouse: String) {
   }
 
   /** Heal any [[replaceTable]] crash window (idempotent; also safe when
-    * no replace was ever attempted). */
+    * no replace was ever attempted).
+    *
+    * Reader-side heals vs an IN-FLIGHT replace: heals run at every
+    * read/append entry, so one can race a live [[replaceTable]] rather
+    * than a crashed one. Every interleaving is DATA-safe — at least
+    * one complete copy stays addressable, and the heal either discards
+    * a stage the writer will fail loudly over, or completes the swap
+    * the writer was about to do (the writer then reports a spurious
+    * failure for an op that actually landed; retrying is idempotent).
+    * What a racing heal CAN do is abort the maintenance op — under
+    * continuous serve traffic, schedule replaces (tombstone clears,
+    * op-log folds) in the same single-writer maintenance windows as
+    * compaction, which is the discipline this family documents
+    * everywhere. */
   def recoverReplace(table: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(path(table))
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())

@@ -197,7 +197,7 @@ final class OpLog(
     * accessor heals at entry, so a crashed rewrite can never wedge a
     * reader or corrupt a subsequent append. Single-writer maintenance
     * discipline, like every compaction in this family. */
-  def compact(scrubbedSeqs: Seq[Long] = Nil): Unit = {
+  def compact(scrubbedSeqs: Seq[Long] = Nil, targetFiles: Int = 1): Unit = {
     ensure()
     val r = rows
     val open = r.groupBy("seq")
@@ -209,10 +209,13 @@ final class OpLog(
       if (scrubbedSeqs.isEmpty) openRows
       else openRows.filter(!F.col("seq").isin(scrubbedSeqs: _*))
     // replaceTable materializes the staged copy BEFORE any rename, so
-    // reading the live table inside the rewrite plan is safe
+    // reading the live table inside the rewrite plan is safe.
+    // targetFiles bounds the rewrite's parallelism floor: one file is
+    // right up to tens of millions of ops (a few hundred MB through
+    // one task); a tenant folding a vastly larger log raises it.
     cat.replaceTable(table,
       r.filter(F.col(marker).isNotNull).unionByName(survivingOpen)
-        .coalesce(1))
+        .coalesce(math.max(1, targetFiles)))
   }
 }
 
