@@ -143,7 +143,7 @@ final class Bm25Index(
     */
   def ingest(batch: DataFrame, seq: Long): Unit = {
     heal()
-    val (done, crashed) = log.state(seq)
+    val (done, crashed) = log.replayState(seq)
     if (done) return
     log.beginAttempt(seq)
     if (crashed) scrubOp(seq)
@@ -186,7 +186,7 @@ final class Bm25Index(
     */
   def delete(ids: DataFrame, seq: Long): Unit = {
     heal()
-    val (done, crashed) = log.state(seq)
+    val (done, crashed) = log.replayState(seq)
     if (done) return
     log.beginAttempt(seq)
     if (crashed) scrubOp(seq)
@@ -228,7 +228,7 @@ final class Bm25Index(
     */
   def replace(batch: DataFrame, seq: Long): Unit = {
     heal()
-    val (done, crashed) = log.state(seq)
+    val (done, crashed) = log.replayState(seq)
     if (done) return
     log.beginAttempt(seq)
     if (crashed) scrubOp(seq)

@@ -104,6 +104,34 @@ final class OpLog(
     (r.exists(!_.isNullAt(0)), r.nonEmpty)
   }
 
+  /** [[state]] for an op entry point: additionally REFUSES a stale seq
+    * — never attempted yet at-or-below the committed high-water mark.
+    * Ops execute in seq order (single-writer discipline), so such a
+    * seq cannot be a legitimate replay: either the caller is replaying
+    * out of order with a hand-tracked seq, or the seq's history was
+    * folded away by [[checkpoint]] — and actually RUNNING the op there
+    * would redo it against state that already absorbed it (harmless
+    * for the anti-join admission arms, which converge to a zero
+    * no-op, but a REPLACE would append a duplicate generation next to
+    * the original's surviving rows). Loud beats silent: derive seqs
+    * from [[nextBaseSeq]]. One |ops|-row job, same cost as [[state]]. */
+  def replayState(seq: Long): (Boolean, Boolean) = {
+    val a = rows.agg(
+      F.max(F.when(F.col("seq") === seq && F.col(marker).isNotNull, true))
+        .as("done"),
+      F.max(F.when(F.col("seq") === seq, true)).as("attempted"),
+      F.max(F.when(F.col(marker).isNotNull, F.col("seq"))).as("hwm")).head()
+    def flag(i: Int) = !a.isNullAt(i) && a.getBoolean(i)
+    val (done, attempted) = (flag(0), flag(1))
+    if (!attempted && !a.isNullAt(2) && seq <= a.getLong(2))
+      throw new IllegalStateException(
+        s"op seq $seq has no log row but is at or below the committed " +
+          s"high-water mark ${a.getLong(2)}: out-of-order or " +
+          "checkpointed-away — running it would double-apply; derive " +
+          "seqs from nextBaseSeq")
+    (done, attempted)
+  }
+
   /** Attempt marker, written BEFORE the op's first data append.
     * Duplicate attempt rows from replays are harmless (existence-only,
     * null payload). */
@@ -216,6 +244,46 @@ final class OpLog(
     cat.replaceTable(table,
       r.filter(F.col(marker).isNotNull).unionByName(survivingOpen)
         .coalesce(math.max(1, targetFiles)))
+  }
+
+  /** Maintenance, one step past [[compact]]: fold the ENTIRE committed
+    * history into ONE summary row at the committed high-water mark
+    * whose payload is the column-wise sum — every payload here is
+    * additive by design (BM25's (n_docs, total_dl) deltas, the count
+    * logs), which is what makes the serve-side global aggregate an
+    * |ops|-row scan; after a checkpoint it is a
+    * |1 + opens + ops-since|-row scan, so serve cost stops growing
+    * with op history entirely. Open-attempt rows are kept verbatim
+    * (they must still replay or be GC'd). Requires an all-LongType
+    * payload (checked loudly).
+    *
+    * What a checkpoint gives up: per-op history. A replay probe for a
+    * folded seq finds no row, so [[replayState]]'s staleness guard —
+    * no row AND at-or-below the HWM — is what keeps a hand-tracked
+    * stale seq from double-applying; every op entry point uses it.
+    * The derived-base discipline ([[nextBaseSeq]] /
+    * [[requireFreshBase]]) already keeps writers above the HWM, so
+    * checkpointing changes nothing for them. Crash-safe via
+    * [[Catalog.replaceTable]], like [[compact]]. */
+  def checkpoint(): Unit = {
+    require(payload.fields.forall(_.dataType == LongType),
+      "checkpoint needs an all-BIGINT additive payload; " +
+        s"got ${payload.simpleString}")
+    ensure()
+    val r = rows
+    val committedRows = r.filter(F.col(marker).isNotNull)
+    if (committedRows.isEmpty) { compact(); return }
+    val summary = committedRows.agg(
+      F.max("seq").as("seq"),
+      payload.fields.map(f =>
+        F.coalesce(F.sum(f.name), F.lit(0L)).as(f.name)): _*)
+      .select("seq", payload.fields.map(_.name): _*)
+    val open = r.groupBy("seq")
+      .agg(F.max(F.col(marker).isNotNull).as("done"))
+      .filter(!F.col("done")).select("seq")
+    val openRows = r.join(open, Seq("seq"), "leftsemi")
+      .dropDuplicates("seq")
+    cat.replaceTable(table, summary.unionByName(openRows).coalesce(1))
   }
 }
 

@@ -286,7 +286,7 @@ object Streams {
           catalog.recoverCompaction(bucketTable, "pbk")
           catalog.recoverReplace(tt)
           val seq = base + batchId
-          val (done, crashed) = log.state(seq)
+          val (done, crashed) = log.replayState(seq)
           if (!done) {
             log.beginAttempt(seq)
             if (crashed) {
@@ -384,7 +384,7 @@ object Streams {
       OpLog.countPayload)
     log.ensure()
     val sv = seq.getOrElse(log.nextBaseSeq)
-    val (done, crashed) = log.state(sv)
+    val (done, crashed) = log.replayState(sv)
     if (done) return
     log.beginAttempt(sv)
     if (crashed) {
@@ -445,7 +445,7 @@ object Streams {
     def pbkOf(c: org.apache.spark.sql.Column) =
       F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
     val sv = seq.getOrElse(log.nextBaseSeq)
-    val (done, crashed) = log.state(sv)
+    val (done, crashed) = log.replayState(sv)
     if (done) return
     log.beginAttempt(sv)
     if (crashed) {
@@ -710,7 +710,7 @@ object Streams {
           catalog.recoverCompaction(codesTable, "pbk")
           catalog.recoverReplace(tt)
           val seq = base + id
-          val (done, crashed) = log.state(seq)
+          val (done, crashed) = log.replayState(seq)
           if (!done) {
             log.beginAttempt(seq)
             if (crashed)
@@ -790,7 +790,7 @@ object Streams {
       OpLog.countPayload)
     log.ensure()
     val sv = seq.getOrElse(log.nextBaseSeq)
-    val (done, crashed) = log.state(sv)
+    val (done, crashed) = log.replayState(sv)
     if (done) return
     log.beginAttempt(sv)
     if (crashed) {
@@ -847,7 +847,7 @@ object Streams {
     def pbkOf(c: org.apache.spark.sql.Column) =
       F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
     val sv = seq.getOrElse(log.nextBaseSeq)
-    val (done, crashed) = log.state(sv)
+    val (done, crashed) = log.replayState(sv)
     if (done) return
     log.beginAttempt(sv)
     if (crashed) {

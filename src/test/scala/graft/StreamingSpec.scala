@@ -1624,4 +1624,44 @@ class StreamingSpec extends SparkSpec {
     assert(log.maxSeq === Some(3L),
       "ensure() on a mid-replace log must heal, not recreate empty")
   }
+
+  test("op log checkpoint: history folds to one summary row; stale seqs refuse loudly") {
+    val dir = Files.createTempDirectory("graft-oplogckpt").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    val idx = new graft.streaming.Bm25Index(spark, cat, buckets = 8)
+    idx.ensure()
+    (0 until 3).foreach(i => idx.ingest(
+      Seq((i.toLong, s"alpha beta doc$i")).toDF("doc_id", "text"), i.toLong))
+    val log = new graft.streaming.OpLog(spark, cat, "ops",
+      graft.streaming.Bm25Index.statsPayload)
+    log.beginAttempt(3L) // crashed in-flight — must survive the fold
+    val servedBefore = idx.serve(Seq("alpha", "beta"), k = 10)
+      .collect().map(_.toSeq)
+    log.checkpoint()
+    assert(log.rows.count() === 2L,
+      "one summary row plus the open attempt")
+    val s = log.rows.filter(F.col("n_docs").isNotNull).head()
+    assert(s.getLong(0) === 2L && s.getLong(1) === 3L,
+      "the summary sits at the committed HWM and carries the exact sums")
+    assert(log.maxSeq === Some(3L))
+    // serve reads ONLY the summary + open rows now — bit-identical
+    assert(idx.serve(Seq("alpha", "beta"), k = 10).collect().map(_.toSeq)
+      === servedBefore, "a checkpoint must not move a served bit")
+    // replay probes: open attempt still replayable; fresh seqs fine;
+    // folded seqs refuse loudly instead of double-applying
+    assert(log.replayState(3L) === ((false, true)))
+    assert(log.replayState(7L) === ((false, false)))
+    val ex = intercept[IllegalStateException](log.replayState(1L))
+    assert(ex.getMessage.contains("high-water mark"))
+    // the guard is wired into the op entry points: a hand-tracked
+    // stale seq on a REPLACE (the arm that would duplicate a
+    // generation) dies before writing anything
+    intercept[IllegalStateException](
+      idx.replace(Seq((0L, "alpha rewritten")).toDF("doc_id", "text"), 1L))
+    assert(idx.serve(Seq("alpha", "beta"), k = 10).collect().map(_.toSeq)
+      === servedBefore, "the refused op must not have touched the index")
+    // life goes on above the HWM: derived seqs ingest normally
+    idx.ingest(Seq((100L, "alpha gamma")).toDF("doc_id", "text"), idx.nextSeq)
+    assert(idx.serve(Seq("alpha"), k = 10).count() === 4L)
+  }
 }
