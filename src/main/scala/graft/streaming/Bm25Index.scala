@@ -408,12 +408,14 @@ final class Bm25Index(
     * Tombstones of UNCOMMITTED ops that may still replay (at the op
     * log's high-water mark) are left untouched.
     */
-  def compact(maxFilesPerPartition: Int = 2): Unit = {
+  def compact(
+      maxFilesPerPartition: Int = 2,
+      checkpointOps: Boolean = false): Unit = {
     heal()
     Generations.compact(cat, log, "tombstones", tombSchema, "doc_id",
       Seq(Generations.Stamped("postings", "bk", postSchema, "doc_id"),
         Generations.Stamped("doc_lengths", "rk", dlSchema, "doc_id")),
-      maxFilesPerPartition)
+      maxFilesPerPartition, checkpointLog = checkpointOps)
   }
 }
 

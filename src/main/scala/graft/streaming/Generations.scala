@@ -51,7 +51,8 @@ object Generations {
       tombSchema: StructType,
       tombIdCol: String,
       tables: Seq[Stamped],
-      maxFilesPerPartition: Int = 2): Unit = {
+      maxFilesPerPartition: Int = 2,
+      checkpointLog: Boolean = false): Unit = {
     tables.foreach(t => cat.recoverCompaction(t.table, t.partCol))
     cat.recoverReplace(tombTable)
     log.ensure()
@@ -105,6 +106,11 @@ object Generations {
     // table) — dropping the attempt row would flip those rows to
     // never-seen = committed-by-convention, resurrecting a crashed
     // rebuild. A crash inside the fold heals at the next log access.
-    log.compact()
+    // checkpointLog additionally folds the committed HISTORY into one
+    // summed summary row ([[OpLog.checkpoint]]) — opt-in, for
+    // long-lived tenants whose serve-side |ops|-row stats aggregate
+    // has grown past noise; it trades per-op history for the loud
+    // staleness guard on replays ([[OpLog.replayState]]).
+    if (checkpointLog) log.checkpoint() else log.compact()
   }
 }

@@ -497,7 +497,8 @@ object Streams {
       corpusTable: String,
       bucketTable: String,
       tombTable: String,
-      maxFilesPerPartition: Int = 2): Unit =
+      maxFilesPerPartition: Int = 2,
+      checkpointOps: Boolean = false): Unit =
     Generations.compact(catalog,
       new OpLog(catalog.spark, catalog, corpusTable + "_ops",
         OpLog.countPayload),
@@ -505,7 +506,7 @@ object Streams {
       Seq(
         Generations.Stamped(corpusTable, "pbk", dedupCorpusSchema, "doc_id"),
         Generations.Stamped(bucketTable, "pbk", dedupBucketSchema, "id")),
-      maxFilesPerPartition)
+      maxFilesPerPartition, checkpointLog = checkpointOps)
 
   /** Streaming ANN serving: each micro-batch of query vectors is
     * answered from the PERSISTED LSH bucket index
@@ -892,13 +893,14 @@ object Streams {
       codesTable: String,
       codesSchema: StructType,
       tombTable: String,
-      maxFilesPerPartition: Int = 2): Unit =
+      maxFilesPerPartition: Int = 2,
+      checkpointOps: Boolean = false): Unit =
     Generations.compact(catalog,
       new OpLog(catalog.spark, catalog, codesTable + "_ops",
         OpLog.countPayload),
       tombTable, vectorTombSchema, "neighbor_id",
       Seq(Generations.Stamped(codesTable, "pbk", codesSchema, "neighbor_id")),
-      maxFilesPerPartition)
+      maxFilesPerPartition, checkpointLog = checkpointOps)
 
   /** Model-table layout for the tombstone-aware vector index: one row
     * per (cid, centroid) per GENERATION — the model is

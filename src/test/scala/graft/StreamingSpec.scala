@@ -1663,5 +1663,14 @@ class StreamingSpec extends SparkSpec {
     // life goes on above the HWM: derived seqs ingest normally
     idx.ingest(Seq((100L, "alpha gamma")).toDF("doc_id", "text"), idx.nextSeq)
     assert(idx.serve(Seq("alpha"), k = 10).count() === 4L)
+    // the family helper reaches the checkpoint too: maintenance with
+    // checkpointOps re-folds summary + post-checkpoint ops into one row
+    // (the abandoned open attempt survives for GC accounting)
+    val served4 = idx.serve(Seq("alpha", "beta"), k = 10).collect().map(_.toSeq)
+    idx.compact(checkpointOps = true)
+    assert(log.rows.count() === 2L,
+      "summary + the abandoned open attempt")
+    assert(idx.serve(Seq("alpha", "beta"), k = 10).collect().map(_.toSeq)
+      === served4, "checkpoint via the family compaction moves no bit")
   }
 }
