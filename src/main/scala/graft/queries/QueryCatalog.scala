@@ -4600,7 +4600,12 @@ object QueryCatalog {
       val q2 = idx.writer(s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(in2), cp2).start()
       try q2.processAllAvailable() finally q2.stop()
-      idx.compact(maxFilesPerPartition = 2)
+      // checkpointOps grades the op-log HISTORY fold against the same
+      // rebuild oracle: the post-maintenance serve reads its global
+      // stats off the single summed summary row, and must still be
+      // hash-exact (the dedup/vector del twins keep grading the plain
+      // file-fold path)
+      idx.compact(maxFilesPerPartition = 2, checkpointOps = true)
       idx.serve(Seq("hash", "scan", "merge"), k = 20)
     }
   }
