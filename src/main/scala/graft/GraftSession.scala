@@ -27,6 +27,14 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Pin the v1 file output committer: job commit renames task
+      // output into the destination only at commitJob, so a SINGLE-FILE
+      // append job is an atomic all-or-nothing commit — the property
+      // the append-only (non-op-log) streaming writers rely on for
+      // replay idempotence. v2 commits per-task directly into the
+      // destination, making partially-visible appends normal; never
+      // run this engine with it.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "1")
 
   /** Local session for tests/benchmarks. */
   def local(appName: String, cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -25,6 +25,7 @@ class Catalog(val spark: SparkSession, warehouse: String) {
 
   def path(table: String): String = s"$warehouse/$table"
 
+
   def exists(table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(table))
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
@@ -396,6 +397,93 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     w.format("parquet").saveAsTable(table)
   }
 
+  private val leaseHolder = java.util.UUID.randomUUID().toString
+  private val leaseDepth = scala.collection.mutable.Map.empty[String, Int]
+
+  /** Run `body` as the SINGLE WRITER of a maintenance scope, enforced
+    * by a lease file — the "single-writer maintenance discipline" this
+    * family documents on every compaction/replace turned from a
+    * convention into a loud contract. A second maintainer entering the
+    * same scope while the lease is live fails with
+    * [[Catalog.MaintenanceLeaseHeld]] instead of silently racing the
+    * stage-and-swap windows (the documented reader-heal race makes
+    * such races DATA-safe, but an aborted maintenance op looks like a
+    * spurious failure; refusing up front is diagnosable).
+    *
+    * Mechanics: `create(path, overwrite = false)` on
+    * `<warehouse>/<scope>__lease` — atomic create-if-absent on HDFS
+    * and local filesystems (object stores without atomic create need
+    * an external coordinator; same caveat as every rename-based commit
+    * in this catalog). The file carries `holder expiryMillis`. A
+    * CRASHED holder's lease heals by expiry: past `ttlMs` the next
+    * contender breaks the stale file and re-acquires (the break is a
+    * delete + one create retry, so two simultaneous breakers resolve
+    * to one winner and one loud loser). Size the TTL above the longest
+    * expected maintenance pass — a too-short TTL turns a slow
+    * compaction into two writers, which is exactly the state the
+    * reader-heal race doc proves data-safe but op-unsafe.
+    *
+    * Re-entrant per scope within this Catalog instance (depth-counted),
+    * so a family helper that takes the family lease can call nested
+    * helpers that defensively take it too. */
+  def withMaintenanceLease[T](scope: String, ttlMs: Long = 15 * 60 * 1000L)(body: => T): T = {
+    val depthKey = scope
+    val reentered = leaseDepth.synchronized {
+      val d = leaseDepth.getOrElse(depthKey, 0)
+      if (d > 0) { leaseDepth(depthKey) = d + 1; true } else false
+    }
+    if (reentered) {
+      try body
+      finally leaseDepth.synchronized { leaseDepth(depthKey) -= 1 }
+    } else {
+      val p = new org.apache.hadoop.fs.Path(path(scope) + "__lease")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      def tryCreate(): Boolean =
+        try {
+          val out = fs.create(p, false)
+          try out.write(
+            s"$leaseHolder ${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      def expired(): Boolean =
+        try {
+          val in = fs.open(p)
+          val content =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          content.split("\\s+") match {
+            case Array(_, exp) if exp.forall(_.isDigit) =>
+              exp.toLong < System.currentTimeMillis()
+            case _ => // unreadable content (holder crashed mid-write):
+              // age the FILE instead of the recorded expiry
+              fs.getFileStatus(p).getModificationTime + ttlMs <
+                System.currentTimeMillis()
+          }
+        } catch {
+          // vanished between create-failure and read — contender won a
+          // break race or released; report not-expired and let the
+          // retry below re-probe
+          case _: java.io.IOException => false
+        }
+      val acquired = tryCreate() || {
+        if (expired()) { fs.delete(p, false); tryCreate() } else false
+      }
+      if (!acquired)
+        throw new Catalog.MaintenanceLeaseHeld(
+          s"maintenance lease for scope '$scope' is held " +
+            s"(${p.toString}); concurrent maintenance refused — wait for " +
+            "the holder or for lease expiry")
+      leaseDepth.synchronized { leaseDepth(depthKey) = 1 }
+      try body
+      finally {
+        leaseDepth.synchronized { leaseDepth(depthKey) -= 1 }
+        try fs.delete(p, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
   /** TRUNCATE TABLE: overwrite with an empty frame of the same schema
     * (src/sqls/populate_postgres.sql:31).
     */
@@ -405,4 +493,10 @@ class Catalog(val spark: SparkSession, warehouse: String) {
       .write.mode(SaveMode.Overwrite).parquet(path(table))
     spark.catalog.refreshByPath(path(table))
   }
+}
+
+object Catalog {
+  /** A maintenance window for the scope is already held by another
+    * (live, unexpired) maintainer — see [[Catalog.withMaintenanceLease]]. */
+  final class MaintenanceLeaseHeld(msg: String) extends RuntimeException(msg)
 }

@@ -52,7 +52,11 @@ object Generations {
       tombIdCol: String,
       tables: Seq[Stamped],
       maxFilesPerPartition: Int = 2,
-      checkpointLog: Boolean = false): Unit = {
+      checkpointLog: Boolean = false): Unit =
+    // one lease per index family (scoped by its op log) covers the
+    // whole multi-table window — the documented single-writer
+    // maintenance discipline, enforced instead of assumed
+    cat.withMaintenanceLease(log.table) {
     tables.foreach(t => cat.recoverCompaction(t.table, t.partCol))
     cat.recoverReplace(tombTable)
     log.ensure()

@@ -47,7 +47,7 @@ import graft.sources.Catalog
 final class OpLog(
     spark: SparkSession,
     cat: Catalog,
-    table: String,
+    val table: String,
     payload: StructType) {
 
   val schema: StructType = StructType(

@@ -215,12 +215,19 @@ object Streams {
       case None =>
         // append-only mode on flat tables: probe-and-skip replay
         // idempotence (the bucket re-append anti-joins already-bucketed
-        // ids). ASSUMES ATOMIC APPEND JOBS: without generation stamps
-        // there is nothing to scrub, so a crash DURING a multi-file
-        // append commit (a subset of task files landed) can strand a
-        // doc with partial bucket rows. The tombstone-aware mode below
-        // runs the full OpLog scrub-then-redo protocol and does not
-        // carry this assumption; prefer it in production.
+        // ids). Replay soundness NEEDS atomic append jobs: without
+        // generation stamps there is nothing to scrub, so a partial
+        // multi-file append commit (a subset of task files landed)
+        // would strand a doc with partial bucket rows. The appends are
+        // therefore forced to ONE file each — a single-file job is an
+        // all-or-nothing commit under the v1 committer (pinned in
+        // GraftSession) — turning the assumption into an enforced
+        // property. One file per micro-batch is also the right write
+        // shape (flat tables have no compaction pass to heal small-file
+        // accretion); the single write task it implies is a throughput
+        // ceiling only for backfill-sized batches, which belong in the
+        // tombstone-aware mode below (full OpLog scrub-then-redo, no
+        // atomicity requirement) — prefer it in production generally.
         //
         // Crash-window consistency (the two appends are not one atomic
         // commit): ADMISSION AUTHORITY IS THE CORPUS (the id
@@ -246,8 +253,10 @@ object Streams {
             .join(newBuckets.select("id").distinct(), Seq("id"), "leftsemi")
           catalog.append(bucketTable, newBuckets
             .join(admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi")
-            .join(alreadyBucketed, Seq("id"), "leftanti"))
-          catalog.append(corpusTable, admitted.select("doc_id", "text"))
+            .join(alreadyBucketed, Seq("id"), "leftanti")
+            .coalesce(1))
+          catalog.append(corpusTable,
+            admitted.select("doc_id", "text").coalesce(1))
         }
       case Some(tt) =>
         // tombstone-aware mode: the production lifecycle. Corpus and
@@ -663,17 +672,24 @@ object Streams {
     tombTable match {
       case None =>
         // append-only mode on a flat table: probe-and-skip replay
-        // idempotence. ASSUMES ATOMIC APPEND JOBS (nothing to scrub
-        // without generation stamps); the tombstone-aware mode below
-        // runs the full OpLog scrub-then-redo protocol — prefer it in
-        // production.
+        // idempotence, sound even under a PARTIAL append commit because
+        // the codes table is one row per vector and admission anti-joins
+        // per id — rows a crashed commit dropped are simply re-admitted
+        // on replay (unlike the dedup index's multi-row-per-doc band
+        // rows, which need the single-file commit). The append is still
+        // forced to ONE file: all-or-nothing under the v1 committer
+        // (pinned in GraftSession) and the right write shape for a flat
+        // table no compaction pass heals. Backfill-sized batches belong
+        // in the tombstone-aware mode below (full OpLog scrub-then-redo,
+        // multi-file appends fine) — prefer it in production generally.
         writer.foreachBatch { (batch: DataFrame, _: Long) =>
           if (!batch.isEmpty) {
             catalog.recoverReplace(codesTable)
             val codes = graft.operators.Similarity.ivfPqCodeTable(
               batch, pool, nlist, m, ksub, idCol, vecCol)
             catalog.append(codesTable,
-              Upsert.newRows(codes, catalog.read(codesTable), "neighbor_id"))
+              Upsert.newRows(codes, catalog.read(codesTable), "neighbor_id")
+                .coalesce(1))
           }
         }
       case Some(tt) =>
@@ -992,7 +1008,11 @@ object Streams {
       maxCellMilli: Long = 4000L,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      stateBuckets: Int = 16): Boolean = {
+      stateBuckets: Int = 16): Boolean =
+    // rebuilds replace the model and clear-and-reseed the codes —
+    // maintenance, so it shares the family lease with
+    // [[compactVectorIndex]] (same scope: the family's op log)
+    catalog.withMaintenanceLease(codesTable + "_ops") {
     catalog.recoverCompaction(codesTable, "pbk")
     catalog.recoverReplace(tombTable)
     catalog.recoverReplace(modelTable)
@@ -1020,25 +1040,27 @@ object Streams {
         F.coalesce(F.sum("c"), F.lit(0L)).as("tot"))
       .head()
     val (mx, tot) = (row.getLong(0), row.getLong(1))
-    if (tot == 0L || mx * nlist * 1000L <= maxCellMilli * tot) return false
-    // fired: rebuild model + codes on the live corpus as ONE op (the
-    // derived seq sits above every attempt, so no scrub arm is needed —
-    // a crashed rebuild's seq is never reused)
-    val sv = log.nextBaseSeq
-    log.beginAttempt(sv)
-    def pbkOf(c: org.apache.spark.sql.Column) =
-      F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
-    val (newModel, newCodes) = graft.operators.Similarity.ivfPqIndex(
-      vectors, nlist, m, ksub, idCol, vecCol)
-    catalog.append(modelTable, newModel.withColumn("seq", F.lit(sv)))
-    catalog.appendPartitioned(codesTable, newCodes
-        .withColumn("seq", F.lit(sv))
-        .withColumn("pbk", pbkOf(F.col("neighbor_id"))),
-      Seq("pbk"))
-    catalog.append(tombTable,
-      live.select(F.col("neighbor_id"), F.lit(sv).as("seq")))
-    log.commitCount(sv, newCodes.count())
-    true
+    if (tot == 0L || mx * nlist * 1000L <= maxCellMilli * tot) false
+    else {
+      // fired: rebuild model + codes on the live corpus as ONE op (the
+      // derived seq sits above every attempt, so no scrub arm is needed —
+      // a crashed rebuild's seq is never reused)
+      val sv = log.nextBaseSeq
+      log.beginAttempt(sv)
+      def pbkOf(c: org.apache.spark.sql.Column) =
+        F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
+      val (newModel, newCodes) = graft.operators.Similarity.ivfPqIndex(
+        vectors, nlist, m, ksub, idCol, vecCol)
+      catalog.append(modelTable, newModel.withColumn("seq", F.lit(sv)))
+      catalog.appendPartitioned(codesTable, newCodes
+          .withColumn("seq", F.lit(sv))
+          .withColumn("pbk", pbkOf(F.col("neighbor_id"))),
+        Seq("pbk"))
+      catalog.append(tombTable,
+        live.select(F.col("neighbor_id"), F.lit(sv).as("seq")))
+      log.commitCount(sv, newCodes.count())
+      true
+    }
   }
 
   /** Serve top-k from the persisted (model, codes) pair — reads the

@@ -435,6 +435,15 @@ class StreamingSpec extends SparkSpec {
     val buckets = catalog.read("corpus_buckets")
     assert(buckets.count() === 5L * 4L)
     assert(buckets.select("id").collect().map(_.getLong(0)).toSet === corpusIds)
+    // append-only mode has no generation stamps to scrub, so its replay
+    // soundness rests on every append job being ALL-OR-NOTHING — pinned
+    // here as the single-file commit shape (one data file per
+    // micro-batch append, atomic under the v1 committer)
+    def dataFiles(table: String): Int =
+      new java.io.File(catalog.path(table))
+        .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles("corpus") <= 3 && dataFiles("corpus_buckets") <= 3,
+      "append-only dedup appends must commit as one file per batch")
   }
 
   test("streaming doc dedup recovers from its checkpoint: corpus and index stay in sync") {

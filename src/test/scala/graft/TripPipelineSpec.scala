@@ -382,4 +382,61 @@ class TripPipelineSpec extends SparkSpec {
     assert(merged.filter(F.col("doc_id") === 2L).select("quality")
       .collect().head.getDouble(0) === 0.9)
   }
+
+  test("maintenance lease: exclusion, re-entrancy, release, expiry break") {
+    val dir = Files.createTempDirectory("graft-lease").toString
+    val catA = new graft.sources.Catalog(spark, dir)
+    val catB = new graft.sources.Catalog(spark, dir) // distinct holder id
+    val leaseFile = new java.io.File(catA.path("idx_ops") + "__lease")
+    // acquire runs the body, releases after — including under a throw
+    var ran = 0
+    catA.withMaintenanceLease("idx_ops") { ran += 1; assert(leaseFile.exists()) }
+    assert(ran === 1 && !leaseFile.exists())
+    intercept[RuntimeException] {
+      catA.withMaintenanceLease("idx_ops") { throw new RuntimeException("boom") }
+    }
+    assert(!leaseFile.exists(), "lease released on body failure")
+    // a second maintainer is refused LOUDLY while the window is live
+    catA.withMaintenanceLease("idx_ops") {
+      intercept[graft.sources.Catalog.MaintenanceLeaseHeld] {
+        catB.withMaintenanceLease("idx_ops") { fail("must not enter") }
+      }
+      // scopes are independent: a different family's window proceeds
+      catB.withMaintenanceLease("other_ops") { ran += 1 }
+      // the SAME maintainer re-enters (nested family helpers)
+      catA.withMaintenanceLease("idx_ops") { ran += 1 }
+      assert(leaseFile.exists(), "inner exit must not drop the outer lease")
+    }
+    assert(ran === 3 && !leaseFile.exists())
+    // a CRASHED holder's lease (expired timestamp) is broken, not honored
+    Files.writeString(leaseFile.toPath, "dead-holder 12345")
+    catB.withMaintenanceLease("idx_ops") { ran += 1 }
+    assert(ran === 4 && !leaseFile.exists())
+    // an unexpired foreign lease stays authoritative
+    Files.writeString(leaseFile.toPath,
+      s"live-holder ${System.currentTimeMillis() + 600000L}")
+    intercept[graft.sources.Catalog.MaintenanceLeaseHeld] {
+      catB.withMaintenanceLease("idx_ops") { fail("must not enter") }
+    }
+    assert(leaseFile.delete())
+  }
+
+  test("family compaction takes the family lease and refuses a foreign holder") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lease-compact").toString
+    val cat = new graft.sources.Catalog(spark, dir)
+    val foreign = new graft.sources.Catalog(spark, dir)
+    val schema = graft.streaming.Streams.dedupCorpusSchema
+    // minimal empty family: compaction must still enter its lease window
+    cat.ensurePartitionedTable("corpus", schema, Seq("pbk"))
+    cat.ensurePartitionedTable("buckets",
+      graft.streaming.Streams.dedupBucketSchema, Seq("pbk"))
+    foreign.withMaintenanceLease("corpus_ops") {
+      intercept[graft.sources.Catalog.MaintenanceLeaseHeld] {
+        graft.streaming.Streams.compactDocDedup(cat, "corpus", "buckets", "corpus_tomb")
+      }
+    }
+    // window over: the same call goes through
+    graft.streaming.Streams.compactDocDedup(cat, "corpus", "buckets", "corpus_tomb")
+  }
 }
