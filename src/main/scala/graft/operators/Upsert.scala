@@ -73,7 +73,10 @@ object Upsert {
       key: String,
       maxBroadcastRows: Long = 4L * 1024 * 1024): DataFrame = {
     val deduped = batch.dropDuplicates(key)
-    if (deduped.select(key).limit((maxBroadcastRows + 1).toInt).count() > maxBroadcastRows)
+    // clamp: a caller-supplied bound >= Int.MaxValue must degrade to the
+    // shuffle-plan check, not overflow limit() into a negative argument
+    val probeLimit = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+    if (deduped.select(key).limit(probeLimit).count() > maxBroadcastRows)
       newRows(batch, existing, key)
     else newRowsViaProbe(deduped, existing, key)
   }

@@ -416,9 +416,11 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     * an external coordinator; same caveat as every rename-based commit
     * in this catalog). The file carries `holder expiryMillis`. A
     * CRASHED holder's lease heals by expiry: past `ttlMs` the next
-    * contender breaks the stale file and re-acquires (the break is a
-    * delete + one create retry, so two simultaneous breakers resolve
-    * to one winner and one loud loser). Size the TTL above the longest
+    * contender breaks the stale file and re-acquires (the break is an
+    * atomic RENAME of the stale file to a unique tomb path — exactly one
+    * of two simultaneous breakers wins the rename, so the race resolves
+    * to one winner and one loud loser; release likewise deletes only a
+    * file still carrying this holder's id). Size the TTL above the longest
     * expected maintenance pass — a too-short TTL turns a slow
     * compaction into two writers, which is exactly the state the
     * reader-heal race doc proves data-safe but op-unsafe.
@@ -466,8 +468,26 @@ class Catalog(val spark: SparkSession, warehouse: String) {
           // retry below re-probe
           case _: java.io.IOException => false
         }
+      // breaking a stale lease must be ATOMIC: delete-then-create lets
+      // two contenders both observe expiry, the second delete removing
+      // the first's freshly created lease — both acquire. Rename the
+      // stale file to a unique tomb path instead: exactly one rename
+      // succeeds (the claim), the loser's rename fails and it backs off
+      // to lose tryCreate against the winner's fresh file.
+      def breakStale(): Boolean = {
+        val claimed = new org.apache.hadoop.fs.Path(
+          path(scope) + "__lease_broken_" + java.util.UUID.randomUUID().toString)
+        val won =
+          try fs.rename(p, claimed)
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          try fs.delete(claimed, false)
+          catch { case _: java.io.IOException => () }
+        }
+        won
+      }
       val acquired = tryCreate() || {
-        if (expired()) { fs.delete(p, false); tryCreate() } else false
+        if (expired()) breakStale() && tryCreate() else false
       }
       if (!acquired)
         throw new Catalog.MaintenanceLeaseHeld(
@@ -478,8 +498,18 @@ class Catalog(val spark: SparkSession, warehouse: String) {
       try body
       finally {
         leaseDepth.synchronized { leaseDepth(depthKey) -= 1 }
-        try fs.delete(p, false)
-        catch { case _: java.io.IOException => () }
+        // release ONLY our own lease: if this holder overran its TTL and
+        // a contender broke + re-acquired, the file now carries the
+        // successor's id — an unconditional delete would strip the
+        // successor's protection mid-pass
+        try {
+          val in = fs.open(p)
+          val mine =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              .startsWith(leaseHolder + " ")
+            finally in.close()
+          if (mine) fs.delete(p, false)
+        } catch { case _: java.io.IOException => () }
       }
     }
   }

@@ -141,8 +141,14 @@ final class Bm25Index(
     * re-ingests as a fresh generation (the replace arm). Exactly-once
     * under replay (see class doc).
     */
-  def ingest(batch: DataFrame, seq: Long): Unit = {
+  def ingest(batch: DataFrame, seq: Long): Unit = log.withWriter() {
+    // the op's full span — heal, replay probe, appends, commit — runs
+    // as THE single writer of the family: a concurrent writer (racing
+    // beginAttempt on the same derived seq) or a concurrent log
+    // rewrite (which would discard a commit row appended inside its
+    // stage→swap window) refuses loudly instead of interleaving
     heal()
+    ensure()
     val (done, crashed) = log.replayState(seq)
     if (done) return
     log.beginAttempt(seq)
@@ -184,8 +190,9 @@ final class Bm25Index(
     * Exactly-once under replay; pass [[nextSeq]] when the caller does
     * not manage its own sequence.
     */
-  def delete(ids: DataFrame, seq: Long): Unit = {
+  def delete(ids: DataFrame, seq: Long): Unit = log.withWriter() {
     heal()
+    ensure()
     val (done, crashed) = log.replayState(seq)
     if (done) return
     log.beginAttempt(seq)
@@ -226,8 +233,9 @@ final class Bm25Index(
     * crashed replace is invisible in FULL, not per-half. Replays
     * converge by the standard scrub-then-redo.
     */
-  def replace(batch: DataFrame, seq: Long): Unit = {
+  def replace(batch: DataFrame, seq: Long): Unit = log.withWriter() {
     heal()
+    ensure()
     val (done, crashed) = log.replayState(seq)
     if (done) return
     log.beginAttempt(seq)

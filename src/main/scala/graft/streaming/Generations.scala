@@ -59,6 +59,13 @@ object Generations {
     cat.withMaintenanceLease(log.table) {
     tables.foreach(t => cat.recoverCompaction(t.table, t.partCol))
     cat.recoverReplace(tombTable)
+    // first-op safety: compaction may be the FIRST operation ever run on
+    // this family (e.g. scheduled maintenance firing before any delete has
+    // created the tombstone table) — reading a never-created table would
+    // throw PATH_NOT_FOUND, so materialize the empty tables up front
+    cat.ensureTable(tombTable, tombSchema)
+    tables.foreach(t =>
+      cat.ensurePartitionedTable(t.table, t.schema, Seq(t.partCol)))
     log.ensure()
     val garbage = log.garbageSeqs
     val rawTombs = cat.readWithSchema(tombTable, tombSchema)

@@ -67,6 +67,29 @@ final class OpLog(
 
   def ensure(): Unit = { heal(); cat.ensureTable(table, schema) }
 
+  /** Run `body` as THE single writer of this log's family — the
+    * "single-writer discipline" every op doc assumes, turned from a
+    * convention into a loud contract. Scope = the ops table itself,
+    * the SAME scope every family maintenance pass takes
+    * ([[Generations.compact]], the index rebalance), so both race
+    * classes refuse up front with
+    * [[graft.sources.Catalog.MaintenanceLeaseHeld]] instead of
+    * interleaving:
+    *  - writer-vs-writer: two concurrent writers both derive the same
+    *    base from [[nextBaseSeq]] and race [[beginAttempt]] on one
+    *    seq — each believing the other's rows are its own replay;
+    *  - writer-vs-maintenance: a commit row appended between a log
+    *    rewrite's staged read and its live-dir swap
+    *    ([[compact]]/[[checkpoint]] via replaceTable) is silently
+    *    discarded, leaving the op permanently open and its data rows
+    *    scheduled for garbage-scrub.
+    * Re-entrant per scope within one Catalog instance (depth-counted),
+    * so family helpers already holding the family lease nest freely;
+    * the exclusion is per-process/per-Catalog — the deployment shape
+    * the one-stream-per-family contract already implies. */
+  def withWriter[T](ttlMs: Long = 15 * 60 * 1000L)(body: => T): T =
+    cat.withMaintenanceLease(table, ttlMs)(body)
+
   def rows: DataFrame = { heal(); cat.readWithSchema(table, schema) }
 
   /** Commit rows only (attempt rows carry a null first payload col). */
@@ -225,7 +248,8 @@ final class OpLog(
     * accessor heals at entry, so a crashed rewrite can never wedge a
     * reader or corrupt a subsequent append. Single-writer maintenance
     * discipline, like every compaction in this family. */
-  def compact(scrubbedSeqs: Seq[Long] = Nil, targetFiles: Int = 1): Unit = {
+  def compact(scrubbedSeqs: Seq[Long] = Nil, targetFiles: Int = 1): Unit =
+    withWriter() {
     ensure()
     val r = rows
     val open = r.groupBy("seq")
@@ -244,7 +268,7 @@ final class OpLog(
     cat.replaceTable(table,
       r.filter(F.col(marker).isNotNull).unionByName(survivingOpen)
         .coalesce(math.max(1, targetFiles)))
-  }
+    }
 
   /** Maintenance, one step past [[compact]]: fold the ENTIRE committed
     * history into ONE summary row at the committed high-water mark
@@ -269,21 +293,25 @@ final class OpLog(
     require(payload.fields.forall(_.dataType == LongType),
       "checkpoint needs an all-BIGINT additive payload; " +
         s"got ${payload.simpleString}")
-    ensure()
-    val r = rows
-    val committedRows = r.filter(F.col(marker).isNotNull)
-    if (committedRows.isEmpty) { compact(); return }
-    val summary = committedRows.agg(
-      F.max("seq").as("seq"),
-      payload.fields.map(f =>
-        F.coalesce(F.sum(f.name), F.lit(0L)).as(f.name)): _*)
-      .select("seq", payload.fields.map(_.name): _*)
-    val open = r.groupBy("seq")
-      .agg(F.max(F.col(marker).isNotNull).as("done"))
-      .filter(!F.col("done")).select("seq")
-    val openRows = r.join(open, Seq("seq"), "leftsemi")
-      .dropDuplicates("seq")
-    cat.replaceTable(table, summary.unionByName(openRows).coalesce(1))
+    withWriter() {
+      ensure()
+      val r = rows
+      val committedRows = r.filter(F.col(marker).isNotNull)
+      if (committedRows.isEmpty) compact()
+      else {
+        val summary = committedRows.agg(
+          F.max("seq").as("seq"),
+          payload.fields.map(f =>
+            F.coalesce(F.sum(f.name), F.lit(0L)).as(f.name)): _*)
+          .select("seq", payload.fields.map(_.name): _*)
+        val open = r.groupBy("seq")
+          .agg(F.max(F.col(marker).isNotNull).as("done"))
+          .filter(!F.col("done")).select("seq")
+        val openRows = r.join(open, Seq("seq"), "leftsemi")
+          .dropDuplicates("seq")
+        cat.replaceTable(table, summary.unionByName(openRows).coalesce(1))
+      }
+    }
   }
 }
 

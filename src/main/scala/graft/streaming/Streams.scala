@@ -241,22 +241,35 @@ object Streams {
         // index rows. The reverse order would silently strand admitted
         // docs without buckets — invisible to every future probe.
         writer.foreachBatch { (batch: DataFrame, _: Long) =>
-          catalog.recoverReplace(corpusTable)
-          catalog.recoverReplace(bucketTable)
-          val corpus = catalog.read(corpusTable)
-          // pairs are strictly a < b, so a re-dropped id can never pair
-          // with itself — id-level admission must happen first
-          val fresh = hygiene(Upsert.newRows(batch, corpus, "doc_id"))
-          val liveBuckets = catalog.read(bucketTable)
-          val (newBuckets, admitted) = screen(fresh, corpus, liveBuckets)
-          val alreadyBucketed = liveBuckets.select("id")
-            .join(newBuckets.select("id").distinct(), Seq("id"), "leftsemi")
-          catalog.append(bucketTable, newBuckets
-            .join(admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi")
-            .join(alreadyBucketed, Seq("id"), "leftanti")
-            .coalesce(1))
-          catalog.append(corpusTable,
-            admitted.select("doc_id", "text").coalesce(1))
+          // a fired-empty micro-batch (batch 0 racing the first file
+          // drop) must not append: the one-file-per-batch atomic-commit
+          // pin counts FILES, and empty appends would add noise files
+          // with no rows (matching the guards in the serve paths)
+          if (!batch.isEmpty) {
+            catalog.recoverReplace(corpusTable)
+            catalog.recoverReplace(bucketTable)
+            val corpus = catalog.read(corpusTable)
+            // pairs are strictly a < b, so a re-dropped id can never
+            // pair with itself — id-level admission must happen first
+            val fresh = hygiene(Upsert.newRows(batch, corpus, "doc_id"))
+            val liveBuckets = catalog.read(bucketTable)
+            val (newBuckets, admitted) = screen(fresh, corpus, liveBuckets)
+            // an all-rejected batch admits nothing: skip the appends
+            // entirely — coalesce(1) on zero rows still writes a
+            // schema-only file, and the one-file-per-batch atomicity
+            // pin counts files (both appends are ⋉ admitted, so both
+            // are empty exactly when admitted is)
+            if (!admitted.isEmpty) {
+              val alreadyBucketed = liveBuckets.select("id")
+                .join(newBuckets.select("id").distinct(), Seq("id"), "leftsemi")
+              catalog.append(bucketTable, newBuckets
+                .join(admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi")
+                .join(alreadyBucketed, Seq("id"), "leftanti")
+                .coalesce(1))
+              catalog.append(corpusTable,
+                admitted.select("doc_id", "text").coalesce(1))
+            }
+          }
         }
       case Some(tt) =>
         // tombstone-aware mode: the production lifecycle. Corpus and
@@ -286,9 +299,15 @@ object Streams {
           // compaction a throughput cost, never a correctness one)
           return writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
             replaceDocsInDedup(catalog, corpusTable, bucketTable, tt,
-              batch, stateBuckets, seq = Some(base + batchId))
+              batch, stateBuckets, seq = Some(base + batchId),
+              shingleLen = shingleLen, numHashes = numHashes, bands = bands)
           }
         writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // single-writer op span: the whole micro-batch op — heal,
+          // replay probe, appends, commit — holds the family writer
+          // lease, so a concurrent writer or a concurrent log rewrite
+          // refuses loudly (OpLog.withWriter)
+          log.withWriter() {
           // heal any crashed maintenance/scrub swap BEFORE the first
           // probe or read (idempotent fs-metadata checks, no jobs)
           catalog.recoverCompaction(corpusTable, "pbk")
@@ -342,6 +361,7 @@ object Streams {
               Seq("pbk"))
             log.commitCount(seq, admitted.count())
           }
+          }
         }
     }
   }
@@ -387,10 +407,17 @@ object Streams {
       tombTable: String,
       ids: DataFrame,
       seq: Option[Long] = None): Unit = {
-    catalog.recoverCompaction(corpusTable, "pbk")
-    catalog.recoverReplace(tombTable)
     val log = new OpLog(catalog.spark, catalog, corpusTable + "_ops",
       OpLog.countPayload)
+    // single-writer op span: heal, replay probe, append, commit — a
+    // concurrent writer or log rewrite refuses loudly (OpLog.withWriter)
+    log.withWriter() {
+    catalog.recoverCompaction(corpusTable, "pbk")
+    catalog.recoverReplace(tombTable)
+    // first-op safety: a delete may be the first operation ever run on
+    // this family — materialize the tables it reads
+    catalog.ensurePartitionedTable(corpusTable, dedupCorpusSchema, Seq("pbk"))
+    catalog.ensureTable(tombTable, dedupTombSchema)
     log.ensure()
     val sv = seq.getOrElse(log.nextBaseSeq)
     val (done, crashed) = log.replayState(sv)
@@ -412,6 +439,7 @@ object Streams {
       .localCheckpoint() // referenced by append + commit count
     catalog.append(tombTable, victims)
     log.commitCount(sv, victims.count())
+    }
   }
 
   /** REPLACE documents in a tombstone-aware dedup corpus as ONE
@@ -444,13 +472,19 @@ object Streams {
       tombTable: String,
       batch: DataFrame,
       stateBuckets: Int = 16,
-      seq: Option[Long] = None): Unit = {
+      seq: Option[Long] = None,
+      shingleLen: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 4): Unit = {
+    val log = new OpLog(catalog.spark, catalog, corpusTable + "_ops",
+      OpLog.countPayload)
+    // single-writer op span (OpLog.withWriter)
+    log.withWriter() {
     catalog.recoverCompaction(corpusTable, "pbk")
     catalog.recoverCompaction(bucketTable, "pbk")
     catalog.recoverReplace(tombTable)
-    val log = new OpLog(catalog.spark, catalog, corpusTable + "_ops",
-      OpLog.countPayload)
-    log.ensure()
+    // first-op safety: replace may be the first operation on the family
+    ensureDedupIndexTables(catalog, corpusTable, bucketTable, tombTable)
     def pbkOf(c: org.apache.spark.sql.Column) =
       F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
     val sv = seq.getOrElse(log.nextBaseSeq)
@@ -482,7 +516,12 @@ object Streams {
       .select(F.col("doc_id"), F.lit(sv).as("seq"))
       .localCheckpoint() // referenced by tombstone append
     catalog.appendPartitioned(bucketTable,
-      graft.operators.Dedup.bucketTableMd5(deduped)
+      // MUST use the stream's banding scheme: bucket rows written under
+      // different (shingleLen, numHashes, bands) would never join the
+      // ingest path's (band, bk) probes — silently missing near-dups of
+      // replaced content
+      graft.operators.Dedup.bucketTableMd5(deduped,
+          shingleLen = shingleLen, numHashes = numHashes, bands = bands)
         .withColumn("seq", F.lit(sv))
         .withColumn("pbk", pbkOf(F.col("id"))),
       Seq("pbk"))
@@ -493,6 +532,7 @@ object Streams {
       Seq("pbk"))
     catalog.append(tombTable, victims)
     log.commitCount(sv, deduped.count())
+    }
   }
 
   /** Physically scrub the dead generations and abandoned-attempt
@@ -724,6 +764,9 @@ object Streams {
               seq = Some(base + id))
           }
         writer.foreachBatch { (batch: DataFrame, id: Long) =>
+          // single-writer op span (OpLog.withWriter): concurrent
+          // writers and log rewrites refuse loudly
+          log.withWriter() {
           catalog.recoverCompaction(codesTable, "pbk")
           catalog.recoverReplace(tt)
           val seq = base + id
@@ -760,6 +803,7 @@ object Streams {
                 .withColumn("pbk", pbkOf(F.col("neighbor_id"))),
               Seq("pbk"))
             log.commitCount(seq, admitted.count())
+          }
           }
         }
     }
@@ -801,11 +845,15 @@ object Streams {
       tombTable: String,
       ids: DataFrame,
       seq: Option[Long] = None): Unit = {
-    catalog.recoverCompaction(codesTable, "pbk")
-    catalog.recoverReplace(tombTable)
     val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
       OpLog.countPayload)
-    log.ensure()
+    // single-writer op span (OpLog.withWriter)
+    log.withWriter() {
+    catalog.recoverCompaction(codesTable, "pbk")
+    catalog.recoverReplace(tombTable)
+    // first-op safety: a delete may be the first operation ever run on
+    // this family — materialize the tables it reads
+    ensureVectorIndexTables(catalog, codesTable, tombTable, codesSchema)
     val sv = seq.getOrElse(log.nextBaseSeq)
     val (done, crashed) = log.replayState(sv)
     if (done) return
@@ -825,6 +873,7 @@ object Streams {
       .localCheckpoint() // referenced by append + commit count
     catalog.append(tombTable, victims)
     log.commitCount(sv, victims.count())
+    }
   }
 
   /** REPLACE vectors in a tombstone-aware codes table as ONE
@@ -854,13 +903,16 @@ object Streams {
       vecCol: String = "embedding",
       stateBuckets: Int = 16,
       seq: Option[Long] = None): Unit = {
-    catalog.recoverCompaction(codesTable, "pbk")
-    catalog.recoverReplace(tombTable)
     val pool = graft.operators.Similarity.collectPool(model)
     require(pool.nonEmpty, "replaceVectors needs a non-empty model")
     val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
       OpLog.countPayload)
-    log.ensure()
+    // single-writer op span (OpLog.withWriter)
+    log.withWriter() {
+    catalog.recoverCompaction(codesTable, "pbk")
+    catalog.recoverReplace(tombTable)
+    // first-op safety: replace may be the first operation on the family
+    ensureVectorIndexTables(catalog, codesTable, tombTable, codesSchema)
     def pbkOf(c: org.apache.spark.sql.Column) =
       F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
     val sv = seq.getOrElse(log.nextBaseSeq)
@@ -896,6 +948,7 @@ object Streams {
       Seq("pbk"))
     catalog.append(tombTable, victims)
     log.commitCount(sv, coded.count())
+    }
   }
 
   /** Physically apply the tombstones to the codes table and scrub
