@@ -59,6 +59,16 @@ object Bench {
     *   the mover trigger comparing against the PRIOR ROUND's archived
     *   medians — an intra-round sweep can no longer mask a
     *   round-over-round move by overwriting bench_full.json.
+    *   r15 (version string still unchanged — estimator identical):
+    *   HOST-NORMALIZED medians — each entry's median divided by the
+    *   calib series value interpolated at its sweep position — land as
+    *   a `normalized` map beside the raw ones, and the >1.5× mover
+    *   trigger fires on the NORMALIZED ratio whenever the prior
+    *   round's report carries the map (raw otherwise). A host-speed
+    *   shift between rounds now cancels out of the trigger instead of
+    *   flooding the mover list (r14: the whole sweep read +29% purely
+    *   from a 1.3-2.2× slower host); a real per-entry regression still
+    *   fires because the calib divisor is entry-local.
     */
   private val HarnessVersion = "r12-median-1"
 
@@ -234,6 +244,29 @@ object Bench {
       }
       name -> Spread(Seq.fill(repeats)(once()))
     }
+    // sweep position per entry — the host-normalization divisor is the
+    // calib series linearly interpolated at this index
+    val entryIdxOf: Map[String, Int] =
+      selected.zipWithIndex.map { case ((n, _), i) => n -> i }.toMap
+    def calibAt(idx: Int): Double = {
+      val pts = calibSeries.sortBy(_._1)
+      if (pts.isEmpty) Double.NaN
+      else if (idx <= pts.head._1) pts.head._2
+      else if (idx >= pts.last._1) pts.last._2
+      else {
+        val i = pts.lastIndexWhere(_._1 <= idx)
+        val (x0, y0) = pts(i); val (x1, y1) = pts(i + 1)
+        y0 + (y1 - y0) * (idx - x0).toDouble / (x1 - x0)
+      }
+    }
+    // med ÷ local host speed: dimensionless "entry cost in calib units";
+    // NaN when the entry failed or no calib bracket exists
+    def normalizedOf(name: String, med: Double): Double = {
+      val c = entryIdxOf.get(name).map(calibAt)
+        .getOrElse(calibSeries.sortBy(_._1).lastOption.map(_._2)
+          .getOrElse(Double.NaN))
+      if (med.isNaN || c.isNaN || c <= 0) Double.NaN else med / c
+    }
     // Mechanical outlier isolation (r12, the r11 verdict's ask): any
     // entry whose in-sweep max/min exceeded 2x gets ONE re-run in a
     // FRESH session after the sweep — the previously ad-hoc "isolated
@@ -272,7 +305,7 @@ object Bench {
     // round-over-round moves (q_ann_mrr's 1.94× went unadjudicated
     // exactly this way). Any entry whose median moved >1.5× in either
     // direction joins the isolated re-run set.
-    val priorMeds: Map[String, Double] = try {
+    val (priorMeds, priorNorm): (Map[String, Double], Map[String, Double]) = try {
       val roundsDir = repoRoot.resolve("bench_rounds")
       val rx = """round(\d+)\.json""".r
       val prior = Option(roundsDir.toFile.listFiles()).getOrElse(Array.empty)
@@ -286,23 +319,42 @@ object Bench {
           if (java.nio.file.Files.exists(bf)) Some(bf) else None
         }
       prior.map(java.nio.file.Files.readString) match {
-        case None => Map.empty[String, Double]
+        case None => (Map.empty[String, Double], Map.empty[String, Double])
         case Some(txt) =>
           val h = """"harness":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
           val w = """"workload":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
           if (!h.contains(HarnessVersion) || !w.contains(workloadFingerprint(sfDir)))
-            Map.empty
-          else
-            """"([^"]+)":\{"n":\d+,"min":[0-9.eE+-]+,"med":([0-9.eE+-]+)""".r
-              .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+            (Map.empty, Map.empty)
+          else {
+            val meds =
+              """"([^"]+)":\{"n":\d+,"min":[0-9.eE+-]+,"med":([0-9.eE+-]+)""".r
+                .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+            // the prior round's host-normalized medians (r15+ reports);
+            // absent in older files — the trigger falls back to raw
+            val norm = """"normalized":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+              .map(_.group(1)).map { body =>
+                """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
+                  .map(m => m.group(1) -> m.group(2).toDouble).toMap
+              }.getOrElse(Map.empty[String, Double])
+            (meds, norm)
+          }
       }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => (Map.empty, Map.empty) }
+    // mover trigger: HOST-NORMALIZED ratio when both rounds have the
+    // divisor (a host-speed shift cancels out), raw medians otherwise
+    def isMover(k: String, med: Double): Boolean = {
+      val nv = normalizedOf(k, med)
+      priorNorm.get(k).filter(_ > 0).filter(_ => !nv.isNaN && nv > 0) match {
+        case Some(p) => nv / p > 1.5 || p / nv > 1.5
+        case None => priorMeds.get(k).exists(p =>
+          p > 0 && (med / p > 1.5 || p / med > 1.5))
+      }
+    }
     val movers = results.collect {
-      case (k, s) if !s.failed && priorMeds.get(k).exists(p =>
-        p > 0 && (s.med / p > 1.5 || p / s.med > 1.5)) => k
+      case (k, s) if !s.failed && isMover(k, s.med) => k
     }
     if (movers.nonEmpty)
-      System.err.println(s"[bench] round-over-round movers (>1.5x vs committed): ${movers.mkString(", ")}")
+      System.err.println(s"[bench] round-over-round movers (>1.5x vs committed, host-normalized when available): ${movers.mkString(", ")}")
     val highVar = (results.filter(_._2.highVariance).map(_._1) ++ movers).distinct
     val resultsIso = if (highVar.isEmpty) results else {
       val iso = freshSession("graft-bench-isolated")
@@ -505,9 +557,15 @@ object Bench {
       "pipeline" -> (pipelineAttempt(_, 20000)),
       "streaming" -> (streamingAttempt(_, 20000)),
       "streaming_dedup" -> (sdedupAttempt(_, 1500)))
+    // calibration point 2: after the last measured entry (same fixed
+    // workload; the session differs from calibStart's but the entry is
+    // pure compute, so the delta tracks the HOST, not the session).
+    // Taken BEFORE the composite mover adjudication below so the
+    // composites' host divisor exists when their trigger is evaluated.
+    val calibEnd = calibMedian(compositeSession)
+    calibSeries += selected.size -> calibEnd
     val withCompIso = withStreamDedup.map { case (k, sp) =>
-      val moved = !sp.failed && priorMeds.get(k).exists(p =>
-        p > 0 && (sp.med / p > 1.5 || p / sp.med > 1.5))
+      val moved = !sp.failed && isMover(k, sp.med)
       compositeAttempt.get(k).filter(_ => moved) match {
         case Some(attempt) =>
           System.err.println(s"[bench] round-over-round mover (composite): $k")
@@ -518,11 +576,6 @@ object Bench {
         case None => k -> sp
       }
     }
-    // calibration point 2: after the last measured entry (same fixed
-    // workload; the session differs from calibStart's but the entry is
-    // pure compute, so the delta tracks the HOST, not the session)
-    val calibEnd = calibMedian(compositeSession)
-    calibSeries += selected.size -> calibEnd
     compositeSession.stop()
     val failed = withCompIso.collect { case (k, v) if v.failed => k }
     val qs = withCompIso.map { case (k, v) =>
@@ -552,8 +605,15 @@ object Bench {
     // entry's timing by the nearest probe to get a host-local estimate
     val calibSeriesJson = calibSeries
       .map { case (at, v) => f"[$at,$v%.3f]" }.mkString("[", ",", "]")
+    // host-normalized medians (r15): med ÷ interpolated calib at the
+    // entry's sweep position — the values the next round's mover
+    // trigger compares, so a host-speed shift cancels out of it
+    val normalizedJson = withCompIso.flatMap { case (k, v) =>
+      val nv = if (v.failed) Double.NaN else normalizedOf(k, v.med)
+      if (nv.isNaN) None else Some("\"" + k + "\":" + f"$nv%.4f")
+    }.mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$currentRound,"cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"calib":{"start":$calibStart%.3f,"end":$calibEnd%.3f,"series":$calibSeriesJson},"entries":${withCompIso.size},"queries":$qs,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$currentRound,"cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"calib":{"start":$calibStart%.3f,"end":$calibEnd%.3f,"series":$calibSeriesJson},"entries":${withCompIso.size},"queries":$qs,"normalized":$normalizedJson,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
     if (only.isEmpty) {
       java.nio.file.Files.writeString(
         repoRoot.resolve("bench_full.json"), full + "\n")
