@@ -663,6 +663,21 @@ object Dedup {
     * Scale shape: explode to `tables` (table, bucket) rows per vector,
     * shuffle-join on the 8-byte bucket key, score only within buckets —
     * candidate volume tunes with bits/tables, never O(n^2).
+    *
+    * CANDIDATE GOVERNOR: a fixed operating point that was fine at one
+    * cloud density goes quadratic-ish when density grows 100× (measured:
+    * the 4-bit default emits 5.0M verified pairs in 322 s on the sf10
+    * cloud — `scale/neardup_sweep_sf10.json`). Before the expensive
+    * verify join runs, ONE sketch-sized aggregate over the already-
+    * materialized bucket table computes the exact candidate-pair mass
+    * Σ occ·(occ−1)/2; if it exceeds `maxCandidatesPerVec` per vector
+    * the operator REFUSES LOUDLY, naming the measured mass and pointing
+    * at [[embeddingNearDupsAuto]] (whose density-adaptive pick stays
+    * inside the budget by construction). Loud beats a silent 100×
+    * cost: on a 1000-executor cluster the difference between an
+    * output-bound pair listing and an accidental near-cross-join is a
+    * day of cluster time. `maxCandidatesPerVec = 0` disables the guard
+    * for callers that genuinely want an unbounded listing.
     */
   def embeddingNearDups(
       embs: DataFrame,
@@ -672,7 +687,8 @@ object Dedup {
       vecCol: String = "embedding",
       bits: Int = 4,
       tables: Int = 4,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64,
+      maxCandidatesPerVec: Long = 2000L): DataFrame = {
     import graft.functions.VectorFunctions
     graft.GraftFunctions.register(embs.sparkSession)
     val base = embs
@@ -690,6 +706,25 @@ object Dedup {
       // pipeline — and the embeddings scan under it — does not execute
       // twice (the nearDuplicatesMd5 pattern; PlanSpec pins one scan)
       .localCheckpoint()
+    if (maxCandidatesPerVec > 0) {
+      // exact candidate mass from the materialized bucket table — one
+      // sketch-sized aggregate (|tables|·2^bits groups), no recompute
+      val r = bucketed.groupBy("tbl", "bk").agg(F.count(F.lit(1)).as("c"))
+        .agg(F.coalesce(F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0L)).as("cand"),
+          F.coalesce(F.sum("c"), F.lit(0L)).as("rows"))
+        .head()
+      val cand = r.getLong(0)
+      val nVecs = math.max(r.getLong(1) / math.max(tables, 1), 1L)
+      if (cand > maxCandidatesPerVec * nVecs)
+        throw new IllegalStateException(
+          s"embedding near-dup candidate mass $cand exceeds the governor " +
+            s"budget ($maxCandidatesPerVec per vector x $nVecs vectors) at " +
+            s"operating point bits=$bits, tables=$tables: the band width is " +
+            "too loose for this cloud's density and the verify join would " +
+            "be quadratic-ish. Use embeddingNearDupsAuto (density-adaptive " +
+            "band pick), widen bits, or raise/disable maxCandidatesPerVec " +
+            "if the full listing is intended")
+    }
     val dot = VectorFunctions.dotL(F.col("qv"), F.col("qv2"))
     bucketed
       .join(bucketed.toDF("id2", "qv2", "n22", "tbl", "bk"), Seq("tbl", "bk"))

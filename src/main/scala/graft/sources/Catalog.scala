@@ -397,6 +397,53 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     w.format("parquet").saveAsTable(table)
   }
 
+  /** Persist-or-verify a family's LAYOUT STAMP: the hash moduli and
+    * layout version baked into stored rows (`rk`/`pbk` partition values
+    * are `hash(id) % buckets`, so `buckets` is part of the data's
+    * meaning, not a session knob). First opener writes
+    * `<family>__layout` with the stamp; every later opener must present
+    * the SAME stamp or fail loudly with [[Catalog.LayoutMismatch]] —
+    * silently reopening a 16-bucket family with 32 buckets would make
+    * every partition-pruned admission scan miss every existing row,
+    * re-admitting live docs as duplicate generations and double-counting
+    * global stats. One fs read per check; idempotent.
+    */
+  def ensureLayoutMeta(family: String, stamp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(family) + "__layout")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing =
+      try {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    existing match {
+      case Some(s) if s == stamp => ()
+      case Some(s) =>
+        throw new Catalog.LayoutMismatch(
+          s"family '$family' was created with layout [$s] but is being " +
+            s"opened with [$stamp]: the hash moduli are baked into stored " +
+            "partition values, so mismatched parameters silently miss " +
+            "every existing row. Reopen with the original parameters or " +
+            "rebuild the family")
+      case None =>
+        try {
+          val out = fs.create(p, false)
+          try out.write(stamp.getBytes("UTF-8")) finally out.close()
+        } catch {
+          // lost a create race: re-read and verify against the winner
+          case _: java.io.IOException =>
+            val in = fs.open(p)
+            val s =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            if (s != stamp) throw new Catalog.LayoutMismatch(
+              s"family '$family' concurrently created with layout [$s], " +
+                s"this opener wanted [$stamp]")
+        }
+    }
+  }
+
   private val leaseHolder = java.util.UUID.randomUUID().toString
   private val leaseDepth = scala.collection.mutable.Map.empty[String, Int]
 
@@ -529,4 +576,8 @@ object Catalog {
   /** A maintenance window for the scope is already held by another
     * (live, unexpired) maintainer — see [[Catalog.withMaintenanceLease]]. */
   final class MaintenanceLeaseHeld(msg: String) extends RuntimeException(msg)
+
+  /** A family's persisted layout stamp disagrees with the opener's
+    * parameters — see [[Catalog.ensureLayoutMeta]]. */
+  final class LayoutMismatch(msg: String) extends IllegalStateException(msg)
 }

@@ -79,6 +79,11 @@ final class Bm25Index(
     cat.ensurePartitionedTable("postings", postSchema, Seq("bk"))
     cat.ensurePartitionedTable("doc_lengths", dlSchema, Seq("rk"))
     cat.ensureTable("tombstones", tombSchema)
+    // bk/rk partition values bake in `buckets` (hash(x) % buckets):
+    // reopening an index with a different modulus would silently miss
+    // every stored row in the pruned admission/serve scans — persist
+    // the layout stamp and refuse a mismatch loudly (LayoutMismatch)
+    cat.ensureLayoutMeta("postings", s"bm25 v2 buckets=$buckets")
     log.ensure()
   }
 

@@ -283,6 +283,9 @@ object Streams {
         // partition-locally.
         val s = docs.sparkSession
         ensureDedupIndexTables(catalog, corpusTable, bucketTable, tt)
+        // the id-hash modulus is baked into stored pbk values: refuse a
+        // reopen with a different stateBuckets loudly (LayoutMismatch)
+        catalog.ensureLayoutMeta(corpusTable, s"dedup v1 stateBuckets=$stateBuckets")
         val log = new OpLog(s, catalog, corpusTable + "_ops", OpLog.countPayload)
         val base = baseSeq.map(log.requireFreshBase).getOrElse(log.nextBaseSeq)
         def pbkOf(c: org.apache.spark.sql.Column) =
@@ -485,6 +488,7 @@ object Streams {
     catalog.recoverReplace(tombTable)
     // first-op safety: replace may be the first operation on the family
     ensureDedupIndexTables(catalog, corpusTable, bucketTable, tombTable)
+    catalog.ensureLayoutMeta(corpusTable, s"dedup v1 stateBuckets=$stateBuckets")
     def pbkOf(c: org.apache.spark.sql.Column) =
       F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
     val sv = seq.getOrElse(log.nextBaseSeq)
@@ -748,6 +752,9 @@ object Streams {
         val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
           OpLog.countPayload)
         log.ensure()
+        // stored pbk values bake in the id-hash modulus: refuse a reopen
+        // with a different stateBuckets loudly (LayoutMismatch)
+        catalog.ensureLayoutMeta(codesTable, s"vector v1 stateBuckets=$stateBuckets")
         val base = baseSeq.map(log.requireFreshBase).getOrElse(log.nextBaseSeq)
         def pbkOf(c: org.apache.spark.sql.Column) =
           F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
@@ -913,6 +920,7 @@ object Streams {
     catalog.recoverReplace(tombTable)
     // first-op safety: replace may be the first operation on the family
     ensureVectorIndexTables(catalog, codesTable, tombTable, codesSchema)
+    catalog.ensureLayoutMeta(codesTable, s"vector v1 stateBuckets=$stateBuckets")
     def pbkOf(c: org.apache.spark.sql.Column) =
       F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
     val sv = seq.getOrElse(log.nextBaseSeq)
@@ -1070,6 +1078,7 @@ object Streams {
     catalog.recoverReplace(tombTable)
     catalog.recoverReplace(modelTable)
     catalog.ensureTable(modelTable, vectorModelSchema)
+    catalog.ensureLayoutMeta(codesTable, s"vector v1 stateBuckets=$stateBuckets")
     val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
       OpLog.countPayload)
     log.ensure()

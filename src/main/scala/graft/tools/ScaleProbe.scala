@@ -37,7 +37,12 @@ object ScaleProbe {
     "q_bm25",            // text retrieval: inverted scoring over documents
     "q_minhash_pairs",   // MinHash+LSH near-dup candidates
     "q_dedup_clusters",  // label-propagation connected components
-    "q_embed_neardup",   // hyperplane-LSH embedding near-dup
+    "q_embed_neardup_auto", // hyperplane-LSH embedding near-dup at the
+                            // density-adaptive operating point — the
+                            // governed family headline (r15): the fixed
+                            // loose point now refuses loudly past its
+                            // candidate budget instead of going
+                            // quadratic-ish at 100x density
     "q_ann_ivfpq_idx",   // IVF-PQ index build + serve
     "q_doc_dedup_exact", // exact dedup: digest groupBy
     "q_simhash_pairs",   // SimHash hamming-ball candidates

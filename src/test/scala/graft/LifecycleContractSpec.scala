@@ -164,4 +164,30 @@ class LifecycleContractSpec extends SparkSpec {
     }
     assert(idx.serve(Seq("alpha")).count() === 1L)
   }
+
+  // ----------------------------------------------------------- layout stamp
+
+  test("layout stamp: reopening a family with a different hash modulus refuses loudly") {
+    val dir = Files.createTempDirectory("graft-layout").toString
+    // bm25: bk/rk values are hash % buckets — a 32-bucket reopen of a
+    // 16-bucket index would miss every stored row in the pruned scans
+    val i16 = new Bm25Index(spark, new Catalog(spark, s"$dir/bm"), buckets = 16)
+    i16.ingest(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+    val i32 = new Bm25Index(spark, new Catalog(spark, s"$dir/bm"), buckets = 32)
+    intercept[Catalog.LayoutMismatch] {
+      i32.ingest(Seq((2L, "gamma")).toDF("doc_id", "text"), 1L)
+    }
+    // the original modulus reopens and keeps working
+    val again = new Bm25Index(spark, new Catalog(spark, s"$dir/bm"), buckets = 16)
+    again.ingest(Seq((2L, "gamma alpha")).toDF("doc_id", "text"), 1L)
+    assert(again.serve(Seq("alpha")).count() === 2L)
+    // dedup family: pbk bakes in stateBuckets the same way
+    val dcat = new Catalog(spark, s"$dir/dd")
+    Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+      Seq((1L, "alpha")).toDF("doc_id", "text"), stateBuckets = 16)
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+        Seq((2L, "beta")).toDF("doc_id", "text"), stateBuckets = 32)
+    }
+  }
 }

@@ -1249,6 +1249,25 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((0L, 999L)))
   }
 
+  test("embedding near-dup governor refuses a quadratic-ish operating point loudly") {
+    // a degenerate dense cloud: every vector identical, so all n land in
+    // ONE bucket per table and the candidate mass is tables * C(n,2) —
+    // the shape a too-loose band produces on a 100x-denser corpus
+    val dense = spark.range(0, 300)
+      .select(F.col("id").as("vec_id"),
+        F.typedlit(Array.fill(64)(0.5f)).as("embedding"))
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup.embeddingNearDups(dense, maxCandidatesPerVec = 100L)
+    }
+    assert(e.getMessage.contains("governor") &&
+      e.getMessage.contains("embeddingNearDupsAuto"),
+      s"refusal must name the budget and the adaptive alternative: ${e.getMessage}")
+    // the guard is a governor, not a cap: disabling it returns the full
+    // listing, and a spread cloud passes under the default budget
+    assert(graft.operators.Dedup.embeddingNearDups(dense,
+      maxCandidatesPerVec = 0L).count() === 300L * 299L / 2L)
+  }
+
   test("simhashPairs finds identical docs at hamming 0, skips dissimilar") {
     val docs = Seq(
       (0L, "spark shuffles partition data across the cluster nodes"),
