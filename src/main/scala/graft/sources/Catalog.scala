@@ -133,6 +133,9 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     val staging = new org.apache.hadoop.fs.Path(path(table) + "__replacing")
     val aside = new org.apache.hadoop.fs.Path(path(table) + "__replaced")
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // as-late-as-possible fence: the staging job above may have outrun
+    // a lease TTL — refuse the swap rather than clobber a successor
+    fenceHeldLeases()
     if (fs.exists(live) && !fs.rename(live, aside))
       throw new java.io.IOException(
         s"replaceTable move-aside failed for $table — table untouched")
@@ -289,6 +292,9 @@ class Catalog(val spark: SparkSession, warehouse: String) {
       .drop("__slot")
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(staging.toString)
+    // as-late-as-possible fence: a staged rewrite that outran its lease
+    // TTL must not swap over a successor's partitions
+    fenceHeldLeases()
     val swapped = toCompact.flatMap { case (value, _) =>
       val dir = s"$partitionCol=$value"
       val src = new org.apache.hadoop.fs.Path(staging, dir)
@@ -561,6 +567,50 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** FENCING for lease-protected writes: verify that every lease this
+    * Catalog instance currently believes it holds (depth > 0) still
+    * carries its own holder id on disk, and throw
+    * [[Catalog.WriterFenced]] otherwise. A holder that overruns its TTL
+    * gets its lease broken by the next contender
+    * ([[withMaintenanceLease]]'s atomic rename-claim) — from that
+    * instant two writers exist, which the reader-heal race doc proves
+    * DATA-safe but op-unsafe. The commit/swap points call this check as
+    * late as possible ([[replaceTable]] after its staging job,
+    * [[compactPartitioned]] before its swap loop, `OpLog.commit`
+    * before the commit append), so a fenced-out writer fails LOUDLY
+    * before publishing anything: its already-appended data rows carry
+    * an uncommitted seq, i.e. they are ordinary abandoned-attempt
+    * garbage the op protocol scrubs at compaction.
+    *
+    * Conservative by design: ANY usurped held scope fences the write,
+    * even one protecting a different family — a process whose write
+    * authority lapsed anywhere should stop publishing until its spans
+    * unwind. No-op (zero fs calls) when no lease is held, so unleased
+    * callers (seeders registering a generation, ad-hoc replaces) are
+    * unaffected. */
+  def fenceHeldLeases(): Unit = {
+    val held = leaseDepth.synchronized {
+      leaseDepth.collect { case (s, d) if d > 0 => s }.toSeq
+    }
+    held.foreach { scope =>
+      val p = new org.apache.hadoop.fs.Path(path(scope) + "__lease")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val mine =
+        try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            .startsWith(leaseHolder + " ")
+          finally in.close()
+        } catch { case _: java.io.IOException => false }
+      if (!mine)
+        throw new Catalog.WriterFenced(
+          s"writer lease for scope '$scope' no longer carries this " +
+            "holder (TTL overrun: a contender broke the stale lease) — " +
+            "refusing to publish; this op's partial rows are " +
+            "abandoned-attempt garbage and will be scrubbed at compaction")
+    }
+  }
+
   /** TRUNCATE TABLE: overwrite with an empty frame of the same schema
     * (src/sqls/populate_postgres.sql:31).
     */
@@ -580,4 +630,10 @@ object Catalog {
   /** A family's persisted layout stamp disagrees with the opener's
     * parameters — see [[Catalog.ensureLayoutMeta]]. */
   final class LayoutMismatch(msg: String) extends IllegalStateException(msg)
+
+  /** A lease this process believed it held was broken by a contender
+    * (TTL overrun) before a commit/swap point — see
+    * [[Catalog.fenceHeldLeases]]. The op did NOT publish; its partial
+    * data rows are abandoned-attempt garbage. */
+  final class WriterFenced(msg: String) extends IllegalStateException(msg)
 }

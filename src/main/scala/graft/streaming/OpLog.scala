@@ -86,7 +86,15 @@ final class OpLog(
     * Re-entrant per scope within one Catalog instance (depth-counted),
     * so family helpers already holding the family lease nest freely;
     * the exclusion is per-process/per-Catalog — the deployment shape
-    * the one-stream-per-family contract already implies. */
+    * the one-stream-per-family contract already implies.
+    *
+    * FENCED past the TTL: a span that outruns `ttlMs` loses its lease
+    * to the next contender's atomic break — from that instant the
+    * commit points ([[commit]]/[[commitCount]], the replace/compact
+    * swaps) refuse with [[graft.sources.Catalog.WriterFenced]] instead
+    * of publishing over the successor; the fenced op's data rows stay
+    * uncommitted garbage and are scrubbed at compaction. Size the TTL
+    * above the longest expected op. */
   def withWriter[T](ttlMs: Long = 15 * 60 * 1000L)(body: => T): T =
     cat.withMaintenanceLease(table, ttlMs)(body)
 
@@ -167,9 +175,12 @@ final class OpLog(
 
   /** Commit = the op's payload row, one atomic append. `stats` must be
     * a 1-row frame whose columns match the payload (first column
-    * non-null). */
+    * non-null). Fenced: a writer whose lease was broken mid-op (TTL
+    * overrun) refuses here with [[Catalog.WriterFenced]] instead of
+    * publishing — its data rows stay uncommitted garbage. */
   def commit(seq: Long, stats: DataFrame): Unit = {
     heal()
+    cat.fenceHeldLeases()
     cat.append(table, stats.select(
       F.lit(seq).as("seq") +: payload.fields.map(f =>
         F.col(f.name).cast(f.dataType).as(f.name)): _*))
@@ -179,6 +190,7 @@ final class OpLog(
   def commitCount(seq: Long, n: Long): Unit = {
     require(payload.fields.length == 1, "commitCount needs a 1-col payload")
     heal()
+    cat.fenceHeldLeases()
     cat.append(table, spark.createDataFrame(
       java.util.List.of(Row(seq, n)), schema))
   }

@@ -165,6 +165,40 @@ class LifecycleContractSpec extends SparkSpec {
     assert(idx.serve(Seq("alpha")).count() === 1L)
   }
 
+  // --------------------------------------------------------------- fencing
+
+  test("a writer that overruns its lease TTL is fenced at commit, not interleaved") {
+    val dir = Files.createTempDirectory("graft-fence").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val foreign = new Catalog(spark, s"$dir/wh")
+    val log = new OpLog(spark, cat, "ops", OpLog.countPayload)
+    log.ensure()
+    // overrun: a 1ms-TTL span sleeps past expiry, a contender breaks the
+    // stale lease and runs its own span (then releases). The overrunner
+    // must now refuse to publish: commit is the first fence point.
+    intercept[Catalog.WriterFenced] {
+      log.withWriter(ttlMs = 1L) {
+        Thread.sleep(10)
+        foreign.withMaintenanceLease("ops") { /* successor's window */ }
+        log.commitCount(0L, 1L) // fenced: the lease no longer exists/is ours
+      }
+    }
+    assert(log.committedSeqs.isEmpty,
+      "the fenced writer must not have published a commit row")
+    // the same overrun fences a maintenance swap (replaceTable path)
+    cat.ensureTable("t", org.apache.spark.sql.types.StructType.fromDDL("a BIGINT"))
+    intercept[Catalog.WriterFenced] {
+      cat.withMaintenanceLease("t", ttlMs = 1L) {
+        Thread.sleep(10)
+        foreign.withMaintenanceLease("t") {}
+        cat.replaceTable("t", Seq(1L).toDF("a"))
+      }
+    }
+    // an in-TTL span commits normally (the fence is a no-op for a live lease)
+    log.withWriter() { log.commitCount(1L, 1L) }
+    assert(log.committedSeqs.count() === 1L)
+  }
+
   // ----------------------------------------------------------- layout stamp
 
   test("layout stamp: reopening a family with a different hash modulus refuses loudly") {
