@@ -451,7 +451,8 @@ class Catalog(val spark: SparkSession, warehouse: String) {
   }
 
   private val leaseHolder = java.util.UUID.randomUUID().toString
-  private val leaseDepth = scala.collection.mutable.Map.empty[String, Int]
+  // scope -> (owning thread id, re-entry depth)
+  private val leaseDepth = scala.collection.mutable.Map.empty[String, (Long, Int)]
 
   /** Run `body` as the SINGLE WRITER of a maintenance scope, enforced
     * by a lease file — the "single-writer maintenance discipline" this
@@ -478,18 +479,32 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     * compaction into two writers, which is exactly the state the
     * reader-heal race doc proves data-safe but op-unsafe.
     *
-    * Re-entrant per scope within this Catalog instance (depth-counted),
-    * so a family helper that takes the family lease can call nested
-    * helpers that defensively take it too. */
+    * Re-entrant per scope for the OWNING THREAD (depth-counted), so a
+    * family helper that takes the family lease can call nested helpers
+    * that defensively take it too. Ownership is thread-scoped, not
+    * instance-scoped: a SECOND THREAD entering the same scope through
+    * the same Catalog is a concurrent writer, not a nested helper —
+    * it must refuse like any foreign holder (it loses `tryCreate`
+    * against the live file), or two streams sharing one Catalog would
+    * silently interleave inside the very window this lease exists to
+    * serialize. Nested helpers always run on their caller's thread
+    * (every op/maintenance body here is synchronous), so same-thread
+    * depth counting is exactly the re-entrancy the family needs. */
   def withMaintenanceLease[T](scope: String, ttlMs: Long = 15 * 60 * 1000L)(body: => T): T = {
     val depthKey = scope
+    val self = Thread.currentThread().getId
     val reentered = leaseDepth.synchronized {
-      val d = leaseDepth.getOrElse(depthKey, 0)
-      if (d > 0) { leaseDepth(depthKey) = d + 1; true } else false
+      leaseDepth.get(depthKey) match {
+        case Some((owner, d)) if d > 0 && owner == self =>
+          leaseDepth(depthKey) = (owner, d + 1); true
+        case _ => false
+      }
     }
     if (reentered) {
       try body
-      finally leaseDepth.synchronized { leaseDepth(depthKey) -= 1 }
+      finally leaseDepth.synchronized {
+        val (o, d) = leaseDepth(depthKey); leaseDepth(depthKey) = (o, d - 1)
+      }
     } else {
       val p = new org.apache.hadoop.fs.Path(path(scope) + "__lease")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -539,30 +554,44 @@ class Catalog(val spark: SparkSession, warehouse: String) {
         }
         won
       }
-      val acquired = tryCreate() || {
-        if (expired()) breakStale() && tryCreate() else false
+      // the acquire critical section is additionally serialized on a
+      // JVM-global monitor: HDFS's create-if-absent is atomic, but
+      // Hadoop's LocalFileSystem implements overwrite=false as
+      // check-then-create — two IN-PROCESS threads can both win the
+      // file race. The monitor makes intra-process acquisition
+      // linearizable everywhere; the file alone keeps excluding
+      // cross-process contenders on filesystems with atomic create
+      // (the documented object-store caveat is unchanged).
+      val acquired = Catalog.leaseFileLock.synchronized {
+        tryCreate() || {
+          if (expired()) breakStale() && tryCreate() else false
+        }
       }
       if (!acquired)
         throw new Catalog.MaintenanceLeaseHeld(
           s"maintenance lease for scope '$scope' is held " +
             s"(${p.toString}); concurrent maintenance refused — wait for " +
             "the holder or for lease expiry")
-      leaseDepth.synchronized { leaseDepth(depthKey) = 1 }
+      leaseDepth.synchronized { leaseDepth(depthKey) = (self, 1) }
       try body
       finally {
-        leaseDepth.synchronized { leaseDepth(depthKey) -= 1 }
+        leaseDepth.synchronized {
+          val (o, d) = leaseDepth(depthKey); leaseDepth(depthKey) = (o, d - 1)
+        }
         // release ONLY our own lease: if this holder overran its TTL and
         // a contender broke + re-acquired, the file now carries the
         // successor's id — an unconditional delete would strip the
         // successor's protection mid-pass
-        try {
-          val in = fs.open(p)
-          val mine =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              .startsWith(leaseHolder + " ")
-            finally in.close()
-          if (mine) fs.delete(p, false)
-        } catch { case _: java.io.IOException => () }
+        Catalog.leaseFileLock.synchronized {
+          try {
+            val in = fs.open(p)
+            val mine =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                .startsWith(leaseHolder + " ")
+              finally in.close()
+            if (mine) fs.delete(p, false)
+          } catch { case _: java.io.IOException => () }
+        }
       }
     }
   }
@@ -590,7 +619,7 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     * unaffected. */
   def fenceHeldLeases(): Unit = {
     val held = leaseDepth.synchronized {
-      leaseDepth.collect { case (s, d) if d > 0 => s }.toSeq
+      leaseDepth.collect { case (s, (_, d)) if d > 0 => s }.toSeq
     }
     held.foreach { scope =>
       val p = new org.apache.hadoop.fs.Path(path(scope) + "__lease")
@@ -623,6 +652,11 @@ class Catalog(val spark: SparkSession, warehouse: String) {
 }
 
 object Catalog {
+  /** JVM-global monitor for the lease-file acquire/release critical
+    * sections — see the acquire comment in
+    * [[Catalog.withMaintenanceLease]]. */
+  private[sources] val leaseFileLock = new Object
+
   /** A maintenance window for the scope is already held by another
     * (live, unexpired) maintainer — see [[Catalog.withMaintenanceLease]]. */
   final class MaintenanceLeaseHeld(msg: String) extends RuntimeException(msg)

@@ -165,6 +165,42 @@ class LifecycleContractSpec extends SparkSpec {
     assert(idx.serve(Seq("alpha")).count() === 1L)
   }
 
+  test("lease re-entrancy is thread-scoped: a second thread through the SAME catalog refuses") {
+    val dir = Files.createTempDirectory("graft-thread-lease").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    // mutual exclusion under real concurrency: 8 threads contend for one
+    // scope through ONE Catalog instance; the instance-level depth count
+    // must not let them all "re-enter" — at most one body runs at a time,
+    // losers refuse loudly (they lose tryCreate against the live file)
+    val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val won = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        try {
+          cat.withMaintenanceLease("scope") {
+            val now = inBody.incrementAndGet()
+            maxConcurrent.getAndUpdate(v => math.max(v, now))
+            Thread.sleep(50)
+            inBody.decrementAndGet()
+          }
+          won.incrementAndGet()
+        } catch {
+          case _: Catalog.MaintenanceLeaseHeld => refused.incrementAndGet()
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(won.get() >= 1, "at least one contender must acquire")
+    assert(won.get() + refused.get() === 8, "every contender wins or refuses loudly")
+    assert(maxConcurrent.get() === 1,
+      s"bodies interleaved (${maxConcurrent.get()} concurrent) — thread-scoped re-entrancy broken")
+    // same-thread nesting still re-enters freely
+    cat.withMaintenanceLease("scope") {
+      cat.withMaintenanceLease("scope") { assert(true) }
+    }
+  }
+
   // --------------------------------------------------------------- fencing
 
   test("a writer that overruns its lease TTL is fenced at commit, not interleaved") {
