@@ -611,15 +611,17 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     * an uncommitted seq, i.e. they are ordinary abandoned-attempt
     * garbage the op protocol scrubs at compaction.
     *
-    * Conservative by design: ANY usurped held scope fences the write,
-    * even one protecting a different family — a process whose write
-    * authority lapsed anywhere should stop publishing until its spans
-    * unwind. No-op (zero fs calls) when no lease is held, so unleased
-    * callers (seeders registering a generation, ad-hoc replaces) are
-    * unaffected. */
+    * Scoped to the CURRENT THREAD's held leases: a publish always runs
+    * on its op span's own thread (lease ownership is thread-scoped),
+    * so fencing on another thread's lapsed lease would falsely abort a
+    * healthy writer — two streams on different families in one process
+    * must fail independently. No-op (zero fs calls) when this thread
+    * holds no lease, so unleased callers (seeders registering a
+    * generation, ad-hoc replaces) are unaffected. */
   def fenceHeldLeases(): Unit = {
+    val self = Thread.currentThread().getId
     val held = leaseDepth.synchronized {
-      leaseDepth.collect { case (s, (_, d)) if d > 0 => s }.toSeq
+      leaseDepth.collect { case (s, (o, d)) if d > 0 && o == self => s }.toSeq
     }
     held.foreach { scope =>
       val p = new org.apache.hadoop.fs.Path(path(scope) + "__lease")

@@ -233,6 +233,26 @@ class LifecycleContractSpec extends SparkSpec {
     // an in-TTL span commits normally (the fence is a no-op for a live lease)
     log.withWriter() { log.commitCount(1L, 1L) }
     assert(log.committedSeqs.count() === 1L)
+    // the fence is THREAD-scoped: another thread's healthy span must not
+    // be aborted by THIS thread's lapsed lease (two streams on different
+    // families in one process fail independently)
+    val otherLog = new OpLog(spark, cat, "ops_b", OpLog.countPayload)
+    otherLog.ensure()
+    @volatile var otherOk = false
+    intercept[Catalog.WriterFenced] {
+      cat.withMaintenanceLease("t", ttlMs = 1L) {
+        Thread.sleep(10)
+        foreign.withMaintenanceLease("t") {}
+        val worker = new Thread(() => {
+          otherLog.withWriter() { otherLog.commitCount(0L, 1L) }
+          otherOk = true
+        })
+        worker.start(); worker.join()
+        cat.replaceTable("t", Seq(2L).toDF("a")) // this thread IS fenced
+      }
+    }
+    assert(otherOk, "a healthy writer on another thread was falsely fenced")
+    assert(otherLog.committedSeqs.count() === 1L)
   }
 
   // ----------------------------------------------------------- layout stamp
