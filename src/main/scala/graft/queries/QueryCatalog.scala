@@ -5363,7 +5363,7 @@ object QueryCatalog {
     // restore a private copy of the seeded generation-0 corpus+bucket
     // tables (build-once fixture — re-shingling the 400-doc corpus per
     // invocation measured the seed, not the replace under grade)
-    copyDir(fixtureWh("incr_dedup_seed", dir, "f1") { froot =>
+    copyDir(fixtureWh("incr_dedup_seed", dir, "f2") { froot =>
       val fcat = new graft.sources.Catalog(s, s"$froot/wh")
       graft.streaming.Streams.ensureDedupIndexTables(
         fcat, "corpus", "buckets", "tomb")
@@ -5971,7 +5971,7 @@ object QueryCatalog {
       .option("maxFilesPerTrigger", "1").parquet(path)
     // restore a private copy of the streamed tomb-aware base (the
     // 3-op generation-stamped build; see [[fixtureWh]])
-    copyDir(fixtureWh("ivfpq_del_base", dir, "f1") { froot =>
+    copyDir(fixtureWh("ivfpq_del_base", dir, "f2") { froot =>
       val in = s"$froot/in"; val cp = s"$froot/cp"
       writeOrderedStreamFiles(
         emb.withColumn("__tile", (F.pmod(F.col("vec_id"), F.lit(3)) + 1).cast("int")),
@@ -6051,7 +6051,7 @@ object QueryCatalog {
     // restore a private copy of the streamed base coded against the
     // post-replace model (its own fixture — the model differs from the
     // del twin's, so the code tables are not interchangeable)
-    copyDir(fixtureWh("ivfpq_upsert_base", dir, "f1") { froot =>
+    copyDir(fixtureWh("ivfpq_upsert_base", dir, "f2") { froot =>
       val in = s"$froot/in"; val cp = s"$froot/cp"
       writeOrderedStreamFiles(
         emb.withColumn("__tile", (F.pmod(F.col("vec_id"), F.lit(3)) + 1).cast("int")),
@@ -6243,7 +6243,7 @@ object QueryCatalog {
     // restore a private copy of the streamed drifted base + seeded
     // model generation (build-once fixture; the rebalance trigger,
     // atomic rebuild, and compaction below stay measured per run)
-    copyDir(fixtureWh("ivf_rebalance_base", dir, "f1") { froot =>
+    copyDir(fixtureWh("ivf_rebalance_base", dir, "f2") { froot =>
       val in = s"$froot/in"; val cp = s"$froot/cp"
       writeOrderedStreamFiles(
         drifted.withColumn("__tile",

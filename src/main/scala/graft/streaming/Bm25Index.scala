@@ -82,7 +82,13 @@ final class Bm25Index(
     // bk/rk partition values bake in `buckets` (hash(x) % buckets):
     // reopening an index with a different modulus would silently miss
     // every stored row in the pruned admission/serve scans — persist
-    // the layout stamp and refuse a mismatch loudly (LayoutMismatch)
+    // the layout stamp and refuse a mismatch loudly (LayoutMismatch).
+    // Row-shaping parameter audit: `buckets` is the only constructor
+    // knob baked into stored rows. Tokenization (Retrieval.postings'
+    // split regex) shapes stored terms but is CODE, not a parameter —
+    // the literal "v2" is its version; any tokenizer change must bump
+    // it. k1/b/maxProbeIds are serve/admission-time only: stored rows
+    // carry raw tf/dl, so rescoring under different k1/b is legitimate.
     cat.ensureLayoutMeta("postings", s"bm25 v2 buckets=$buckets")
     log.ensure()
   }

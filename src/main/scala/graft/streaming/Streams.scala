@@ -283,9 +283,14 @@ object Streams {
         // partition-locally.
         val s = docs.sparkSession
         ensureDedupIndexTables(catalog, corpusTable, bucketTable, tt)
-        // the id-hash modulus is baked into stored pbk values: refuse a
-        // reopen with a different stateBuckets loudly (LayoutMismatch)
-        catalog.ensureLayoutMeta(corpusTable, s"dedup v1 stateBuckets=$stateBuckets")
+        // EVERY row-shaping parameter is stamped, not just the id-hash
+        // modulus: stored bucket rows' (band, bk) values are a function
+        // of (shingleLen, numHashes, bands), so a reopen with a
+        // different banding scheme would pass a modulus-only check yet
+        // probe rows written under another scheme — silently admitting
+        // near-duplicates of all prior content (LayoutMismatch instead)
+        catalog.ensureLayoutMeta(corpusTable, dedupLayoutStamp(
+          stateBuckets, shingleLen, numHashes, bands))
         val log = new OpLog(s, catalog, corpusTable + "_ops", OpLog.countPayload)
         val base = baseSeq.map(log.requireFreshBase).getOrElse(log.nextBaseSeq)
         def pbkOf(c: org.apache.spark.sql.Column) =
@@ -375,6 +380,31 @@ object Streams {
     * tombstone application rewrite only the partitions holding affected
     * rows, and the per-batch admission scan prunes to the batch's
     * buckets. */
+  /** The dedup family's LAYOUT STAMP covers every parameter baked into
+    * stored rows: `stateBuckets` shapes the `pbk` partition values, and
+    * (shingleLen, numHashes, bands) shape every bucket row's
+    * (band, bk) — all four must match across reopens or the
+    * partition-pruned probes silently miss existing rows. v2 widened
+    * the stamp from the modulus alone to the full banding scheme.
+    * Delete and compact don't stamp: neither writes LSH-shaped rows
+    * (tombstones / row-preserving rewrites), and neither knows the
+    * banding parameters. */
+  def dedupLayoutStamp(
+      stateBuckets: Int, shingleLen: Int, numHashes: Int, bands: Int): String =
+    s"dedup v2 stateBuckets=$stateBuckets shingle=$shingleLen " +
+      s"mh=$numHashes bands=$bands"
+
+  /** The vector family's stamp: `stateBuckets` shapes `pbk`,
+    * (nlist, m, ksub) shape every code row (cell ids < nlist, code
+    * arrays of length m with values < ksub). A model retrain
+    * ([[rebalanceVectorIndexIfSkewed]]) keeps the same constants —
+    * changing them is a rebuild of the family, which is exactly what
+    * the stamp refuses to let happen silently. v2 widened the stamp
+    * from the modulus alone to the PQ constants. */
+  def vectorLayoutStamp(
+      stateBuckets: Int, nlist: Int, m: Int, ksub: Int): String =
+    s"vector v2 stateBuckets=$stateBuckets nlist=$nlist m=$m ksub=$ksub"
+
   val dedupCorpusSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, text STRING, seq BIGINT, pbk INT")
   val dedupBucketSchema: StructType = StructType.fromDDL(
@@ -488,7 +518,8 @@ object Streams {
     catalog.recoverReplace(tombTable)
     // first-op safety: replace may be the first operation on the family
     ensureDedupIndexTables(catalog, corpusTable, bucketTable, tombTable)
-    catalog.ensureLayoutMeta(corpusTable, s"dedup v1 stateBuckets=$stateBuckets")
+    catalog.ensureLayoutMeta(corpusTable, dedupLayoutStamp(
+      stateBuckets, shingleLen, numHashes, bands))
     def pbkOf(c: org.apache.spark.sql.Column) =
       F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
     val sv = seq.getOrElse(log.nextBaseSeq)
@@ -752,9 +783,10 @@ object Streams {
         val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
           OpLog.countPayload)
         log.ensure()
-        // stored pbk values bake in the id-hash modulus: refuse a reopen
-        // with a different stateBuckets loudly (LayoutMismatch)
-        catalog.ensureLayoutMeta(codesTable, s"vector v1 stateBuckets=$stateBuckets")
+        // stored pbk values bake in the id-hash modulus and code rows
+        // bake in the PQ constants: refuse a mismatched reopen loudly
+        catalog.ensureLayoutMeta(codesTable,
+          vectorLayoutStamp(stateBuckets, nlist, m, ksub))
         val base = baseSeq.map(log.requireFreshBase).getOrElse(log.nextBaseSeq)
         def pbkOf(c: org.apache.spark.sql.Column) =
           F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
@@ -920,7 +952,8 @@ object Streams {
     catalog.recoverReplace(tombTable)
     // first-op safety: replace may be the first operation on the family
     ensureVectorIndexTables(catalog, codesTable, tombTable, codesSchema)
-    catalog.ensureLayoutMeta(codesTable, s"vector v1 stateBuckets=$stateBuckets")
+    catalog.ensureLayoutMeta(codesTable,
+      vectorLayoutStamp(stateBuckets, nlist, m, ksub))
     def pbkOf(c: org.apache.spark.sql.Column) =
       F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
     val sv = seq.getOrElse(log.nextBaseSeq)
@@ -1078,7 +1111,8 @@ object Streams {
     catalog.recoverReplace(tombTable)
     catalog.recoverReplace(modelTable)
     catalog.ensureTable(modelTable, vectorModelSchema)
-    catalog.ensureLayoutMeta(codesTable, s"vector v1 stateBuckets=$stateBuckets")
+    catalog.ensureLayoutMeta(codesTable,
+      vectorLayoutStamp(stateBuckets, nlist, m, ksub))
     val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
       OpLog.countPayload)
     log.ensure()

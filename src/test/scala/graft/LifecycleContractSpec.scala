@@ -280,4 +280,51 @@ class LifecycleContractSpec extends SparkSpec {
         Seq((2L, "beta")).toDF("doc_id", "text"), stateBuckets = 32)
     }
   }
+
+  test("layout stamp covers the LSH banding scheme, not just the hash modulus") {
+    val dir = Files.createTempDirectory("graft-layout-lsh").toString
+    // dedup: stored bucket rows' (band, bk) values are a function of
+    // (shingleLen, numHashes, bands) — ingest at bands=4, reopen at
+    // bands=8 would probe rows written under a different banding scheme
+    // and silently admit near-duplicates of all prior content. Same
+    // stateBuckets, so a modulus-only stamp would PASS here.
+    val dcat = new Catalog(spark, s"$dir/dd")
+    Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      numHashes = 64, bands = 4)
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+        Seq((2L, "other words here")).toDF("doc_id", "text"),
+        numHashes = 64, bands = 8)
+    }
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+        Seq((2L, "other words here")).toDF("doc_id", "text"),
+        shingleLen = 3)
+    }
+    // the original scheme reopens and keeps serving
+    Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+      Seq((2L, "second doc text")).toDF("doc_id", "text"),
+      numHashes = 64, bands = 4)
+    assert(graft.operators.Tombstones.live(
+      dcat.readWithSchema("corpus", Streams.dedupCorpusSchema),
+      dcat.readWithSchema("corpus_tomb", Streams.dedupTombSchema),
+      "doc_id").count() === 2L)
+    // vector: code rows bake in (nlist, m, ksub) — a reopen with a
+    // different m would append codes of a different arity next to the
+    // existing ones; same stateBuckets, so only the widened stamp trips
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 8L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val (model, offline) = graft.operators.Similarity.ivfPqIndex(
+      vecs, nlist = 4, m = 4, ksub = 8)
+    val codesSchema = Streams.vectorCodesSchema(offline.schema)
+    val vcat = new Catalog(spark, s"$dir/vv")
+    Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+      vecs.limit(3), model, nlist = 4, m = 4, ksub = 8)
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+        vecs.limit(2), model, nlist = 4, m = 2, ksub = 8)
+    }
+  }
 }
