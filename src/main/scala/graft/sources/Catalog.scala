@@ -21,9 +21,32 @@ import org.apache.spark.sql.types.StructType
   * kill a pipeline inside a multi-write crash window (the streaming
   * dedup index-first protocol's kill test).
   */
-class Catalog(val spark: SparkSession, warehouse: String) {
+class Catalog(
+    val spark: SparkSession,
+    warehouse: String,
+    // every lease/break/fence/swap atomic goes through here — swap in
+    // a conditional-put or external-lock coordinator for object stores
+    // (see [[CommitCoordinator]]); the default is correct on HDFS-like
+    // stores and the local filesystem
+    coordinator: CommitCoordinator = CommitCoordinator.fileAtomics) {
 
   def path(table: String): String = s"$warehouse/$table"
+
+  /** Sibling dirs of `table` whose name starts with `<table><marker>` —
+    * the staging dirs of replace/compaction passes, HOLDER-UNIQUE since
+    * v2 (suffix = the writer's holder id), so a fenced writer's stage
+    * can never be confused with, overwritten by, or swapped in as a
+    * successor's. Matches the legacy fixed names too (pure prefix). */
+  private def stagingSiblings(
+      table: String, marker: String): Seq[org.apache.hadoop.fs.Path] = {
+    val live = new org.apache.hadoop.fs.Path(path(table))
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = live.getParent
+    val prefix = live.getName + marker
+    if (parent == null || !fs.exists(parent)) Nil
+    else fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).toSeq
+  }
 
 
   def exists(table: String): Boolean = {
@@ -117,32 +140,41 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     * additive stats table). NOT for data-sized tables: those should be
     * partitioned so rewrites stay partition-local.
     *
-    * Protocol: stage the new content to `<table>__replacing` (a normal
-    * Spark job, `_SUCCESS`-marked on completion — and materialized
-    * BEFORE any rename, so `df` may read from the live table), move the
-    * live dir aside to `<table>__replaced`, move the stage in, drop the
-    * aside. [[recoverReplace]] (run on entry) heals every crash window:
-    * a stage without `_SUCCESS` is discarded; a missing live dir rolls
-    * FORWARD to a complete stage or BACK to the aside — at least one
-    * complete copy is addressable at every instant.
+    * Protocol: stage the new content to a HOLDER-UNIQUE
+    * `<table>__replacing.<holder>` (a normal Spark job,
+    * `_SUCCESS`-marked on completion — and materialized BEFORE any
+    * rename, so `df` may read from the live table), move the live dir
+    * aside to `<table>__replaced`, move the stage in, drop the aside.
+    * The holder-unique stage means a writer fenced mid-pass (TTL
+    * overrun) can never have its stage overwritten by — or swapped in
+    * as — a successor's: each writer only ever swaps its OWN stage,
+    * and a fenced writer's orphaned stage is healed away as garbage.
+    * Fenced twice: BEFORE the staging job (don't pay a doomed write)
+    * and again before the swap (the staging job may have outrun the
+    * TTL). [[recoverReplace]] (run on entry) heals every crash window
+    * — at least one complete copy is addressable at every instant.
     */
   def replaceTable(table: String, df: DataFrame): Unit = {
     recoverReplace(table)
     val live = new org.apache.hadoop.fs.Path(path(table))
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val staging = new org.apache.hadoop.fs.Path(path(table) + "__replacing")
+    val staging = new org.apache.hadoop.fs.Path(
+      path(table) + "__replacing." + leaseHolder)
     val aside = new org.apache.hadoop.fs.Path(path(table) + "__replaced")
+    // early fence: a lease already lost means the staging job below is
+    // wasted work and its output immediate garbage — refuse up front
+    fenceHeldLeases()
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     // as-late-as-possible fence: the staging job above may have outrun
     // a lease TTL — refuse the swap rather than clobber a successor
     fenceHeldLeases()
-    if (fs.exists(live) && !fs.rename(live, aside))
+    if (fs.exists(live) && !coordinator.rename(fs, live, aside))
       throw new java.io.IOException(
         s"replaceTable move-aside failed for $table — table untouched")
-    if (!fs.rename(staging, live))
+    if (!coordinator.rename(fs, staging, live))
       throw new java.io.IOException(
         s"replaceTable swap failed for $table — staged data left at $staging")
-    fs.delete(aside, true)
+    coordinator.delete(fs, aside, true)
     spark.catalog.refreshByPath(path(table))
   }
 
@@ -164,22 +196,35 @@ class Catalog(val spark: SparkSession, warehouse: String) {
   def recoverReplace(table: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(path(table))
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val staging = new org.apache.hadoop.fs.Path(path(table) + "__replacing")
     val aside = new org.apache.hadoop.fs.Path(path(table) + "__replaced")
-    val stagedComplete =
-      fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
     if (!fs.exists(live)) {
-      if (stagedComplete) {
-        if (!fs.rename(staging, live)) throw new java.io.IOException(
-          s"replaceTable recovery roll-forward failed for $table")
-      } else if (fs.exists(aside)) {
-        if (!fs.rename(aside, live)) throw new java.io.IOException(
+      if (fs.exists(aside)) {
+        // roll BACK: the unambiguous heal. With holder-unique stages a
+        // fenced writer's orphaned stage can coexist with the crashed
+        // swapper's — picking a stage to roll FORWARD would have to
+        // guess whose; restoring the aside always reinstates the exact
+        // pre-op state, and the crashed op (never committed — the
+        // commit row lands after replaceTable returns) replays.
+        if (!coordinator.rename(fs, aside, live)) throw new java.io.IOException(
           s"replaceTable recovery roll-back failed for $table")
+      } else {
+        // no aside: a FIRST-EVER replace (nothing to move aside)
+        // crashed before its swap-in — roll forward a complete
+        // (_SUCCESS-marked) stage so the table appears; newest wins if
+        // a fenced first-writer's stale stage also survived
+        val complete = stagingSiblings(table, "__replacing")
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        if (complete.nonEmpty) {
+          val fwd = complete.maxBy(p => fs.getFileStatus(p).getModificationTime)
+          if (!coordinator.rename(fs, fwd, live)) throw new java.io.IOException(
+            s"replaceTable recovery roll-forward failed for $table")
+        }
       }
     }
     if (fs.exists(live)) {
-      fs.delete(aside, true)
-      fs.delete(staging, true)
+      coordinator.delete(fs, aside, true)
+      stagingSiblings(table, "__replacing")
+        .foreach(coordinator.delete(fs, _, true))
     }
   }
 
@@ -205,17 +250,19 @@ class Catalog(val spark: SparkSession, warehouse: String) {
   def recoverCompaction(table: String, partitionCol: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path(table))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val staging = new org.apache.hadoop.fs.Path(path(table) + "__compacting")
-    if (fs.exists(staging)) {
+    // every surviving stage (crashed writers AND fenced ones — stages
+    // are holder-unique) is scanned: orphaned partitions restore, the
+    // rest is dead-stage garbage
+    stagingSiblings(table, "__compacting").foreach { staging =>
       fs.listStatus(staging)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
         .foreach { st =>
           val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
-          if (!fs.exists(live) && !fs.rename(st.getPath, live))
+          if (!fs.exists(live) && !coordinator.rename(fs, st.getPath, live))
             throw new java.io.IOException(
               s"compaction recovery failed restoring ${st.getPath} to $live")
         }
-      fs.delete(staging, true)
+      coordinator.delete(fs, staging, true)
     }
   }
 
@@ -282,8 +329,13 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     val fileTarget = toCompact.foldLeft(F.lit(1)) { case (acc, (v, n)) =>
       F.when(F.col(partitionCol).cast("string") === v, F.lit(n)).otherwise(acc)
     }
-    val staging = new org.apache.hadoop.fs.Path(path(table) + "__compacting")
+    // holder-unique stage (see [[replaceTable]]): a fenced compactor's
+    // stage can never be swapped in by — or overwrite — a successor's
+    val staging = new org.apache.hadoop.fs.Path(
+      path(table) + "__compacting." + leaseHolder)
     recoverCompaction(table, partitionCol)
+    // early fence: don't pay the staged rewrite if the lease is lost
+    fenceHeldLeases()
     transform(readWithSchema(table, schema)
         .filter(F.col(partitionCol).cast("string").isin(values: _*)))
       .withColumn("__slot",
@@ -292,10 +344,13 @@ class Catalog(val spark: SparkSession, warehouse: String) {
       .drop("__slot")
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(staging.toString)
-    // as-late-as-possible fence: a staged rewrite that outran its lease
-    // TTL must not swap over a successor's partitions
-    fenceHeldLeases()
     val swapped = toCompact.flatMap { case (value, _) =>
+      // PER-PARTITION fence: the swap loop can run long (many accreted
+      // partitions), and a single pre-loop fence would let a writer
+      // whose TTL lapses mid-loop keep swapping over a successor's
+      // partitions — one small fs read per held lease per partition,
+      // noise next to the renames it protects
+      fenceHeldLeases()
       val dir = s"$partitionCol=$value"
       val src = new org.apache.hadoop.fs.Path(staging, dir)
       val dst = new org.apache.hadoop.fs.Path(root, dir)
@@ -311,26 +366,26 @@ class Catalog(val spark: SparkSession, warehouse: String) {
         // via the same aside dance (never a bare delete of live data)
         if (fs.exists(dst)) {
           val aside = new org.apache.hadoop.fs.Path(staging, s"__old__$dir")
-          if (!fs.rename(dst, aside))
+          if (!coordinator.rename(fs, dst, aside))
             throw new java.io.IOException(
               s"compaction move-aside failed for emptied $dir — table untouched")
-          fs.delete(aside, true)
+          coordinator.delete(fs, aside, true)
           Some(value)
         } else None
       }
       else {
         val aside = new org.apache.hadoop.fs.Path(staging, s"__old__$dir")
-        if (fs.exists(dst) && !fs.rename(dst, aside))
+        if (fs.exists(dst) && !coordinator.rename(fs, dst, aside))
           throw new java.io.IOException(
             s"compaction move-aside failed for $dir — table untouched")
-        if (!fs.rename(src, dst))
+        if (!coordinator.rename(fs, src, dst))
           throw new java.io.IOException(
             s"compaction rename failed for $dir — staged data left at $src")
-        fs.delete(aside, true)
+        coordinator.delete(fs, aside, true)
         Some(value)
       }
     }
-    fs.delete(staging, true)
+    coordinator.delete(fs, staging, true)
     spark.catalog.refreshByPath(path(table))
     swapped
   }
@@ -417,12 +472,7 @@ class Catalog(val spark: SparkSession, warehouse: String) {
   def ensureLayoutMeta(family: String, stamp: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path(family) + "__layout")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val existing =
-      try {
-        val in = fs.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
-      } catch { case _: java.io.IOException => None }
+    val existing = coordinator.readSmall(fs, p)
     existing match {
       case Some(s) if s == stamp => ()
       case Some(s) =>
@@ -433,19 +483,14 @@ class Catalog(val spark: SparkSession, warehouse: String) {
             "every existing row. Reopen with the original parameters or " +
             "rebuild the family")
       case None =>
-        try {
-          val out = fs.create(p, false)
-          try out.write(stamp.getBytes("UTF-8")) finally out.close()
-        } catch {
+        if (!coordinator.createIfAbsent(fs, p, stamp)) {
           // lost a create race: re-read and verify against the winner
-          case _: java.io.IOException =>
-            val in = fs.open(p)
-            val s =
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-            if (s != stamp) throw new Catalog.LayoutMismatch(
-              s"family '$family' concurrently created with layout [$s], " +
-                s"this opener wanted [$stamp]")
+          val s = coordinator.readSmall(fs, p).getOrElse(
+            throw new java.io.IOException(
+              s"layout stamp for '$family' unreadable after a lost create race"))
+          if (s != stamp) throw new Catalog.LayoutMismatch(
+            s"family '$family' concurrently created with layout [$s], " +
+              s"this opener wanted [$stamp]")
         }
     }
   }
@@ -464,11 +509,14 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     * such races DATA-safe, but an aborted maintenance op looks like a
     * spurious failure; refusing up front is diagnosable).
     *
-    * Mechanics: `create(path, overwrite = false)` on
-    * `<warehouse>/<scope>__lease` — atomic create-if-absent on HDFS
-    * and local filesystems (object stores without atomic create need
-    * an external coordinator; same caveat as every rename-based commit
-    * in this catalog). The file carries `holder expiryMillis`. A
+    * Mechanics: the coordinator's atomic create-if-absent on
+    * `<warehouse>/<scope>__lease` — namespace-atomic `create(path,
+    * overwrite = false)` on HDFS, O_EXCL via java.nio on the local
+    * filesystem, and PLUGGABLE for stores with neither (an object-store
+    * deployment passes a conditional-put or external-lock
+    * [[CommitCoordinator]] to the constructor; every lease / break /
+    * fence / swap point inherits it). The file carries
+    * `holder expiryMillis`. A
     * CRASHED holder's lease heals by expiry: past `ttlMs` the next
     * contender breaks the stale file and re-acquires (the break is an
     * atomic RENAME of the stale file to a unique tomb path — exactly one
@@ -508,33 +556,23 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     } else {
       val p = new org.apache.hadoop.fs.Path(path(scope) + "__lease")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      def tryCreate(): Boolean =
-        try {
-          val out = fs.create(p, false)
-          try out.write(
-            s"$leaseHolder ${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      def tryCreate(): Boolean = coordinator.createIfAbsent(fs, p,
+        s"$leaseHolder ${System.currentTimeMillis() + ttlMs}")
       def expired(): Boolean =
-        try {
-          val in = fs.open(p)
-          val content =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          content.split("\\s+") match {
+        coordinator.readSmall(fs, p) match {
+          case Some(content) => content.split("\\s+") match {
             case Array(_, exp) if exp.forall(_.isDigit) =>
               exp.toLong < System.currentTimeMillis()
             case _ => // unreadable content (holder crashed mid-write):
               // age the FILE instead of the recorded expiry
-              fs.getFileStatus(p).getModificationTime + ttlMs <
+              try fs.getFileStatus(p).getModificationTime + ttlMs <
                 System.currentTimeMillis()
+              catch { case _: java.io.IOException => false }
           }
-        } catch {
           // vanished between create-failure and read — contender won a
           // break race or released; report not-expired and let the
-          // retry below re-probe
-          case _: java.io.IOException => false
+          // caller's retry re-probe
+          case None => false
         }
       // breaking a stale lease must be ATOMIC: delete-then-create lets
       // two contenders both observe expiry, the second delete removing
@@ -545,24 +583,19 @@ class Catalog(val spark: SparkSession, warehouse: String) {
       def breakStale(): Boolean = {
         val claimed = new org.apache.hadoop.fs.Path(
           path(scope) + "__lease_broken_" + java.util.UUID.randomUUID().toString)
-        val won =
-          try fs.rename(p, claimed)
-          catch { case _: java.io.IOException => false }
-        if (won) {
-          try fs.delete(claimed, false)
-          catch { case _: java.io.IOException => () }
-        }
+        val won = coordinator.rename(fs, p, claimed)
+        if (won) coordinator.delete(fs, claimed, false)
         won
       }
       // the acquire critical section is additionally serialized on a
-      // JVM-global monitor: HDFS's create-if-absent is atomic, but
-      // Hadoop's LocalFileSystem implements overwrite=false as
-      // check-then-create — two IN-PROCESS threads can both win the
-      // file race. The monitor makes intra-process acquisition
-      // linearizable everywhere; the file alone keeps excluding
-      // cross-process contenders on filesystems with atomic create
-      // (the documented object-store caveat is unchanged).
-      val acquired = Catalog.leaseFileLock.synchronized {
+      // PER-LEASE-PATH monitor (one slow remote-FS call must not block
+      // unrelated scopes' lease traffic process-wide). The monitor is
+      // belt-and-suspenders for in-process contenders; cross-process
+      // exclusion rests on the coordinator's atomic create-if-absent —
+      // O_EXCL on the local filesystem, namespace-atomic create on
+      // HDFS, a conditional put on a plugged-in object-store
+      // coordinator.
+      val acquired = Catalog.leaseLock(p.toString).synchronized {
         tryCreate() || {
           if (expired()) breakStale() && tryCreate() else false
         }
@@ -582,17 +615,26 @@ class Catalog(val spark: SparkSession, warehouse: String) {
         // a contender broke + re-acquired, the file now carries the
         // successor's id — an unconditional delete would strip the
         // successor's protection mid-pass
-        Catalog.leaseFileLock.synchronized {
-          try {
-            val in = fs.open(p)
-            val mine =
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                .startsWith(leaseHolder + " ")
-              finally in.close()
-            if (mine) fs.delete(p, false)
-          } catch { case _: java.io.IOException => () }
+        Catalog.leaseLock(p.toString).synchronized {
+          if (coordinator.readSmall(fs, p)
+              .exists(_.startsWith(leaseHolder + " ")))
+            coordinator.delete(fs, p, false)
         }
       }
+    }
+  }
+
+  /** True when `scope`'s lease is currently held through THIS Catalog
+    * by a thread other than the caller. Lease ownership and fencing are
+    * thread-scoped ([[fenceHeldLeases]]), so an op span that crosses
+    * threads (a Future, a listener callback, a thread-per-batch
+    * executor) would make the commit-point fence a silent no-op — the
+    * commit points check this and fail LOUDLY instead
+    * ([[graft.streaming.OpLog.commit]]). */
+  def leaseHeldByOtherThread(scope: String): Boolean = {
+    val self = Thread.currentThread().getId
+    leaseDepth.synchronized {
+      leaseDepth.get(scope).exists { case (o, d) => d > 0 && o != self }
     }
   }
 
@@ -626,19 +668,29 @@ class Catalog(val spark: SparkSession, warehouse: String) {
     held.foreach { scope =>
       val p = new org.apache.hadoop.fs.Path(path(scope) + "__lease")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val mine =
-        try {
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            .startsWith(leaseHolder + " ")
-          finally in.close()
-        } catch { case _: java.io.IOException => false }
-      if (!mine)
-        throw new Catalog.WriterFenced(
-          s"writer lease for scope '$scope' no longer carries this " +
-            "holder (TTL overrun: a contender broke the stale lease) — " +
-            "refusing to publish; this op's partial rows are " +
-            "abandoned-attempt garbage and will be scrubbed at compaction")
+      // a transient FS read hiccup on a healthy lease must not abort
+      // the op with a spurious TTL-overrun claim: retry the read once
+      // before fencing, and name the actual evidence in the error
+      val content = coordinator.readSmall(fs, p).orElse {
+        Thread.sleep(10)
+        coordinator.readSmall(fs, p)
+      }
+      content match {
+        case Some(c) if c.startsWith(leaseHolder + " ") => () // healthy
+        case Some(c) =>
+          throw new Catalog.WriterFenced(
+            s"writer lease for scope '$scope' now carries another holder " +
+              s"[${c.split("\\s+").headOption.getOrElse("?")}] (TTL " +
+              "overrun: a contender broke this writer's stale lease) — " +
+              "refusing to publish; this op's partial rows are " +
+              "abandoned-attempt garbage and will be scrubbed at compaction")
+        case None =>
+          throw new Catalog.WriterFenced(
+            s"writer lease for scope '$scope' is absent or unreadable " +
+              "after retry (broken by a contender and not yet re-created, " +
+              "or the store is unhealthy) — refusing to publish; if this " +
+              "was a transient store failure the op replays cleanly")
+      }
     }
   }
 
@@ -654,10 +706,15 @@ class Catalog(val spark: SparkSession, warehouse: String) {
 }
 
 object Catalog {
-  /** JVM-global monitor for the lease-file acquire/release critical
-    * sections — see the acquire comment in
-    * [[Catalog.withMaintenanceLease]]. */
-  private[sources] val leaseFileLock = new Object
+  /** Per-lease-path monitors for the acquire/release critical sections
+    * (see [[Catalog.withMaintenanceLease]]): one slow or hung FS call
+    * on one lease must not serialize every unrelated lease operation
+    * in the process. Never evicted — bounded by the number of distinct
+    * scopes the process touches, a handful of bytes each. */
+  private val leaseLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private[sources] def leaseLock(path: String): Object =
+    leaseLocks.computeIfAbsent(path, _ => new Object)
 
   /** A maintenance window for the scope is already held by another
     * (live, unexpired) maintainer — see [[Catalog.withMaintenanceLease]]. */

@@ -180,16 +180,34 @@ final class OpLog(
     * publishing — its data rows stay uncommitted garbage. */
   def commit(seq: Long, stats: DataFrame): Unit = {
     heal()
+    assertSameThreadSpan()
     cat.fenceHeldLeases()
     cat.append(table, stats.select(
       F.lit(seq).as("seq") +: payload.fields.map(f =>
         F.col(f.name).cast(f.dataType).as(f.name)): _*))
   }
 
+  /** Fencing is keyed on the lease-OWNING thread: a commit running on a
+    * different thread than its op span's withWriter (a Future, a
+    * streaming-listener callback, a thread-per-batch executor) would
+    * make [[Catalog.fenceHeldLeases]] a silent no-op — no error, just
+    * no fence protection. Fail loudly instead: the span must commit on
+    * the thread that took the lease. Unleased commits (seeders
+    * registering a generation with no maintenance running) see the
+    * scope unheld and pass. */
+  private def assertSameThreadSpan(): Unit =
+    if (cat.leaseHeldByOtherThread(table))
+      throw new IllegalStateException(
+        s"op-log commit for '$table' is running on a different thread " +
+          "than the writer lease's owner: fencing is thread-scoped, so " +
+          "this commit would publish UNFENCED. Keep the whole op span — " +
+          "withWriter through commit — on one thread")
+
   /** Commit with a bare count payload (single-long-payload logs). */
   def commitCount(seq: Long, n: Long): Unit = {
     require(payload.fields.length == 1, "commitCount needs a 1-col payload")
     heal()
+    assertSameThreadSpan()
     cat.fenceHeldLeases()
     cat.append(table, spark.createDataFrame(
       java.util.List.of(Row(seq, n)), schema))

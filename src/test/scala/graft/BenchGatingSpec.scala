@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation of the round-over-round mover gating ([[Bench.moverTrigger]])
+  * against the REAL archived r15 round — no sweep needed, both
+  * directions (the r15 verdict's ask):
+  *
+  *  - a uniform HOST-SPEED shift (every raw median and every calib
+  *    probe ×1.5 — a loaded or slower host) fires ZERO movers, because
+  *    the normalized value med ÷ calib is invariant under it;
+  *  - one injected PER-ENTRY regression (that entry's median ×2 with
+  *    the host unchanged) fires EXACTLY that one mover;
+  *  - against a pre-normalization archive (no `normalized` map) the
+  *    trigger falls back to raw medians, so the same host shift DOES
+  *    fire — which is why the normalized map exists.
+  */
+class BenchGatingSpec extends AnyFunSuite {
+
+  // parse the committed archive with the same shapes Bench.main uses
+  private lazy val archive: String = {
+    var d = java.nio.file.Paths.get("").toAbsolutePath
+    while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+      d = d.getParent
+    java.nio.file.Files.readString(d.resolve("bench_rounds/round15.json"))
+  }
+  private lazy val priorMeds: Map[String, Double] =
+    """"([^"]+)":\{"n":\d+,"min":[0-9.eE+-]+,"med":([0-9.eE+-]+)""".r
+      .findAllMatchIn(archive).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  private lazy val priorNorm: Map[String, Double] =
+    """"normalized":\{([^}]*)\}""".r.findFirstMatchIn(archive)
+      .map(_.group(1)).map { body =>
+        """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+
+  // entries carrying both a prior median and a prior normalized value —
+  // the population the normalized trigger actually gates
+  private lazy val gated: Map[String, (Double, Double)] =
+    priorMeds.flatMap { case (k, med) =>
+      priorNorm.get(k).filter(_ > 0).filter(_ => med > 0)
+        .map(nv => k -> (med, nv))
+    }
+
+  test("the archived r15 round carries a usable normalized baseline") {
+    assert(gated.size > 150,
+      s"only ${gated.size} entries have (med, normalized) — archive broken?")
+  }
+
+  test("a uniform 1.5x host shift replayed over r15 fires zero movers") {
+    // derive each entry's implied calib divisor from the archive
+    // (normalized = med / calib), scale BOTH med and calib by 1.5 —
+    // the loaded-host replay — and recompute normalized the way the
+    // sweep would
+    val movers = gated.collect { case (k, (med, nv)) =>
+      val calib = med / nv
+      val medShifted = med * 1.5
+      val calibShifted = calib * 1.5
+      val nvShifted = medShifted / calibShifted
+      k -> Bench.moverTrigger(nvShifted, Some(nv), medShifted, Some(med))
+    }.filter(_._2).keys.toSeq
+    assert(movers.isEmpty,
+      s"host shift misread as regression for: ${movers.take(5).mkString(", ")}")
+  }
+
+  test("one injected per-entry regression fires exactly that mover") {
+    val victim = gated.keys.min // deterministic pick
+    val movers = gated.collect { case (k, (med, nv)) =>
+      val calib = med / nv
+      val medNow = if (k == victim) med * 2.0 else med
+      val nvNow = medNow / calib
+      k -> Bench.moverTrigger(nvNow, Some(nv), medNow, Some(med))
+    }.filter(_._2).keys.toSeq
+    assert(movers === Seq(victim),
+      s"expected only $victim to fire, got: ${movers.take(5).mkString(", ")}")
+  }
+
+  test("against a pre-normalization archive the raw fallback fires on a host shift") {
+    // no prior normalized → the trigger compares raw medians, so a
+    // 1.6x host shift DOES read as movement — the behavior the
+    // normalized map was added to fix (r15's driver re-run at load
+    // 3.67 flagged 14 spurious movers this way)
+    val (med, _) = gated(gated.keys.min)
+    assert(Bench.moverTrigger(Double.NaN, None, med * 1.6, Some(med)))
+    // and an in-noise raw change does not
+    assert(!Bench.moverTrigger(Double.NaN, None, med * 1.2, Some(med)))
+  }
+}

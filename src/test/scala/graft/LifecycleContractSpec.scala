@@ -201,6 +201,87 @@ class LifecycleContractSpec extends SparkSpec {
     }
   }
 
+  test("two Catalog instances race lease acquisition: exactly one winner per round") {
+    // the two-PROCESS shape the lease file exists for, modeled as two
+    // Catalog instances (distinct holder ids, distinct leaseDepth maps —
+    // they share nothing but the filesystem). Exclusion must come from
+    // the coordinator's atomic create-if-absent, not from either
+    // instance's in-memory state. 100 rounds; each round both contend,
+    // exactly one enters, then releases.
+    val dir = Files.createTempDirectory("graft-two-cat").toString
+    val a = new Catalog(spark, s"$dir/wh")
+    val b = new Catalog(spark, s"$dir/wh")
+    val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    var maxConcurrent = 0
+    (1 to 100).foreach { _ =>
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ts = Seq(a, b).map(c => new Thread(() => {
+        gate.await()
+        try {
+          c.withMaintenanceLease("scope") {
+            val now = inBody.incrementAndGet()
+            synchronized { maxConcurrent = math.max(maxConcurrent, now) }
+            inBody.decrementAndGet()
+          }
+          wins.incrementAndGet()
+        } catch {
+          case _: Catalog.MaintenanceLeaseHeld => losses.incrementAndGet()
+        }
+      }))
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+      assert(wins.get() >= 1, "someone must acquire each round")
+      assert(wins.get() + losses.get() === 2)
+    }
+    assert(maxConcurrent === 1,
+      s"two catalogs ran their bodies concurrently ($maxConcurrent)")
+    // the exclusion primitive itself is atomic WITHOUT any JVM monitor:
+    // N bare coordinator create-if-absent calls on one fresh path (the
+    // cross-process channel — O_EXCL on the local filesystem, which
+    // Hadoop's check-then-create LocalFileSystem.create(overwrite=false)
+    // does NOT guarantee) admit exactly one winner
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (1 to 20).foreach { i =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/excl_$i")
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val g = new java.util.concurrent.CountDownLatch(1)
+      val ts = (1 to 8).map(n => new Thread(() => {
+        g.await()
+        if (graft.sources.CommitCoordinator.fileAtomics
+            .createIfAbsent(fs, p, s"holder$n")) winners.incrementAndGet()
+      }))
+      ts.foreach(_.start()); g.countDown(); ts.foreach(_.join())
+      assert(winners.get() === 1, s"round $i: ${winners.get()} winners")
+    }
+  }
+
+  test("op-log commit on a thread other than the lease owner's fails loudly") {
+    // fencing is keyed on the owning thread: a span that hands its
+    // commit to another thread (Future, listener callback) would
+    // silently publish UNFENCED — the commit point must refuse instead
+    val dir = Files.createTempDirectory("graft-xthread").toString
+    val cat = new Catalog(spark, s"$dir/wh")
+    val log = new OpLog(spark, cat, "ops", OpLog.countPayload)
+    log.ensure()
+    @volatile var thrown: Throwable = null
+    log.withWriter() {
+      val t = new Thread(() =>
+        try log.commitCount(0L, 1L)
+        catch { case e: Throwable => thrown = e })
+      t.start(); t.join()
+    }
+    assert(thrown != null, "cross-thread commit must not publish silently")
+    assert(thrown.isInstanceOf[IllegalStateException]
+        && thrown.getMessage.contains("different thread"),
+      s"wrong failure: $thrown")
+    assert(log.committedSeqs.isEmpty)
+    // same-thread commit inside the span still works
+    log.withWriter() { log.commitCount(0L, 1L) }
+    assert(log.committedSeqs.count() === 1L)
+  }
+
   // --------------------------------------------------------------- fencing
 
   test("a writer that overruns its lease TTL is fenced at commit, not interleaved") {
@@ -253,6 +334,126 @@ class LifecycleContractSpec extends SparkSpec {
     }
     assert(otherOk, "a healthy writer on another thread was falsely fenced")
     assert(otherLog.committedSeqs.count() === 1L)
+  }
+
+  test("a fenced op's data rows are scrubbed at compaction and serve stays exact") {
+    // end-to-end fencing: the fenced writer's already-appended data
+    // rows (attempt row, no commit row) must stay invisible to every
+    // read, become garbage once a successor commits above them, be
+    // PHYSICALLY scrubbed by the family compaction — and the served
+    // result must be identical before and after the scrub. All three
+    // families.
+    val dir = Files.createTempDirectory("graft-fence-garbage").toString
+    def pbkOf(c: org.apache.spark.sql.Column) =
+      F.pmod(F.xxhash64(c), F.lit(16L)).cast("int")
+
+    // ---- dedup family
+    val dcat = new Catalog(spark, s"$dir/dd")
+    val dforeign = new Catalog(spark, s"$dir/dd")
+    Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "tomb",
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"))
+    val dlog = new OpLog(spark, dcat, "corpus_ops", OpLog.countPayload)
+    intercept[Catalog.WriterFenced] {
+      dlog.withWriter(ttlMs = 1L) {
+        val sv = dlog.nextBaseSeq
+        dlog.beginAttempt(sv)
+        dcat.appendPartitioned("corpus",
+          Seq((9L, "ghost")).toDF("doc_id", "text")
+            .withColumn("seq", F.lit(sv))
+            .withColumn("pbk", pbkOf(F.col("doc_id"))), Seq("pbk"))
+        Thread.sleep(10)
+        dforeign.withMaintenanceLease("corpus_ops") {} // successor's window
+        dlog.commitCount(sv, 1L) // FENCED — the ghost row stays uncommitted
+      }
+    }
+    // a successor committing ABOVE the fenced seq turns it into garbage
+    Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "tomb",
+      Seq((3L, "gamma")).toDF("doc_id", "text"))
+    def dedupLive = graft.operators.Tombstones.live(
+      dlog.visible(dcat.readWithSchema("corpus", Streams.dedupCorpusSchema)),
+      dlog.visible(dcat.readWithSchema("tomb", Streams.dedupTombSchema)),
+      "doc_id").select("doc_id", "text")
+    val dBefore = dedupLive.collect().map(_.toSeq).toSet
+    assert(!dBefore.exists(_.head == 9L), "fenced row leaked into the live view")
+    Streams.compactDocDedup(dcat, "corpus", "buckets", "tomb")
+    assert(dcat.readWithSchema("corpus", Streams.dedupCorpusSchema)
+      .filter(F.col("doc_id") === 9L).isEmpty,
+      "fenced garbage row survived compaction physically")
+    assert(dedupLive.collect().map(_.toSeq).toSet === dBefore,
+      "dedup serve changed across the garbage scrub")
+
+    // ---- bm25 family
+    val bcat = new Catalog(spark, s"$dir/bm")
+    val bforeign = new Catalog(spark, s"$dir/bm")
+    val idx = new Bm25Index(spark, bcat)
+    idx.ingest(Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text"), 0L)
+    val blog = new OpLog(spark, bcat, "ops", Bm25Index.statsPayload)
+    intercept[Catalog.WriterFenced] {
+      blog.withWriter(ttlMs = 1L) {
+        val sv = blog.nextBaseSeq
+        blog.beginAttempt(sv)
+        bcat.appendPartitioned("postings",
+          Seq(("alpha", 9L, 5L, 5L)).toDF("term", "doc_id", "tf", "dl")
+            .withColumn("seq", F.lit(sv))
+            .withColumn("bk",
+              F.pmod(F.xxhash64(F.col("term")), F.lit(64L)).cast("int")),
+          Seq("bk"))
+        Thread.sleep(10)
+        bforeign.withMaintenanceLease("ops") {}
+        blog.commit(sv, Seq((1L, 5L)).toDF("n_docs", "total_dl"))
+      }
+    }
+    idx.ingest(Seq((3L, "beta")).toDF("doc_id", "text"), blog.nextBaseSeq)
+    def bm25Serve = idx.serve(Seq("alpha"))
+      .select("doc_id", "score").collect().map(_.toSeq).toSet
+    val bBefore = bm25Serve
+    assert(!bBefore.exists(_.head == 9L), "fenced posting leaked into serve")
+    idx.compact()
+    assert(bcat.readWithSchema("postings", Bm25Index.postSchema)
+      .filter(F.col("doc_id") === 9L).isEmpty,
+      "fenced posting survived compaction physically")
+    assert(bm25Serve === bBefore, "bm25 serve changed across the garbage scrub")
+
+    // ---- vector family
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 10L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val (model, offline) = graft.operators.Similarity.ivfPqIndex(
+      vecs, nlist = 4, m = 4, ksub = 8)
+    val codesSchema = Streams.vectorCodesSchema(offline.schema)
+    val vcat = new Catalog(spark, s"$dir/vv")
+    val vforeign = new Catalog(spark, s"$dir/vv")
+    Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+      vecs, model, nlist = 4, m = 4, ksub = 8)
+    val vlog = new OpLog(spark, vcat, "codes_ops", OpLog.countPayload)
+    intercept[Catalog.WriterFenced] {
+      vlog.withWriter(ttlMs = 1L) {
+        val sv = vlog.nextBaseSeq
+        vlog.beginAttempt(sv)
+        val ghost = vcat.readWithSchema("codes", codesSchema)
+          .filter(F.col("seq") === 0L).limit(1)
+          .withColumn("neighbor_id", F.lit(99L))
+          .withColumn("seq", F.lit(sv))
+          .withColumn("pbk", pbkOf(F.col("neighbor_id")))
+        vcat.appendPartitioned("codes", ghost, Seq("pbk"))
+        Thread.sleep(10)
+        vforeign.withMaintenanceLease("codes_ops") {}
+        vlog.commitCount(sv, 1L)
+      }
+    }
+    Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+      vecs.limit(2), model, nlist = 4, m = 4, ksub = 8)
+    def vectorLive = graft.operators.Tombstones.live(
+      vlog.visible(vcat.readWithSchema("codes", codesSchema)),
+      vlog.visible(vcat.readWithSchema("codes_tomb", Streams.vectorTombSchema)),
+      "neighbor_id").select("neighbor_id", "cell").collect().map(_.toSeq).toSet
+    val vBefore = vectorLive
+    assert(!vBefore.exists(_.head == 99L), "fenced code leaked into the live view")
+    Streams.compactVectorIndex(vcat, "codes", codesSchema, "codes_tomb")
+    assert(vcat.readWithSchema("codes", codesSchema)
+      .filter(F.col("neighbor_id") === 99L).isEmpty,
+      "fenced code row survived compaction physically")
+    assert(vectorLive === vBefore, "vector live view changed across the scrub")
   }
 
   // ----------------------------------------------------------- layout stamp

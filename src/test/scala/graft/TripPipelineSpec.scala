@@ -268,19 +268,32 @@ class TripPipelineSpec extends SparkSpec {
     cat.recoverReplace("t")
     assert(cat.read("t").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
     assert(!staging.exists())
-    // window 2: crash between move-aside and swap-in — roll FORWARD to
-    // the complete (_SUCCESS-marked) stage
+    // window 2: crash between move-aside and swap-in — roll BACK to the
+    // aside (the unambiguous heal: with holder-unique stages a fenced
+    // foreign writer's stage could coexist with the crashed swapper's,
+    // and guessing which to roll forward could publish a fenced
+    // writer's data; the pre-op state always restores exactly, and the
+    // never-committed op replays)
     Seq(7L, 8L).toDF("id").write.parquet(staging.toString)
     assert(live.renameTo(aside))
     cat.recoverReplace("t")
-    assert(cat.read("t").collect().map(_.getLong(0)).toSet === Set(7L, 8L))
+    assert(cat.read("t").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
     assert(!staging.exists() && !aside.exists())
+    // window 2b: FIRST-EVER replace (no aside exists) crashed before its
+    // swap-in — roll FORWARD the complete stage so the table appears
+    val cat2 = new graft.sources.Catalog(spark,
+      Files.createTempDirectory("graft-replace-first").toString)
+    val staging2 = new java.io.File(cat2.path("t") + "__replacing")
+    Seq(9L).toDF("id").write.parquet(staging2.toString)
+    cat2.recoverReplace("t")
+    assert(cat2.read("t").collect().map(_.getLong(0)).toSet === Set(9L))
+    assert(!staging2.exists())
     // window 3: live missing, stage incomplete — roll BACK to the aside
     assert(live.renameTo(aside))
     staging.mkdirs()
     Files.writeString(staging.toPath.resolve("part-junk.parquet"), "junk")
     cat.recoverReplace("t")
-    assert(cat.read("t").collect().map(_.getLong(0)).toSet === Set(7L, 8L))
+    assert(cat.read("t").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
     assert(!staging.exists() && !aside.exists())
   }
 
