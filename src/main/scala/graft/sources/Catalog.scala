@@ -659,7 +659,18 @@ class Catalog(
     * healthy writer — two streams on different families in one process
     * must fail independently. No-op (zero fs calls) when this thread
     * holds no lease, so unleased callers (seeders registering a
-    * generation, ad-hoc replaces) are unaffected. */
+    * generation, ad-hoc replaces) are unaffected.
+    *
+    * RESIDUAL window, by design: fencing is check-then-act, so a lease
+    * can lapse between a passing check and the publish it guards. What
+    * bounds the exposure: the checks sit IMMEDIATELY before each
+    * rename/append (microseconds, vs the staging jobs the early fences
+    * cover), staging paths are holder-unique (a late writer can touch
+    * only its own stage; its swap targets are one rename per table /
+    * per partition), and the TTL is sized orders of magnitude above
+    * the gap. Closing it entirely needs a compare-and-swap publish —
+    * the [[CommitCoordinator]] seam is where a store offering one
+    * (conditional PUT) plugs in. */
   def fenceHeldLeases(): Unit = {
     val self = Thread.currentThread().getId
     val held = leaseDepth.synchronized {

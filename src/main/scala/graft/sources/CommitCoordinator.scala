@@ -95,4 +95,46 @@ object CommitCoordinator {
       try fs.delete(path, recursive)
       catch { case _: java.io.IOException => false }
   }
+
+  /** REFERENCE implementation of the external-coordinator shape: the
+    * small coordination FILES (leases, layout stamps, break-claims)
+    * live in a linearizable key-value map — the structure a lock
+    * service, a database row, or an S3 conditional-PUT provides — while
+    * DATA directories (the stage-and-swap renames, recursive deletes)
+    * still go to the filesystem via `delegate`. This is exactly the
+    * split an object-store deployment needs: the store's rename may be
+    * non-atomic, but every EXCLUSION decision happens in the
+    * coordinator, so the swap windows are single-writer anyway.
+    *
+    * Process-local (a ConcurrentHashMap), so it coordinates clients
+    * that SHARE the instance — the template for a networked
+    * implementation, and the fixture the contract specs run the full
+    * index lifecycle through to prove the seam is load-bearing.
+    */
+  def keyValue(
+      delegate: CommitCoordinator = fileAtomics): CommitCoordinator =
+    new CommitCoordinator {
+      private val kv =
+        new java.util.concurrent.ConcurrentHashMap[String, String]
+
+      def createIfAbsent(fs: FileSystem, path: Path, content: String): Boolean =
+        kv.putIfAbsent(path.toString, content) == null
+
+      def readSmall(fs: FileSystem, path: Path): Option[String] =
+        Option(kv.get(path.toString))
+          .orElse(delegate.readSmall(fs, path))
+
+      def rename(fs: FileSystem, src: Path, dst: Path): Boolean = {
+        // a rename of a coordination KEY is the atomic break-claim:
+        // remove-and-put must admit exactly one winner, which remove's
+        // linearizability gives us
+        val v = kv.remove(src.toString)
+        if (v != null) { kv.put(dst.toString, v); true }
+        else delegate.rename(fs, src, dst)
+      }
+
+      def delete(fs: FileSystem, path: Path, recursive: Boolean): Boolean =
+        if (kv.remove(path.toString) != null) true
+        else delegate.delete(fs, path, recursive)
+    }
 }

@@ -336,6 +336,49 @@ class LifecycleContractSpec extends SparkSpec {
     assert(otherLog.committedSeqs.count() === 1L)
   }
 
+  test("the full lifecycle runs through a non-file coordinator (external lock-service shape)") {
+    // the CommitCoordinator seam must be load-bearing, not decorative:
+    // plug the key-value reference coordinator (coordination state in a
+    // linearizable map, data dirs still on fs — the object-store
+    // deployment shape) into two Catalogs sharing it, and run real ops
+    val dir = Files.createTempDirectory("graft-kv-coord").toString
+    val kv = graft.sources.CommitCoordinator.keyValue()
+    val cat = new Catalog(spark, s"$dir/wh", kv)
+    val other = new Catalog(spark, s"$dir/wh", kv)
+    // ingest + replace + delete + compact, all via leases/stamps in the map
+    Streams.replaceDocsInDedup(cat, "corpus", "buckets", "tomb",
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"))
+    // the layout stamp lives in the coordinator and still refuses
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceDocsInDedup(other, "corpus", "buckets", "tomb",
+        Seq((3L, "x")).toDF("doc_id", "text"), stateBuckets = 32)
+    }
+    // exclusion decided by the MAP, not the filesystem: no __lease file
+    // ever lands on disk, yet a second client refuses
+    other.withMaintenanceLease("corpus_ops") {
+      intercept[Catalog.MaintenanceLeaseHeld] {
+        Streams.deleteDocsFromDedup(cat, "corpus", "tomb", Seq(1L).toDF("doc_id"))
+      }
+      assert(!new java.io.File(s"$dir/wh/corpus_ops__lease").exists(),
+        "lease leaked to the filesystem — the coordinator is decorative")
+    }
+    Streams.deleteDocsFromDedup(cat, "corpus", "tomb", Seq(1L).toDF("doc_id"))
+    Streams.compactDocDedup(cat, "corpus", "buckets", "tomb")
+    val live = graft.operators.Tombstones.live(
+      cat.readWithSchema("corpus", Streams.dedupCorpusSchema),
+      cat.readWithSchema("tomb", Streams.dedupTombSchema), "doc_id")
+    assert(live.select("doc_id").as[Long].collect().toSet === Set(2L))
+    // fencing through the map: a TTL overrun broken by the other client
+    val log = new OpLog(spark, cat, "corpus_ops", OpLog.countPayload)
+    intercept[Catalog.WriterFenced] {
+      log.withWriter(ttlMs = 1L) {
+        Thread.sleep(10)
+        other.withMaintenanceLease("corpus_ops") {}
+        log.commitCount(log.nextBaseSeq, 1L)
+      }
+    }
+  }
+
   test("a fenced op's data rows are scrubbed at compaction and serve stays exact") {
     // end-to-end fencing: the fenced writer's already-appended data
     // rows (attempt row, no commit row) must stay invisible to every
