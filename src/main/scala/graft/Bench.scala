@@ -103,7 +103,9 @@ object Bench {
     * the two middle runs (the r11 upper-median made med == max for the
     * composites' n=2).
     */
-  private final case class Spread(runs: Seq[Double], isolated: Double = Double.NaN) {
+  // private[graft]: the point-promotion rule is spec-pinned
+  // (BenchGatingSpec) the same way moverTrigger is
+  private[graft] final case class Spread(runs: Seq[Double], isolated: Double = Double.NaN) {
     // a single failed attempt marks the entry failed (r10 semantics:
     // min-of-2 propagated NaN) — a flaky query must not report its
     // surviving attempt as a clean number

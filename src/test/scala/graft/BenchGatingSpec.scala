@@ -75,6 +75,27 @@ class BenchGatingSpec extends AnyFunSuite {
       s"expected only $victim to fire, got: ${movers.take(5).mkString(", ")}")
   }
 
+  test("headline promotion: a >2x in-sweep spread with an isolated re-run reports the isolated value") {
+    // the r15 driver-artifact shape: q_bm25_stream measured 28.3 s
+    // in-sweep under host windows, 13.0 s isolated on the same build —
+    // the spread proves contamination, so the isolated number IS the
+    // headline (r16), while the raw runs stay in the spread
+    val contaminated = Bench.Spread(Seq(28.3, 13.2, 26.9), isolated = 13.0)
+    assert(contaminated.highVariance)
+    assert(contaminated.point === 13.0)
+    assert(contaminated.med === 26.9) // raw median still visible in spreads
+    // a consistent measurement keeps its sweep median even when an
+    // isolated run exists (movers get one for adjudication): promotion
+    // requires the variance EVIDENCE, not just an alternative number
+    val consistent = Bench.Spread(Seq(13.5, 14.1, 13.8), isolated = 12.9)
+    assert(!consistent.highVariance)
+    assert(consistent.point === 13.8)
+    // no isolated run -> the median stands, high variance or not
+    assert(Bench.Spread(Seq(28.3, 13.2, 26.9)).point === 26.9)
+    // a failed attempt fails the entry; promotion never resurrects it
+    assert(Bench.Spread(Seq(Double.NaN, 13.2, 26.9), isolated = 13.0).failed)
+  }
+
   test("against a pre-normalization archive the raw fallback fires on a host shift") {
     // no prior normalized → the trigger compares raw medians, so a
     // 1.6x host shift DOES read as movement — the behavior the
