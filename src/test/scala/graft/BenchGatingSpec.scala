@@ -96,6 +96,26 @@ class BenchGatingSpec extends AnyFunSuite {
     assert(Bench.Spread(Seq(Double.NaN, 13.2, 26.9), isolated = 13.0).failed)
   }
 
+  test("window-flagged promotion: consistent contamination promotes, un-quiet isolated does not") {
+    // the r16 load-harness finding: an entry small enough to sit
+    // entirely inside a load window inflates CONSISTENTLY (spread
+    // <2x), so spread-based promotion never fires — the bracketing
+    // host probes flag it instead, and the quiet-gated isolated run
+    // is the headline
+    val consistent = Bench.Spread(Seq(2.29, 2.12, 2.43),
+      isolated = 1.78, windowed = true)
+    assert(!consistent.highVariance)
+    assert(consistent.point === 1.78)
+    // the second finding: an isolated re-run that itself landed on a
+    // load window (probe never read quiet) is as contaminated as the
+    // sweep — promotion refuses, the median stands
+    val dirtyIso = Bench.Spread(Seq(2.36, 3.17, 3.38),
+      isolated = 4.43, windowed = true, isolatedQuiet = false)
+    assert(dirtyIso.point === 3.17)
+    // window flag without an isolated run: median stands
+    assert(Bench.Spread(Seq(2.29, 2.12, 2.43), windowed = true).point === 2.29)
+  }
+
   test("against a pre-normalization archive the raw fallback fires on a host shift") {
     // no prior normalized → the trigger compares raw medians, so a
     // 1.6x host shift DOES read as movement — the behavior the
