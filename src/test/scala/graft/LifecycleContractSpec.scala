@@ -379,6 +379,77 @@ class LifecycleContractSpec extends SparkSpec {
     }
   }
 
+  test("bm25 and vector lifecycles run through the key-value coordinator too") {
+    // "every lease/break/fence/stamp point inherits the coordinator"
+    // must hold for ALL index families, not just dedup — a single
+    // direct-filesystem lease or stamp anywhere in the bm25/vector op
+    // paths would silently void the object-store deployment story.
+    // Same shape as the dedup kv test: real ops through two Catalogs
+    // sharing the map, exclusion and stamps decided by the MAP, with
+    // explicit no-file-on-disk assertions.
+    val dir = Files.createTempDirectory("graft-kv-coord-all").toString
+    val kv = graft.sources.CommitCoordinator.keyValue()
+
+    // ---- bm25 family
+    val bcat = new Catalog(spark, s"$dir/bm", kv)
+    val bother = new Catalog(spark, s"$dir/bm", kv)
+    val idx = new Bm25Index(spark, bcat)
+    idx.ingest(Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text"), 0L)
+    // the layout stamp lives in the map and still refuses a
+    // mismatched-bucket reopen through the OTHER client
+    intercept[Catalog.LayoutMismatch] {
+      new Bm25Index(spark, bother, buckets = 32).ensure()
+    }
+    bother.withMaintenanceLease("ops") {
+      intercept[Catalog.MaintenanceLeaseHeld] {
+        idx.delete(Seq(1L).toDF("doc_id"), 1L)
+      }
+      assert(!new java.io.File(s"$dir/bm/ops__lease").exists(),
+        "bm25 lease leaked to the filesystem — the coordinator is decorative")
+    }
+    assert(!new java.io.File(s"$dir/bm/postings__layout").exists(),
+      "bm25 layout stamp leaked to the filesystem")
+    idx.delete(Seq(1L).toDF("doc_id"), idx.nextSeq)
+    idx.compact()
+    assert(idx.serve(Seq("alpha")).select("doc_id").as[Long].collect().toSet
+      === Set(2L))
+
+    // ---- vector family
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 8L).map(i => (i, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val (model, offline) = graft.operators.Similarity.ivfPqIndex(
+      vecs, nlist = 2, m = 2, ksub = 4)
+    val codesSchema = Streams.vectorCodesSchema(offline.schema)
+    val vcat = new Catalog(spark, s"$dir/vv", kv)
+    val vother = new Catalog(spark, s"$dir/vv", kv)
+    Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+      vecs, model, nlist = 2, m = 2, ksub = 4)
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceVectors(vother, "codes", codesSchema, "codes_tomb",
+        vecs.limit(1), model, nlist = 2, m = 2, ksub = 8)
+    }
+    vother.withMaintenanceLease("codes_ops") {
+      intercept[Catalog.MaintenanceLeaseHeld] {
+        Streams.deleteVectors(vcat, "codes", codesSchema, "codes_tomb",
+          Seq(0L).toDF("neighbor_id"))
+      }
+      assert(!new java.io.File(s"$dir/vv/codes_ops__lease").exists(),
+        "vector lease leaked to the filesystem")
+    }
+    assert(!new java.io.File(s"$dir/vv/codes__layout").exists(),
+      "vector layout stamp leaked to the filesystem")
+    Streams.deleteVectors(vcat, "codes", codesSchema, "codes_tomb",
+      Seq(0L).toDF("neighbor_id"))
+    Streams.compactVectorIndex(vcat, "codes", codesSchema, "codes_tomb")
+    val vlog = new OpLog(spark, vcat, "codes_ops", OpLog.countPayload)
+    val live = graft.operators.Tombstones.live(
+      vlog.visible(vcat.readWithSchema("codes", codesSchema)),
+      vlog.visible(vcat.readWithSchema("codes_tomb", Streams.vectorTombSchema)),
+      "neighbor_id").select("neighbor_id").as[Long].collect().toSet
+    assert(live === (1L to 7L).toSet)
+  }
+
   test("a fenced op's data rows are scrubbed at compaction and serve stays exact") {
     // end-to-end fencing: the fenced writer's already-appended data
     // rows (attempt row, no commit row) must stay invisible to every
