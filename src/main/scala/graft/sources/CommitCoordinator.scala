@@ -24,9 +24,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Methods take the resolved Hadoop [[FileSystem]] so one coordinator
   * serves every warehouse a Catalog touches; implementations that
   * coordinate OUTSIDE the filesystem (a lock service, a database) may
-  * ignore it for the exclusion decision but must still materialize the
-  * small files (leases carry holder+expiry; stamps carry the layout)
-  * where readers expect them.
+  * ignore it entirely for coordination state: every reader of a lease,
+  * break-claim, or layout stamp goes through the coordinator's own
+  * [[readSmall]], so materializing those small files on the filesystem
+  * is OPTIONAL, not required — the key-value reference implementation
+  * keeps them purely in its map, and LifecycleContractSpec asserts no
+  * `__lease` file ever touches disk under it. Only DATA directories
+  * (stage-and-swap renames, recursive deletes) must remain real
+  * filesystem paths, since Spark jobs read and write them directly.
   */
 trait CommitCoordinator {
 
