@@ -179,6 +179,46 @@ object Bench {
         p > 0 && !med.isNaN && (med / p > 1.5 || p / med > 1.5))
     }
 
+  /** Parse a prior round's archived report into (raw medians,
+    * mover-baseline normalized map) — factored pure so the gating spec
+    * exercises the same shapes main uses. Returns empty maps when the
+    * harness or workload stamp disagrees (the numbers would not be
+    * comparable; no trigger fires).
+    *
+    * The normalized baseline PREFERS the median-based map
+    * (`normalized_med`, r17+): the current round's mover check divides
+    * its sweep MEDIAN by calib, so both sides of the >1.5× comparison
+    * must be the same estimator. The point-based `normalized` map
+    * follows promoted isolated values — comparing next round's
+    * med-normalized against it would manufacture a spurious mover for
+    * any entry promoted this round whose sweep median is again
+    * window-inflated (ADVICE r16). The point map stays in the report as
+    * the headline's normalized form; pre-r17 archives fall back to it. */
+  private[graft] def parsePriorArchive(
+      txt: String,
+      harness: String,
+      workload: String): (Map[String, Double], Map[String, Double]) = {
+    val h = """"harness":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    val w = """"workload":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    if (!h.contains(harness) || !w.contains(workload))
+      (Map.empty, Map.empty)
+    else {
+      val meds =
+        """"([^"]+)":\{"n":\d+,"min":[0-9.eE+-]+,"med":([0-9.eE+-]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      def parseNormMap(field: String): Map[String, Double] =
+        ("\"" + field + """":\{([^}]*)\}""").r.findFirstMatchIn(txt)
+          .map(_.group(1)).map { body =>
+            """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
+      val normMed = parseNormMap("normalized_med")
+      val norm =
+        if (normMed.nonEmpty) normMed else parseNormMap("normalized")
+      (meds, norm)
+    }
+  }
+
   private def scrub(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
@@ -217,56 +257,17 @@ object Bench {
   private def calibMedian(s: SparkSession): Double =
     Spread(Seq.fill(3)(calibOnce(s))).med
 
-  /** Per-entry HOST-WINDOW probe (r16): host-wide CPU utilization from
-    * /proc/stat over a short sample, taken BETWEEN entries while this
-    * JVM is idle — so it reads EXTERNAL load directly. Two designs
-    * proved blind in the r16 load-window harness before this one: the
-    * sparse calib series (one Spark job per ~25 entries) misses an 8 s
-    * burst entirely, and a single-threaded compute probe finds a free
-    * core whenever hogs < cores (28 hogs on 32 cores read QUIET while
-    * the 32-thread queries ran 1.6× slow). Aggregate utilization is
-    * the thing the queries actually contend against: external work
-    * occupying half the cores costs a saturating sweep ~(cores+ext)/
-    * cores regardless of which cores it sits on. Returns 0 (never
-    * flags) where /proc/stat is unavailable. */
-  private[graft] def hostBusyFraction(sampleMs: Long = 60): Double = {
-    // host-wide (total, idle) plus THIS PROCESS's utime+stime, all in
-    // the same USER_HZ ticks — external load is host busy MINUS our
-    // own: right after a streaming entry this JVM's async teardown and
-    // GC alone read >0.5 host-busy on a perfectly quiet machine, which
-    // must not flag (measured in the r16 load harness's quiet leg)
-    def read(): Option[(Long, Long, Long)] =
-      try {
-        val l = java.nio.file.Files
-          .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
-        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-        // user nice system idle iowait irq softirq steal ...
-        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
-        val self = java.nio.file.Files
-          .readString(java.nio.file.Paths.get("/proc/self/stat"))
-        // fields 14/15 (1-based, after the parenthesized comm which may
-        // itself contain spaces): split after the closing paren
-        val sf = self.substring(self.lastIndexOf(')') + 2).split("\\s+")
-        val own = sf(11).toLong + sf(12).toLong // utime, stime
-        Some((f.sum, idle, own))
-      } catch { case scala.util.control.NonFatal(_) => None }
-    val a = read()
-    Thread.sleep(sampleMs)
-    val b = read()
-    (a, b) match {
-      case (Some((t0, i0, o0)), Some((t1, i1, o1))) if t1 > t0 =>
-        val ext = (t1 - t0) - (i1 - i0) - (o1 - o0)
-        math.max(0.0, ext.toDouble / (t1 - t0).toDouble)
-      case _ => 0.0
-    }
-  }
-  /** An entry is window-flagged when either bracketing utilization
-    * sample exceeds this; an isolated re-run is accepted as quiet only
-    * under it. Between entries a quiet host reads our own residue
-    * (GC, executor cleanup) at ~0.1-0.2; external contamination that
-    * meaningfully bends a 32-thread sweep occupies half the cores or
-    * more — 0.5 splits them with margin. */
-  private[graft] val WindowBusyThresh = 0.5
+  /** Per-entry HOST-WINDOW probe: external CPU utilization, delegated
+    * to the ONE shared implementation ([[graft.tools.HostProbe]],
+    * factored out in r17 — the bench, ScaleProbe and the shell load
+    * harness all read the same measurement; see its doc for why
+    * /proc/stat-minus-own-ticks and not a compute probe or the calib
+    * series). */
+  private[graft] def hostBusyFraction(sampleMs: Long = 60): Double =
+    graft.tools.HostProbe.busyFraction(sampleMs)
+
+  /** See [[graft.tools.HostProbe.WindowBusyThresh]]. */
+  private[graft] val WindowBusyThresh = graft.tools.HostProbe.WindowBusyThresh
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -458,23 +459,7 @@ object Bench {
       prior.map(java.nio.file.Files.readString) match {
         case None => (Map.empty[String, Double], Map.empty[String, Double])
         case Some(txt) =>
-          val h = """"harness":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-          val w = """"workload":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-          if (!h.contains(HarnessVersion) || !w.contains(workloadFingerprint(sfDir)))
-            (Map.empty, Map.empty)
-          else {
-            val meds =
-              """"([^"]+)":\{"n":\d+,"min":[0-9.eE+-]+,"med":([0-9.eE+-]+)""".r
-                .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-            // the prior round's host-normalized medians (r15+ reports);
-            // absent in older files — the trigger falls back to raw
-            val norm = """"normalized":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-              .map(_.group(1)).map { body =>
-                """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
-                  .map(m => m.group(1) -> m.group(2).toDouble).toMap
-              }.getOrElse(Map.empty[String, Double])
-            (meds, norm)
-          }
+          parsePriorArchive(txt, HarnessVersion, workloadFingerprint(sfDir))
       }
     } catch { case scala.util.control.NonFatal(_) => (Map.empty, Map.empty) }
     // mover trigger: HOST-NORMALIZED ratio when both rounds have the
@@ -521,13 +506,8 @@ object Bench {
       // spent, attempts run immediately and report un-quiet, and the
       // promotion rule keeps their sweep medians
       val quietBudgetMs = new java.util.concurrent.atomic.AtomicLong(90000L)
-      def awaitQuiet(): Boolean = {
-        var p = hostBusyFraction()
-        while (p > WindowBusyThresh && quietBudgetMs.getAndAdd(-2000L) > 0) {
-          Thread.sleep(2000); p = hostBusyFraction()
-        }
-        p <= WindowBusyThresh
-      }
+      def awaitQuiet(): Boolean =
+        graft.tools.HostProbe.awaitQuiet(quietBudgetMs)
       // per-entry codegen warmup against the small sibling SF (the
       // sweep's own discipline): without it the fresh session's FIRST
       // run of each re-run query pays cold codegen/classloading —
@@ -818,12 +798,21 @@ object Bench {
     // trigger compares, so a host-speed shift cancels out of it
     val normalizedJson = withCompIso.flatMap { case (k, v) =>
       // normalized follows the HEADLINE (point), so a promoted isolated
-      // value and its normalized form agree for the next round's trigger
+      // value and its normalized form agree with the reported number
       val nv = if (v.failed) Double.NaN else normalizedOf(k, v.point)
       if (nv.isNaN) None else Some("\"" + k + "\":" + f"$nv%.4f")
     }.mkString("{", ",", "}")
+    // the MOVER-TRIGGER side of the archive: median-normalized, because
+    // the next round's check divides ITS sweep median by calib — both
+    // sides of the >1.5× comparison must be the same estimator or a
+    // promotion this round (point < med) manufactures a mover next
+    // round out of nothing but window inflation (ADVICE r16)
+    val normalizedMedJson = withCompIso.flatMap { case (k, v) =>
+      val nv = if (v.failed) Double.NaN else normalizedOf(k, v.med)
+      if (nv.isNaN) None else Some("\"" + k + "\":" + f"$nv%.4f")
+    }.mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$currentRound,"cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"calib":{"start":$calibStart%.3f,"end":$calibEnd%.3f,"series":$calibSeriesJson},"entries":${withCompIso.size},"queries":$qs,"normalized":$normalizedJson,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$currentRound,"cpus":$cpus,"repeats":$repeats,"harness":"$HarnessVersion","workload":"${workloadFingerprint(sfDir)}","loadavg":$loadAvg%.2f,"calib":{"start":$calibStart%.3f,"end":$calibEnd%.3f,"series":$calibSeriesJson},"entries":${withCompIso.size},"queries":$qs,"normalized":$normalizedJson,"normalized_med":$normalizedMedJson,"spreads":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
     if (only.isEmpty) {
       java.nio.file.Files.writeString(
         repoRoot.resolve("bench_full.json"), full + "\n")

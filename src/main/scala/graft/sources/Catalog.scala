@@ -28,7 +28,13 @@ class Catalog(
     // a conditional-put or external-lock coordinator for object stores
     // (see [[CommitCoordinator]]); the default is correct on HDFS-like
     // stores and the local filesystem
-    coordinator: CommitCoordinator = CommitCoordinator.fileAtomics) {
+    coordinator: CommitCoordinator = CommitCoordinator.fileAtomics,
+    // TTL for SWAP-WINDOW markers (begin/endSwap around replaceTable /
+    // compactPartitioned publishes): past it a marker is treated as a
+    // crashed swapper's and healed; sized like a maintenance-op bound,
+    // way above any swap's rename phase (which renames a handful of
+    // dirs, not data). Short values are for crash-heal tests only.
+    swapTtlMs: Long = 60 * 1000L) {
 
   def path(table: String): String = s"$warehouse/$table"
 
@@ -168,12 +174,24 @@ class Catalog(
     // as-late-as-possible fence: the staging job above may have outrun
     // a lease TTL — refuse the swap rather than clobber a successor
     fenceHeldLeases()
+    // SWAP WINDOW: the marker (carrying the pre-swap live manifest)
+    // makes the rename phase visible to [[consistentRead]]ers and makes
+    // any crash below heal unambiguously even when rename is
+    // copy-then-delete (object stores) — see [[recoverReplace]]. On ANY
+    // failure past this point the marker is LEFT IN PLACE: rename=false
+    // is ambiguous under non-atomic rename (the failure may have torn
+    // live), so readers stay fenced off until recovery compares
+    // manifests — fail-safe beats fail-open.
+    beginSwap(fs, table, treeDigest(fs, live), () => recoverReplace(table))
     if (fs.exists(live) && !coordinator.rename(fs, live, aside))
       throw new java.io.IOException(
-        s"replaceTable move-aside failed for $table — table untouched")
+        s"replaceTable move-aside failed for $table — swap marker left " +
+          "for recovery to heal")
     if (!coordinator.rename(fs, staging, live))
       throw new java.io.IOException(
-        s"replaceTable swap failed for $table — staged data left at $staging")
+        s"replaceTable swap failed for $table — staged data left at " +
+          s"$staging, swap marker left for recovery to heal")
+    endSwap(fs, table)
     coordinator.delete(fs, aside, true)
     spark.catalog.refreshByPath(path(table))
   }
@@ -197,6 +215,54 @@ class Catalog(
     val live = new org.apache.hadoop.fs.Path(path(table))
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val aside = new org.apache.hadoop.fs.Path(path(table) + "__replaced")
+    // SWAP-MARKER healing (non-atomic-rename stores): a marker present
+    // here is a swap that never closed. Unexpired + foreign = a LIVE
+    // writer mid-swap — touching its aside/stages would sabotage it,
+    // so leave everything alone (the old racing-heal caveat, now
+    // detected instead of documented). Expired (or our own — this
+    // entry IS the table's single writer now) = crashed: the manifest
+    // digest recorded at beginSwap decides which copy is the complete
+    // original, which the filesystem alone cannot (a copy-then-delete
+    // rename can die leaving live OR aside partial).
+    readSwapMarker(fs, table) match {
+      case Some((h, exp, _))
+          if exp >= System.currentTimeMillis() && h != leaseHolder =>
+        // a FOREIGN swap within its TTL: in flight (or crashed moments
+        // ago). Proceeding would let this entry append/heal over a
+        // state the manifest comparison can no longer classify — refuse
+        // loudly; the swap closes or expires, then everything heals
+        throw new Catalog.SwapInFlight(
+          s"a swap of '$table' by holder $h is within its TTL — retry " +
+            "after it closes or expires")
+      case Some((_, _, manifest)) =>
+        if (treeDigest(fs, live) == manifest) {
+          // live IS the pre-swap original (died before/mid move-aside):
+          // drop the partial aside remnant; the op never landed, replays
+          coordinator.delete(fs, aside, true)
+        } else if (treeDigest(fs, aside) == manifest) {
+          // aside holds the complete original; live is partial (died
+          // mid move-aside delete phase, mid move-in copy) or the
+          // complete new generation (died inside endSwap) — roll BACK,
+          // the unambiguous heal: the op never returned, so it replays
+          coordinator.delete(fs, live, true)
+          if (!coordinator.rename(fs, aside, live))
+            throw new java.io.IOException(
+              s"swap-crash roll-back failed for $table")
+        } else if (manifest == "-") {
+          // first-ever publish: no original existed — drop the partial
+          // live remnant; the roll-forward below republishes a
+          // complete (_SUCCESS-marked) stage
+          coordinator.delete(fs, live, true)
+        } else {
+          throw new java.io.IOException(
+            s"swap-crash state for $table matches neither the recorded " +
+              "manifest (live or aside) nor a first-ever publish — " +
+              "refusing to guess; inspect __replaced/__replacing siblings")
+        }
+        bumpSwapGen(fs, table) // readers spanning the heal invalidate
+        coordinator.delete(fs, swapMarkerPath(table), false)
+      case None => ()
+    }
     if (!fs.exists(live)) {
       if (fs.exists(aside)) {
         // roll BACK: the unambiguous heal. With holder-unique stages a
@@ -211,7 +277,19 @@ class Catalog(
         // no aside: a FIRST-EVER replace (nothing to move aside)
         // crashed before its swap-in — roll forward a complete
         // (_SUCCESS-marked) stage so the table appears; newest wins if
-        // a fenced first-writer's stale stage also survived
+        // a fenced first-writer's stale stage also survived.
+        // CAVEAT (bare-replaceTable callers): newest-mtime can pick a
+        // FENCED writer's stage when its staging job finished after
+        // the crashed legitimate successor's — fencing leaves no
+        // durable holder tombstone (break-claims are renamed then
+        // deleted), so there is no evidence here to tie-break against.
+        // Under the op-log-driven flows every index family actually
+        // uses this is harmless: the successor's op never committed
+        // (the commit row lands after replaceTable returns), so replay
+        // redoes it over whatever content recovery surfaced. A caller
+        // invoking bare replaceTable with NO op log on top accepts
+        // that a first-ever-replace crash may surface a fenced
+        // writer's content until its own retry lands.
         val complete = stagingSiblings(table, "__replacing")
           .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
         if (complete.nonEmpty) {
@@ -250,6 +328,56 @@ class Catalog(
   def recoverCompaction(table: String, partitionCol: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path(table))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // SWAP-MARKER healing (see [[recoverReplace]] for the posture): a
+    // marker here is a compaction swap loop that never closed. Foreign
+    // and within TTL -> refuse loudly (appending under it would poison
+    // the manifest comparison). Expired or our own -> heal: the staged
+    // manifest written before the first rename decides, PER PARTITION,
+    // whether the staged rewrite landed (drop the source remnant),
+    // didn't (roll it forward — the staged content is the
+    // row-equivalent of the old under `transform`), or was an
+    // intentional emptying (complete the removal). All states converge:
+    // a heal interrupted mid-rename re-enters the same branches.
+    readSwapMarker(fs, table) match {
+      case Some((h, exp, _))
+          if exp >= System.currentTimeMillis() && h != leaseHolder =>
+        throw new Catalog.SwapInFlight(
+          s"a compaction swap of '$table' by holder $h is within its " +
+            "TTL — retry after it closes or expires")
+      case Some((h, _, _)) =>
+        val staging = new org.apache.hadoop.fs.Path(
+          path(table) + "__compacting." + h)
+        val manifest = new org.apache.hadoop.fs.Path(staging, "__manifest")
+        coordinator.readSmall(fs, manifest).foreach { txt =>
+          txt.linesIterator.filter(_.nonEmpty).foreach { line =>
+            val Array(encValue, digest) = line.split(" ", 2)
+            val dir = s"$partitionCol=" +
+              java.net.URLDecoder.decode(encValue, "UTF-8")
+            val src = new org.apache.hadoop.fs.Path(staging, dir)
+            val dst = new org.apache.hadoop.fs.Path(root, dir)
+            val old = new org.apache.hadoop.fs.Path(staging, s"__old__$dir")
+            if (digest == "EMPTY") {
+              coordinator.delete(fs, dst, true)
+              coordinator.delete(fs, old, true)
+            } else if (treeDigest(fs, dst) == digest) {
+              coordinator.delete(fs, src, true)
+              coordinator.delete(fs, old, true)
+            } else if (treeDigest(fs, src) == digest) {
+              coordinator.delete(fs, dst, true)
+              if (!coordinator.rename(fs, src, dst))
+                throw new java.io.IOException(
+                  s"compaction swap-crash roll-forward failed for $dir")
+              coordinator.delete(fs, old, true)
+            } else throw new java.io.IOException(
+              s"compaction swap-crash state for $dir matches neither the " +
+                "live nor the staged manifest digest — refusing to guess")
+          }
+          coordinator.delete(fs, staging, true)
+        }
+        bumpSwapGen(fs, table)
+        coordinator.delete(fs, swapMarkerPath(table), false)
+      case None => ()
+    }
     // every surviving stage (crashed writers AND fenced ones — stages
     // are holder-unique) is scanned: orphaned partitions restore, the
     // rest is dead-stage garbage
@@ -344,6 +472,29 @@ class Catalog(
       .drop("__slot")
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(staging.toString)
+    // STAGED MANIFEST: per selected partition, the digest of its staged
+    // rewrite (or EMPTY when transform dropped every row). This is what
+    // lets a crash ANYWHERE in the swap loop heal unambiguously on a
+    // store whose rename is copy-then-delete — "which copy is complete"
+    // is undecidable from the filesystem alone (see
+    // [[recoverCompaction]]'s marker branch). One small file, written
+    // before the first rename; data-path (lives with the stage on fs).
+    locally {
+      val lines = toCompact.map { case (value, _) =>
+        val src = new org.apache.hadoop.fs.Path(staging, s"$partitionCol=$value")
+        val d = if (fs.exists(src)) treeDigest(fs, src) else "EMPTY"
+        java.net.URLEncoder.encode(value, "UTF-8") + " " + d
+      }
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, "__manifest"), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    // SWAP WINDOW for the whole per-partition rename loop: readers
+    // using [[consistentRead]] see entirely-old or entirely-new; a
+    // crash leaves the marker and the manifest-driven heal rolls the
+    // interrupted partitions FORWARD (the staged rewrite is the
+    // row-equivalent of the old content under `transform`)
+    beginSwap(fs, table, "-", () => recoverCompaction(table, partitionCol))
     val swapped = toCompact.flatMap { case (value, _) =>
       // PER-PARTITION fence: the swap loop can run long (many accreted
       // partitions), and a single pre-loop fence would let a writer
@@ -385,6 +536,7 @@ class Catalog(
         Some(value)
       }
     }
+    endSwap(fs, table)
     coordinator.delete(fs, staging, true)
     spark.catalog.refreshByPath(path(table))
     swapped
@@ -469,12 +621,36 @@ class Catalog(
     * re-admitting live docs as duplicate generations and double-counting
     * global stats. One fs read per check; idempotent.
     */
-  def ensureLayoutMeta(family: String, stamp: String): Unit = {
+  def ensureLayoutMeta(family: String, stamp: String,
+      acceptLegacy: String => Boolean = _ => false): Unit = {
     val p = new org.apache.hadoop.fs.Path(path(family) + "__layout")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val existing = coordinator.readSmall(fs, p)
     existing match {
       case Some(s) if s == stamp => ()
+      case Some(s) if acceptLegacy(s) =>
+        // ONE-TIME STAMP UPGRADE: the caller vouches that rows written
+        // under the legacy stamp `s` are bit-compatible with `stamp`
+        // (e.g. a v1 stamp recorded only the id-hash modulus; rows
+        // written under it with the historical default banding are
+        // exactly what the widened v2 stamp describes). Rewrite the
+        // stamp so future reopens verify against the FULL v2 scheme.
+        // Race posture: concurrent upgraders rewrite the identical v2
+        // stamp (benign); a concurrent opener with DIFFERENT v2 params
+        // either loses the create (re-read → LayoutMismatch, loud) or
+        // wins it, in which case THIS upgrader's re-read mismatches and
+        // throws before any row lands. Op paths additionally stamp
+        // under the family's single-writer span, so in practice the
+        // delete/create pair is uncontended.
+        coordinator.delete(fs, p, false)
+        if (!coordinator.createIfAbsent(fs, p, stamp)) {
+          val s2 = coordinator.readSmall(fs, p).getOrElse(
+            throw new java.io.IOException(
+              s"layout stamp for '$family' unreadable after upgrade race"))
+          if (s2 != stamp) throw new Catalog.LayoutMismatch(
+            s"family '$family' concurrently restamped to [$s2] during a " +
+              s"legacy upgrade from [$s]; this opener wanted [$stamp]")
+        }
       case Some(s) =>
         throw new Catalog.LayoutMismatch(
           s"family '$family' was created with layout [$s] but is being " +
@@ -498,6 +674,185 @@ class Catalog(
   private val leaseHolder = java.util.UUID.randomUUID().toString
   // scope -> (owning thread id, re-entry depth)
   private val leaseDepth = scala.collection.mutable.Map.empty[String, (Long, Int)]
+
+  // ------------------------------------------------------------------
+  // SWAP-WINDOW PROTOCOL: the piece that makes stage-and-swap publishes
+  // correct for CONCURRENT READERS on stores whose rename is NOT atomic
+  // (object stores: rename = copy-then-delete, destination entries
+  // appear one by one). Exclusion alone (leases) makes swap windows
+  // single-WRITER, but a reader listing the table mid-copy can silently
+  // see a partial generation — not an error, just missing rows. The fix
+  // is optimistic-read validation, all through the coordinator:
+  //
+  //  - writers bracket their rename phase with a MARKER
+  //    (`<table>__swapping`, content `holder expiresAt manifestDigest`)
+  //    and bump a GENERATION counter (`<table>__swapgen`) after the
+  //    renames, before dropping the marker;
+  //  - readers needing swap-exact results use [[consistentRead]]: check
+  //    marker-absent + record gens, materialize the read, re-check —
+  //    any overlap with a swap window invalidates and retries. Readers
+  //    that don't opt in keep today's semantics (the documented
+  //    single-writer maintenance windows).
+  //
+  // The marker's manifest digest (files of the pre-swap live tree) is
+  // what makes CRASH healing unambiguous under non-atomic rename: a
+  // mid-copy death can leave live OR aside partial, and "which copy is
+  // complete" is undecidable from the filesystem alone — the digest
+  // decides it (see [[recoverReplace]]).
+  // ------------------------------------------------------------------
+
+  private def swapMarkerPath(table: String) =
+    new org.apache.hadoop.fs.Path(path(table) + "__swapping")
+  private def swapGenPath(table: String) =
+    new org.apache.hadoop.fs.Path(path(table) + "__swapgen")
+
+  /** Digest of a directory tree's (relative-name, length) set — the
+    * completeness fingerprint swap-crash healing compares against.
+    * `"-"` for an absent path (a first-ever publish has no prior live).
+    * Cost: one recursive listing of a SIDECAR-SIZED table (replaceTable
+    * is documented as not-for-data-sized tables); never reads data. */
+  private def treeDigest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): String = {
+    if (!fs.exists(root)) return "-"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path, prefix: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = prefix + st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, name + "/")
+        else entries += s"$name:${st.getLen}"
+      }
+    walk(root, "")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** (holder, expiresAtMillis, manifestDigest) of a live swap marker. */
+  private def readSwapMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: String): Option[(String, Long, String)] =
+    coordinator.readSmall(fs, swapMarkerPath(table)).flatMap { s =>
+      s.split(" ") match {
+        case Array(h, exp, d) => exp.toLongOption.map((h, _, d))
+        case _ => None
+      }
+    }
+
+  /** The table's swap generation — bumped once per completed (or
+    * healed) swap. 0 for a table never swapped. Readers pair it with
+    * the marker check in [[consistentRead]]; a swap that began AND
+    * ended inside one read shows up here even though both marker
+    * checks pass. */
+  def swapGeneration(table: String): Long = {
+    val fs = swapGenPath(table).getFileSystem(spark.sessionState.newHadoopConf())
+    coordinator.readSmall(fs, swapGenPath(table))
+      .flatMap(_.trim.toLongOption).getOrElse(0L)
+  }
+
+  /** Bump the swap generation. Delete+create is non-atomic but runs
+    * only under a swap marker or a heal (single-writer either way); a
+    * reader catching the absent instant reads 0 ≠ its first read and
+    * correctly invalidates. */
+  private def bumpSwapGen(
+      fs: org.apache.hadoop.fs.FileSystem, table: String): Unit = {
+    val g = coordinator.readSmall(fs, swapGenPath(table))
+      .flatMap(_.trim.toLongOption).getOrElse(0L)
+    coordinator.delete(fs, swapGenPath(table), false)
+    coordinator.createIfAbsent(fs, swapGenPath(table), (g + 1).toString)
+  }
+
+  /** Open a swap window: publish the marker carrying this writer's
+    * identity, its TTL, and the pre-swap live manifest. An UNEXPIRED
+    * foreign marker means a concurrent swap — a single-writer-
+    * discipline violation, refused loudly ([[Catalog.SwapInFlight]]).
+    * An expired one is a crashed swapper the entry recovery should
+    * have healed; heal-and-retry once covers the race where it expired
+    * after that recovery ran. */
+  private def beginSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: String,
+      manifestDigest: String,
+      healExpired: () => Unit): Unit = {
+    val content =
+      s"$leaseHolder ${System.currentTimeMillis() + swapTtlMs} $manifestDigest"
+    if (!coordinator.createIfAbsent(fs, swapMarkerPath(table), content)) {
+      readSwapMarker(fs, table) match {
+        case Some((h, exp, _))
+            if exp >= System.currentTimeMillis() && h != leaseHolder =>
+          throw new Catalog.SwapInFlight(
+            s"a swap of '$table' is already in flight — concurrent " +
+              "maintenance publishes violate the single-writer discipline")
+        case _ =>
+          healExpired()
+          if (!coordinator.createIfAbsent(fs, swapMarkerPath(table), content))
+            throw new Catalog.SwapInFlight(
+              s"swap marker for '$table' re-contended after healing")
+      }
+    }
+  }
+
+  /** Close a swap window: bump the generation (readers invalidate),
+    * then drop the marker. Order matters — a reader that never saw the
+    * marker must already see the new generation number. */
+  private def endSwap(
+      fs: org.apache.hadoop.fs.FileSystem, table: String): Unit = {
+    bumpSwapGen(fs, table)
+    coordinator.delete(fs, swapMarkerPath(table), false)
+  }
+
+  /** Run `body` as a SWAP-CONSISTENT read of `tables`: the result is
+    * guaranteed to reflect entirely-old or entirely-new generations of
+    * every listed table — never a torn mix — even while maintenance
+    * publishes ([[replaceTable]], [[compactPartitioned]]) run
+    * concurrently on a store with non-atomic rename. Optimistic
+    * validation: marker-absent + generation recorded before, re-checked
+    * after; any overlap retries `body`.
+    *
+    * `body` MUST MATERIALIZE what it reads (collect/count/write) — a
+    * lazy DataFrame escapes the validation window. Retries are bounded
+    * by `maxWaitMs`; a persistent marker past that means a crashed
+    * swapper nobody healed — run the family's recovery (every write
+    * entry does) and retry.
+    *
+    * Cost: 2 coordinator reads per table per attempt — nothing
+    * data-sized, safe at any scale. Readers that tolerate the
+    * documented maintenance windows simply don't call this. */
+  def consistentRead[T](
+      tables: Seq[String], maxWaitMs: Long = 60 * 1000L)(body: => T): T = {
+    val fs = swapGenPath(tables.head)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    while (System.currentTimeMillis() < deadline) {
+      val before = tables.map { t =>
+        (readSwapMarker(fs, t).isDefined, swapGeneration(t))
+      }
+      if (before.forall(!_._1)) {
+        // clear of every swap window at entry; validate again at exit.
+        // body may THROW mid-swap too (a file listed before a
+        // copy-then-delete rename, read after — FileNotFound): a
+        // failure that overlapped a window is as retriable as a torn
+        // result; one that didn't is genuine and propagates.
+        val attempt =
+          try Right(body)
+          catch { case scala.util.control.NonFatal(e) => Left(e) }
+        val after = tables.map { t =>
+          (readSwapMarker(fs, t).isDefined, swapGeneration(t))
+        }
+        val clean = after.forall(!_._1) && before.map(_._2) == after.map(_._2)
+        attempt match {
+          case Right(r) if clean => return r
+          case Left(e) if clean => throw e
+          case _ => () // overlapped a swap window — retry
+        }
+      }
+      Thread.sleep(25)
+    }
+    throw new IllegalStateException(
+      s"consistentRead of ${tables.mkString(",")} could not validate " +
+        s"within ${maxWaitMs}ms — a swap marker is stuck (crashed " +
+        "swapper?); run the family recovery (any write entry does) and retry")
+  }
 
   /** Run `body` as the SINGLE WRITER of a maintenance scope, enforced
     * by a lease file — the "single-writer maintenance discipline" this
@@ -670,7 +1025,14 @@ class Catalog(
     * per partition), and the TTL is sized orders of magnitude above
     * the gap. Closing it entirely needs a compare-and-swap publish —
     * the [[CommitCoordinator]] seam is where a store offering one
-    * (conditional PUT) plugs in. */
+    * (conditional PUT) plugs in. That coordinator EXISTS and is
+    * proven, not hypothetical: [[CommitCoordinator.remote]] against a
+    * [[CoordServer]] (a journal-backed linearizable map over TCP)
+    * gives put-if-absent / atomic rename-claim across real process
+    * boundaries — CrossProcessCoordSpec races 4 child JVMs through one
+    * server (exactly one winner per contended round, state intact
+    * across a server restart), and LifecycleContractSpec runs all
+    * three index families' lease/stamp/fence traffic through it. */
   def fenceHeldLeases(): Unit = {
     val self = Thread.currentThread().getId
     val held = leaseDepth.synchronized {
@@ -734,6 +1096,12 @@ object Catalog {
   /** A family's persisted layout stamp disagrees with the opener's
     * parameters — see [[Catalog.ensureLayoutMeta]]. */
   final class LayoutMismatch(msg: String) extends IllegalStateException(msg)
+
+  /** A stage-and-swap publish window is open (or crashed within its
+    * TTL) on the table — concurrent publishes and entries that would
+    * append under it refuse loudly instead of racing it. Heals at
+    * marker expiry or at the owning writer's next entry. */
+  final class SwapInFlight(msg: String) extends IllegalStateException(msg)
 
   /** A lease this process believed it held was broken by a contender
     * (TTL overrun) before a commit/swap point — see

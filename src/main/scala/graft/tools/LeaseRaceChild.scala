@@ -35,8 +35,14 @@ object LeaseRaceChild {
 
     // barrier: all children spin on the parent's go-file so the race
     // window actually overlaps instead of serializing on JVM startup
+    // readiness barrier: announce this JVM is booted, then spin on the
+    // parent's go-file — the parent releases only once EVERY child is
+    // ready, so boot skew (seconds under a loaded host) cannot let one
+    // early child sweep the rounds unopposed
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, s"ready_$childId"), "")
     val go = java.nio.file.Paths.get(dir, "go")
-    val deadline = System.currentTimeMillis() + 30000
+    val deadline = System.currentTimeMillis() + 60000
     while (!java.nio.file.Files.exists(go) &&
            System.currentTimeMillis() < deadline) Thread.sleep(1)
 

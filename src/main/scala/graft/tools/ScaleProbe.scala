@@ -141,7 +141,19 @@ object ScaleProbe {
     // JSON convention on the plan dumps too
     val dumpSuffix = if (only.isEmpty) "" else "_partial"
 
+    // exponent integrity: gate each probe on the SAME external-busy
+    // measurement the bench uses (HostProbe, the r17 single impl) — a
+    // scaling exponent computed from one loaded and one quiet
+    // measurement is noise dressed as evidence. Budgeted globally like
+    // the bench's isolated phase; the measured busy lands in the JSON
+    // so a contaminated probe is visible, not silent.
+    val quietBudget = new java.util.concurrent.atomic.AtomicLong(
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_MS", "120000").toLong)
+    val busyOf = scala.collection.mutable.Map.empty[String, Double]
+
     def timeQuery(name: String, dir: String, tag: String): (Double, Long, Long, Long) = {
+      HostProbe.awaitQuiet(quietBudget)
+      busyOf(s"$name/$tag") = HostProbe.busyFraction()
       def once(capture: Boolean): Double = {
         scrub(spark)
         lastPlan.set("")
@@ -211,7 +223,13 @@ object ScaleProbe {
         if (srs > 0 || srb > 0)
           f""", "state_rows_small": $srs%d, "state_bytes_small": $sbs%d, "state_rows_big": $srb%d, "state_bytes_big": $sbb%d"""
         else ""
-      f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f, "rows_small": $ns%d, "rows_big": $nb%d$state}"""
+      val busy = (busyOf.get(s"$name/${tagOf(smallDir)}"),
+          busyOf.get(s"$name/${tagOf(bigDir)}")) match {
+        case (Some(a), Some(b)) =>
+          f""", "busy_small": $a%.2f, "busy_big": $b%.2f"""
+        case _ => ""
+      }
+      f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f, "rows_small": $ns%d, "rows_big": $nb%d$state$busy}"""
     }
     // filtered spot-runs land in a _partial file so they never clobber
     // the round's full probe evidence — and the partial file MERGES

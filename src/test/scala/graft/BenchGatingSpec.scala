@@ -126,4 +126,50 @@ class BenchGatingSpec extends AnyFunSuite {
     // and an in-noise raw change does not
     assert(!Bench.moverTrigger(Double.NaN, None, med * 1.2, Some(med)))
   }
+
+  test("a promotion this round does not manufacture a mover next round (estimator symmetry)") {
+    // The r16 asymmetry (ADVICE): round N promotes an isolated value
+    // (point 2.0 << window-inflated med 4.2), archives point-normalized
+    // 2.0; round N+1's check divides ITS med (again window-inflated,
+    // 4.2) by calib and compares against the archive — 4.2/2.0 = 2.1x,
+    // a spurious mover costing an avoidable isolated re-run. The fix
+    // archives a median-based map (`normalized_med`) and the parser
+    // prefers it, so both sides are the same estimator.
+    val archive =
+      """{"metric":"total","harness":"h1","workload":"w1",""" +
+        """"queries":{"q_x":{"n":3,"min":3.9,"med":4.2,"max":4.4}},""" +
+        """"normalized":{"q_x":2.0000},""" +
+        """"normalized_med":{"q_x":4.2000}}"""
+    val (meds, norm) = Bench.parsePriorArchive(archive, "h1", "w1")
+    assert(meds("q_x") === 4.2)
+    assert(norm("q_x") === 4.2, "parser must prefer the median-based map")
+    // next round: med-normalized 4.2 again (same window inflation) —
+    // same estimator on both sides, no mover
+    assert(!Bench.moverTrigger(4.2, Some(norm("q_x")), 4.2, Some(meds("q_x"))))
+    // the counterfactual this fix removes: against the point-based 2.0
+    // baseline the identical measurement reads as a 2.1x mover
+    assert(Bench.moverTrigger(4.2, Some(2.0), 4.2, Some(meds("q_x"))))
+    // a GENUINE move still fires through the med-based baseline
+    assert(Bench.moverTrigger(7.0, Some(norm("q_x")), 7.0, Some(meds("q_x"))))
+  }
+
+  test("archive parsing: pre-r17 fallback and stamp gating") {
+    // no normalized_med (pre-r17 archive) → fall back to the point map
+    val old =
+      """{"harness":"h1","workload":"w1",""" +
+        """"queries":{"q_y":{"n":3,"min":1.0,"med":1.1,"max":1.2}},""" +
+        """"normalized":{"q_y":1.1000}}"""
+    val (m1, n1) = Bench.parsePriorArchive(old, "h1", "w1")
+    assert(m1("q_y") === 1.1 && n1("q_y") === 1.1)
+    // harness or workload mismatch → empty maps, no trigger can fire
+    assert(Bench.parsePriorArchive(old, "h2", "w1") === (Map.empty, Map.empty))
+    assert(Bench.parsePriorArchive(old, "h1", "w2") === (Map.empty, Map.empty))
+    // the REAL r15 archive parses identically through the factored
+    // helper and the spec's own regexes (guards drift between them)
+    val hh = """"harness":"([^"]+)"""".r.findFirstMatchIn(archive).get.group(1)
+    val ww = """"workload":"([^"]+)"""".r.findFirstMatchIn(archive).get.group(1)
+    val (m2, n2) = Bench.parsePriorArchive(archive, hh, ww)
+    assert(m2 === priorMeds)
+    assert(n2 === priorNorm, "r15 has no normalized_med — point map is the baseline")
+  }
 }

@@ -44,6 +44,13 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
         .redirectOutput(new java.io.File(s"$dir/out_child$k"))
         .start()
     }
+    // release only when every child JVM reports booted — otherwise the
+    // first-booted child sweeps the rounds before its siblings exist
+    val readyDeadline = System.currentTimeMillis() + 60000
+    while ((0 until kids).exists(k => !Files.exists(Paths.get(dir, s"ready_child$k")))
+           && System.currentTimeMillis() < readyDeadline) Thread.sleep(5)
+    assert((0 until kids).forall(k => Files.exists(Paths.get(dir, s"ready_child$k"))),
+      "not every child JVM became ready in time")
     Files.writeString(Paths.get(dir, "go"), "") // release the barrier
     procs.foreach { p =>
       assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),

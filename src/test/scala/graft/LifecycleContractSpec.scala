@@ -450,6 +450,126 @@ class LifecycleContractSpec extends SparkSpec {
     assert(live === (1L to 7L).toSet)
   }
 
+  test("two families' leases never contend: independent scopes proceed in parallel") {
+    // the r15 ADVICE #3 fix made lease acquire/release critical
+    // sections PER-PATH monitors (Catalog.leaseLock) — this pins the
+    // semantics that fix exists for: a thread holding family A's
+    // maintenance lease must not block (or fail) a sibling thread
+    // taking family B's, while the SAME scope still refuses. The
+    // wall-clock dividend is measured by tools/ConcurrencyDividend
+    // (scale/concurrency_dividend.json).
+    val cat = freshCat()
+    cat.withMaintenanceLease("a_ops") {
+      val bHeld = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val t = new Thread(() =>
+        cat.withMaintenanceLease("b_ops") { bHeld.set(true) })
+      t.start(); t.join(10000)
+      assert(bHeld.get,
+        "an UNRELATED scope's lease blocked behind a held one")
+      // the same scope from another thread still refuses loudly
+      val refused = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val t2 = new Thread(() =>
+        try cat.withMaintenanceLease("a_ops") {}
+        catch { case _: Catalog.MaintenanceLeaseHeld => refused.set(true) })
+      t2.start(); t2.join(10000)
+      assert(refused.get, "a held scope was re-acquired by another thread")
+    }
+  }
+
+  test("all three families run their lifecycles through the DURABLE remote coordinator") {
+    // The object-store deployment story end-to-end: coordination state
+    // in a CoordServer (journal-backed linearizable map over TCP — the
+    // conditional-PUT / lock-service shape), data directories on the
+    // filesystem. Two independent client Catalogs per family, real
+    // ingest/delete/compact/serve, exclusion and stamps decided by the
+    // SERVER (no coordination file may touch disk) — and the stamp
+    // survives a full server stop/restart, so a LayoutMismatch refusal
+    // is durable across coordinator crashes.
+    val dir = Files.createTempDirectory("graft-remote-coord").toString
+    val journal = java.nio.file.Paths.get(dir, "coord.journal")
+    val server = graft.sources.CoordServer.start(journal)
+    def client() =
+      graft.sources.CommitCoordinator.remote("127.0.0.1", server.port)
+    try {
+      // ---- dedup family
+      val dcat = new Catalog(spark, s"$dir/dd", client())
+      val dother = new Catalog(spark, s"$dir/dd", client())
+      Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "tomb",
+        Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"))
+      intercept[Catalog.LayoutMismatch] {
+        Streams.replaceDocsInDedup(dother, "corpus", "buckets", "tomb",
+          Seq((3L, "x")).toDF("doc_id", "text"), stateBuckets = 32)
+      }
+      dother.withMaintenanceLease("corpus_ops") {
+        intercept[Catalog.MaintenanceLeaseHeld] {
+          Streams.deleteDocsFromDedup(dcat, "corpus", "tomb",
+            Seq(1L).toDF("doc_id"))
+        }
+        assert(!new java.io.File(s"$dir/dd/corpus_ops__lease").exists(),
+          "lease leaked to the filesystem — the remote coordinator is decorative")
+      }
+      Streams.deleteDocsFromDedup(dcat, "corpus", "tomb", Seq(1L).toDF("doc_id"))
+      Streams.compactDocDedup(dcat, "corpus", "buckets", "tomb")
+      assert(graft.operators.Tombstones.live(
+        dcat.readWithSchema("corpus", Streams.dedupCorpusSchema),
+        dcat.readWithSchema("tomb", Streams.dedupTombSchema),
+        "doc_id").select("doc_id").as[Long].collect().toSet === Set(2L))
+      assert(!new java.io.File(s"$dir/dd/corpus__layout").exists(),
+        "dedup layout stamp leaked to the filesystem")
+
+      // ---- bm25 family
+      val bcat = new Catalog(spark, s"$dir/bm", client())
+      val idx = new Bm25Index(spark, bcat)
+      idx.ingest(Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text"), 0L)
+      intercept[Catalog.LayoutMismatch] {
+        new Bm25Index(spark, new Catalog(spark, s"$dir/bm", client()),
+          buckets = 32).ensure()
+      }
+      idx.delete(Seq(1L).toDF("doc_id"), idx.nextSeq)
+      idx.compact()
+      assert(idx.serve(Seq("alpha")).select("doc_id").as[Long].collect().toSet
+        === Set(2L))
+      assert(!new java.io.File(s"$dir/bm/postings__layout").exists())
+
+      // ---- vector family
+      val rnd = new scala.util.Random(7)
+      val vecs = (0L until 8L).map(i => (i, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "embedding")
+      val (model, offline) = graft.operators.Similarity.ivfPqIndex(
+        vecs, nlist = 2, m = 2, ksub = 4)
+      val codesSchema = Streams.vectorCodesSchema(offline.schema)
+      val vcat = new Catalog(spark, s"$dir/vv", client())
+      Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+        vecs, model, nlist = 2, m = 2, ksub = 4)
+      intercept[Catalog.LayoutMismatch] {
+        Streams.replaceVectors(new Catalog(spark, s"$dir/vv", client()),
+          "codes", codesSchema, "codes_tomb",
+          vecs.limit(1), model, nlist = 2, m = 2, ksub = 8)
+      }
+      assert(!new java.io.File(s"$dir/vv/codes__layout").exists())
+
+      // ---- durability: restart the server; stamps (and their
+      // refusals) survive the coordinator crash
+      server.close()
+      val revived = graft.sources.CoordServer.start(journal)
+      try {
+        val rcat = new Catalog(spark, s"$dir/dd",
+          graft.sources.CommitCoordinator.remote("127.0.0.1", revived.port))
+        intercept[Catalog.LayoutMismatch] {
+          Streams.replaceDocsInDedup(rcat, "corpus", "buckets", "tomb",
+            Seq((9L, "y")).toDF("doc_id", "text"), stateBuckets = 32)
+        }
+        // and the original parameters still reopen and serve
+        Streams.replaceDocsInDedup(rcat, "corpus", "buckets", "tomb",
+          Seq((9L, "gamma")).toDF("doc_id", "text"))
+        assert(graft.operators.Tombstones.live(
+          rcat.readWithSchema("corpus", Streams.dedupCorpusSchema),
+          rcat.readWithSchema("tomb", Streams.dedupTombSchema),
+          "doc_id").count() === 2L)
+      } finally revived.close()
+    } finally server.close()
+  }
+
   test("a fenced op's data rows are scrubbed at compaction and serve stays exact") {
     // end-to-end fencing: the fenced writer's already-appended data
     // rows (attempt row, no commit row) must stay invisible to every
@@ -640,6 +760,81 @@ class LifecycleContractSpec extends SparkSpec {
     intercept[Catalog.LayoutMismatch] {
       Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
         vecs.limit(2), model, nlist = 4, m = 2, ksub = 8)
+    }
+  }
+
+  test("a v1 layout stamp upgrades one-time to v2; anything unprovable still refuses") {
+    // Warehouses written before the stamp widened carry
+    // 'dedup v1 stateBuckets=N' / 'vector v1 stateBuckets=N'. Their
+    // rows ARE compatible when the reopen parameters match what v1-era
+    // code actually wrote (dedup: the historical default banding;
+    // vector: the caller-supplied constants v1 always trusted) — the
+    // upgrade accepts exactly those cases, rewrites the stamp to v2,
+    // and everything else keeps refusing with LayoutMismatch.
+    val dir = Files.createTempDirectory("graft-layout-upgrade").toString
+
+    // ---- dedup: build a warehouse, then regress its stamp to v1
+    val dcat = new Catalog(spark, s"$dir/dd")
+    Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")) // 16/5/64/4
+    val dstamp = java.nio.file.Paths.get(s"$dir/dd/corpus__layout")
+    java.nio.file.Files.writeString(dstamp, "dedup v1 stateBuckets=16")
+    // non-default banding: v1 recorded nothing that could prove
+    // compatibility — refuse, and leave the v1 stamp untouched
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+        Seq((2L, "x y z")).toDF("doc_id", "text"), bands = 8)
+    }
+    assert(java.nio.file.Files.readString(dstamp).trim
+      === "dedup v1 stateBuckets=16")
+    // mismatched modulus: refuse even at default banding
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+        Seq((2L, "x y z")).toDF("doc_id", "text"), stateBuckets = 32)
+    }
+    // the historical defaults: accepted, and the stamp rewrites to v2
+    Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+      Seq((2L, "second doc text")).toDF("doc_id", "text"))
+    assert(java.nio.file.Files.readString(dstamp).trim
+      === "dedup v2 stateBuckets=16 shingle=5 mh=64 bands=4")
+    // pre- and post-upgrade rows both serve
+    assert(graft.operators.Tombstones.live(
+      dcat.readWithSchema("corpus", Streams.dedupCorpusSchema),
+      dcat.readWithSchema("corpus_tomb", Streams.dedupTombSchema),
+      "doc_id").count() === 2L)
+    // the upgrade happened ONCE: the v2 stamp now enforces the banding
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "corpus_tomb",
+        Seq((3L, "w")).toDF("doc_id", "text"), bands = 8)
+    }
+
+    // ---- vector: v1 trusted the caller's PQ constants; the upgrade
+    // carries the first v2 opener's constants into the stamp, then
+    // enforces them forever after
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 6L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val (model, offline) = graft.operators.Similarity.ivfPqIndex(
+      vecs, nlist = 4, m = 4, ksub = 8)
+    val codesSchema = Streams.vectorCodesSchema(offline.schema)
+    val vcat = new Catalog(spark, s"$dir/vv")
+    Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+      vecs.limit(3), model, nlist = 4, m = 4, ksub = 8)
+    val vstamp = java.nio.file.Paths.get(s"$dir/vv/codes__layout")
+    java.nio.file.Files.writeString(vstamp, "vector v1 stateBuckets=16")
+    Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+      vecs.limit(2), model, nlist = 4, m = 4, ksub = 8)
+    assert(java.nio.file.Files.readString(vstamp).trim
+      === "vector v2 stateBuckets=16 nlist=4 m=4 ksub=8")
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+        vecs.limit(1), model, nlist = 4, m = 2, ksub = 8)
+    }
+    // mismatched modulus on a v1 stamp refuses too
+    java.nio.file.Files.writeString(vstamp, "vector v1 stateBuckets=8")
+    intercept[Catalog.LayoutMismatch] {
+      Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+        vecs.limit(1), model, nlist = 4, m = 4, ksub = 8)
     }
   }
 }

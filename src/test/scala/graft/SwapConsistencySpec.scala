@@ -1,0 +1,215 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+import graft.sources.{Catalog, CommitCoordinator}
+import graft.streaming.{Bm25Index, Streams}
+
+/** The NON-ATOMIC RENAME proof: the argument "exclusion makes swap
+  * windows single-writer, so non-atomic rename is safe" was asserted in
+  * the coordinator docs but never exercised. These tests run the
+  * catalog's stage-and-swap publishes over
+  * [[CommitCoordinator.copyDeleteRename]] — a rename that is
+  * copy-then-delete with injectable pauses, the S3-shaped behavior —
+  * and prove, in order:
+  *
+  *  1. a raw read CAN be silently torn mid-swap (the danger is real,
+  *     deterministically reproduced, not hypothetical);
+  *  2. [[Catalog.consistentRead]] never returns a torn result under a
+  *     concurrent stream of replace + delete + compact publishes —
+  *     every observed state is exactly one of the generations the
+  *     writer produced;
+  *  3. a writer CRASH anywhere inside the rename phase (mid move-aside,
+  *     mid move-in) heals to exactly the old generation — the manifest
+  *     digest in the swap marker decides which copy is complete, which
+  *     the filesystem alone cannot;
+  *  4. the full dedup/bm25/vector lifecycles stay hash-exact when every
+  *     coordinator rename is copy-then-delete.
+  */
+class SwapConsistencySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.{functions => F}
+
+  private def fsFor(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("a raw read mid-swap IS torn under copy-then-delete rename (the danger is real)") {
+    val dir = Files.createTempDirectory("graft-torn-raw").toString
+    // pause #8 = after 3 of the 4 live entries (3 part files + _SUCCESS)
+    // have been DELETED by the move-aside's delete phase: at most one
+    // data file remains, so a raw read at that instant cannot equal the
+    // old generation (3 files) or the new one (not yet moved in)
+    val counter = new AtomicInteger(0)
+    val gate = new CountDownLatch(1)
+    val reached = new CountDownLatch(1)
+    val coord = CommitCoordinator.copyDeleteRename(pause = () => {
+      if (counter.incrementAndGet() == 8) {
+        reached.countDown()
+        gate.await(30, TimeUnit.SECONDS)
+      }
+    })
+    val cat = new Catalog(spark, s"$dir/wh", coord)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("v BIGINT")
+    cat.overwrite("t", (1L to 300L).toDF("v").repartition(3))
+    assert(fsFor(s"$dir/wh/t").listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/wh/t")).length === 4)
+    val oldSum = 300L * 301 / 2
+    val writer = new Thread(() =>
+      cat.replaceTable("t", (1L to 100L).toDF("v").repartition(3)))
+    writer.start()
+    assert(reached.await(30, TimeUnit.SECONDS), "swap never reached pause #8")
+    // RAW read inside the window: silently missing rows, no error
+    val tornSum = cat.readWithSchema("t", schema)
+      .agg(F.coalesce(F.sum("v"), F.lit(0L))).as[Long].collect().head
+    assert(tornSum != oldSum && tornSum != 100L * 101 / 2,
+      s"expected a torn raw read, got a complete generation ($tornSum)")
+    gate.countDown()
+    writer.join(30000)
+    // and consistentRead now sees exactly the new generation
+    val after = cat.consistentRead(Seq("t")) {
+      cat.readWithSchema("t", schema)
+        .agg(F.coalesce(F.sum("v"), F.lit(0L))).as[Long].collect().head
+    }
+    assert(after === 100L * 101 / 2)
+  }
+
+  test("consistentRead never returns a torn generation under concurrent publishes") {
+    val dir = Files.createTempDirectory("graft-swap-reader").toString
+    val coord = CommitCoordinator.copyDeleteRename(
+      pause = () => Thread.sleep(2)) // widen every rename window
+    val cat = new Catalog(spark, s"$dir/wh", coord)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("v BIGINT")
+    def state(n: Long) = (1L to n).toDF("v").repartition(3)
+    def sumOf(n: Long) = n * (n + 1) / 2
+    cat.overwrite("t", state(100))
+    // every generation the writer will publish — the ONLY sums a
+    // consistent read may ever observe
+    val validSums = (0 to 6).map(i => sumOf(100 + i * 50)).toSet
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new AtomicReference[Option[Long]](None)
+    val observedGens = scala.collection.mutable.Set.empty[Long]
+    val reads = new AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!done.get() && bad.get().isEmpty) {
+        val s = cat.consistentRead(Seq("t")) {
+          cat.readWithSchema("t", schema)
+            .agg(F.coalesce(F.sum("v"), F.lit(0L))).as[Long].collect().head
+        }
+        reads.incrementAndGet()
+        observedGens.synchronized { observedGens += cat.swapGeneration("t") }
+        if (!validSums.contains(s)) bad.set(Some(s))
+      }
+    })
+    reader.start()
+    (1 to 6).foreach { i => cat.replaceTable("t", state(100 + i * 50)) }
+    done.set(true)
+    reader.join(60000)
+    assert(bad.get().isEmpty,
+      s"consistentRead returned a TORN generation: sum ${bad.get()}")
+    assert(reads.get() > 0, "reader never completed a read")
+    assert(cat.swapGeneration("t") === 6L, "every publish bumps the generation")
+    assert(observedGens.synchronized(observedGens.size) >= 2,
+      "reader never overlapped swap activity — widen the pauses")
+  }
+
+  test("a crash mid-rename heals to exactly the old generation via the manifest") {
+    val dir = Files.createTempDirectory("graft-swap-crash").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("v BIGINT")
+    final class Boom extends RuntimeException("injected crash")
+    // crash at a chosen pause invocation — a different point each case
+    def crashingCat(crashAt: Int): (Catalog, AtomicInteger) = {
+      val n = new AtomicInteger(0)
+      val coord = CommitCoordinator.copyDeleteRename(pause = () => {
+        if (n.incrementAndGet() == crashAt) throw new Boom
+      })
+      (new Catalog(spark, s"$dir/wh", coord), n)
+    }
+    val plain = new Catalog(spark, s"$dir/wh")
+    plain.overwrite("t", (1L to 300L).toDF("v").repartition(3))
+    val oldSum = 300L * 301 / 2
+    def liveSum() = plain.readWithSchema("t", schema)
+      .agg(F.sum("v")).as[Long].collect().head
+
+    // case A: die mid MOVE-ASIDE copy phase (live still complete,
+    // aside partial) — heal keeps live, drops the remnant
+    val (catA, _) = crashingCat(2)
+    intercept[Boom] { catA.replaceTable("t", (1L to 10L).toDF("v")) }
+    // the marker is OURS (same holder) so the owner heals immediately;
+    // a FOREIGN catalog within the TTL refuses loudly instead
+    intercept[Catalog.SwapInFlight] { plain.recoverReplace("t") }
+    catA.recoverReplace("t")
+    assert(liveSum() === oldSum, "heal after mid-move-aside crash lost rows")
+    assert(!new java.io.File(s"$dir/wh/t__swapping").exists())
+
+    // case B: die mid MOVE-IN copy phase (aside = complete original,
+    // live = partial new) — heal rolls back to the original
+    val (catB, _) = crashingCat(10) // past the 8 move-aside pauses
+    intercept[Boom] { catB.replaceTable("t", (1L to 10L).toDF("v").repartition(3)) }
+    catB.recoverReplace("t")
+    assert(liveSum() === oldSum, "heal after mid-move-in crash lost the original")
+
+    // case C: a crashed FOREIGN writer heals by TTL expiry
+    val nC = new AtomicInteger(0)
+    val coordC = CommitCoordinator.copyDeleteRename(pause = () => {
+      if (nC.incrementAndGet() == 10) throw new Boom
+    })
+    val catC = new Catalog(spark, s"$dir/wh", coordC, swapTtlMs = 50L)
+    intercept[Boom] { catC.replaceTable("t", (1L to 10L).toDF("v").repartition(3)) }
+    Thread.sleep(80)
+    plain.recoverReplace("t") // foreign, but the marker is expired now
+    assert(liveSum() === oldSum)
+    // and the generation bumped on each heal, so spanning readers
+    // would have invalidated
+    assert(plain.swapGeneration("t") >= 3L)
+  }
+
+  test("dedup, bm25 and vector lifecycles stay exact when every rename is copy-then-delete") {
+    val dir = Files.createTempDirectory("graft-swap-lifecycles").toString
+    def coord() = CommitCoordinator.copyDeleteRename(
+      pause = () => Thread.sleep(1))
+
+    // dedup: ingest, delete, compact, serve
+    val dcat = new Catalog(spark, s"$dir/dd", coord())
+    Streams.replaceDocsInDedup(dcat, "corpus", "buckets", "tomb",
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text"))
+    Streams.deleteDocsFromDedup(dcat, "corpus", "tomb", Seq(1L).toDF("doc_id"))
+    Streams.compactDocDedup(dcat, "corpus", "buckets", "tomb")
+    assert(graft.operators.Tombstones.live(
+      dcat.readWithSchema("corpus", Streams.dedupCorpusSchema),
+      dcat.readWithSchema("tomb", Streams.dedupTombSchema),
+      "doc_id").select("doc_id").as[Long].collect().toSet === Set(2L, 3L))
+
+    // bm25: ingest, delete, compact, serve
+    val bcat = new Catalog(spark, s"$dir/bm", coord())
+    val idx = new Bm25Index(spark, bcat)
+    idx.ingest(Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "beta gamma"))
+      .toDF("doc_id", "text"), 0L)
+    idx.delete(Seq(1L).toDF("doc_id"), idx.nextSeq)
+    idx.compact()
+    assert(idx.serve(Seq("alpha")).select("doc_id").as[Long].collect().toSet
+      === Set(2L))
+
+    // vector: replace, delete, compact, live set
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 8L).map(i => (i, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val (model, offline) = graft.operators.Similarity.ivfPqIndex(
+      vecs, nlist = 2, m = 2, ksub = 4)
+    val codesSchema = Streams.vectorCodesSchema(offline.schema)
+    val vcat = new Catalog(spark, s"$dir/vv", coord())
+    Streams.replaceVectors(vcat, "codes", codesSchema, "codes_tomb",
+      vecs, model, nlist = 2, m = 2, ksub = 4)
+    Streams.deleteVectors(vcat, "codes", codesSchema, "codes_tomb",
+      Seq(0L).toDF("neighbor_id"))
+    Streams.compactVectorIndex(vcat, "codes", codesSchema, "codes_tomb")
+    val vlog = new graft.streaming.OpLog(spark, vcat, "codes_ops",
+      graft.streaming.OpLog.countPayload)
+    val live = graft.operators.Tombstones.live(
+      vlog.visible(vcat.readWithSchema("codes", codesSchema)),
+      vlog.visible(vcat.readWithSchema("codes_tomb", Streams.vectorTombSchema)),
+      "neighbor_id").select("neighbor_id").as[Long].collect().toSet
+    assert(live === (1L to 7L).toSet)
+  }
+}

@@ -452,4 +452,35 @@ class TripPipelineSpec extends SparkSpec {
     // window over: the same call goes through
     graft.streaming.Streams.compactDocDedup(cat, "corpus", "buckets", "corpus_tomb")
   }
+
+  test("O2 no-polling status reflects a running batch, then an idle engine") {
+    // The reference's "no polling the DB to see ingestion progress"
+    // (README.md:185-189) maps to sparkContext.statusTracker surfaced
+    // as Pipeline.status. Assert it actually tracks execution: a
+    // running job reads activeJobs >= 1 from another thread, and a
+    // finished one reads 0 — the programmatic equivalent of watching
+    // the Spark UI, no table polling anywhere.
+    val (pipe, _) = env
+    def activeJobs(): Int =
+      """activeJobs=(\d+)""".r.findFirstMatchIn(pipe.status()).get.group(1).toInt
+    assert(activeJobs() === 0, "engine should be idle before the job")
+    import spark.implicits._
+    val sawRunning = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watcher = new Thread(() => {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!sawRunning.get() && System.currentTimeMillis() < deadline) {
+        if (activeJobs() >= 1) sawRunning.set(true)
+        Thread.sleep(10)
+      }
+    })
+    watcher.start()
+    // a deliberately slow job (test fixture only): each partition naps
+    // long enough for the watcher to observe the tracker mid-flight
+    spark.range(0, 4, 1, 4).mapPartitions { it =>
+      Thread.sleep(800); it
+    }.count()
+    watcher.join(35000)
+    assert(sawRunning.get(), "status never reported the running job")
+    assert(activeJobs() === 0, "status must return to idle after the job")
+  }
 }

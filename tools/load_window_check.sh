@@ -56,8 +56,13 @@ phase_sleep() { # $1 seconds; returns early if sentinel appears
   done
   return 0
 }
+: > target/load_check_busy_on.log
 while kill -0 $BENCH_PID 2>/dev/null && ! sentinel; do
   for i in $(seq "$HOGS"); do sh -c 'while :; do :; done' & HOG_PIDS="$HOG_PIDS $!"; done
+  # window validity evidence: sample the SAME probe the bench flags
+  # windows with (graft.tools.HostProbe, the r17 shared impl) mid-ON —
+  # the harness proves its hogs were visible to the bench's own eyes
+  ( tools/run.sh graft.tools.HostProbe 1 0 300 >> target/load_check_busy_on.log 2>/dev/null & )
   phase_sleep "$ON_SECS" || { stop_hogs; break; }
   stop_hogs
   phase_sleep "$OFF_SECS" || break
@@ -78,9 +83,14 @@ for e in entries:
     r = ws / qs
     print(f"{e:24s} {qs:8.2f} {ws:9.2f} {r:6.2f}  {sp}")
     if r > 1.2: bad.append(e)
+busy_on = [float(x) for x in open('target/load_check_busy_on.log').read().split()
+           if x.strip()] if __import__('os').path.exists('target/load_check_busy_on.log') else []
 out = {'entries': {e: {'quiet': q['queries'][e], 'windowed': w['queries'][e],
                        'windowed_spread': w['spreads'][e]} for e in entries},
+       'busy_on_samples': busy_on,
        'within_1_2x': not bad, 'over': bad}
+if busy_on:
+    print(f"hog-window busy samples (HostProbe): {busy_on}")
 json.dump(out, open('target/load_check_result.json', 'w'), indent=1)
 print('RESULT:', 'PASS (all headlines within 1.2x of quiet)' if not bad
       else f'FAIL over-1.2x: {bad}')
