@@ -66,6 +66,8 @@ object ScaleProbe {
     "q_span_remove_hashed",   // substring dedup, hashed-gram production shuffle
     "q_dup_runs_char_hashed", // char-gram runs over the hashed shuffle
     "q_bm25_stream_del", // index delete/replace: tombstones + compaction + serve
+    "q_ann_ivfpq_stream_del", // vector-family delete lifecycle (r17: the
+                              // compaction-debt twin the sf100 probes cover)
     "q_bm25_stream_upsert", // single-op replace lifecycle (r14)
     "q_bm25_serve_batch", // batched multi-query serve from one pruned scan (r14)
     "q_incr_dedup_upsert", // dedup-family single-op replace (r14)
@@ -207,7 +209,13 @@ object ScaleProbe {
     }
 
     def tagOf(dir: String) = new java.io.File(dir).getName
-    val selected = if (only.isEmpty) headline else headline.filter(only)
+    // filtered spot-runs may name ANY graded query, not just the
+    // headline set — the sf100 delete-twin probes (r17) need entries
+    // the full sweep doesn't carry
+    val selected =
+      if (only.isEmpty) headline
+      else (headline ++ only.toSeq.sorted.filterNot(headline.contains))
+        .filter(only).filter(n => n == "pipeline" || SparkEntry.queries.contains(n))
     val rows = selected.map { name =>
       val (ts, ns, srs, sbs) = timeQuery(name, smallDir, tagOf(smallDir))
       val (tb, nb, srb, sbb) = timeQuery(name, bigDir, tagOf(bigDir))
