@@ -146,11 +146,35 @@ class BenchGatingSpec extends AnyFunSuite {
     // next round: med-normalized 4.2 again (same window inflation) —
     // same estimator on both sides, no mover
     assert(!Bench.moverTrigger(4.2, Some(norm("q_x")), 4.2, Some(meds("q_x"))))
-    // the counterfactual this fix removes: against the point-based 2.0
-    // baseline the identical measurement reads as a 2.1x mover
-    assert(Bench.moverTrigger(4.2, Some(2.0), 4.2, Some(meds("q_x"))))
-    // a GENUINE move still fires through the med-based baseline
+    // the counterfactual the med-map removes: a point-based 2.0
+    // baseline makes the identical measurement read as a 2.1x
+    // NORMALIZED move — suppressed since r17 only because the raw
+    // median (4.2 vs 4.2) refuses to corroborate. Layered defense:
+    // either fix alone kills this false positive.
+    assert(!Bench.moverTrigger(4.2, Some(2.0), 4.2, Some(meds("q_x"))))
+    // a GENUINE move (normalized AND raw both up) still fires
     assert(Bench.moverTrigger(7.0, Some(norm("q_x")), 7.0, Some(meds("q_x"))))
+  }
+
+  test("calib-only variance fires zero movers; a corroborated move still fires") {
+    // The r17 live incident: an idle fast host ran the CPU-pure calib
+    // 1.7x faster than the prior round while the fs-bound queries
+    // barely moved — every med/calib inflated ~1.7x and 46 spurious
+    // movers fired (all isolated re-runs confirmed parity). The raw
+    // median must corroborate a normalized move.
+    val movers = gated.collect { case (k, (med, nv)) =>
+      // same med, calib 1.7x faster => normalized inflates 1.7x
+      k -> Bench.moverTrigger(nv * 1.7, Some(nv), med, Some(med))
+    }.filter(_._2).keys.toSeq
+    assert(movers.isEmpty,
+      s"calib variance misread as regression for: ${movers.take(5).mkString(", ")}")
+    // a real regression on that same fast host: med 2x, calib 1.7x
+    // faster => normalized 3.4x, raw 2x — both corroborate, fires
+    val (med, nv) = gated(gated.keys.min)
+    assert(Bench.moverTrigger(nv * 3.4, Some(nv), med * 2.0, Some(med)))
+    // improvements corroborate downward the same way
+    assert(Bench.moverTrigger(nv / 3.4, Some(nv), med / 2.0, Some(med)))
+    assert(!Bench.moverTrigger(nv / 1.7, Some(nv), med, Some(med)))
   }
 
   test("archive parsing: pre-r17 fallback and stamp gating") {
