@@ -170,28 +170,49 @@ class Catalog(
     // early fence: a lease already lost means the staging job below is
     // wasted work and its output immediate garbage — refuse up front
     fenceHeldLeases()
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // as-late-as-possible fence: the staging job above may have outrun
-    // a lease TTL — refuse the swap rather than clobber a successor
-    fenceHeldLeases()
-    // SWAP WINDOW: the marker (carrying the pre-swap live manifest)
-    // makes the rename phase visible to [[consistentRead]]ers and makes
-    // any crash below heal unambiguously even when rename is
-    // copy-then-delete (object stores) — see [[recoverReplace]]. On ANY
-    // failure past this point the marker is LEFT IN PLACE: rename=false
-    // is ambiguous under non-atomic rename (the failure may have torn
-    // live), so readers stay fenced off until recovery compares
-    // manifests — fail-safe beats fail-open.
+    // SWAP WINDOW, opened BEFORE the staging job: a concurrent heal
+    // (another client's crash-window recovery at ITS entry) must see
+    // this publish as in-flight and keep its hands off the staging —
+    // pre-r17 a racing heal could delete a live writer's stage and
+    // abort the op (documented then, surfaced by SwapConsistencySpec's
+    // concurrent-serve test, closed now). The marker opens in "stage"
+    // phase, which readers ignore (live tables untouched until the
+    // renames); [[markSwapPhase]] flips it just before the first
+    // rename. The manifest (pre-swap live tree) is stable through
+    // staging because this is the scope's single writer.
     beginSwap(fs, table, treeDigest(fs, live), () => recoverReplace(table))
-    if (fs.exists(live) && !coordinator.rename(fs, live, aside))
-      throw new java.io.IOException(
-        s"replaceTable move-aside failed for $table — swap marker left " +
-          "for recovery to heal")
-    if (!coordinator.rename(fs, staging, live))
-      throw new java.io.IOException(
-        s"replaceTable swap failed for $table — staged data left at " +
-          s"$staging, swap marker left for recovery to heal")
-    endSwap(fs, table)
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      // as-late-as-possible fence: the staging job above may have
+      // outrun a lease TTL — refuse the swap rather than clobber a
+      // successor
+      fenceHeldLeases()
+    } catch { case t: Throwable =>
+      // nothing renamed yet: heal our own marker immediately (live
+      // matches the manifest by construction) instead of leaving the
+      // family blocked until the TTL
+      inFlightSwaps.remove(table)
+      try recoverReplace(table)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw t
+    }
+    // From here every failure LEAVES the marker: rename=false is
+    // ambiguous under non-atomic rename (the failure may have torn
+    // live), so readers stay fenced off until recovery compares
+    // manifests — fail-safe beats fail-open. (The in-process in-flight
+    // mark still clears, so this instance's next entry can heal.)
+    try {
+      markSwapPhase(fs, table)
+      if (fs.exists(live) && !coordinator.rename(fs, live, aside))
+        throw new java.io.IOException(
+          s"replaceTable move-aside failed for $table — swap marker left " +
+            "for recovery to heal")
+      if (!coordinator.rename(fs, staging, live))
+        throw new java.io.IOException(
+          s"replaceTable swap failed for $table — staged data left at " +
+            s"$staging, swap marker left for recovery to heal")
+      endSwap(fs, table)
+    } finally inFlightSwaps.remove(table)
     coordinator.delete(fs, aside, true)
     spark.catalog.refreshByPath(path(table))
   }
@@ -211,7 +232,7 @@ class Catalog(
     * op-log folds) in the same single-writer maintenance windows as
     * compaction, which is the discipline this family documents
     * everywhere. */
-  def recoverReplace(table: String): Unit = {
+  def recoverReplace(table: String, lenient: Boolean = false): Unit = {
     val live = new org.apache.hadoop.fs.Path(path(table))
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val aside = new org.apache.hadoop.fs.Path(path(table) + "__replaced")
@@ -225,16 +246,21 @@ class Catalog(
     // original, which the filesystem alone cannot (a copy-then-delete
     // rename can die leaving live OR aside partial).
     readSwapMarker(fs, table) match {
-      case Some((h, exp, _))
-          if exp >= System.currentTimeMillis() && h != leaseHolder =>
-        // a FOREIGN swap within its TTL: in flight (or crashed moments
-        // ago). Proceeding would let this entry append/heal over a
-        // state the manifest comparison can no longer classify — refuse
-        // loudly; the swap closes or expires, then everything heals
+      case Some((h, exp, _, _))
+          if exp >= System.currentTimeMillis() &&
+            (h != leaseHolder || inFlightSwaps.contains(table)) =>
+        // a FOREIGN publish within its TTL: in flight (or crashed
+        // moments ago). WRITE entries must refuse loudly — appending
+        // under it would poison the manifest comparison. READ entries
+        // (`lenient`, e.g. a serve's crash-window heal) skip instead:
+        // an in-flight marker means nothing is crashed from THEIR
+        // perspective, the owner (or its TTL) heals, and live tables
+        // are intact through the whole stage phase
+        if (lenient) return
         throw new Catalog.SwapInFlight(
           s"a swap of '$table' by holder $h is within its TTL — retry " +
             "after it closes or expires")
-      case Some((_, _, manifest)) =>
+      case Some((_, _, _, manifest)) =>
         if (treeDigest(fs, live) == manifest) {
           // live IS the pre-swap original (died before/mid move-aside):
           // drop the partial aside remnant; the op never landed, replays
@@ -325,7 +351,8 @@ class Catalog(
     * the documented single-writer maintenance discipline (a concurrent
     * live compaction's staging would be discarded as a dead stage).
     */
-  def recoverCompaction(table: String, partitionCol: String): Unit = {
+  def recoverCompaction(table: String, partitionCol: String,
+      lenient: Boolean = false): Unit = {
     val root = new org.apache.hadoop.fs.Path(path(table))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // SWAP-MARKER healing (see [[recoverReplace]] for the posture): a
@@ -339,16 +366,24 @@ class Catalog(
     // intentional emptying (complete the removal). All states converge:
     // a heal interrupted mid-rename re-enters the same branches.
     readSwapMarker(fs, table) match {
-      case Some((h, exp, _))
-          if exp >= System.currentTimeMillis() && h != leaseHolder =>
+      case Some((h, exp, _, _))
+          if exp >= System.currentTimeMillis() &&
+            (h != leaseHolder || inFlightSwaps.contains(table)) =>
+        if (lenient) return // see recoverReplace — read entries skip
         throw new Catalog.SwapInFlight(
           s"a compaction swap of '$table' by holder $h is within its " +
             "TTL — retry after it closes or expires")
-      case Some((h, _, _)) =>
+      case Some((h, _, _, _)) =>
         val staging = new org.apache.hadoop.fs.Path(
           path(table) + "__compacting." + h)
         val manifest = new org.apache.hadoop.fs.Path(staging, "__manifest")
-        coordinator.readSmall(fs, manifest).foreach { txt =>
+        val manifestTxt = coordinator.readSmall(fs, manifest)
+        if (manifestTxt.isEmpty)
+          // died during the STAGED WRITE (the marker now covers it):
+          // nothing was renamed, live tables are intact — the partial
+          // stage is pure garbage
+          coordinator.delete(fs, staging, true)
+        manifestTxt.foreach { txt =>
           txt.linesIterator.filter(_.nonEmpty).foreach { line =>
             val Array(encValue, digest) = line.split(" ", 2)
             val dir = s"$partitionCol=" +
@@ -464,14 +499,27 @@ class Catalog(
     recoverCompaction(table, partitionCol)
     // early fence: don't pay the staged rewrite if the lease is lost
     fenceHeldLeases()
-    transform(readWithSchema(table, schema)
-        .filter(F.col(partitionCol).cast("string").isin(values: _*)))
-      .withColumn("__slot",
-        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), fileTarget.cast("long")))
-      .repartition(F.col(partitionCol), F.col("__slot"))
-      .drop("__slot")
-      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
-      .parquet(staging.toString)
+    // SWAP WINDOW opened BEFORE the staged write (stage phase — readers
+    // ignore it; see replaceTable): a concurrent lenient heal skips an
+    // in-flight stage instead of deleting it, a strict (write-entry)
+    // heal refuses loudly, and a crash during staging heals as pure
+    // garbage (no __manifest yet => nothing was renamed)
+    beginSwap(fs, table, "-", () => recoverCompaction(table, partitionCol))
+    try {
+      transform(readWithSchema(table, schema)
+          .filter(F.col(partitionCol).cast("string").isin(values: _*)))
+        .withColumn("__slot",
+          F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), fileTarget.cast("long")))
+        .repartition(F.col(partitionCol), F.col("__slot"))
+        .drop("__slot")
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+        .parquet(staging.toString)
+    } catch { case t: Throwable =>
+      inFlightSwaps.remove(table)
+      try recoverCompaction(table, partitionCol)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw t
+    }
     // STAGED MANIFEST: per selected partition, the digest of its staged
     // rewrite (or EMPTY when transform dropped every row). This is what
     // lets a crash ANYWHERE in the swap loop heal unambiguously on a
@@ -489,12 +537,13 @@ class Catalog(
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
-    // SWAP WINDOW for the whole per-partition rename loop: readers
+    // RENAME phase for the whole per-partition swap loop: readers
     // using [[consistentRead]] see entirely-old or entirely-new; a
     // crash leaves the marker and the manifest-driven heal rolls the
     // interrupted partitions FORWARD (the staged rewrite is the
     // row-equivalent of the old content under `transform`)
-    beginSwap(fs, table, "-", () => recoverCompaction(table, partitionCol))
+    markSwapPhase(fs, table)
+    try {
     val swapped = toCompact.flatMap { case (value, _) =>
       // PER-PARTITION fence: the swap loop can run long (many accreted
       // partitions), and a single pre-loop fence would let a writer
@@ -540,6 +589,7 @@ class Catalog(
     coordinator.delete(fs, staging, true)
     spark.catalog.refreshByPath(path(table))
     swapped
+    } finally inFlightSwaps.remove(table)
   }
 
   /** Remove every row stamped with one of `seqs` from a
@@ -701,6 +751,15 @@ class Catalog(
   // decides it (see [[recoverReplace]]).
   // ------------------------------------------------------------------
 
+  // tables THIS instance currently has a publish open on (beginSwap ->
+  // endSwap/abort). Own-holder markers are healable ONLY when the table
+  // is NOT here: reader and writer threads routinely share one Catalog,
+  // and a sibling reader's crash-window heal must not mistake the
+  // writer's live marker for a stale own leftover (it shares the holder
+  // id!) and delete the in-flight staging out from under it.
+  private val inFlightSwaps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def swapMarkerPath(table: String) =
     new org.apache.hadoop.fs.Path(path(table) + "__swapping")
   private def swapGenPath(table: String) =
@@ -728,13 +787,19 @@ class Catalog(
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** (holder, expiresAtMillis, manifestDigest) of a live swap marker. */
+  /** (holder, expiresAtMillis, phase, manifestDigest) of a live swap
+    * marker. `phase` is "stage" from [[beginSwap]] until the writer is
+    * about to rename ([[markSwapPhase]] flips it to "swap"): during
+    * staging the live tables are untouched, so readers treat a
+    * stage-phase marker as no marker at all — a multi-minute staged
+    * rewrite must not block [[consistentRead]]; only the rename window
+    * (seconds) does. */
   private def readSwapMarker(
       fs: org.apache.hadoop.fs.FileSystem,
-      table: String): Option[(String, Long, String)] =
+      table: String): Option[(String, Long, String, String)] =
     coordinator.readSmall(fs, swapMarkerPath(table)).flatMap { s =>
       s.split(" ") match {
-        case Array(h, exp, d) => exp.toLongOption.map((h, _, d))
+        case Array(h, exp, ph, d) => exp.toLongOption.map((h, _, ph, d))
         case _ => None
       }
     }
@@ -774,11 +839,11 @@ class Catalog(
       table: String,
       manifestDigest: String,
       healExpired: () => Unit): Unit = {
-    val content =
-      s"$leaseHolder ${System.currentTimeMillis() + swapTtlMs} $manifestDigest"
+    val content = s"$leaseHolder ${System.currentTimeMillis() + swapTtlMs} " +
+      s"stage $manifestDigest"
     if (!coordinator.createIfAbsent(fs, swapMarkerPath(table), content)) {
       readSwapMarker(fs, table) match {
-        case Some((h, exp, _))
+        case Some((h, exp, _, _))
             if exp >= System.currentTimeMillis() && h != leaseHolder =>
           throw new Catalog.SwapInFlight(
             s"a swap of '$table' is already in flight — concurrent " +
@@ -790,7 +855,21 @@ class Catalog(
               s"swap marker for '$table' re-contended after healing")
       }
     }
+    inFlightSwaps.add(table)
   }
+
+  /** Flip this writer's marker from stage to swap phase, immediately
+    * before the first rename: from here until [[endSwap]] readers must
+    * treat the table as mid-publish. Delete+create runs single-writer
+    * (we hold the marker and the maintenance lease). */
+  private def markSwapPhase(
+      fs: org.apache.hadoop.fs.FileSystem, table: String): Unit =
+    readSwapMarker(fs, table).filter(_._1 == leaseHolder).foreach {
+      case (h, exp, _, d) =>
+        coordinator.delete(fs, swapMarkerPath(table), false)
+        coordinator.createIfAbsent(fs, swapMarkerPath(table),
+          s"$h $exp swap $d")
+    }
 
   /** Close a swap window: bump the generation (readers invalidate),
     * then drop the marker. Order matters — a reader that never saw the
@@ -799,6 +878,7 @@ class Catalog(
       fs: org.apache.hadoop.fs.FileSystem, table: String): Unit = {
     bumpSwapGen(fs, table)
     coordinator.delete(fs, swapMarkerPath(table), false)
+    inFlightSwaps.remove(table)
   }
 
   /** Run `body` as a SWAP-CONSISTENT read of `tables`: the result is
@@ -824,9 +904,9 @@ class Catalog(
       .getFileSystem(spark.sessionState.newHadoopConf())
     val deadline = System.currentTimeMillis() + maxWaitMs
     while (System.currentTimeMillis() < deadline) {
-      val before = tables.map { t =>
-        (readSwapMarker(fs, t).isDefined, swapGeneration(t))
-      }
+      def renamePhase(t: String): Boolean =
+        readSwapMarker(fs, t).exists(_._3 != "stage")
+      val before = tables.map(t => (renamePhase(t), swapGeneration(t)))
       if (before.forall(!_._1)) {
         // clear of every swap window at entry; validate again at exit.
         // body may THROW mid-swap too (a file listed before a
@@ -836,9 +916,7 @@ class Catalog(
         val attempt =
           try Right(body)
           catch { case scala.util.control.NonFatal(e) => Left(e) }
-        val after = tables.map { t =>
-          (readSwapMarker(fs, t).isDefined, swapGeneration(t))
-        }
+        val after = tables.map(t => (renamePhase(t), swapGeneration(t)))
         val clean = after.forall(!_._1) && before.map(_._2) == after.map(_._2)
         attempt match {
           case Right(r) if clean => return r

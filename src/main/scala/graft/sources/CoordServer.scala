@@ -156,9 +156,11 @@ object CoordServer {
     * holds only acknowledged mutations, in ack order). */
   def start(journalPath: Path, port: Int = 0): CoordServer = {
     val kv = new java.util.HashMap[String, String]
+    var journalLines = 0
     if (Files.exists(journalPath)) {
       def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
       Files.readAllLines(journalPath, UTF_8).forEach { line =>
+        journalLines += 1
         val p = line.split(" ", 3)
         p(0) match {
           case "P" => kv.put(dec(p(1)), dec(p(2)))
@@ -169,6 +171,30 @@ object CoordServer {
           // the op was never acknowledged, dropping it is correct
         }
       }
+    }
+    // JOURNAL COMPACTION: leases and break-claims churn, so the journal
+    // grows with op COUNT while the live keyspace stays lifecycle-sized
+    // — replaying months of coordination history at every restart is
+    // the classic unbounded-log failure. When history dwarfs state,
+    // snapshot: rewrite the journal as one P-record per live key
+    // (equivalent by construction — replay is a fold and the snapshot
+    // is its current value), fsynced to a temp file then atomically
+    // moved over the old journal, so a crash mid-compaction leaves
+    // either the full history or the complete snapshot, never less.
+    if (journalLines > math.max(64, 4 * kv.size)) {
+      def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+      val tmp = journalPath.resolveSibling(journalPath.getFileName + ".snap")
+      val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        val sb = new StringBuilder
+        kv.forEach((k, v) => sb.append(s"P ${enc(k)} ${enc(v)}\n"))
+        ch.write(java.nio.ByteBuffer.wrap(sb.toString.getBytes(UTF_8)))
+        ch.force(true)
+      } finally ch.close()
+      Files.move(tmp, journalPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     if (journalPath.getParent != null) Files.createDirectories(journalPath.getParent)
     val journal = FileChannel.open(journalPath,

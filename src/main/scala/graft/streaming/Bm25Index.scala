@@ -113,10 +113,16 @@ final class Bm25Index(
     *    would reach recovery — wedging the pipeline.
     * Both recoveries are idempotent fs-metadata probes (no jobs), so
     * running them per op is noise next to the op's own work. */
-  private def heal(): Unit = {
-    cat.recoverCompaction("postings", "bk")
-    cat.recoverCompaction("doc_lengths", "rk")
-    cat.recoverReplace("tombstones")
+  private def heal(lenient: Boolean = false): Unit = {
+    // `lenient` for READ entries (serve/serveBatch): an in-flight
+    // publish's swap marker means nothing is crashed — skip rather than
+    // throw SwapInFlight (write entries stay strict: appending under a
+    // marker would poison the crash-heal's manifest comparison). The
+    // marker also protects a live writer's staging from this very heal
+    // — the pre-r17 racing-heal abort, closed.
+    cat.recoverCompaction("postings", "bk", lenient)
+    cat.recoverCompaction("doc_lengths", "rk", lenient)
+    cat.recoverReplace("tombstones", lenient)
   }
 
   /** Crashed-replay rollback: remove EVERY row the crashed attempt may
@@ -323,7 +329,7 @@ final class Bm25Index(
     * only. */
   def serve(terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "serve needs at least one query term")
-    heal()
+    heal(lenient = true)
     // the query terms' bucket ids — same hash the writer used, so
     // pruning can never disagree with placement; one 1-row collect
     val bkRow = spark.range(1).select(terms.map(t =>
@@ -374,7 +380,7 @@ final class Bm25Index(
     * Returns (query_id, doc_id, score, rank).
     */
   def serveBatch(queries: DataFrame, k: Int = 20): DataFrame = {
-    heal()
+    heal(lenient = true)
     val q = queries
       .select(F.col("query_id").cast("long").as("query_id"), F.col("term"))
       .dropDuplicates("query_id", "term")

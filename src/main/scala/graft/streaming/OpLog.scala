@@ -63,7 +63,8 @@ final class OpLog(
     * create a fresh EMPTY live dir, after which the heal sees a live
     * table and discards the moved-aside rows as a dead stage —
     * silently zeroing the log. Idempotent fs-metadata probes, no jobs. */
-  private def heal(): Unit = cat.recoverReplace(table)
+  private def heal(lenient: Boolean = false): Unit =
+    cat.recoverReplace(table, lenient)
 
   def ensure(): Unit = { heal(); cat.ensureTable(table, schema) }
 
@@ -98,7 +99,13 @@ final class OpLog(
   def withWriter[T](ttlMs: Long = 15 * 60 * 1000L)(body: => T): T =
     cat.withMaintenanceLease(table, ttlMs)(body)
 
-  def rows: DataFrame = { heal(); cat.readWithSchema(table, schema) }
+  // READ path (committed/openSeqs/visible feed serves): lenient — an
+  // in-flight publish's marker means nothing is crashed; skipping keeps
+  // a sibling thread's serve from throwing SwapInFlight (or, pre-r17,
+  // from deleting the publisher's in-flight staging). Write entries
+  // (ensure/beginAttempt/commit) stay strict.
+  def rows: DataFrame =
+    { heal(lenient = true); cat.readWithSchema(table, schema) }
 
   /** Commit rows only (attempt rows carry a null first payload col). */
   def committed: DataFrame = rows.filter(F.col(marker).isNotNull)

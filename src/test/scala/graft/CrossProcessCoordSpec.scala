@@ -135,4 +135,47 @@ class CrossProcessCoordSpec extends AnyFunSuite {
       } finally revived.close()
     } finally server.close()
   }
+
+  test("the journal compacts to a snapshot when history dwarfs live state") {
+    // lease churn grows the journal with op COUNT while the keyspace
+    // stays lifecycle-sized — an unbounded replay at every restart is
+    // the classic durable-log failure. Startup snapshots when history
+    // exceeds 4x live keys: the rewritten journal is one P-record per
+    // key, equivalent by construction.
+    val dir = Files.createTempDirectory("graft-coord-compact").toString
+    val journal = Paths.get(dir, "coord.journal")
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+    val s1 = CoordServer.start(journal)
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", s1.port)
+      // 300 acquire/release cycles (600 journal records), 3 live keys
+      (0 until 300).foreach { i =>
+        assert(c.createIfAbsent(fs, new HPath(s"$dir/lease"), s"h$i"))
+        assert(c.delete(fs, new HPath(s"$dir/lease"), false))
+      }
+      (0 until 3).foreach { i =>
+        assert(c.createIfAbsent(fs, new HPath(s"$dir/stamp_$i"), s"layout $i"))
+      }
+      assert(Files.readAllLines(journal).size > 600)
+    } finally s1.close()
+    // restart: compaction fires, state intact, journal is now live-sized
+    val s2 = CoordServer.start(journal)
+    try {
+      assert(Files.readAllLines(journal).size === 3)
+      val c2 = CommitCoordinator.remote("127.0.0.1", s2.port)
+      (0 until 3).foreach { i =>
+        assert(c2.readSmall(fs, new HPath(s"$dir/stamp_$i"))
+          .contains(s"layout $i"))
+      }
+      // post-snapshot appends keep working
+      assert(c2.createIfAbsent(fs, new HPath(s"$dir/extra"), "x"))
+    } finally s2.close()
+    // and a third start replays snapshot + tail correctly
+    val s3 = CoordServer.start(journal)
+    try {
+      val c3 = CommitCoordinator.remote("127.0.0.1", s3.port)
+      assert(c3.readSmall(fs, new HPath(s"$dir/extra")).contains("x"))
+      assert(c3.readSmall(fs, new HPath(s"$dir/stamp_1")).contains("layout 1"))
+    } finally s3.close()
+  }
 }
