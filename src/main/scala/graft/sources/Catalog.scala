@@ -31,10 +31,16 @@ class Catalog(
     coordinator: CommitCoordinator = CommitCoordinator.fileAtomics,
     // TTL for SWAP-WINDOW markers (begin/endSwap around replaceTable /
     // compactPartitioned publishes): past it a marker is treated as a
-    // crashed swapper's and healed; sized like a maintenance-op bound,
-    // way above any swap's rename phase (which renames a handful of
-    // dirs, not data). Short values are for crash-heal tests only.
-    swapTtlMs: Long = 60 * 1000L) {
+    // crashed swapper's and healed. Sized to the MAINTENANCE-OP bound
+    // (the lease default), NOT the rename phase: the marker covers the
+    // staged write too, and a data-sized staging job outrunning a
+    // short TTL would let a healer discard a live stage mid-write. The
+    // phase flip ([[markSwapPhase]]) refreshes the expiry, so the
+    // rename window always runs under a fresh TTL, and a writer whose
+    // marker was healed away (staging outran even this bound) is
+    // FENCED at the flip rather than renaming over a successor. Short
+    // values are for crash-heal tests only.
+    swapTtlMs: Long = 15 * 60 * 1000L) {
 
   def path(table: String): String = s"$warehouse/$table"
 
@@ -860,15 +866,26 @@ class Catalog(
 
   /** Flip this writer's marker from stage to swap phase, immediately
     * before the first rename: from here until [[endSwap]] readers must
-    * treat the table as mid-publish. Delete+create runs single-writer
-    * (we hold the marker and the maintenance lease). */
+    * treat the table as mid-publish. Refreshes the expiry — the rename
+    * window always runs under a fresh TTL regardless of how long the
+    * staging took. A marker that is MISSING or FOREIGN here means the
+    * staging outran the TTL and a healer (or successor) superseded
+    * this writer — renaming anyway would publish over it, so refuse
+    * loudly, exactly like lease fencing. Delete+create runs
+    * single-writer (we hold the marker and the maintenance lease). */
   private def markSwapPhase(
       fs: org.apache.hadoop.fs.FileSystem, table: String): Unit =
-    readSwapMarker(fs, table).filter(_._1 == leaseHolder).foreach {
-      case (h, exp, _, d) =>
+    readSwapMarker(fs, table).filter(_._1 == leaseHolder) match {
+      case Some((h, _, _, d)) =>
         coordinator.delete(fs, swapMarkerPath(table), false)
         coordinator.createIfAbsent(fs, swapMarkerPath(table),
-          s"$h $exp swap $d")
+          s"$h ${System.currentTimeMillis() + swapTtlMs} swap $d")
+      case None =>
+        inFlightSwaps.remove(table)
+        throw new Catalog.SwapInFlight(
+          s"this writer's swap marker for '$table' was healed away or " +
+            "superseded (staging outran the marker TTL) — refusing to " +
+            "rename over a successor; the op replays")
     }
 
   /** Close a swap window: bump the generation (readers invalidate),

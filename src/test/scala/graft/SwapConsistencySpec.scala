@@ -27,6 +27,12 @@ import graft.streaming.{Bm25Index, Streams}
   *  4. the full dedup/bm25/vector lifecycles stay hash-exact when every
   *     coordinator rename is copy-then-delete.
   */
+object SwapConsistencySpec {
+  // shared with executor threads (local mode, one JVM) — lets a test
+  // block a staging job's tasks from the driver side
+  @volatile var stagingGate: CountDownLatch = _
+}
+
 class SwapConsistencySpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.{functions => F}
@@ -280,6 +286,42 @@ class SwapConsistencySpec extends SparkSpec {
     val torn = seen.filterNot(validSet)
     assert(torn.isEmpty,
       s"live-set observed a state no between-op snapshot produced: ${torn.take(2)}")
+  }
+
+  test("a staging that outruns the marker TTL is fenced at the phase flip, never renames") {
+    // 100 TB reality: the staged write can take longer than any fixed
+    // TTL. If the marker expires mid-staging and a healer (or
+    // successor) clears it, the writer must NOT proceed to rename over
+    // whoever now owns the table — markSwapPhase refuses exactly like
+    // lease fencing. Simulate with a staging job that blocks on a
+    // latch while a foreign catalog waits out the tiny TTL and heals.
+    val dir = Files.createTempDirectory("graft-swap-fence").toString
+    val slow = new Catalog(spark, s"$dir/wh",
+      CommitCoordinator.fileAtomics, swapTtlMs = 100L)
+    val foreign = new Catalog(spark, s"$dir/wh")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("v BIGINT")
+    foreign.overwrite("t", (1L to 50L).toDF("v"))
+    val oldSum = 50L * 51 / 2
+    SwapConsistencySpec.stagingGate = new CountDownLatch(1)
+    val failure = new AtomicReference[Throwable]
+    val writer = new Thread(() =>
+      try slow.replaceTable("t", (1L to 9L).toDS().mapPartitions { it =>
+        SwapConsistencySpec.stagingGate.await(30, TimeUnit.SECONDS); it
+      }.toDF("v"))
+      catch { case t: Throwable => failure.set(t) })
+    writer.start()
+    Thread.sleep(400) // staging blocked; the 100ms marker TTL lapses
+    foreign.recoverReplace("t") // heals the "crashed" swap away
+    assert(!new java.io.File(s"$dir/wh/t__swapping").exists())
+    SwapConsistencySpec.stagingGate.countDown()
+    writer.join(60000)
+    // the superseded writer refused (fenced at the flip, or its staged
+    // write died when the heal discarded the stage) — either way it
+    // never renamed, and the live table is exactly the original
+    assert(failure.get() != null,
+      "a writer whose marker was healed away must not report success")
+    assert(foreign.readWithSchema("t", schema)
+      .agg(F.sum("v")).as[Long].collect().head === oldSum)
   }
 
   test("dedup, bm25 and vector lifecycles stay exact when every rename is copy-then-delete") {
