@@ -847,21 +847,37 @@ class Catalog(
       healExpired: () => Unit): Unit = {
     val content = s"$leaseHolder ${System.currentTimeMillis() + swapTtlMs} " +
       s"stage $manifestDigest"
-    if (!coordinator.createIfAbsent(fs, swapMarkerPath(table), content)) {
-      readSwapMarker(fs, table) match {
-        case Some((h, exp, _, _))
-            if exp >= System.currentTimeMillis() && h != leaseHolder =>
-          throw new Catalog.SwapInFlight(
-            s"a swap of '$table' is already in flight — concurrent " +
-              "maintenance publishes violate the single-writer discipline")
-        case _ =>
-          healExpired()
-          if (!coordinator.createIfAbsent(fs, swapMarkerPath(table), content))
+    // mark in-flight BEFORE the marker lands: a sibling thread's heal
+    // between marker-create and set-add would read our fresh marker as
+    // an own stale leftover and heal it away (unwound on any failure).
+    // A no-op add means a sibling of THIS instance is already
+    // publishing this very table — refuse before touching anything
+    // (removing the shared mark on our failure path would strip the
+    // sibling's protection)
+    if (!inFlightSwaps.add(table))
+      throw new Catalog.SwapInFlight(
+        s"another thread of this catalog instance is already publishing " +
+          s"'$table' — single-writer discipline violation")
+    try {
+      if (!coordinator.createIfAbsent(fs, swapMarkerPath(table), content)) {
+        readSwapMarker(fs, table) match {
+          case Some((h, exp, _, _))
+              if exp >= System.currentTimeMillis() && h != leaseHolder =>
             throw new Catalog.SwapInFlight(
-              s"swap marker for '$table' re-contended after healing")
+              s"a swap of '$table' is already in flight — concurrent " +
+                "maintenance publishes violate the single-writer discipline")
+          case _ =>
+            // heal the stale leftover; it can't be a sibling's live
+            // publish (we'd already hold the in-flight mark), so lift
+            // our own mark for the heal's duration
+            inFlightSwaps.remove(table)
+            try healExpired() finally inFlightSwaps.add(table)
+            if (!coordinator.createIfAbsent(fs, swapMarkerPath(table), content))
+              throw new Catalog.SwapInFlight(
+                s"swap marker for '$table' re-contended after healing")
+        }
       }
-    }
-    inFlightSwaps.add(table)
+    } catch { case t: Throwable => inFlightSwaps.remove(table); throw t }
   }
 
   /** Flip this writer's marker from stage to swap phase, immediately
