@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import graft.sources.{CommitCoordinator, CoordServer}
@@ -134,6 +135,42 @@ class CrossProcessCoordSpec extends AnyFunSuite {
           new HPath(s"$dir/round_0__lease"), "usurper"))
       } finally revived.close()
     } finally server.close()
+  }
+
+  test("the standalone server main serves a separate-process deployment") {
+    // the deployment entry (`CoordServer <journal> <portFile>`): a real
+    // child JVM runs the server, the parent discovers the port through
+    // the portfile handshake, coordinates through it, kills it, and the
+    // acknowledged state is recovered by a fresh start on the journal
+    val dir = Files.createTempDirectory("graft-coord-main").toString
+    val journal = Paths.get(dir, "coord.journal")
+    val portFile = Paths.get(dir, "port")
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+    val cp = repoRoot.resolve("target/scala-2.13/classes").toString +
+      ":/opt/spark/jars/*"
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val proc = new ProcessBuilder(javaBin, "-cp", cp, "-Xmx256m",
+      "graft.sources.CoordServer", journal.toString, portFile.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(new java.io.File(s"$dir/server.log"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!Files.exists(portFile) && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(Files.exists(portFile), "server never published its port")
+      val port = Files.readString(portFile).trim.toInt
+      val c = CommitCoordinator.remote("127.0.0.1", port)
+      assert(c.createIfAbsent(fs, new HPath(s"$dir/k"), "v across processes"))
+      assert(!c.createIfAbsent(fs, new HPath(s"$dir/k"), "usurper"))
+      assert(c.readSmall(fs, new HPath(s"$dir/k")).contains("v across processes"))
+    } finally { proc.destroy(); proc.waitFor(10, TimeUnit.SECONDS) }
+    // the killed server's acknowledged state recovers from the journal
+    val revived = CoordServer.start(journal)
+    try {
+      val c2 = CommitCoordinator.remote("127.0.0.1", revived.port)
+      assert(c2.readSmall(fs, new HPath(s"$dir/k")).contains("v across processes"))
+    } finally revived.close()
   }
 
   test("the journal compacts to a snapshot when history dwarfs live state") {
