@@ -740,10 +740,13 @@ class Catalog(
   // see a partial generation — not an error, just missing rows. The fix
   // is optimistic-read validation, all through the coordinator:
   //
-  //  - writers bracket their rename phase with a MARKER
-  //    (`<table>__swapping`, content `holder expiresAt manifestDigest`)
-  //    and bump a GENERATION counter (`<table>__swapgen`) after the
-  //    renames, before dropping the marker;
+  //  - writers open a MARKER (`<table>__swapping`, content
+  //    `holder expiresAt phase manifestDigest`) BEFORE their staged
+  //    write — phase "stage", which readers ignore (live tables are
+  //    untouched until the renames) but which keeps concurrent heals
+  //    off the in-flight staging — flip it to phase "swap" at the
+  //    first rename, and bump a GENERATION counter
+  //    (`<table>__swapgen`) after the renames, before dropping it;
   //  - readers needing swap-exact results use [[consistentRead]]: check
   //    marker-absent + record gens, materialize the read, re-check —
   //    any overlap with a swap window invalidates and retries. Readers
