@@ -266,33 +266,64 @@ class Catalog(
         throw new Catalog.SwapInFlight(
           s"a swap of '$table' by holder $h is within its TTL — retry " +
             "after it closes or expires")
-      case Some((_, _, _, manifest)) =>
-        if (treeDigest(fs, live) == manifest) {
-          // live IS the pre-swap original (died before/mid move-aside):
-          // drop the partial aside remnant; the op never landed, replays
-          coordinator.delete(fs, aside, true)
-        } else if (treeDigest(fs, aside) == manifest) {
-          // aside holds the complete original; live is partial (died
-          // mid move-aside delete phase, mid move-in copy) or the
-          // complete new generation (died inside endSwap) — roll BACK,
-          // the unambiguous heal: the op never returned, so it replays
-          coordinator.delete(fs, live, true)
-          if (!coordinator.rename(fs, aside, live))
-            throw new java.io.IOException(
-              s"swap-crash roll-back failed for $table")
-        } else if (manifest == "-") {
-          // first-ever publish: no original existed — drop the partial
-          // live remnant; the roll-forward below republishes a
-          // complete (_SUCCESS-marked) stage
-          coordinator.delete(fs, live, true)
-        } else {
-          throw new java.io.IOException(
-            s"swap-crash state for $table matches neither the recorded " +
-              "manifest (live or aside) nor a first-ever publish — " +
-              "refusing to guess; inspect __replaced/__replacing siblings")
+      case Some(_) =>
+        // EXPIRED (or own stale) marker: the heal below is DESTRUCTIVE
+        // (delete-then-rename on digest decisions computed up front), so
+        // exactly one healer may run it — claim the heal key first; a
+        // loser's concurrent heal would destroy both copies (see
+        // [[acquireHealClaim]])
+        if (!acquireHealClaim(fs, table)) {
+          if (lenient) return
+          throw new Catalog.SwapInFlight(
+            s"another healer holds the heal claim for '$table' — its " +
+              "heal is in flight; retry after it completes or its claim " +
+              "expires")
         }
-        bumpSwapGen(fs, table) // readers spanning the heal invalidate
-        coordinator.delete(fs, swapMarkerPath(table), false)
+        try {
+          // re-read UNDER the claim: between our first read and the
+          // claim, the predecessor may have finished the heal (marker
+          // gone) or a new writer begun a fresh swap (unexpired foreign)
+          readSwapMarker(fs, table) match {
+            case Some((h2, exp2, _, _))
+                if exp2 >= System.currentTimeMillis() &&
+                  (h2 != leaseHolder || inFlightSwaps.contains(table)) =>
+              if (lenient) return
+              throw new Catalog.SwapInFlight(
+                s"a swap of '$table' by holder $h2 began while claiming " +
+                  "its heal — retry after it closes or expires")
+            case Some((_, _, _, manifest)) =>
+              if (treeDigest(fs, live) == manifest) {
+                // live IS the pre-swap original (died before/mid
+                // move-aside): drop the partial aside remnant; the op
+                // never landed, replays
+                coordinator.delete(fs, aside, true)
+              } else if (treeDigest(fs, aside) == manifest) {
+                // aside holds the complete original; live is partial
+                // (died mid move-aside delete phase, mid move-in copy)
+                // or the complete new generation (died inside endSwap)
+                // — roll BACK, the unambiguous heal: the op never
+                // returned, so it replays
+                coordinator.delete(fs, live, true)
+                if (!coordinator.rename(fs, aside, live))
+                  throw new java.io.IOException(
+                    s"swap-crash roll-back failed for $table")
+              } else if (manifest == "-") {
+                // first-ever publish: no original existed — drop the
+                // partial live remnant; the roll-forward below
+                // republishes a complete (_SUCCESS-marked) stage
+                coordinator.delete(fs, live, true)
+              } else {
+                throw new java.io.IOException(
+                  s"swap-crash state for $table matches neither the " +
+                    "recorded manifest (live or aside) nor a first-ever " +
+                    "publish — refusing to guess; inspect " +
+                    "__replaced/__replacing siblings")
+              }
+              bumpSwapGen(fs, table) // readers spanning the heal invalidate
+              coordinator.delete(fs, swapMarkerPath(table), false)
+            case None => () // predecessor healed it; nothing left to do
+          }
+        } finally releaseHealClaim(fs, table)
       case None => ()
     }
     if (!fs.exists(live)) {
@@ -308,22 +339,29 @@ class Catalog(
       } else {
         // no aside: a FIRST-EVER replace (nothing to move aside)
         // crashed before its swap-in — roll forward a complete
-        // (_SUCCESS-marked) stage so the table appears; newest wins if
-        // a fenced first-writer's stale stage also survived.
-        // CAVEAT (bare-replaceTable callers): newest-mtime can pick a
-        // FENCED writer's stage when its staging job finished after
-        // the crashed legitimate successor's — fencing leaves no
-        // durable holder tombstone (break-claims are renamed then
-        // deleted), so there is no evidence here to tie-break against.
-        // Under the op-log-driven flows every index family actually
-        // uses this is harmless: the successor's op never committed
-        // (the commit row lands after replaceTable returns), so replay
-        // redoes it over whatever content recovery surfaced. A caller
-        // invoking bare replaceTable with NO op log on top accepts
-        // that a first-ever-replace crash may surface a fenced
-        // writer's content until its own retry lands.
+        // (_SUCCESS-marked) stage so the table appears. Tie-break by
+        // EVIDENCE first, mtime second: a holder with a fenced
+        // tombstone on record (its lease was broken by a contender —
+        // [[withMaintenanceLease]].breakStale persists the identity at
+        // the break) is excluded outright, so a fenced first-writer's
+        // stage can never beat the legitimate successor's just by
+        // having finished staging later. Among the remaining
+        // (non-fenced) candidates newest-mtime still decides; legacy
+        // fixed-name stages carry no holder and are never excluded.
+        // Under the op-log-driven flows this is belt-and-suspenders
+        // (the successor's op never committed, so replay redoes it);
+        // for bare-replaceTable callers it closes the documented
+        // fenced-content window.
         val complete = stagingSiblings(table, "__replacing")
           .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .filterNot { p =>
+            val name = p.getName
+            val sep = name.lastIndexOf("__replacing.")
+            sep >= 0 && {
+              val holder = name.substring(sep + "__replacing.".length)
+              holder.nonEmpty && isFencedHolder(fs, holder)
+            }
+          }
         if (complete.nonEmpty) {
           val fwd = complete.maxBy(p => fs.getFileStatus(p).getModificationTime)
           if (!coordinator.rename(fs, fwd, live)) throw new java.io.IOException(
@@ -379,44 +417,83 @@ class Catalog(
         throw new Catalog.SwapInFlight(
           s"a compaction swap of '$table' by holder $h is within its " +
             "TTL — retry after it closes or expires")
-      case Some((h, _, _, _)) =>
-        val staging = new org.apache.hadoop.fs.Path(
-          path(table) + "__compacting." + h)
-        val manifest = new org.apache.hadoop.fs.Path(staging, "__manifest")
-        val manifestTxt = coordinator.readSmall(fs, manifest)
-        if (manifestTxt.isEmpty)
-          // died during the STAGED WRITE (the marker now covers it):
-          // nothing was renamed, live tables are intact — the partial
-          // stage is pure garbage
-          coordinator.delete(fs, staging, true)
-        manifestTxt.foreach { txt =>
-          txt.linesIterator.filter(_.nonEmpty).foreach { line =>
-            val Array(encValue, digest) = line.split(" ", 2)
-            val dir = s"$partitionCol=" +
-              java.net.URLDecoder.decode(encValue, "UTF-8")
-            val src = new org.apache.hadoop.fs.Path(staging, dir)
-            val dst = new org.apache.hadoop.fs.Path(root, dir)
-            val old = new org.apache.hadoop.fs.Path(staging, s"__old__$dir")
-            if (digest == "EMPTY") {
-              coordinator.delete(fs, dst, true)
-              coordinator.delete(fs, old, true)
-            } else if (treeDigest(fs, dst) == digest) {
-              coordinator.delete(fs, src, true)
-              coordinator.delete(fs, old, true)
-            } else if (treeDigest(fs, src) == digest) {
-              coordinator.delete(fs, dst, true)
-              if (!coordinator.rename(fs, src, dst))
-                throw new java.io.IOException(
-                  s"compaction swap-crash roll-forward failed for $dir")
-              coordinator.delete(fs, old, true)
-            } else throw new java.io.IOException(
-              s"compaction swap-crash state for $dir matches neither the " +
-                "live nor the staged manifest digest — refusing to guess")
-          }
-          coordinator.delete(fs, staging, true)
+      case Some(_) =>
+        // EXPIRED (or own stale) marker: destructive heal — claim first
+        // (see [[acquireHealClaim]]; same posture as recoverReplace)
+        if (!acquireHealClaim(fs, table)) {
+          if (lenient) return
+          throw new Catalog.SwapInFlight(
+            s"another healer holds the heal claim for '$table' — its " +
+              "heal is in flight; retry after it completes or its claim " +
+              "expires")
         }
-        bumpSwapGen(fs, table)
-        coordinator.delete(fs, swapMarkerPath(table), false)
+        try {
+          readSwapMarker(fs, table) match {
+            case Some((h2, exp2, _, _))
+                if exp2 >= System.currentTimeMillis() &&
+                  (h2 != leaseHolder || inFlightSwaps.contains(table)) =>
+              if (lenient) return
+              throw new Catalog.SwapInFlight(
+                s"a compaction swap of '$table' by holder $h2 began " +
+                  "while claiming its heal — retry after it closes or " +
+                  "expires")
+            case Some((h2, _, _, _)) =>
+              val staging = new org.apache.hadoop.fs.Path(
+                path(table) + "__compacting." + h2)
+              val manifest = new org.apache.hadoop.fs.Path(staging, "__manifest")
+              // parse the WHOLE manifest before acting on any line: the
+              // manifest is staged (and only then renamed from) BEFORE
+              // the first swap rename, so a malformed line — a crash
+              // mid-write tearing the tail — means the manifest was
+              // never complete and NOTHING was renamed; the stage is
+              // died-during-staged-write garbage. Acting line-by-line
+              // and discovering the tear mid-iteration would have
+              // already rolled staged partitions forward for a swap
+              // that never started.
+              val parsed: Option[Seq[(String, String)]] =
+                coordinator.readSmall(fs, manifest).flatMap { txt =>
+                  val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
+                  val split = lines.map(_.split(" ", 2))
+                  if (split.forall(_.length == 2))
+                    Some(split.map(a => (a(0), a(1))))
+                  else None
+                }
+              if (parsed.isEmpty)
+                // absent OR torn manifest: died during the STAGED WRITE
+                // (the marker covers it) — nothing was renamed, live
+                // tables are intact, the partial stage is pure garbage
+                coordinator.delete(fs, staging, true)
+              parsed.foreach { entries =>
+                entries.foreach { case (encValue, digest) =>
+                  val dir = s"$partitionCol=" +
+                    java.net.URLDecoder.decode(encValue, "UTF-8")
+                  val src = new org.apache.hadoop.fs.Path(staging, dir)
+                  val dst = new org.apache.hadoop.fs.Path(root, dir)
+                  val old = new org.apache.hadoop.fs.Path(staging, s"__old__$dir")
+                  if (digest == "EMPTY") {
+                    coordinator.delete(fs, dst, true)
+                    coordinator.delete(fs, old, true)
+                  } else if (treeDigest(fs, dst) == digest) {
+                    coordinator.delete(fs, src, true)
+                    coordinator.delete(fs, old, true)
+                  } else if (treeDigest(fs, src) == digest) {
+                    coordinator.delete(fs, dst, true)
+                    if (!coordinator.rename(fs, src, dst))
+                      throw new java.io.IOException(
+                        s"compaction swap-crash roll-forward failed for $dir")
+                    coordinator.delete(fs, old, true)
+                  } else throw new java.io.IOException(
+                    s"compaction swap-crash state for $dir matches neither " +
+                      "the live nor the staged manifest digest — refusing " +
+                      "to guess")
+                }
+                coordinator.delete(fs, staging, true)
+              }
+              bumpSwapGen(fs, table)
+              coordinator.delete(fs, swapMarkerPath(table), false)
+            case None => () // predecessor healed it; nothing left to do
+          }
+        } finally releaseHealClaim(fs, table)
       case None => ()
     }
     // every surviving stage (crashed writers AND fenced ones — stages
@@ -773,6 +850,73 @@ class Catalog(
     new org.apache.hadoop.fs.Path(path(table) + "__swapping")
   private def swapGenPath(table: String) =
     new org.apache.hadoop.fs.Path(path(table) + "__swapgen")
+  private def healClaimPath(table: String) =
+    new org.apache.hadoop.fs.Path(path(table) + "__swapheal")
+  // warehouse-level tombstone recording that `holder` was fenced (its
+  // stale lease broken by a contender) — written at the break
+  // ([[withMaintenanceLease]].breakStale), read by recovery tie-breaks
+  private def fencedTombPath(holder: String) =
+    new org.apache.hadoop.fs.Path(path(s"__fenced.$holder"))
+
+  /** True when `holder` has a fenced tombstone on record. */
+  private def isFencedHolder(
+      fs: org.apache.hadoop.fs.FileSystem, holder: String): Boolean =
+    coordinator.readSmall(fs, fencedTombPath(holder)).isDefined
+  // a heal is renames + sidecar-sized tree listings — seconds, not a
+  // staging job; a crashed healer's claim ages out on this bound
+  private val healClaimTtlMs = 60 * 1000L
+
+  /** Serialize DESTRUCTIVE expired-marker heals: every read/append
+    * entry calls recovery, so N concurrent readers can all observe one
+    * expired swap marker and race its heal — and the heal's
+    * delete-then-rename body is only convergent for ONE actor (healer A
+    * renames aside->live; healer B, which computed its digests earlier,
+    * then deletes live and fails its own rename because aside is gone —
+    * both copies destroyed). Exactly one healer may act: claim the
+    * table's heal key first (atomic create-if-absent through the
+    * coordinator, the lease pattern), losers skip (lenient entries) or
+    * refuse loudly (write entries retry). A healer that crashes
+    * mid-heal leaves its claim to age out on [[healClaimTtlMs]]; the
+    * next claimant re-enters the same convergent branches. The acquire
+    * section reuses the per-path monitor ([[Catalog.leaseLock]]) so
+    * in-process healers serialize without a coordinator round-trip.
+    * Caller MUST pair with [[releaseHealClaim]] in a finally. */
+  private def acquireHealClaim(
+      fs: org.apache.hadoop.fs.FileSystem, table: String): Boolean = {
+    val p = healClaimPath(table)
+    def tryCreate(): Boolean = coordinator.createIfAbsent(fs, p,
+      s"$leaseHolder ${System.currentTimeMillis() + healClaimTtlMs}")
+    def expired(): Boolean =
+      coordinator.readSmall(fs, p) match {
+        case Some(content) => content.split("\\s+") match {
+          case Array(_, exp) if exp.forall(_.isDigit) =>
+            exp.toLong < System.currentTimeMillis()
+          case _ => // unreadable content: age the FILE (see lease twin)
+            try fs.getFileStatus(p).getModificationTime + healClaimTtlMs <
+              System.currentTimeMillis()
+            catch { case _: java.io.IOException => false }
+        }
+        case None => false
+      }
+    def breakStale(): Boolean = {
+      val tomb = new org.apache.hadoop.fs.Path(
+        path(table) + "__swapheal_broken_" + java.util.UUID.randomUUID())
+      val won = coordinator.rename(fs, p, tomb)
+      if (won) coordinator.delete(fs, tomb, false)
+      won
+    }
+    Catalog.leaseLock(p.toString).synchronized {
+      tryCreate() || { if (expired()) breakStale() && tryCreate() else false }
+    }
+  }
+
+  private def releaseHealClaim(
+      fs: org.apache.hadoop.fs.FileSystem, table: String): Unit =
+    Catalog.leaseLock(healClaimPath(table).toString).synchronized {
+      if (coordinator.readSmall(fs, healClaimPath(table))
+          .exists(_.startsWith(leaseHolder + " ")))
+        coordinator.delete(fs, healClaimPath(table), false)
+    }
 
   /** Digest of a directory tree's (relative-name, length) set — the
     * completeness fingerprint swap-crash healing compares against.
@@ -833,7 +977,18 @@ class Catalog(
     val g = coordinator.readSmall(fs, swapGenPath(table))
       .flatMap(_.trim.toLongOption).getOrElse(0L)
     coordinator.delete(fs, swapGenPath(table), false)
-    coordinator.createIfAbsent(fs, swapGenPath(table), (g + 1).toString)
+    if (!coordinator.createIfAbsent(fs, swapGenPath(table), (g + 1).toString)) {
+      // lost the re-create to a concurrent creator. Whoever won wrote
+      // its own bumped value, so readers pairing generations across
+      // this instant still observe a CHANGE — which is all the bump
+      // must guarantee. Only an unchanged value is a lost bump: fail
+      // loudly rather than let readers miss the swap.
+      if (coordinator.readSmall(fs, swapGenPath(table))
+          .map(_.trim).contains(g.toString))
+        throw new java.io.IOException(
+          s"swap-generation bump for '$table' lost a race and the " +
+            "generation is unchanged — readers could miss this swap")
+    }
   }
 
   /** Open a swap window: publish the marker carrying this writer's
@@ -896,9 +1051,22 @@ class Catalog(
       fs: org.apache.hadoop.fs.FileSystem, table: String): Unit =
     readSwapMarker(fs, table).filter(_._1 == leaseHolder) match {
       case Some((h, _, _, d)) =>
-        coordinator.delete(fs, swapMarkerPath(table), false)
-        coordinator.createIfAbsent(fs, swapMarkerPath(table),
-          s"$h ${System.currentTimeMillis() + swapTtlMs} swap $d")
+        // the flip must CHECK both primitives: a silently failed delete
+        // leaves the stale stage-phase marker (readers ignore stage
+        // markers, so renaming would tear them), and a lost re-create
+        // means a healer/successor owns the marker now — either way
+        // this writer is no longer fenced and must NOT rename
+        val flipped = coordinator.delete(fs, swapMarkerPath(table), false) &&
+          coordinator.createIfAbsent(fs, swapMarkerPath(table),
+            s"$h ${System.currentTimeMillis() + swapTtlMs} swap $d")
+        if (!flipped) {
+          inFlightSwaps.remove(table)
+          throw new Catalog.SwapInFlight(
+            s"swap-phase flip for '$table' failed (marker delete failed " +
+              "or re-create lost to a concurrent creator) — this writer " +
+              "no longer holds the marker; refusing to rename, the op " +
+              "replays")
+        }
       case None =>
         inFlightSwaps.remove(table)
         throw new Catalog.SwapInFlight(
@@ -1053,7 +1221,25 @@ class Catalog(
         val claimed = new org.apache.hadoop.fs.Path(
           path(scope) + "__lease_broken_" + java.util.UUID.randomUUID().toString)
         val won = coordinator.rename(fs, p, claimed)
-        if (won) coordinator.delete(fs, claimed, false)
+        if (won) {
+          // persist a FENCED-HOLDER TOMBSTONE before dropping the claim:
+          // the break is the instant the old holder becomes fenced, and
+          // the claimed file is the only durable record of its identity
+          // — without this, recovery paths that must tie-break between
+          // a fenced writer's orphaned stage and a legitimate
+          // successor's (first-ever-replace roll-forward) have nothing
+          // but mtime to go on. Tombstones are a few bytes each,
+          // bounded by fencing EVENTS (TTL overruns — rare by
+          // construction), and read by [[fencedHolder]].
+          coordinator.readSmall(fs, claimed)
+            .flatMap(_.split("\\s+").headOption).filter(_.nonEmpty)
+            .foreach { old =>
+              coordinator.createIfAbsent(fs, fencedTombPath(old),
+                s"fenced by $leaseHolder at ${System.currentTimeMillis()} " +
+                  s"breaking scope $scope")
+            }
+          coordinator.delete(fs, claimed, false)
+        }
         won
       }
       // the acquire critical section is additionally serialized on a

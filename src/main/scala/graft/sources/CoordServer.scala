@@ -42,15 +42,34 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   *
   * Scale posture: coordination traffic is a handful of sub-100-byte
   * ops per LIFECYCLE OPERATION (one lease create + one read + one
-  * delete per op span; one stamp read per reopen) — thousands of ops/s
-  * on one fsync-bound thread covers a warehouse of thousands of
-  * concurrent writers. Nothing data-sized ever transits this channel.
+  * delete per op span; one stamp read per reopen); the measured
+  * envelope is in `scale/coord_throughput.json`
+  * ([[graft.tools.CoordThroughput]]) — mutations are fsync-bound under
+  * the single mutation lock, and the measured ops/s covers a warehouse
+  * of thousands of concurrent writers with orders of magnitude to
+  * spare. Nothing data-sized ever transits this channel. The journal is
+  * BOUNDED at ~4x live keys by online compaction (see [[maybeCompact]]),
+  * so uptime never grows replay time.
+  *
+  * Failure posture / recovery path: a server RESTART recovers from its
+  * own journal (replay). Server LOSS recovers by STANDBY PROMOTION —
+  * start a fresh server on a copy of the journal (a crash-consistent
+  * copy is fine: a torn trailing record was never acknowledged and
+  * replay drops it), then point clients at the new address; every
+  * acknowledged win holds verbatim and usurpers still lose
+  * (CrossProcessCoordSpec "standby promotion"). Promote from the MOST
+  * RECENT copy available and never run two servers against one
+  * keyspace concurrently — the journal has no epoch fencing between
+  * simultaneous server instances; the single-address client config is
+  * what keeps the keyspace single-served.
   */
 final class CoordServer private (
     val port: Int,
     server: ServerSocket,
-    journal: FileChannel,
-    kv: java.util.HashMap[String, String]) {
+    journalPath: Path,
+    private var journal: FileChannel,
+    kv: java.util.HashMap[String, String],
+    private var journalLines: Long) {
 
   private val lock = new Object
   @volatile private var closed = false
@@ -61,7 +80,48 @@ final class CoordServer private (
   private def journalLine(line: String): Unit = {
     journal.write(java.nio.ByteBuffer.wrap((line + "\n").getBytes(UTF_8)))
     journal.force(false)
+    journalLines += 1
   }
+
+  /** ONLINE compaction check (same trigger as startup): leases and
+    * break-claims churn, so without this a server up for months grows
+    * its journal without bound — precisely the long-uptime regime a
+    * lock service exists for. Called AFTER the map mutation the journal
+    * record describes (the snapshot is rewritten FROM the map, so
+    * compacting between journal-append and map-update would silently
+    * drop that record). Runs under the mutation lock (the caller holds
+    * it), so the snapshot is a consistent point and no mutation
+    * interleaves; cost is one live-keyspace rewrite, and the keyspace
+    * is lifecycle-sized (a handful of leases/stamps), so the pause is
+    * microseconds, not a stall. */
+  private def maybeCompact(): Unit =
+    if (journalLines > math.max(64L, 4L * kv.size)) compactLocked()
+
+  /** Snapshot-then-atomic-move compaction; caller holds `lock`. A crash
+    * anywhere leaves either the full history or the complete snapshot
+    * (the move is atomic), never less — identical to the startup path. */
+  private def compactLocked(): Unit = {
+    val tmp = journalPath.resolveSibling(journalPath.getFileName.toString + ".snap")
+    val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val sb = new StringBuilder
+      kv.forEach((k, v) => sb.append(s"P ${enc(k)} ${enc(v)}\n"))
+      ch.write(java.nio.ByteBuffer.wrap(sb.toString.getBytes(UTF_8)))
+      ch.force(true)
+    } finally ch.close()
+    journal.close()
+    Files.move(tmp, journalPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    journal = FileChannel.open(journalPath, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+    journalLines = kv.size.toLong
+  }
+
+  /** Test/diagnostic: current journal size in records (replayed history
+    * plus appends since the last compaction). */
+  private[graft] def journalRecords: Long = lock.synchronized(journalLines)
 
   private[sources] def handle(cmd: String): String = {
     val parts = cmd.trim.split(" ", 3)
@@ -74,7 +134,7 @@ final class CoordServer private (
           if (kv.containsKey(k)) "EXISTS"
           else {
             journalLine(s"P ${enc(k)} ${enc(v)}")
-            kv.put(k, v); "OK"
+            kv.put(k, v); maybeCompact(); "OK"
           }
         }
       case "GET" =>
@@ -89,7 +149,7 @@ final class CoordServer private (
           if (v == null) "MISS"
           else {
             journalLine(s"R ${enc(s)} ${enc(d)}")
-            kv.remove(s); kv.put(d, v); "OK"
+            kv.remove(s); kv.put(d, v); maybeCompact(); "OK"
           }
         }
       case "DEL" =>
@@ -98,7 +158,7 @@ final class CoordServer private (
           if (!kv.containsKey(k)) "MISS"
           else {
             journalLine(s"D ${enc(k)}")
-            kv.remove(k); "OK"
+            kv.remove(k); maybeCompact(); "OK"
           }
         }
       case other => s"ERR unknown command $other"
@@ -141,7 +201,11 @@ final class CoordServer private (
   def close(): Unit = {
     closed = true
     try server.close() catch { case _: java.io.IOException => () }
-    try journal.close() catch { case _: java.io.IOException => () }
+    // under the mutation lock: an in-flight op (or online compaction)
+    // finishes against an open channel before it is released
+    lock.synchronized {
+      try journal.close() catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Test/diagnostic view of a key without a client connection. */
@@ -159,31 +223,54 @@ object CoordServer {
     var journalLines = 0
     if (Files.exists(journalPath)) {
       def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-      Files.readAllLines(journalPath, UTF_8).forEach { line =>
-        journalLines += 1
-        val p = line.split(" ", 3)
-        p(0) match {
-          case "P" => kv.put(dec(p(1)), dec(p(2)))
-          case "R" =>
-            val v = kv.remove(dec(p(1))); if (v != null) kv.put(dec(p(2)), v)
-          case "D" => kv.remove(dec(p(1)))
-          case _ => () // torn trailing line from a crash mid-append:
-          // the op was never acknowledged, dropping it is correct
+      val lines = Files.readAllLines(journalPath, UTF_8)
+      var i = 0
+      while (i < lines.size) {
+        val line = lines.get(i)
+        i += 1
+        // a crash mid-append can tear exactly the FINAL record — 'P key'
+        // with no value (p(2) out of bounds) or a %-escape cut mid-value
+        // (URLDecoder throws) — and that op was never acknowledged (the
+        // ack follows the fsync), so dropping it is correct. The same
+        // malformation on an INTERIOR record is real corruption: fail
+        // loudly rather than silently resurrect a partial state.
+        try {
+          val p = line.split(" ", 3)
+          p(0) match {
+            case "P" => kv.put(dec(p(1)), dec(p(2)))
+            case "R" =>
+              val v = kv.remove(dec(p(1))); if (v != null) kv.put(dec(p(2)), v)
+            case "D" => kv.remove(dec(p(1)))
+            case other =>
+              throw new java.io.IOException(s"unknown record type '$other'")
+          }
+          journalLines += 1
+        } catch {
+          case e: Exception if i == lines.size =>
+            () // torn trailing record from a crash mid-append: dropped
+          case e: Exception =>
+            throw new java.io.IOException(
+              s"corrupt INTERIOR journal record at line $i of " +
+                s"${lines.size} ('${line.take(80)}') — refusing to replay " +
+                "a partial state; inspect the journal", e)
         }
       }
     }
-    // JOURNAL COMPACTION: leases and break-claims churn, so the journal
-    // grows with op COUNT while the live keyspace stays lifecycle-sized
-    // — replaying months of coordination history at every restart is
-    // the classic unbounded-log failure. When history dwarfs state,
-    // snapshot: rewrite the journal as one P-record per live key
-    // (equivalent by construction — replay is a fold and the snapshot
-    // is its current value), fsynced to a temp file then atomically
-    // moved over the old journal, so a crash mid-compaction leaves
-    // either the full history or the complete snapshot, never less.
+    // STARTUP JOURNAL COMPACTION: leases and break-claims churn, so the
+    // journal grows with op COUNT while the live keyspace stays
+    // lifecycle-sized — replaying months of coordination history at
+    // every restart is the classic unbounded-log failure. When history
+    // dwarfs state, snapshot: rewrite the journal as one P-record per
+    // live key (equivalent by construction — replay is a fold and the
+    // snapshot is its current value), fsynced to a temp file then
+    // atomically moved over the old journal, so a crash mid-compaction
+    // leaves either the full history or the complete snapshot, never
+    // less. The same trigger also fires ONLINE (see journalLine /
+    // compactLocked), so a long-lived server bounds its journal at
+    // ~4x live keys without ever restarting.
     if (journalLines > math.max(64, 4 * kv.size)) {
       def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
-      val tmp = journalPath.resolveSibling(journalPath.getFileName + ".snap")
+      val tmp = journalPath.resolveSibling(journalPath.getFileName.toString + ".snap")
       val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
         StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
       try {
@@ -195,6 +282,7 @@ object CoordServer {
       Files.move(tmp, journalPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      journalLines = kv.size
     }
     if (journalPath.getParent != null) Files.createDirectories(journalPath.getParent)
     val journal = FileChannel.open(journalPath,
@@ -202,7 +290,8 @@ object CoordServer {
       StandardOpenOption.APPEND)
     val server = new ServerSocket(port, 128,
       java.net.InetAddress.getLoopbackAddress)
-    val cs = new CoordServer(server.getLocalPort, server, journal, kv)
+    val cs = new CoordServer(server.getLocalPort, server, journalPath,
+      journal, kv, journalLines.toLong)
     val t = new Thread(() => cs.serveLoop(), "coord-accept")
     t.setDaemon(true); t.start()
     cs

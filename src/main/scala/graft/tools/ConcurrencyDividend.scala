@@ -49,12 +49,19 @@ object ConcurrencyDividend {
 
   def main(args: Array[String]): Unit = {
     val ops = if (args.nonEmpty) args(0).toInt else 8
+    // FAIR scheduling so neither thread's small jobs starve behind the
+    // other's — the production multi-stream shape. Scheduler MODE is a
+    // SparkConf setting fixed at context creation (a local property
+    // would be a no-op), so set it via system property before the
+    // session builds; each measured thread then names its own pool
+    // below (undefined pools materialize with default weight, and
+    // scheduling BETWEEN pools is fair — no XML needed).
+    System.setProperty("spark.scheduler.mode", "FAIR")
     val spark = GraftSession.local("graft-conc-div",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("ERROR")
-    // FAIR scheduling so neither thread's small jobs starve behind the
-    // other's — the production multi-stream shape
-    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+    require(spark.sparkContext.getConf.get("spark.scheduler.mode") == "FAIR",
+      "probe must measure the production FAIR shape")
 
     def fresh(): (Catalog, Catalog) = {
       val dir = Files.createTempDirectory("graft-conc").toString
@@ -81,11 +88,15 @@ object ConcurrencyDividend {
       timed {
         val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
         val t1 = new Thread(() =>
-          try dedupOps(spark, d, ops)
-          catch { case e: Throwable => err.set(e) })
+          try {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "dedup")
+            dedupOps(spark, d, ops)
+          } catch { case e: Throwable => err.set(e) })
         val t2 = new Thread(() =>
-          try bm25Ops(spark, b, ops)
-          catch { case e: Throwable => err.set(e) })
+          try {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "bm25")
+            bm25Ops(spark, b, ops)
+          } catch { case e: Throwable => err.set(e) })
         t1.start(); t2.start(); t1.join(); t2.join()
         if (err.get != null) throw err.get
       }

@@ -38,6 +38,10 @@ import graft.GraftSession
   * scale a 10 TB source on a cluster.
   *
   * Run: `sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 localdata/sf1 10"`.
+  * Optional trailing args name the only tables to build (e.g. a
+  * `documents`-only sf300 for a single-family marginal-exponent probe —
+  * a full sf300 is ~60 GB, the one table ~2 GB); large factors write in
+  * replica chunks so the union plan stays bounded.
   */
 object ScaleUp {
 
@@ -95,28 +99,42 @@ object ScaleUp {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "localdata/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val only: Set[String] = args.drop(3).toSet
+    def want(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local("graft-scaleup", cpus)
 
     def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
     // one stride per key FAMILY, shared by every table referencing it, so
-    // fact->dim references stay aligned within each replica
-    val sOrder = stride(rd("orders"), "o_orderkey")
-    val sCust = stride(rd("customer"), "c_custkey")
-    val sPart = stride(rd("part"), "p_partkey")
-    val sSupp = stride(rd("supplier"), "s_suppkey")
-    val sEvent = stride(rd("events"), "event_id")
-    val sUser = stride(rd("events"), "user_id")
-    val sDoc = stride(rd("documents"), "doc_id")
-    val sVec = stride(rd("embeddings"), "vec_id")
+    // fact->dim references stay aligned within each replica (lazy: a
+    // table-filtered run reads only the strides its tables bind)
+    lazy val sOrder = stride(rd("orders"), "o_orderkey")
+    lazy val sCust = stride(rd("customer"), "c_custkey")
+    lazy val sPart = stride(rd("part"), "p_partkey")
+    lazy val sSupp = stride(rd("supplier"), "s_suppkey")
+    lazy val sEvent = stride(rd("events"), "event_id")
+    lazy val sUser = stride(rd("events"), "user_id")
+    lazy val sDoc = stride(rd("documents"), "doc_id")
+    lazy val sVec = stride(rd("embeddings"), "vec_id")
 
-    def replicate(name: String, outFiles: Int)(one: (DataFrame, Int) => DataFrame): Unit = {
+    def replicate(name: String, outFiles: Int)(one: (DataFrame, Int) => DataFrame): Unit = if (want(name)) {
       val base = rd(name)
-      val all = (0 until factor).map(r => one(base, r)).reduce(_ unionByName _)
-      all.repartition(outFiles)
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"[scaleup] $name -> ${factor}x, $outFiles files")
+      // bound the union plan: a 3000-way unionByName stalls Catalyst, so
+      // replicas land in chunks of <=200 (append after the first chunk —
+      // each chunk's rows are final, replicas never cross chunks). A
+      // factor <=200 run is byte-identical to the historical single-shot
+      // path: one chunk, overwrite, outFiles files.
+      val groups = (0 until factor).grouped(200).toSeq
+      groups.zipWithIndex.foreach { case (rs, gi) =>
+        val part = rs.map(r => one(base, r)).reduce(_ unionByName _)
+        val files = math.max(1,
+          math.round(outFiles.toDouble * rs.size / factor).toInt)
+        part.repartition(files)
+          .write.mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$dst/$name.parquet")
+      }
+      println(s"[scaleup] $name -> ${factor}x, ~$outFiles files")
     }
 
     replicate("lineitem", 4 * factor) { (d, r) =>
@@ -144,7 +162,7 @@ object ScaleUp {
       rotateVectors(shiftKeys(d, r, Map("vec_id" -> sVec)), "embedding", r)
     }
     // nation/region never scale: copy as-is so the dir is self-contained
-    Seq("nation", "region").foreach { name =>
+    Seq("nation", "region").filter(want).foreach { name =>
       rd(name).coalesce(1).write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name -> copied")
     }

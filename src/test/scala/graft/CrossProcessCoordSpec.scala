@@ -173,46 +173,159 @@ class CrossProcessCoordSpec extends AnyFunSuite {
     } finally revived.close()
   }
 
-  test("the journal compacts to a snapshot when history dwarfs live state") {
+  test("ONLINE compaction bounds the journal across a 10x churn run without restart") {
     // lease churn grows the journal with op COUNT while the keyspace
-    // stays lifecycle-sized — an unbounded replay at every restart is
-    // the classic durable-log failure. Startup snapshots when history
-    // exceeds 4x live keys: the rewritten journal is one P-record per
-    // key, equivalent by construction.
-    val dir = Files.createTempDirectory("graft-coord-compact").toString
+    // stays lifecycle-sized — and a lock service's normal deployment is
+    // MONTHS of uptime, so waiting for a restart to snapshot is the
+    // classic unbounded-log failure. The same >4x-live trigger now
+    // fires DURING operation (under the mutation lock): the journal
+    // must stay bounded across a churn run that is 10x past the
+    // trigger, with no restart, and a crash+restart afterwards must
+    // recover the full acknowledged state.
+    val dir = Files.createTempDirectory("graft-coord-online").toString
     val journal = Paths.get(dir, "coord.journal")
     val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
     val s1 = CoordServer.start(journal)
     try {
       val c = CommitCoordinator.remote("127.0.0.1", s1.port)
-      // 300 acquire/release cycles (600 journal records), 3 live keys
-      (0 until 300).foreach { i =>
-        assert(c.createIfAbsent(fs, new HPath(s"$dir/lease"), s"h$i"))
-        assert(c.delete(fs, new HPath(s"$dir/lease"), false))
-      }
       (0 until 3).foreach { i =>
         assert(c.createIfAbsent(fs, new HPath(s"$dir/stamp_$i"), s"layout $i"))
       }
-      assert(Files.readAllLines(journal).size > 600)
+      // 650 acquire/release cycles = 1300+ mutations, 10x past the
+      // 64-record trigger, while live keys stay at 3-4
+      var maxRecords = 0L
+      (0 until 650).foreach { i =>
+        assert(c.createIfAbsent(fs, new HPath(s"$dir/lease"), s"h$i"))
+        assert(c.delete(fs, new HPath(s"$dir/lease"), false))
+        if (i % 10 == 0) maxRecords = math.max(maxRecords, s1.journalRecords)
+      }
+      maxRecords = math.max(maxRecords, s1.journalRecords)
+      // bounded at the trigger (max(64, 4*live)+1), not growing with
+      // the 1300-op history
+      assert(maxRecords <= 70,
+        s"journal reached $maxRecords records mid-uptime — online " +
+          "compaction never fired or fired too late")
+      assert(Files.readAllLines(journal).size <= 70)
+      // state is intact through the online snapshots, no restart needed
+      (0 until 3).foreach { i =>
+        assert(c.readSmall(fs, new HPath(s"$dir/stamp_$i"))
+          .contains(s"layout $i"))
+      }
+      // survives the compactions' channel swaps: a fresh mutation lands
+      assert(c.createIfAbsent(fs, new HPath(s"$dir/extra"), "x"))
     } finally s1.close()
-    // restart: compaction fires, state intact, journal is now live-sized
+    // crash + restart: the compacted journal replays the full state
     val s2 = CoordServer.start(journal)
     try {
-      assert(Files.readAllLines(journal).size === 3)
       val c2 = CommitCoordinator.remote("127.0.0.1", s2.port)
       (0 until 3).foreach { i =>
         assert(c2.readSmall(fs, new HPath(s"$dir/stamp_$i"))
           .contains(s"layout $i"))
       }
-      // post-snapshot appends keep working
-      assert(c2.createIfAbsent(fs, new HPath(s"$dir/extra"), "x"))
+      assert(c2.readSmall(fs, new HPath(s"$dir/extra")).contains("x"))
+      assert(c2.readSmall(fs, new HPath(s"$dir/lease")).isEmpty,
+        "released lease resurrected by replay")
     } finally s2.close()
-    // and a third start replays snapshot + tail correctly
-    val s3 = CoordServer.start(journal)
+  }
+
+  test("startup compaction still snapshots a legacy oversized journal") {
+    // a journal written by a pre-online-compaction server (or copied
+    // from one) can arrive oversized; the startup path snapshots it
+    // before serving
+    val dir = Files.createTempDirectory("graft-coord-legacy").toString
+    val journal = Paths.get(dir, "coord.journal")
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+    val sb = new StringBuilder
+    (0 until 300).foreach { i => sb.append(s"P lease h$i\n"); sb.append("D lease\n") }
+    (0 until 3).foreach { i => sb.append(s"P stamp_$i layout+$i\n") }
+    Files.writeString(journal, sb.toString)
+    val s = CoordServer.start(journal)
     try {
-      val c3 = CommitCoordinator.remote("127.0.0.1", s3.port)
-      assert(c3.readSmall(fs, new HPath(s"$dir/extra")).contains("x"))
-      assert(c3.readSmall(fs, new HPath(s"$dir/stamp_1")).contains("layout 1"))
-    } finally s3.close()
+      assert(Files.readAllLines(journal).size === 3)
+      val c = CommitCoordinator.remote("127.0.0.1", s.port)
+      (0 until 3).foreach { i =>
+        assert(c.readSmall(fs, new HPath(s"stamp_$i")).contains(s"layout $i"))
+      }
+    } finally s.close()
+  }
+
+  test("replay drops a torn TRAILING record and refuses a corrupt INTERIOR one") {
+    // a crash mid-append tears exactly the final record — 'P key' with
+    // no value, or a %-escape cut mid-value. That op was never
+    // acknowledged (the ack follows the fsync), so dropping it is
+    // correct; the same malformation INSIDE the journal is real
+    // corruption and must fail loudly, not silently resurrect a
+    // partial state.
+    val dir = Files.createTempDirectory("graft-coord-torn").toString
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+
+    // torn value field (missing operand)
+    val j1 = Paths.get(dir, "j1")
+    Files.writeString(j1, "P k1 v1\nP k2")
+    val s1 = CoordServer.start(j1)
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", s1.port)
+      assert(c.readSmall(fs, new HPath("k1")).contains("v1"))
+      assert(c.readSmall(fs, new HPath("k2")).isEmpty, "torn record applied")
+      // the server still serves and journals after the drop
+      assert(c.createIfAbsent(fs, new HPath("k3"), "v3"))
+    } finally s1.close()
+
+    // torn %-escape (URLDecoder would throw)
+    val j2 = Paths.get(dir, "j2")
+    Files.writeString(j2, "P k1 v1\nP k2 broken%2")
+    val s2 = CoordServer.start(j2)
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", s2.port)
+      assert(c.readSmall(fs, new HPath("k1")).contains("v1"))
+      assert(c.readSmall(fs, new HPath("k2")).isEmpty)
+    } finally s2.close()
+
+    // the SAME tear on an interior record: refuse to start — an
+    // acknowledged op would otherwise vanish silently
+    val j3 = Paths.get(dir, "j3")
+    Files.writeString(j3, "P k2\nP k1 v1\n")
+    val e = intercept[java.io.IOException](CoordServer.start(j3))
+    assert(e.getMessage.contains("INTERIOR"))
+  }
+
+  test("standby promotion: a journal copy promoted on a new address holds every acknowledged win") {
+    // server REPLACEMENT, not just restart: copy the live journal (a
+    // crash-consistent copy — it may carry a torn tail, which replay
+    // drops), kill the primary, promote a standby from the copy on a
+    // NEW port, and point a fresh client at it. Every acknowledged
+    // lease and stamp must hold verbatim, a usurper must still lose,
+    // and new mutations must proceed on the promoted server.
+    val dir = Files.createTempDirectory("graft-coord-promote").toString
+    val journalA = Paths.get(dir, "primary.journal")
+    val journalB = Paths.get(dir, "standby.journal")
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+    val primary = CoordServer.start(journalA)
+    val wins = (0 until 20).map(i => s"$dir/lease_$i" -> s"holder_$i")
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", primary.port)
+      wins.foreach { case (k, v) =>
+        assert(c.createIfAbsent(fs, new HPath(k), v))
+      }
+      assert(c.createIfAbsent(fs, new HPath(s"$dir/stamp"), "layout v2"))
+      // copy while the primary is still LIVE (the realistic promotion
+      // source: a replica of the journal, not a clean shutdown)
+      Files.copy(journalA, journalB)
+    } finally primary.close() // primary dies
+    val standby = CoordServer.start(journalB)
+    try {
+      val c2 = CommitCoordinator.remote("127.0.0.1", standby.port)
+      wins.foreach { case (k, v) =>
+        assert(c2.readSmall(fs, new HPath(k)).contains(v),
+          s"acknowledged win $k lost in promotion")
+      }
+      assert(c2.readSmall(fs, new HPath(s"$dir/stamp")).contains("layout v2"))
+      // a usurper is still refused over promoted state
+      assert(!c2.createIfAbsent(fs, new HPath(s"$dir/lease_0"), "usurper"))
+      // and the promoted server accepts new acknowledged mutations
+      assert(c2.createIfAbsent(fs, new HPath(s"$dir/lease_new"), "post-promotion"))
+      assert(c2.rename(fs, new HPath(s"$dir/lease_new"),
+        new HPath(s"$dir/lease_new_claimed")))
+    } finally standby.close()
   }
 }
