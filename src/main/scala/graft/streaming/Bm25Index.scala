@@ -326,10 +326,16 @@ final class Bm25Index(
     * index — bit-equal to [[Retrieval.bm25TopK]] over the equivalent
     * batch corpus (same exact-integer inputs, same
     * [[Retrieval.bm25Score]] Column tree). Reads committed generations
-    * only. */
+    * only, and SNAPSHOT-ISOLATED across the whole call: one pinned
+    * [[OpLog.snapshot]] answers visibility (postings AND tombstones)
+    * and the global (n_docs, total_dl) sum, so a commit landing
+    * mid-serve can never skew this read's scoring constant against its
+    * document set — every serve scores exactly one committed prefix
+    * (spec-pinned at score granularity in SwapConsistencySpec). */
   def serve(terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "serve needs at least one query term")
     heal(lenient = true)
+    val snap = log.snapshot()
     // the query terms' bucket ids — same hash the writer used, so
     // pruning can never disagree with placement; one 1-row collect
     val bkRow = spark.range(1).select(terms.map(t =>
@@ -337,9 +343,9 @@ final class Bm25Index(
       .head()
     val bks = terms.indices.map(bkRow.getInt).distinct
     val hits = Tombstones.live(
-      log.visible(postings
+      snap.visible(postings
         .filter(F.col("bk").isin(bks: _*) && F.col("term").isin(terms: _*))),
-      log.visible(tombs))
+      snap.visible(tombs))
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       F.coalesce(F.sum(F.when(F.col("term") === t, F.col("tf"))), F.lit(0L))
         .as(s"tf$i")
@@ -350,9 +356,10 @@ final class Bm25Index(
         terms.indices.map(i => F.col(s"tf$i")): _*)
     val dfAggs = Retrieval.termDfAggs(terms)
     val dfs = hits.agg(dfAggs.head, dfAggs.tail: _*)
-    // global stats = the additive op-log sum; attempt rows are null and
-    // contribute nothing
-    val global = log.rows
+    // global stats = the additive op-log sum over the SAME pinned
+    // snapshot that decided visibility (attempt rows are null and
+    // contribute nothing) — a local relation, not a second table scan
+    val global = snap.rows
       .agg(F.coalesce(F.sum("n_docs"), F.lit(0L)).as("n_docs"),
         F.coalesce(F.sum("total_dl"), F.lit(0L)).as("total_dl"))
       .crossJoin(dfs) // 1-row × 1-row scalar spine
@@ -381,6 +388,10 @@ final class Bm25Index(
     */
   def serveBatch(queries: DataFrame, k: Int = 20): DataFrame = {
     heal(lenient = true)
+    // one pinned committed-prefix snapshot for the whole batch: every
+    // query in the batch scores against the SAME committed state
+    // (visibility and global stats can never mix adjacent commits)
+    val snap = log.snapshot()
     val q = queries
       .select(F.col("query_id").cast("long").as("query_id"), F.col("term"))
       .dropDuplicates("query_id", "term")
@@ -390,12 +401,12 @@ final class Bm25Index(
       .collect().map(_.getInt(0)).toSeq
     val qterms = q.select("term").distinct()
     val live = Tombstones.live(
-      log.visible(postings.filter(F.col("bk").isin(bks: _*))
+      snap.visible(postings.filter(F.col("bk").isin(bks: _*))
         .join(F.broadcast(qterms), Seq("term"), "leftsemi")),
-      log.visible(tombs))
+      snap.visible(tombs))
     // one live row per (term, doc): df = per-term row count
     val dfs = live.groupBy("term").agg(F.count(F.lit(1)).as("df"))
-    val global = log.rows
+    val global = snap.rows
       .agg(F.coalesce(F.sum("n_docs"), F.lit(0L)).as("n_docs"),
         F.coalesce(F.sum("total_dl"), F.lit(0L)).as("total_dl"))
     val hits = live.join(F.broadcast(q), Seq("term"))

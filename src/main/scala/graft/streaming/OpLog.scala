@@ -129,10 +129,36 @@ final class OpLog(
     * rows always have a log row. Seeders SHOULD still register their
     * generation (one [[commit]]/[[commitCount]] row) so [[maxSeq]]
     * derives bases above it and no future op can collide with — and
-    * scrub — the seeded generation. */
+    * scrub — the seeded generation.
+    *
+    * This form re-reads the log lazily at action time; ops running
+    * under the single-writer lease use it freely (nothing commits
+    * concurrently within the span). SERVE paths that consult the log
+    * more than once (visibility on several tables, a global-stats sum)
+    * must use [[snapshot]] instead: each lazy read here is its own
+    * scan, so a commit landing between two of them yields a read
+    * mixing adjacent committed states. */
   def visible(df: DataFrame, seqCol: String = "seq"): DataFrame =
     df.join(F.broadcast(openSeqs.withColumnRenamed("seq", seqCol)),
       Seq(seqCol), "leftanti")
+
+  /** Pin ONE committed-prefix view of the log for a whole serve call —
+    * the snapshot-isolation primitive. The log is read exactly once
+    * (one |ops|-row collect; the same cardinality class as the
+    * broadcasts [[visible]] already ships), and every downstream
+    * question — visibility on any number of tables, the global-stats
+    * sum, the model high-water mark — is answered from that single
+    * captured state, so a serve composed over one snapshot can never
+    * mix two adjacent committed states no matter how many commits land
+    * mid-read. The capture itself is consistent: each op appends its
+    * attempt row BEFORE any data and its commit row last, and parquet
+    * appends are whole immutable files, so one file-listing pass sees
+    * exactly "some committed prefix + some still-open attempts". */
+  def snapshot(): OpLog.Snapshot = {
+    heal(lenient = true)
+    new OpLog.Snapshot(spark, schema, marker,
+      cat.readWithSchema(table, schema).collect())
+  }
 
   /** One probe for both replay flags: ≤ |rows-for-this-seq| tiny rows
     * answer "already committed?" and "did a prior attempt write?" in a
@@ -355,4 +381,58 @@ final class OpLog(
 object OpLog {
   /** Payload for logs that only need an admitted-row count. */
   val countPayload: StructType = StructType.fromDDL("n_rows BIGINT")
+
+  /** An immutable committed-prefix view of one op log, captured by
+    * [[OpLog.snapshot]] in a single read. Visibility under a snapshot
+    * is BOUNDED ABOVE by the snapshot's attempted high-water mark: a
+    * writer that starts after the capture (its attempt row unseen
+    * here) necessarily runs at a seq above the captured [[maxSeq]]
+    * (derived bases, [[OpLog.requireFreshBase]]), so its data rows —
+    * which a data-table scan later in the same serve may physically
+    * see — are excluded by the `seq <= hwm` bound that the lazy
+    * [[OpLog.visible]] anti-join cannot express. Never-seen seqs AT or
+    * BELOW the mark keep the seeder convention (committed unless an
+    * open attempt says otherwise); an UNREGISTERED seed stamped above
+    * the current mark is invisible to snapshot reads until a
+    * registration row lands — which the seeding helpers already write.
+    * Both predicates are literals, so they push into the parquet scan
+    * instead of costing a broadcast join. */
+  final class Snapshot private[streaming] (
+      spark: SparkSession,
+      schema: StructType,
+      marker: String,
+      all: Array[Row]) {
+
+    private val markerIdx = schema.fieldIndex(marker)
+
+    /** The captured log rows as a local relation — same schema as
+      * [[OpLog.rows]], zero further scans of the stored table. */
+    def rows: DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(all: _*), schema)
+
+    /** Highest seq EVER ATTEMPTED at capture — the visibility ceiling. */
+    val maxSeq: Option[Long] =
+      if (all.isEmpty) None else Some(all.map(_.getLong(0)).max)
+
+    /** Seqs open at capture: attempted, not committed. Bounded by crash
+      * count since the last compaction — always literal-sized. */
+    val openSeqs: Seq[Long] = {
+      val bySeq = all.groupBy(_.getLong(0))
+      bySeq.collect {
+        case (s, rs) if rs.forall(_.isNullAt(markerIdx)) => s
+      }.toSeq.sorted
+    }
+
+    /** [[OpLog.visible]] pinned to this snapshot: committed-at-capture
+      * generations only, as pure literal filters (parquet-pushable). An
+      * empty log keeps every row — the pure-seed convention. */
+    def visible(df: DataFrame, seqCol: String = "seq"): DataFrame =
+      maxSeq match {
+        case None => df
+        case Some(hwm) =>
+          val bounded = df.filter(F.col(seqCol) <= hwm)
+          if (openSeqs.isEmpty) bounded
+          else bounded.filter(!F.col(seqCol).isin(openSeqs: _*))
+      }
+  }
 }

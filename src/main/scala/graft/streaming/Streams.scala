@@ -453,6 +453,35 @@ object Streams {
       OpLog.countPayload).ensure()
   }
 
+  /** The dedup family's SERVE path — the registry probe: the committed
+    * live corpus (doc_id, text, seq, pbk), exactly what admission
+    * screens against and what a downstream consumer reads as "the
+    * deduplicated corpus right now". Snapshot-isolated like
+    * [[graft.streaming.Bm25Index.serve]]: one pinned [[OpLog.snapshot]]
+    * answers visibility for BOTH the corpus and the tombstone scan, so
+    * a replace op committing mid-read (tombstone + new generation under
+    * one seq) is seen whole or not at all — never a state where the
+    * victim is gone but its replacement invisible. Read-path heals are
+    * lenient (an in-flight publish's marker means nothing is crashed).
+    *
+    * Scale shape: one pruned corpus scan + a tombstone join that stays
+    * broadcast while deletes-since-compaction stay bounded
+    * ([[graft.operators.Tombstones.live]]'s size guard) — nothing
+    * corpus-sized shuffles. */
+  def liveDedupDocs(
+      catalog: Catalog,
+      corpusTable: String,
+      tombTable: String): DataFrame = {
+    catalog.recoverCompaction(corpusTable, "pbk", lenient = true)
+    catalog.recoverReplace(tombTable, lenient = true)
+    val snap = new OpLog(catalog.spark, catalog, corpusTable + "_ops",
+      OpLog.countPayload).snapshot()
+    graft.operators.Tombstones.live(
+      snap.visible(catalog.readWithSchema(corpusTable, dedupCorpusSchema)),
+      snap.visible(catalog.readWithSchema(tombTable, dedupTombSchema)),
+      "doc_id")
+  }
+
   /** Delete documents from a tombstone-aware dedup corpus
     * ([[streamingDocDedup]] with `tombTable`): one exactly-once
     * [[OpLog]] op that tombstones the COMMITTED LIVE generations of
@@ -1059,15 +1088,24 @@ object Streams {
   def liveVectorModel(
       catalog: Catalog,
       codesTable: String,
-      modelTable: String): DataFrame = {
+      modelTable: String,
+      snapshot: Option[OpLog.Snapshot] = None): DataFrame = {
     // heal a GC replaceTable that crashed between move-aside and
     // swap-in BEFORE reading — without this the read throws
     // path-not-found until some maintenance entry happens to run
     catalog.recoverReplace(modelTable)
-    val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
-      OpLog.countPayload)
-    val vis = log.visible(
-      catalog.readWithSchema(modelTable, vectorModelSchema))
+    // serve paths pass their pinned snapshot so the model pick and the
+    // code/tombstone visibility agree on one committed prefix;
+    // maintenance entries (running under the writer lease, nothing
+    // committing concurrently) omit it and read the log lazily
+    val vis = snapshot match {
+      case Some(s) =>
+        s.visible(catalog.readWithSchema(modelTable, vectorModelSchema))
+      case None =>
+        new OpLog(catalog.spark, catalog, codesTable + "_ops",
+          OpLog.countPayload).visible(
+          catalog.readWithSchema(modelTable, vectorModelSchema))
+    }
     val mx = vis.agg(F.max("seq")).head().get(0)
     require(mx != null, s"$modelTable holds no visible model generation")
     vis.filter(F.col("seq") === mx.asInstanceOf[Long]).drop("seq")
@@ -1213,14 +1251,18 @@ object Streams {
     catalog.recoverCompaction(codesTable, "pbk")
     catalog.recoverReplace(tombTable)
     catalog.recoverReplace(modelTable)
-    val log = new OpLog(catalog.spark, catalog, codesTable + "_ops",
-      OpLog.countPayload)
+    // one pinned committed-prefix snapshot answers visibility for codes,
+    // tombstones AND the model generation pick — a commit landing
+    // mid-serve can never pair a new model with old codes (or skew the
+    // live set between the two scans)
+    val snap = new OpLog(catalog.spark, catalog, codesTable + "_ops",
+      OpLog.countPayload).snapshot()
     val live = graft.operators.Tombstones.live(
-      log.visible(catalog.readWithSchema(codesTable, codesSchema)),
-      log.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
+      snap.visible(catalog.readWithSchema(codesTable, codesSchema)),
+      snap.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
       "neighbor_id")
     graft.operators.Similarity.ivfPqTopKFromIndex(
-      liveVectorModel(catalog, codesTable, modelTable),
+      liveVectorModel(catalog, codesTable, modelTable, Some(snap)),
       live.drop("seq", "pbk"), queries, k, nlist, nprobe, m, ksub,
       idCol, vecCol)
   }

@@ -24,7 +24,13 @@ import graft.streaming.{Bm25Index, Streams}
   *     mid move-in) heals to exactly the old generation — the manifest
   *     digest in the swap marker decides which copy is complete, which
   *     the filesystem alone cannot;
-  *  4. the full dedup/bm25/vector lifecycles stay hash-exact when every
+  *  4. all THREE index families' serve paths (bm25 serve at SCORE
+  *     granularity, the dedup registry probe, the vector live-set) are
+  *     hammered against concurrent lifecycle ops over the shim and
+  *     always observe exactly a between-op state — publishes never tear
+  *     a read (swap protocol) and serve reads never mix adjacent
+  *     committed prefixes (the pinned per-serve OpLog snapshot, r18);
+  *  5. the full dedup/bm25/vector lifecycles stay hash-exact when every
   *     coordinator rename is copy-then-delete.
   */
 object SwapConsistencySpec {
@@ -186,23 +192,24 @@ class SwapConsistencySpec extends SparkSpec {
     val idx = new Bm25Index(spark, cat)
     idx.ensure()
     val tables = Seq("postings", "doc_lengths", "tombstones", "ops")
-    // Validated on doc_id SETS, deliberately not scores: the swap
-    // protocol guarantees PUBLISHES (renames) never tear a read — it
-    // does not claim snapshot isolation across serve's several scans of
-    // the ops table vs a concurrent COMMIT APPEND (a commit landing
-    // between the visibility scan and the global-stats scan yields a
-    // score mixing two adjacent committed states; both are committed,
-    // no uncommitted row is ever visible, but the BM25 constant skews
-    // for that one read). The membership result — which docs serve, the
-    // thing tombstones/visibility/swaps protect — must always be a
-    // between-op state.
-    def serveState(): Seq[Long] =
+    // Validated at SCORE granularity (exact IEEE bits), not just doc_id
+    // membership: serve pins ONE OpLog snapshot per call (r18), so
+    // visibility and the global-stats constant always come from the
+    // same committed prefix — a commit landing between serve's scans
+    // can no longer skew that read's BM25 constant against its document
+    // set. Every observed (doc_id, score-bits) vector must therefore
+    // equal some BETWEEN-OP state exactly; scores are deterministic per
+    // prefix (exact-integer tf/dl/df/global inputs into one fixed
+    // expression tree).
+    def serveState(): Seq[(Long, Long)] =
       idx.serve(Seq("alpha"), k = 50)
-        .select("doc_id").as[Long].collect().sorted.toSeq
-    val valid = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]
+        .select("doc_id", "score").as[(Long, Double)].collect()
+        .map { case (d, s) => (d, java.lang.Double.doubleToLongBits(s)) }
+        .sorted.toSeq
+    val valid = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Long)]]
     valid.add(serveState()) // the empty state
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Long)]]
     val readerErr = new AtomicReference[Throwable]
     val reader = new Thread(() => {
       try {
@@ -225,12 +232,68 @@ class SwapConsistencySpec extends SparkSpec {
     reader.join(120000)
     assert(readerErr.get() == null,
       s"reader crashed: ${Option(readerErr.get()).map(_.toString)}")
-    val validSet = valid.toArray(Array.empty[Seq[Long]]).toSet
-    val seen = results.toArray(Array.empty[Seq[Long]])
+    val validSet = valid.toArray(Array.empty[Seq[(Long, Long)]]).toSet
+    val seen = results.toArray(Array.empty[Seq[(Long, Long)]])
     assert(seen.nonEmpty, "reader never completed a serve")
     val torn = seen.filterNot(validSet)
     assert(torn.isEmpty,
-      s"serve observed a state no between-op snapshot produced: ${torn.take(2)}")
+      s"serve observed a score state no between-op snapshot produced: ${torn.take(2)}")
+  }
+
+  test("dedup registry probe under concurrent replace/delete/compact over copy-then-delete rename: never torn") {
+    // closes the 3-family torn-rename matrix (bm25 serve and the vector
+    // live-set are hammered above): the dedup family's SERVE path —
+    // Streams.liveDedupDocs, the registry probe — hammered while
+    // replace/delete/compact cycles run over the non-atomic store. The
+    // replace arm is the sharp edge: each round REPLACES doc 1's text
+    // (tombstone + new generation under ONE seq), so a read mixing two
+    // adjacent committed prefixes would show doc 1 twice, or not at all,
+    // or pair the old text with the new round's victims — all excluded
+    // by the pinned per-probe OpLog snapshot.
+    val dir = Files.createTempDirectory("graft-swap-dedup").toString
+    val coord = CommitCoordinator.copyDeleteRename(
+      pause = () => Thread.sleep(1))
+    val cat = new Catalog(spark, s"$dir/wh", coord)
+    val tables = Seq("corpus", "tomb", "corpus_ops")
+    def probeState(): Set[(Long, String)] =
+      Streams.liveDedupDocs(cat, "corpus", "tomb")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+    Streams.replaceDocsInDedup(cat, "corpus", "buckets", "tomb",
+      Seq((1L, "alpha one"), (2L, "beta two"), (3L, "gamma three"))
+        .toDF("doc_id", "text"))
+    val valid = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, String)]]
+    valid.add(probeState())
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, String)]]
+    val readerErr = new AtomicReference[Throwable]
+    val reader = new Thread(() => {
+      try while (!done.get()) results.add(cat.consistentRead(tables)(probeState()))
+      catch { case t: Throwable => readerErr.set(t) }
+    })
+    reader.start()
+    (0 until 3).foreach { i =>
+      Streams.replaceDocsInDedup(cat, "corpus", "buckets", "tomb",
+        Seq((4L + i, s"delta round$i"), (1L, s"alpha rewritten v$i"))
+          .toDF("doc_id", "text"))
+      valid.add(probeState())
+      Streams.deleteDocsFromDedup(cat, "corpus", "tomb",
+        Seq(4L + i).toDF("doc_id"))
+      valid.add(probeState())
+      Streams.compactDocDedup(cat, "corpus", "buckets", "tomb")
+      valid.add(probeState())
+    }
+    done.set(true)
+    reader.join(120000)
+    assert(readerErr.get() == null,
+      s"reader crashed: ${Option(readerErr.get()).map(_.toString)}")
+    val validSet = valid.toArray(Array.empty[Set[(Long, String)]]).toSet
+    val seen = results.toArray(Array.empty[Set[(Long, String)]])
+    assert(seen.nonEmpty, "reader never completed a probe")
+    val torn = seen.filterNot(validSet)
+    assert(torn.isEmpty,
+      s"registry probe observed a state no between-op snapshot produced: ${torn.take(2)}")
+    // the final committed state is exactly what the serial ops produced
+    assert(probeState().map(_._1) === Set(1L, 2L, 3L))
   }
 
   test("vector live-set under concurrent ops over copy-then-delete rename: never torn") {
@@ -322,6 +385,55 @@ class SwapConsistencySpec extends SparkSpec {
       "a writer whose marker was healed away must not report success")
     assert(foreign.readWithSchema("t", schema)
       .agg(F.sum("v")).as[Long].collect().head === oldSum)
+  }
+
+  test("first-ever-replace recovery excludes a FENCED writer's stage even when it finished staging later") {
+    // the r17 documented caveat, closed by evidence: breaking a stale
+    // lease persists a fenced-holder tombstone (__fenced.<holder>), and
+    // the first-ever-replace roll-forward excludes tombstoned holders
+    // BEFORE falling back to newest-mtime — so a fenced writer whose
+    // staged write finished AFTER the legitimate successor's can no
+    // longer win recovery just by being newer on the filesystem.
+    val dir = Files.createTempDirectory("graft-fenced-stage").toString
+    val wh = s"$dir/wh"
+    val catA = new Catalog(spark, wh)
+    val catB = new Catalog(spark, wh)
+    // writer A overruns a tiny lease TTL; contender B breaks the stale
+    // lease — the break is the instant A becomes fenced, and it must
+    // durably record A's identity
+    catA.withMaintenanceLease("t", ttlMs = 30L) {
+      Thread.sleep(80)
+      catB.withMaintenanceLease("t") { () }
+    }
+    val whDir = new java.io.File(wh)
+    val holderA = whDir.listFiles().map(_.getName)
+      .find(_.startsWith("__fenced."))
+      .map(_.stripPrefix("__fenced."))
+      .getOrElse(fail("breaking a stale lease must persist a fenced tombstone"))
+    // the legitimate successor's complete stage lands FIRST (older
+    // mtime), the fenced writer's complete stage lands SECOND (newer) —
+    // both crash before their swap-in, so no live table exists
+    Seq(1L, 2L).toDF("v").coalesce(1)
+      .write.parquet(s"$wh/t__replacing.legit-successor")
+    Thread.sleep(1100) // ensure a strictly newer mtime for the fenced stage
+    Seq(9L).toDF("v").coalesce(1)
+      .write.parquet(s"$wh/t__replacing.$holderA")
+    val fs = fsFor(wh)
+    val mSucc = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$wh/t__replacing.legit-successor")).getModificationTime
+    val mFenced = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$wh/t__replacing.$holderA")).getModificationTime
+    assert(mFenced > mSucc,
+      "precondition: the fenced stage must be the newer one (mtime alone would pick it)")
+    val healer = new Catalog(spark, wh)
+    healer.recoverReplace("t")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("v BIGINT")
+    assert(healer.readWithSchema("t", schema)
+      .as[Long].collect().toSet === Set(1L, 2L),
+      "recovery must roll forward the legitimate successor's stage, not the fenced writer's newer one")
+    assert(!new java.io.File(s"$wh/t__replacing.$holderA").exists() &&
+      !new java.io.File(s"$wh/t__replacing.legit-successor").exists(),
+      "recovery must clear every stage after the roll-forward")
   }
 
   test("dedup, bm25 and vector lifecycles stay exact when every rename is copy-then-delete") {
