@@ -44,10 +44,15 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * ops per LIFECYCLE OPERATION (one lease create + one read + one
   * delete per op span; one stamp read per reopen); the measured
   * envelope is in `scale/coord_throughput.json`
-  * ([[graft.tools.CoordThroughput]]) — mutations are fsync-bound under
-  * the single mutation lock, and the measured ops/s covers a warehouse
-  * of thousands of concurrent writers with orders of magnitude to
-  * spare. Nothing data-sized ever transits this channel. The journal is
+  * ([[graft.tools.CoordThroughput]]): ~2.6-3.4k mutations/s from one
+  * caller (the per-op fsync wall), peaking ~4k/s at 2-4 concurrent
+  * clients and easing to ~2-3k/s at 16 (mutation-lock hand-off, not
+  * collapse). A lifecycle op span costs ~4 coordination ops and
+  * seconds of real work, so the measured wall supports hundreds of
+  * lifecycle ops per second — thousands of concurrent writers — with
+  * headroom; group-commit (one fsync across queued mutations) is the
+  * known step past it if a deployment ever saturates.
+  * Nothing data-sized ever transits this channel. The journal is
   * BOUNDED at ~4x live keys by online compaction (see [[maybeCompact]]),
   * so uptime never grows replay time.
   *

@@ -32,21 +32,25 @@ object CoordDividendChild {
     val coord = CommitCoordinator.remote("127.0.0.1", port)
     val cat = new Catalog(spark, wh, coord)
 
-    // warm one op of the family's shape so codegen/classloading is paid
-    // before the barrier (both legs then measure coordination, not JIT)
-    val warmCat = new Catalog(spark, s"$wh-warm", coord)
-    def oneOp(c: Catalog, i: Int): Unit = family match {
+    // per-catalog op closure: bm25 materializes its ops table ONCE up
+    // front (nextSeq reads it — ensure must precede the first op, for
+    // the warm warehouse too), outside the measured span
+    def opsFor(c: Catalog): Int => Unit = family match {
       case "dedup" =>
-        Streams.replaceDocsInDedup(c, "corpus", "buckets", "tomb",
+        i => Streams.replaceDocsInDedup(c, "corpus", "buckets", "tomb",
           Seq((i.toLong, s"doc $i body alpha beta gamma")).toDF("doc_id", "text"))
       case "bm25" =>
         val idx = new Bm25Index(spark, c)
-        idx.ingest(Seq((i.toLong, s"term$i alpha beta")).toDF("doc_id", "text"),
+        idx.ensure()
+        i => idx.ingest(Seq((i.toLong, s"term$i alpha beta")).toDF("doc_id", "text"),
           idx.nextSeq)
       case other => sys.error(s"unknown family $other")
     }
-    if (family == "bm25") new Bm25Index(spark, cat).ensure()
-    oneOp(warmCat, 0)
+    // warm one op of the family's shape so codegen/classloading is paid
+    // before the barrier (both legs then measure coordination, not JIT)
+    val warmCat = new Catalog(spark, s"$wh-warm", coord)
+    opsFor(warmCat)(0)
+    val oneOp = opsFor(cat)
 
     Files.writeString(Paths.get(sync, s"ready_$id"), "")
     val go = Paths.get(sync, "go")
@@ -55,7 +59,7 @@ object CoordDividendChild {
       Thread.sleep(2)
 
     val t0 = System.currentTimeMillis()
-    (1 to ops).foreach(oneOp(cat, _))
+    (1 to ops).foreach(oneOp)
     val t1 = System.currentTimeMillis()
     Files.writeString(Paths.get(sync, s"span_$id"), s"$t0 $t1")
     spark.stop()
