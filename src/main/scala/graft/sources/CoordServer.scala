@@ -16,12 +16,20 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * data directories stay on the (non-atomic) object store, exclusion
   * moves here.
   *
-  * Linearizability: every mutation executes under ONE lock, and its
-  * journal record is written AND fsynced inside that lock before the
-  * acknowledgement is sent — so an acknowledged win (a lease created, a
-  * break-claim renamed) is both totally ordered against all other wins
-  * and durable across a server crash. Reads take the same lock, so a
-  * read observes every acknowledged mutation (no stale wins).
+  * Linearizability: every mutation DECIDES and journals under ONE lock
+  * (total order), and its acknowledgement is sent only after an fsync
+  * whose coverage includes its record — so an acknowledged win (a lease
+  * created, a break-claim renamed) is both totally ordered against all
+  * other wins and durable across a server crash. Concurrent mutations
+  * share one fsync (GROUP COMMIT: a leader forces the channel while
+  * followers queue behind, so the per-fsync wall amortizes across
+  * however many mutations queued — measured in
+  * `scale/coord_throughput.json`). Reads take the same lock, so a read
+  * observes every decided mutation; and ANY response whose decision
+  * observed not-yet-durable state (a GET of a freshly created lease, a
+  * loser's EXISTS against an unforced win) waits for that state's
+  * durability before it is sent — no client can act on a state a crash
+  * could un-happen.
   *
   * Durability: an append-only journal of acknowledged mutations
   * (`P`/`R`/`D` records, URL-encoded operands), replayed on startup. A
@@ -44,14 +52,15 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * ops per LIFECYCLE OPERATION (one lease create + one read + one
   * delete per op span; one stamp read per reopen); the measured
   * envelope is in `scale/coord_throughput.json`
-  * ([[graft.tools.CoordThroughput]]): ~2.6-3.4k mutations/s from one
-  * caller (the per-op fsync wall), peaking ~4k/s at 2-4 concurrent
-  * clients and easing to ~2-3k/s at 16 (mutation-lock hand-off, not
-  * collapse). A lifecycle op span costs ~4 coordination ops and
-  * seconds of real work, so the measured wall supports hundreds of
-  * lifecycle ops per second — thousands of concurrent writers — with
-  * headroom; group-commit (one fsync across queued mutations) is the
-  * known step past it if a deployment ever saturates.
+  * ([[graft.tools.CoordThroughput]]): ~2.1-3.4k mutations/s from one
+  * caller (the per-op fsync wall — a solo mutation still pays one full
+  * force), SCALING with concurrency under group commit to ~6.5-9.5k/s
+  * at 8-16 clients (each force amortizes across everything queued
+  * behind the leader; before group commit the same probe measured the
+  * curve DECLINING to ~2k/s at 16). A lifecycle op span costs ~4
+  * coordination ops and seconds of real work, so the measured ceiling
+  * supports thousands of lifecycle ops per second — a warehouse of
+  * thousands of concurrent writers — with headroom.
   * Nothing data-sized ever transits this channel. The journal is
   * BOUNDED at ~4x live keys by online compaction (see [[maybeCompact]]),
   * so uptime never grows replay time.
@@ -78,14 +87,55 @@ final class CoordServer private (
 
   private val lock = new Object
   @volatile private var closed = false
+  // group-commit bookkeeping, guarded by `lock`: records APPENDED to
+  // the channel vs records known DURABLE, plus whether a leader is
+  // currently inside force() (outside the lock, so appends keep queuing
+  // behind it — that queue is exactly what the next force amortizes)
+  private var writtenSeq = 0L
+  private var forcedSeq = 0L
+  private var forceLeader = false
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
 
-  private def journalLine(line: String): Unit = {
+  /** Append a journal record WITHOUT forcing; returns the record's
+    * sequence for [[awaitDurable]]. Caller holds `lock`. */
+  private def stage(line: String): Unit = {
     journal.write(java.nio.ByteBuffer.wrap((line + "\n").getBytes(UTF_8)))
-    journal.force(false)
     journalLines += 1
+    writtenSeq += 1
+  }
+
+  /** Block until every record up to `seq` is durable. The first waiter
+    * becomes the force LEADER: it captures the current append high-water
+    * mark and runs force() OUTSIDE the lock (FileChannel appends are
+    * thread-safe, so new mutations keep staging behind it); every
+    * follower that queued meanwhile is covered by the leader's force or
+    * becomes the next leader. Online compaction counts as a force (its
+    * snapshot is fsynced then atomically moved, making every staged
+    * record durable), so it simply advances `forcedSeq` and wakes
+    * waiters. */
+  private def awaitDurable(seq: Long): Unit = {
+    var target = 0L
+    lock.synchronized {
+      while (forcedSeq < seq && forceLeader && !closed) lock.wait()
+      if (closed && forcedSeq < seq)
+        throw new java.io.IOException("coord server closed before fsync")
+      if (forcedSeq >= seq) return
+      forceLeader = true
+      target = writtenSeq
+    }
+    try journal.force(false)
+    catch {
+      case e: java.io.IOException =>
+        lock.synchronized { forceLeader = false; lock.notifyAll() }
+        throw e
+    }
+    lock.synchronized {
+      forcedSeq = math.max(forcedSeq, target)
+      forceLeader = false
+      lock.notifyAll()
+    }
   }
 
   /** ONLINE compaction check (same trigger as startup): leases and
@@ -100,7 +150,10 @@ final class CoordServer private (
     * is lifecycle-sized (a handful of leases/stamps), so the pause is
     * microseconds, not a stall. */
   private def maybeCompact(): Unit =
-    if (journalLines > math.max(64L, 4L * kv.size)) compactLocked()
+    if (journalLines > math.max(64L, 4L * kv.size) && !forceLeader)
+      compactLocked()
+    // a leader mid-force holds the channel outside the lock — skip this
+    // trigger; churn re-fires it on the next mutation
 
   /** Snapshot-then-atomic-move compaction; caller holds `lock`. A crash
     * anywhere leaves either the full history or the complete snapshot
@@ -122,11 +175,28 @@ final class CoordServer private (
     journal = FileChannel.open(journalPath, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.APPEND)
     journalLines = kv.size.toLong
+    // the snapshot was fsynced and atomically moved, so every record
+    // staged so far is durable THROUGH it — satisfy any group-commit
+    // waiters without a second force
+    forcedSeq = writtenSeq
+    lock.notifyAll()
   }
 
   /** Test/diagnostic: current journal size in records (replayed history
     * plus appends since the last compaction). */
   private[graft] def journalRecords: Long = lock.synchronized(journalLines)
+
+  /** Decide under the lock, then wait until everything the decision
+    * OBSERVED is durable before letting the response out — including
+    * pure reads and refusals (a GET of a freshly created lease, a
+    * loser's EXISTS against an unforced win must not outrun the crash
+    * durability of what they saw). On a quiet channel the wait is a
+    * no-op (`forcedSeq` already covers the observation). */
+  private def decided(body: => String): String = {
+    val (resp, observed) = lock.synchronized { (body, writtenSeq) }
+    awaitDurable(observed)
+    resp
+  }
 
   private[sources] def handle(cmd: String): String = {
     val parts = cmd.trim.split(" ", 3)
@@ -135,34 +205,34 @@ final class CoordServer private (
       case "PING" => "PONG"
       case "PIA" =>
         val (k, v) = (dec(parts(1)), dec(parts(2)))
-        lock.synchronized {
+        decided {
           if (kv.containsKey(k)) "EXISTS"
           else {
-            journalLine(s"P ${enc(k)} ${enc(v)}")
+            stage(s"P ${enc(k)} ${enc(v)}")
             kv.put(k, v); maybeCompact(); "OK"
           }
         }
       case "GET" =>
         val k = dec(parts(1))
-        lock.synchronized {
+        decided {
           Option(kv.get(k)).map(v => s"VAL ${enc(v)}").getOrElse("NONE")
         }
       case "REN" =>
         val (s, d) = (dec(parts(1)), dec(parts(2)))
-        lock.synchronized {
+        decided {
           val v = kv.get(s)
           if (v == null) "MISS"
           else {
-            journalLine(s"R ${enc(s)} ${enc(d)}")
+            stage(s"R ${enc(s)} ${enc(d)}")
             kv.remove(s); kv.put(d, v); maybeCompact(); "OK"
           }
         }
       case "DEL" =>
         val k = dec(parts(1))
-        lock.synchronized {
+        decided {
           if (!kv.containsKey(k)) "MISS"
           else {
-            journalLine(s"D ${enc(k)}")
+            stage(s"D ${enc(k)}")
             kv.remove(k); maybeCompact(); "OK"
           }
         }
@@ -207,9 +277,12 @@ final class CoordServer private (
     closed = true
     try server.close() catch { case _: java.io.IOException => () }
     // under the mutation lock: an in-flight op (or online compaction)
-    // finishes against an open channel before it is released
+    // finishes against an open channel before it is released; queued
+    // group-commit waiters are woken to fail loudly instead of parking
+    // forever on a channel that will never force again
     lock.synchronized {
       try journal.close() catch { case _: java.io.IOException => () }
+      lock.notifyAll()
     }
   }
 

@@ -11,10 +11,13 @@ import graft.sources.{CommitCoordinator, CoordServer}
   *  1. SATURATION: N client threads (each with its own remote
   *     connection) hammer PIA/DEL lease churn against one server;
   *     reports mutations/s per client count. The 1-client figure is
-  *     the per-caller fsync wall; the multi-client curve shows what
-  *     concurrent callers get from pipelining into the single mutation
-  *     lock (group-commit across queued mutations is the known fix if
-  *     the wall is low — this probe is the measure-first step).
+  *     the per-caller fsync wall (a solo mutation pays one full
+  *     force); the multi-client curve measures GROUP COMMIT — each
+  *     leader force covers everything queued behind it, so the curve
+  *     should RISE with clients. This probe measured the pre-group-
+  *     commit server declining to ~2k/s at 16 clients (lock hand-off
+  *     with one fsync per mutation), which motivated the fix; the
+  *     committed JSON is the post-fix curve.
   *  2. CROSS-PROCESS DIVIDEND: two child Spark JVMs run two index
   *     families' lifecycle ops (same mixes as [[ConcurrencyDividend]])
   *     through ONE server — serial (one JVM at a time) vs concurrent
@@ -145,7 +148,7 @@ object CoordThroughput {
     val satJson = saturation
       .map { case (n, s) => f""""$n": ${s}%.0f""" }.mkString("{", ", ", "}")
     val json =
-      f"""{"mutations_per_thread": $perThread, "ops_per_sec_by_clients": $satJson, "family_ops": $familyOps, "xproc_serial_sec": $serialSec%.2f, "xproc_concurrent_sec": $concSec%.2f, "xproc_ratio": $ratio%.2f, "note": "phase 1: PIA/DEL churn, N threads against one fsync-bound CoordServer mutation lock; phase 2: two child Spark JVMs (dedup replace-ops, bm25 ingests) coordinating through one server, spans measured in-child (boot excluded)"}"""
+      f"""{"mutations_per_thread": $perThread, "ops_per_sec_by_clients": $satJson, "family_ops": $familyOps, "xproc_serial_sec": $serialSec%.2f, "xproc_concurrent_sec": $concSec%.2f, "xproc_ratio": $ratio%.2f, "note": "phase 1: PIA/DEL churn, N threads against one CoordServer; 1-client = the per-op fsync wall, multi-client scales under group commit (one force amortizes across queued mutations); phase 2: two child Spark JVMs (dedup replace-ops, bm25 ingests) coordinating through one server, spans measured in-child (boot excluded)"}"""
     Files.createDirectories(Paths.get("scale"))
     Files.writeString(Paths.get("scale/coord_throughput.json"), json + "\n")
     println(json)
