@@ -32,12 +32,24 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * could un-happen.
   *
   * Durability: an append-only journal of acknowledged mutations
-  * (`P`/`R`/`D` records, URL-encoded operands), replayed on startup. A
-  * crash after journal-write but before the ack re-applies the op
-  * idempotently; a crash before journal-write loses an op that was
-  * never acknowledged — exactly the at-most-once the caller already
-  * handles (an unacknowledged createIfAbsent is a failed acquisition
-  * and retries).
+  * (`P`/`R`/`D` records, URL-encoded operands, each line prefixed with
+  * a CRC32 of its body), replayed on startup. A crash after
+  * journal-write but before the ack re-applies the op idempotently; a
+  * crash before journal-write loses an op that was never acknowledged
+  * — exactly the at-most-once the caller already handles (an
+  * unacknowledged createIfAbsent is a failed acquisition and retries).
+  * Under group commit a crash can leave SEVERAL staged-but-unforced
+  * trailing records, and out-of-order page flush can tear a NON-final
+  * one; the per-record checksum makes every tear detectable, and
+  * because an fsync always covers a PREFIX of the file, a torn record
+  * at position i proves no acknowledgement exists for any record >= i
+  * — replay truncates there (see [[CoordServer.start]]). A record whose
+  * checksum VERIFIES but whose body fails to parse is real corruption
+  * of acknowledged state and still fails loudly. Compaction's
+  * atomic-move rename is followed by an fsync of the journal's parent
+  * directory before any group-commit acknowledgement is released on
+  * its strength — a rename alone is not durable, and acks must never
+  * ride on a directory entry a power loss can revert.
   *
   * Protocol (UTF-8 lines; operands URL-encoded):
   * {{{
@@ -66,16 +78,23 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * so uptime never grows replay time.
   *
   * Failure posture / recovery path: a server RESTART recovers from its
-  * own journal (replay). Server LOSS recovers by STANDBY PROMOTION —
-  * start a fresh server on a copy of the journal (a crash-consistent
-  * copy is fine: a torn trailing record was never acknowledged and
-  * replay drops it), then point clients at the new address; every
-  * acknowledged win holds verbatim and usurpers still lose
-  * (CrossProcessCoordSpec "standby promotion"). Promote from the MOST
-  * RECENT copy available and never run two servers against one
-  * keyspace concurrently — the journal has no epoch fencing between
-  * simultaneous server instances; the single-address client config is
-  * what keeps the keyspace single-served.
+  * own journal (replay). Server LOSS recovers by STANDBY PROMOTION,
+  * with two deployment shapes. (1) ZERO-ACKED-LOSS: the journal lives
+  * on storage that survives the server host (shared/network storage),
+  * and the standby promotes from the SAME journal path the dead
+  * primary wrote — the acked frontier travels with the journal, so
+  * every acknowledged win holds even when the primary is killed
+  * mid-churn with no flush opportunity (CrossProcessCoordSpec
+  * "shared-journal promotion"; replay's torn-tail truncation covers
+  * whatever shape the kill left). (2) COPY-BASED: promote from the
+  * most recent crash-consistent COPY of the journal — every win acked
+  * BEFORE the copy holds; wins acked after it are lost, so this shape
+  * trades acked-loss-after-copy for needing no shared storage
+  * (CrossProcessCoordSpec "standby promotion"). Either way, never run
+  * two servers against one keyspace concurrently — the journal has no
+  * epoch fencing between simultaneous server instances; the
+  * single-address client config is what keeps the keyspace
+  * single-served.
   */
 final class CoordServer private (
     val port: Int,
@@ -99,9 +118,12 @@ final class CoordServer private (
     java.net.URLEncoder.encode(s, "UTF-8")
 
   /** Append a journal record WITHOUT forcing; returns the record's
-    * sequence for [[awaitDurable]]. Caller holds `lock`. */
-  private def stage(line: String): Unit = {
-    journal.write(java.nio.ByteBuffer.wrap((line + "\n").getBytes(UTF_8)))
+    * sequence for [[awaitDurable]]. Caller holds `lock`. The body is
+    * written as a checksummed line ([[CoordServer.record]]) so a torn
+    * or partially-flushed append is detectable on replay. */
+  private def stage(body: String): Unit = {
+    journal.write(java.nio.ByteBuffer.wrap(
+      (CoordServer.record(body) + "\n").getBytes(UTF_8)))
     journalLines += 1
     writtenSeq += 1
   }
@@ -159,25 +181,25 @@ final class CoordServer private (
     * anywhere leaves either the full history or the complete snapshot
     * (the move is atomic), never less — identical to the startup path. */
   private def compactLocked(): Unit = {
-    val tmp = journalPath.resolveSibling(journalPath.getFileName.toString + ".snap")
-    val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
-      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
-    try {
-      val sb = new StringBuilder
-      kv.forEach((k, v) => sb.append(s"P ${enc(k)} ${enc(v)}\n"))
-      ch.write(java.nio.ByteBuffer.wrap(sb.toString.getBytes(UTF_8)))
-      ch.force(true)
-    } finally ch.close()
+    CoordServer.writeSnapshot(journalPath, kv)
     journal.close()
+    val tmp = journalPath.resolveSibling(journalPath.getFileName.toString + ".snap")
     Files.move(tmp, journalPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // the rename is atomic but NOT durable until the directory entry
+    // itself is on disk — group-commit acks are about to be released on
+    // the strength of this snapshot, so fsync the parent directory
+    // BEFORE advancing forcedSeq; a power loss must not revert the
+    // directory to the old journal whose staged tail was only in page
+    // cache
+    CoordServer.fsyncDir(journalPath.toAbsolutePath.getParent)
     journal = FileChannel.open(journalPath, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.APPEND)
     journalLines = kv.size.toLong
-    // the snapshot was fsynced and atomically moved, so every record
-    // staged so far is durable THROUGH it — satisfy any group-commit
-    // waiters without a second force
+    // the snapshot was fsynced and atomically+durably moved, so every
+    // record staged so far is durable THROUGH it — satisfy any
+    // group-commit waiters without a second force
     forcedSeq = writtenSeq
     lock.notifyAll()
   }
@@ -293,45 +315,117 @@ final class CoordServer private (
 
 object CoordServer {
 
+  private def crcHex(body: String): String = {
+    val c = new java.util.zip.CRC32
+    c.update(body.getBytes(UTF_8))
+    java.lang.Long.toHexString(c.getValue)
+  }
+
+  /** Journal line for `body`: a CRC32 PREFIX (`#<crc> <body>`) makes a
+    * torn or partially-flushed record detectable on replay. The
+    * checksum leads rather than trails so a tear that eats trailing
+    * bytes can never leave a line that accidentally parses as a
+    * shorter record with a truncated value — a damaged line either
+    * fails its checksum or (legacy, no `#`) fails to parse. */
+  private[sources] def record(body: String): String = s"#${crcHex(body)} $body"
+
+  /** fsync a DIRECTORY so a just-completed rename of a child entry is
+    * durable — ATOMIC_MOVE orders the swap but only a directory fsync
+    * pins it across power loss. */
+  private[sources] def fsyncDir(dir: Path): Unit = {
+    val ch = FileChannel.open(dir, StandardOpenOption.READ)
+    try ch.force(true) finally ch.close()
+  }
+
+  /** Write the live keyspace as a checksummed snapshot to
+    * `<journal>.snap`, fsynced. The caller moves it over the journal. */
+  private[sources] def writeSnapshot(
+      journalPath: Path, kv: java.util.HashMap[String, String]): Unit = {
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    val tmp = journalPath.resolveSibling(journalPath.getFileName.toString + ".snap")
+    val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val sb = new StringBuilder
+      kv.forEach((k, v) => sb.append(record(s"P ${enc(k)} ${enc(v)}")).append('\n'))
+      ch.write(java.nio.ByteBuffer.wrap(sb.toString.getBytes(UTF_8)))
+      ch.force(true)
+    } finally ch.close()
+  }
+
   /** Start a server on `port` (0 = ephemeral), recovering state from
     * `journalPath` when it exists (replay is idempotent: the journal
     * holds only acknowledged mutations, in ack order). */
   def start(journalPath: Path, port: Int = 0): CoordServer = {
     val kv = new java.util.HashMap[String, String]
     var journalLines = 0
+    var tornTail = false
     if (Files.exists(journalPath)) {
       def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
       val lines = Files.readAllLines(journalPath, UTF_8)
+      // Replay discipline. Checksummed (`#`-prefixed) records: a line
+      // whose CRC VERIFIES was fully written by this code, so a
+      // malformed body under a verifying checksum is real corruption of
+      // acknowledged state — fail loudly. A `#` line whose CRC does NOT
+      // verify is a torn record; because every fsync covers a PREFIX of
+      // the file, a torn record at position i proves no force — hence
+      // no acknowledgement — ever covered any record >= i (group commit
+      // can leave SEVERAL unforced trailing records, and out-of-order
+      // page flush can tear a NON-final one): truncate there, dropping
+      // the unacknowledged tail. The same truncation applies to any
+      // unparseable line once a checksummed record has been seen (tail
+      // garbage from a partial page flush need not keep the `#`).
+      // Legacy journals (no checksummed records, written under
+      // fsync-per-record) keep the original rule: only the FINAL record
+      // can tear; an interior malformation is corruption and refuses.
+      var sawChecked = false
       var i = 0
-      while (i < lines.size) {
+      while (i < lines.size && !tornTail) {
         val line = lines.get(i)
         i += 1
-        // a crash mid-append can tear exactly the FINAL record — 'P key'
-        // with no value (p(2) out of bounds) or a %-escape cut mid-value
-        // (URLDecoder throws) — and that op was never acknowledged (the
-        // ack follows the fsync), so dropping it is correct. The same
-        // malformation on an INTERIOR record is real corruption: fail
-        // loudly rather than silently resurrect a partial state.
-        try {
-          val p = line.split(" ", 3)
-          p(0) match {
-            case "P" => kv.put(dec(p(1)), dec(p(2)))
-            case "R" =>
-              val v = kv.remove(dec(p(1))); if (v != null) kv.put(dec(p(2)), v)
-            case "D" => kv.remove(dec(p(1)))
-            case other =>
-              throw new java.io.IOException(s"unknown record type '$other'")
+        val checked = line.startsWith("#")
+        val sp = if (checked) line.indexOf(' ') else -1
+        val body =
+          if (!checked) line
+          else if (sp > 1 && line.substring(1, sp) == crcHex(line.substring(sp + 1)))
+            line.substring(sp + 1)
+          else null // torn checksummed record
+        if (body == null) tornTail = true
+        else {
+          try {
+            val p = body.split(" ", 3)
+            p(0) match {
+              case "P" => kv.put(dec(p(1)), dec(p(2)))
+              case "R" =>
+                val v = kv.remove(dec(p(1))); if (v != null) kv.put(dec(p(2)), v)
+              case "D" => kv.remove(dec(p(1)))
+              case other =>
+                throw new java.io.IOException(s"unknown record type '$other'")
+            }
+            journalLines += 1
+            if (checked) sawChecked = true
+          } catch {
+            case e: Exception if checked =>
+              throw new java.io.IOException(
+                s"corrupt journal record at line $i of ${lines.size} " +
+                  s"('${line.take(80)}'): body malformed under a VERIFYING " +
+                  "checksum — this is damage to acknowledged state, not a " +
+                  "torn append; refusing to replay a partial state", e)
+            case _: Exception if sawChecked || i == lines.size =>
+              tornTail = true // unacknowledged torn tail: dropped
+            case e: Exception =>
+              throw new java.io.IOException(
+                s"corrupt INTERIOR journal record at line $i of " +
+                  s"${lines.size} ('${line.take(80)}') — refusing to replay " +
+                  "a partial state; inspect the journal", e)
           }
-          journalLines += 1
-        } catch {
-          case e: Exception if i == lines.size =>
-            () // torn trailing record from a crash mid-append: dropped
-          case e: Exception =>
-            throw new java.io.IOException(
-              s"corrupt INTERIOR journal record at line $i of " +
-                s"${lines.size} ('${line.take(80)}') — refusing to replay " +
-                "a partial state; inspect the journal", e)
         }
+      }
+      if (tornTail) {
+        val dropped = lines.size - journalLines
+        System.err.println(s"[CoordServer] journal ${journalPath.getFileName}: " +
+          s"dropped $dropped torn/unforced trailing record(s) " +
+          s"(never acknowledged); replayed $journalLines")
       }
     }
     // STARTUP JOURNAL COMPACTION: leases and break-claims churn, so the
@@ -343,23 +437,19 @@ object CoordServer {
     // snapshot is its current value), fsynced to a temp file then
     // atomically moved over the old journal, so a crash mid-compaction
     // leaves either the full history or the complete snapshot, never
-    // less. The same trigger also fires ONLINE (see journalLine /
+    // less. The same trigger also fires ONLINE (see maybeCompact /
     // compactLocked), so a long-lived server bounds its journal at
-    // ~4x live keys without ever restarting.
-    if (journalLines > math.max(64, 4 * kv.size)) {
-      def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    // ~4x live keys without ever restarting. A torn tail also forces
+    // the rewrite, scrubbing the dropped garbage from disk so the next
+    // replay starts from a clean checksummed snapshot.
+    if (tornTail || journalLines > math.max(64, 4 * kv.size)) {
+      writeSnapshot(journalPath, kv)
       val tmp = journalPath.resolveSibling(journalPath.getFileName.toString + ".snap")
-      val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
-        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
-      try {
-        val sb = new StringBuilder
-        kv.forEach((k, v) => sb.append(s"P ${enc(k)} ${enc(v)}\n"))
-        ch.write(java.nio.ByteBuffer.wrap(sb.toString.getBytes(UTF_8)))
-        ch.force(true)
-      } finally ch.close()
       Files.move(tmp, journalPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (journalPath.toAbsolutePath.getParent != null)
+        fsyncDir(journalPath.toAbsolutePath.getParent)
       journalLines = kv.size
     }
     if (journalPath.getParent != null) Files.createDirectories(journalPath.getParent)

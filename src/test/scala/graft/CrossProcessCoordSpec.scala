@@ -281,12 +281,168 @@ class CrossProcessCoordSpec extends AnyFunSuite {
       assert(c.readSmall(fs, new HPath("k2")).isEmpty)
     } finally s2.close()
 
-    // the SAME tear on an interior record: refuse to start — an
-    // acknowledged op would otherwise vanish silently
+    // the SAME tear on an interior record of a LEGACY journal (no
+    // checksummed records — written under fsync-per-record, where only
+    // the final record can tear): refuse to start — an acknowledged op
+    // would otherwise vanish silently
     val j3 = Paths.get(dir, "j3")
     Files.writeString(j3, "P k2\nP k1 v1\n")
     val e = intercept[java.io.IOException](CoordServer.start(j3))
     assert(e.getMessage.contains("INTERIOR"))
+  }
+
+  test("group-commit tail: replay truncates at a torn NON-final record and scrubs it") {
+    // Under group commit a power loss can leave SEVERAL unforced
+    // trailing records, and out-of-order page flush can tear a
+    // NON-final one — garbage followed by intact later records. Every
+    // fsync covers a PREFIX of the file, so a torn record at position i
+    // proves nothing at or after i was ever acknowledged: replay must
+    // apply the intact prefix, drop the whole tail (including the
+    // intact-looking records AFTER the tear), serve, and rewrite the
+    // journal so the garbage is gone from disk.
+    val dir = Files.createTempDirectory("graft-coord-gc-tear").toString
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+
+    // build a real checksummed journal by running a server
+    val j = Paths.get(dir, "j")
+    val s0 = CoordServer.start(j)
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", s0.port)
+      (0 until 5).foreach { i =>
+        assert(c.createIfAbsent(fs, new HPath(s"$dir/acked_$i"), s"v$i"))
+      }
+    } finally s0.close()
+    val lines = Files.readAllLines(j)
+    assert(lines.size === 5 && lines.get(0).startsWith("#"),
+      "expected a checksummed journal")
+
+    // tear record 3 mid-line (bad CRC), keep records 4-5 intact: the
+    // out-of-order-flush shape that used to refuse startup
+    val torn = new java.lang.StringBuilder
+    (0 until 2).foreach(i => torn.append(lines.get(i)).append('\n'))
+    torn.append(lines.get(2).substring(0, lines.get(2).length - 4)).append('\n')
+    (3 until 5).foreach(i => torn.append(lines.get(i)).append('\n'))
+    Files.writeString(j, torn.toString)
+    val s1 = CoordServer.start(j)
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", s1.port)
+      (0 until 2).foreach { i =>
+        assert(c.readSmall(fs, new HPath(s"$dir/acked_$i")).contains(s"v$i"),
+          s"forced-prefix record $i lost")
+      }
+      // the torn record AND the intact-looking ones after it are gone —
+      // none of them was ever acknowledged
+      (2 until 5).foreach { i =>
+        assert(c.readSmall(fs, new HPath(s"$dir/acked_$i")).isEmpty,
+          s"unforced-tail record $i resurrected")
+      }
+      // the server keeps serving and journaling after the truncation
+      assert(c.createIfAbsent(fs, new HPath(s"$dir/post"), "p"))
+    } finally s1.close()
+    // the scrub: the on-disk journal no longer carries the garbage, so
+    // a second restart replays clean (2 recovered + 1 new = 3 records)
+    val relines = Files.readAllLines(j)
+    assert(relines.size === 3, s"torn tail not scrubbed: $relines")
+    val s2 = CoordServer.start(j)
+    try {
+      val c2 = CommitCoordinator.remote("127.0.0.1", s2.port)
+      assert(c2.readSmall(fs, new HPath(s"$dir/acked_0")).contains("v0"))
+      assert(c2.readSmall(fs, new HPath(s"$dir/post")).contains("p"))
+    } finally s2.close()
+
+    // raw page-flush garbage (no '#', unparseable) after checksummed
+    // records: same truncation — the tail need not keep the format
+    val j2 = Paths.get(dir, "j2")
+    Files.writeString(j2,
+      lines.get(0) + "\n" + lines.get(1) + "\n  garbage\n" +
+        lines.get(3) + "\n")
+    val s3 = CoordServer.start(j2)
+    try {
+      val c3 = CommitCoordinator.remote("127.0.0.1", s3.port)
+      assert(c3.readSmall(fs, new HPath(s"$dir/acked_0")).contains("v0"))
+      assert(c3.readSmall(fs, new HPath(s"$dir/acked_1")).contains("v1"))
+      assert(c3.readSmall(fs, new HPath(s"$dir/acked_3")).isEmpty)
+    } finally s3.close()
+
+    // a malformed body under a VERIFYING checksum is damage to
+    // acknowledged state, not a tear: refuse loudly
+    val j3 = Paths.get(dir, "j3")
+    val crc = new java.util.zip.CRC32
+    crc.update("X not a record".getBytes("UTF-8"))
+    Files.writeString(j3,
+      "#" + java.lang.Long.toHexString(crc.getValue) + " X not a record\n" +
+        lines.get(0) + "\n")
+    val e = intercept[java.io.IOException](CoordServer.start(j3))
+    assert(e.getMessage.contains("VERIFYING checksum"))
+  }
+
+  test("shared-journal promotion: primary KILLED mid-churn, standby on the SAME journal path holds every acked win") {
+    // Zero-acked-loss server replacement. Promotion from a COPY of the
+    // journal loses whatever was acked after the copy; the deployment
+    // that closes that hole is journal-on-shared-storage — the standby
+    // promotes from the SAME journal path the dead primary wrote, so
+    // the acked frontier travels with the journal. The primary is a
+    // real child JVM killed FORCIBLY in the middle of a churn run (not
+    // quiesced, no flush opportunity — the kill can land mid-group-
+    // commit, mid-compaction, mid-anything); replay's torn-tail
+    // handling covers whatever shape the journal was left in. Every
+    // mutation the client saw ACKED before the kill must hold verbatim
+    // on the promoted server; an op in flight at the kill may be lost
+    // (it was never acked — the caller's at-most-once) or present
+    // (journaled before the ack could be sent) — both are legal.
+    val dir = Files.createTempDirectory("graft-coord-shared").toString
+    val journal = Paths.get(dir, "shared.journal")
+    val portFile = Paths.get(dir, "port")
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+    val cp = repoRoot.resolve("target/scala-2.13/classes").toString +
+      ":/opt/spark/jars/*"
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val proc = new ProcessBuilder(javaBin, "-cp", cp, "-Xmx256m",
+      "graft.sources.CoordServer", journal.toString, portFile.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(new java.io.File(s"$dir/server.log"))
+      .start()
+    val acked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var ackedDeletes = 0
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!Files.exists(portFile) && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(Files.exists(portFile), "server never published its port")
+      val port = Files.readString(portFile).trim.toInt
+      val c = CommitCoordinator.remote("127.0.0.1", port)
+      // killer thread: fires mid-churn, while ops are in flight
+      val killer = new Thread(() => { Thread.sleep(400); proc.destroyForcibly(); () })
+      killer.setDaemon(true); killer.start()
+      try {
+        var i = 0
+        while (i < 1000000) { // until the kill severs the connection
+          val k = s"$dir/win_$i"
+          if (c.createIfAbsent(fs, new HPath(k), s"holder_$i"))
+            acked += ((k, s"holder_$i"))
+          // churn a lease to keep online compaction firing under the kill
+          if (c.createIfAbsent(fs, new HPath(s"$dir/churn"), s"h$i") &&
+              c.delete(fs, new HPath(s"$dir/churn"), false))
+            ackedDeletes += 1
+          i += 1
+        }
+        fail("churn loop outlived the kill")
+      } catch { case _: java.io.IOException => () } // primary died mid-op
+      assert(acked.size >= 10,
+        s"only ${acked.size} acked wins before the kill — churn too short to prove anything")
+    } finally { proc.destroyForcibly(); proc.waitFor(10, TimeUnit.SECONDS) }
+    // promote on the SAME journal path the dead primary wrote
+    val standby = CoordServer.start(journal)
+    try {
+      val c2 = CommitCoordinator.remote("127.0.0.1", standby.port)
+      acked.foreach { case (k, v) =>
+        assert(c2.readSmall(fs, new HPath(k)).contains(v),
+          s"acked win $k lost — primary killed mid-churn, standby on shared journal")
+      }
+      // usurpers still lose over promoted state; new mutations proceed
+      assert(!c2.createIfAbsent(fs, new HPath(acked.head._1), "usurper"))
+      assert(c2.createIfAbsent(fs, new HPath(s"$dir/post_promo"), "p"))
+    } finally standby.close()
   }
 
   test("standby promotion: a journal copy promoted on a new address holds every acknowledged win") {
