@@ -470,7 +470,12 @@ object CoordServer {
     * spawning harness read it there), serves until killed. */
   def main(args: Array[String]): Unit = {
     val cs = start(java.nio.file.Paths.get(args(0)))
-    Files.writeString(java.nio.file.Paths.get(args(1)), cs.port.toString)
+    // atomic publish: a watcher polling the portfile must never observe
+    // it existing but empty (created-then-written is two visible states)
+    val pf = java.nio.file.Paths.get(args(1))
+    val tmp = pf.resolveSibling(pf.getFileName.toString + ".tmp")
+    Files.writeString(tmp, cs.port.toString)
+    Files.move(tmp, pf, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // park forever; the process is killed by its parent
     while (true) Thread.sleep(60000)
   }

@@ -156,10 +156,12 @@ class CrossProcessCoordSpec extends AnyFunSuite {
       .start()
     try {
       val deadline = System.currentTimeMillis() + 30000
-      while (!Files.exists(portFile) && System.currentTimeMillis() < deadline)
+      def portNow(): Option[Int] =
+        if (!Files.exists(portFile)) None
+        else Files.readString(portFile).trim.toIntOption
+      while (portNow().isEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(10)
-      assert(Files.exists(portFile), "server never published its port")
-      val port = Files.readString(portFile).trim.toInt
+      val port = portNow().getOrElse(fail("server never published its port"))
       val c = CommitCoordinator.remote("127.0.0.1", port)
       assert(c.createIfAbsent(fs, new HPath(s"$dir/k"), "v across processes"))
       assert(!c.createIfAbsent(fs, new HPath(s"$dir/k"), "usurper"))
@@ -405,11 +407,15 @@ class CrossProcessCoordSpec extends AnyFunSuite {
     val acked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var ackedDeletes = 0
     try {
+      // poll for CONTENT, not existence — the child's write is not
+      // atomic, so the file can exist momentarily empty
       val deadline = System.currentTimeMillis() + 30000
-      while (!Files.exists(portFile) && System.currentTimeMillis() < deadline)
+      def portNow(): Option[Int] =
+        if (!Files.exists(portFile)) None
+        else Files.readString(portFile).trim.toIntOption
+      while (portNow().isEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(10)
-      assert(Files.exists(portFile), "server never published its port")
-      val port = Files.readString(portFile).trim.toInt
+      val port = portNow().getOrElse(fail("server never published its port"))
       val c = CommitCoordinator.remote("127.0.0.1", port)
       // killer thread: fires mid-churn, while ops are in flight
       val killer = new Thread(() => { Thread.sleep(400); proc.destroyForcibly(); () })

@@ -1682,4 +1682,75 @@ class StreamingSpec extends SparkSpec {
     assert(idx.serve(Seq("alpha", "beta"), k = 10).collect().map(_.toSeq)
       === served4, "checkpoint via the family compaction moves no bit")
   }
+
+  test("serve cost is FLAT in op-history length: churned eras fold to a constant snapshot and plan") {
+    // The composed long-uptime loop: months of lifecycle churn with
+    // periodic maintenance, compressed into eras of
+    // ingest/replace/delete ops with compact(checkpointOps = true) at
+    // each era's end. The claim under test is the BOUND, not a single
+    // fold: serve cost must stop growing with the total number of ops
+    // EVER run — after every maintenance pass the op log (= the |ops|
+    // rows OpLog.snapshot collects per serve) folds back to exactly one
+    // summary row regardless of era count, the serve plan keeps the
+    // same shape (same number of parquet scans — visibility stays two
+    // pushed literal predicates, never a growing join), and the served
+    // corpus stays exactly the live one.
+    val dir = Files.createTempDirectory("graft-flatserve").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    val idx = new graft.streaming.Bm25Index(spark, cat, buckets = 8)
+    idx.ensure()
+    val log = new graft.streaming.OpLog(spark, cat, "ops",
+      graft.streaming.Bm25Index.statsPayload)
+    val live = scala.collection.mutable.Map.empty[Long, String]
+    def servedIds(): Set[Long] = {
+      val df = idx.serve(Seq("alpha"), k = 1000)
+      df.collect() // materialize so the adaptive final plan is real
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    def serveScanShape(): Int = {
+      val df = idx.serve(Seq("alpha"), k = 1000)
+      df.collect()
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    var eraOneSnapshotRows = -1L
+    var eraOneShape = -1
+    (0 until 3).foreach { era =>
+      (0 until 2).foreach { cycle =>
+        val base = era * 100 + cycle * 10
+        val fresh = (0 until 4).map(j =>
+          (base + j.toLong, s"alpha tok${base + j}"))
+        idx.ingest(fresh.toDF("doc_id", "text"), idx.nextSeq)
+        fresh.foreach { case (id, t) => live(id) = t }
+        // edit one of this cycle's docs, take another down
+        idx.replace(Seq((base.toLong, s"alpha edited$base"))
+          .toDF("doc_id", "text"), idx.nextSeq)
+        live(base.toLong) = s"alpha edited$base"
+        idx.delete(Seq(base + 1L).toDF("doc_id"), idx.nextSeq)
+        live.remove(base + 1L)
+        assert(servedIds() === live.keySet.toSet,
+          s"era $era cycle $cycle: served corpus != live corpus")
+      }
+      idx.compact(checkpointOps = true)
+      // the fold: however many ops this era added, the log — and with
+      // it the per-serve snapshot collect — is back to ONE summary row
+      val logRows = log.rows.count()
+      val snapRows = log.snapshot().rows.count()
+      assert(logRows === 1L,
+        s"era $era: op log holds $logRows rows after maintenance — " +
+          "history is leaking past the checkpoint")
+      val shape = serveScanShape()
+      if (era == 0) { eraOneSnapshotRows = snapRows; eraOneShape = shape }
+      else {
+        assert(snapRows === eraOneSnapshotRows,
+          s"era $era: snapshot grew to $snapRows rows (era 1: " +
+            s"$eraOneSnapshotRows) — serve cost is growing with op history")
+        assert(shape === eraOneShape,
+          s"era $era: serve plan has $shape parquet scans (era 1: " +
+            s"$eraOneShape) — the plan shape moved with op history")
+      }
+      assert(servedIds() === live.keySet.toSet,
+        s"era $era: maintenance moved the served corpus")
+    }
+    // 18 lifecycle ops across 3 eras; the bound held at every era end
+  }
 }
