@@ -588,12 +588,31 @@ class Catalog(
     // heal refuses loudly, and a crash during staging heals as pure
     // garbage (no __manifest yet => nothing was renamed)
     beginSwap(fs, table, "-", () => recoverCompaction(table, partitionCol))
+    // Size the rewrite's shuffle by the DATA when the data demands it:
+    // there are exactly sum(per-partition file targets) distinct
+    // (partition, slot) groups of ~targetFileBytes each. When that
+    // count exceeds the session's shuffle parallelism, pin it as the
+    // partition count so every task's working set stays ~one output
+    // file (~128 MB) at any scale — left to the session default (the 8
+    // the lifecycle twins run under, or 32 on a cluster), a big
+    // compaction packs totalBytes/N into each task and the working set
+    // grows with data toward the spill cliff. When the targets FIT the
+    // session parallelism, keep the implicit form: an explicit count
+    // disables AQE's small-shuffle coalescing, which measured 2x on
+    // the many-tiny-partition vector lifecycle at sf0.1. The
+    // per-partition output-file bound (<= its target count, however
+    // many groups share a task) holds on both arms.
+    val rewriteTargets = toCompact.map(_._2.toLong).sum
+    def slotted(df: DataFrame): DataFrame = df
+      .withColumn("__slot",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), fileTarget.cast("long")))
+    def sized(df: DataFrame): DataFrame =
+      if (rewriteTargets > spark.sessionState.conf.numShufflePartitions)
+        df.repartition(rewriteTargets.toInt, F.col(partitionCol), F.col("__slot"))
+      else df.repartition(F.col(partitionCol), F.col("__slot"))
     try {
-      transform(readWithSchema(table, schema)
-          .filter(F.col(partitionCol).cast("string").isin(values: _*)))
-        .withColumn("__slot",
-          F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), fileTarget.cast("long")))
-        .repartition(F.col(partitionCol), F.col("__slot"))
+      sized(slotted(transform(readWithSchema(table, schema)
+          .filter(F.col(partitionCol).cast("string").isin(values: _*)))))
         .drop("__slot")
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
         .parquet(staging.toString)
