@@ -64,12 +64,15 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * ops per LIFECYCLE OPERATION (one lease create + one read + one
   * delete per op span; one stamp read per reopen); the measured
   * envelope is in `scale/coord_throughput.json`
-  * ([[graft.tools.CoordThroughput]]): ~2.1-3.4k mutations/s from one
-  * caller (the per-op fsync wall — a solo mutation still pays one full
-  * force), SCALING with concurrency under group commit to ~6.5-9.5k/s
-  * at 8-16 clients (each force amortizes across everything queued
-  * behind the leader; before group commit the same probe measured the
-  * curve DECLINING to ~2k/s at 16). A lifecycle op span costs ~4
+  * ([[graft.tools.CoordThroughput]], re-measured on the r19
+  * CRC-journal format): ~2.3-3.2k mutations/s from one caller (the
+  * per-op fsync wall — a solo mutation still pays one full force),
+  * SCALING with concurrency under group commit to ~9.0k/s at 8
+  * clients (each force amortizes across everything queued behind the
+  * leader; before group commit the same probe measured the curve
+  * DECLINING to ~2k/s at 16). The numbers are an envelope across
+  * runs: fsync-bound throughput rides the host's disk windows (the
+  * probe JSON records per-run spreads). A lifecycle op span costs ~4
   * coordination ops and seconds of real work, so the measured ceiling
   * supports thousands of lifecycle ops per second — a warehouse of
   * thousands of concurrent writers — with headroom.
