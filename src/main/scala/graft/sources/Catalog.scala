@@ -606,9 +606,19 @@ class Catalog(
     def slotted(df: DataFrame): DataFrame = df
       .withColumn("__slot",
         F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), fileTarget.cast("long")))
+    val sessionParallelism = spark.sessionState.conf.numShufflePartitions
+    if (sys.env.contains("GRAFT_COMPACT_DEBUG"))
+      System.err.println(s"[compactPartitioned] $table: targets=$rewriteTargets " +
+        s"session=$sessionParallelism arm=" +
+        (if (rewriteTargets > sessionParallelism) "sized-explicit" else "implicit-aqe"))
     def sized(df: DataFrame): DataFrame =
-      if (rewriteTargets > spark.sessionState.conf.numShufflePartitions)
-        df.repartition(rewriteTargets.toInt, F.col(partitionCol), F.col("__slot"))
+      if (rewriteTargets > sessionParallelism)
+        // guard the Long->Int narrowing: past ~2^31 file targets the
+        // cast would wrap (negative count throws opaquely; a wrapped
+        // positive silently undersizes the shuffle) — cap instead, the
+        // per-task bound merely loosens toward totalBytes/2^31
+        df.repartition(math.min(rewriteTargets, Int.MaxValue.toLong).toInt,
+          F.col(partitionCol), F.col("__slot"))
       else df.repartition(F.col(partitionCol), F.col("__slot"))
     try {
       sized(slotted(transform(readWithSchema(table, schema)

@@ -45,7 +45,17 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * at position i proves no acknowledgement exists for any record >= i
   * — replay truncates there (see [[CoordServer.start]]). A record whose
   * checksum VERIFIES but whose body fails to parse is real corruption
-  * of acknowledged state and still fails loudly. Compaction's
+  * of acknowledged state and still fails loudly. Truncation is further
+  * BOUNDED by a forced-high-water sidecar (`<journal>.fwm`, rewritten
+  * at every compaction and every ~[[CoordServer.FwmEvery]] forced
+  * records): a CRC-failing record AT OR BELOW the recorded forced
+  * frontier cannot be a crash tear — everything under the frontier was
+  * fsynced — so it is media damage to ACKNOWLEDGED state and replay
+  * refuses loudly instead of silently reverting every later acked win.
+  * Above the frontier, truncation keeps a `.corrupt` copy of the
+  * dropped bytes and reports how many intact-looking records followed
+  * the tear, so a suspicious drop leaves evidence instead of erasing
+  * it. Compaction's
   * atomic-move rename is followed by an fsync of the journal's parent
   * directory before any group-commit acknowledgement is released on
   * its strength — a rename alone is not durable, and acks must never
@@ -116,6 +126,12 @@ final class CoordServer private (
   private var writtenSeq = 0L
   private var forcedSeq = 0L
   private var forceLeader = false
+  // forced-high-water sidecar bookkeeping, guarded by `lock`: the
+  // record count the on-disk `<journal>.fwm` covers, and a generation
+  // counter that invalidates a leader's captured count when a
+  // compaction rewrote (and renumbered) the journal under it
+  private var fwmRecords = journalLines
+  private var compactGen = 0L
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -142,6 +158,8 @@ final class CoordServer private (
     * waiters. */
   private def awaitDurable(seq: Long): Unit = {
     var target = 0L
+    var targetRecords = 0L
+    var gen = 0L
     lock.synchronized {
       while (forcedSeq < seq && forceLeader && !closed) lock.wait()
       if (closed && forcedSeq < seq)
@@ -149,6 +167,8 @@ final class CoordServer private (
       if (forcedSeq >= seq) return
       forceLeader = true
       target = writtenSeq
+      targetRecords = journalLines
+      gen = compactGen
     }
     try journal.force(false)
     catch {
@@ -159,6 +179,21 @@ final class CoordServer private (
     lock.synchronized {
       forcedSeq = math.max(forcedSeq, target)
       forceLeader = false
+      // advance the forced-high-water sidecar every ~FwmEvery forced
+      // records (compaction rewrites it exactly; skip when one renumbered
+      // the journal under this force). The write is best-effort: a failed
+      // or stale sidecar only WEAKENS the corruption/tear distinction back
+      // toward the legacy truncate-everything rule — never the ack.
+      if (gen == compactGen && targetRecords - fwmRecords >= CoordServer.FwmEvery) {
+        try {
+          CoordServer.writeFwm(journalPath, targetRecords)
+          fwmRecords = targetRecords
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[CoordServer] fwm sidecar write failed " +
+              s"(truncation bound stays at $fwmRecords): $e")
+        }
+      }
       lock.notifyAll()
     }
   }
@@ -182,24 +217,55 @@ final class CoordServer private (
 
   /** Snapshot-then-atomic-move compaction; caller holds `lock`. A crash
     * anywhere leaves either the full history or the complete snapshot
-    * (the move is atomic), never less — identical to the startup path. */
+    * (the move is atomic), never less — identical to the startup path.
+    * A FAILURE anywhere in the close-move-fsync-reopen sequence fails
+    * the whole server loudly instead of leaving it a zombie: the live
+    * channel was already closed, so surviving the exception would mean
+    * serving reads from memory while every later mutation dies on a
+    * closed channel. */
   private def compactLocked(): Unit = {
-    CoordServer.writeSnapshot(journalPath, kv)
-    journal.close()
-    val tmp = journalPath.resolveSibling(journalPath.getFileName.toString + ".snap")
-    Files.move(tmp, journalPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // the rename is atomic but NOT durable until the directory entry
-    // itself is on disk — group-commit acks are about to be released on
-    // the strength of this snapshot, so fsync the parent directory
-    // BEFORE advancing forcedSeq; a power loss must not revert the
-    // directory to the old journal whose staged tail was only in page
-    // cache
-    CoordServer.fsyncDir(journalPath.toAbsolutePath.getParent)
-    journal = FileChannel.open(journalPath, StandardOpenOption.CREATE,
-      StandardOpenOption.WRITE, StandardOpenOption.APPEND)
-    journalLines = kv.size.toLong
+    try {
+      CoordServer.writeSnapshot(journalPath, kv)
+      journal.close()
+      val tmp = journalPath.resolveSibling(journalPath.getFileName.toString + ".snap")
+      Files.move(tmp, journalPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // the rename is atomic but NOT durable until the directory entry
+      // itself is on disk — group-commit acks are about to be released on
+      // the strength of this snapshot, so fsync the parent directory
+      // BEFORE advancing forcedSeq; a power loss must not revert the
+      // directory to the old journal whose staged tail was only in page
+      // cache
+      CoordServer.fsyncDir(journalPath.toAbsolutePath.getParent)
+      journal = FileChannel.open(journalPath, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+      journalLines = kv.size.toLong
+      compactGen += 1
+      // the snapshot IS the forced frontier now: rewrite the sidecar so
+      // the refusal bound covers the whole renumbered journal (pinned
+      // before any later append can ride on it — the lock is held
+      // through this call, so no record can interleave)
+      try {
+        CoordServer.writeFwm(journalPath, kv.size.toLong)
+        CoordServer.fsyncDir(journalPath.toAbsolutePath.getParent)
+        fwmRecords = kv.size.toLong
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[CoordServer] fwm sidecar write failed " +
+            s"after compaction (bound falls back to clamping): $e")
+      }
+    } catch {
+      case t: Throwable if !t.isInstanceOf[scala.util.control.ControlThrowable] =>
+        System.err.println(
+          "[CoordServer] FATAL: compaction failed mid close-move-reopen — " +
+            s"failing the server rather than serving as a zombie: $t")
+        closed = true
+        try server.close() catch { case _: java.io.IOException => () }
+        try journal.close() catch { case _: Exception => () }
+        lock.notifyAll()
+        throw new java.io.IOException("coord server failed during compaction", t)
+    }
     // the snapshot was fsynced and atomically+durably moved, so every
     // record staged so far is durable THROUGH it — satisfy any
     // group-commit waiters without a second force
@@ -332,6 +398,53 @@ object CoordServer {
     * fails its checksum or (legacy, no `#`) fails to parse. */
   private[sources] def record(body: String): String = s"#${crcHex(body)} $body"
 
+  /** Rewrite the forced-high-water sidecar this often (in forced
+    * records). The sidecar bounds replay's torn-tail truncation: an
+    * invalid record at or below it is media corruption of acknowledged
+    * state (refuse loudly), above it a legitimate unforced tear
+    * (truncate). Smaller = tighter bound, one extra rename+dir-fsync
+    * per interval. */
+  private[sources] val FwmEvery = 64L
+
+  private def fwmPath(journalPath: Path): Path =
+    journalPath.resolveSibling(journalPath.getFileName.toString + ".fwm")
+
+  /** Publish the forced frontier (`count` journal records known
+    * durable) to `<journal>.fwm`: one checksummed line, temp +
+    * atomic-move. No file fsync is needed for SAFETY — the journal
+    * prefix it names was forced before this is called, and a torn or
+    * reverted sidecar only weakens the bound (CRC-invalid => ignored,
+    * stale => smaller count => more truncation allowed, exactly the
+    * legacy behavior); callers that want the bound pinned across power
+    * loss follow with [[fsyncDir]]. */
+  private[sources] def writeFwm(journalPath: Path, count: Long): Unit = {
+    val p = fwmPath(journalPath)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, record(s"F $count") + "\n")
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The recorded forced frontier for `journalPath`, or 0 when the
+    * sidecar is missing, torn (CRC fails), or malformed — all of which
+    * fall back to the legacy truncate-any-suffix rule rather than
+    * refusing anything. */
+  private[sources] def readFwm(journalPath: Path): Long = {
+    val p = fwmPath(journalPath)
+    if (!Files.exists(p)) return 0L
+    try {
+      val line = Files.readString(p, UTF_8).trim
+      val sp = line.indexOf(' ')
+      if (!line.startsWith("#") || sp <= 1 ||
+          line.substring(1, sp) != crcHex(line.substring(sp + 1))) 0L
+      else {
+        val body = line.substring(sp + 1).split(" ", 2)
+        if (body.length == 2 && body(0) == "F") body(1).toLong else 0L
+      }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+  }
+
   /** fsync a DIRECTORY so a just-completed rename of a child entry is
     * durable — ATOMIC_MOVE orders the swap but only a directory fsync
     * pins it across power loss. */
@@ -363,9 +476,20 @@ object CoordServer {
     val kv = new java.util.HashMap[String, String]
     var journalLines = 0
     var tornTail = false
-    if (Files.exists(journalPath)) {
+    var droppedLines: Seq[String] = Nil
+    if (!Files.exists(journalPath)) {
+      // a sidecar with no journal is a leftover from a previous
+      // incarnation at this path — it must not bound a fresh journal
+      try Files.deleteIfExists(fwmPath(journalPath))
+      catch { case scala.util.control.NonFatal(_) => () }
+    } else {
       def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
       val lines = Files.readAllLines(journalPath, UTF_8)
+      // the forced frontier the sidecar recorded, clamped to the file
+      // (a compaction can shrink the journal under a stale-high
+      // sidecar; everything in a post-compaction journal was fsynced,
+      // so clamping errs toward refusing — the loud direction)
+      val fwmCount = math.min(readFwm(journalPath), lines.size.toLong)
       // Replay discipline. Checksummed (`#`-prefixed) records: a line
       // whose CRC VERIFIES was fully written by this code, so a
       // malformed body under a verifying checksum is real corruption of
@@ -381,6 +505,16 @@ object CoordServer {
       // Legacy journals (no checksummed records, written under
       // fsync-per-record) keep the original rule: only the FINAL record
       // can tear; an interior malformation is corruption and refuses.
+      // Either way, an invalid record AT OR BELOW the forced frontier
+      // (`fwmCount`) cannot be a crash tear — that prefix was fsynced —
+      // so it refuses as media corruption of acknowledged state.
+      def refuseForced(i: Int, line: String): Nothing =
+        throw new java.io.IOException(
+          s"corrupt journal record at line $i of ${lines.size} " +
+            s"('${line.take(80)}') BELOW the forced frontier " +
+            s"($fwmCount records fsynced per ${fwmPath(journalPath).getFileName}) " +
+            "— this is damage to acknowledged state, not an unforced " +
+            "tear; refusing to silently revert later acked records")
       var sawChecked = false
       var i = 0
       while (i < lines.size && !tornTail) {
@@ -393,8 +527,10 @@ object CoordServer {
           else if (sp > 1 && line.substring(1, sp) == crcHex(line.substring(sp + 1)))
             line.substring(sp + 1)
           else null // torn checksummed record
-        if (body == null) tornTail = true
-        else {
+        if (body == null) {
+          if (i <= fwmCount) refuseForced(i, line)
+          tornTail = true
+        } else {
           try {
             val p = body.split(" ", 3)
             p(0) match {
@@ -414,8 +550,14 @@ object CoordServer {
                   s"('${line.take(80)}'): body malformed under a VERIFYING " +
                   "checksum — this is damage to acknowledged state, not a " +
                   "torn append; refusing to replay a partial state", e)
-            case _: Exception if sawChecked || i == lines.size =>
+            case _: Exception if (sawChecked || i == lines.size) && i > fwmCount =>
               tornTail = true // unacknowledged torn tail: dropped
+            case e: Exception if i <= fwmCount =>
+              throw new java.io.IOException(
+                s"corrupt journal record at line $i of ${lines.size} " +
+                  s"('${line.take(80)}') BELOW the forced frontier " +
+                  s"($fwmCount records fsynced) — refusing to replay a " +
+                  "partial state", e)
             case e: Exception =>
               throw new java.io.IOException(
                 s"corrupt INTERIOR journal record at line $i of " +
@@ -425,10 +567,26 @@ object CoordServer {
         }
       }
       if (tornTail) {
-        val dropped = lines.size - journalLines
+        import scala.jdk.CollectionConverters._
+        droppedLines = lines.subList(journalLines, lines.size).asScala.toSeq
+        // how many of the dropped records LOOK intact (CRC verifies):
+        // a true crash tear is usually followed by garbage; a run of
+        // intact-looking records after the tear smells like interior
+        // damage to an old record that the fwm interval didn't yet
+        // cover — the operator gets the count and the bytes, not a
+        // silent erase
+        val intactAfter = droppedLines.drop(1).count { l =>
+          val sp = l.indexOf(' ')
+          l.startsWith("#") && sp > 1 &&
+            l.substring(1, sp) == crcHex(l.substring(sp + 1))
+        }
         System.err.println(s"[CoordServer] journal ${journalPath.getFileName}: " +
-          s"dropped $dropped torn/unforced trailing record(s) " +
-          s"(never acknowledged); replayed $journalLines")
+          s"dropped ${droppedLines.size} torn/unforced trailing record(s) " +
+          s"(never acknowledged; $intactAfter intact-looking after the tear" +
+          (if (intactAfter > 0) " -- if the first invalid record was OLD " +
+            "acknowledged state rather than a crash tear, recover from " +
+            s"${journalPath.getFileName}.corrupt" else "") +
+          s"); replayed $journalLines")
       }
     }
     // STARTUP JOURNAL COMPACTION: leases and break-claims churn, so the
@@ -446,6 +604,14 @@ object CoordServer {
     // the rewrite, scrubbing the dropped garbage from disk so the next
     // replay starts from a clean checksummed snapshot.
     if (tornTail || journalLines > math.max(64, 4 * kv.size)) {
+      // keep the dropped bytes before the scrub erases them — the
+      // truncation decision is sound for crash tears, but the evidence
+      // must survive for the shapes it cannot distinguish
+      if (droppedLines.nonEmpty)
+        try Files.writeString(
+          journalPath.resolveSibling(journalPath.getFileName.toString + ".corrupt"),
+          droppedLines.mkString("", "\n", "\n"))
+        catch { case scala.util.control.NonFatal(_) => () }
       writeSnapshot(journalPath, kv)
       val tmp = journalPath.resolveSibling(journalPath.getFileName.toString + ".snap")
       Files.move(tmp, journalPath,
@@ -459,6 +625,19 @@ object CoordServer {
     val journal = FileChannel.open(journalPath,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.APPEND)
+    // startup frontier: one fsync pins every replayed record (they were
+    // READ from the file, but a process-kill-then-power-loss could still
+    // revert unforced pages), after which the sidecar may name the whole
+    // journal as the refusal bound. Best-effort like every fwm write.
+    if (journalLines > 0)
+      try {
+        journal.force(true)
+        writeFwm(journalPath, journalLines.toLong)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[CoordServer] startup fwm write failed " +
+            s"(truncation bound falls back to the prior sidecar): $e")
+      }
     val server = new ServerSocket(port, 128,
       java.net.InetAddress.getLoopbackAddress)
     val cs = new CoordServer(server.getLocalPort, server, journalPath,
@@ -478,7 +657,12 @@ object CoordServer {
     val pf = java.nio.file.Paths.get(args(1))
     val tmp = pf.resolveSibling(pf.getFileName.toString + ".tmp")
     Files.writeString(tmp, cs.port.toString)
-    Files.move(tmp, pf, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE_EXISTING alongside ATOMIC_MOVE: POSIX rename() replaces
+    // silently either way, but a provider that cannot guarantee atomic
+    // replace must not kill a freshly bound server over a stale
+    // portfile from a prior run
+    Files.move(tmp, pf, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // park forever; the process is killed by its parent
     while (true) Thread.sleep(60000)
   }

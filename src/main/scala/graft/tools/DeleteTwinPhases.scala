@@ -4,26 +4,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import graft.GraftSession
 
-/** Phase-timed replay of the q_bm25_stream_del lifecycle — the
-  * adjudication harness for the r18 sf300 finding: the delete twin's
-  * sf100→sf300 marginal exponent read 1.22-1.31 (the first
-  * super-linear interval in any graded family) while the ingest twin
-  * read 0.80 on the same data. The twin's wall-clock is a COMPOSITE
-  * (base build + base copy + delete op + 2 re-ingest micro-batch ops +
-  * physical compaction + serve), so a whole-query exponent cannot say
-  * WHICH phase carries the step, and the working hypothesis (the
-  * compact pass's per-task working set crossing the spill regime on
-  * the fixed-heap local harness) predicts the step lives in exactly
-  * one phase and flattens under heap proportional to data. This main
-  * runs the identical lifecycle with a timer and a quiet gate
-  * ([[HostProbe]], the bench's own busy probe) around every phase and
-  * writes one JSON object per run, so exponents can be computed
-  * per-phase across scale points and heap configs.
+/** Phase-timed replay of the bm25 lifecycle twins — the adjudication
+  * harness for write-heavy scale exponents. Born for the r18 sf300
+  * finding (q_bm25_stream_del marginal exponent read 1.22-1.31 while
+  * the ingest twin read 0.80 on the same data): a twin's wall-clock is
+  * a COMPOSITE, so a whole-query exponent cannot say WHICH phase
+  * carries a step, and single-shot write-heavy measurements on this
+  * host carry ±40-70% disk noise (measured: the identical base_build
+  * ran 801.9 vs 1390.0 s two quiet hours apart). This main runs the
+  * lifecycle with a timer and a quiet gate ([[HostProbe]], the bench's
+  * own busy probe) around every phase, and — r20 — runs the mutable
+  * phases as N LEGS off one shared base build, reporting per-leg runs
+  * and medians, so exponents stop being published off single shots.
   *
-  * Run: `SPARK_DRIVER_MEM=8g sbt "runMain graft.tools.DeleteTwinPhases
-  * localdata/sf100 scale/delete_phases_sf100_8g.json"` — heap via the
-  * build's SPARK_DRIVER_MEM knob; the report records the JVM's actual
-  * max heap so configs can't be mislabeled.
+  * Modes:
+  *  - `mode=delete` (default): the q_bm25_stream_del lifecycle — one
+  *    streamed 3-op base build, then per leg: private copy, delete op,
+  *    2 re-ingest micro-batch ops, physical compaction, serve.
+  *  - `mode=ingest`: the q_bm25_stream lifecycle — per leg: fresh
+  *    streamed 3-op full-corpus build, compaction, serve (the build IS
+  *    the measured phase here, so every leg pays it; the stream input
+  *    files are prepared once, untimed).
+  *
+  * Run: `SPARK_DRIVER_MEM=8g tools/run.sh graft.tools.DeleteTwinPhases
+  * localdata/sf100 scale/delete_phases_sf100_8g.json legs=3 mode=delete`
+  * — heap via the build's SPARK_DRIVER_MEM knob; the report records the
+  * JVM's actual max heap in MB (and GB rounded to nearest — a floor
+  * would record an 8g and a 7.5g run identically).
   */
 object DeleteTwinPhases {
 
@@ -49,6 +56,14 @@ object DeleteTwinPhases {
     }
   }
 
+  private def rmDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   private def writeOrderedStreamFiles(
       tiled: DataFrame, parts: Int, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
@@ -63,16 +78,26 @@ object DeleteTwinPhases {
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(1700000000000L + i * 60000L)
     }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(tmp))
+    rmDir(tmp)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "localdata/sf100"
     val outPath = if (args.length > 1) args(1) else "scale/delete_phases.json"
+    val kvs = args.drop(2).flatMap(_.split(",")).collect {
+      case kv if kv.contains("=") =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+    }.toMap
+    val legs = kvs.getOrElse("legs", "1").toInt
+    val mode = kvs.getOrElse("mode", "delete")
+    require(mode == "delete" || mode == "ingest", s"unknown mode '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local("graft-delete-phases", cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -80,15 +105,24 @@ object DeleteTwinPhases {
 
     val quietBudget = new java.util.concurrent.atomic.AtomicLong(
       sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_MS", "120000").toLong)
-    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val busy = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // ordered phase names; per phase, one timing per leg (base_build in
+    // delete mode runs once and carries a single run)
+    val phaseNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    val runsOf = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val busyOf = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     def phase[T](name: String)(body: => T): T = {
       scrub(spark)
       HostProbe.awaitQuiet(quietBudget)
-      busy(name) = HostProbe.busyFraction()
+      phaseNames += name
+      busyOf.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer.empty) += HostProbe.busyFraction()
       val t0 = System.nanoTime()
       val r = body
-      phases(name) = (System.nanoTime() - t0) / 1e9
+      runsOf.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        (System.nanoTime() - t0) / 1e9
       r
     }
 
@@ -98,71 +132,112 @@ object DeleteTwinPhases {
       .select("doc_id", "text")
     val w = Window.orderBy(F.col("doc_id"))
 
-    // phase 1: the streamed 3-op base build (the fixture the graded
-    // twin restores; built fresh here so its cost is its own line)
-    phase("base_build") {
-      val in = s"$root/in"; val cp = s"$root/cp"
-      writeOrderedStreamFiles(
-        docs.withColumn("__tile", F.ntile(3).over(w)), 3, in)
-      val idx = new graft.streaming.Bm25Index(
-        spark, new graft.sources.Catalog(spark, s"$root/base_wh"))
-      idx.ensure()
+    def streamIn(idx: graft.streaming.Bm25Index, in: String, cp: String): Unit = {
       val q = idx.writer(spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(in), cp).start()
       try q.processAllAvailable() finally q.stop()
     }
 
-    // phase 2: restore a private copy (exactly what the graded twin pays)
-    val wh = s"$root/wh"
-    phase("base_copy") { copyDir(s"$root/base_wh", wh) }
-
-    val idx = new graft.streaming.Bm25Index(
-      spark, new graft.sources.Catalog(spark, wh))
-
-    // phase 3: the delete op — tombstones + one negative stats row
-    phase("delete_op") {
-      idx.delete(docs.filter(F.col("doc_id") % 7 === 3).select("doc_id"),
-        seq = 10L)
-    }
-
-    // phase 4: re-ingest the modified half as 2 micro-batch ops
-    phase("stream_ops") {
-      val in2 = s"$root/in2"; val cp2 = s"$root/cp2"
+    if (mode == "delete") {
+      // the streamed 3-op base build (the fixture the graded twin
+      // restores; built fresh here, ONCE, so its cost is its own line)
+      phase("base_build") {
+        val in = s"$root/in"; val cp = s"$root/cp"
+        writeOrderedStreamFiles(
+          docs.withColumn("__tile", F.ntile(3).over(w)), 3, in)
+        val idx = new graft.streaming.Bm25Index(
+          spark, new graft.sources.Catalog(spark, s"$root/base_wh"))
+        idx.ensure()
+        streamIn(idx, in, cp)
+      }
+      // the re-ingest micro-batch input, shared by every leg (untimed
+      // prep — the graded twin's writeOrderedStreamFiles cost rides
+      // inside its wall-clock, but here the LEGS are the measurement)
+      val in2 = s"$root/in2"
       val modified = docs.filter(F.col("doc_id") % 14 === 3)
         .select(F.col("doc_id"),
           F.concat(F.col("text"), F.lit(" hash scan")).as("text"))
       writeOrderedStreamFiles(
         modified.withColumn("__tile", F.ntile(2).over(w)), 2, in2)
-      val q2 = idx.writer(spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(in2), cp2).start()
-      try q2.processAllAvailable() finally q2.stop()
-    }
 
-    // phase 5: physical compaction (tombstones applied in
-    // partition-local rewrites) + op-log history fold
-    phase("compact") {
-      idx.compact(maxFilesPerPartition = 2, checkpointOps = true)
+      (1 to legs).foreach { leg =>
+        val wh = s"$root/wh_$leg"; val cp2 = s"$root/cp2_$leg"
+        // restore a private copy (exactly what the graded twin pays)
+        phase("base_copy") { copyDir(s"$root/base_wh", wh) }
+        val idx = new graft.streaming.Bm25Index(
+          spark, new graft.sources.Catalog(spark, wh))
+        // the delete op — tombstones + one negative stats row
+        phase("delete_op") {
+          idx.delete(docs.filter(F.col("doc_id") % 7 === 3).select("doc_id"),
+            seq = 10L)
+        }
+        // re-ingest the modified half as 2 micro-batch ops
+        phase("stream_ops") { streamIn(idx, in2, cp2) }
+        // physical compaction (tombstones applied in partition-local
+        // rewrites) + op-log history fold
+        phase("compact") {
+          idx.compact(maxFilesPerPartition = 2, checkpointOps = true)
+        }
+        // snapshot-pinned serve off the folded log
+        val served = phase("serve") {
+          idx.serve(Seq("hash", "scan", "merge"), k = 20).collect()
+        }
+        require(served.length == 20, s"serve returned ${served.length} rows")
+        rmDir(wh); rmDir(cp2) // keep disk flat across legs
+      }
+    } else { // mode == "ingest": the q_bm25_stream lifecycle, per leg
+      val in = s"$root/in"
+      writeOrderedStreamFiles(
+        docs.withColumn("__tile", F.ntile(3).over(w)), 3, in)
+      (1 to legs).foreach { leg =>
+        val wh = s"$root/wh_$leg"; val cp = s"$root/cp_$leg"
+        val idx = new graft.streaming.Bm25Index(
+          spark, new graft.sources.Catalog(spark, wh))
+        phase("stream_ingest") {
+          idx.ensure()
+          streamIn(idx, in, cp)
+        }
+        phase("compact") { idx.compact(maxFilesPerPartition = 2) }
+        val served = phase("serve") {
+          idx.serve(Seq("hash", "scan", "merge"), k = 20).collect()
+        }
+        require(served.length == 20, s"serve returned ${served.length} rows")
+        rmDir(wh); rmDir(cp)
+      }
     }
-
-    // phase 6: snapshot-pinned serve off the folded log
-    val served = phase("serve") {
-      idx.serve(Seq("hash", "scan", "merge"), k = 20).collect()
-    }
-    require(served.length == 20, s"serve returned ${served.length} rows")
 
     val bytes = {
       val f = new java.io.File(s"$dir/documents.parquet")
       if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
     }
+    val heapMb = Runtime.getRuntime.maxMemory >> 20
+    val meds = phaseNames.toSeq.map(n => n -> median(runsOf(n).toSeq))
+    // lifecycle total = per-leg sum of the legged phases (base_build
+    // excluded in delete mode), medianed across legs; total adds the
+    // one-shot build back for continuity with the single-leg reports
+    val onceNames = if (mode == "delete") Set("base_build") else Set.empty[String]
+    val legged = phaseNames.toSeq.filterNot(onceNames.contains)
+    val nLegs = legged.headOption.map(runsOf(_).size).getOrElse(0)
+    val legTotals = (0 until nLegs).map(i => legged.map(n => runsOf(n)(i)).sum)
+    val lifecycleMed = median(legTotals)
+    val buildOnce = phaseNames.toSeq.filter(onceNames.contains)
+      .map(n => runsOf(n).head).sum
+    def jmap(m: Seq[(String, Double)], fmt: String): String =
+      m.map { case (k, v) => s""""$k":${fmt.format(v)}""" }.mkString(",")
     val json =
       s"""{"dir":"$dir","bytes":$bytes,""" +
-      s""""heap_max_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},""" +
-      s""""cpus":$cpus,""" +
-      s""""phases":{${phases.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")}},""" +
-      s""""busy":{${busy.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")}},""" +
-      s""""total":${f"${phases.values.sum}%.2f"}}"""
+      s""""heap_max_gb":${math.round(heapMb / 1024.0)},""" +
+      s""""heap_max_mb":$heapMb,""" +
+      s""""cpus":$cpus,"mode":"$mode","legs":$nLegs,""" +
+      s""""phases":{${jmap(meds, "%.2f")}},""" +
+      s""""phase_runs":{${phaseNames.toSeq.map(n =>
+          s""""$n":[${runsOf(n).map(v => f"$v%.2f").mkString(",")}]""").mkString(",")}},""" +
+      s""""busy":{${jmap(phaseNames.toSeq.map(n => n -> busyOf(n).max), "%.3f")}},""" +
+      s""""lifecycle_total":${f"$lifecycleMed%.2f"},""" +
+      s""""total":${f"${buildOnce + lifecycleMed}%.2f"}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    rmDir(root)
     spark.stop()
   }
 }

@@ -490,4 +490,184 @@ class CrossProcessCoordSpec extends AnyFunSuite {
         new HPath(s"$dir/lease_new_claimed")))
     } finally standby.close()
   }
+
+  test("tailing follower without a final drain preserves exactly the last-poll frontier (loss bounded by lag)") {
+    // the deterministic half of the follower contract: under true host
+    // death with unreachable primary storage (modeled here by promoting
+    // WITHOUT the final drain), the follower's own journal path holds
+    // every win acked before its last completed poll — and, just as
+    // deterministically, nothing acked after it. The loss window is the
+    // tail lag, not "since the last manual copy".
+    val dir = Files.createTempDirectory("graft-coord-tail-lag").toString
+    val jA = Paths.get(dir, "primary.journal")
+    val jB = Paths.get(dir, "follower.journal")
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+    val primary = CoordServer.start(jA)
+    val follower = new graft.sources.CoordFollower(jA, jB)
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", primary.port)
+      (0 until 20).foreach { i =>
+        assert(c.createIfAbsent(fs, new HPath(s"$dir/pre_$i"), s"v$i"))
+      }
+      assert(follower.pollOnce(), "capture of the pre-frontier failed")
+      (0 until 10).foreach { i =>
+        assert(c.createIfAbsent(fs, new HPath(s"$dir/post_$i"), s"w$i"))
+      }
+    } finally primary.close()
+    // promote from the FOLLOWER's path, no drain: the tailed frontier
+    // and nothing beyond it
+    val promoted = follower.promote(finalDrain = false)
+    try {
+      val c2 = CommitCoordinator.remote("127.0.0.1", promoted.port)
+      (0 until 20).foreach { i =>
+        assert(c2.readSmall(fs, new HPath(s"$dir/pre_$i")).contains(s"v$i"),
+          s"win pre_$i acked before the last poll lost by the follower")
+      }
+      (0 until 10).foreach { i =>
+        assert(c2.readSmall(fs, new HPath(s"$dir/post_$i")).isEmpty,
+          s"post-poll win post_$i present without any poll — not tailing")
+      }
+      // the promoted server serves new acknowledged mutations
+      assert(c2.createIfAbsent(fs, new HPath(s"$dir/after"), "a"))
+    } finally promoted.close()
+  }
+
+  test("journal-tailing standby: primary KILLED mid-churn, follower promoted from its OWN path, every acked win holds") {
+    // the no-shared-storage deployment's replacement path: a follower
+    // continuously re-captures the primary's journal into its OWN
+    // journal path while a real child JVM churns mutations, the primary
+    // is destroyed forcibly mid-churn (no quiesce, no flush
+    // opportunity), and the follower promotes from its own path with
+    // one final drain — legitimate whenever the journal file is still
+    // readable after the process died (process death, or storage that
+    // outlives the host; see CoordFollower's scaladoc for the
+    // host-death lag bound the previous test pins). Every win the
+    // client saw ACKED must hold verbatim on the promoted server.
+    val dir = Files.createTempDirectory("graft-coord-tail-kill").toString
+    val journal = Paths.get(dir, "primary.journal")
+    val followerJournal = Paths.get(dir, "follower.journal")
+    val portFile = Paths.get(dir, "port")
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+    val cp = repoRoot.resolve("target/scala-2.13/classes").toString +
+      ":/opt/spark/jars/*"
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val proc = new ProcessBuilder(javaBin, "-cp", cp, "-Xmx256m",
+      "graft.sources.CoordServer", journal.toString, portFile.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(new java.io.File(s"$dir/server.log"))
+      .start()
+    val follower = new graft.sources.CoordFollower(
+      journal, followerJournal, intervalMs = 20L).start()
+    val acked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def portNow(): Option[Int] =
+        if (!Files.exists(portFile)) None
+        else Files.readString(portFile).trim.toIntOption
+      while (portNow().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      val port = portNow().getOrElse(fail("server never published its port"))
+      val c = CommitCoordinator.remote("127.0.0.1", port)
+      val killer = new Thread(() => { Thread.sleep(400); proc.destroyForcibly(); () })
+      killer.setDaemon(true); killer.start()
+      try {
+        var i = 0
+        while (i < 1000000) { // until the kill severs the connection
+          val k = s"$dir/win_$i"
+          if (c.createIfAbsent(fs, new HPath(k), s"holder_$i"))
+            acked += ((k, s"holder_$i"))
+          if (c.createIfAbsent(fs, new HPath(s"$dir/churn"), s"h$i"))
+            c.delete(fs, new HPath(s"$dir/churn"), false)
+          i += 1
+        }
+        fail("churn loop outlived the kill")
+      } catch { case _: java.io.IOException => () } // primary died mid-op
+      assert(acked.size >= 10,
+        s"only ${acked.size} acked wins before the kill — churn too short to prove anything")
+    } finally { proc.destroyForcibly(); proc.waitFor(10, TimeUnit.SECONDS) }
+    assert(follower.capturedPolls >= 1,
+      "the follower never completed a live capture — the tail loop did not run")
+    // promote from the follower's OWN journal path, with the final drain
+    val standby = follower.promote(finalDrain = true)
+    try {
+      val c2 = CommitCoordinator.remote("127.0.0.1", standby.port)
+      acked.foreach { case (k, v) =>
+        assert(c2.readSmall(fs, new HPath(k)).contains(v),
+          s"acked win $k lost — primary killed mid-churn, follower-promoted standby")
+      }
+      assert(!c2.createIfAbsent(fs, new HPath(acked.head._1), "usurper"))
+      assert(c2.createIfAbsent(fs, new HPath(s"$dir/post_promo"), "p"))
+    } finally standby.close()
+  }
+
+  test("forced-frontier sidecar: damage below the fsynced frontier refuses; tail drops keep .corrupt evidence") {
+    // the r19 replay rule truncated at ANY invalid record once a
+    // checksummed one had been seen — safe for crash tears, but
+    // indistinguishable from media corruption of an OLD, FORCED,
+    // ACKNOWLEDGED interior record, which it silently reverted (and
+    // scrubbed the evidence). The `.fwm` sidecar bounds that: an
+    // invalid record at or below the recorded forced frontier refuses
+    // loudly; above it, truncation proceeds but keeps the dropped
+    // bytes in `.corrupt` and reports intact-looking records after the
+    // tear.
+    val dir = Files.createTempDirectory("graft-coord-fwm").toString
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+    val j = Paths.get(dir, "j")
+    // 10 acked wins; the NEXT start pins the 10-record frontier in the
+    // sidecar (startup force + fwm write)
+    val s0 = CoordServer.start(j)
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", s0.port)
+      (0 until 10).foreach { i =>
+        assert(c.createIfAbsent(fs, new HPath(s"$dir/acked_$i"), s"v$i"))
+      }
+    } finally s0.close()
+    // this start writes fwm=10, then appends 5 more records (below the
+    // FwmEvery interval, so the sidecar stays at 10)
+    val s1 = CoordServer.start(j)
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", s1.port)
+      (0 until 5).foreach { i =>
+        assert(c.createIfAbsent(fs, new HPath(s"$dir/tail_$i"), s"w$i"))
+      }
+    } finally s1.close()
+    assert(Files.exists(Paths.get(dir, "j.fwm")), "sidecar missing")
+    val lines = Files.readAllLines(j)
+    assert(lines.size === 15)
+    // tear record 12 (ABOVE the 10-record frontier), keep 13-15 intact:
+    // truncation proceeds, 12-15 drop, the bytes survive in .corrupt
+    val above = new java.lang.StringBuilder
+    (0 until 11).foreach(i => above.append(lines.get(i)).append('\n'))
+    above.append(lines.get(11).substring(0, lines.get(11).length - 4)).append('\n')
+    (12 until 15).foreach(i => above.append(lines.get(i)).append('\n'))
+    Files.writeString(j, above.toString)
+    val s2 = CoordServer.start(j)
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", s2.port)
+      (0 until 10).foreach(i =>
+        assert(c.readSmall(fs, new HPath(s"$dir/acked_$i")).contains(s"v$i")))
+      assert(c.readSmall(fs, new HPath(s"$dir/tail_0")).contains("w0"),
+        "the intact record above the frontier but before the tear must replay")
+      (1 until 5).foreach(i =>
+        assert(c.readSmall(fs, new HPath(s"$dir/tail_$i")).isEmpty,
+          s"unforced record tail_$i past the tear resurrected"))
+    } finally s2.close()
+    val corrupt = Paths.get(dir, "j.corrupt")
+    assert(Files.exists(corrupt), "dropped bytes must survive in .corrupt")
+    assert(Files.readAllLines(corrupt).size === 4,
+      "the torn record and the 3 intact-looking ones after it")
+    // damage BELOW the frontier: s2's start scrubbed the journal to 11
+    // records and re-pinned fwm=11; tear record 3 — replay must REFUSE,
+    // not silently revert acked_2..10
+    val clean = Files.readAllLines(j)
+    assert(clean.size === 11, s"expected the scrubbed 11-record journal: $clean")
+    val below = new java.lang.StringBuilder
+    (0 until 2).foreach(i => below.append(clean.get(i)).append('\n'))
+    below.append(clean.get(2).substring(0, clean.get(2).length - 4)).append('\n')
+    (3 until 11).foreach(i => below.append(clean.get(i)).append('\n'))
+    Files.writeString(j, below.toString)
+    val e = intercept[java.io.IOException](CoordServer.start(j))
+    assert(e.getMessage.contains("forced frontier"),
+      s"expected the forced-frontier refusal, got: ${e.getMessage}")
+  }
 }

@@ -1753,4 +1753,160 @@ class StreamingSpec extends SparkSpec {
     }
     // 18 lifecycle ops across 3 eras; the bound held at every era end
   }
+
+  test("vector serve cost is FLAT in op-history length: churned eras fold to a constant snapshot and plan") {
+    // the same composed long-uptime bound the bm25 case pins, for the
+    // VECTOR family (replaceVectors / deleteVectors /
+    // compactVectorIndex / serveVectorIndex share the bm25 family's
+    // OpLog snapshot+checkpoint machinery but had no era-churn proof):
+    // after every maintenance pass the op log folds to ONE summary row
+    // regardless of era count, the serve plan keeps its parquet-scan
+    // count, and the served id set equals the live one exactly.
+    val dir = Files.createTempDirectory("graft-flatserve-vec").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    // deterministic per-(id, salt) embedding so an edit is reproducible
+    def emb(id: Long, salt: Int): Array[Float] =
+      Array.tabulate(8)(d => (((id * 31 + d * 17 + salt * 7) % 13) - 6) / 6.0f)
+    def batch(rows: Seq[(Long, Int)]) =
+      rows.map { case (id, salt) => (id, emb(id, salt)) }
+        .toDF("vec_id", "embedding")
+    val seedIds = (0L until 16L).map(_ -> 0)
+    val (model0, offline) = graft.operators.Similarity.ivfPqIndex(
+      batch(seedIds), nlist = 8, m = 4, ksub = 8)
+    val codesSchema = graft.streaming.Streams.vectorCodesSchema(offline.schema)
+    graft.streaming.Streams.ensureVectorIndexTables(
+      cat, "codes", "codes_tomb", codesSchema)
+    graft.streaming.Streams.seedVectorIndexModel(
+      cat, "codes", "model", model0, seq = 0L)
+    val log = new graft.streaming.OpLog(spark, cat, "codes_ops",
+      graft.streaming.OpLog.countPayload)
+    val live = scala.collection.mutable.Map.empty[Long, Int]
+    def ingest(rows: Seq[(Long, Int)]): Unit = {
+      graft.streaming.Streams.replaceVectors(cat, "codes", codesSchema,
+        "codes_tomb", batch(rows),
+        graft.streaming.Streams.liveVectorModel(cat, "codes", "model"),
+        nlist = 8, m = 4, ksub = 8)
+      rows.foreach { case (id, salt) => live(id) = salt }
+    }
+    ingest(seedIds)
+    val queries = batch(Seq(999L -> 0))
+    def serveDf() = graft.streaming.Streams.serveVectorIndex(
+      cat, "codes", codesSchema, "codes_tomb", "model", queries, k = 1000,
+      nlist = 8, nprobe = 8, m = 4, ksub = 8)
+    def servedIds(): Set[Long] = {
+      val df = serveDf()
+      df.collect()
+      df.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    }
+    def serveScanShape(): Int = {
+      val df = serveDf()
+      df.collect()
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    var eraOneSnapshotRows = -1L
+    var eraOneShape = -1
+    (0 until 3).foreach { era =>
+      (0 until 2).foreach { cycle =>
+        val base = 100L + era * 100 + cycle * 10
+        ingest((0 until 4).map(j => (base + j) -> 0))
+        ingest(Seq(base -> (era + 1))) // edit one of this cycle's vectors
+        graft.streaming.Streams.deleteVectors(cat, "codes", codesSchema,
+          "codes_tomb", Seq(base + 1L).toDF("neighbor_id"))
+        live.remove(base + 1L)
+        assert(servedIds() === live.keySet.toSet,
+          s"era $era cycle $cycle: served vectors != live vectors")
+      }
+      graft.streaming.Streams.compactVectorIndex(
+        cat, "codes", codesSchema, "codes_tomb", checkpointOps = true)
+      val logRows = log.rows.count()
+      val snapRows = log.snapshot().rows.count()
+      assert(logRows === 1L,
+        s"era $era: op log holds $logRows rows after maintenance — " +
+          "history is leaking past the checkpoint")
+      val shape = serveScanShape()
+      if (era == 0) { eraOneSnapshotRows = snapRows; eraOneShape = shape }
+      else {
+        assert(snapRows === eraOneSnapshotRows,
+          s"era $era: snapshot grew to $snapRows rows (era 1: " +
+            s"$eraOneSnapshotRows) — serve cost is growing with op history")
+        assert(shape === eraOneShape,
+          s"era $era: serve plan has $shape parquet scans (era 1: " +
+            s"$eraOneShape) — the plan shape moved with op history")
+      }
+      assert(servedIds() === live.keySet.toSet,
+        s"era $era: maintenance moved the served vector set")
+    }
+  }
+
+  test("dedup serve cost is FLAT in op-history length: churned eras fold to a constant snapshot and plan") {
+    // the same composed long-uptime bound for the DEDUP family
+    // (replaceDocsInDedup / deleteDocsFromDedup / compactDocDedup /
+    // liveDedupDocs): one summary row after every maintenance pass, a
+    // constant serve plan shape, and the served corpus exactly the
+    // live one at every step.
+    val dir = Files.createTempDirectory("graft-flatserve-dedup").toString
+    val cat = new graft.sources.Catalog(spark, s"$dir/wh")
+    graft.streaming.Streams.ensureDedupIndexTables(
+      cat, "corpus", "corpus_buckets", "corpus_tomb")
+    val log = new graft.streaming.OpLog(spark, cat, "corpus_ops",
+      graft.streaming.OpLog.countPayload)
+    val live = scala.collection.mutable.Map.empty[Long, String]
+    def text(id: Long, rev: Int) =
+      s"document $id revision $rev with its own distinct run of words " +
+        s"number ${id * 7 + rev} in the corpus"
+    def ingest(rows: Seq[(Long, Int)]): Unit = {
+      // replace is the editorial ingest arm (no admission screen):
+      // deterministic, so the live map IS the expected corpus
+      graft.streaming.Streams.replaceDocsInDedup(cat, "corpus",
+        "corpus_buckets", "corpus_tomb",
+        rows.map { case (id, rev) => (id, text(id, rev)) }.toDF("doc_id", "text"))
+      rows.foreach { case (id, rev) => live(id) = text(id, rev) }
+    }
+    def serveDf() = graft.streaming.Streams.liveDedupDocs(
+      cat, "corpus", "corpus_tomb")
+    def served(): Map[Long, String] = {
+      val df = serveDf()
+      df.collect()
+      df.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    def serveScanShape(): Int = {
+      val df = serveDf()
+      df.collect()
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    var eraOneSnapshotRows = -1L
+    var eraOneShape = -1
+    (0 until 3).foreach { era =>
+      (0 until 2).foreach { cycle =>
+        val base = 100L + era * 100 + cycle * 10
+        ingest((0 until 4).map(j => (base + j) -> 0))
+        ingest(Seq(base -> (era + 1))) // edit one of this cycle's docs
+        graft.streaming.Streams.deleteDocsFromDedup(cat, "corpus",
+          "corpus_tomb", Seq(base + 1L).toDF("doc_id"))
+        live.remove(base + 1L)
+        assert(served() === live.toMap,
+          s"era $era cycle $cycle: served corpus != live corpus")
+      }
+      graft.streaming.Streams.compactDocDedup(
+        cat, "corpus", "corpus_buckets", "corpus_tomb", checkpointOps = true)
+      val logRows = log.rows.count()
+      val snapRows = log.snapshot().rows.count()
+      assert(logRows === 1L,
+        s"era $era: op log holds $logRows rows after maintenance — " +
+          "history is leaking past the checkpoint")
+      val shape = serveScanShape()
+      if (era == 0) { eraOneSnapshotRows = snapRows; eraOneShape = shape }
+      else {
+        assert(snapRows === eraOneSnapshotRows,
+          s"era $era: snapshot grew to $snapRows rows (era 1: " +
+            s"$eraOneSnapshotRows) — serve cost is growing with op history")
+        assert(shape === eraOneShape,
+          s"era $era: serve plan has $shape parquet scans (era 1: " +
+            s"$eraOneShape) — the plan shape moved with op history")
+      }
+      assert(served() === live.toMap,
+        s"era $era: maintenance moved the served corpus")
+    }
+  }
 }
