@@ -263,7 +263,12 @@ object ScaleProbe {
         runsOf.get(s"$name/$tag").map(rs =>
           s""", "$label": [${rs.map(v => f"$v%.2f").mkString(", ")}]""").getOrElse("")
       val runs = runsJson(tagOf(smallDir), "runs_small") + runsJson(tagOf(bigDir), "runs_big")
-      f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f, "rows_small": $ns%d, "rows_big": $nb%d$state$busy$runs}"""
+      // record the scale span the exponent was computed over: merged
+      // _partial files accumulate entries from different (small, big)
+      // pairs — sf0.1->sf300 is factor 3000 while sf100->sf300 is 3,
+      // and a reader dividing t_big/t_small without the factor would
+      // misread a 31x time ratio over 3.5 decades as super-linear
+      f"""  "$name": {"t_small_sec": $ts%.2f, "t_big_sec": $tb%.2f, "exponent": $exp%.2f, "factor": $factor%.0f, "rows_small": $ns%d, "rows_big": $nb%d$state$busy$runs}"""
     }
     // filtered spot-runs land in a _partial file so they never clobber
     // the round's full probe evidence — and the partial file MERGES
