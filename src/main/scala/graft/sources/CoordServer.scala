@@ -82,7 +82,11 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * leader; before group commit the same probe measured the curve
   * DECLINING to ~2k/s at 16). The numbers are an envelope across
   * runs: fsync-bound throughput rides the host's disk windows (the
-  * probe JSON records per-run spreads). A lifecycle op span costs ~4
+  * probe JSON records per-run spreads). The r20 forced-frontier
+  * sidecar (one rename per ~64 forced records) does not bend the
+  * curve: `scale/coord_throughput_r20.json`'s quiet-window run
+  * replicates this envelope on the new format (solo 3492, 8-client
+  * 8614). A lifecycle op span costs ~4
   * coordination ops and seconds of real work, so the measured ceiling
   * supports thousands of lifecycle ops per second — a warehouse of
   * thousands of concurrent writers — with headroom.
