@@ -417,15 +417,26 @@ class CrossProcessCoordSpec extends AnyFunSuite {
         Thread.sleep(10)
       val port = portNow().getOrElse(fail("server never published its port"))
       val c = CommitCoordinator.remote("127.0.0.1", port)
-      // killer thread: fires mid-churn, while ops are in flight
-      val killer = new Thread(() => { Thread.sleep(400); proc.destroyForcibly(); () })
+      // killer thread: fires mid-churn, while ops are in flight — gated on
+      // OBSERVED progress (>=10 acked wins), not wall-clock, so a slow-disk
+      // window (each ack costs an fsync) cannot starve the precondition;
+      // the wall-clock ceiling is only the hard stop against a hung server
+      val ackedCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      val killer = new Thread(() => {
+        val ceiling = System.currentTimeMillis() + 60000
+        while (ackedCount.get() < 10 && System.currentTimeMillis() < ceiling)
+          Thread.sleep(5)
+        proc.destroyForcibly(); ()
+      })
       killer.setDaemon(true); killer.start()
       try {
         var i = 0
         while (i < 1000000) { // until the kill severs the connection
           val k = s"$dir/win_$i"
-          if (c.createIfAbsent(fs, new HPath(k), s"holder_$i"))
+          if (c.createIfAbsent(fs, new HPath(k), s"holder_$i")) {
             acked += ((k, s"holder_$i"))
+            ackedCount.incrementAndGet()
+          }
           // churn a lease to keep online compaction firing under the kill
           if (c.createIfAbsent(fs, new HPath(s"$dir/churn"), s"h$i") &&
               c.delete(fs, new HPath(s"$dir/churn"), false))
@@ -568,14 +579,24 @@ class CrossProcessCoordSpec extends AnyFunSuite {
         Thread.sleep(10)
       val port = portNow().getOrElse(fail("server never published its port"))
       val c = CommitCoordinator.remote("127.0.0.1", port)
-      val killer = new Thread(() => { Thread.sleep(400); proc.destroyForcibly(); () })
+      // kill gated on observed acks (>=10), not a fixed sleep — see the
+      // shared-journal test above for the rationale
+      val ackedCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      val killer = new Thread(() => {
+        val ceiling = System.currentTimeMillis() + 60000
+        while (ackedCount.get() < 10 && System.currentTimeMillis() < ceiling)
+          Thread.sleep(5)
+        proc.destroyForcibly(); ()
+      })
       killer.setDaemon(true); killer.start()
       try {
         var i = 0
         while (i < 1000000) { // until the kill severs the connection
           val k = s"$dir/win_$i"
-          if (c.createIfAbsent(fs, new HPath(k), s"holder_$i"))
+          if (c.createIfAbsent(fs, new HPath(k), s"holder_$i")) {
             acked += ((k, s"holder_$i"))
+            ackedCount.incrementAndGet()
+          }
           if (c.createIfAbsent(fs, new HPath(s"$dir/churn"), s"h$i"))
             c.delete(fs, new HPath(s"$dir/churn"), false)
           i += 1
