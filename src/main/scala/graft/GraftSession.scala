@@ -35,6 +35,15 @@ object GraftSession {
       // destination, making partially-visible appends normal; never
       // run this engine with it.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "1")
+      // Partition discovery of the bucketed index tables (64 hive dirs)
+      // trips the default 32-path threshold and runs a DISTRIBUTED
+      // listing job (~0.2 s of scheduler fixed cost) for what is a
+      // handful of driver-side metadata calls; several such reads run
+      // per index op. Driver-side listing stays the right call well
+      // into the hundreds of directories on HDFS-like and local stores;
+      // deployments on slow object stores can lower it back via env.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "512"))
 
   /** Local session for tests/benchmarks. */
   def local(appName: String, cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -117,9 +117,38 @@ class Catalog(
     * columns are what turn full-table scans into pruned ones (see
     * Upsert.newRowsPruned); dynamic partition overwrite is left to
     * callers who need idempotent re-writes per partition.
+    *
+    * `clusterInto`: repartition by the partition columns into exactly
+    * that many shuffle partitions before the write — each output
+    * partition value then lands in ONE task, so an append produces one
+    * file per partition value instead of (tasks × values) small files.
+    * Without it a W-task append into a B-way bucketed table writes up
+    * to W×B files PER OP (thousands per day in production), all of
+    * which the next compaction pays to rewrite; with it the file count
+    * is bounded by B and the writer tasks run in parallel. Callers pass
+    * min(session shuffle partitions, bucket count). `sortWithin` adds
+    * within-file clustering columns (e.g. `term` for postings row-group
+    * pruning) — appended AFTER the partition columns so the writer's
+    * own partition-sort requirement is already satisfied and no second
+    * sort runs inside FileFormatWriter.
     */
-  def appendPartitioned(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path(table))
+  def appendPartitioned(
+      table: String,
+      df: DataFrame,
+      partitionCols: Seq[String],
+      clusterInto: Option[Int] = None,
+      sortWithin: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val out = clusterInto match {
+      case Some(n) =>
+        val p = df.repartition(n, partitionCols.map(col): _*)
+        if (sortWithin.nonEmpty)
+          p.sortWithinPartitions((partitionCols ++ sortWithin).map(col): _*)
+        else p
+      case None => df
+    }
+    out.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path(table))
+  }
 
   def overwrite(table: String, df: DataFrame): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(path(table))

@@ -142,6 +142,12 @@ final class Bm25Index(
   private def bucketOf = F.pmod(F.xxhash64(F.col("term")), F.lit(buckets.toLong))
     .cast("int")
 
+  /** Writer width for clustered partitioned appends: the session's
+    * shuffle width capped at the bucket count (hashing by the bucket
+    * column alone can never fill more tasks than there are buckets). */
+  private def writeWidth: Int = math.min(
+    spark.conf.get("spark.sql.shuffle.partitions").toInt, buckets)
+
   private def rkOf = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(buckets.toLong))
     .cast("int")
 
@@ -193,8 +199,9 @@ final class Bm25Index(
     cat.appendPartitioned("postings",
       Retrieval.postingsWithDl(admitted)
         .withColumn("seq", F.lit(seq)).withColumn("bk", bucketOf),
-      Seq("bk"))
-    cat.appendPartitioned("doc_lengths", dls.withColumn("rk", rkOf), Seq("rk"))
+      Seq("bk"), clusterInto = Some(writeWidth), sortWithin = Seq("term"))
+    cat.appendPartitioned("doc_lengths", dls.withColumn("rk", rkOf), Seq("rk"),
+      clusterInto = Some(writeWidth))
     log.commit(seq, dls.agg(
       F.count(F.lit(1)).as("n_docs"),
       F.coalesce(F.sum("dl"), F.lit(0L)).as("total_dl")))
@@ -273,8 +280,9 @@ final class Bm25Index(
     cat.appendPartitioned("postings",
       Retrieval.postingsWithDl(deduped)
         .withColumn("seq", F.lit(seq)).withColumn("bk", bucketOf),
-      Seq("bk"))
-    cat.appendPartitioned("doc_lengths", dls.withColumn("rk", rkOf), Seq("rk"))
+      Seq("bk"), clusterInto = Some(writeWidth), sortWithin = Seq("term"))
+    cat.appendPartitioned("doc_lengths", dls.withColumn("rk", rkOf), Seq("rk"),
+      clusterInto = Some(writeWidth))
     cat.append("tombstones",
       victims.select(F.col("doc_id"), F.lit(seq).as("seq")))
     // ONE commit row carries the net delta: adds minus kills

@@ -26,6 +26,13 @@ import graft.sources.Catalog
   */
 object Streams {
 
+  /** Writer width for clustered partitioned appends (see
+    * [[graft.sources.Catalog.appendPartitioned]]): the session's shuffle
+    * width capped at the family's bucket count — hashing by the bucket
+    * column alone can never fill more tasks than there are buckets. */
+  private def writeWidth(spark: SparkSession, buckets: Int): Int =
+    math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, buckets)
+
   /** Continuous CSV trip ingestion from a drop directory (S1/S8). */
   def tripFileStream(spark: SparkSession, dropDir: String, maxFilesPerTrigger: Int = 16): DataFrame =
     spark.readStream
@@ -362,12 +369,14 @@ object Streams {
                 .join(admitted.select(F.col("doc_id").as("id")), Seq("id"), "leftsemi")
                 .withColumn("seq", F.lit(seq))
                 .withColumn("pbk", pbkOf(F.col("id"))),
-              Seq("pbk"))
+              Seq("pbk"),
+              clusterInto = Some(writeWidth(catalog.spark, stateBuckets)))
             catalog.appendPartitioned(corpusTable, admitted
                 .select("doc_id", "text")
                 .withColumn("seq", F.lit(seq))
                 .withColumn("pbk", pbkOf(F.col("doc_id"))),
-              Seq("pbk"))
+              Seq("pbk"),
+              clusterInto = Some(writeWidth(catalog.spark, stateBuckets)))
             log.commitCount(seq, admitted.count())
           }
           }
@@ -618,12 +627,14 @@ object Streams {
           shingleLen = shingleLen, numHashes = numHashes, bands = bands)
         .withColumn("seq", F.lit(sv))
         .withColumn("pbk", pbkOf(F.col("id"))),
-      Seq("pbk"))
+      Seq("pbk"),
+      clusterInto = Some(writeWidth(catalog.spark, stateBuckets)))
     catalog.appendPartitioned(corpusTable, deduped
         .select("doc_id", "text")
         .withColumn("seq", F.lit(sv))
         .withColumn("pbk", pbkOf(F.col("doc_id"))),
-      Seq("pbk"))
+      Seq("pbk"),
+      clusterInto = Some(writeWidth(catalog.spark, stateBuckets)))
     catalog.append(tombTable, victims)
     log.commitCount(sv, deduped.count())
     }
@@ -900,7 +911,8 @@ object Streams {
             catalog.appendPartitioned(codesTable, admitted
                 .withColumn("seq", F.lit(seq))
                 .withColumn("pbk", pbkOf(F.col("neighbor_id"))),
-              Seq("pbk"))
+              Seq("pbk"),
+              clusterInto = Some(writeWidth(catalog.spark, stateBuckets)))
             log.commitCount(seq, admitted.count())
           }
           }
@@ -1047,7 +1059,8 @@ object Streams {
     catalog.appendPartitioned(codesTable, coded
         .withColumn("seq", F.lit(sv))
         .withColumn("pbk", pbkOf(F.col("neighbor_id"))),
-      Seq("pbk"))
+      Seq("pbk"),
+      clusterInto = Some(writeWidth(catalog.spark, stateBuckets)))
     catalog.append(tombTable, victims)
     log.commitCount(sv, coded.count())
     }
@@ -1222,7 +1235,8 @@ object Streams {
       catalog.appendPartitioned(codesTable, newCodes
           .withColumn("seq", F.lit(sv))
           .withColumn("pbk", pbkOf(F.col("neighbor_id"))),
-        Seq("pbk"))
+        Seq("pbk"),
+        clusterInto = Some(writeWidth(catalog.spark, stateBuckets)))
       catalog.append(tombTable,
         live.select(F.col("neighbor_id"), F.lit(sv).as("seq")))
       log.commitCount(sv, newCodes.count())

@@ -1183,10 +1183,11 @@ class StreamingSpec extends SparkSpec {
     val crashing = new graft.sources.Catalog(spark, wh) {
       override def appendPartitioned(
           table: String, df: org.apache.spark.sql.DataFrame,
-          partitionCols: Seq[String]): Unit = {
+          partitionCols: Seq[String], clusterInto: Option[Int],
+          sortWithin: Seq[String]): Unit = {
         if (table == "corpus")
           throw new RuntimeException("injected kill between bucket and corpus append")
-        super.appendPartitioned(table, df, partitionCols)
+        super.appendPartitioned(table, df, partitionCols, clusterInto, sortWithin)
       }
     }
     Streams.ensureDedupIndexTables(catalog, "corpus", "corpus_buckets", "corpus_tomb")
@@ -1403,10 +1404,11 @@ class StreamingSpec extends SparkSpec {
     val crashing = new graft.sources.Catalog(spark, wh) {
       override def appendPartitioned(
           table: String, df: org.apache.spark.sql.DataFrame,
-          partitionCols: Seq[String]): Unit = {
+          partitionCols: Seq[String], clusterInto: Option[Int],
+          sortWithin: Seq[String]): Unit = {
         if (table == "doc_lengths")
           throw new RuntimeException("injected kill between postings and registry append")
-        super.appendPartitioned(table, df, partitionCols)
+        super.appendPartitioned(table, df, partitionCols, clusterInto, sortWithin)
       }
     }
     val idx = new graft.streaming.Bm25Index(spark, cat, buckets = 8)
