@@ -355,6 +355,24 @@ class Catalog(
         } finally releaseHealClaim(fs, table)
       case None => ()
     }
+    // The tail below acts DESTRUCTIVELY (rollback renames, stage
+    // sweeps) on probes taken after the marker check above — but a
+    // publish that begins in between writes its marker BEFORE staging
+    // (beginSwap precedes the staged write in both replaceTable and
+    // compactPartitioned), so a stale "no marker" read here could
+    // sweep a LIVE writer's stage or roll its move-aside back from
+    // under it (observed: a lenient OpLog-read heal deleting a
+    // concurrent compact's staged replaceTable dir, aborting the op).
+    // Re-read at decision time: every window in which a stage is live
+    // or the live dir is mid-rename is covered by an unexpired marker,
+    // plus the in-process mark when the writer shares this Catalog.
+    if (inFlightSwaps.contains(table) ||
+        readSwapMarker(fs, table).exists(_._2 >= System.currentTimeMillis())) {
+      if (lenient) return
+      throw new Catalog.SwapInFlight(
+        s"a publish of '$table' began during its recovery scan — retry " +
+          "after it closes or expires")
+    }
     if (!fs.exists(live)) {
       if (fs.exists(aside)) {
         // roll BACK: the unambiguous heal. With holder-unique stages a
@@ -527,7 +545,18 @@ class Catalog(
     }
     // every surviving stage (crashed writers AND fenced ones — stages
     // are holder-unique) is scanned: orphaned partitions restore, the
-    // rest is dead-stage garbage
+    // rest is dead-stage garbage.
+    // Decision-time in-flight re-check first (see [[recoverReplace]]'s
+    // tail): a compaction that began after the marker probe above has
+    // a live stage this sweep would otherwise delete — its marker
+    // (written at beginSwap, before the staged write) is the signal.
+    if (inFlightSwaps.contains(table) ||
+        readSwapMarker(fs, table).exists(_._2 >= System.currentTimeMillis())) {
+      if (lenient) return
+      throw new Catalog.SwapInFlight(
+        s"a compaction of '$table' began during its recovery scan — " +
+          "retry after it closes or expires")
+    }
     stagingSiblings(table, "__compacting").foreach { staging =>
       fs.listStatus(staging)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
