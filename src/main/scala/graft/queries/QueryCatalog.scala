@@ -609,8 +609,8 @@ object QueryCatalog {
           b.collect().foreach(r =>
             acc((r.getLong(0), r.getString(1))) = r.getLong(2))
           ()
-        }.start()
-      try q.processAllAvailable() finally q.stop()
+        }.trigger(AvailNow).start()
+      try q.awaitTermination() finally q.stop()
     }
     acc.toSeq.map { case ((ws, et), n) => (ws, et, n) }
       .toDF("win_start", "event_type", "n")
@@ -3134,8 +3134,8 @@ object QueryCatalog {
           .collect()
           .foreach(r => acc +=
             ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
-      }.start()
-    try q.processAllAvailable() finally q.stop()
+      }.trigger(AvailNow).start()
+    try q.awaitTermination() finally q.stop()
     acc.toSeq.toDF("query_id", "neighbor_id", "score", "rank")
       .orderBy("query_id", "rank")
   }
@@ -4416,8 +4416,8 @@ object QueryCatalog {
           b.collect().foreach(r =>
             acc(r.getString(0)) = (1 to 9).map(i => BigInt(r.getLong(i))))
           ()
-        }.start()
-      try q.processAllAvailable() finally q.stop()
+        }.trigger(AvailNow).start()
+      try q.awaitTermination() finally q.stop()
     }
     graft.operators.Regression.fitFromSketch(
         acc.toSeq.sortBy(_._1), feats(t(s, dir, "documents")))
@@ -4550,8 +4550,8 @@ object QueryCatalog {
     // replay volume every stage is overhead-bound, and serve results
     // are partition-count-invariant
     withFewShufflePartitions(s, 8) {
-      val q = idx.writer(src, cp).start()
-      try q.processAllAvailable() finally q.stop()
+      val q = idx.writer(src, cp).trigger(AvailNow).start()
+      try q.awaitTermination() finally q.stop()
       idx.compact(maxFilesPerPartition = 2)
       idx.serve(Seq("hash", "scan", "merge"), k = 20)
     }
@@ -4595,8 +4595,9 @@ object QueryCatalog {
       idx.ensure()
       withFewShufflePartitions(s, 8) {
         val q = idx.writer(s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(in), cp).start()
-        try q.processAllAvailable() finally q.stop()
+          .option("maxFilesPerTrigger", "1").parquet(in), cp)
+          .trigger(AvailNow).start()
+        try q.awaitTermination() finally q.stop()
       }
     }
 
@@ -4619,8 +4620,9 @@ object QueryCatalog {
       idx.delete(docs.filter(F.col("doc_id") % 7 === 3).select("doc_id"),
         seq = 10L)
       val q2 = idx.writer(s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(in2), cp2).start()
-      try q2.processAllAvailable() finally q2.stop()
+        .option("maxFilesPerTrigger", "1").parquet(in2), cp2)
+        .trigger(AvailNow).start()
+      try q2.awaitTermination() finally q2.stop()
       // checkpointOps grades the op-log HISTORY fold against the same
       // rebuild oracle: the post-maintenance serve reads its global
       // stats off the single summed summary row, and must still be
@@ -5708,16 +5710,27 @@ object QueryCatalog {
     clearDir(outDir)
     new java.io.File(outDir).mkdirs()
     val tmp = s"$outDir-tmp"
-    (1 to parts).foreach { i =>
-      tiled.filter(F.col("__tile") === i).drop("__tile")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file under $tmp"))
-      val dst = new java.io.File(outDir, f"b$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
-    }
+    // Materialize the tiled frame ONCE: the tiling is a global-window
+    // ntile (a full sort of the source), and the per-tile filtered
+    // writes used to re-run that sort once per tile — N-1 wasted sorts
+    // on every fresh-session build (bench isolated re-runs, Verify,
+    // the driver's runs; the memo above hides it from warm repeats
+    // only). The cache pins partition contents and order, and filter +
+    // coalesce(1) preserve them, so each tile file carries exactly the
+    // rows and row order the per-tile recomputation produced.
+    val mat = tiled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (1 to parts).foreach { i =>
+        mat.filter(F.col("__tile") === i).drop("__tile")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dst = new java.io.File(outDir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+    } finally mat.unpersist(blocking = false)
     clearDir(tmp)
     java.nio.file.Files.writeString(marker, tag)
   }
@@ -5731,6 +5744,18 @@ object QueryCatalog {
     * either way — and each twin starts from a fresh checkpoint, so the
     * store count is free to differ between invocations.
     */
+  /** Drain trigger for every replayed twin: identical per-file batch
+    * boundaries to the default trigger (AvailableNow honors
+    * maxFilesPerTrigger admission control), and watermark-advancement
+    * batches (state timeouts) still run — MicroBatchExecution's
+    * shouldRunAnotherBatch applies under AvailableNow exactly as under
+    * the default trigger — but the query drains and SELF-TERMINATES
+    * instead of paying the idle trigger-scheduling gaps
+    * processAllAvailable polls over. The same measured win the bench
+    * composites took (Bench.scala's streaming entries); ~0.3-0.9 s of
+    * fixed cost per replayed stream at micro-batch volume. */
+  private val AvailNow = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+
   private def withFewShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -5769,8 +5794,8 @@ object QueryCatalog {
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.collect().foreach(r => acc(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
           ()
-        }.start()
-      try q.processAllAvailable() finally q.stop()
+        }.trigger(AvailNow).start()
+      try q.awaitTermination() finally q.stop()
     }
     acc.toSeq.map { case (k, (n, e)) => (k, n, e) }
       .toDF("user_id", "n_events", "ewma_cents")
@@ -5825,8 +5850,8 @@ object QueryCatalog {
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.collect().foreach(r => buf += ((r.getLong(0), r.getLong(1), r.getLong(2))))
           ()
-        }.start()
-      try q.processAllAvailable() finally q.stop()
+        }.trigger(AvailNow).start()
+      try q.awaitTermination() finally q.stop()
     }
     buf.toSeq.filter(_._1 >= 0L)
       .toDF("user_id", "n_events", "duration_us")
@@ -5892,8 +5917,8 @@ object QueryCatalog {
           b.collect().foreach(r =>
             buf += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
           ()
-        }.start()
-      try q.processAllAvailable() finally q.stop()
+        }.trigger(AvailNow).start()
+      try q.awaitTermination() finally q.stop()
     }
     buf.toSeq.toDF("user_id", "purchase_id", "view_id", "gap_us")
       .orderBy("user_id", "purchase_id", "view_id")
@@ -5930,8 +5955,8 @@ object QueryCatalog {
     val src = s.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val q = graft.streaming.Streams.streamingIvfPqIndex(
-      src, model, catalog, "codes", cp).start()
-    try q.processAllAvailable() finally q.stop()
+      src, model, catalog, "codes", cp).trigger(AvailNow).start()
+    try q.awaitTermination() finally q.stop()
     Similarity.ivfPqTopKFromIndex(model, catalog.read("codes"),
         emb.filter(F.col("vec_id") < 10), k = 5)
       .select(F.col("query_id"), F.col("neighbor_id"), F.col("adc_dist"),
@@ -5981,8 +6006,9 @@ object QueryCatalog {
         fcat, "codes", "codes_tomb", codesSchema)
       val q = graft.streaming.Streams.streamingIvfPqIndex(
         src(in), model, fcat, "codes", cp,
-        tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema)).start()
-      try q.processAllAvailable() finally q.stop()
+        tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema))
+        .trigger(AvailNow).start()
+      try q.awaitTermination() finally q.stop()
     }, wh)
     writeOrderedStreamFiles(
       emb.filter(F.col("vec_id") % 10 === 2)
@@ -5995,8 +6021,9 @@ object QueryCatalog {
         .select(F.col("vec_id").as("neighbor_id")), seq = Some(10L))
     val q2 = graft.streaming.Streams.streamingIvfPqIndex(
       src(in2), model, catalog, "codes", cp2,
-      tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema)).start()
-    try q2.processAllAvailable() finally q2.stop()
+      tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema))
+      .trigger(AvailNow).start()
+    try q2.awaitTermination() finally q2.stop()
     graft.streaming.Streams.compactVectorIndex(
       catalog, "codes", codesSchema, "codes_tomb")
     Similarity.ivfPqTopKFromIndex(model,
@@ -6063,8 +6090,9 @@ object QueryCatalog {
         s.readStream.schema(emb.schema)
           .option("maxFilesPerTrigger", "1").parquet(in),
         model, fcat, "codes", cp,
-        tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema)).start()
-      try q.processAllAvailable() finally q.stop()
+        tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema))
+        .trigger(AvailNow).start()
+      try q.awaitTermination() finally q.stop()
     }, wh)
     val catalog = new graft.sources.Catalog(s, wh)
     graft.streaming.Streams.replaceVectors(catalog, "codes", codesSchema,
@@ -6258,8 +6286,9 @@ object QueryCatalog {
         s.readStream.schema(drifted.schema)
           .option("maxFilesPerTrigger", "1").parquet(in),
         model0, fcat, "codes", cp,
-        tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema)).start()
-      try q.processAllAvailable() finally q.stop()
+        tombTable = Some("codes_tomb"), codesSchema = Some(codesSchema))
+        .trigger(AvailNow).start()
+      try q.awaitTermination() finally q.stop()
     }, wh)
     val catalog = new graft.sources.Catalog(s, wh)
     val fired = graft.streaming.Streams.rebalanceVectorIndexIfSkewed(
@@ -6869,8 +6898,8 @@ object QueryCatalog {
           b.collect().foreach(r => acc(r.getString(0)) =
             (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
           ()
-        }.start()
-      try q.processAllAvailable() finally q.stop()
+        }.trigger(AvailNow).start()
+      try q.awaitTermination() finally q.stop()
     }
     acc.toSeq.map { case (src0, (d, tk, sh, lq, en)) => (src0, d, tk, sh, lq, en) }
       .toDF("source", "n_docs", "n_tokens", "n_short", "n_low_q", "n_en")

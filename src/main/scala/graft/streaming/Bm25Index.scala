@@ -154,9 +154,15 @@ final class Bm25Index(
   /** The LIVE registry as of the committed ops: committed generations
     * minus committed tombstones. Uncommitted (crashed / in-flight)
     * rows never influence admission or victim selection — the property
-    * that makes replay-under-a-new-seq converge. */
-  private def liveRegistry: DataFrame =
-    Tombstones.live(log.visible(registry), log.visible(tombs))
+    * that makes replay-under-a-new-seq converge.
+    *
+    * Pinned to the op's ONE log snapshot (valid under the single-writer
+    * lease — nothing commits mid-op): visibility is literal seq
+    * filters pushed into the parquet scans instead of a broadcast
+    * anti-join against a live openSeqs subquery, which cost every op
+    * two extra ops-table scans and their AQE broadcast stages. */
+  private def liveRegistry(snap: OpLog.Snapshot): DataFrame =
+    Tombstones.live(snap.visible(registry), snap.visible(tombs))
 
   /** Ingest one batch of (doc_id, text) as op `seq` — the foreachBatch
     * body. Insert-if-absent against the LIVE registry: an id currently
@@ -172,7 +178,11 @@ final class Bm25Index(
     // stage→swap window) refuses loudly instead of interleaving
     heal()
     ensure()
-    val (done, crashed) = log.replayState(seq)
+    // one |ops|-row collect answers replay flags AND all visibility for
+    // the whole op (single-writer lease: the captured prefix stays
+    // current through the op's own appends)
+    val snap = log.snapshot()
+    val (done, crashed) = snap.replayState(seq)
     if (done) return
     log.beginAttempt(seq)
     if (crashed) scrubOp(seq)
@@ -190,7 +200,7 @@ final class Bm25Index(
     val probe = deduped
       .agg(F.collect_set(rkOf).as("rks"), F.count(F.lit(1)).as("n")).head()
     val rks = probe.getSeq[Int](0)
-    val pruned = liveRegistry.filter(F.col("rk").isin(rks: _*)).select("doc_id")
+    val pruned = liveRegistry(snap).filter(F.col("rk").isin(rks: _*)).select("doc_id")
     val admitted = (
         if (probe.getLong(1) > maxProbeIds) Upsert.newRows(deduped, pruned, "doc_id")
         else Upsert.newRowsViaProbe(deduped, pruned, "doc_id"))
@@ -217,7 +227,8 @@ final class Bm25Index(
   def delete(ids: DataFrame, seq: Long): Unit = log.withWriter() {
     heal()
     ensure()
-    val (done, crashed) = log.replayState(seq)
+    val snap = log.snapshot()
+    val (done, crashed) = snap.replayState(seq)
     if (done) return
     log.beginAttempt(seq)
     if (crashed) scrubOp(seq)
@@ -229,7 +240,7 @@ final class Bm25Index(
     // batch is usually broadcast-sized but need not be
     val rks = idsD.select(rkOf.as("rk")).distinct().collect()
       .map(_.getInt(0)).toSeq
-    val victims = liveRegistry.filter(F.col("rk").isin(rks: _*))
+    val victims = liveRegistry(snap).filter(F.col("rk").isin(rks: _*))
       .join(idsD, Seq("doc_id"), "leftsemi")
       .localCheckpoint() // referenced by both appends below
     cat.append("tombstones",
@@ -260,7 +271,8 @@ final class Bm25Index(
   def replace(batch: DataFrame, seq: Long): Unit = log.withWriter() {
     heal()
     ensure()
-    val (done, crashed) = log.replayState(seq)
+    val snap = log.snapshot()
+    val (done, crashed) = snap.replayState(seq)
     if (done) return
     log.beginAttempt(seq)
     if (crashed) scrubOp(seq)
@@ -273,7 +285,7 @@ final class Bm25Index(
     // the batch ids' currently-live generations: these die at `seq`
     // (their dl leaves the global stats); the probe shape is the same
     // zero-state-shuffle admission plan, semi instead of anti
-    val victims = liveRegistry.filter(F.col("rk").isin(rks: _*))
+    val victims = liveRegistry(snap).filter(F.col("rk").isin(rks: _*))
       .join(F.broadcast(deduped.select("doc_id")), Seq("doc_id"), "leftsemi")
       .localCheckpoint() // referenced by tombstone append + stats
     val dls = Retrieval.docLengths(deduped).withColumn("seq", F.lit(seq))

@@ -67,9 +67,12 @@ object Generations {
     tables.foreach(t =>
       cat.ensurePartitionedTable(t.table, t.schema, Seq(t.partCol)))
     log.ensure()
-    val garbage = log.garbageSeqs
+    // one |ops|-row collect answers garbage seqs AND tombstone
+    // visibility (single-writer lease; see OpLog.Snapshot)
+    val snap = log.snapshot()
+    val garbage = snap.garbageSeqs
     val rawTombs = cat.readWithSchema(tombTable, tombSchema)
-    val committedTombs = log.visible(rawTombs)
+    val committedTombs = snap.visible(rawTombs)
       .localCheckpoint() // small; referenced by probe + transform + clear
     val haveTombs = !committedTombs.isEmpty
     tables.foreach { t =>

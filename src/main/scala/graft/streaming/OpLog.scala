@@ -423,6 +423,33 @@ object OpLog {
       }.toSeq.sorted
     }
 
+    /** Highest COMMITTED seq at capture (vs [[maxSeq]]'s ever-attempted). */
+    val committedHwm: Option[Long] =
+      all.filter(!_.isNullAt(markerIdx)).map(_.getLong(0)).maxOption
+
+    /** [[OpLog.garbageSeqs]] at capture: open seqs strictly below the
+      * committed high-water mark — abandoned attempts safe to GC. */
+    def garbageSeqs: Seq[Long] =
+      committedHwm.map(h => openSeqs.filter(_ < h)).getOrElse(Nil)
+
+    /** [[OpLog.replayState]] answered from the captured rows — zero
+      * further jobs. Valid for a WRITE op's entry probe because the op
+      * runs under the single-writer lease: nothing commits between the
+      * capture and the op's own appends, so the captured prefix IS the
+      * current log. Same staleness guard, same loud refusal. */
+    def replayState(seq: Long): (Boolean, Boolean) = {
+      val mine = all.filter(_.getLong(0) == seq)
+      val done = mine.exists(!_.isNullAt(markerIdx))
+      val attempted = mine.nonEmpty
+      if (!attempted && committedHwm.exists(seq <= _))
+        throw new IllegalStateException(
+          s"op seq $seq has no log row but is at or below the committed " +
+            s"high-water mark ${committedHwm.get}: out-of-order or " +
+            "checkpointed-away — running it would double-apply; derive " +
+            "seqs from nextBaseSeq")
+      (done, attempted)
+    }
+
     /** [[OpLog.visible]] pinned to this snapshot: committed-at-capture
       * generations only, as pure literal filters (parquet-pushable). An
       * empty log keeps every row — the pure-seed convention. */

@@ -330,20 +330,24 @@ object Streams {
           catalog.recoverCompaction(bucketTable, "pbk")
           catalog.recoverReplace(tt)
           val seq = base + batchId
-          val (done, crashed) = log.replayState(seq)
+          // one |ops|-row collect answers replay flags and all three
+          // tables' visibility as literal pushed filters (valid under
+          // the single-writer lease — see OpLog.Snapshot)
+          val snap = log.snapshot()
+          val (done, crashed) = snap.replayState(seq)
           if (!done) {
             log.beginAttempt(seq)
             if (crashed) {
               catalog.scrubSeqs(corpusTable, "pbk", dedupCorpusSchema, Seq(seq))
               catalog.scrubSeqs(bucketTable, "pbk", dedupBucketSchema, Seq(seq))
             }
-            val tomb = log.visible(catalog.read(tt))
+            val tomb = snap.visible(catalog.read(tt))
             val corpus = graft.operators.Tombstones.live(
-              log.visible(
+              snap.visible(
                 catalog.readWithSchema(corpusTable, dedupCorpusSchema)),
               tomb, "doc_id")
             val liveBuckets = graft.operators.Tombstones.live(
-              log.visible(
+              snap.visible(
                 catalog.readWithSchema(bucketTable, dedupBucketSchema)),
               tomb.withColumnRenamed("doc_id", "id"), "id")
             // duplicate ids within one batch resolve deterministically
@@ -519,8 +523,12 @@ object Streams {
     catalog.ensurePartitionedTable(corpusTable, dedupCorpusSchema, Seq("pbk"))
     catalog.ensureTable(tombTable, dedupTombSchema)
     log.ensure()
-    val sv = seq.getOrElse(log.nextBaseSeq)
-    val (done, crashed) = log.replayState(sv)
+    // one |ops|-row collect answers base-seq derivation, replay flags
+    // and both tables' visibility (single-writer lease; see
+    // OpLog.Snapshot)
+    val snap = log.snapshot()
+    val sv = seq.getOrElse(snap.maxSeq.map(_ + 1L).getOrElse(0L))
+    val (done, crashed) = snap.replayState(sv)
     if (done) return
     log.beginAttempt(sv)
     if (crashed) {
@@ -529,9 +537,9 @@ object Streams {
         catalog.replaceTable(tombTable, tombs.filter(F.col("seq") =!= sv))
     }
     val victims = graft.operators.Tombstones.live(
-        log.visible(
+        snap.visible(
           catalog.readWithSchema(corpusTable, dedupCorpusSchema)),
-        log.visible(catalog.readWithSchema(tombTable, dedupTombSchema)),
+        snap.visible(catalog.readWithSchema(tombTable, dedupTombSchema)),
         "doc_id")
       .join(ids.select(F.col("doc_id").cast("long").as("doc_id"))
         .dropDuplicates("doc_id"), Seq("doc_id"), "leftsemi")
@@ -590,8 +598,12 @@ object Streams {
       dedupLegacyV1(stateBuckets, shingleLen, numHashes, bands))
     def pbkOf(c: org.apache.spark.sql.Column) =
       F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
-    val sv = seq.getOrElse(log.nextBaseSeq)
-    val (done, crashed) = log.replayState(sv)
+    // one |ops|-row collect answers base-seq derivation, replay flags
+    // and both tables' visibility (single-writer lease; see
+    // OpLog.Snapshot)
+    val snap = log.snapshot()
+    val sv = seq.getOrElse(snap.maxSeq.map(_ + 1L).getOrElse(0L))
+    val (done, crashed) = snap.replayState(sv)
     if (done) return
     log.beginAttempt(sv)
     if (crashed) {
@@ -611,8 +623,8 @@ object Streams {
     // the batch ids' currently-live generations die at `sv`; same
     // zero-state-shuffle probe plan as admission, semi instead of anti
     val victims = graft.operators.Tombstones.live(
-        log.visible(catalog.readWithSchema(corpusTable, dedupCorpusSchema)),
-        log.visible(catalog.readWithSchema(tombTable, dedupTombSchema)),
+        snap.visible(catalog.readWithSchema(corpusTable, dedupCorpusSchema)),
+        snap.visible(catalog.readWithSchema(tombTable, dedupTombSchema)),
         "doc_id")
       .filter(F.col("pbk").isin(pbks: _*))
       .join(F.broadcast(deduped.select("doc_id")), Seq("doc_id"), "leftsemi")
@@ -880,14 +892,17 @@ object Streams {
           catalog.recoverCompaction(codesTable, "pbk")
           catalog.recoverReplace(tt)
           val seq = base + id
-          val (done, crashed) = log.replayState(seq)
+          // one |ops|-row collect for replay flags + both tables'
+          // visibility (single-writer lease; see OpLog.Snapshot)
+          val snap = log.snapshot()
+          val (done, crashed) = snap.replayState(seq)
           if (!done) {
             log.beginAttempt(seq)
             if (crashed)
               catalog.scrubSeqs(codesTable, "pbk", schema, Seq(seq))
             val live = graft.operators.Tombstones.live(
-              log.visible(catalog.readWithSchema(codesTable, schema)),
-              log.visible(catalog.readWithSchema(tt, vectorTombSchema)),
+              snap.visible(catalog.readWithSchema(codesTable, schema)),
+              snap.visible(catalog.readWithSchema(tt, vectorTombSchema)),
               "neighbor_id")
             // coding is map-only against the frozen literal centroids;
             // in-batch id dups resolve by dropDuplicates (a vector's
@@ -965,8 +980,11 @@ object Streams {
     // first-op safety: a delete may be the first operation ever run on
     // this family — materialize the tables it reads
     ensureVectorIndexTables(catalog, codesTable, tombTable, codesSchema)
-    val sv = seq.getOrElse(log.nextBaseSeq)
-    val (done, crashed) = log.replayState(sv)
+    // one |ops|-row collect: base seq, replay flags, both tables'
+    // visibility (single-writer lease; see OpLog.Snapshot)
+    val snap = log.snapshot()
+    val sv = seq.getOrElse(snap.maxSeq.map(_ + 1L).getOrElse(0L))
+    val (done, crashed) = snap.replayState(sv)
     if (done) return
     log.beginAttempt(sv)
     if (crashed) {
@@ -975,8 +993,8 @@ object Streams {
         catalog.replaceTable(tombTable, tombs.filter(F.col("seq") =!= sv))
     }
     val victims = graft.operators.Tombstones.live(
-        log.visible(catalog.readWithSchema(codesTable, codesSchema)),
-        log.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
+        snap.visible(catalog.readWithSchema(codesTable, codesSchema)),
+        snap.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
         "neighbor_id")
       .join(ids.select(F.col("neighbor_id").cast("long").as("neighbor_id"))
         .dropDuplicates("neighbor_id"), Seq("neighbor_id"), "leftsemi")
@@ -1029,8 +1047,11 @@ object Streams {
       vectorLegacyV1(stateBuckets))
     def pbkOf(c: org.apache.spark.sql.Column) =
       F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
-    val sv = seq.getOrElse(log.nextBaseSeq)
-    val (done, crashed) = log.replayState(sv)
+    // one |ops|-row collect: base seq, replay flags, both tables'
+    // visibility (single-writer lease; see OpLog.Snapshot)
+    val snap = log.snapshot()
+    val sv = seq.getOrElse(snap.maxSeq.map(_ + 1L).getOrElse(0L))
+    val (done, crashed) = snap.replayState(sv)
     if (done) return
     log.beginAttempt(sv)
     if (crashed) {
@@ -1048,8 +1069,8 @@ object Streams {
     val pbks = coded.select(pbkOf(F.col("neighbor_id")).as("pbk")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val victims = graft.operators.Tombstones.live(
-        log.visible(catalog.readWithSchema(codesTable, codesSchema)),
-        log.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
+        snap.visible(catalog.readWithSchema(codesTable, codesSchema)),
+        snap.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
         "neighbor_id")
       .filter(F.col("pbk").isin(pbks: _*))
       .join(F.broadcast(coded.select("neighbor_id")), Seq("neighbor_id"),
@@ -1203,7 +1224,10 @@ object Streams {
     // GC abandoned-rebuild model rows while here (codes/tombstone
     // garbage is compactVectorIndex's job; the model table is the one
     // flat table no other maintenance pass touches)
-    val garbage = log.garbageSeqs
+    // one |ops|-row collect: garbage seqs, visibility, the rebuild's
+    // derived seq (single-writer lease; see OpLog.Snapshot)
+    val snap = log.snapshot()
+    val garbage = snap.garbageSeqs
     if (garbage.nonEmpty) {
       val mrows = catalog.readWithSchema(modelTable, vectorModelSchema)
       if (!mrows.filter(F.col("seq").isin(garbage: _*)).isEmpty)
@@ -1211,8 +1235,8 @@ object Streams {
           mrows.filter(!F.col("seq").isin(garbage: _*)))
     }
     val live = graft.operators.Tombstones.live(
-        log.visible(catalog.readWithSchema(codesTable, codesSchema)),
-        log.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
+        snap.visible(catalog.readWithSchema(codesTable, codesSchema)),
+        snap.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
         "neighbor_id")
       .localCheckpoint() // reused: trigger aggregate + rebuild tombstones
     val row = live.groupBy("cell").agg(F.count(F.lit(1)).as("c"))
@@ -1224,8 +1248,9 @@ object Streams {
     else {
       // fired: rebuild model + codes on the live corpus as ONE op (the
       // derived seq sits above every attempt, so no scrub arm is needed —
-      // a crashed rebuild's seq is never reused)
-      val sv = log.nextBaseSeq
+      // a crashed rebuild's seq is never reused; the snapshot is still
+      // current — nothing commits mid-span under the writer lease)
+      val sv = snap.maxSeq.map(_ + 1L).getOrElse(0L)
       log.beginAttempt(sv)
       def pbkOf(c: org.apache.spark.sql.Column) =
         F.pmod(F.xxhash64(c), F.lit(stateBuckets.toLong)).cast("int")
