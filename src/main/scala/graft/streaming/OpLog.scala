@@ -196,12 +196,61 @@ final class OpLog(
     (done, attempted)
   }
 
+  /** Whether every payload column is a plain BIGINT — true for every
+    * live payload (BM25 stats, the count logs); gates the driver-side
+    * single-row append below. */
+  private val allLongPayload =
+    payload.fields.forall(_.dataType == LongType)
+
+  /** Driver-side single-row append. The op log's two per-op appends
+    * (attempt marker, commit row) are one-row writes whose Spark-job
+    * form pays a full job + the file-commit protocol (~0.1-0.2 s each
+    * at micro-batch volume — two jobs per op, measured in the ingest
+    * job profile). Write the parquet file directly on the driver
+    * instead: a dot-prefixed temp (invisible to every Spark listing)
+    * atomically renamed to a visible part file — the same
+    * whole-immutable-file append property the v1 committer gives the
+    * job form, at fs-metadata cost. */
+  private def appendRowDriverSide(seq: Long, values: Seq[Option[Long]]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(cat.path(table))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".part-$uuid.inprogress")
+    val dst = new org.apache.hadoop.fs.Path(dir, s"part-$uuid-oplog.snappy.parquet")
+    val mt = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message spark_schema { required int64 seq; " +
+        payload.fields.map(f => s"optional int64 ${f.name}; ").mkString + "}")
+    val gconf = new org.apache.hadoop.conf.Configuration(conf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(mt, gconf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, gconf))
+      .withConf(gconf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(mt)
+      g.add("seq", seq)
+      payload.fields.zip(values).foreach { case (f, v) =>
+        v.foreach(g.add(f.name, _))
+      }
+      w.write(g)
+    } finally w.close()
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"op-log driver-side append rename failed: $tmp -> $dst")
+  }
+
   /** Attempt marker, written BEFORE the op's first data append.
     * Duplicate attempt rows from replays are harmless (existence-only,
     * null payload). */
   def beginAttempt(seq: Long): Unit = {
     heal()
-    cat.append(table, spark.createDataFrame(
+    if (allLongPayload)
+      appendRowDriverSide(seq, payload.fields.map(_ => None))
+    else cat.append(table, spark.createDataFrame(
       java.util.List.of(Row.fromSeq(seq +: payload.fields.map(_ => null).toSeq)),
       schema))
   }
@@ -215,7 +264,14 @@ final class OpLog(
     heal()
     assertSameThreadSpan()
     cat.fenceHeldLeases()
-    cat.append(table, stats.select(
+    if (allLongPayload) {
+      // compute the 1-row payload (the same job the write form ran),
+      // then append driver-side — no write-commit protocol
+      val r = stats.select(payload.fields.map(f =>
+        F.col(f.name).cast(f.dataType).as(f.name)): _*).head()
+      appendRowDriverSide(seq, payload.fields.indices.map(i =>
+        if (r.isNullAt(i)) None else Some(r.getLong(i))))
+    } else cat.append(table, stats.select(
       F.lit(seq).as("seq") +: payload.fields.map(f =>
         F.col(f.name).cast(f.dataType).as(f.name)): _*))
   }
@@ -242,7 +298,8 @@ final class OpLog(
     heal()
     assertSameThreadSpan()
     cat.fenceHeldLeases()
-    cat.append(table, spark.createDataFrame(
+    if (allLongPayload) appendRowDriverSide(seq, Seq(Some(n)))
+    else cat.append(table, spark.createDataFrame(
       java.util.List.of(Row(seq, n)), schema))
   }
 
