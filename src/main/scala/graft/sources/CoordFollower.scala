@@ -94,6 +94,19 @@ final class CoordFollower(
         ch.write(java.nio.ByteBuffer.wrap(bytes))
         ch.force(true)
       } finally ch.close()
+      // Clear any stale forced-frontier sidecar BEFORE publishing the
+      // capture: a server previously promoted at this path left a
+      // `<followerJournal>.fwm` describing ITS journal, and
+      // CoordServer.start only removes the sidecar when the journal
+      // file is missing — a fresh capture published next to the stale
+      // frontier would have an unrelated bound clamped onto it, and a
+      // legitimate capture-race torn tail at or below that bound would
+      // refuse as media corruption, blocking the very promotion the
+      // follower exists for. Deleting before the move keeps the crash
+      // window safe: journal-without-sidecar falls back to the legacy
+      // truncation rule, never to a wrong bound.
+      Files.deleteIfExists(followerJournal.resolveSibling(
+        followerJournal.getFileName.toString + ".fwm"))
       Files.move(tmp, followerJournal,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -543,6 +543,61 @@ class CrossProcessCoordSpec extends AnyFunSuite {
     } finally promoted.close()
   }
 
+  test("a reused follower path clears the previous promotion's stale fwm sidecar before publishing a capture") {
+    // ADVICE r20 (medium): a server previously promoted AT the follower
+    // path leaves `<followerJournal>.fwm` describing ITS journal;
+    // CoordServer.start removes the sidecar only when the journal file
+    // is missing. A fresh capture published next to that stale frontier
+    // would have an unrelated bound clamped onto it — and a legitimate
+    // capture-race torn tail at or below the clamp then REFUSES as
+    // media corruption, blocking failover exactly when it is needed.
+    // pollOnce must clear the sidecar when it publishes a new capture.
+    val dir = Files.createTempDirectory("graft-coord-fwm-reuse").toString
+    val jA = Paths.get(dir, "primary.journal")
+    val jB = Paths.get(dir, "follower.journal")
+    val fwm = jB.resolveSibling("follower.journal.fwm")
+    val fs = FileSystem.get(new java.net.URI("file:///"), new Configuration())
+    // an earlier promotion ran a server at the follower path long
+    // enough to cross the periodic forced-frontier rewrite (FwmEvery)
+    val old = CoordServer.start(jB)
+    try {
+      val c0 = CommitCoordinator.remote("127.0.0.1", old.port)
+      (0 until 70).foreach { i =>
+        assert(c0.createIfAbsent(fs, new HPath(s"$dir/old_$i"), "x"))
+      }
+    } finally old.close()
+    assert(Files.exists(fwm),
+      "precondition: the earlier promotion left a forced-frontier sidecar")
+    // a fresh primary on its own path, 10 acked wins, then death with a
+    // torn tail (the capture-race shape: the follower reads the journal
+    // mid-append)
+    val primary = CoordServer.start(jA)
+    try {
+      val c = CommitCoordinator.remote("127.0.0.1", primary.port)
+      (0 until 10).foreach { i =>
+        assert(c.createIfAbsent(fs, new HPath(s"$dir/new_$i"), s"v$i"))
+      }
+    } finally primary.close()
+    Files.write(jA, "torn-mid-append-garbage".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val follower = new graft.sources.CoordFollower(jA, jB)
+    assert(follower.pollOnce(), "capture failed")
+    assert(!Files.exists(fwm),
+      "publishing a fresh capture must clear the stale sidecar — the " +
+        "frontier it names bounds an UNRELATED journal")
+    // promotion must start (torn tail truncates under the legacy rule)
+    // and serve every win acked before the tear
+    val promoted = follower.promote(finalDrain = false)
+    try {
+      val c2 = CommitCoordinator.remote("127.0.0.1", promoted.port)
+      (0 until 10).foreach { i =>
+        assert(c2.readSmall(fs, new HPath(s"$dir/new_$i")).contains(s"v$i"),
+          s"acked win new_$i lost through the reused-path promotion")
+      }
+      assert(c2.createIfAbsent(fs, new HPath(s"$dir/after"), "a"))
+    } finally promoted.close()
+  }
+
   test("journal-tailing standby: primary KILLED mid-churn, follower promoted from its OWN path, every acked win holds") {
     // the no-shared-storage deployment's replacement path: a follower
     // continuously re-captures the primary's journal into its OWN
