@@ -847,5 +847,12 @@ object Bench {
       java.nio.file.Files.writeString(
         tdir.resolve("bench_full_partial.json"), full + "\n")
     }
+    // Re-print the contract line as the ABSOLUTE LAST stdout of the run
+    // (after every file write that could throw): the driver captures
+    // only the stdout TAIL, and r20's round-over-round comparison was
+    // lost because per-query epilogue pushed the (single) JSON line past
+    // the capture window. Two identical lines cost nothing; a tail
+    // capture now always ends with a complete one.
+    println(line)
   }
 }

@@ -220,15 +220,21 @@ object Retrieval {
       .sortWithinPartitions("term")
   }
 
+  /** The document-length expression [[docLengths]] and
+    * [[postingsWithDl]] share — exposed so index ops can OBSERVE the
+    * additive (count, sum dl) stats on a frame they already
+    * materialize instead of paying a separate aggregation job. */
+  def dlOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.size(TextFunctions.tokens(F.lower(text))).cast("long")
+
   /** Doc-length sidecar for [[postings]]: map-side only. */
   def docLengths(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
-    val toks = TextFunctions.tokens(F.lower(F.col(textCol)))
     docs.select(F.col(idCol).cast("long").as("doc_id"),
-      F.size(toks).cast("long").as("dl"))
+      dlOf(F.col(textCol)).as("dl"))
   }
 
   /** BM25 served purely from the maintained index — no corpus access,

@@ -5902,11 +5902,20 @@ object QueryCatalog {
     // batch count itself is not graded, and each extra tile costs a
     // full trigger of two-source state-store commits
     writeOrderedStreamFiles(ev.withColumn("__tile", F.ntile(2).over(w)), 2, in, dir)
-    def src() = s.readStream.schema(ev.schema)
+    // ONE streaming source, both join sides filtered off it (a
+    // stream-stream SELF-join): MicroBatchExecution deduplicates
+    // sources by relation instance, so the directory is listed and
+    // admitted once per trigger instead of twice, and the checkpoint
+    // tracks one offset log. Batch boundaries are identical to the
+    // two-source form (both sources listed the same dir under the same
+    // maxFilesPerTrigger), each side still carries its own watermark
+    // column, and the global watermark is the min across both exactly
+    // as before — results are byte-identical (oracle-verified).
+    val src = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val joined = graft.streaming.Streams.attributedPurchases(
-        src().filter(F.col("event_type") === "purchase"),
-        src().filter(F.col("event_type") === "view"))
+        src.filter(F.col("event_type") === "purchase"),
+        src.filter(F.col("event_type") === "view"))
       .select(F.col("user_id"), F.col("purchase_id"), F.col("view_id"),
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("vts"))).as("gap_us"))
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]

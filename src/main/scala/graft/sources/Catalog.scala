@@ -417,9 +417,26 @@ class Catalog(
       }
     }
     if (fs.exists(live)) {
-      coordinator.delete(fs, aside, true)
-      stagingSiblings(table, "__replacing")
-        .foreach(coordinator.delete(fs, _, true))
+      // re-read IMMEDIATELY before each destructive delete (ADVICE r21):
+      // a publish that began after the tail's entry check writes its
+      // marker BEFORE staging, so a per-delete marker read closes the
+      // window in which its fresh stage (or live move-aside) could be
+      // swept — the residual exposure shrinks from "everything since the
+      // tail entered" to the microseconds between this read and the
+      // delete, which only a compare-and-swap store (the
+      // [[CommitCoordinator]] seam) can remove entirely.
+      def publishBegan(): Boolean =
+        inFlightSwaps.contains(table) ||
+          readSwapMarker(fs, table).exists(_._2 >= System.currentTimeMillis())
+      def guardedDelete(p: org.apache.hadoop.fs.Path): Boolean =
+        if (publishBegan()) {
+          if (lenient) false
+          else throw new Catalog.SwapInFlight(
+            s"a publish of '$table' began during its recovery sweep — " +
+              "retry after it closes or expires")
+        } else { coordinator.delete(fs, p, true); true }
+      if (guardedDelete(aside))
+        stagingSiblings(table, "__replacing").forall(guardedDelete)
     }
   }
 
@@ -566,6 +583,19 @@ class Catalog(
             throw new java.io.IOException(
               s"compaction recovery failed restoring ${st.getPath} to $live")
         }
+      // re-read IMMEDIATELY before the destructive stage delete (ADVICE
+      // r21): a compaction that began after the sweep's entry check
+      // writes its marker BEFORE staging, so this per-delete read closes
+      // the window in which its fresh stage could be swept; the residual
+      // exposure is the microseconds to the delete, removable only by a
+      // compare-and-swap store (the [[CommitCoordinator]] seam).
+      if (inFlightSwaps.contains(table) ||
+          readSwapMarker(fs, table).exists(_._2 >= System.currentTimeMillis())) {
+        if (lenient) return
+        throw new Catalog.SwapInFlight(
+          s"a compaction of '$table' began during its recovery sweep — " +
+            "retry after it closes or expires")
+      }
       coordinator.delete(fs, staging, true)
     }
   }
@@ -894,6 +924,59 @@ class Catalog(
   private val leaseHolder = java.util.UUID.randomUUID().toString
   // scope -> (owning thread id, re-entry depth)
   private val leaseDepth = scala.collection.mutable.Map.empty[String, (Long, Int)]
+  // worker threads currently acting as DELEGATES of a lease-owning
+  // principal thread ([[runDelegated]]): delegate thread id -> principal
+  // thread id. Fencing and ownership questions resolve a delegate to its
+  // principal, so a delegated publish still fences against the family
+  // lease instead of silently no-opping (thread-scoped fencing).
+  private val leaseDelegates =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+
+  /** The thread whose held leases govern fencing for `self`: itself,
+    * or — for a [[runDelegated]] worker — its delegating principal. */
+  private def leasePrincipal(self: Long): Long =
+    Option(leaseDelegates.get(self)).map(_.longValue).getOrElse(self)
+
+  /** Run `bodies` concurrently on worker threads registered as LEASE
+    * DELEGATES of the calling thread (guide §2.6 — overlap independent
+    * jobs so one table's staged write back-fills the driver gaps and
+    * stage tails of another's): each worker inherits the caller's held
+    * leases for FENCING purposes ([[fenceHeldLeases]] resolves it to
+    * the principal), so a delegated stage-and-swap publish refuses on a
+    * broken family lease exactly like the owning thread would —
+    * delegation widens the lease's thread scope, never weakens it.
+    * Propagates the first failure after all bodies finish (the
+    * remaining bodies' stage-and-swap units are each internally
+    * crash-consistent, so letting them complete is safe and simplest). */
+  def runDelegated(bodies: Seq[() => Unit]): Unit = {
+    if (bodies.isEmpty) return
+    if (bodies.size == 1) { bodies.head(); return }
+    val principal = Thread.currentThread().getId
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = bodies.map { b =>
+      val th = new Thread(() => {
+        leaseDelegates.put(Thread.currentThread().getId, principal)
+        try b()
+        catch { case t: Throwable => errs.add(t) }
+        finally leaseDelegates.remove(Thread.currentThread().getId)
+      })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  /** The family's persisted layout stamp, if any — the read accessor
+    * for maintenance passes that need row-shaping parameters (the
+    * id-hash modulus) without widening their public signatures. One fs
+    * read; None for a family never stamped. */
+  def readLayoutMeta(family: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path(family) + "__layout")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    coordinator.readSmall(fs, p)
+  }
 
   // ------------------------------------------------------------------
   // SWAP-WINDOW PROTOCOL: the piece that makes stage-and-swap publishes
@@ -1374,7 +1457,8 @@ class Catalog(
     * commit points check this and fail LOUDLY instead
     * ([[graft.streaming.OpLog.commit]]). */
   def leaseHeldByOtherThread(scope: String): Boolean = {
-    val self = Thread.currentThread().getId
+    // a runDelegated worker counts as its principal (same fencing view)
+    val self = leasePrincipal(Thread.currentThread().getId)
     leaseDepth.synchronized {
       leaseDepth.get(scope).exists { case (o, d) => d > 0 && o != self }
     }
@@ -1421,7 +1505,9 @@ class Catalog(
     * across a server restart), and LifecycleContractSpec runs all
     * three index families' lease/stamp/fence traffic through it. */
   def fenceHeldLeases(): Unit = {
-    val self = Thread.currentThread().getId
+    // a runDelegated worker fences against its PRINCIPAL's held leases
+    // (delegation widens the lease's thread scope, never weakens it)
+    val self = leasePrincipal(Thread.currentThread().getId)
     val held = leaseDepth.synchronized {
       leaseDepth.collect { case (s, (o, d)) if d > 0 && o == self => s }.toSeq
     }

@@ -186,6 +186,13 @@ final class Bm25Index(
     if (done) return
     log.beginAttempt(seq)
     if (crashed) scrubOp(seq)
+    // both admission questions — the batch's id-hash partition values
+    // (≤ `buckets` ints — prunes the registry scan) and its key count
+    // (guards the broadcast probe) — RIDE the checkpoint
+    // materialization as observed metrics instead of costing their own
+    // job (guide §1.2: the op used to pay ~15 tiny jobs; every fused
+    // aggregate is one fewer dispatch)
+    val probeObs = org.apache.spark.sql.Observation()
     val deduped = batch
       .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
       // duplicate ids within one batch resolve to the lexicographically
@@ -193,17 +200,26 @@ final class Bm25Index(
       // (dropDuplicates keeps whichever row a partition scan meets
       // first, which need not repeat across a crash replay)
       .groupBy("doc_id").agg(F.max("text").as("text"))
-      .localCheckpoint() // reused: probe + admission + appends
-    // ONE tiny job answers both admission questions: the batch's
-    // id-hash partition values (≤ `buckets` ints — prunes the registry
-    // scan) and its key count (guards the broadcast probe)
-    val probe = deduped
-      .agg(F.collect_set(rkOf).as("rks"), F.count(F.lit(1)).as("n")).head()
-    val rks = probe.getSeq[Int](0)
+      .observe(probeObs,
+        F.collect_set(rkOf).as("rks"), F.count(F.lit(1)).as("n"))
+      .localCheckpoint() // reused: admission + appends
+    val probe = probeObs.get
+    val rks = probe("rks").asInstanceOf[Seq[Any]]
     val pruned = liveRegistry(snap).filter(F.col("rk").isin(rks: _*)).select("doc_id")
+    // the commit stats RIDE the admission checkpoint as observed
+    // metrics (the observe node sits in the checkpoint action's result
+    // stage — exactly-once under task retries, unlike an observe below
+    // a write's repartition exchange) — the old 1-row agg job
+    // re-tokenized `admitted` a third time
+    val statsObs = org.apache.spark.sql.Observation()
     val admitted = (
-        if (probe.getLong(1) > maxProbeIds) Upsert.newRows(deduped, pruned, "doc_id")
+        if (probe("n").asInstanceOf[Long] > maxProbeIds)
+          Upsert.newRows(deduped, pruned, "doc_id")
         else Upsert.newRowsViaProbe(deduped, pruned, "doc_id"))
+      .observe(statsObs,
+        F.count(F.lit(1)).as("n_docs"),
+        F.coalesce(F.sum(Retrieval.dlOf(F.col("text"))), F.lit(0L))
+          .as("total_dl"))
       .localCheckpoint() // referenced by both appends below
     val dls = Retrieval.docLengths(admitted).withColumn("seq", F.lit(seq))
     cat.appendPartitioned("postings",
@@ -212,9 +228,10 @@ final class Bm25Index(
       Seq("bk"), clusterInto = Some(writeWidth), sortWithin = Seq("term"))
     cat.appendPartitioned("doc_lengths", dls.withColumn("rk", rkOf), Seq("rk"),
       clusterInto = Some(writeWidth))
-    log.commit(seq, dls.agg(
-      F.count(F.lit(1)).as("n_docs"),
-      F.coalesce(F.sum("dl"), F.lit(0L)).as("total_dl")))
+    val st = statsObs.get
+    log.commitValues(seq, Seq(
+      Some(st("n_docs").asInstanceOf[Long]),
+      Some(st("total_dl").asInstanceOf[Long])))
   }
 
   /** Delete documents by id as op `seq`: tombstone the LIVE generations
@@ -232,23 +249,31 @@ final class Bm25Index(
     if (done) return
     log.beginAttempt(seq)
     if (crashed) scrubOp(seq)
+    // the rk probe rides the id-set checkpoint as an observed metric
+    // (one fewer job; the observe sits in the checkpoint's result stage)
+    val rkObs = org.apache.spark.sql.Observation()
     val idsD = ids.select(F.col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates("doc_id")
-      .localCheckpoint() // reused: rk probe + victim join
+      .observe(rkObs, F.collect_set(rkOf).as("rks"))
+      .localCheckpoint() // reused: victim join + (lazily) nothing else
     // prune the registry scan to the delete set's id-hash partitions
     // (≤ `buckets` values); join strategy is left to AQE — a takedown
     // batch is usually broadcast-sized but need not be
-    val rks = idsD.select(rkOf.as("rk")).distinct().collect()
-      .map(_.getInt(0)).toSeq
+    val rks = rkObs.get("rks").asInstanceOf[Seq[Any]]
+    // the NEGATIVE commit stats ride the victim checkpoint the same way
+    val statsObs = org.apache.spark.sql.Observation()
     val victims = liveRegistry(snap).filter(F.col("rk").isin(rks: _*))
       .join(idsD, Seq("doc_id"), "leftsemi")
-      .localCheckpoint() // referenced by both appends below
-    cat.append("tombstones",
-      victims.select(F.col("doc_id"), F.lit(seq).as("seq")))
-    log.commit(seq, victims.agg(
+      .observe(statsObs,
         F.count(F.lit(1)).as("n"),
         F.coalesce(F.sum("dl"), F.lit(0L)).as("sdl"))
-      .select((-F.col("n")).as("n_docs"), (-F.col("sdl")).as("total_dl")))
+      .localCheckpoint() // referenced by the append below
+    cat.append("tombstones",
+      victims.select(F.col("doc_id"), F.lit(seq).as("seq")))
+    val st = statsObs.get
+    log.commitValues(seq, Seq(
+      Some(-st("n").asInstanceOf[Long]),
+      Some(-st("sdl").asInstanceOf[Long])))
   }
 
   /** The next free op seq — one |ops|-row probe. */
@@ -276,18 +301,32 @@ final class Bm25Index(
     if (done) return
     log.beginAttempt(seq)
     if (crashed) scrubOp(seq)
+    // the rk probe and the ADDED-side stats ride the batch checkpoint
+    // as observed metrics; the KILLED-side stats ride the victim
+    // checkpoint — the old form paid three extra jobs (probe, added
+    // agg, killed agg via the commit's 1-row head). Every observe sits
+    // in its checkpoint action's result stage (exactly-once).
+    val addObs = org.apache.spark.sql.Observation()
     val deduped = batch
       .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
       .groupBy("doc_id").agg(F.max("text").as("text"))
-      .localCheckpoint() // reused: probe + victims + appends
-    val rks = deduped.select(rkOf.as("rk")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .observe(addObs,
+        F.collect_set(rkOf).as("rks"),
+        F.count(F.lit(1)).as("an"),
+        F.coalesce(F.sum(Retrieval.dlOf(F.col("text"))), F.lit(0L)).as("adl"))
+      .localCheckpoint() // reused: victims + appends
+    val add = addObs.get
+    val rks = add("rks").asInstanceOf[Seq[Any]]
     // the batch ids' currently-live generations: these die at `seq`
     // (their dl leaves the global stats); the probe shape is the same
     // zero-state-shuffle admission plan, semi instead of anti
+    val killObs = org.apache.spark.sql.Observation()
     val victims = liveRegistry(snap).filter(F.col("rk").isin(rks: _*))
       .join(F.broadcast(deduped.select("doc_id")), Seq("doc_id"), "leftsemi")
-      .localCheckpoint() // referenced by tombstone append + stats
+      .observe(killObs,
+        F.count(F.lit(1)).as("kn"),
+        F.coalesce(F.sum("dl"), F.lit(0L)).as("kdl"))
+      .localCheckpoint() // referenced by tombstone append
     val dls = Retrieval.docLengths(deduped).withColumn("seq", F.lit(seq))
     cat.appendPartitioned("postings",
       Retrieval.postingsWithDl(deduped)
@@ -298,13 +337,10 @@ final class Bm25Index(
     cat.append("tombstones",
       victims.select(F.col("doc_id"), F.lit(seq).as("seq")))
     // ONE commit row carries the net delta: adds minus kills
-    val added = dls.agg(
-      F.count(F.lit(1)).as("an"), F.coalesce(F.sum("dl"), F.lit(0L)).as("adl"))
-    val killed = victims.agg(
-      F.count(F.lit(1)).as("kn"), F.coalesce(F.sum("dl"), F.lit(0L)).as("kdl"))
-    log.commit(seq, added.crossJoin(killed) // 1-row × 1-row
-      .select((F.col("an") - F.col("kn")).as("n_docs"),
-        (F.col("adl") - F.col("kdl")).as("total_dl")))
+    val kill = killObs.get
+    log.commitValues(seq, Seq(
+      Some(add("an").asInstanceOf[Long] - kill("kn").asInstanceOf[Long]),
+      Some(add("adl").asInstanceOf[Long] - kill("kdl").asInstanceOf[Long])))
   }
 
   /** A continuous ingestion stream: each micro-batch runs [[ingest]]
@@ -468,9 +504,15 @@ final class Bm25Index(
       maxFilesPerPartition: Int = 2,
       checkpointOps: Boolean = false): Unit = {
     heal()
+    // doc_lengths is id-hash-partitioned (rk = hash(doc_id) % buckets,
+    // `buckets` stamp-verified at every open), so its affected
+    // partitions derive driver-side from the tombstone ids — zero probe
+    // jobs. postings' bk is a TERM hash, not derivable from ids: it
+    // keeps the probe scan.
     Generations.compact(cat, log, "tombstones", tombSchema, "doc_id",
       Seq(Generations.Stamped("postings", "bk", postSchema, "doc_id"),
-        Generations.Stamped("doc_lengths", "rk", dlSchema, "doc_id")),
+        Generations.Stamped("doc_lengths", "rk", dlSchema, "doc_id",
+          partOfId = Some(Generations.idHashPartition(buckets)))),
       maxFilesPerPartition, checkpointLog = checkpointOps)
   }
 }

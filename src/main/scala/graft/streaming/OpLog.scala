@@ -256,24 +256,45 @@ final class OpLog(
   }
 
   /** Commit = the op's payload row, one atomic append. `stats` must be
-    * a 1-row frame whose columns match the payload (first column
-    * non-null). Fenced: a writer whose lease was broken mid-op (TTL
-    * overrun) refuses here with [[Catalog.WriterFenced]] instead of
-    * publishing — its data rows stay uncommitted garbage. */
+    * EXACTLY a 1-row frame whose columns match the payload (first
+    * column non-null) — enforced loudly: an empty frame used to write
+    * zero rows (op left uncommitted) and extra rows were silently
+    * dropped by the old head(). Fenced: a writer whose lease was broken
+    * mid-op (TTL overrun) refuses here with [[Catalog.WriterFenced]]
+    * instead of publishing — its data rows stay uncommitted garbage. */
   def commit(seq: Long, stats: DataFrame): Unit = {
     heal()
     assertSameThreadSpan()
     cat.fenceHeldLeases()
-    if (allLongPayload) {
-      // compute the 1-row payload (the same job the write form ran),
-      // then append driver-side — no write-commit protocol
-      val r = stats.select(payload.fields.map(f =>
-        F.col(f.name).cast(f.dataType).as(f.name)): _*).head()
+    val rs = stats.select(payload.fields.map(f =>
+      F.col(f.name).cast(f.dataType).as(f.name)): _*).collect()
+    require(rs.length == 1,
+      s"op-log commit payload for seq $seq must be exactly one row, " +
+        s"got ${rs.length} — an aggregate over an empty/grouped frame?")
+    val r = rs(0)
+    if (allLongPayload)
       appendRowDriverSide(seq, payload.fields.indices.map(i =>
         if (r.isNullAt(i)) None else Some(r.getLong(i))))
-    } else cat.append(table, stats.select(
-      F.lit(seq).as("seq") +: payload.fields.map(f =>
-        F.col(f.name).cast(f.dataType).as(f.name)): _*))
+    else cat.append(table, spark.createDataFrame(
+      java.util.List.of(Row.fromSeq(seq +: r.toSeq)), schema))
+  }
+
+  /** Commit with DRIVER-KNOWN payload values — the form for ops whose
+    * stats rode an [[org.apache.spark.sql.Observation]] on an append
+    * job they already ran (no extra aggregation job). Same fencing and
+    * same-thread discipline as [[commit]]. */
+  def commitValues(seq: Long, values: Seq[Option[Long]]): Unit = {
+    require(values.length == payload.fields.length,
+      s"commitValues needs ${payload.fields.length} values, got ${values.length}")
+    require(values.head.nonEmpty,
+      "commitValues: the first payload column is the commit marker and must be non-null")
+    heal()
+    assertSameThreadSpan()
+    cat.fenceHeldLeases()
+    if (allLongPayload) appendRowDriverSide(seq, values)
+    else cat.append(table, spark.createDataFrame(
+      java.util.List.of(Row.fromSeq(
+        seq +: values.map(_.map(Long.box).orNull))), schema))
   }
 
   /** Fencing is keyed on the lease-OWNING thread: a commit running on a
@@ -390,6 +411,40 @@ final class OpLog(
         .coalesce(math.max(1, targetFiles)))
     }
 
+  /** [[compact]] fed by an already-captured snapshot: the fold is
+    * computed DRIVER-SIDE from the collected rows (zero further scans
+    * of the stored table — the staged rewrite is one local-relation
+    * write). Valid ONLY when the caller holds the family writer lease
+    * and has appended nothing to the log since the capture — exactly
+    * the [[graft.streaming.Generations.compact]] shape, which captures
+    * one snapshot at entry and never writes log rows. Same surviving
+    * set as [[compact]]: every committed row verbatim, one attempt row
+    * per still-open seq (spec-pinned alongside the job form). */
+  def compactFromSnapshot(snap: OpLog.Snapshot, targetFiles: Int = 1): Unit =
+    withWriter() {
+      ensure()
+      cat.replaceTable(table,
+        spark.createDataFrame(
+          java.util.Arrays.asList(snap.foldedRows(marker): _*), schema)
+          .coalesce(math.max(1, targetFiles)))
+    }
+
+  /** [[checkpoint]] fed by an already-captured snapshot — the same
+    * single-summary-row fold, computed driver-side (see
+    * [[compactFromSnapshot]] for the validity contract). */
+  def checkpointFromSnapshot(snap: OpLog.Snapshot): Unit = {
+    require(payload.fields.forall(_.dataType == LongType),
+      "checkpoint needs an all-BIGINT additive payload; " +
+        s"got ${payload.simpleString}")
+    withWriter() {
+      ensure()
+      cat.replaceTable(table,
+        spark.createDataFrame(
+          java.util.Arrays.asList(snap.checkpointRows(marker): _*), schema)
+          .coalesce(1))
+    }
+  }
+
   /** Maintenance, one step past [[compact]]: fold the ENTIRE committed
     * history into ONE summary row at the committed high-water mark
     * whose payload is the column-wise sum — every payload here is
@@ -493,18 +548,68 @@ object OpLog {
       * further jobs. Valid for a WRITE op's entry probe because the op
       * runs under the single-writer lease: nothing commits between the
       * capture and the op's own appends, so the captured prefix IS the
-      * current log. Same staleness guard, same loud refusal. */
+      * current log. The staleness guard is STRICTER than the lazy
+      * form's: a never-seen seq at or below the captured [[maxSeq]]
+      * (not just the committed mark) refuses — under [[visible]]'s
+      * `seq <= maxSeq` ceiling such an op's own uncommitted appends
+      * would be visible to its mid-op snapshot reads (the lazy
+      * openSeqs anti-join used to hide them), and the derived-base
+      * discipline ([[OpLog.nextBaseSeq]]) never legitimately issues
+      * one. */
     def replayState(seq: Long): (Boolean, Boolean) = {
       val mine = all.filter(_.getLong(0) == seq)
       val done = mine.exists(!_.isNullAt(markerIdx))
       val attempted = mine.nonEmpty
-      if (!attempted && committedHwm.exists(seq <= _))
+      if (!attempted && maxSeq.exists(seq <= _))
         throw new IllegalStateException(
-          s"op seq $seq has no log row but is at or below the committed " +
-            s"high-water mark ${committedHwm.get}: out-of-order or " +
-            "checkpointed-away — running it would double-apply; derive " +
-            "seqs from nextBaseSeq")
+          s"op seq $seq has no log row but is at or below the captured " +
+            s"high-water mark ${maxSeq.get}: out-of-order, checkpointed-" +
+            "away, or below an open attempt — running it would double-" +
+            "apply or leak its uncommitted rows into this snapshot's " +
+            "visibility ceiling; derive seqs from nextBaseSeq")
       (done, attempted)
+    }
+
+    /** Whether generation `seq` is visible under this snapshot — the
+      * driver-side form of [[visible]]'s literal predicates, for code
+      * that already holds the rows (e.g. a collected tombstone set). */
+    def seqVisible(seq: Long): Boolean = maxSeq match {
+      case None => true
+      case Some(hwm) => seq <= hwm && !openSeqs.contains(seq)
+    }
+
+    /** The [[OpLog.compact]] surviving set, computed from the captured
+      * rows: every committed row verbatim plus ONE attempt row per
+      * still-open seq. */
+    private[streaming] def foldedRows(marker: String): Array[Row] = {
+      val committedRows = all.filter(!_.isNullAt(markerIdx))
+      val committedSet = committedRows.map(_.getLong(0)).toSet
+      val openOnce = all.filter(r => !committedSet.contains(r.getLong(0)))
+        .groupBy(_.getLong(0)).map(_._2.head).toArray
+      committedRows ++ openOnce
+    }
+
+    /** The [[OpLog.checkpoint]] surviving set: one summary row at the
+      * committed high-water mark carrying column-wise payload sums
+      * (null-skipping, 0 when all null — the coalesce(sum) semantics),
+      * plus the open attempt rows. Falls back to [[foldedRows]] when
+      * nothing is committed. */
+    private[streaming] def checkpointRows(marker: String): Array[Row] = {
+      val committedRows = all.filter(!_.isNullAt(markerIdx))
+      if (committedRows.isEmpty) foldedRows(marker)
+      else {
+        val width = schema.fields.length
+        val sums = (1 until width).map { i =>
+          committedRows.foldLeft(0L)((acc, r) =>
+            if (r.isNullAt(i)) acc else acc + r.getLong(i))
+        }
+        val summary = Row.fromSeq(
+          committedRows.map(_.getLong(0)).max +: sums)
+        val committedSet = committedRows.map(_.getLong(0)).toSet
+        val openOnce = all.filter(r => !committedSet.contains(r.getLong(0)))
+          .groupBy(_.getLong(0)).map(_._2.head).toArray
+        summary +: openOnce
+      }
     }
 
     /** [[OpLog.visible]] pinned to this snapshot: committed-at-capture

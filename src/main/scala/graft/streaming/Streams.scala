@@ -351,21 +351,25 @@ object Streams {
                 catalog.readWithSchema(bucketTable, dedupBucketSchema)),
               tomb.withColumnRenamed("doc_id", "id"), "id")
             // duplicate ids within one batch resolve deterministically
-            // (see Bm25Index.ingest)
+            // (see Bm25Index.ingest). The batch's id-hash partition
+            // values (prunes the corpus-side admission scan) and its
+            // key count (guards the broadcast probe) RIDE the
+            // checkpoint materialization as observed metrics — one
+            // fewer job per op (the observe sits in the checkpoint
+            // action's result stage: exactly-once under retries)
+            val probeObs = org.apache.spark.sql.Observation()
             val deduped = batch
               .groupBy("doc_id").agg(F.max("text").as("text"))
-              .localCheckpoint() // reused: probe + admission + screen
-            // ONE tiny job: the batch's id-hash partition values (prunes
-            // the corpus-side admission scan) and its key count (guards
-            // the broadcast probe)
-            val probe = deduped.agg(
-              F.collect_set(pbkOf(F.col("doc_id"))).as("pbks"),
-              F.count(F.lit(1)).as("n")).head()
-            val pbks = probe.getSeq[Int](0)
+              .observe(probeObs,
+                F.collect_set(pbkOf(F.col("doc_id"))).as("pbks"),
+                F.count(F.lit(1)).as("n"))
+              .localCheckpoint() // reused: admission + screen
+            val probe = probeObs.get
+            val pbks = probe("pbks").asInstanceOf[Seq[Any]]
             val prunedIds = corpus
               .filter(F.col("pbk").isin(pbks: _*)).select("doc_id")
             val fresh = hygiene(
-              if (probe.getLong(1) > maxProbeIds)
+              if (probe("n").asInstanceOf[Long] > maxProbeIds)
                 Upsert.newRows(deduped, prunedIds, "doc_id")
               else Upsert.newRowsViaProbe(deduped, prunedIds, "doc_id"))
             val (newBuckets, admitted) = screen(fresh, corpus, liveBuckets)
@@ -536,6 +540,9 @@ object Streams {
       if (!tombs.filter(F.col("seq") === sv).isEmpty)
         catalog.replaceTable(tombTable, tombs.filter(F.col("seq") =!= sv))
     }
+    // the commit count rides the victim checkpoint as an observed
+    // metric (result-stage observe: exactly-once) — one fewer job
+    val countObs = org.apache.spark.sql.Observation()
     val victims = graft.operators.Tombstones.live(
         snap.visible(
           catalog.readWithSchema(corpusTable, dedupCorpusSchema)),
@@ -544,9 +551,10 @@ object Streams {
       .join(ids.select(F.col("doc_id").cast("long").as("doc_id"))
         .dropDuplicates("doc_id"), Seq("doc_id"), "leftsemi")
       .select(F.col("doc_id"), F.lit(sv).as("seq"))
-      .localCheckpoint() // referenced by append + commit count
+      .observe(countObs, F.count(F.lit(1)).as("n"))
+      .localCheckpoint() // referenced by the append below
     catalog.append(tombTable, victims)
-    log.commitCount(sv, victims.count())
+    log.commitCount(sv, countObs.get("n").asInstanceOf[Long])
     }
   }
 
@@ -613,13 +621,18 @@ object Streams {
       if (!tombs.filter(F.col("seq") === sv).isEmpty)
         catalog.replaceTable(tombTable, tombs.filter(F.col("seq") =!= sv))
     }
-    // in-batch id dups resolve deterministically (see Bm25Index.ingest)
+    // in-batch id dups resolve deterministically (see Bm25Index.ingest);
+    // the pbk probe and the commit count ride the checkpoint as
+    // observed metrics (result-stage observe: exactly-once)
+    val probeObs = org.apache.spark.sql.Observation()
     val deduped = batch
       .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
       .groupBy("doc_id").agg(F.max("text").as("text"))
-      .localCheckpoint() // reused: probe + victims + appends
-    val pbks = deduped.select(pbkOf(F.col("doc_id")).as("pbk")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .observe(probeObs,
+        F.collect_set(pbkOf(F.col("doc_id"))).as("pbks"),
+        F.count(F.lit(1)).as("n"))
+      .localCheckpoint() // reused: victims + appends
+    val pbks = probeObs.get("pbks").asInstanceOf[Seq[Any]]
     // the batch ids' currently-live generations die at `sv`; same
     // zero-state-shuffle probe plan as admission, semi instead of anti
     val victims = graft.operators.Tombstones.live(
@@ -648,7 +661,7 @@ object Streams {
       Seq("pbk"),
       clusterInto = Some(writeWidth(catalog.spark, stateBuckets)))
     catalog.append(tombTable, victims)
-    log.commitCount(sv, deduped.count())
+    log.commitCount(sv, probeObs.get("n").asInstanceOf[Long])
     }
   }
 
@@ -664,15 +677,25 @@ object Streams {
       bucketTable: String,
       tombTable: String,
       maxFilesPerPartition: Int = 2,
-      checkpointOps: Boolean = false): Unit =
+      checkpointOps: Boolean = false): Unit = {
+    // both tables are id-hash-partitioned under the SAME modulus, which
+    // the family's verified layout stamp records (stateBuckets=N): with
+    // it, affected partitions derive driver-side from the tombstone ids
+    // — zero probe jobs; a stamp-less family (pre-stamp warehouse)
+    // falls back to the probe scan.
+    val partOf = Generations.stampBuckets(catalog.readLayoutMeta(corpusTable))
+      .map(Generations.idHashPartition)
     Generations.compact(catalog,
       new OpLog(catalog.spark, catalog, corpusTable + "_ops",
         OpLog.countPayload),
       tombTable, dedupTombSchema, "doc_id",
       Seq(
-        Generations.Stamped(corpusTable, "pbk", dedupCorpusSchema, "doc_id"),
-        Generations.Stamped(bucketTable, "pbk", dedupBucketSchema, "id")),
+        Generations.Stamped(corpusTable, "pbk", dedupCorpusSchema, "doc_id",
+          partOfId = partOf),
+        Generations.Stamped(bucketTable, "pbk", dedupBucketSchema, "id",
+          partOfId = partOf)),
       maxFilesPerPartition, checkpointLog = checkpointOps)
+  }
 
   /** Streaming ANN serving: each micro-batch of query vectors is
     * answered from the PERSISTED LSH bucket index
@@ -907,28 +930,34 @@ object Streams {
             // coding is map-only against the frozen literal centroids;
             // in-batch id dups resolve by dropDuplicates (a vector's
             // code is a pure function of the embedding, so any winner
-            // codes identically)
+            // codes identically). Probe values and the commit count
+            // ride their checkpoints as observed metrics — two fewer
+            // jobs per op (result-stage observes: exactly-once)
+            val probeObs = org.apache.spark.sql.Observation()
             val deduped = graft.operators.Similarity.ivfPqCodeTable(
                 batch, pool, nlist, m, ksub, idCol, vecCol)
               .dropDuplicates("neighbor_id")
-              .localCheckpoint() // reused: probe + admission + append
-            val probe = deduped.agg(
-              F.collect_set(pbkOf(F.col("neighbor_id"))).as("pbks"),
-              F.count(F.lit(1)).as("n")).head()
-            val pbks = probe.getSeq[Int](0)
+              .observe(probeObs,
+                F.collect_set(pbkOf(F.col("neighbor_id"))).as("pbks"),
+                F.count(F.lit(1)).as("n"))
+              .localCheckpoint() // reused: admission + append
+            val probe = probeObs.get
+            val pbks = probe("pbks").asInstanceOf[Seq[Any]]
             val prunedIds = live
               .filter(F.col("pbk").isin(pbks: _*)).select("neighbor_id")
+            val countObs = org.apache.spark.sql.Observation()
             val admitted = (
-                if (probe.getLong(1) > maxProbeIds)
+                if (probe("n").asInstanceOf[Long] > maxProbeIds)
                   Upsert.newRows(deduped, prunedIds, "neighbor_id")
                 else Upsert.newRowsViaProbe(deduped, prunedIds, "neighbor_id"))
-              .localCheckpoint() // referenced by append + commit count
+              .observe(countObs, F.count(F.lit(1)).as("n"))
+              .localCheckpoint() // referenced by the append below
             catalog.appendPartitioned(codesTable, admitted
                 .withColumn("seq", F.lit(seq))
                 .withColumn("pbk", pbkOf(F.col("neighbor_id"))),
               Seq("pbk"),
               clusterInto = Some(writeWidth(catalog.spark, stateBuckets)))
-            log.commitCount(seq, admitted.count())
+            log.commitCount(seq, countObs.get("n").asInstanceOf[Long])
           }
           }
         }
@@ -992,6 +1021,9 @@ object Streams {
       if (!tombs.filter(F.col("seq") === sv).isEmpty)
         catalog.replaceTable(tombTable, tombs.filter(F.col("seq") =!= sv))
     }
+    // the commit count rides the victim checkpoint as an observed
+    // metric (result-stage observe: exactly-once) — one fewer job
+    val countObs = org.apache.spark.sql.Observation()
     val victims = graft.operators.Tombstones.live(
         snap.visible(catalog.readWithSchema(codesTable, codesSchema)),
         snap.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
@@ -999,9 +1031,10 @@ object Streams {
       .join(ids.select(F.col("neighbor_id").cast("long").as("neighbor_id"))
         .dropDuplicates("neighbor_id"), Seq("neighbor_id"), "leftsemi")
       .select(F.col("neighbor_id"), F.lit(sv).as("seq"))
-      .localCheckpoint() // referenced by append + commit count
+      .observe(countObs, F.count(F.lit(1)).as("n"))
+      .localCheckpoint() // referenced by the append below
     catalog.append(tombTable, victims)
-    log.commitCount(sv, victims.count())
+    log.commitCount(sv, countObs.get("n").asInstanceOf[Long])
     }
   }
 
@@ -1061,13 +1094,18 @@ object Streams {
         catalog.replaceTable(tombTable, tombs.filter(F.col("seq") =!= sv))
     }
     // a vector's code is a pure function of the embedding, so any
-    // in-batch dup winner codes identically
+    // in-batch dup winner codes identically; pbk probe + commit count
+    // ride the checkpoint as observed metrics (result-stage observe)
+    val probeObs = org.apache.spark.sql.Observation()
     val coded = graft.operators.Similarity.ivfPqCodeTable(
         batch, pool, nlist, m, ksub, idCol, vecCol)
       .dropDuplicates("neighbor_id")
-      .localCheckpoint() // reused: probe + victims + append
-    val pbks = coded.select(pbkOf(F.col("neighbor_id")).as("pbk")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .observe(probeObs,
+        F.collect_set(pbkOf(F.col("neighbor_id"))).as("pbks"),
+        F.count(F.lit(1)).as("n"))
+      .localCheckpoint() // reused: victims + append
+    val probeVals = probeObs.get
+    val pbks = probeVals("pbks").asInstanceOf[Seq[Any]]
     val victims = graft.operators.Tombstones.live(
         snap.visible(catalog.readWithSchema(codesTable, codesSchema)),
         snap.visible(catalog.readWithSchema(tombTable, vectorTombSchema)),
@@ -1083,7 +1121,7 @@ object Streams {
       Seq("pbk"),
       clusterInto = Some(writeWidth(catalog.spark, stateBuckets)))
     catalog.append(tombTable, victims)
-    log.commitCount(sv, coded.count())
+    log.commitCount(sv, probeVals("n").asInstanceOf[Long])
     }
   }
 
@@ -1104,7 +1142,12 @@ object Streams {
       new OpLog(catalog.spark, catalog, codesTable + "_ops",
         OpLog.countPayload),
       tombTable, vectorTombSchema, "neighbor_id",
-      Seq(Generations.Stamped(codesTable, "pbk", codesSchema, "neighbor_id")),
+      // pbk = hash(neighbor_id) % stateBuckets, the modulus recorded in
+      // the family's verified layout stamp: affected partitions derive
+      // driver-side from the tombstone ids (probe fallback if unstamped)
+      Seq(Generations.Stamped(codesTable, "pbk", codesSchema, "neighbor_id",
+        partOfId = Generations.stampBuckets(catalog.readLayoutMeta(codesTable))
+          .map(Generations.idHashPartition))),
       maxFilesPerPartition, checkpointLog = checkpointOps)
 
   /** Model-table layout for the tombstone-aware vector index: one row
