@@ -599,7 +599,7 @@ object QueryCatalog {
     val src = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val acc = scala.collection.mutable.Map.empty[(Long, String), Long]
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "events")) {
       val q = graft.streaming.Streams.windowedEventCounts(src)
         .select(F.col("win_start").cast(LongType).as("win_start"),
           F.col("event_type"), F.col("n"))
@@ -4408,7 +4408,7 @@ object QueryCatalog {
       x2 = F.length(F.col("text")),
       y = TextFunctions.stopwordCount(F.col("text")))
     val acc = scala.collection.mutable.Map.empty[String, Seq[BigInt]]
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "documents")) {
       val q = graft.operators.Regression.sketchAgg(feats(src))
         .writeStream.outputMode("update")
         .option("checkpointLocation", cp)
@@ -4549,7 +4549,7 @@ object QueryCatalog {
     // maintenance + serve stay inside the narrow-shuffle scope too: at
     // replay volume every stage is overhead-bound, and serve results
     // are partition-count-invariant
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "documents")) {
       val q = idx.writer(src, cp).trigger(AvailNow).start()
       try q.awaitTermination() finally q.stop()
       idx.compact(maxFilesPerPartition = 2)
@@ -4593,7 +4593,7 @@ object QueryCatalog {
       val idx = new graft.streaming.Bm25Index(
         s, new graft.sources.Catalog(s, s"$root/wh"))
       idx.ensure()
-      withFewShufflePartitions(s, 8) {
+      withFewShufflePartitions(s, replayShuffleWidth(s, dir, "documents")) {
         val q = idx.writer(s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(in), cp)
           .trigger(AvailNow).start()
@@ -4616,7 +4616,7 @@ object QueryCatalog {
     writeOrderedStreamFiles(
       modified.withColumn("__tile", F.ntile(2).over(w)), 2, in2, dir)
     val idx = new graft.streaming.Bm25Index(s, new graft.sources.Catalog(s, wh))
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "documents")) {
       idx.delete(docs.filter(F.col("doc_id") % 7 === 3).select("doc_id"),
         seq = 10L)
       val q2 = idx.writer(s.readStream.schema(docs.schema)
@@ -4659,7 +4659,7 @@ object QueryCatalog {
     copyDir(bm25BaseWh(s, dir), wh)
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val idx = new graft.streaming.Bm25Index(s, new graft.sources.Catalog(s, wh))
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "documents")) {
       idx.replace(
         docs.filter(F.col("doc_id") % 9 === 4)
           .select(F.col("doc_id"),
@@ -4695,7 +4695,7 @@ object QueryCatalog {
     // three micro-batch ops, and the |ops|-row stats sum is the same)
     copyDir(bm25BaseWh(s, dir), wh)
     val idx = new graft.streaming.Bm25Index(s, new graft.sources.Catalog(s, wh))
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "documents")) {
       import s.implicits._
       val queries = serveBatchQueries.zipWithIndex.flatMap { case (ts, qi) =>
         ts.map(t => (qi.toLong, t))
@@ -5369,7 +5369,7 @@ object QueryCatalog {
       val fcat = new graft.sources.Catalog(s, s"$froot/wh")
       graft.streaming.Streams.ensureDedupIndexTables(
         fcat, "corpus", "buckets", "tomb")
-      withFewShufflePartitions(s, 8) {
+      withFewShufflePartitions(s, replayShuffleWidth(s, dir, "documents")) {
         // seed generation 0 (registered in the op log so derived seqs
         // land above it and no replay can scrub the seed)
         val corpus0 = all.filter(F.col("doc_id") < 400)
@@ -5388,7 +5388,7 @@ object QueryCatalog {
       }
     }, wh)
     val catalog = new graft.sources.Catalog(s, wh)
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "documents")) {
       graft.streaming.Streams.replaceDocsInDedup(catalog,
         "corpus", "buckets", "tomb",
         all.filter(F.col("doc_id") < 400 && F.col("doc_id") % 5 === 1)
@@ -5762,6 +5762,31 @@ object QueryCatalog {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** VOLUME-DERIVED stream-replay shuffle width (VERDICT r21 #5 — the
+    * scale-safety fix for the twins' hardcoded
+    * `withFewShufflePartitions(8)`): one reduce partition (and, for the
+    * stateful twins, one state-store instance) per ~256 KB of
+    * compressed source parquet, FLOORED at the measured micro-replay
+    * optimum (8 — the r19–r21 sweeps; below ~2 MB of source every
+    * stage is overhead-bound at any width) and CAPPED at the session
+    * width so a production session's posture passes through unchanged.
+    * At the bench scale factors this evaluates to exactly the previous
+    * constant (numbers stay comparable, and the driver's 8-core run
+    * keeps its 8); at 100 TB the cap hands the width back to the
+    * session — an 8-partition shuffle never reaches a real corpus.
+    * Derived writer widths (`clusterInto = min(width, buckets)`)
+    * inherit the same scaling transitively. */
+  private def replayShuffleWidth(
+      s: SparkSession, dir: String, tables: String*): Int = {
+    def len(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(len).sum).getOrElse(0L)
+      else f.length()
+    val bytes = tables.map(t => len(new java.io.File(dir, s"$t.parquet"))).sum
+    val session = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.min(math.max(8, (bytes >> 18).toInt), math.max(8, session))
+  }
+
   /** The streaming EWMA twin graded by the BATCH oracle: the events
     * table replays as three event-time-ordered micro-batches (ts-ntile
     * files through a maxFilesPerTrigger=1 file stream) into
@@ -5786,7 +5811,7 @@ object QueryCatalog {
         F.floor(F.col("value") * 100).cast("long").as("cents"))
       .as[graft.streaming.Streams.EwmaEvent]
     val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "events")) {
       val q = graft.streaming.Streams.streamingEwma(typed)
         .toDF("user_id", "n_events", "ewma_cents")
         .writeStream.outputMode("update")
@@ -5842,7 +5867,7 @@ object QueryCatalog {
       .option("maxFilesPerTrigger", "1").parquet(in)
       .as[graft.streaming.Streams.SessionEvent]
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "events")) {
       val q = graft.streaming.Streams.sessionize(src)
         .toDF("user_id", "n_events", "duration_us")
         .writeStream.outputMode("append")
@@ -5919,7 +5944,7 @@ object QueryCatalog {
       .select(F.col("user_id"), F.col("purchase_id"), F.col("view_id"),
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("vts"))).as("gap_us"))
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "events")) {
       val q = joined.writeStream.outputMode("append")
         .option("checkpointLocation", cp)
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -6899,7 +6924,7 @@ object QueryCatalog {
     val src = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long, Long)]
-    withFewShufflePartitions(s, 8) {
+    withFewShufflePartitions(s, replayShuffleWidth(s, dir, "documents")) {
       val q = graft.operators.Corpus.sourceHealth(src)
         .writeStream.outputMode("update")
         .option("checkpointLocation", cp)
