@@ -35,19 +35,22 @@ object GraftSession {
       // destination, making partially-visible appends normal; never
       // run this engine with it.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "1")
-      // Use the serialized sort shuffle writer at EVERY reducer count
-      // (default: reducer counts <= 200 take the bypass-merge writer,
-      // which opens one stream per reducer per map task). The 100 TB
-      // posture already runs the sort writer (real shuffles exceed 200
-      // reducers); aligning small-R shuffles to it removes the
-      // per-reducer stream overhead that dominated the micro-volume
-      // stages here — measured at sf0.1: q_span_remove's summed task
-      // CPU 28.6 s -> 8.2 s (3.5x), q_dup_runs_char_hashed 17.7 -> 8.0 s,
-      // at identical results (a writer choice, not a plan change).
-      // Env-overridable for deployments whose disks prefer the
-      // hash-style writer at genuinely small reducer counts.
+      // Shuffle-writer crossover (default 200): reducer counts <= the
+      // threshold take the bypass-merge writer (one stream per reducer
+      // per map task), larger ones the serialized sort writer. Measured
+      // at sf0.1 on local[32]: the 32-reducer gram-explode stages pay
+      // ~3x their task CPU in per-reducer stream overhead under bypass
+      // (q_span_remove 28.6 -> 8.2 s summed CPU on the sort writer)
+      // while the stateful streaming twins' many tiny 8-reducer
+      // micro-batch shuffles run ~2x FASTER under bypass than under the
+      // sort writer's per-task page setup (q_ols_stream 3.2 -> 6.2 s
+      // when forced to sort). 16 keeps every <=16-reducer shuffle on
+      // the bypass writer (the replay/micro-batch posture) and moves
+      // session-width batch shuffles to the sort writer the 100 TB
+      // posture (>200 reducers) already uses. Env-overridable; a writer
+      // choice, not a plan change — results are identical either way.
       .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "16"))
       // Partition discovery of the bucketed index tables (64 hive dirs)
       // trips the default 32-path threshold and runs a DISTRIBUTED
       // listing job (~0.2 s of scheduler fixed cost) for what is a
