@@ -355,8 +355,13 @@ object Multimodal {
     df.select(F.col(idCol).cast(LongType)).as[Long]
       // codec work is CPU-bound: spread it across the cluster even when
       // the source collapses to one input split (payload content is a
-      // pure function of the id, so partitioning never changes results)
-      .repartition(F.col(idCol))
+      // pure function of the id, so partitioning never changes results).
+      // EXPLICIT width: a bare repartition(col) is AQE-coalescible, and
+      // at micro volume AQE folded the whole encode into ONE task (the
+      // byte-based coalescer is blind to per-row codec CPU) — measured
+      // r22: q_frame_meta ran its encode+decode serially, 2 single-task
+      // stages of ~1.5 s each on a 32-core session
+      .repartition(spark.sparkContext.defaultParallelism, F.col(idCol))
       .mapPartitions { ids =>
         // per-partition codec state: the PNG writer is resolved from the
         // ImageIO registry ONCE per task, not once per image (registry
@@ -465,7 +470,10 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(F.col(idCol).cast(LongType)).as[Long]
-      .repartition(F.col(idCol))
+      // explicit width: AQE would coalesce a bare repartition(col) to
+      // one task at micro volume, serializing the codec work (see
+      // syntheticImages)
+      .repartition(spark.sparkContext.defaultParallelism, F.col(idCol))
       .mapPartitions { ids =>
         val baos = new java.io.ByteArrayOutputStream()
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
@@ -610,6 +618,15 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(F.col(idCol).cast(LongType)).as[Long]
+      // deliberately the AQE-coalescible form (unlike the ImageIO
+      // seams' explicit width): javax.sound's AudioSystem consults its
+      // GLOBAL provider registry per write/read call, so concurrent
+      // audio-codec tasks in one JVM serialize on the registry lock and
+      // only add contention — measured r22 on a quiet host where the
+      // image family sped up 1.6-3x under explicit width: q_audio_meta/
+      // energy 1.1-1.9 s serial vs 4.9-5.2 s at width 32. Per-JVM audio
+      // stays serial by JDK construction; on a real cluster the
+      // EXECUTOR count (separate JVMs) provides the parallelism.
       .repartition(F.col(idCol))
       .mapPartitions { ids =>
         val baos = new java.io.ByteArrayOutputStream()
